@@ -1,0 +1,74 @@
+package graft
+
+import graft.functions.MiniLambda
+import org.apache.spark.sql.types._
+
+class MiniLambdaSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val base = Seq(
+    ("$1050.00", "hello world", 3L, 2.5),
+    ("$25.50", "FOO", 10L, 0.5)
+  ).toDF("price", "txt", "n", "x")
+
+  private def evalOne[T](expr: String): Seq[Any] =
+    base.select(MiniLambda.compile(expr, base.schema).as("r")).collect().map(_.get(0)).toSeq
+
+  test("replace strips characters literally (not regex)") {
+    assert(evalOne("lambda r: r['price'].replace('$', '')") == Seq("1050.00", "25.50"))
+  }
+
+  test("upper/lower/strip chains") {
+    assert(evalOne("lambda r: r['txt'].upper()") == Seq("HELLO WORLD", "FOO"))
+    assert(evalOne("lambda r: r['txt'].lower().replace('o', '0')") == Seq("hell0 w0rld", "f00"))
+  }
+
+  test("arithmetic with python true division and floor division") {
+    assert(evalOne("lambda r: r['n'] * 2") == Seq(6L, 20L))
+    assert(evalOne("lambda r: r['n'] / 2") == Seq(1.5, 5.0))
+    assert(evalOne("lambda r: r['n'] // 2") == Seq(1L, 5L))
+    assert(evalOne("lambda r: r['n'] % 2") == Seq(1L, 0L))
+  }
+
+  test("str()/int()/float() conversions and string + concat") {
+    assert(evalOne("lambda r: str(r['n']) + '!'") == Seq("3!", "10!"))
+    assert(evalOne("lambda r: float(r['n']) * r['x']") == Seq(7.5, 5.0))
+  }
+
+  test("conditional expression A if C else B") {
+    assert(evalOne("lambda r: 'big' if r['n'] > 5 else 'small'") == Seq("small", "big"))
+  }
+
+  test("comparisons, and/or, startswith") {
+    assert(evalOne("lambda r: r['n'] > 2 and r['x'] < 1.0") == Seq(false, true))
+    assert(evalOne("lambda r: r['price'].startswith('$')") == Seq(true, true))
+  }
+
+  test("slicing and len") {
+    assert(evalOne("lambda r: r['price'][1:]") == Seq("1050.00", "25.50"))
+    assert(evalOne("lambda r: r['txt'][0:4]") == Seq("hell", "FOO"))
+    assert(evalOne("lambda r: len(r['txt'])") == Seq(11L, 3L))
+  }
+
+  test("round/abs/min/max") {
+    assert(evalOne("lambda r: round(r['x'] * 2, 1)") == Seq(5.0, 1.0))
+    assert(evalOne("lambda r: max(r['n'], 5)") == Seq(5L, 10L))
+  }
+
+  test("string + non-string is a compile error (Python TypeError parity)") {
+    intercept[MiniLambda.CompileError] {
+      MiniLambda.compile("lambda r: r['txt'] + r['n']", base.schema)
+    }
+  }
+
+  test("unknown column and unsupported syntax produce precise errors") {
+    intercept[MiniLambda.CompileError] { MiniLambda.compile("lambda r: r['nope']", base.schema) }
+    intercept[MiniLambda.CompileError] { MiniLambda.compile("lambda r: __import__('os')", base.schema) }
+  }
+
+  test("type inference tracks results") {
+    assert(MiniLambda.inferType("lambda r: r['n'] / 2", base.schema) == DoubleType)
+    assert(MiniLambda.inferType("lambda r: str(r['n'])", base.schema) == StringType)
+    assert(MiniLambda.inferType("lambda r: r['n'] > 2", base.schema) == BooleanType)
+  }
+}
