@@ -1,13 +1,285 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.operators.Ops
+import graft.plans._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import scala.collection.immutable.ListMap
+
+/** Driver contract — one `queries` entry per implemented operator from
+  * SURVEY §2 (+ extended/beyond-reference operators), each with a DuckDB
+  * oracle in `oracleSql` over the same parquet tables.
+  *
+  * Determinism rules used throughout (driver hash-compares values):
+  *  - keys included so every row is unique;
+  *  - sums over 2-decimal monetary doubles go through scaled-integer
+  *    accumulation (round(x*100) as bigint) — float accumulation order
+  *    differs between engines, integer sums don't;
+  *  - sums of integral doubles (l_quantity) are exact in fp, safe as-is.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private val tableNames = Seq("region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** All testdata tables as engine inputs (parquet FileDefs, self-described
+    * schemas) so `bind`/`set` can resolve named right sides.
+    */
+  private[graft] def inputs(dir: String): Map[String, FileDef] =
+    tableNames.map(n => n -> FileDef(s"$dir/$n.parquet", "parquet", FileSchema(n, Nil))).toMap
+
+  // ------------------------------------------------------------ flagship
+
+  /** Flagship: a full YAML flow through the engine (bind + casting +
+    * application + switching + concatenation + arithmetic + comparison +
+    * assignation + equality + select), on sf0.001. Driver smoke-checks
+    * rows>0.
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    pipelineQuery(spark, "/root/testdata/sf0.001")
+
+  private val flagshipFlow =
+    """
+source: orders
+operations:
+- operation_type: bind
+  right_file_path: customer
+  right_schema_columns: {}
+  left_on: o_custkey
+  right_on: c_custkey
+  how: left
+  columns_to_add: [c_name]
+- operation_type: casting
+  output_column: order_date
+  input_column: o_orderdate
+  target_type: date
+- operation_type: arithmetic
+  output_column: double_price
+  input_columns: [o_totalprice, o_totalprice]
+  operator: '+'
+- operation_type: comparison
+  output_column: big_order
+  input_column: o_totalprice
+  operator: '>'
+  value: 100000.0
+- operation_type: concatenation
+  output_column: status_priority
+  input_columns: [o_orderstatus, o_orderpriority]
+  separator: '-'
+- operation_type: switching
+  output_column: status_label
+  switch_column: o_orderstatus
+  mapping:
+    O: o_orderpriority
+  default_value: CLOSED
+- operation_type: assignation
+  output_column: engine
+  value: graft
+- operation_type: equality
+  output_column: customer_name
+  input_column: c_name
+- operation_type: application
+  output_column: priority_norm
+  input_columns: [o_orderpriority]
+  function_str: 'lambda r: r[''o_orderpriority''].replace(''-'', ''_'').lower()'
+- operation_type: select
+  columns: [o_orderkey, o_custkey, order_date, double_price, big_order,
+            status_priority, status_label, engine, customer_name, priority_norm]
+"""
+
+  private def pipelineQuery(s: SparkSession, dir: String): DataFrame = {
+    val flow = Yaml.parseFlow(flagshipFlow)
+    Runner.applyAll(s, T(s, dir, flow.source), flow.operations, inputs(dir))
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = ListMap(
+
+    // ---- SURVEY §2.1 column transforms ----
+
+    "q_equality" -> ((s, dir) => {
+      val r = Ops.equality(T(s, dir, "lineitem"), Equality("l_quantity", Some("qty_copy")))
+      r.select("l_orderkey", "l_linenumber", "qty_copy")
+    }),
+
+    "q_concatenation" -> ((s, dir) => {
+      val r = Ops.concatenation(T(s, dir, "lineitem"),
+        Concatenation(Seq("l_returnflag", "l_linestatus"), "-", Some("flag_status")))
+      r.select("l_orderkey", "l_linenumber", "flag_status")
+    }),
+
+    "q_application" -> ((s, dir) => {
+      val r = Ops.application(T(s, dir, "part"),
+        Application(Seq("p_name"), "lambda r: r['p_name'].replace(' ', '_').upper()", Some("p_norm")))
+      r.select("p_partkey", "p_norm")
+    }),
+
+    "q_switching" -> ((s, dir) => {
+      val r = Ops.switching(T(s, dir, "orders"),
+        Switching("o_orderstatus", Seq(("O", "o_orderpriority"), ("F", "o_orderstatus")),
+          None, Some("OTHER"), Some("status_label")))
+      r.select("o_orderkey", "status_label")
+    }),
+
+    "q_assignation" -> ((s, dir) => {
+      val r = Ops.assignation(T(s, dir, "lineitem"),
+        Assignation(java.lang.Integer.valueOf(42), Some("const_col")))
+      r.select("l_orderkey", "l_linenumber", "const_col")
+    }),
+
+    "q_casting" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val r1 = Ops.casting(li, Casting("l_shipdate", SchemaType.Dt, Some("ship_date")))
+      val r2 = Ops.casting(r1, Casting("l_quantity", SchemaType.Int64, Some("qty_int")))
+      val r3 = Ops.casting(r2, Casting("l_orderkey", SchemaType.Str, Some("okey_str")))
+      r3.select("l_orderkey", "l_linenumber", "ship_date", "qty_int", "okey_str")
+    }),
+
+    "q_arithmetic" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val r1 = Ops.arithmetic(li, Arithmetic(Seq("l_extendedprice", "l_discount"), "*", Some("disc_amt")))
+      val r2 = Ops.arithmetic(r1, Arithmetic(Seq("l_extendedprice", "l_quantity"), "/", Some("unit_price")))
+      val r3 = Ops.arithmetic(r2, Arithmetic(Seq("l_quantity", "l_linenumber"), "+", Some("qty_plus_line")))
+      r3.select("l_orderkey", "l_linenumber", "disc_amt", "unit_price", "qty_plus_line")
+    }),
+
+    "q_comparison" -> ((s, dir) => {
+      val r = Ops.comparison(T(s, dir, "lineitem"),
+        Comparison("l_quantity", ">", java.lang.Integer.valueOf(25), Some("big_qty")))
+      r.select("l_orderkey", "l_linenumber", "big_qty")
+    }),
+
+    // ---- SURVEY §2.2 multi-table / reshaping ----
+
+    "q_bind" -> ((s, dir) => {
+      val r = Ops.bind(s, T(s, dir, "orders"),
+        Bind("customer", Nil, "o_custkey", "c_custkey", "inner", Seq("c_name", "c_mktsegment")),
+        inputs(dir))
+      r.select("o_orderkey", "o_custkey", "o_totalprice", "c_name", "c_mktsegment")
+    }),
+
+    "q_bind_outer" -> ((s, dir) => {
+      // full-outer with key coalescing; region↔nation keys overlap partially
+      val r = Ops.bind(s, T(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey"),
+        Bind("region", Nil, "n_regionkey", "r_regionkey", "outer", Seq("r_name")), inputs(dir))
+      r.select("n_nationkey", "n_name", "n_regionkey", "r_name")
+    }),
+
+    "q_fold" -> ((s, dir) => {
+      Ops.fold(T(s, dir, "part"),
+        Fold(Seq("p_partkey"), Seq("p_brand", "p_type", "p_size"), "key", "value"))
+    }),
+
+    "q_unfold" -> ((s, dir) => {
+      // (index,key) must be unique for `first`-pivot determinism (the
+      // reference has the same caveat, unfold.py:34) — pre-aggregate.
+      val li = T(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+        .agg(max(col("l_quantity")).as("qty"))
+      Ops.unfold(li, Unfold(Seq("l_orderkey", "l_linenumber"), "l_returnflag", "qty"))
+    }),
+
+    // ---- pipeline-level: full YAML flow through the engine ----
+
+    "q_pipeline" -> ((s, dir) => pipelineQuery(s, dir)),
+
+    // ---- extended: relational operators absent from the reference ----
+
+    "q_agg" -> ((s, dir) => {
+      // TPC-H Q1 shape with scaled-integer monetary sums (determinism note
+      // in the object scaladoc); quantity sums are exact as integral doubles
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_c"),
+          sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000).cast("long")).as("sum_disc_c"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q_topk" -> ((s, dir) => {
+      Ops.sortOp(T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
+        SortOp(Seq(("o_totalprice", false), ("o_orderkey", true)), Some(100)))
+    }),
+
+    "q_window" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem").select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate")
+      Ops.windowOp(li, WindowOp(Seq("l_suppkey"),
+        Seq(("l_shipdate", true), ("l_orderkey", true), ("l_linenumber", true)),
+        "row_number", None, Some("rn")))
+    }),
+
+    "q_distinct" -> ((s, dir) => {
+      Ops.distinctOp(T(s, dir, "lineitem").select("l_returnflag", "l_linestatus"), DistinctOp(Nil))
+    }),
+
+    "q_semi_join" -> ((s, dir) => {
+      val li = T(s, dir, "lineitem")
+      val bigParts = T(s, dir, "part").filter(col("p_size") > 40)
+      li.join(bigParts, li("l_partkey") === bigParts("p_partkey"), "left_semi")
+        .select("l_orderkey", "l_linenumber", "l_partkey")
+    }),
+
+    "q_anti_join" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val o = T(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+    }),
+
+    "q_union" -> ((s, dir) => {
+      val n = T(s, dir, "nation").select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"))
+      val r = T(s, dir, "region").select(col("r_regionkey").cast("long").as("k"), col("r_name").as("name"))
+      n.unionByName(r)
+    })
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = ListMap(
+    "q_equality" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity AS qty_copy FROM lineitem",
+    "q_concatenation" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag || '-' || l_linestatus AS flag_status FROM lineitem",
+    "q_application" ->
+      "SELECT p_partkey, upper(replace(p_name, ' ', '_')) AS p_norm FROM part",
+    "q_switching" ->
+      """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN o_orderpriority WHEN o_orderstatus = 'F' THEN o_orderstatus ELSE 'OTHER' END AS status_label FROM orders""",
+    "q_assignation" ->
+      "SELECT l_orderkey, l_linenumber, CAST(42 AS BIGINT) AS const_col FROM lineitem",
+    "q_casting" ->
+      "SELECT l_orderkey, l_linenumber, CAST(l_shipdate AS DATE) AS ship_date, CAST(l_quantity AS BIGINT) AS qty_int, CAST(l_orderkey AS VARCHAR) AS okey_str FROM lineitem",
+    "q_arithmetic" ->
+      "SELECT l_orderkey, l_linenumber, l_extendedprice * l_discount AS disc_amt, l_extendedprice / l_quantity AS unit_price, l_quantity + l_linenumber AS qty_plus_line FROM lineitem",
+    "q_comparison" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity > 25 AS big_qty FROM lineitem",
+    "q_bind" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey",
+    "q_bind_outer" ->
+      "SELECT n_nationkey, n_name, COALESCE(n_regionkey, r_regionkey) AS n_regionkey, r_name FROM nation FULL OUTER JOIN region ON n_regionkey = r_regionkey",
+    "q_fold" ->
+      """SELECT p_partkey, key, value FROM (SELECT p_partkey, 'p_brand' AS key, p_brand AS value FROM part UNION ALL SELECT p_partkey, 'p_type', p_type FROM part UNION ALL SELECT p_partkey, 'p_size', CAST(p_size AS VARCHAR) FROM part)""",
+    "q_unfold" ->
+      """SELECT l_orderkey, l_linenumber, max(CASE WHEN l_returnflag = 'A' THEN qty END) AS "A", max(CASE WHEN l_returnflag = 'N' THEN qty END) AS "N", max(CASE WHEN l_returnflag = 'R' THEN qty END) AS "R" FROM (SELECT l_orderkey, l_linenumber, l_returnflag, max(l_quantity) AS qty FROM lineitem GROUP BY 1, 2, 3) GROUP BY l_orderkey, l_linenumber""",
+    "q_pipeline" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS order_date, o_totalprice + o_totalprice AS double_price, o_totalprice > 100000.0 AS big_order, o_orderstatus || '-' || o_orderpriority AS status_priority, CASE WHEN o_orderstatus = 'O' THEN o_orderpriority ELSE 'CLOSED' END AS status_label, 'graft' AS engine, c_name AS customer_name, lower(replace(o_orderpriority, '-', '_')) AS priority_norm FROM orders LEFT JOIN customer ON o_custkey = c_custkey""",
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_c, count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_window" ->
+      "SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rn FROM lineitem",
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_semi_join" ->
+      "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)",
+    "q_anti_join" ->
+      "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_union" ->
+      "SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name FROM region"
+  )
 }
