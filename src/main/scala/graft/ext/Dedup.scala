@@ -94,21 +94,35 @@ object Dedup {
     require(k % bands == 0, "bands must divide k")
     Hashing.register(df.sparkSession)
     val r = k / bands
+    // fused tokenize→shingle→minhash expression; signatures are persisted
+    // because they feed the band explode AND both sides of the estimation
+    // join (without it each consumer recomputes the corpus pass). Docs
+    // with fewer than n tokens emit a MaxValue sentinel and are dropped —
+    // they have no shingles (two sentinel sigs would band-match).
     val sigs = df.select(col(idCol).as("id"),
-      minhashSignature(wordNgrams(col(textCol), n), k).as("sig"))
+      Hashing.textMinhash(col(textCol), n, k).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    val banded = sigs.select(col("id"), col("sig"),
+    // band join ships only (band, bhash, id) — signatures rejoin AFTER the
+    // candidate pairs are distinct, so the k-long arrays never ride the
+    // band shuffle (at corpus scale that shuffle is the dominant cost)
+    val banded = sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
-      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bhash")
+      .select(col("id"), col("pos").as("band"), col("col").as("bhash"))
 
-    val a = banded.select(col("band"), col("bhash"), col("id").as("id_a"), col("sig").as("sig_a"))
-    val b = banded.select(col("band"), col("bhash"), col("id").as("id_b"), col("sig").as("sig_b"))
-    a.join(b, Seq("band", "bhash"))
-      .filter(col("id_a") < col("id_b"))
+    val pairs = banded.alias("a")
+      .join(banded.alias("b"), Seq("band", "bhash"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
       .filter(col("est_jaccard") >= threshold)
-      .groupBy("id_a", "id_b").agg(max("est_jaccard").as("est_jaccard"))
   }
 
   /** Remove near-duplicates: drop every doc that pairs with a smaller id
@@ -154,29 +168,34 @@ object Dedup {
 
   // ------------------------------------------------------- n-gram Jaccard
 
-  /** EXACT n-gram Jaccard similarity on blocked candidate pairs. Blocking:
-    * the documents' min-hashed shingle (1 bucket per doc per probe) — pairs
-    * sharing any of `probes` min-shingles are compared exactly. Guarantees
-    * no O(n²) blowup while catching high-overlap pairs (a pair with Jaccard
-    * j shares the global min shingle with prob ≈ j per probe).
+  /** EXACT n-gram Jaccard similarity on LSH-blocked candidate pairs:
+    * banded-minhash candidate generation (selective — a raw min-shingle
+    * block degenerates on corpora with shared vocabulary, since any doc
+    * containing the globally-minimal shingle lands in one giant bucket),
+    * then exact set Jaccard on the few candidates, with gram arrays joined
+    * back only at the verify step.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
-                        probes: Int = 8): DataFrame = {
+                        k: Int = 32, bands: Int = 16): DataFrame = {
     Hashing.register(df.sparkSession)
+    // candidate recall at jaccard j: 1-(1-j^(k/bands))^bands; defaults
+    // (r=2, b=16) give ≈0.99 at j=0.5. Candidates are pre-filtered by
+    // SIGNATURE-estimated jaccard with a safety margin below the exact
+    // threshold — without it, shared-vocabulary corpora yield millions of
+    // low-overlap banded pairs and the gram-array join dominates.
+    val candidates = minhashPairs(df, idCol, textCol, n, k, bands,
+      threshold = math.max(0.0, threshold - 0.15))
+      .select("id_a", "id_b")
     val grams = df.select(col(idCol).as("id"),
       array_distinct(wordNgrams(col(textCol), n)).as("grams"))
       .filter(size(col("grams")) > 0)
-    val blocked = grams.select(col("id"), col("grams"),
-      explode(array_distinct(Hashing.minhashSig(col("grams"), probes))).as("block"))
-    val a = blocked.select(col("block"), col("id").as("id_a"), col("grams").as("g_a"))
-    val b = blocked.select(col("block"), col("id").as("id_b"), col("grams").as("g_b"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inter = size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType)
-    a.join(b, Seq("block"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("jaccard",
-        inter / (size(col("g_a")) + size(col("g_b")) - inter))
+    candidates
+      .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
+      .join(grams.select(col("id").as("id_b"), col("grams").as("g_b")), Seq("id_b"))
+      .withColumn("jaccard", inter / (size(col("g_a")) + size(col("g_b")) - inter))
       .filter(col("jaccard") >= threshold)
       .select("id_a", "id_b", "jaccard")
   }
@@ -193,17 +212,23 @@ object Dedup {
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.4, nbits: Int = 4,
                         tables: Int = 16): DataFrame = {
-    val buckets = transform(sequence(lit(0), lit(tables - 1)), t =>
-      // per-table signature: seed the hyperplane hash space by table id
-      Vectors.hyperplaneSignatureSeeded(col(vecCol), nbits, t) * tables + t)
-    val withSig = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      explode(buckets).as("bucket"))
-    val a = withSig.select(col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
-    val b = withSig.select(col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
-    a.join(b, Seq("bucket"))
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cosine", Vectors.cosine(col("v_a"), col("v_b")))
+    graft.functions.VectorExprs.register(df.sparkSession)
+    // bucket join ships (bucket, id) ONLY; vectors and norms rejoin after
+    // the candidate pairs are distinct — embeddings never ride the LSH
+    // shuffle (at corpus scale they dominate it otherwise)
+    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Vectors.norm(col(vecCol)).as("nrm"))
+    val bucketed = df.select(col(idCol).as("id"),
+      explode(Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)).as("bucket"))
+    val pairs = bucketed.alias("a")
+      .join(bucketed.alias("b"), Seq("bucket"))
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    pairs
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))
+      .withColumn("cosine", Vectors.dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

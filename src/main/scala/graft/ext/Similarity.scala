@@ -5,43 +5,30 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Vector column primitives over Array[Float] embeddings — pure
-  * higher-order-function expressions (zip_with/aggregate), so they run
-  * inside codegen with no UDF/boxing. Accumulation is in Double regardless
-  * of the storage type.
+/** Vector column primitives over Array[Float] embeddings, backed by the
+  * native expressions in graft.functions.VectorExprs (one fused JVM loop
+  * per row; the zip_with/aggregate HOF formulation interprets per element
+  * — ~100× slower on LSH fan-outs). Accumulation is Double regardless of
+  * storage type. Callers register via VectorExprs.register (the ext entry
+  * points do it automatically).
   */
 object Vectors {
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  def dot(a: Column, b: Column): Column = graft.functions.VectorExprs.dot(a, b)
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  def norm(a: Column): Column = graft.functions.VectorExprs.norm(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  /** Pack `nbits` random-hyperplane sign bits into a long bucket id.
-    * Hyperplane components are hash-derived (deterministic, uniform in
-    * [-1,1]): component (j,d) = (xxhash64(seed, j*100003 + d) mod 2001 - 1000)/1000.
+  /** Pack `nbits` random-hyperplane sign bits into a long bucket id
+    * (deterministic hash-derived hyperplanes).
     */
   def hyperplaneSignature(vec: Column, nbits: Int): Column =
-    hyperplaneSignatureSeeded(vec, nbits, lit(0))
+    element_at(graft.functions.VectorExprs.hyperplaneBuckets(vec, nbits, 1), 1)
 
-  /** As hyperplaneSignature, with a Column seed selecting an independent
-    * hyperplane family (for LSH OR-constructions).
-    */
-  def hyperplaneSignatureSeeded(vec: Column, nbits: Int, seed: Column): Column = {
-    val dims = sequence(lit(0), size(vec) - 1)
-    val bits = transform(sequence(lit(0), lit(nbits - 1)), j => {
-      val proj = aggregate(
-        zip_with(vec, dims, (v, d) =>
-          v.cast(DoubleType) *
-            ((pmod(xxhash64(seed * 1000003 + j * 100003 + d), lit(2001)) - 1000).cast(DoubleType) / 1000.0)),
-        lit(0.0), (acc, x) => acc + x)
-      when(proj > 0, 1L).otherwise(0L)
-    })
-    aggregate(bits, lit(0L), (acc, bit) => acc * 2 + bit)
-  }
+  /** All `tables` LSH bucket ids (OR-construction) as an array<long>. */
+  def hyperplaneBuckets(vec: Column, nbits: Int, tables: Int): Column =
+    graft.functions.VectorExprs.hyperplaneBuckets(vec, nbits, tables)
 }
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -62,6 +49,7 @@ object Similarity {
     */
   def bruteForceTopK(data: DataFrame, queries: DataFrame,
                      idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(data.sparkSession)
     // norms precomputed ONCE per row/query, not once per (row, query) pair
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
       Vectors.norm(col(vecCol)).as("__qn__")))
@@ -84,6 +72,7 @@ object Similarity {
     */
   def lshTopK(data: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nbits: Int = 6): DataFrame = {
+    graft.functions.VectorExprs.register(data.sparkSession)
     val sig = Vectors.hyperplaneSignature(col(vecCol), nbits)
     val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"),
       Vectors.norm(col(vecCol)).as("__n__"), sig.as("bucket"))

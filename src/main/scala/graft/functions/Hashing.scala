@@ -83,10 +83,46 @@ object Hashing {
       "graft_minhash", exprs => MinHashSigExpr(exprs.head, exprs(1)), "built-in")
   }
 
-  def simhash64(c: Column): Column = call_function("graft_simhash64", c)
-  def hamming64(a: Column, b: Column): Column = call_function("graft_hamming64", a, b)
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+  def simhash64(c: Column): Column = toCol(SimHash64Expr(toExpr(c)))
+  def hamming64(a: Column, b: Column): Column = toCol(Hamming64Expr(toExpr(a), toExpr(b)))
   def minhashSig(shingles: Column, k: Int): Column =
-    call_function("graft_minhash", shingles, org.apache.spark.sql.functions.lit(k))
+    toCol(MinHashSigExpr(toExpr(shingles),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** Fused tokenize → word n-gram → k-MinHash in ONE pass over the text
+    * (no intermediate shingle array, no per-gram string allocation beyond
+    * a reused rolling buffer). This is the per-row kernel of corpus dedup;
+    * at 100 TB the difference vs composing split/transform/concat
+    * expressions is the job cost.
+    */
+  def textMinhash(text: Column, n: Int, k: Int): Column =
+    toCol(TextMinHashExpr(toExpr(text),
+      org.apache.spark.sql.catalyst.expressions.Literal(n),
+      org.apache.spark.sql.catalyst.expressions.Literal(k)))
+
+  /** JVM-side mirror of textMinhash for tests: tokenens lowered on
+    * whitespace, n-gram joined by single spaces, FNV-hashed, k
+    * multiply-add permutations.
+    */
+  def textMinhashLocal(text: String, n: Int, k: Int): Array[Long] = {
+    val toks = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val (as, bs) = permConsts(k)
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i + n <= toks.length) {
+      val h = fnv1a64(toks.slice(i, i + n).mkString(" "))
+      var j = 0
+      while (j < k) {
+        val v = as(j) * h + bs(j)
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    mins
+  }
 
   /** Deterministic multiply-add permutation constants (odd multipliers) for
     * the MinHash family — fixed seed, identical on every executor.
@@ -148,6 +184,60 @@ case class MinHashSigExpr(child: Expression, kExpr: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression) =
     copy(child = l, kExpr = r)
   override def prettyName: String = "graft_minhash"
+}
+
+/** (text, n, k) → array<long> MinHash signature of the text's word
+  * n-grams: lowercase whitespace tokenization, n-gram join with single
+  * spaces (identical semantics to Dedup.wordNgrams∘tokens), FNV-1a gram
+  * hashing, k multiply-add permutations. Single pass, no intermediate
+  * collections. Returns all-MaxValue sentinel signature for texts with
+  * fewer than n tokens (they can never band-match a real signature).
+  */
+case class TextMinHashExpr(text: Expression, nE: Expression, kE: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+  override def first: Expression = text
+  override def second: Expression = nE
+  override def third: Expression = kE
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case _ => throw new IllegalArgumentException("n/k must be literals")
+  }
+  private lazy val n = litInt(nE)
+  private lazy val k = litInt(kE)
+  private lazy val (as, bs) = Hashing.permConsts(k)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, nv: Any, kv: Any): Any = {
+    val s = t.asInstanceOf[UTF8String].toString.toLowerCase
+    val toks = s.split("\\s+").filter(_.nonEmpty)
+    val mins = Array.fill(k)(Long.MaxValue)
+    if (toks.length >= n) {
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i + n <= toks.length) {
+        sb.setLength(0)
+        var g = 0
+        while (g < n) {
+          if (g > 0) sb.append(' ')
+          sb.append(toks(i + g))
+          g += 1
+        }
+        val bts = sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = Hashing.fnv1a64(bts, 0, bts.length)
+        var j = 0
+        while (j < k) {
+          val v = as(j) * h + bs(j)
+          if (v < mins(j)) mins(j) = v
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+  override def prettyName: String = "graft_text_minhash"
 }
 
 /** (long, long) → Hamming distance of the two 64-bit values. */

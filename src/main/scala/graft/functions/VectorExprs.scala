@@ -1,0 +1,147 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types._
+
+/** Native vector expressions for embedding similarity. The higher-order
+  * function formulation (zip_with + aggregate) is interpreted per element
+  * with boxing; these evaluate as one tight JVM loop per row — the
+  * difference is ~100× on wide fan-outs (LSH tables × bits × dims).
+  */
+object VectorExprs {
+
+  def register(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotExpr(exprs(0), exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_norm", exprs => NormExpr(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_hplanes", exprs => HyperplaneSigsExpr(exprs(0), exprs(1), exprs(2)), "built-in")
+  }
+
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+  import org.apache.spark.sql.catalyst.expressions.{Literal => Lit}
+
+  def dot(a: Column, b: Column): Column = toCol(DotExpr(toExpr(a), toExpr(b)))
+  def norm(a: Column): Column = toCol(NormExpr(toExpr(a)))
+
+  /** Array of `tables` bucket ids for the LSH OR-construction: table t's
+    * bucket = (packed sign bits of nbits hash-derived hyperplanes, seeded
+    * by t) * tables + t.
+    */
+  def hyperplaneBuckets(vec: Column, nbits: Int, tables: Int): Column =
+    toCol(HyperplaneSigsExpr(toExpr(vec), Lit(nbits), Lit(tables)))
+
+  private[functions] def toDoubles(arr: ArrayData, dt: DataType): Array[Double] = {
+    val n = arr.numElements()
+    val out = new Array[Double](n)
+    dt match {
+      case FloatType  => var i = 0; while (i < n) { out(i) = arr.getFloat(i); i += 1 }
+      case DoubleType => var i = 0; while (i < n) { out(i) = arr.getDouble(i); i += 1 }
+      case _ => throw new IllegalArgumentException(s"unsupported vector element type $dt")
+    }
+    out
+  }
+
+  /** splitmix64 — deterministic, public-domain mixing function. */
+  private[functions] def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Hyperplane component (table, bit, dim) in [-1, 1] — hash-derived,
+    * identical on every executor.
+    */
+  private[functions] def component(table: Int, bit: Int, dim: Int): Double =
+    (Math.floorMod(splitmix64(table.toLong * 1000003 + bit.toLong * 100003 + dim), 2001L) - 1000L) / 1000.0
+}
+
+/** (array<float|double>, array<float|double>) → double dot product. */
+case class DotExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = VectorExprs.toDoubles(a.asInstanceOf[ArrayData], elemType(left))
+    val y = VectorExprs.toDoubles(b.asInstanceOf[ArrayData], elemType(right))
+    var s = 0.0; var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) { s += x(i) * y(i); i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName: String = "graft_dot"
+}
+
+/** array<float|double> → double L2 norm. */
+case class NormExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any): Any = {
+    val dt = child.dataType.asInstanceOf[ArrayType].elementType
+    val x = VectorExprs.toDoubles(a.asInstanceOf[ArrayData], dt)
+    var s = 0.0; var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    math.sqrt(s)
+  }
+  override protected def withNewChildInternal(c: Expression) = copy(c)
+  override def prettyName: String = "graft_norm"
+}
+
+/** (vec, nbits, tables) → array<long> of LSH bucket ids, one per table.
+  * Hyperplane matrices are built lazily once per (nbits, tables, dim) per
+  * executor and cached — the per-row work is tables×nbits×dim fused
+  * multiply-adds.
+  */
+case class HyperplaneSigsExpr(vec: Expression, nbitsE: Expression, tablesE: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+  override def first: Expression = vec
+  override def second: Expression = nbitsE
+  override def third: Expression = tablesE
+  private lazy val nbits = litInt(nbitsE)
+  private lazy val tables = litInt(tablesE)
+  private def litInt(e: Expression): Int = e match {
+    case Literal(v, _) => v.toString.toInt
+    case _ => throw new IllegalArgumentException("nbits/tables must be literals")
+  }
+  @transient private var planes: Array[Array[Double]] = _ // (tables*nbits) x dim
+  @transient private var planesDim: Int = -1
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(v: Any, nb: Any, tb: Any): Any = {
+    val x = VectorExprs.toDoubles(v.asInstanceOf[ArrayData],
+      vec.dataType.asInstanceOf[ArrayType].elementType)
+    val dim = x.length
+    if (planesDim != dim) {
+      planes = Array.tabulate(tables * nbits, dim) { (tj, d) =>
+        VectorExprs.component(tj / nbits, tj % nbits, d)
+      }
+      planesDim = dim
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L
+      var j = 0
+      while (j < nbits) {
+        val p = planes(t * nbits + j)
+        var s = 0.0; var d = 0
+        while (d < dim) { s += x(d) * p(d); d += 1 }
+        bucket = bucket * 2 + (if (s > 0) 1L else 0L)
+        j += 1
+      }
+      out(t) = bucket * tables + t
+      t += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+  override def prettyName: String = "graft_hplanes"
+}

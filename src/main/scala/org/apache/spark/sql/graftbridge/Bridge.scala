@@ -1,0 +1,17 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Column ⇄ Expression bridge. Spark 4 hides the conversion behind
+  * `private[sql]` (org.apache.spark.sql.classic.ExpressionUtils); extension
+  * libraries conventionally re-export it from an org.apache.spark.sql
+  * subpackage. Used to expose graft's native Catalyst expressions
+  * (SimHash/MinHash/vector ops) as ordinary Columns without registry
+  * round-trips.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
