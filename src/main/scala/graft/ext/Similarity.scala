@@ -66,23 +66,31 @@ object Similarity {
       .select("query_id", "rank", "neighbor_id", "score")
   }
 
-  /** Approximate top-k: candidates = rows sharing the query's LSH bucket,
-    * re-ranked exactly. A production IVF would probe multiple adjacent
-    * buckets; here bucket granularity is the recall knob.
+  /** Approximate top-k, IVF-flavored: `tables` independent LSH tables of
+    * `nbits` hyperplane bits each (OR-construction) — candidates are rows
+    * sharing ANY table bucket with the query, deduplicated, then re-ranked
+    * exactly. Recall knobs: more tables OR fewer bits per table → more
+    * candidates. Candidate generation ships only (bucket, id); vectors
+    * rejoin at re-rank.
     */
   def lshTopK(data: DataFrame, queries: DataFrame,
-              idCol: String, vecCol: String, k: Int, nbits: Int = 6): DataFrame = {
+              idCol: String, vecCol: String, k: Int, nbits: Int = 6,
+              tables: Int = 4): DataFrame = {
     graft.functions.VectorExprs.register(data.sparkSession)
-    val sig = Vectors.hyperplaneSignature(col(vecCol), nbits)
-    val d = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"),
-      Vectors.norm(col(vecCol)).as("__n__"), sig.as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
-      Vectors.norm(col(vecCol)).as("__qn__"),
-      Vectors.hyperplaneSignature(col(vecCol), nbits).as("bucket")))
+    val buckets = Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)
+    val vecs = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"),
+      Vectors.norm(col(vecCol)).as("__n__"))
+    val d = data.select(col(idCol).as("neighbor_id"), explode(buckets).as("bucket"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"), explode(buckets).as("bucket")))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
+      Vectors.norm(col(vecCol)).as("__qn__")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("score").desc, col("neighbor_id").asc)
     d.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
+      .select("query_id", "neighbor_id").distinct()
+      .join(vecs, Seq("neighbor_id"))
+      .join(qv, Seq("query_id"))
       .withColumn("score", Vectors.dot(col("__v__"), col("__qv__")) / (col("__n__") * col("__qn__")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

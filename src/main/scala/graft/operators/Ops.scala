@@ -309,13 +309,17 @@ object Ops {
     */
   def unfold(df: DataFrame, op: Unfold): DataFrame = {
     requireCols(df, op.indexColumns ++ Seq(op.keyColumn, op.valueColumn), "unfold")
-    val keysInOrder: Seq[Any] = df
+    // pivot needs the distinct keys up front (Spark's own pivot runs the
+    // same discovery job); persist the input so the discovery pass and the
+    // pivot don't each re-execute the upstream plan
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keysInOrder: Seq[Any] = cached
       .select(col(op.keyColumn))
       .withColumn("__rid__", monotonically_increasing_id())
       .groupBy(col(op.keyColumn)).agg(min(col("__rid__")).as("__rid__"))
       .orderBy(col("__rid__"))
       .collect().map(_.get(0)).toSeq
-    df.groupBy(op.indexColumns.map(col): _*)
+    cached.groupBy(op.indexColumns.map(col): _*)
       .pivot(op.keyColumn, keysInOrder)
       .agg(first(col(op.valueColumn), ignoreNulls = false))
   }

@@ -47,6 +47,16 @@ object Streams {
         col("window.end").as("window_end"),
         col("event_type"), col("n_events"), col("total_value"))
 
+  /** Streaming exact dedup: drop duplicate keys arriving within the
+    * watermark window — the streaming face of Dedup.exactDedup; state is
+    * bounded by the watermark (the only way unbounded-stream dedup can
+    * work at scale).
+    */
+  def dedupWithinWatermark(events: DataFrame, keys: Seq[String],
+                           watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
   /** Custom stateful op: gap-based sessionization per user via
     * flatMapGroupsWithState (the mapGroupsWithState family — the engine's
     * escape hatch for state machines Spark's windows can't express).

@@ -38,6 +38,24 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup within watermark drops replayed events") {
+    val dir = "/tmp/graft-test/stream-dup"
+    // write the same events TWICE (two files) — a replayed source
+    batchEvents.write.mode("overwrite").parquet(dir)
+    batchEvents.write.mode("append").parquet(dir)
+
+    val deduped = Streams.dedupWithinWatermark(
+      Streams.readEventStream(spark, dir), Seq("event_id"), "40 days")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("graft_dedup").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.table("graft_dedup").count()
+      val expected = batchEvents.select("event_id").distinct().count()
+      assert(n == expected, s"streamed $n vs distinct $expected")
+    } finally q.stop()
+  }
+
   test("sessionize splits user activity on 30-minute gaps with state") {
     implicit val s = spark
     val events = batchEvents.as[Streams.Event]
