@@ -29,9 +29,17 @@ object Sink {
   def save(df: DataFrame, fd: FileDef, prettyJson: Boolean = true): Unit = {
     val out = projectToSchema(df, fd)
     fd.format match {
+      case "csv" if fd.path.toLowerCase.endsWith(".csv") =>
+        // reference parity: the output is ONE file at exactly this path
+        // (main.py writes a single csv). Extension-less paths keep Spark's
+        // distributed directory layout — the at-scale mode.
+        writeSingleFile(out, fd.path, "csv",
+          Map("header" -> "true", "dateFormat" -> "yyyy-MM-dd"))
       case "csv" =>
         out.write.mode(SaveMode.Overwrite).option("header", true)
           .option("dateFormat", "yyyy-MM-dd").csv(fd.path)
+      case "parquet" if fd.path.toLowerCase.endsWith(".parquet") =>
+        writeSingleFile(out, fd.path, "parquet", Map.empty)
       case "parquet" =>
         out.write.mode(SaveMode.Overwrite).parquet(fd.path)
       case "json" if !prettyJson =>
@@ -52,6 +60,27 @@ object Sink {
         java.nio.file.Files.writeString(p, body)
       case other => throw new IllegalArgumentException(s"unsupported output format '$other'")
     }
+  }
+
+  /** Write as exactly one file at `path` (reference-scale outputs):
+    * single-partition write into a temp dir, then move the part file.
+    */
+  private def writeSingleFile(df: DataFrame, path: String, format: String,
+                              options: Map[String, String]): Unit = {
+    val tmp = path + ".graft-tmp"
+    df.coalesce(1).write.mode(SaveMode.Overwrite).options(options)
+      .format(format).save(tmp)
+    val tmpDir = java.nio.file.Paths.get(tmp)
+    val part = java.nio.file.Files.list(tmpDir).filter(p =>
+      p.getFileName.toString.startsWith("part-")).findFirst()
+      .orElseThrow(() => new IllegalStateException(s"no part file in $tmp"))
+    val target = java.nio.file.Paths.get(path)
+    if (target.getParent != null) java.nio.file.Files.createDirectories(target.getParent)
+    java.nio.file.Files.move(part, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // clean the temp dir (part crc/_SUCCESS markers)
+    java.nio.file.Files.walk(tmpDir).sorted(java.util.Comparator.reverseOrder())
+      .forEach(p => java.nio.file.Files.deleteIfExists(p))
   }
 
   private def renderDates(df: DataFrame): DataFrame =

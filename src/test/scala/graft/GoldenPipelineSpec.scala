@@ -186,6 +186,15 @@ operations:
     Sink.save(result, config.outputMap("enriched_output_def"))
     val written = spark.read.option("header", true).csv("/tmp/graft-test/enriched")
     assert(written.count() == 10)
+
+    // reference parity: a .csv path produces exactly ONE file at that path
+    val singleDef = config.outputMap("enriched_output_def")
+      .copy(path = "/tmp/graft-test/enriched_single.csv")
+    Sink.save(result, singleDef)
+    val f = new java.io.File(singleDef.path)
+    assert(f.isFile, "expected a single csv FILE, not a directory")
+    val single = spark.read.option("header", true).csv(singleDef.path)
+    assert(single.count() == 10 && single.columns.length == 17)
   }
 
   test("bind right-key is dropped, collisions get _right suffix repeatedly until unique") {

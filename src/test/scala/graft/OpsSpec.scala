@@ -88,6 +88,12 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("comparison of a date column against an ISO string literal works (casting path)") {
+    val dd = Ops.casting(df, Casting("d", SchemaType.Dt, Some("dt")))
+    val r = Ops.comparison(dd, Comparison("dt", ">=", "2024-02-01", Some("late")))
+    assert(r.select("late").collect().map(_.getBoolean(0)).toSeq == Seq(false, true, true))
+  }
+
   test("fold pre-casts heterogeneous value columns to supertype then unpivots") {
     val r = Ops.fold(df, Fold(Seq("id"), Seq("name", "amount"), "key", "value"))
     assert(r.columns.toSeq == Seq("id", "key", "value"))
