@@ -356,6 +356,21 @@ operations:
         ext.Multimodal.mediaFromDocuments(T(s, dir, "documents")), 64, 8)
     }),
 
+    // ---- extended: profiling + skew-safe aggregation ----
+
+    "q_profile" -> ((s, dir) => {
+      ext.Profile.numeric(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"), exactDistinct = true)
+    }),
+
+    "q_salted_agg" -> ((s, dir) => {
+      // salted two-phase aggregation must equal the plain aggregate
+      // (l_quantity is integral, so the double partial sums are exact)
+      ext.Skew.saltedSumCount(
+        T(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
+        Seq("l_returnflag"), "l_quantity")
+    }),
+
     // ---- extended: event-time windowing (batch == streaming transform) ----
 
     "ev_window" -> ((s, dir) => {
@@ -424,6 +439,12 @@ operations:
     "mm_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, 'bin' AS format, sha256(text) AS sha FROM documents""",
     "ev_window" ->
-      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2"""
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
+    "q_profile" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
+        s"""SELECT '$c' AS "column", count($c) AS n, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""")
+        .mkString(" UNION ALL "),
+    "q_salted_agg" ->
+      "SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity, count(*) AS n FROM lineitem GROUP BY l_returnflag"
   )
 }

@@ -1,0 +1,65 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Dataset profiling for pipeline QA: per-column stats in ONE pass over the
+  * data (a single aggregate row, unpivoted to one row per column) — at
+  * 100 TB a profile must never be #columns scans.
+  */
+object Profile {
+
+  /** Numeric-column profile: count, nulls, distinct, min/max/sum.
+    * `exactDistinct=false` (the at-scale default) uses HyperLogLog
+    * (approx_count_distinct); exact mode is for oracle-checked QA runs.
+    */
+  def numeric(df: DataFrame, cols: Seq[String],
+              exactDistinct: Boolean = false): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        (if (exactDistinct) countDistinct(col(c)) else approx_count_distinct(col(c)))
+          .as(s"${c}__distinct"),
+        min(col(c)).cast(DoubleType).as(s"${c}__min"),
+        max(col(c)).cast(DoubleType).as(s"${c}__max"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // unpivot the single wide row into one row per column
+    val rows = cols.map { c =>
+      struct(lit(c).as("column"),
+        col(s"${c}__n").as("n"),
+        col(s"${c}__nulls").as("n_null"),
+        col(s"${c}__distinct").as("n_distinct"),
+        col(s"${c}__min").as("min_v"),
+        col(s"${c}__max").as("max_v"))
+    }
+    one.select(explode(array(rows: _*)).as("p")).select("p.*")
+  }
+}
+
+/** Skew mitigation for hot aggregation keys: two-phase salted aggregation.
+  * AQE handles skewed JOINS at runtime; skewed GROUP-BYs still hash every
+  * row of a hot key to one reducer — salting splits each key into
+  * `salts` sub-keys (phase 1, map-side + salted shuffle) and merges the
+  * partials (phase 2, tiny shuffle of #keys × salts rows). Results are
+  * identical to the unsalted aggregate for the decomposable aggregates
+  * offered here.
+  */
+object Skew {
+
+  /** Salted sum/count per key. The salt is derived from a hash of the
+    * whole row (deterministic, spreads identical hot-key rows across
+    * `salts` partitions).
+    */
+  def saltedSumCount(df: DataFrame, keys: Seq[String], valueCol: String,
+                     salts: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(struct(df.columns.map(col): _*)), lit(salts)).as("__salt__")
+    df.select((keys.map(col) :+ col(valueCol) :+ salt): _*)
+      .groupBy((keys.map(col) :+ col("__salt__")): _*)
+      .agg(sum(col(valueCol)).as("__psum__"), count(lit(1)).as("__pn__"))
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("__psum__")).as(s"sum_$valueCol"), sum(col("__pn__")).as("n"))
+  }
+}
