@@ -336,6 +336,11 @@ operations:
       d.select(col("doc_id"), ext.TextAnalysis.fingerprint(col("text")).as("fp"))
     }),
 
+    "ta_winnow" -> ((s, dir) => {
+      // rolling-hash (winnowing) fingerprint near-copy pairs
+      ext.Dedup.winnowPairs(T(s, dir, "documents"), "doc_id", "text")
+    }),
+
     // ---- extended: multimodal plumbing ----
 
     "mm_meta" -> ((s, dir) => {

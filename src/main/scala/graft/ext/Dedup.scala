@@ -200,6 +200,35 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  // ------------------------------------------------ winnowing (rolling hash)
+
+  /** Near-copy pairs by shared winnowing fingerprints (rolling-hash
+    * k-grams, min-per-window selection — see Hashing.winnow): two docs
+    * sharing any substring of length ≥ w+k-1 bytes share fingerprints;
+    * pairs sharing ≥ minShared are reported with the shared count.
+    * Same id-only-shuffle shape as the other LSH joins.
+    */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 16, minShared: Int = 5,
+                  maxDocFreq: Int = 20): DataFrame = {
+    val fps = df.select(col(idCol).as("id"),
+      explode(array_distinct(Hashing.winnow(col(textCol), k, w))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // drop ubiquitous fingerprints (boilerplate/common phrases) BEFORE the
+    // self-join — a fingerprint in d docs contributes d²/2 pairs, so hot
+    // fps dominate quadratically; capping document frequency is the
+    // standard winnowing practice and bounds the join
+    val rare = fps.groupBy(col("fp")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDocFreq)
+      .select("fp")
+    val kept = fps.join(rare, Seq("fp"))
+    kept.alias("a").join(kept.alias("b"), Seq("fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Near-duplicate pairs by embedding cosine ≥ threshold: standard LSH

@@ -124,6 +124,53 @@ object Hashing {
     mins
   }
 
+  /** Winnowing fingerprints (Schleimer, Wilkerson, Aiken: "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — public
+    * algorithm): rolling (Rabin-Karp) hash over byte k-grams, then the
+    * minimum hash of each window of `w` consecutive k-grams, deduplicated.
+    * Guarantees any shared substring of length ≥ w+k-1 contributes at
+    * least one common fingerprint — the standard plagiarism/near-copy
+    * detector primitive.
+    */
+  def winnow(c: Column, k: Int, w: Int): Column =
+    toCol(WinnowExpr(toExpr(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(k),
+      org.apache.spark.sql.catalyst.expressions.Literal(w)))
+
+  /** JVM-side winnowing (mirror of WinnowExpr for tests). */
+  def winnowLocal(text: String, k: Int, w: Int): Array[Long] = {
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (bytes.length < k) return Array.empty
+    val B = 257L
+    var pow = 1L
+    var i = 0
+    while (i < k - 1) { pow *= B; i += 1 }
+    // rolling hashes of all k-grams
+    val n = bytes.length - k + 1
+    val hs = new Array[Long](n)
+    var h = 0L
+    i = 0
+    while (i < k) { h = h * B + (bytes(i) & 0xff); i += 1 }
+    hs(0) = h
+    i = 1
+    while (i < n) {
+      h = (h - (bytes(i - 1) & 0xff) * pow) * B + (bytes(i + k - 1) & 0xff)
+      hs(i) = h
+      i += 1
+    }
+    if (n <= w) return Array(hs.min)
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    i = 0
+    while (i + w <= n) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (hs(j) < m) m = hs(j); j += 1 }
+      out += m
+      i += 1
+    }
+    out.toArray
+  }
+
   /** Deterministic multiply-add permutation constants (odd multipliers) for
     * the MinHash family — fixed seed, identical on every executor.
     */
@@ -238,6 +285,28 @@ case class TextMinHashExpr(text: Expression, nE: Expression, kE: Expression)
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
   override def prettyName: String = "graft_text_minhash"
+}
+
+/** (text, k, w) → array<long> winnowing fingerprints (see Hashing.winnow). */
+case class WinnowExpr(text: Expression, kE: Expression, wE: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.TernaryExpression with CodegenFallback {
+  override def first: Expression = text
+  override def second: Expression = kE
+  override def third: Expression = wE
+  private def litInt(e: Expression): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+    case _ => throw new IllegalArgumentException("k/w must be literals")
+  }
+  private lazy val k = litInt(kE)
+  private lazy val w = litInt(wE)
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(t: Any, kv: Any, wv: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Hashing.winnowLocal(t.asInstanceOf[UTF8String].toString, k, w))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
+    copy(a, b, c)
+  override def prettyName: String = "graft_winnow"
 }
 
 /** (long, long) → Hamming distance of the two 64-bit values. */

@@ -101,6 +101,23 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("winnowing rolling-hash fingerprints detect shared substrings") {
+    // identical text → identical fingerprint sets
+    val t1 = "the quick brown fox jumps over the lazy dog again and again"
+    assert(Hashing.winnowLocal(t1, 8, 16).toSeq == Hashing.winnowLocal(t1, 8, 16).toSeq)
+    // a doc containing a long shared substring shares fingerprints
+    val t2 = "PREFIX " + t1 + " SUFFIX"
+    val shared = Hashing.winnowLocal(t1, 8, 4).toSet intersect Hashing.winnowLocal(t2, 8, 4).toSet
+    assert(shared.nonEmpty)
+    // expression mirrors the local implementation
+    val viaDf = Seq(Tuple1(t1)).toDF("t")
+      .select(Hashing.winnow(col("t"), 8, 16)).collect().head.getSeq[Long](0)
+    assert(viaDf == Hashing.winnowLocal(t1, 8, 16).toSeq)
+    // the planted near-dup pairs in documents are found
+    val pairs = Dedup.winnowPairs(docs, "doc_id", "text")
+    assert(pairs.count() > 0)
+  }
+
   test("text analysis: counts, ratios, fingerprint, language id") {
     val d = docs.limit(50)
     val r = d.select(col("doc_id"),
