@@ -91,6 +91,35 @@ object Multimodal {
     else if (b.length >= 2 && b(0) == 0x1F.toByte && b(1) == 0x8B.toByte) "gzip"
     else "bin"
 
+  /** Resized media record (what a real image resize would emit). */
+  case class ResizedMedia(media_id: Long, media_type: String,
+                          target_w: Int, target_h: Int, content: Array[Byte])
+
+  /** Resize plumbing: per-partition batch transform producing a
+    * fixed-budget payload per row. STUB: deterministic byte subsampling
+    * stands in for pixel resampling (no codecs in this container); the
+    * schema, typed-row path, and partition batching are the real
+    * interface a codec-backed resize plugs into.
+    */
+  def resizeStub(media: DataFrame, targetW: Int, targetH: Int)
+                (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+    import spark.implicits._
+    val budget = targetW * targetH
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val out =
+            if (bytes.length <= budget) bytes
+            else {
+              val step = bytes.length.toDouble / budget
+              Array.tabulate(budget)(i => bytes((i * step).toInt))
+            }
+          ResizedMedia(rec.media_id, rec.media_type, targetW, targetH, out)
+        }
+      }
+  }
+
   /** Frame sampling plumbing: split the payload into fixed-size windows
     * (standing in for video frames / audio chunks), exploded with indexes.
     * Pure expressions — `substring` works on binary and stays in codegen.
