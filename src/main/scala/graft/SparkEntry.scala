@@ -180,6 +180,13 @@ operations:
       r.select("n_nationkey", "n_name", "n_regionkey", "r_name")
     }),
 
+    "q_bind_cross" -> ((s, dir) => {
+      // how=cross ignores keys; right key column is kept (bind.py parity)
+      Ops.bind(s, T(s, dir, "nation"),
+        Bind("region", Nil, "n_nationkey", "r_regionkey", "cross", Seq("r_name")),
+        inputs(dir))
+    }),
+
     "q_fold" -> ((s, dir) => {
       Ops.fold(T(s, dir, "part"),
         Fold(Seq("p_partkey"), Seq("p_brand", "p_type", "p_size"), "key", "value"))
@@ -409,6 +416,8 @@ operations:
       "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment FROM orders JOIN customer ON o_custkey = c_custkey",
     "q_bind_outer" ->
       "SELECT n_nationkey, n_name, COALESCE(n_regionkey, r_regionkey) AS n_regionkey, r_name FROM nation FULL OUTER JOIN region ON n_regionkey = r_regionkey",
+    "q_bind_cross" ->
+      "SELECT n_nationkey, n_name, n_regionkey, r_regionkey, r_name FROM nation CROSS JOIN region",
     "q_fold" ->
       """SELECT p_partkey, key, value FROM (SELECT p_partkey, 'p_brand' AS key, p_brand AS value FROM part UNION ALL SELECT p_partkey, 'p_type', p_type FROM part UNION ALL SELECT p_partkey, 'p_size', CAST(p_size AS VARCHAR) FROM part)""",
     "q_unfold" ->

@@ -177,9 +177,29 @@ object MiniLambda {
             case ">=" => l.col >= r.col
           }
           Typed(c, BooleanType)
+        case Some(TIdent("in")) => // 'x' in r['col'] → substring containment
+          pos += 1
+          val r = parseAdditive()
+          requireStrings(l, r, "in")
+          Typed(r.col.contains(l.col), BooleanType)
+        case Some(TIdent("not")) => // A not in B
+          pos += 1
+          if (!acceptIdent("in")) throw CompileError("expected 'in' after 'not'")
+          val r = parseAdditive()
+          requireStrings(l, r, "not in")
+          Typed(!r.col.contains(l.col), BooleanType)
+        case Some(TIdent("is")) => // r['c'] is None / is not None
+          pos += 1
+          val negated = acceptIdent("not")
+          if (!acceptIdent("None")) throw CompileError("only 'is [not] None' is supported")
+          Typed(if (negated) l.col.isNotNull else l.col.isNull, BooleanType)
         case _ => l
       }
     }
+
+    private def requireStrings(l: Typed, r: Typed, op: String): Unit =
+      if (l.dt != StringType || r.dt != StringType)
+        throw CompileError(s"'$op' requires string operands (got ${l.dt.simpleString}, ${r.dt.simpleString})")
 
     private def parseAdditive(): Typed = {
       var l = parseMultiplicative()

@@ -55,6 +55,16 @@ class MiniLambdaSpec extends SparkSpec {
     assert(evalOne("lambda r: max(r['n'], 5)") == Seq(5L, 10L))
   }
 
+  test("membership and None tests: in / not in / is None / is not None") {
+    assert(evalOne("lambda r: 'o' in r['txt']") == Seq(true, false))
+    assert(evalOne("lambda r: 'z' not in r['txt']") == Seq(true, true))
+    assert(evalOne("lambda r: r['txt'] is None") == Seq(false, false))
+    assert(evalOne("lambda r: r['txt'] is not None") == Seq(true, true))
+    intercept[MiniLambda.CompileError] {
+      MiniLambda.compile("lambda r: 5 in r['txt']", base.schema)
+    }
+  }
+
   test("string + non-string is a compile error (Python TypeError parity)") {
     intercept[MiniLambda.CompileError] {
       MiniLambda.compile("lambda r: r['txt'] + r['n']", base.schema)

@@ -54,6 +54,19 @@ class OpsSpec extends SparkSpec {
     assert(r.select("sw").collect().map(_.getString(0)).toSeq == Seq("a", "b", null))
   }
 
+  test("switching with empty mapping yields the default everywhere (edge case parity)") {
+    val r = Ops.switching(df, Switching("name", Nil, None, Some("fallback"), Some("sw")))
+    assert(r.select("sw").collect().map(_.getString(0)).toSeq == Seq("fallback", "fallback", "fallback"))
+  }
+
+  test("fold renders date value columns as ISO strings in the supertype cast") {
+    val dd = Ops.casting(df, Casting("d", SchemaType.Dt, Some("dt")))
+    val r = Ops.fold(dd, Fold(Seq("id"), Seq("dt", "amount"), "key", "value"))
+    val dtRows = r.filter(org.apache.spark.sql.functions.col("key") === "dt")
+      .select("value").collect().map(_.getString(0)).toSeq
+    assert(dtRows == Seq("2024-01-15", "2024-02-20", "2024-03-25"))
+  }
+
   test("assignation types YAML scalars as Int64/Float64 (LongType/DoubleType)") {
     val r1 = Ops.assignation(df, Assignation(java.lang.Integer.valueOf(5), Some("k")))
     assert(r1.schema("k").dataType == LongType)
