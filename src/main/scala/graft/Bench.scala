@@ -28,20 +28,23 @@ object Bench {
     // warm-up: session + codegen + parquet footer caches
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // two timed runs per query, report the min — the shared host has
-    // noisy-neighbor CPU variance and a single sample can be several-fold
-    // off steady state
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to 2).map { _ =>
-        val t0 = System.nanoTime()
-        try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch {
-          case e: Throwable =>
-            System.err.println(s"[bench] $name failed: ${e.getMessage}")
-        }
-        (System.nanoTime() - t0) / 1e9
+    // the shared host has several-fold noisy-neighbor CPU variance; a
+    // single sample can be far off steady state. Queries whose first
+    // sample is slow get ONE retry and report the min — bounded extra
+    // wall time, steady-state numbers for the outliers
+    val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE", "2.0").toDouble
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> times.min
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = SparkEntry.queries.map { case (name, fn) =>
+      val t1 = timeOnce(name, fn)
+      name -> (if (t1 > retryAbove) math.min(t1, timeOnce(name, fn)) else t1)
     }
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
       .mkString("{", ",", "}")
