@@ -9,12 +9,25 @@ import org.apache.spark.sql.SparkSession
   * every output column (a bare count() would let Catalyst prune the whole
   * projection and time nothing). A short warm-up query runs first so JVM/
   * codegen startup isn't billed to the first query.
+  *
+  * Sampling: the shared host has bursty multi-core CPU steal with degraded
+  * windows that can last minutes — back-to-back retries of one query land
+  * in the same window and both read slow. The suite therefore runs as
+  * SPARK_GRAFT_PASSES (default 3) INTERLEAVED whole-suite passes and
+  * reports the per-query MIN across passes: consecutive samples of the
+  * same query are separated by a full suite pass (~minutes), so at least
+  * one sample lands outside a degraded window with high probability.
+  *
+  * Failures: a query that throws contributes NO timing. It appears in an
+  * "errors" object (name → first error message) instead of "queries", and
+  * is excluded from the total.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -28,28 +41,47 @@ object Bench {
     // warm-up: session + codegen + parquet footer caches
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
-    // the shared host has several-fold noisy-neighbor CPU variance; a
-    // single sample can be far off steady state. Queries whose first
-    // sample is slow get ONE retry and report the min — bounded extra
-    // wall time, steady-state numbers for the outliers
-    val retryAbove = sys.env.getOrElse("SPARK_GRAFT_RETRY_ABOVE", "2.0").toDouble
-    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def timeOnce(name: String,
+                 fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val res =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Right((System.nanoTime() - t0) / 1e9)
+        } catch {
+          case e: Throwable =>
+            val msg = Option(e.getMessage).getOrElse(e.getClass.getSimpleName)
+            System.err.println(s"[bench] $name failed: $msg")
+            Left(msg.linesIterator.next().take(200))
+        }
+      // release intermediates persisted inside query plans so repeated
+      // passes start cold-cache and nothing accumulates across the suite
+      spark.catalog.clearCache()
+      res
+    }
+
+    val names = SparkEntry.queries.keys.toSeq
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    val errors = collection.mutable.Map.empty[String, String]
+    for (p <- 1 to passes; name <- names) {
+      timeOnce(name, SparkEntry.queries(name)) match {
+        case Right(sec) => samples(name) = sec :: samples.getOrElse(name, Nil)
+        case Left(msg)  => if (!errors.contains(name)) errors(name) = msg
       }
-      (System.nanoTime() - t0) / 1e9
+      if (p == 1 && name == names.last)
+        System.err.println(s"[bench] pass 1/$passes done")
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t1 = timeOnce(name, fn)
-      name -> (if (t1 > retryAbove) math.min(t1, timeOnce(name, fn)) else t1)
+
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }
+    val timed = names.filter(samples.contains).map(n => n -> samples(n).min)
+    val qs = timed.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val errJson = names.filter(n => !samples.contains(n))
+      .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed")) + "\"")
       .mkString("{", ",", "}")
-    val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = timed.map(_._2).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,6 +27,60 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  // ---------------------------------------------------- bucket-cap guard
+
+  private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val loggerSessions = new java.util.WeakHashMap[org.apache.spark.sql.SparkSession, java.lang.Boolean]()
+
+  /** Log observed metrics named `graft_*` when a query completes — the
+    * "no silent caps" channel: drop statistics ride the query itself (a
+    * CollectMetrics node over the bucket-count aggregate, zero extra
+    * passes) and surface on stderr after the action.
+    */
+  private def ensureMetricsLogger(spark: org.apache.spark.sql.SparkSession): Unit =
+    loggerSessions.synchronized {
+      if (!loggerSessions.containsKey(spark)) {
+        loggerSessions.put(spark, java.lang.Boolean.TRUE)
+        spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+          override def onSuccess(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 durationNs: Long): Unit =
+            qe.observedMetrics.foreach { case (name, row) =>
+              if (name.startsWith("graft_")) System.err.println(s"[graft] $name: $row")
+            }
+          override def onFailure(funcName: String,
+                                 qe: org.apache.spark.sql.execution.QueryExecution,
+                                 exception: Exception): Unit = ()
+        })
+      }
+    }
+
+  /** Cap LSH bucket occupancy before a self-join. A bucket of size d
+    * contributes d²/2 candidate pairs, so one pathological bucket (near-
+    * constant embeddings, boilerplate bands, a degenerate nbits/threshold
+    * config) degenerates the join toward all-pairs. Buckets above
+    * `maxBucket` are DROPPED — this trades recall (bounded: the OR-
+    * construction's remaining tables still catch true pairs) for a hard
+    * candidate bound, and the drop stats are logged on completion via
+    * observed metrics, never silently.
+    */
+  private def capBuckets(bucketed: DataFrame, bucketCols: Seq[String],
+                         maxBucket: Int, what: String): DataFrame = {
+    ensureMetricsLogger(bucketed.sparkSession)
+    val counts = bucketed.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bsize__"))
+    val observed = counts.observe(
+      s"graft_${what}_bucket_cap_${obsCounter.incrementAndGet()}",
+      count(lit(1)).as("buckets"),
+      sum(when(col("__bsize__") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+      sum(when(col("__bsize__") > maxBucket, col("__bsize__")).otherwise(lit(0L))).as("dropped_entries"),
+      max(col("__bsize__")).as("max_bucket"))
+    // same join key as the downstream self-join → co-partitioned, no
+    // extra shuffle of the bucketed side beyond what the self-join needs
+    bucketed.join(
+      observed.filter(col("__bsize__") <= maxBucket).select(bucketCols.map(col): _*),
+      bucketCols)
+  }
+
   // ------------------------------------------------------------ exact
 
   /** Exact-dedup summary: one row per distinct key with the representative
@@ -90,7 +144,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, k: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5, maxBucket: Int = 2000): DataFrame = {
     require(k % bands == 0, "bands must divide k")
     Hashing.register(df.sparkSession)
     val r = k / bands
@@ -107,10 +161,12 @@ object Dedup {
     // band join ships only (band, bhash, id) — signatures rejoin AFTER the
     // candidate pairs are distinct, so the k-long arrays never ride the
     // band shuffle (at corpus scale that shuffle is the dominant cost)
-    val banded = sigs.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
-      .select(col("id"), col("pos").as("band"), col("col").as("bhash"))
+    val banded = capBuckets(
+      sigs.select(col("id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
+        .select(col("id"), col("pos").as("band"), col("col").as("bhash")),
+      Seq("band", "bhash"), maxBucket, "minhash")
 
     val pairs = banded.alias("a")
       .join(banded.alias("b"), Seq("band", "bhash"))
@@ -240,15 +296,17 @@ object Dedup {
     */
   def embeddingDupPairs(df: DataFrame, idCol: String, vecCol: String,
                         threshold: Double = 0.4, nbits: Int = 4,
-                        tables: Int = 16): DataFrame = {
+                        tables: Int = 16, maxBucket: Int = 1000): DataFrame = {
     graft.functions.VectorExprs.register(df.sparkSession)
     // bucket join ships (bucket, id) ONLY; vectors and norms rejoin after
     // the candidate pairs are distinct — embeddings never ride the LSH
     // shuffle (at corpus scale they dominate it otherwise)
     val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("nrm"))
-    val bucketed = df.select(col(idCol).as("id"),
-      explode(Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)).as("bucket"))
+    val bucketed = capBuckets(
+      df.select(col(idCol).as("id"),
+        explode(Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)).as("bucket")),
+      Seq("bucket"), maxBucket, "embed")
     val pairs = bucketed.alias("a")
       .join(bucketed.alias("b"), Seq("bucket"))
       .filter(col("a.id") < col("b.id"))

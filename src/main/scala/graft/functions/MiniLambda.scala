@@ -19,7 +19,10 @@ import org.apache.spark.sql.types._
   *   - comparisons == != < > <= >= ; boolean and/or/not
   *   - conditional: A if C else B
   *   - str methods: replace, upper, lower, strip, lstrip, rstrip, title,
-  *     capitalize, startswith, endswith, zfill, format-free slicing s[a:b]
+  *     capitalize, startswith, endswith, zfill, split (+ list indexing
+  *     r['c'].split(' ')[0]), 'sep'.join(list), format-free slicing s[a:b]
+  *   - parenthesized sub-expressions, incl. method chains on conditionals:
+  *     (r['a'] if r['b'] else r['c']).upper()
   *   - builtins: str(), int(), float(), bool(), len(), abs(), round(x[,n]),
   *     min(a,b,...), max(a,b,...)
   * Anything else raises CompileError with a precise message (fed back to the
@@ -29,12 +32,18 @@ object MiniLambda {
 
   final case class CompileError(msg: String) extends RuntimeException(msg)
 
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+  private def pyRound(c: Column, nd: Int, asLong: Boolean): Column =
+    toCol(PyRoundExpr(toExpr(c), nd, asLong))
+
   /** A compiled sub-expression: the Column plus its inferred Spark type
     * (needed to resolve Python's overloaded `+` and method dispatch).
     * intLit carries integer-literal values for arguments that must be
     * compile-time constants (round ndigits, zfill width).
     */
-  private final case class Typed(col: Column, dt: DataType, intLit: Option[Long] = None)
+  private final case class Typed(col: Column, dt: DataType, intLit: Option[Long] = None,
+                                 strLit: Option[String] = None)
 
   def compile(fnStr: String, schema: StructType): Column = {
     val (rowVar, body) = splitLambda(fnStr)
@@ -177,17 +186,25 @@ object MiniLambda {
             case ">=" => l.col >= r.col
           }
           Typed(c, BooleanType)
-        case Some(TIdent("in")) => // 'x' in r['col'] → substring containment
+        case Some(TIdent("in")) => // 'x' in s → substring; x in list → membership
           pos += 1
           val r = parseAdditive()
-          requireStrings(l, r, "in")
-          Typed(r.col.contains(l.col), BooleanType)
+          r.dt match {
+            case ArrayType(_, _) => Typed(array_contains(r.col, l.col), BooleanType)
+            case _ =>
+              requireStrings(l, r, "in")
+              Typed(r.col.contains(l.col), BooleanType)
+          }
         case Some(TIdent("not")) => // A not in B
           pos += 1
           if (!acceptIdent("in")) throw CompileError("expected 'in' after 'not'")
           val r = parseAdditive()
-          requireStrings(l, r, "not in")
-          Typed(!r.col.contains(l.col), BooleanType)
+          r.dt match {
+            case ArrayType(_, _) => Typed(!array_contains(r.col, l.col), BooleanType)
+            case _ =>
+              requireStrings(l, r, "not in")
+              Typed(!r.col.contains(l.col), BooleanType)
+          }
         case Some(TIdent("is")) => // r['c'] is None / is not None
           pos += 1
           val negated = acceptIdent("not")
@@ -269,9 +286,29 @@ object MiniLambda {
       e
     }
 
-    /** s[i], s[a:b], s[a:], s[:b] — Python slice on strings → substring. */
-    private def parseSubscript(e: Typed): Typed = {
-      if (e.dt != StringType) throw CompileError(s"subscript only supported on strings, got ${e.dt.simpleString}")
+    /** s[i], s[a:b], s[a:], s[:b] — Python slice on strings → substring;
+      * list[i] (split() results) → element_at with Python negative-index
+      * semantics (ANSI mode raises on out-of-range, like IndexError).
+      */
+    private def parseSubscript(e: Typed): Typed = e.dt match {
+      case ArrayType(et, _) =>
+        val i = peek match {
+          case Some(TNum(s, false)) => pos += 1; s.toInt
+          case Some(TOp("-")) =>
+            pos += 1
+            next() match {
+              case TNum(s, false) => -s.toInt
+              case t => throw CompileError(s"expected integer list index, got $t")
+            }
+          case t => throw CompileError(s"expected integer list index, got $t")
+        }
+        expect("]")
+        Typed(element_at(e.col, if (i >= 0) i + 1 else i), et)
+      case StringType => parseStringSubscript(e)
+      case other => throw CompileError(s"subscript only supported on strings and lists, got ${other.simpleString}")
+    }
+
+    private def parseStringSubscript(e: Typed): Typed = {
       def intTok(): Option[Int] = peek match {
         case Some(TNum(s, false)) => pos += 1; Some(s.toInt)
         case Some(TOp("-")) =>
@@ -313,9 +350,13 @@ object MiniLambda {
     }
 
     private def parsePrimary(): Typed = next() match {
+      case TOp("(") =>
+        val e = parseExpr()
+        expect(")")
+        e
       case TNum(s, true)  => Typed(lit(s.toDouble), DoubleType)
       case TNum(s, false) => Typed(lit(s.toLong), LongType, intLit = Some(s.toLong))
-      case TStr(s)        => Typed(lit(s), StringType)
+      case TStr(s)        => Typed(lit(s), StringType, strLit = Some(s))
       case TIdent("True")  => Typed(lit(true), BooleanType)
       case TIdent("False") => Typed(lit(false), BooleanType)
       case TIdent("None")  => Typed(lit(null).cast(StringType), NullType)
@@ -343,6 +384,18 @@ object MiniLambda {
         throw CompileError(s"method .$name() only supported on strings, got ${target.dt.simpleString}")
       val c = target.col
       (name, args) match {
+        // Python str.split: no-arg splits on whitespace runs and drops
+        // empties; with a separator it's a LITERAL split keeping empties
+        case ("split", Nil) =>
+          Typed(filter(split(c, "\\s+"), t => t =!= ""), ArrayType(StringType))
+        case ("split", Seq(sep)) =>
+          val s = sep.strLit.getOrElse(
+            throw CompileError("split() separator must be a string literal"))
+          Typed(split(c, java.util.regex.Pattern.quote(s), -1), ArrayType(StringType))
+        case ("join", Seq(a)) if a.dt.isInstanceOf[ArrayType] =>
+          val s = target.strLit.getOrElse(
+            throw CompileError("join() target must be a string literal separator"))
+          Typed(array_join(a.col, s), StringType)
         case ("replace", Seq(a, b)) => Typed(replace(c, a.col, b.col), StringType) // literal, not regex — Python str.replace
         case ("upper", Nil)      => Typed(upper(c), StringType)
         case ("lower", Nil)      => Typed(lower(c), StringType)
@@ -368,9 +421,22 @@ object MiniLambda {
       case ("float", Seq(a)) => Typed(a.col.cast(DoubleType), DoubleType)
       case ("bool", Seq(a))  => Typed(a.col.cast(BooleanType), BooleanType)
       case ("len", Seq(a)) if a.dt == StringType => Typed(length(a.col).cast(LongType), LongType)
+      case ("len", Seq(a)) if a.dt.isInstanceOf[ArrayType] => Typed(size(a.col).cast(LongType), LongType)
       case ("abs", Seq(a))   => Typed(abs(a.col), a.dt)
-      case ("round", Seq(a))        => Typed(round(a.col, 0).cast(LongType), LongType) // Python round() → int
-      case ("round", Seq(a, n))     => Typed(round(a.col, litInt(n)), DoubleType)
+      // Python round() is banker's (half-even) on the exact binary value —
+      // see PyRoundExpr; Spark's round (half-up) diverges on ties
+      case ("round", Seq(a)) => a.dt match {
+        case LongType => a // round(int) is identity in Python
+        case _        => Typed(pyRound(a.col.cast(DoubleType), 0, asLong = true), LongType)
+      }
+      case ("round", Seq(a, n)) =>
+        val nd = litInt(n)
+        a.dt match {
+          case LongType if nd >= 0 => a // round(int, nonneg) is identity
+          case LongType =>
+            Typed(pyRound(a.col.cast(DoubleType), nd, asLong = false).cast(LongType), LongType)
+          case _ => Typed(pyRound(a.col.cast(DoubleType), nd, asLong = false), DoubleType)
+        }
       case ("min", as) if as.length >= 2 => Typed(least(as.map(_.col): _*), as.map(_.dt).reduce(unify))
       case ("max", as) if as.length >= 2 => Typed(greatest(as.map(_.col): _*), as.map(_.dt).reduce(unify))
       case _ => throw CompileError(s"unsupported function $fn/${args.length}")

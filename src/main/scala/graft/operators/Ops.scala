@@ -309,17 +309,25 @@ object Ops {
     */
   def unfold(df: DataFrame, op: Unfold): DataFrame = {
     requireCols(df, op.indexColumns ++ Seq(op.keyColumn, op.valueColumn), "unfold")
-    // pivot needs the distinct keys up front (Spark's own pivot runs the
-    // same discovery job); persist the input so the discovery pass and the
-    // pivot don't each re-execute the upstream plan
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val keysInOrder: Seq[Any] = cached
+    // pivot needs the distinct keys up front; the discovery pass is a
+    // column-pruned scan of the key column only (Spark's own pivot runs the
+    // same job on the unpersisted child — no persist, nothing leaks).
+    // Guard the driver collect: a high-cardinality key column would both
+    // blow the driver and produce an unusable million-column frame.
+    val maxKeys = sys.props.get("graft.unfold.maxKeys").map(_.toInt).getOrElse(10000)
+    val keysInOrder: Seq[Any] = df
       .select(col(op.keyColumn))
       .withColumn("__rid__", monotonically_increasing_id())
       .groupBy(col(op.keyColumn)).agg(min(col("__rid__")).as("__rid__"))
       .orderBy(col("__rid__"))
+      .limit(maxKeys + 1)
       .collect().map(_.get(0)).toSeq
-    cached.groupBy(op.indexColumns.map(col): _*)
+    if (keysInOrder.size > maxKeys)
+      throw new IllegalArgumentException(
+        s"unfold: key column '${op.keyColumn}' has more than $maxKeys distinct values; " +
+          s"pivoting would create that many columns — reduce cardinality upstream or raise " +
+          s"-Dgraft.unfold.maxKeys")
+    df.groupBy(op.indexColumns.map(col): _*)
       .pivot(op.keyColumn, keysInOrder)
       .agg(first(col(op.valueColumn), ignoreNulls = false))
   }
@@ -358,6 +366,11 @@ object Ops {
         case "approx_count_distinct" => approx_count_distinct(col(in))
         case "first"          => first(col(in), ignoreNulls = true)
         case "stddev"         => stddev(col(in))
+        case "stddev_pop"     => stddev_pop(col(in))
+        case "median"         => median(col(in))
+        // exact distinct cardinality via a set accumulator; prefer
+        // approx_count_distinct at scale when the set would be large
+        case "collect_set_size" => size(collect_set(col(in)))
         case other => throw new IllegalArgumentException(s"aggregate: unsupported func '$other'")
       }
       c.as(outCol)

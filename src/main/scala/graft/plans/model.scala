@@ -191,7 +191,8 @@ final case class FilterOp(predicate: String) extends Operation {
 }
 
 /** Extended: group-by aggregation. aggregations: output col → (func, input col).
-  * func ∈ sum|count|avg|min|max|count_distinct|first|collect_set_size.
+  * func ∈ sum|count|avg|min|max|count_distinct|approx_count_distinct|first|
+  * stddev|stddev_pop|median|collect_set_size.
   */
 final case class AggregateOp(
     groupBy: Seq[String],

@@ -47,14 +47,18 @@ object Sink {
         val rendered = renderDates(out)
         rendered.write.mode(SaveMode.Overwrite).json(fd.path)
       case "json" =>
-        // reference parity (main.py:464-470): pretty array, dates %Y-%m-%d.
-        // Collect is deliberate and documented: this branch is for
-        // reference-scale outputs only.
+        // reference parity (main.py:464-470): `json.dump(rows, indent=2)` —
+        // an indent-2 array of row objects, dates %Y-%m-%d, nulls INCLUDED
+        // (Spark's toJSON drops null fields, so rows are rendered from
+        // collected Rows instead). Collect is deliberate and documented:
+        // this branch is for reference-scale outputs only.
         val rendered = renderDates(out)
-        val rows = rendered.toJSON.collect()
-        val body = rows.map { r =>
-          "  " + prettyObject(r)
-        }.mkString("[\n", ",\n", "\n]")
+        val names = rendered.schema.fieldNames.toSeq
+        val rows = rendered.collect()
+        val body =
+          if (rows.isEmpty) "[]"
+          else rows.map(r => "  " + pyJsonObject(names.zip(r.toSeq), 2))
+            .mkString("[\n", ",\n", "\n]")
         val p = java.nio.file.Paths.get(fd.path)
         if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
         java.nio.file.Files.writeString(p, body)
@@ -91,6 +95,88 @@ object Sink {
       }
     }
 
-  /** Expand a compact one-line JSON object to the reference's indent-2 form. */
-  private def prettyObject(compact: String): String = compact
+  // ---- CPython-json.dump-parity rendering (indent=2, ensure_ascii=True) ----
+
+  /** JSON string literal exactly as CPython's json module writes it:
+    * ensure_ascii escaping (non-ASCII → lowercase \\uXXXX) plus the short
+    * escapes for quote/backslash/control chars.
+    */
+  private[sources] def pyJsonString(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < ' ' || c > '~' => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  /** Doubles as CPython repr renders them: plain decimal for decimal
+    * exponent in [-4, 15], else `1.5e+16` / `1e-05` scientific (Java flips
+    * to E-notation already at 1e7, so the Java form is re-expanded).
+    */
+  private[sources] def pyJsonDouble(d: Double): String = {
+    if (d.isNaN) "NaN"
+    else if (d == Double.PositiveInfinity) "Infinity"
+    else if (d == Double.NegativeInfinity) "-Infinity"
+    else {
+      val s = java.lang.Double.toString(d) // shortest round-trip, like repr
+      val eIdx = s.indexOf('E')
+      if (eIdx < 0) s
+      else {
+        val mantissa = s.substring(0, eIdx)
+        val exp = s.substring(eIdx + 1).toInt
+        if (exp >= -4 && exp < 16) {
+          val plain = new java.math.BigDecimal(s).toPlainString
+          if (plain.contains('.')) plain else plain + ".0"
+        } else {
+          val m = if (mantissa.endsWith(".0")) mantissa.dropRight(2) else mantissa
+          val sign = if (exp < 0) "-" else "+"
+          val mag = math.abs(exp)
+          val eStr = if (mag < 10) "0" + mag else mag.toString
+          s"${m}e$sign$eStr"
+        }
+      }
+    }
+  }
+
+  private[sources] def pyJsonValue(v: Any, indent: Int): String = v match {
+    case null                       => "null"
+    case b: Boolean                 => if (b) "true" else "false"
+    case s: String                  => pyJsonString(s)
+    case d: java.sql.Date           => pyJsonString(d.toString)
+    case d: java.time.LocalDate     => pyJsonString(d.toString)
+    case t: java.sql.Timestamp      => pyJsonString(t.toString)
+    case f: Float                   => pyJsonDouble(f.toDouble)
+    case d: Double                  => pyJsonDouble(d)
+    case bd: java.math.BigDecimal   => bd.toPlainString
+    case bd: BigDecimal             => bd.underlying.toPlainString
+    case r: org.apache.spark.sql.Row =>
+      pyJsonObject(r.schema.fieldNames.toSeq.zip(r.toSeq), indent)
+    case m: scala.collection.Map[_, _] =>
+      pyJsonObject(m.toSeq.map { case (k, vv) => (String.valueOf(k), vv) }, indent)
+    case seq: scala.collection.Seq[_] =>
+      if (seq.isEmpty) "[]"
+      else {
+        val pad = " " * (indent + 2)
+        seq.map(e => pad + pyJsonValue(e, indent + 2))
+          .mkString("[\n", ",\n", "\n" + " " * indent + "]")
+      }
+    case n: Number => n.toString
+    case other     => pyJsonString(other.toString)
+  }
+
+  private[sources] def pyJsonObject(fields: Seq[(String, Any)], indent: Int): String =
+    if (fields.isEmpty) "{}"
+    else {
+      val pad = " " * (indent + 2)
+      fields.map { case (k, v) => pad + pyJsonString(k) + ": " + pyJsonValue(v, indent + 2) }
+        .mkString("{\n", ",\n", "\n" + " " * indent + "}")
+    }
 }

@@ -39,10 +39,15 @@ object Source {
     val inferredTypes: Map[String, DataType] =
       if (undeclared.isEmpty) Map.empty
       else {
-        // reference parity: inference window of 1000 rows (main.py:381)
-        val sample = spark.read.option("header", true).option("inferSchema", true)
-          .csv(path).limit(1000)
-        sample.schema.fields.map(f => f.name -> f.dataType).toMap
+        // reference parity: inference window of 1000 rows (main.py:381).
+        // Inference runs on ONLY the first 1000 data lines — a full-file
+        // `inferSchema` pass would both scan everything (cost at scale) and
+        // infer from rows outside the reference's window (parity drift).
+        val sampleLines = headLines(spark, path, 1001) // header + 1000 rows
+        val sampleDs = spark.createDataset(sampleLines)(
+          org.apache.spark.sql.Encoders.STRING)
+        spark.read.option("header", true).option("inferSchema", true)
+          .csv(sampleDs).schema.fields.map(f => f.name -> f.dataType).toMap
       }
 
     val schema = StructType(header.map { name =>
@@ -52,6 +57,21 @@ object Source {
     })
     spark.read.option("header", true).schema(schema)
       .option("dateFormat", "yyyy-MM-dd").csv(path)
+  }
+
+  /** First `n` lines of a CSV source. Local regular files read directly
+    * (exact head, zero Spark jobs); directories/globs/remote paths fall
+    * back to a bounded text scan — the limit stops the scan after enough
+    * partitions produce rows, so the cost stays O(n), not O(file).
+    */
+  private def headLines(spark: SparkSession, path: String, n: Int): Seq[String] = {
+    val f = new java.io.File(path)
+    if (f.isFile) {
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().take(n).toList finally src.close()
+    } else {
+      spark.read.textFile(path).limit(n).collect().toSeq
+    }
   }
 
   /** For self-describing formats: cast declared columns to their declared

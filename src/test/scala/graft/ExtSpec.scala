@@ -78,6 +78,22 @@ class ExtSpec extends SparkSpec {
     if (brute.nonEmpty) assert(lsh.nonEmpty, s"LSH missed all ${brute.size} true pairs")
   }
 
+  test("lsh bucket cap bounds candidates and keeps results a subset of uncapped") {
+    val uncapped = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", threshold = 0.45)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // a tight cap must still complete and only ever LOSE pairs, never invent
+    val capped = Dedup.embeddingDupPairs(emb, "vec_id", "embedding", threshold = 0.45,
+      maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(uncapped))
+    // same law for the minhash band-bucket cap
+    val mhAll = Dedup.minhashPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val mhCapped = Dedup.minhashPairs(docs, "doc_id", "text", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(mhCapped.subsetOf(mhAll))
+  }
+
   test("brute-force topk is exact and lsh topk is a high-recall approximation") {
     val queries = emb.filter(col("vec_id") < 8)
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)

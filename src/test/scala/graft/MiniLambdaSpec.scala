@@ -65,6 +65,38 @@ class MiniLambdaSpec extends SparkSpec {
     }
   }
 
+  test("round() is banker's rounding on the exact binary value (CPython parity)") {
+    // x column holds 2.5 and 0.5 — CPython: round(2.5)=2, round(0.5)=0
+    // (Spark's round would give 3 and 1)
+    assert(evalOne("lambda r: round(r['x'])") == Seq(2L, 0L))
+    assert(evalOne("lambda r: round(1.5)") == Seq(2L, 2L))
+    assert(evalOne("lambda r: round(3.5)") == Seq(4L, 4L))
+    assert(evalOne("lambda r: round(-1.5)") == Seq(-2L, -2L))
+    // nearest double to 2.675 is 2.67499…, so CPython gives 2.67 — both
+    // Spark round AND bround give 2.68 (they round the string repr)
+    assert(evalOne("lambda r: round(2.675, 2)") == Seq(2.67, 2.67))
+    // 0.125 is exact in binary: a true tie → half-even → 0.12
+    assert(evalOne("lambda r: round(0.125, 2)") == Seq(0.12, 0.12))
+    // round(int) is identity, stays integral
+    assert(evalOne("lambda r: round(r['n'])") == Seq(3L, 10L))
+  }
+
+  test("split / list indexing / join (CPython parity)") {
+    assert(evalOne("lambda r: r['txt'].split(' ')[0]") == Seq("hello", "FOO"))
+    assert(evalOne("lambda r: r['txt'].split(' ')[-1]") == Seq("world", "FOO"))
+    assert(evalOne("lambda r: len(r['txt'].split())") == Seq(2L, 1L))
+    assert(evalOne("lambda r: '-'.join(r['txt'].split())") == Seq("hello-world", "FOO"))
+    // literal-separator split keeps empty strings (Python str.split(sep))
+    assert(evalOne("lambda r: r['price'].split('.')[1]") == Seq("00", "50"))
+    assert(evalOne("lambda r: 'hello' in r['txt'].split()") == Seq(true, false))
+  }
+
+  test("parenthesized expressions and method chains on conditionals") {
+    assert(evalOne("lambda r: (r['n'] + 1) * 2") == Seq(8L, 22L))
+    assert(evalOne("lambda r: (r['txt'] if r['n'] > 5 else r['price']).upper()")
+      == Seq("$1050.00", "FOO"))
+  }
+
   test("string + non-string is a compile error (Python TypeError parity)") {
     intercept[MiniLambda.CompileError] {
       MiniLambda.compile("lambda r: r['txt'] + r['n']", base.schema)

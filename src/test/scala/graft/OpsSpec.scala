@@ -143,6 +143,29 @@ class OpsSpec extends SparkSpec {
 
   // ---- extended ops ----
 
+  test("aggregate: collect_set_size, stddev_pop, median") {
+    val d = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 5L)).toDF("g", "v")
+    val r = Ops.aggregate(d, AggregateOp(Seq("g"), Seq(
+      "nset" -> ("collect_set_size", "v"),
+      "sdp" -> ("stddev_pop", "v"),
+      "med" -> ("median", "v"))))
+    val m = r.collect().map(x => x.getString(0) -> (x.getInt(1), x.getDouble(2), x.getDouble(3))).toMap
+    assert(m("a")._1 == 2 && m("b")._1 == 1)
+    assert(math.abs(m("a")._2 - math.sqrt(2.0 / 9)) < 1e-12 && m("b")._2 == 0.0)
+    assert(m("a")._3 == 2.0 && m("b")._3 == 5.0)
+  }
+
+  test("unfold fails fast above the pivot-key cardinality guard") {
+    val long = Seq((1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0)).toDF("id", "k", "v")
+    System.setProperty("graft.unfold.maxKeys", "2")
+    try {
+      val e = intercept[IllegalArgumentException] { Ops.unfold(long, Unfold(Seq("id"), "k", "v")) }
+      assert(e.getMessage.contains("distinct values"))
+    } finally System.clearProperty("graft.unfold.maxKeys")
+    // under the cap it still pivots fine
+    assert(Ops.unfold(long, Unfold(Seq("id"), "k", "v")).columns.toSeq == Seq("id", "a", "b", "c"))
+  }
+
   test("filter/aggregate/sort/window/distinct extended ops") {
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
     val f = Ops.filterOp(li, FilterOp("lambda r: r['l_quantity'] > 25.0"))

@@ -1,0 +1,66 @@
+package graft.sources
+
+import graft.plans.{ColumnDef, FileDef, FileSchema, SchemaType}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+
+/** Sink pretty-JSON parity (byte-identical to CPython `json.dump(rows,
+  * indent=2)`) and Source's 1000-row CSV inference window.
+  */
+class SinkSourceSpec extends graft.SparkSpec {
+
+  private val tmp = "/tmp/graft-test"
+
+  test("json sink output is byte-identical to CPython json.dump(rows, indent=2)") {
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("txt", StringType),
+      StructField("opt", StringType), StructField("amt", DoubleType),
+      StructField("d", DateType), StructField("arr", ArrayType(DoubleType))))
+    val rows = Seq(
+      Row(1L, "héllo\nworld", null, 123.45, java.sql.Date.valueOf("2024-03-01"), Seq(1.5, 2.0)),
+      Row(2L, "plain", "x", 1e16, null, Seq.empty[Double]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, numSlices = 1), schema)
+
+    val cols = schema.fieldNames.map(n => n -> ColumnDef(SchemaType.Str)).toSeq
+    val path = s"$tmp/pretty.json"
+    Sink.save(df, FileDef(path, "json", FileSchema("t", cols)))
+
+    // expected literal produced by: python3 -c 'import json; json.dump(..., indent=2)'
+    val expected =
+      "[\n  {\n    \"id\": 1,\n    \"txt\": \"h\\u00e9llo\\nworld\",\n    \"opt\": null," +
+        "\n    \"amt\": 123.45,\n    \"d\": \"2024-03-01\",\n    \"arr\": [\n      1.5," +
+        "\n      2.0\n    ]\n  },\n  {\n    \"id\": 2,\n    \"txt\": \"plain\"," +
+        "\n    \"opt\": \"x\",\n    \"amt\": 1e+16,\n    \"d\": null,\n    \"arr\": []\n  }\n]"
+    val got = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
+    assert(got == expected)
+  }
+
+  test("doubles render exactly like CPython repr (plain until 1e16, e+NN beyond)") {
+    // Java flips to E-notation at 1e7; CPython only at 1e16 / below 1e-4
+    assert(Sink.pyJsonDouble(12345678.0) == "12345678.0")
+    assert(Sink.pyJsonDouble(1e15) == "1000000000000000.0")
+    assert(Sink.pyJsonDouble(1e16) == "1e+16")
+    assert(Sink.pyJsonDouble(2.5e16) == "2.5e+16")
+    assert(Sink.pyJsonDouble(0.00015) == "0.00015")
+    assert(Sink.pyJsonDouble(1e-5) == "1e-05")
+    assert(Sink.pyJsonDouble(-0.0) == "-0.0")
+    assert(Sink.pyJsonDouble(123.45) == "123.45")
+  }
+
+  test("csv schema inference uses EXACTLY the first 1000 rows (reference window parity)") {
+    val p = s"$tmp/infer_window.csv"
+    new java.io.File(tmp).mkdirs()
+    val body = "k,v\n" + (1 to 1000).map(i => s"$i,$i").mkString("\n") +
+      "\n1001,notanumber\n"
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(p), body)
+
+    val df = Source.loadCsv(spark, p, Nil)
+    // full-file inference would see row 1001 and fall back to string; the
+    // 1000-row window infers integer (main.py:381 parity)
+    assert(df.schema("v").dataType == IntegerType, s"got ${df.schema("v").dataType}")
+    // the out-of-window unparseable value reads as null (permissive csv)
+    assert(df.count() == 1001)
+    assert(df.filter(org.apache.spark.sql.functions.col("v").isNull).count() == 1)
+  }
+}
