@@ -327,9 +327,12 @@ operations:
     }),
 
     "ta_quality_score" -> ((s, dir) => {
+      // integer basis points of the raw composite (identical IEEE double
+      // expression on both engines, then exact integer floor) — the rounded
+      // user-facing qualityScore differs only in presentation
       val d = T(s, dir, "documents")
       d.select(col("doc_id"), col("lang"),
-        ext.TextAnalysis.qualityScore(col("text")).as("quality"))
+        floor(ext.TextAnalysis.rawQualityScore(col("text")) * 10000).cast("long").as("quality_bp"))
     }),
 
     "ta_langid" -> ((s, dir) => {
@@ -390,6 +393,33 @@ operations:
         .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
         .agg(count(lit(1)).as("n_events"),
           sum(round(col("value") * 10000).cast("long")).as("value_c"))
+    }),
+
+    "stream_window" -> ((s, dir) => {
+      // driver-visible STREAMING check: the same windowed aggregation run
+      // as a Structured Streaming job (file source → AvailableNow trigger →
+      // memory sink, complete mode) must equal the ev_window batch result.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      // file streaming sources take a directory or glob, not a plain file —
+      // the [e] character-class glob matches only events.parquet but keeps
+      // the path a glob so basePath resolves to the directory
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val agg = stream
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 10000).cast("long")).as("value_c"))
+        .select(col("window.start").as("hour"), col("event_type"),
+          col("n_events"), col("value_c"))
+      s.catalog.dropTempView("graft_stream_window")
+      val q = agg.writeStream.format("memory").queryName("graft_stream_window")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_window")
     })
   )
 
@@ -452,7 +482,13 @@ operations:
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp FROM documents""",
     "mm_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, 'bin' AS format, sha256(text) AS sha FROM documents""",
+    "ta_quality_score" ->
+      """WITH base AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base) SELECT doc_id, lang, CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) AS quality_bp FROM comp""",
+    "ta_langid" ->
+      """WITH base AS (SELECT doc_id, lang AS lang_truth, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), scores AS (SELECT doc_id, lang_truth, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, lang_truth, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base) SELECT doc_id, lang_truth, lang_guess FROM (SELECT doc_id, lang_truth, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1""",
     "ev_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
+    "stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "q_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>

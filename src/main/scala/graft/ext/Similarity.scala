@@ -70,18 +70,30 @@ object Similarity {
     * `nbits` hyperplane bits each (OR-construction) — candidates are rows
     * sharing ANY table bucket with the query, deduplicated, then re-ranked
     * exactly. Recall knobs: more tables OR fewer bits per table → more
-    * candidates. Candidate generation ships only (bucket, id); vectors
-    * rejoin at re-rank.
+    * candidates; `probe=true` additionally probes every 1-bit-flip bucket
+    * of the query signature (multi-probe LSH, Lv et al. VLDB 2007) — the
+    * recall of ~nbits extra tables at ZERO extra index size, with the probe
+    * fan-out confined to the broadcast-small query side. Candidate
+    * generation ships only (bucket, id); vectors rejoin at re-rank.
     */
   def lshTopK(data: DataFrame, queries: DataFrame,
               idCol: String, vecCol: String, k: Int, nbits: Int = 6,
-              tables: Int = 4): DataFrame = {
+              tables: Int = 8, probe: Boolean = true): DataFrame = {
     graft.functions.VectorExprs.register(data.sparkSession)
     val buckets = Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)
     val vecs = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"),
       Vectors.norm(col(vecCol)).as("__n__"))
     val d = data.select(col(idCol).as("neighbor_id"), explode(buckets).as("bucket"))
-    val q = broadcast(queries.select(col(idCol).as("query_id"), explode(buckets).as("bucket")))
+    val qExact = queries.select(col(idCol).as("query_id"), explode(buckets).as("bucket"))
+    val q = broadcast(if (!probe) qExact else {
+      // bucket = sig*tables + t (see HyperplaneSigsExpr) → recover (sig, t),
+      // emit the exact bucket plus each 1-bit-flip of sig re-encoded
+      val t = pmod(col("bucket"), lit(tables))
+      val sig = ((col("bucket") - t) / lit(tables)).cast("long")
+      val flips = (0 until nbits).map(j => sig.bitwiseXOR(lit(1L << j)) * tables + t)
+      qExact.select(col("query_id"),
+        explode(array(col("bucket") +: flips: _*)).as("bucket"))
+    })
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
       Vectors.norm(col(vecCol)).as("__qn__")))
     val w = Window.partitionBy(col("query_id"))

@@ -63,7 +63,14 @@ object TextAnalysis {
     * are heuristic (public C4/Gopher-rule flavor), the point is the shape:
     * one deterministic expression per document.
     */
-  def qualityScore(text: Column, lang: String = "en"): Column = {
+  def qualityScore(text: Column, lang: String = "en"): Column =
+    round(rawQualityScore(text, lang), 4)
+
+  /** Unrounded composite — the oracle-friendly form: every term is plain
+    * IEEE double arithmetic in a fixed order, so an engine repeating the
+    * same expression (e.g. DuckDB) produces bit-identical values.
+    */
+  def rawQualityScore(text: Column, lang: String = "en"): Column = {
     val nTok = tokenCount(text).cast(DoubleType)
     val lengthScore = when(nTok >= 50 && nTok <= 10000, 1.0)
       .when(nTok >= 10, 0.5).otherwise(0.1)
@@ -71,7 +78,7 @@ object TextAnalysis {
     val stopScore = least(stopwordRatio(text, lang) * 3, lit(1.0))
     val mtl = meanTokenLength(text)
     val wordScore = when(mtl >= 3 && mtl <= 10, 1.0).otherwise(0.3)
-    round(lengthScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2, 4)
+    lengthScore * 0.3 + punctScore * 0.2 + stopScore * 0.3 + wordScore * 0.2
   }
 
   /** Heuristic language ID: argmax of stopword-profile hit rate. Returns
