@@ -395,6 +395,39 @@ operations:
           sum(round(col("value") * 10000).cast("long")).as("value_c"))
     }),
 
+    // ---- extended: temporal/relational joins Spark lacks natively ----
+
+    "q_asof" -> ((s, dir) => {
+      // for every event, the user's most recent (<=) purchase value —
+      // the classic time-series snapshot join, one shuffle on user_id
+      val ev = events(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value").as("last_purchase_value"))
+      ext.Relational.asofJoin(
+        ev.select("event_id", "user_id", "ts", "event_type"), purchases,
+        "user_id", "ts", Seq("last_purchase_value"))
+    }),
+
+    "q_range_join" -> ((s, dir) => {
+      // interval containment via bucketed equi-join; band edges derive
+      // from min/max only (exact in fp — no accumulation-order drift)
+      val ev = events(s, dir)
+      val bands = ev.groupBy(col("event_type").as("band_type"))
+        .agg(min(col("value")).as("lo"),
+          ((min(col("value")) + max(col("value"))) / 2).as("hi"))
+      ext.Relational.rangeJoin(
+        ev.select("event_id", "event_type", "value"), "value",
+        bands, "lo", "hi", width = 16.0)
+        .select("event_id", "event_type", "value", "band_type", "lo", "hi")
+    }),
+
+    "ev_sessions" -> ((s, dir) => {
+      // gap-based batch sessionization: 30-minute silence starts a session
+      ext.Relational.sessionize(
+        events(s, dir).select("user_id", "ts", "value"),
+        "user_id", "ts", gapSeconds = 1800, valueCol = Some("value"))
+    }),
+
     "stream_window" -> ((s, dir) => {
       // driver-visible STREAMING check: the same windowed aggregation run
       // as a Structured Streaming job (file source → AvailableNow trigger →
@@ -490,6 +523,12 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
+    "q_asof" ->
+      """SELECT e.event_id, e.user_id, e.ts, e.event_type, p.value AS last_purchase_value FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    "q_range_join" ->
+      """WITH bands AS (SELECT event_type AS band_type, min(value) AS lo, (min(value) + max(value)) / 2 AS hi FROM events GROUP BY 1) SELECT e.event_id, e.event_type, e.value, b.band_type, b.lo, b.hi FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi""",
+    "ev_sessions" ->
+      """WITH g AS (SELECT user_id, ts, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_id FROM g) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM s GROUP BY 1, 2""",
     "q_profile" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map(c =>
         s"""SELECT '$c' AS "column", count($c) AS n, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""")

@@ -1,0 +1,95 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Extended relational operators Spark lacks natively, built so the plan
+  * shape survives 100 TB:
+  *
+  *  - asofJoin: most-recent-match join via the union-and-carry-forward
+  *    trick — ONE shuffle on the key, no range explosion, no per-row probe.
+  *  - rangeJoin: interval containment via bucketing — turns the theta join
+  *    (cartesian in naive Spark) into an equi-join on bucket ids.
+  *  - sessionIds: gap-based batch sessionization — two window passes over
+  *    one (key, time) shuffle; the batch face of Streams.sessionize.
+  */
+object Relational {
+
+  /** As-of join: for every left row, attach the payload of the LATEST
+    * right row with `right.time <= left.time` for the same key (the
+    * time-series "most recent snapshot" join; DuckDB/Polars/kdb call this
+    * ASOF). Left rows with no prior right row get nulls.
+    *
+    * Implementation: tag and union both sides, then one window pass per
+    * key ordered by (time, tag) carrying the last non-null payload
+    * forward. Right rows sort BEFORE left rows at equal timestamps, so
+    * the match is inclusive (<=), matching DuckDB's `ON l.t >= r.t`.
+    * Cost: ONE shuffle on the key — no interval explosion, no broadcast
+    * requirement, skew handled by AQE like any other window. Right rows
+    * should be unique per (key, time); with duplicates the last in
+    * (time, tag) order wins.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, time: String,
+               payload: Seq[String]): DataFrame = {
+    val clash = payload.toSet.intersect(left.columns.toSet)
+    require(clash.isEmpty, s"asofJoin: payload columns collide with left: $clash")
+    val l = left.withColumn("__tag__", lit(1))
+    val r = right.select((key +: time +: payload).map(col): _*).withColumn("__tag__", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(col(key)).orderBy(col(time).asc, col("__tag__").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(unioned) { (df, p) =>
+      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__tag__") === 1).drop("__tag__")
+      .select((left.columns.toSeq ++ payload).map(col): _*)
+  }
+
+  /** Interval-containment join: every left row where
+    * `lo <= left(valueCol) <= hi` for a right interval row. The naive
+    * theta join is a cartesian in Spark; bucketing by `floor(v / width)`
+    * makes it an equi-join — the left side maps to ONE bucket per row, the
+    * right side explodes to its covered buckets (choose `width` near the
+    * typical interval length so that stays small). Each qualifying pair
+    * collides in exactly one bucket (the left value's), so no dedup pass
+    * is needed. Exact bounds re-checked after the bucket join.
+    */
+  def rangeJoin(left: DataFrame, valueCol: String,
+                right: DataFrame, loCol: String, hiCol: String,
+                width: Double): DataFrame = {
+    require(width > 0, "rangeJoin: width must be positive")
+    val lb = left.withColumn("__bucket__", floor(col(valueCol) / width))
+    val rb = right.withColumn("__bucket__",
+      explode(sequence(floor(col(loCol) / width), floor(col(hiCol) / width))))
+    lb.join(rb, Seq("__bucket__"))
+      .filter(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
+      .drop("__bucket__")
+  }
+
+  /** Gap-based session ids per key: a new session starts when the gap
+    * since the previous event exceeds `gapSeconds`. Returns the input plus
+    * a 1-based `session_id` per key. Two window functions over the SAME
+    * (key, time) sort — one shuffle total; at 100 TB this is the standard
+    * way to sessionize without stateful streaming.
+    */
+  def sessionIds(df: DataFrame, key: String, time: String,
+                 gapSeconds: Long): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(time).asc)
+    val gapUs = unix_micros(col(time)) - lag(unix_micros(col(time)), 1).over(w)
+    val isNew = when(gapUs.isNull || gapUs > gapSeconds * 1000000L, 1).otherwise(0)
+    df.withColumn("session_id",
+      sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  /** Session summary: one row per (key, session) with bounds and volume. */
+  def sessionize(df: DataFrame, key: String, time: String, gapSeconds: Long,
+                 valueCol: Option[String] = None): DataFrame = {
+    val withIds = sessionIds(df, key, time, gapSeconds)
+    val base = Seq(count(lit(1)).as("n_events"),
+      min(col(time)).as("session_start"), max(col(time)).as("session_end"))
+    val aggs = valueCol.map(v =>
+      base :+ sum(round(col(v) * 10000).cast("long")).as("value_c")).getOrElse(base)
+    withIds.groupBy(col(key), col("session_id")).agg(aggs.head, aggs.tail: _*)
+  }
+}

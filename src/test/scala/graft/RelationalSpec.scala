@@ -1,0 +1,75 @@
+package graft
+
+import graft.ext.Relational
+import org.apache.spark.sql.functions._
+
+/** asofJoin / rangeJoin / sessionIds semantics on hand-built frames with
+  * known answers, plus equivalence to the naive (non-scalable) formulation.
+  */
+class RelationalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  test("asofJoin attaches the latest right row at or before the left time, per key") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")), // before any right row → null
+      (2L, "u1", ts("2024-01-01 11:00:00")), // exactly at right 11:00 → inclusive
+      (3L, "u1", ts("2024-01-01 12:30:00")), // between 11:00 and 13:00 → 11:00
+      (4L, "u1", ts("2024-01-01 14:00:00")), // after 13:00 → 13:00
+      (5L, "u2", ts("2024-01-01 12:00:00")), // other key: only u2's rows visible
+      (6L, "u3", ts("2024-01-01 12:00:00"))  // key with no right rows → null
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 11:00:00"), 100.0),
+      ("u1", ts("2024-01-01 13:00:00"), 200.0),
+      ("u2", ts("2024-01-01 11:30:00"), 300.0)
+    ).toDF("k", "t", "v")
+
+    val r = Relational.asofJoin(left, right, "k", "t", Seq("v"))
+    assert(r.count() == left.count(), "asof join preserves left row count")
+    val got = r.collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(got == Map(
+      1L -> None, 2L -> Some(100.0), 3L -> Some(100.0),
+      4L -> Some(200.0), 5L -> Some(300.0), 6L -> None))
+  }
+
+  test("rangeJoin equals the naive theta-join on random data, across widths") {
+    val rnd = new scala.util.Random(7)
+    val left = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("id", "v")
+    val right = (1 to 40).map { i =>
+      val lo = rnd.nextDouble() * 90
+      (i.toLong, lo, lo + rnd.nextDouble() * 25)
+    }.toDF("rid", "lo", "hi")
+    val naive = left.crossJoin(right)
+      .filter(col("v") >= col("lo") && col("v") <= col("hi"))
+      .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (width <- Seq(1.0, 8.0, 64.0)) {
+      val bucketed = Relational.rangeJoin(left, "v", right, "lo", "hi", width)
+        .select("id", "rid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(bucketed.length == bucketed.toSet.size, s"width $width: no duplicate pairs")
+      assert(bucketed.toSet == naive, s"width $width")
+    }
+    assert(naive.nonEmpty)
+  }
+
+  test("sessionIds splits on gaps > threshold, 1-based per key") {
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00")),
+      ("u1", ts("2024-01-01 10:10:00")), // 10 min → same session
+      ("u1", ts("2024-01-01 11:00:00")), // 50 min → new session
+      ("u1", ts("2024-01-01 11:29:00")), // 29 min → same
+      ("u2", ts("2024-01-01 10:00:00"))
+    ).toDF("k", "t")
+    val got = Relational.sessionIds(ev, "k", "t", gapSeconds = 1800)
+      .collect().map(r => (r.getString(0), r.getTimestamp(1).toString, r.getLong(2))).toSet
+    assert(got == Set(
+      ("u1", "2024-01-01 10:00:00.0", 1L),
+      ("u1", "2024-01-01 10:10:00.0", 1L),
+      ("u1", "2024-01-01 11:00:00.0", 2L),
+      ("u1", "2024-01-01 11:29:00.0", 2L),
+      ("u2", "2024-01-01 10:00:00.0", 1L)))
+    val sessions = Relational.sessionize(ev, "k", "t", 1800)
+    assert(sessions.count() == 3)
+  }
+}
