@@ -219,6 +219,24 @@ operations:
           count(lit(1)).as("n"))
     }),
 
+    "q_rollup" -> ((s, dir) => {
+      // hierarchical subtotals: (flag, status), (flag), () — one pass
+      Ops.aggregate(T(s, dir, "lineitem"), AggregateOp(
+        Seq("l_returnflag", "l_linestatus"),
+        Seq("sum_qty" -> ("sum", "l_quantity"), "n" -> ("count", "*")),
+        mode = "rollup"))
+    }),
+
+    "q_pct_rank" -> ((s, dir) => {
+      // percent_rank/cume_dist are exact rational divisions — identical
+      // IEEE results on both engines given the same deterministic order
+      val o = T(s, dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice")
+      val r1 = Ops.windowOp(o, WindowOp(Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", true)), "percent_rank", None, Some("pct")))
+      Ops.windowOp(r1, WindowOp(Seq("o_orderpriority"),
+        Seq(("o_totalprice", true), ("o_orderkey", true)), "cume_dist", None, Some("cd")))
+    }),
+
     "q_topk" -> ((s, dir) => {
       Ops.sortOp(T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
         SortOp(Seq(("o_totalprice", false), ("o_orderkey", true)), Some(100)))
@@ -491,6 +509,10 @@ operations:
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_c, count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_rollup" ->
+      "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
+    "q_pct_rank" ->
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, percent_rank() OVER w AS pct, cume_dist() OVER w AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)",
     "q_window" ->
       "SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rn FROM lineitem",
     "q_distinct" ->

@@ -67,18 +67,16 @@ object Dedup {
   private def capBuckets(bucketed: DataFrame, bucketCols: Seq[String],
                          maxBucket: Int, what: String): DataFrame = {
     ensureMetricsLogger(bucketed.sparkSession)
-    val counts = bucketed.groupBy(bucketCols.map(col): _*).agg(count(lit(1)).as("__bsize__"))
-    val observed = counts.observe(
+    // occupancy via count-over-window: ONE shuffle on the bucket key (which
+    // the downstream self-join needs anyway) — a groupBy+rejoin would
+    // shuffle the bucketed side twice
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val sized = bucketed.withColumn("__bsize__", count(lit(1)).over(w))
+    val observed = sized.observe(
       s"graft_${what}_bucket_cap_${obsCounter.incrementAndGet()}",
-      count(lit(1)).as("buckets"),
-      sum(when(col("__bsize__") > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
-      sum(when(col("__bsize__") > maxBucket, col("__bsize__")).otherwise(lit(0L))).as("dropped_entries"),
+      sum(when(col("__bsize__") > maxBucket, 1L).otherwise(0L)).as("dropped_entries"),
       max(col("__bsize__")).as("max_bucket"))
-    // same join key as the downstream self-join → co-partitioned, no
-    // extra shuffle of the bucketed side beyond what the self-join needs
-    bucketed.join(
-      observed.filter(col("__bsize__") <= maxBucket).select(bucketCols.map(col): _*),
-      bucketCols)
+    observed.filter(col("__bsize__") <= maxBucket).drop("__bsize__")
   }
 
   // ------------------------------------------------------------ exact

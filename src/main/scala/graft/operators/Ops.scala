@@ -309,13 +309,15 @@ object Ops {
     */
   def unfold(df: DataFrame, op: Unfold): DataFrame = {
     requireCols(df, op.indexColumns ++ Seq(op.keyColumn, op.valueColumn), "unfold")
-    // pivot needs the distinct keys up front; the discovery pass is a
-    // column-pruned scan of the key column only (Spark's own pivot runs the
-    // same job on the unpersisted child — no persist, nothing leaks).
+    // pivot needs the distinct keys up front, so the input runs twice
+    // (discovery + pivot); persist so an expensive upstream (a whole
+    // pipeline) isn't re-executed — callers release it via
+    // spark.catalog.clearCache() after the action (Bench/Verify do).
     // Guard the driver collect: a high-cardinality key column would both
     // blow the driver and produce an unusable million-column frame.
     val maxKeys = sys.props.get("graft.unfold.maxKeys").map(_.toInt).getOrElse(10000)
-    val keysInOrder: Seq[Any] = df
+    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val keysInOrder: Seq[Any] = cached
       .select(col(op.keyColumn))
       .withColumn("__rid__", monotonically_increasing_id())
       .groupBy(col(op.keyColumn)).agg(min(col("__rid__")).as("__rid__"))
@@ -327,7 +329,7 @@ object Ops {
         s"unfold: key column '${op.keyColumn}' has more than $maxKeys distinct values; " +
           s"pivoting would create that many columns — reduce cardinality upstream or raise " +
           s"-Dgraft.unfold.maxKeys")
-    df.groupBy(op.indexColumns.map(col): _*)
+    cached.groupBy(op.indexColumns.map(col): _*)
       .pivot(op.keyColumn, keysInOrder)
       .agg(first(col(op.valueColumn), ignoreNulls = false))
   }
@@ -375,7 +377,13 @@ object Ops {
       }
       c.as(outCol)
     }
-    df.groupBy(op.groupBy.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val grouped = op.mode match {
+      case "group"  => df.groupBy(op.groupBy.map(col): _*)
+      case "rollup" => df.rollup(op.groupBy.map(col): _*)
+      case "cube"   => df.cube(op.groupBy.map(col): _*)
+      case other => throw new IllegalArgumentException(s"aggregate: unknown mode '$other'")
+    }
+    grouped.agg(aggs.head, aggs.tail: _*)
   }
 
   /** Extended: sort (+limit). sort+limit compiles to TakeOrderedAndProject —
@@ -400,8 +408,13 @@ object Ops {
       case "row_number" => row_number().over(w)
       case "rank"       => rank().over(w)
       case "dense_rank" => dense_rank().over(w)
+      case "percent_rank" => percent_rank().over(w)
+      case "cume_dist"  => cume_dist().over(w)
       case "lag"        => lag(in, 1).over(w)
       case "lead"       => lead(in, 1).over(w)
+      case "first"      => first(in, ignoreNulls = true).over(w)
+      case "last"       => last(in, ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
       case "sum"        => sum(in).over(w)
       case "avg"        => avg(in).over(w)
       case "min"        => min(in).over(w)

@@ -138,7 +138,8 @@ object Yaml {
               outCol -> (parts(0), if (parts.length > 1) parts(1) else "*")
           }
         }
-        AggregateOp(o.strList("group_by", ctx), aggs)
+        AggregateOp(o.strList("group_by", ctx), aggs,
+          o.strOpt("mode").getOrElse("group"))
       case "sort" =>
         val keys = o.req("sort_by", ctx) match {
           case s: Seq[_] => s.map {

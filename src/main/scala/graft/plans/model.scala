@@ -193,10 +193,12 @@ final case class FilterOp(predicate: String) extends Operation {
 /** Extended: group-by aggregation. aggregations: output col → (func, input col).
   * func ∈ sum|count|avg|min|max|count_distinct|approx_count_distinct|first|
   * stddev|stddev_pop|median|collect_set_size.
+  * mode ∈ group (plain) | rollup | cube (hierarchical/multi-dim subtotals).
   */
 final case class AggregateOp(
     groupBy: Seq[String],
-    aggregations: Seq[(String, (String, String))]) extends Operation {
+    aggregations: Seq[(String, (String, String))],
+    mode: String = "group") extends Operation {
   val opType = "aggregate"; val outputColumn: Option[String] = None
 }
 
@@ -207,7 +209,8 @@ final case class SortOp(
   val opType = "sort"; val outputColumn: Option[String] = None
 }
 
-/** Extended: window function. func ∈ row_number|rank|dense_rank|lag|lead|sum|avg|min|max|count. */
+/** Extended: window function. func ∈ row_number|rank|dense_rank|percent_rank|
+  * cume_dist|lag|lead|first|last|sum|avg|min|max|count|cume_sum. */
 final case class WindowOp(
     partitionBy: Seq[String],
     orderBy: Seq[(String, Boolean)],

@@ -155,6 +155,29 @@ class OpsSpec extends SparkSpec {
     assert(m("a")._3 == 2.0 && m("b")._3 == 5.0)
   }
 
+  test("aggregate rollup/cube produce subtotal rows with null group keys") {
+    val d = Seq(("a", "x", 1L), ("a", "y", 2L), ("b", "x", 3L)).toDF("g1", "g2", "v")
+    val roll = Ops.aggregate(d, AggregateOp(Seq("g1", "g2"),
+      Seq("s" -> ("sum", "v")), mode = "rollup")).collect()
+      .map(r => (Option(r.getString(0)), Option(r.getString(1)), r.getLong(2))).toSet
+    assert(roll == Set(
+      (Some("a"), Some("x"), 1L), (Some("a"), Some("y"), 2L), (Some("b"), Some("x"), 3L),
+      (Some("a"), None, 3L), (Some("b"), None, 3L), (None, None, 6L)))
+    val cube = Ops.aggregate(d, AggregateOp(Seq("g1", "g2"),
+      Seq("s" -> ("sum", "v")), mode = "cube")).count()
+    assert(cube == 8) // rollup rows + (None, x)=4, (None, y)=2
+  }
+
+  test("window percent_rank/cume_dist/first/last") {
+    val d = Seq(("g", 1L), ("g", 2L), ("g", 4L)).toDF("k", "v")
+    def run(f: String) = Ops.windowOp(d, WindowOp(Seq("k"), Seq(("v", true)), f, Some("v"), Some("o")))
+      .orderBy("v").collect().map(_.get(2)).toSeq
+    assert(run("percent_rank") == Seq(0.0, 0.5, 1.0))
+    assert(run("cume_dist").map(_.asInstanceOf[Double]).map(x => math.round(x * 6)) == Seq(2L, 4L, 6L))
+    assert(run("first") == Seq(1L, 1L, 1L))
+    assert(run("last") == Seq(4L, 4L, 4L))
+  }
+
   test("unfold fails fast above the pivot-key cardinality guard") {
     val long = Seq((1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0)).toDF("id", "k", "v")
     System.setProperty("graft.unfold.maxKeys", "2")
