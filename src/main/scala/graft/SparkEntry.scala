@@ -237,6 +237,20 @@ operations:
         Seq(("o_totalprice", true), ("o_orderkey", true)), "cume_dist", None, Some("cd")))
     }),
 
+    "q_topk_group" -> ((s, dir) => {
+      // grouped top-3 via the native partial top-k aggregate: bounded
+      // map-side heaps, shuffle ships ≤k rows per partition per key —
+      // never the whole table (a window row_number would)
+      val o = T(s, dir, "orders")
+      o.groupBy(col("o_orderpriority"))
+        .agg(graft.functions.TopKAgg.topK(3, col("o_totalprice"), col("o_orderkey"),
+          struct(col("o_orderkey"), col("o_totalprice"))).as("top"))
+        .select(col("o_orderpriority"), explode(col("top")).as("r"))
+        .select(col("o_orderpriority"),
+          col("r.o_orderkey").as("o_orderkey"),
+          col("r.o_totalprice").as("o_totalprice"))
+    }),
+
     "q_topk" -> ((s, dir) => {
       Ops.sortOp(T(s, dir, "orders").select("o_orderkey", "o_totalprice"),
         SortOp(Seq(("o_totalprice", false), ("o_orderkey", true)), Some(100)))
@@ -509,6 +523,8 @@ operations:
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_c, CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS sum_disc_c, count(*) AS n FROM lineitem GROUP BY l_returnflag, l_linestatus""",
     "q_topk" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    "q_topk_group" ->
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (SELECT o_orderpriority, o_orderkey, o_totalprice, row_number() OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey) AS rn FROM orders) WHERE rn <= 3""",
     "q_rollup" ->
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q_pct_rank" ->

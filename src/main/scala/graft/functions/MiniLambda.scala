@@ -174,18 +174,29 @@ object MiniLambda {
     private def parseComparison(): Typed = {
       val l = parseAdditive()
       peek match {
-        case Some(TOp(op)) if Set("==", "!=", "<", ">", "<=", ">=")(op) =>
-          pos += 1
-          val r = parseAdditive()
-          val c = op match {
-            case "==" => l.col === r.col
-            case "!=" => l.col =!= r.col
-            case "<"  => l.col < r.col
-            case ">"  => l.col > r.col
-            case "<=" => l.col <= r.col
-            case ">=" => l.col >= r.col
+        case Some(TOp(op0)) if Set("==", "!=", "<", ">", "<=", ">=")(op0) =>
+          // Python chained comparisons: a < b < c ≡ (a < b) and (b < c)
+          def cmp(a: Typed, op: String, b: Typed): Column = op match {
+            case "==" => a.col === b.col
+            case "!=" => a.col =!= b.col
+            case "<"  => a.col < b.col
+            case ">"  => a.col > b.col
+            case "<=" => a.col <= b.col
+            case ">=" => a.col >= b.col
           }
-          Typed(c, BooleanType)
+          var prev = l
+          var acc: Option[Column] = None
+          var continue = true
+          while (continue) peek match {
+            case Some(TOp(op)) if Set("==", "!=", "<", ">", "<=", ">=")(op) =>
+              pos += 1
+              val r = parseAdditive()
+              val c = cmp(prev, op, r)
+              acc = Some(acc.map(_ && c).getOrElse(c))
+              prev = r
+            case _ => continue = false
+          }
+          Typed(acc.get, BooleanType)
         case Some(TIdent("in")) => // 'x' in s → substring; x in list → membership
           pos += 1
           val r = parseAdditive()
@@ -402,6 +413,22 @@ object MiniLambda {
         case ("strip", Nil)      => Typed(trim(c), StringType)
         case ("lstrip", Nil)     => Typed(ltrim(c), StringType)
         case ("rstrip", Nil)     => Typed(rtrim(c), StringType)
+        // strip(chars) family: drops any of the given chars (set semantics,
+        // same as Python)
+        case ("strip", Seq(a))  => Typed(trim(c, strLitOf(a, "strip")), StringType)
+        case ("lstrip", Seq(a)) => Typed(ltrim(c, strLitOf(a, "lstrip")), StringType)
+        case ("rstrip", Seq(a)) => Typed(rtrim(c, strLitOf(a, "rstrip")), StringType)
+        // non-overlapping substring count, via literal split
+        case ("count", Seq(a)) =>
+          val sub = strLitOf(a, "count")
+          if (sub.isEmpty) throw CompileError("count('') is not supported")
+          Typed((size(split(c, java.util.regex.Pattern.quote(sub), -1)) - 1).cast(LongType), LongType)
+        // first index of substring, -1 when absent (instr is 1-based, 0=absent)
+        case ("find", Seq(a)) => Typed((instr(c, strLitOf(a, "find")) - 1).cast(LongType), LongType)
+        case ("isdigit", Nil) => Typed(c.rlike("^[0-9]+$"), BooleanType)
+        case ("isalpha", Nil) => Typed(c.rlike("^[A-Za-z]+$"), BooleanType)
+        case ("ljust", Seq(n)) => Typed(rpad(c, litInt(n), " "), StringType)
+        case ("rjust", Seq(n)) => Typed(lpad(c, litInt(n), " "), StringType)
         case ("title", Nil)      => Typed(initcap(c), StringType)
         case ("capitalize", Nil) =>
           Typed(concat(upper(substring(c, 1, 1)), lower(substring(c, 2, Int.MaxValue))), StringType)
@@ -414,6 +441,9 @@ object MiniLambda {
 
     private def litInt(t: Typed): Int =
       t.intLit.map(_.toInt).getOrElse(throw CompileError("expected integer literal argument"))
+
+    private def strLitOf(t: Typed, meth: String): String =
+      t.strLit.getOrElse(throw CompileError(s"$meth() argument must be a string literal"))
 
     private def applyBuiltin(fn: String, args: Seq[Typed]): Typed = (fn, args) match {
       case ("str", Seq(a))   => Typed(a.col.cast(StringType), StringType)

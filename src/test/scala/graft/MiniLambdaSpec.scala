@@ -91,6 +91,25 @@ class MiniLambdaSpec extends SparkSpec {
     assert(evalOne("lambda r: 'hello' in r['txt'].split()") == Seq(true, false))
   }
 
+  test("chained comparisons (CPython parity)") {
+    assert(evalOne("lambda r: 1 < r['n'] < 5") == Seq(true, false))
+    assert(evalOne("lambda r: 3 <= r['n'] <= 10") == Seq(true, true))
+    assert(evalOne("lambda r: 1 < 3 < 5") == Seq(true, true))
+    assert(evalOne("lambda r: 3 < 3 <= 3") == Seq(false, false))
+  }
+
+  test("count/find/isdigit/isalpha/ljust/rjust/strip-chars (CPython parity)") {
+    assert(evalOne("lambda r: r['txt'].count('l')") == Seq(3L, 0L))
+    assert(evalOne("lambda r: 'aaa'.count('aa')") == Seq(1L, 1L)) // non-overlapping
+    assert(evalOne("lambda r: r['txt'].find('world')") == Seq(6L, -1L))
+    assert(evalOne("lambda r: r['txt'].isdigit()") == Seq(false, false))
+    assert(evalOne("lambda r: '42'.isdigit()") == Seq(true, true))
+    assert(evalOne("lambda r: r['txt'].isalpha()") == Seq(false, true))
+    assert(evalOne("lambda r: 'ab'.ljust(4) + '|'") == Seq("ab  |", "ab  |"))
+    assert(evalOne("lambda r: 'ab'.rjust(4) + '|'") == Seq("  ab|", "  ab|"))
+    assert(evalOne("lambda r: 'xxhixx'.strip('x')") == Seq("hi", "hi"))
+  }
+
   test("parenthesized expressions and method chains on conditionals") {
     assert(evalOne("lambda r: (r['n'] + 1) * 2") == Seq(8L, 22L))
     assert(evalOne("lambda r: (r['txt'] if r['n'] > 5 else r['price']).upper()")

@@ -178,6 +178,32 @@ class OpsSpec extends SparkSpec {
     assert(run("last") == Seq(4L, 4L, 4L))
   }
 
+  test("native top-k aggregate equals the window formulation and runs as ObjectHashAggregate") {
+    import org.apache.spark.sql.functions.col
+    val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      .select("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
+      // (price, orderkey*10+line) unique per group for deterministic top-k
+      .withColumn("tie", col("l_orderkey") * 10 + col("l_linenumber"))
+    val topk = li.groupBy("l_returnflag")
+      .agg(graft.functions.TopKAgg.topK(5, col("l_extendedprice"), col("tie"),
+        org.apache.spark.sql.functions.struct(col("tie"), col("l_extendedprice"))).as("top"))
+      .select(col("l_returnflag"), org.apache.spark.sql.functions.explode(col("top")).as("r"))
+      .select(col("l_returnflag"), col("r.tie"), col("r.l_extendedprice"))
+    val viaWindow = {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice").desc, col("tie").asc)
+      li.withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 5).select("l_returnflag", "tie", "l_extendedprice")
+    }
+    val a = topk.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = viaWindow.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b)
+    assert(a.nonEmpty)
+    // partial-aggregate path: ObjectHashAggregate, not a window over all rows
+    val plan = topk.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan.take(500))
+  }
+
   test("unfold fails fast above the pivot-key cardinality guard") {
     val long = Seq((1L, "a", 1.0), (1L, "b", 2.0), (1L, "c", 3.0)).toDF("id", "k", "v")
     System.setProperty("graft.unfold.maxKeys", "2")
