@@ -241,10 +241,17 @@ object Dedup {
     val candidates = minhashPairs(df, idCol, textCol, n, k, bands,
       threshold = math.max(0.0, threshold - 0.15))
       .select("id_a", "id_b")
-    val grams = df.select(col(idCol).as("id"),
-      array_distinct(wordNgrams(col(textCol), n)).as("grams"))
-      .filter(size(col("grams")) > 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // gram arrays are built ONLY for docs that appear in a candidate pair
+    // (semi-join first): at corpus scale materializing every document's
+    // gram set would dwarf the candidate verification itself
+    val candIds = candidates
+      .select(explode(array(col("id_a"), col("id_b"))).as("__cid__")).distinct()
+    val grams = df
+      .join(candIds, df(idCol) === candIds("__cid__"), "left_semi")
+      .select(col(idCol).as("id"),
+        array_distinct(wordNgrams(col(textCol), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
     val inter = size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType)
     candidates
       .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
