@@ -14,4 +14,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Apply a SparkSessionExtensions' collected function injections to a
+    * registry (the step SparkSession.Builder runs at session build) —
+    * lets tests exercise an extensions class against the shared session,
+    * where getOrCreate would skip extension application.
+    */
+  def registerFunctions(ext: org.apache.spark.sql.SparkSessionExtensions,
+                        fr: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
+      : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
+    ext.registerFunctions(fr)
 }

@@ -155,6 +155,57 @@ class ExtSpec extends SparkSpec {
     assert(langs.subsetOf(TextAnalysis.stopwords.keySet))
   }
 
+  test("multimodal: real header parsing — PNG/JPEG/GIF/BMP dims, WAV sample rate") {
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      bb.array()
+    }
+    def jpeg(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12)
+      bb.put(Array(0xff, 0xd8, 0xff, 0xc0).map(_.toByte))
+      bb.putShort(0x11.toShort).put(8.toByte)
+      bb.putShort(h.toShort).putShort(w.toShort)
+      bb.array()
+    }
+    def gif(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(10).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("GIF89a".getBytes).putShort(w.toShort).putShort(h.toShort)
+      bb.array()
+    }
+    def bmp(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("BM".getBytes).position(18)
+      bb.putInt(w).putInt(h)
+      bb.array()
+    }
+    def wav(rate: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(36).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(28).put("WAVE".getBytes)
+      bb.put("fmt ".getBytes).putInt(16).putShort(1).putShort(2).putInt(rate)
+      bb.array()
+    }
+    implicit val s = spark
+    val media = Seq(
+      (1L, "image/png", "t", png(640, 480)),
+      (2L, "image/jpeg", "t", jpeg(800, 600)),
+      (3L, "image/gif", "t", gif(320, 200)),
+      (4L, "image/bmp", "t", bmp(1024, 768)),
+      (5L, "audio/wav", "t", wav(44100))
+    ).toDF("media_id", "media_type", "source", "content")
+    val metas = Multimodal.extractMeta(media).collect().map(m => m.media_id -> m).toMap
+    assert(metas(1L).format == "png" && metas(1L).width == 640 && metas(1L).height == 480)
+    assert(metas(2L).format == "jpeg" && metas(2L).width == 800 && metas(2L).height == 600)
+    assert(metas(3L).format == "gif" && metas(3L).width == 320 && metas(3L).height == 200)
+    assert(metas(4L).format == "bmp" && metas(4L).width == 1024 && metas(4L).height == 768)
+    assert(metas(5L).format == "wav" && metas(5L).sample_rate == 44100)
+    // the Column-side sniff agrees with the typed-path sniff
+    val sniffed = media.select(col("media_id"), Multimodal.sniffFormat(col("content")))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sniffed == Map(1L -> "png", 2L -> "jpeg", 3L -> "gif", 4L -> "bmp", 5L -> "wav"))
+  }
+
   test("multimodal: sniff, stub decode via partition batching, frame sampling") {
     val media = Multimodal.mediaFromDocuments(docs)
     assert(media.schema("content").dataType.typeName == "binary")
