@@ -326,6 +326,22 @@ operations:
         threshold = 0.45)
     }),
 
+    "dd_components" -> ((s, dir) => {
+      // transitive duplicate-cluster labeling: run distributed connected
+      // components (large-star/small-star) over a deterministic edge set —
+      // consecutive doc_ids sharing a language chain into runs, so the
+      // result exercises multi-hop transitivity while staying exactly
+      // DuckDB-expressible (gaps-and-islands oracle, no recursion)
+      val d = T(s, dir, "documents")
+      val a = d.select((col("doc_id") + 1).as("nxt"),
+        col("doc_id").as("src"), col("lang").as("lang_a"))
+      val b = d.select(col("doc_id").as("nxt"),
+        col("doc_id").as("dst"), col("lang").as("lang_b"))
+      val edges = a.join(b, Seq("nxt"))
+        .where(col("lang_a") === col("lang_b")).select("src", "dst")
+      ext.Graph.componentsFor(d.select("doc_id"), "doc_id", edges)
+    }),
+
     // ---- extended: similarity search ----
 
     "sim_topk" -> ((s, dir) => {
@@ -545,6 +561,8 @@ operations:
       """SELECT md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), ' ')) AS dup_key, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1""",
     "dd_exact_rows" ->
       """SELECT doc_id, lang, source, n_chars FROM (SELECT doc_id, lang, source, n_chars, row_number() OVER (PARTITION BY md5(array_to_string(list_sort(list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> ''))), ' ')) ORDER BY doc_id) AS rn FROM documents) WHERE rn = 1""",
+    "dd_components" ->
+      """WITH runs AS (SELECT doc_id, lang, doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS grp FROM documents) SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(MIN(doc_id) OVER (PARTITION BY lang, grp) AS BIGINT) AS component FROM runs""",
     "ta_tokens" ->
       """SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS n_bpeish, CAST(length(text) AS BIGINT) AS n_chars FROM documents""",
     "ta_quality" ->

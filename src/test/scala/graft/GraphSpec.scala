@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ext.Graph
+
+class GraphSpec extends SparkSpec {
+
+  private lazy val sqlImplicits = spark.implicits
+  import sqlImplicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.components(edges.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("connected components: chain, star, cycle, self-loop, duplicate edges") {
+    // chain 1-2-3-4 (multi-hop transitivity), star 10<-{11,12,13},
+    // cycle 20-21-22-20, self loop 30-30 (dropped => absent), dup edges
+    val labels = cc(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (4L, 3L),
+      (11L, 10L), (12L, 10L), (13L, 10L),
+      (20L, 21L), (21L, 22L), (22L, 20L),
+      (30L, 30L)))
+    assert(labels == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("connected components: agrees with union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 120 + trial * 40
+      val edges = Seq.fill(n) {
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+
+      // reference union-find
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        .map(v => v -> find(v.toInt).toLong).toMap
+
+      assert(cc(edges) == expected, s"trial $trial")
+    }
+  }
+
+  test("componentsFor closes over vertex set: singletons label themselves") {
+    val vertices = (1L to 8L).toDF("doc_id")
+    val edges = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("src", "dst")
+    val labels = Graph.componentsFor(vertices, "doc_id", edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L,
+      5L -> 5L, 6L -> 5L, 7L -> 7L, 8L -> 8L))
+  }
+
+  test("clusterDedup keeps exactly one representative per transitive cluster") {
+    val docs = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // 1~2, 2~3 chains into {1,2,3} even though (1,3) never paired
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val kept = Graph.clusterDedup(docs, "doc_id", pairs)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 4L, 5L, 7L, 8L))
+  }
+
+  test("clusterDedup on planted near-dup clusters via minhash pairs") {
+    implicit val s = spark
+    val docs = SparkEntry.T(spark, "/root/testdata/sf0.001", "documents")
+    val pairs = ext.Dedup.minhashPairs(docs, "doc_id", "text")
+    val kept = Graph.clusterDedup(docs, "doc_id", pairs)
+    val n = docs.count()
+    val k = kept.count()
+    // removes at least the edge-wise losers, never more than the pair count
+    val losers = pairs.select("id_b").distinct().count()
+    assert(k <= n - losers + pairs.count()) // sanity envelope
+    assert(k < n && k > n / 2)
+    // every dropped doc is reachable from its cluster representative
+    val comp = Graph.componentsFor(docs.select("doc_id"), "doc_id",
+      pairs, "id_a", "id_b")
+    val reps = comp.groupBy("component").agg(min("doc_id").as("rep"))
+    assert(reps.where(col("component") =!= col("rep")).count() == 0)
+  }
+}
