@@ -151,7 +151,7 @@ object Dedup {
     // join (without it each consumer recomputes the corpus pass). Docs
     // with fewer than n tokens emit a MaxValue sentinel and are dropped —
     // they have no shingles (two sentinel sigs would band-match).
-    val sigs = df.select(col(idCol).as("id"),
+    val sigs = Par.fanOut(df).select(col(idCol).as("id"),
       Hashing.textMinhash(col(textCol), n, k).as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -197,7 +197,7 @@ object Dedup {
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     Hashing.register(df.sparkSession)
-    df.select(col(idCol).as("id"), Hashing.simhash64(col(textCol)).as("simhash"))
+    Par.fanOut(df).select(col(idCol).as("id"), Hashing.simhash64(col(textCol)).as("simhash"))
   }
 
   /** Near-duplicate pairs by SimHash: 4×16-bit band blocking, then exact
@@ -247,8 +247,9 @@ object Dedup {
     // gram set would dwarf the candidate verification itself
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("__cid__")).distinct()
-    val grams = df
-      .join(candIds, df(idCol) === candIds("__cid__"), "left_semi")
+    val gramSrc = Par.fanOut(df)
+    val grams = gramSrc
+      .join(candIds, gramSrc(idCol) === candIds("__cid__"), "left_semi")
       .select(col(idCol).as("id"),
         array_distinct(wordNgrams(col(textCol), n)).as("grams"))
       .filter(size(col("grams")) > 0)
@@ -272,7 +273,7 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 16, minShared: Int = 5,
                   maxDocFreq: Int = 20): DataFrame = {
-    val fps = df.select(col(idCol).as("id"),
+    val fps = Par.fanOut(df).select(col(idCol).as("id"),
       explode(array_distinct(Hashing.winnow(col(textCol), k, w))).as("fp"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // drop ubiquitous fingerprints (boilerplate/common phrases) BEFORE the
@@ -306,10 +307,11 @@ object Dedup {
     // bucket join ships (bucket, id) ONLY; vectors and norms rejoin after
     // the candidate pairs are distinct — embeddings never ride the LSH
     // shuffle (at corpus scale they dominate it otherwise)
-    val vecs = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val src = Par.fanOut(df)
+    val vecs = src.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("nrm"))
     val bucketed = capBuckets(
-      df.select(col(idCol).as("id"),
+      src.select(col(idCol).as("id"),
         explode(Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)).as("bucket")),
       Seq("bucket"), maxBucket, "embed")
     val pairs = bucketed.alias("a")

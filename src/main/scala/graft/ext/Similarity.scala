@@ -53,7 +53,7 @@ object Similarity {
     // norms precomputed ONCE per row/query, not once per (row, query) pair
     val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
       Vectors.norm(col(vecCol)).as("__qn__")))
-    val scored = data
+    val scored = Par.fanOut(data)
       .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"),
         Vectors.norm(col(vecCol)).as("__n__"))
       .crossJoin(q)
@@ -81,9 +81,10 @@ object Similarity {
               tables: Int = 8, probe: Boolean = true): DataFrame = {
     graft.functions.VectorExprs.register(data.sparkSession)
     val buckets = Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)
-    val vecs = data.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"),
+    val src = Par.fanOut(data)
+    val vecs = src.select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"),
       Vectors.norm(col(vecCol)).as("__n__"))
-    val d = data.select(col(idCol).as("neighbor_id"), explode(buckets).as("bucket"))
+    val d = src.select(col(idCol).as("neighbor_id"), explode(buckets).as("bucket"))
     val qExact = queries.select(col(idCol).as("query_id"), explode(buckets).as("bucket"))
     val q = broadcast(if (!probe) qExact else {
       // bucket = sig*tables + t (see HyperplaneSigsExpr) → recover (sig, t),
