@@ -399,6 +399,31 @@ operations:
       ext.Dedup.winnowPairs(T(s, dir, "documents"), "doc_id", "text")
     }),
 
+    // ---- extended: sampling / splitting / packing ----
+
+    "ta_split" -> ((s, dir) => {
+      // deterministic hash-based train/val/test assignment (80/10/10)
+      ext.Sampling.hashSplit(T(s, dir, "documents"), col("doc_id"))
+        .select("doc_id", "split")
+    }),
+
+    "ta_sample" -> ((s, dir) => {
+      // per-language 20% deterministic sample — no RNG, no shuffle
+      ext.Sampling.stratifiedSample(T(s, dir, "documents"),
+        col("lang"), col("doc_id"), 0.2)
+        .select("doc_id", "lang")
+    }),
+
+    "ta_pack" -> ((s, dir) => {
+      // chunked-concatenation sequence packing into 4096-token windows,
+      // sharded by language (the cumsum window parallelizes across shards)
+      val d = T(s, dir, "documents")
+        .withColumn("n_tokens", ext.TextAnalysis.tokenCount(col("text")))
+      ext.Sampling.packSequences(d, col("lang"), col("doc_id"),
+        col("n_tokens"), 4096)
+        .select("doc_id", "lang", "n_tokens", "bin", "bin_offset", "n_bins")
+    }),
+
     // ---- extended: multimodal plumbing ----
 
     "mm_meta" -> ((s, dir) => {
@@ -575,6 +600,12 @@ operations:
       """WITH base AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base) SELECT doc_id, lang, CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) AS quality_bp FROM comp""",
     "ta_langid" ->
       """WITH base AS (SELECT doc_id, lang AS lang_truth, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), scores AS (SELECT doc_id, lang_truth, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, lang_truth, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base) SELECT doc_id, lang_truth, lang_guess FROM (SELECT doc_id, lang_truth, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1""",
+    "ta_split" ->
+      """SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' ELSE 'test' END AS split FROM documents""",
+    "ta_sample" ->
+      """SELECT doc_id, lang FROM documents WHERE substr(md5(lang || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '33333333'""",
+    "ta_pack" ->
+      """WITH t AS (SELECT doc_id, lang, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), c AS (SELECT doc_id, lang, n_tokens, COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM t) SELECT doc_id, lang, n_tokens, CAST(cum // 4096 AS BIGINT) AS bin, CAST(cum % 4096 AS BIGINT) AS bin_offset, CAST((cum + greatest(n_tokens, 1) - 1) // 4096 - cum // 4096 + 1 AS BIGINT) AS n_bins FROM c""",
     "ev_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_window" ->

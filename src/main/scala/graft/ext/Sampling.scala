@@ -1,0 +1,146 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling/splitting/packing for training-data pipelines.
+  *
+  * Everything here is HASH-deterministic, never RNG-based: a row's
+  * assignment depends only on its key, so (a) re-runs and retries give
+  * byte-identical outputs on any cluster layout, (b) adding data never
+  * reshuffles old rows between splits (the property training pipelines
+  * actually need: yesterday's val doc must not leak into today's train
+  * set), and (c) results are reproducible in any other engine from the
+  * same md5 primitive — no Spark-specific `rand(seed)` partition-order
+  * dependence.
+  *
+  * The hash fraction is the first 8 hex chars of md5(key) compared
+  * lexicographically against fixed-width hex thresholds — exact decimal
+  * fractions in 16⁸ resolution, no floating point anywhere.
+  */
+object Sampling {
+
+  /** Uniform hash fraction in [0, 16^8) as an 8-hex-char string. */
+  private def hexFrac(key: Column): Column = substring(md5(key.cast("string")), 1, 8)
+
+  private def hexThreshold(fraction: Double): String =
+    f"${math.round(fraction * (1L << 32)).min((1L << 32) - 1).max(0L)}%08x"
+
+  /** Label each row train/val/test (or any split map) by hash of `key`.
+    * Fractions must sum to ≤ 1; remainder falls into the LAST split.
+    * Splits are assigned by cumulative hash ranges, so growing one split's
+    * fraction only MOVES the boundary — rows never swap between two
+    * non-adjacent splits on a fraction change.
+    */
+  def hashSplit(df: DataFrame, key: Column,
+                splits: Seq[(String, Double)] = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+                outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.map(_._2).sum <= 1.0 + 1e-9,
+      "split fractions must sum to <= 1")
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val frac = hexFrac(key)
+    val labeled = splits.init.zip(cum.init).foldLeft(when(lit(false), lit(""))) {
+      case (acc, ((name, _), cumFrac)) =>
+        acc.when(frac < lit(hexThreshold(cumFrac)), name)
+    }.otherwise(splits.last._1)
+    df.withColumn(outCol, labeled)
+  }
+
+  /** Keep a deterministic `fraction` of rows, uniformly by hash of `key`.
+    * Unlike `df.sample`, membership is a pure function of the key: stable
+    * across runs, cluster layouts, and data growth.
+    */
+  def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
+    df.where(hexFrac(key) < lit(hexThreshold(fraction)))
+
+  /** Per-stratum deterministic sampling: keep `fraction` of each stratum
+    * (e.g. per-language quotas). One codegen'd filter — no groupBy, no
+    * shuffle, no per-stratum scans; the stratum column only diversifies
+    * the hash so strata sample independently.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       fraction: Double): DataFrame =
+    df.where(hexFrac(concat(stratum.cast("string"), lit(":"), key.cast("string")))
+      < lit(hexThreshold(fraction)))
+
+  /** Per-stratum fractions (e.g. up-sample rare languages): unlisted
+    * strata keep `default`.
+    */
+  def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
+                       fractions: Map[String, Double], default: Double): DataFrame = {
+    val frac = hexFrac(concat(stratum.cast("string"), lit(":"), key.cast("string")))
+    val threshold = fractions.foldLeft(when(lit(false), lit(""))) {
+      case (acc, (s, f)) => acc.when(stratum === lit(s), lit(hexThreshold(f)))
+    }.otherwise(lit(hexThreshold(default)))
+    df.where(frac < threshold)
+  }
+
+  /** Sequence packing, chunked-concatenation semantics (the standard
+    * pretraining shape: token streams are concatenated in a deterministic
+    * order and chunked into fixed `binTokens` context windows; documents
+    * MAY straddle a window boundary). Packing runs INDEPENDENTLY per
+    * shard (`shardCol`) — the window cumsum parallelizes across shards, so
+    * no global single-partition sort exists at any scale; window identity
+    * is (shard, bin).
+    *
+    * Returns the input plus `bin` (window index of the doc's first token,
+    * 0-based within shard), `bin_offset` (token offset inside that
+    * window), and `n_bins` (how many windows the doc spans). Integer
+    * arithmetic only — exactly reproducible in any engine.
+    *
+    * For the no-straddle variant (pad at the boundary instead of
+    * splitting the doc) see [[packGreedy]]: that placement is a
+    * sequential recurrence, not a window closed form.
+    */
+  def packSequences(df: DataFrame, shardCol: Column, orderCol: Column,
+                    tokenCol: Column, binTokens: Int): DataFrame = {
+    require(binTokens > 0, "binTokens must be positive")
+    val w = Window.partitionBy(shardCol).orderBy(orderCol)
+    val cumBefore = coalesce(sum(tokenCol).over(
+      w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+    val b = lit(binTokens.toLong)
+    df.withColumn("bin", floor(cumBefore / b).cast("long"))
+      .withColumn("bin_offset", (cumBefore % b).cast("long"))
+      .withColumn("n_bins",
+        (floor((cumBefore + greatest(tokenCol.cast("long"), lit(1L)) - 1) / b)
+          - floor(cumBefore / b) + 1).cast("long"))
+  }
+
+  /** True greedy packing (no-straddle): a document that would cross a
+    * window boundary starts at the next boundary instead (the skipped
+    * tail is padding). The placement is a sequential recurrence — each
+    * doc's start depends on every previous placement including padding —
+    * so it cannot be a window closed form; it streams per shard through
+    * `flatMapSortedGroups` (one ordered pass per shard, shards in
+    * parallel, O(1) state — the Spark-native shape for order-dependent
+    * per-group scans). Docs larger than `binTokens` start on a boundary
+    * and span consecutive windows; the next doc packs right after.
+    *
+    * Returns (shard, order, bin, bin_offset) with the caller's shard and
+    * order values, castable back for joining to the full row set.
+    */
+  def packGreedy(df: DataFrame, shardCol: Column, orderCol: Column,
+                 tokenCol: Column, binTokens: Int): DataFrame = {
+    require(binTokens > 0, "binTokens must be positive")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b = binTokens.toLong
+    df.select(shardCol.cast("string").as("shard"),
+        orderCol.cast("long").as("ord"), tokenCol.cast("long").as("tok"))
+      .as[(String, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ord")) { (shard, rows) =>
+        var pos = 0L
+        rows.map { case (_, ord, tok) =>
+          val t = math.max(tok, 1L)
+          val start =
+            if (pos / b == (pos + t - 1) / b) pos
+            else ((pos + b - 1) / b) * b
+          pos = start + t
+          (shard, ord, start / b, start % b)
+        }
+      }
+      .toDF("shard", "ord", "bin", "bin_offset")
+  }
+}
