@@ -501,6 +501,38 @@ operations:
         "user_id", "ts", gapSeconds = 1800, valueCol = Some("value"))
     }),
 
+    "q_lag_lead" -> ((s, dir) => {
+      // navigation windows: lag/lead/ntile complete the analytic surface
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      T(s, dir, "orders").select(
+        col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+        lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+        lead(col("o_orderkey"), 1).over(w).as("next_key"),
+        ntile(4).over(w).as("quartile"))
+    }),
+
+    "stream_dedup" -> ((s, dir) => {
+      // driver-visible STREAMING dedup: dropDuplicatesWithinWatermark over
+      // the file stream; keys projected out, so the surviving-row choice
+      // can't affect the result — equals batch DISTINCT on the keys
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val deduped = graft.streaming.Streams
+        .dedupWithinWatermark(stream, Seq("user_id", "event_type"), "1 hour")
+        .select("user_id", "event_type")
+      s.catalog.dropTempView("graft_stream_dedup")
+      val q = deduped.writeStream.format("memory").queryName("graft_stream_dedup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_dedup")
+    }),
+
     "stream_window" -> ((s, dir) => {
       // driver-visible STREAMING check: the same windowed aggregation run
       // as a Structured Streaming job (file source → AvailableNow trigger →
@@ -570,6 +602,8 @@ operations:
       "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)",
     "q_pct_rank" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, percent_rank() OVER w AS pct, cume_dist() OVER w AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)",
+    "q_lag_lead" ->
+      "SELECT o_orderkey, o_orderpriority, o_totalprice, lag(o_orderkey, 1) OVER w AS prev_key, lead(o_orderkey, 1) OVER w AS next_key, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)",
     "q_window" ->
       "SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rn FROM lineitem",
     "q_distinct" ->
@@ -610,6 +644,8 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
+    "stream_dedup" ->
+      "SELECT DISTINCT user_id, event_type FROM events",
     "q_asof" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, p.value AS last_purchase_value FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND e.ts >= p.ts""",
     "q_range_join" ->

@@ -1,0 +1,51 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Physical-layout control: bucketed/sorted table writes for shuffle-free
+  * repeated joins and aggregations.
+  *
+  * At 100 TB the dominant recurring cost of a fact-to-fact equi-join
+  * (lineitem ⋈ orders, events ⋈ sessions) is re-shuffling both sides on
+  * every query. Bucketing pays that shuffle ONCE at write time: both
+  * tables hash-partitioned into the same number of buckets on the join
+  * key means every subsequent join/groupBy on that key is exchange-free —
+  * the scan itself reports the hash partitioning to Catalyst
+  * (`HashClusteredDistribution` satisfied by the bucketed relation), so
+  * the planner drops the Exchange nodes entirely. Sort buckets by the key
+  * too and the SortMergeJoin's per-partition sort disappears as well.
+  *
+  * This is the Spark-native equivalent of the co-located table layouts in
+  * distributed warehouses; with `spark.sql.sources.v2.bucketing` it
+  * extends to storage-partitioned joins on v2 sources.
+  */
+object Layout {
+
+  /** Write `df` as a managed parquet table bucketed (and optionally
+    * sorted) on `bucketCols`. Joins between tables written with the SAME
+    * bucket count and keys plan without a shuffle on either side.
+    */
+  def writeBucketed(df: DataFrame, table: String,
+                    bucketCols: Seq[String], buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(bucketCols.nonEmpty, "bucketCols must be non-empty")
+    val w = df.write.format("parquet").mode(SaveMode.Overwrite)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val sorted =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sorted.saveAsTable(table)
+  }
+
+  def readTable(spark: SparkSession, table: String): DataFrame =
+    spark.table(table)
+
+  /** True iff the executed plan of `df` contains no SHUFFLE exchange —
+    * the machine-checkable definition of "this join/agg is co-located".
+    * Broadcast exchanges don't count: they move the small side, not the
+    * data table.
+    */
+  def isExchangeFree(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.isEmpty
+}

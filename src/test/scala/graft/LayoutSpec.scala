@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.Layout
+
+class LayoutSpec extends SparkSpec {
+
+  test("co-bucketed tables join and aggregate with zero shuffle exchanges") {
+    implicit val s = spark
+    val orders = SparkEntry.T(spark, sf0001, "orders")
+    val customer = SparkEntry.T(spark, sf0001, "customer")
+
+    // the in-memory catalog is fresh per JVM but the warehouse dir
+    // survives — clear both so reruns don't hit LOCATION_ALREADY_EXISTS
+    Seq("orders_b", "cust_b").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val p = java.nio.file.Paths.get(s"/tmp/graft-test-warehouse/$t")
+      if (java.nio.file.Files.exists(p)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
+
+    Layout.writeBucketed(orders, "orders_b", Seq("o_custkey"), 4, Seq("o_custkey"))
+    Layout.writeBucketed(customer, "cust_b", Seq("c_custkey"), 4, Seq("c_custkey"))
+    val ob = Layout.readTable(spark, "orders_b")
+    val cb = Layout.readTable(spark, "cust_b")
+
+    // force the sort-merge path (broadcast would hide the bucketing win)
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = ob.join(cb, ob("o_custkey") === cb("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name")
+      assert(Layout.isExchangeFree(joined),
+        s"expected no shuffle Exchange:\n${joined.queryExecution.executedPlan}")
+      // same result as the plain (shuffled) join
+      val plain = orders.join(customer,
+        orders("o_custkey") === customer("c_custkey"))
+      assert(joined.count() == plain.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+
+    // aggregation on the bucket key is exchange-free too
+    val agg = ob.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+    assert(Layout.isExchangeFree(agg),
+      s"expected no Exchange:\n${agg.queryExecution.executedPlan}")
+    assert(agg.count() == orders.select("o_custkey").distinct().count())
+
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS cust_b")
+  }
+}
