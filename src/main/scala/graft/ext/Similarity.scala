@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -35,9 +34,10 @@ object Vectors {
   *
   *  - bruteForceTopK: the exact baseline — broadcast the (small) query set,
   *    score every (row, query) pair in one codegen'd projection, take top-k
-  *    per query with a rank window. Scales linearly in |data|×|queries|
-  *    with NO shuffle of the data table (queries are broadcast; the only
-  *    shuffle is the per-query top-k, keyed by query_id).
+  *    per query with the bounded-heap partial aggregate (TopKAgg). Scales
+  *    linearly in |data|×|queries| with NO shuffle of the data table
+  *    (queries are broadcast; the only shuffle is ≤k rows per partition
+  *    per query, keyed by query_id).
   *  - lshTopK: the scale path — hyperplane-LSH bucket join (IVF-style
   *    candidate pruning), exact re-rank within candidates. Recall is
   *    tunable via nbits (fewer bits → bigger buckets → higher recall).
@@ -59,12 +59,23 @@ object Similarity {
       .crossJoin(q)
       .filter(col("neighbor_id") =!= col("query_id"))
       .withColumn("score", Vectors.dot(col("__v__"), col("__qv__")) / (col("__n__") * col("__qn__")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    topKPerQuery(scored, k)
   }
+
+  /** Per-query top-k via the native bounded-heap partial aggregate
+    * (graft.functions.TopKAgg): the map side keeps ≤k rows per (partition,
+    * query), so the shuffle ships O(partitions × queries × k) rows — a
+    * rank window would shuffle EVERY scored pair (|data| × |queries| rows
+    * for the brute-force scorer) just to discard all but k.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("score"),
+        col("neighbor_id").cast("double"),
+        struct(col("neighbor_id"), col("score"))).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
 
   /** Approximate top-k, IVF-flavored: `tables` independent LSH tables of
     * `nbits` hyperplane bits each (OR-construction) — candidates are rows
@@ -97,16 +108,12 @@ object Similarity {
     })
     val qv = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__"),
       Vectors.norm(col(vecCol)).as("__qn__")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id").asc)
-    d.join(q, Seq("bucket"))
+    val scored = d.join(q, Seq("bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
       .select("query_id", "neighbor_id").distinct()
       .join(vecs, Seq("neighbor_id"))
       .join(qv, Seq("query_id"))
       .withColumn("score", Vectors.dot(col("__v__"), col("__qv__")) / (col("__n__") * col("__qn__")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "score")
+    topKPerQuery(scored, k)
   }
 }
