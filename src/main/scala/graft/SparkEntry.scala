@@ -501,6 +501,24 @@ operations:
         "user_id", "ts", gapSeconds = 1800, valueCol = Some("value"))
     }),
 
+    "q_approx" -> ((s, dir) => {
+      // sketch aggregates, the 100 TB substitutes for exact distinct/
+      // percentile (one pass, bounded memory, mergeable across executors).
+      // Approx values can't hash-match another engine, so the CONTRACT is
+      // oracled instead: emit |approx-exact|/exact <= bound as booleans —
+      // DuckDB asserts literal TRUE, and any sketch drifting out of its
+      // error envelope fails the driver gate.
+      val li = T(s, dir, "lineitem")
+      li.groupBy("l_returnflag").agg(
+          count_distinct(col("l_partkey")).as("exact_nd"),
+          approx_count_distinct(col("l_partkey"), 0.01).as("__hll__"),
+          median(col("l_extendedprice")).as("__med__"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__pa__"))
+        .select(col("l_returnflag"), col("exact_nd"),
+          (abs(col("__hll__") - col("exact_nd")) / col("exact_nd") <= 0.05).as("hll_ok"),
+          (abs(col("__pa__") - col("__med__")) / col("__med__") <= 0.01).as("pctl_ok"))
+    }),
+
     "q_lag_lead" -> ((s, dir) => {
       // navigation windows: lag/lead/ntile complete the analytic surface
       val w = org.apache.spark.sql.expressions.Window
@@ -604,6 +622,8 @@ operations:
       "SELECT o_orderkey, o_orderpriority, o_totalprice, percent_rank() OVER w AS pct, cume_dist() OVER w AS cd FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)",
     "q_lag_lead" ->
       "SELECT o_orderkey, o_orderpriority, o_totalprice, lag(o_orderkey, 1) OVER w AS prev_key, lead(o_orderkey, 1) OVER w AS next_key, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)",
+    "q_approx" ->
+      "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd, TRUE AS hll_ok, TRUE AS pctl_ok FROM lineitem GROUP BY l_returnflag",
     "q_window" ->
       "SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rn FROM lineitem",
     "q_distinct" ->

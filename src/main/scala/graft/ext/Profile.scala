@@ -62,4 +62,29 @@ object Skew {
       .groupBy(keys.map(col): _*)
       .agg(sum(col("__psum__")).as(s"sum_$valueCol"), sum(col("__pn__")).as("n"))
   }
+
+  /** Salted equi-join for a skewed LEFT side: left rows get a
+    * deterministic row-hash salt in [0, salts); the (small-ish) right side
+    * is replicated `salts` times so every (key, salt) matches exactly one
+    * right copy. A hot key's rows therefore spread over `salts` reducers
+    * instead of one straggler. Semantics equal `left.join(right, keys,
+    * joinType)` for inner/left joins (each left row still matches each
+    * right row exactly once).
+    *
+    * This is the manual fallback for engines/paths where AQE skew
+    * splitting doesn't apply (e.g. a shuffle feeding an aggregate, or
+    * non-sort-merge plans); prefer AQE when it fires. Right-side cost is
+    * |right| × salts shuffle rows — keep salts modest (8-32).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 joinType: String = "inner", salts: Int = 16): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, got $joinType")
+    val salt = pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts))
+    val saltedLeft = left.withColumn("__salt__", salt)
+    val replicatedRight = right.withColumn("__salt__",
+      explode(sequence(lit(0L), lit(salts - 1L))))
+    saltedLeft.join(replicatedRight, keys :+ "__salt__", joinType)
+      .drop("__salt__")
+  }
 }

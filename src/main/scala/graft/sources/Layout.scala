@@ -39,6 +39,30 @@ object Layout {
   def readTable(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 
+  /** Hive-style partitioned parquet layout (`path/col=value/...`): a
+    * filter on a partition column prunes whole directories at PLANNING
+    * time — the 100 TB norm for date/source-keyed facts, where a day's
+    * query must touch a day's files, not the table. Verify with
+    * [[prunedPartitions]] / the scan's `PartitionFilters`.
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*).parquet(path)
+
+  /** (selected, total) partition-directory counts for `df`'s scan after
+    * pushdown — machine-checkable partition pruning.
+    */
+  def prunedPartitions(df: DataFrame): (Long, Long) = {
+    val scans = df.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    require(scans.nonEmpty, "no file scan in plan")
+    val s = scans.head
+    (s.selectedPartitions.partitionCount.toLong,
+      s.relation.location.listFiles(Nil, Nil).length.toLong)
+  }
+
   /** True iff the executed plan of `df` contains no SHUFFLE exchange —
     * the machine-checkable definition of "this join/agg is co-located".
     * Broadcast exchanges don't count: they move the small side, not the

@@ -50,4 +50,38 @@ class LayoutSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS orders_b")
     spark.sql("DROP TABLE IF EXISTS cust_b")
   }
+
+  test("partitioned layout prunes directories at planning time") {
+    val events = SparkEntry.events(spark, sf0001)
+      .withColumn("day", to_date(col("ts")))
+    val path = "/tmp/graft-test-events-partitioned"
+    Layout.writePartitioned(events, path, Seq("event_type"))
+
+    val back = spark.read.parquet(path)
+    val filtered = back.where(col("event_type") === "click")
+    val (selected, total) = Layout.prunedPartitions(filtered)
+    assert(total > 1, "fixture should produce multiple event_type partitions")
+    assert(selected == 1, s"expected 1 pruned partition, got $selected/$total")
+    // pruning must not change results
+    assert(filtered.count() ==
+      events.where(col("event_type") === "click").count())
+  }
+
+  test("saltedJoin equals the plain join for inner and left") {
+    val orders = SparkEntry.T(spark, sf0001, "orders")
+    val customer = SparkEntry.T(spark, sf0001, "customer")
+      .withColumnRenamed("c_custkey", "o_custkey")
+    val plainInner = orders.join(customer, Seq("o_custkey"))
+    val saltedInner = graft.ext.Skew.saltedJoin(orders, customer, Seq("o_custkey"))
+    assert(saltedInner.count() == plainInner.count())
+    val key = saltedInner.select(sum(col("o_orderkey") * col("o_totalprice")))
+      .head().getDouble(0)
+    val keyPlain = plainInner.select(sum(col("o_orderkey") * col("o_totalprice")))
+      .head().getDouble(0)
+    assert(math.abs(key - keyPlain) < 1e-6 * math.abs(keyPlain))
+
+    val plainLeft = orders.join(customer, Seq("o_custkey"), "left")
+    val saltedLeft = graft.ext.Skew.saltedJoin(orders, customer, Seq("o_custkey"), "left")
+    assert(saltedLeft.count() == plainLeft.count())
+  }
 }
