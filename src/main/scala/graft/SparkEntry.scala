@@ -349,6 +349,18 @@ operations:
       ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
     }),
 
+    "sim_topk_ivf" -> ((s, dir) => {
+      // trained-centroid IVF: k-means cells + nProbe probing (FAISS
+      // IVF-Flat shape as DataFrame ops); scores are float accumulations
+      // → rows-only driver check, exactness proven in IvfSpec (nProbe=k
+      // probe == brute force)
+      val emb = T(s, dir, "embeddings")
+      val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val index = ext.IvfIndex.assign(emb, "vec_id", "embedding", cents)
+      ext.IvfIndex.topK(index, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        cents, k = 10, nProbe = 3)
+    }),
+
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
@@ -508,12 +520,22 @@ operations:
       // oracled instead: emit |approx-exact|/exact <= bound as booleans —
       // DuckDB asserts literal TRUE, and any sketch drifting out of its
       // error envelope fails the driver gate.
-      val li = T(s, dir, "lineitem")
-      li.groupBy("l_returnflag").agg(
-          count_distinct(col("l_partkey")).as("exact_nd"),
-          approx_count_distinct(col("l_partkey"), 0.01).as("__hll__"),
-          median(col("l_extendedprice")).as("__med__"),
-          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__pa__"))
+      // fanOut: the exact-median sort and quantile sketches are compute-
+      // bound; a bytes-sized single scan partition would serialize them.
+      // The distinct count aggregates SEPARATELY from the sketches: mixing
+      // count(DISTINCT) with other aggregates makes Catalyst's distinct
+      // rewrite run every sketch at (key, distinct-col) granularity —
+      // one QuantileSummaries/HLL buffer PER (flag, partkey) instead of
+      // per flag (measured 26 s vs 1 s at sf0.1). Both branches are 6-row
+      // outputs; the join is free.
+      val li = ext.Par.fanOut(T(s, dir, "lineitem"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_partkey")).as("exact_nd"))
+      val sketches = li.groupBy("l_returnflag").agg(
+        approx_count_distinct(col("l_partkey"), 0.01).as("__hll__"),
+        median(col("l_extendedprice")).as("__med__"),
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("__pa__"))
+      exact.join(sketches, Seq("l_returnflag"))
         .select(col("l_returnflag"), col("exact_nd"),
           (abs(col("__hll__") - col("exact_nd")) / col("exact_nd") <= 0.05).as("hll_ok"),
           (abs(col("__pa__") - col("__med__")) / col("__med__") <= 0.01).as("pctl_ok"))

@@ -1,0 +1,130 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) ANN index with TRAINED centroids — the scale path
+  * beyond data-independent hyperplane LSH: k-means cells adapt to the
+  * actual embedding distribution, so cell occupancy is balanced where
+  * hyperplane buckets collapse (clustered corpora) and probing `nProbe`
+  * nearest cells gives a tunable recall/cost dial, the FAISS IVF-Flat
+  * shape re-expressed as DataFrame ops.
+  *
+  * Everything is broadcast-and-scan: centroids (k × dim doubles, a few MB
+  * for k≤4096) broadcast to executors; assignment is one codegen'd map
+  * pass over the corpus; a Lloyd update is one partial-aggregated groupBy
+  * of k rows. No iteration ever shuffles the vectors themselves — the
+  * only full-width shuffle in the pipeline is the final per-cell
+  * candidate re-rank, bounded by nProbe cells per query.
+  *
+  * Determinism: init picks the k vectors with the smallest md5(id) (a
+  * deterministic uniform sample), and Lloyd updates are
+  * accumulation-order-dependent only in the last ulp of the mean —
+  * assignments are stable for non-degenerate inputs.
+  */
+object IvfIndex {
+
+  /** argmin over centroids of squared L2 distance. `centroids` is a
+    * Seq of (cellId, vector) baked into the plan as literals (broadcast
+    * with the closure — the FAISS "coarse quantizer lives everywhere"
+    * shape).
+    */
+  private def nearestCell(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+    // ||v - c||² = ||v||² - 2<v,c> + ||c||²; ||v||² is constant across
+    // cells, so argmin needs only <v,c> and ||c||² — one fused dot per
+    // cell, k dots per row, all codegen'd
+    val scored = centroids.map { case (id, c) =>
+      val dot = Vectors.dot(vec, array(c.map(lit(_)): _*))
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - dot * 2).as("d"), lit(id).as("cell"))
+    }
+    least(scored: _*).getField("cell")
+  }
+
+  /** Train k-means centroids with `iters` Lloyd iterations over a
+    * deterministic hash-sampled init. Returns (cellId, centroid) pairs on
+    * the driver (k × dim doubles — the coarse quantizer is SUPPOSED to be
+    * driver/executor-resident; the corpus never is).
+    */
+  def train(data: DataFrame, idCol: String, vecCol: String,
+            k: Int, iters: Int = 3): Seq[(Int, Array[Double])] = {
+    require(k > 0 && iters >= 0, "k and iters must be positive")
+    val src = Par.fanOut(data)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+
+    // deterministic init: the k rows with smallest md5(id)
+    var centroids: Seq[(Int, Array[Double])] = src
+      .orderBy(md5(col("id").cast("string")))
+      .limit(k)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+
+    for (_ <- 0 until iters) {
+      val assigned = src.withColumn("cell", nearestCell(col("v"), centroids))
+      // mean per cell: aggregate element-wise sums + counts (k rows out)
+      val dim = centroids.head._2.length
+      val sums = (0 until dim).map(i =>
+        sum(element_at(col("v"), i + 1)).as(s"s$i"))
+      val aggCols = count(lit(1)).as("n") +: sums
+      val updated = assigned.groupBy("cell")
+        .agg(aggCols.head, aggCols.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1).toDouble
+          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+        }.toSeq
+      // empty cells keep their previous centroid
+      val byId = updated.toMap
+      centroids = centroids.map { case (id, c) => id -> byId.getOrElse(id, c) }
+    }
+    centroids
+  }
+
+  /** Assign every row to its nearest cell: the persisted "index" is just
+    * (cell, id, vec) — at scale, write it partitioned/bucketed by cell so
+    * a probe reads only its cells.
+    */
+  def assign(data: DataFrame, idCol: String, vecCol: String,
+             centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    graft.functions.VectorExprs.register(data.sparkSession)
+    Par.fanOut(data)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("cell", nearestCell(col("v"), centroids))
+  }
+
+  /** Top-k cosine neighbors probing the `nProbe` nearest cells per query.
+    * Queries are broadcast; candidates = rows of probed cells only; exact
+    * re-rank via the bounded-heap aggregate.
+    */
+  def topK(index: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+           centroids: Seq[(Int, Array[Double])], k: Int, nProbe: Int = 2): DataFrame = {
+    val spark = index.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    // per-query probed cells: distance to every centroid, keep nProbe best
+    val cellStructs = centroids.map { case (id, c) =>
+      val dot = Vectors.dot(col("__qv__"), array(c.map(lit(_)): _*))
+      val c2 = c.map(x => x * x).sum
+      struct((lit(c2) - dot * 2).as("d"), lit(id).as("cell"))
+    }
+    val probed = queries
+      .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv__"))
+      .withColumn("__cells__",
+        slice(array_sort(array(cellStructs: _*)), 1, nProbe))
+      .select(col("query_id"), col("__qv__"),
+        explode(col("__cells__").getField("cell")).as("cell"))
+    val q = broadcast(probed.withColumn("__qn__", Vectors.norm(col("__qv__"))))
+    val scored = index.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score",
+        Vectors.dot(col("v"), col("__qv__")) / (Vectors.norm(col("v")) * col("__qn__")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("score"),
+        col("neighbor_id").cast("double"),
+        struct(col("neighbor_id"), col("score"))).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
+  }
+}
