@@ -513,6 +513,44 @@ operations:
         "user_id", "ts", gapSeconds = 1800, valueCol = Some("value"))
     }),
 
+    "q_json" -> ((s, dir) => {
+      // semi-structured columns: schema'd from_json beats per-row path
+      // evaluation (one parse, codegen'd field access, pruned by Catalyst)
+      val ev = events(s, dir)
+      ev.select(col("event_id"),
+          from_json(col("props"), lit("k BIGINT")).getField("k").as("k"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_path"))
+        .withColumn("k_doubled", col("k") * 2)
+    }),
+
+    "q_dates" -> ((s, dir) => {
+      // date/calendar function surface (exact integer/date semantics on
+      // both engines, incl. add_months end-of-month clamping)
+      val o = T(s, dir, "orders")
+        .withColumn("d", col("o_orderdate").cast("date"))
+      o.select(col("o_orderkey"), col("d"),
+        trunc(col("d"), "month").as("month_start"),
+        add_months(col("d"), 3).as("plus_3m"),
+        last_day(col("d")).as("month_end"),
+        datediff(col("d"), lit("1995-01-01").cast("date")).as("days_since_95"),
+        year(col("d")).as("y"), month(col("d")).as("m"), dayofmonth(col("d")).as("dom"))
+    }),
+
+    "q_strings" -> ((s, dir) => {
+      // string function surface incl. edit distance (exact DP, engine-
+      // independent) and split/position semantics
+      val p = T(s, dir, "part")
+      p.select(col("p_partkey"),
+        upper(col("p_name")).as("uname"),
+        substring(col("p_name"), 1, 5).as("prefix5"),
+        reverse(col("p_name")).as("rname"),
+        levenshtein(col("p_name"), col("p_type")).as("edit_dist"),
+        element_at(split(col("p_name"), " "), 1).as("first_word"),
+        instr(col("p_name"), "a").cast("int").as("pos_a"),
+        length(trim(col("p_name"))).cast("long").as("len_trim"),
+        lpad(col("p_partkey").cast("string"), 10, "0").as("key_padded"))
+    }),
+
     "q_approx" -> ((s, dir) => {
       // sketch aggregates, the 100 TB substitutes for exact distinct/
       // percentile (one pass, bounded memory, mergeable across executors).
@@ -646,6 +684,12 @@ operations:
       "SELECT o_orderkey, o_orderpriority, o_totalprice, lag(o_orderkey, 1) OVER w AS prev_key, lead(o_orderkey, 1) OVER w AS next_key, CAST(ntile(4) OVER w AS INTEGER) AS quartile FROM orders WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)",
     "q_approx" ->
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd, TRUE AS hll_ok, TRUE AS pctl_ok FROM lineitem GROUP BY l_returnflag",
+    "q_json" ->
+      "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k, CAST(props->>'k' AS BIGINT) AS k_path, CAST(props->>'k' AS BIGINT) * 2 AS k_doubled FROM events",
+    "q_dates" ->
+      "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m, last_day(CAST(o_orderdate AS DATE)) AS month_end, CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95, CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m, CAST(day(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom FROM orders",
+    "q_strings" ->
+      "SELECT p_partkey, upper(p_name) AS uname, substr(p_name, 1, 5) AS prefix5, reverse(p_name) AS rname, CAST(levenshtein(p_name, p_type) AS INTEGER) AS edit_dist, string_split(p_name, ' ')[1] AS first_word, CAST(strpos(p_name, 'a') AS INTEGER) AS pos_a, CAST(length(trim(p_name)) AS BIGINT) AS len_trim, lpad(CAST(p_partkey AS VARCHAR), 10, '0') AS key_padded FROM part",
     "q_window" ->
       "SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, CAST(row_number() OVER (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber) AS INTEGER) AS rn FROM lineitem",
     "q_distinct" ->
