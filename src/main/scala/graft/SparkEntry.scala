@@ -513,6 +513,31 @@ operations:
         "user_id", "ts", gapSeconds = 1800, valueCol = Some("value"))
     }),
 
+    "q_diff" -> ((s, dir) => {
+      // snapshot diff (added/removed/changed) — the "new" snapshot is
+      // derived deterministically so the oracle can rebuild it: every
+      // 7th key deleted, every 11th repriced (×2, fp-exact), every 13th
+      // re-keyed into a fresh id (an add)
+      val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val base = o.where(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 11 === 0, col("o_totalprice") * 2)
+            .otherwise(col("o_totalprice")).as("o_totalprice"))
+      val added = o.where(col("o_orderkey") % 13 === 0)
+        .select((col("o_orderkey") + 10000000L).as("o_orderkey"),
+          col("o_totalprice"))
+      ext.Diff.snapshotDiff(o, base.unionByName(added),
+        Seq("o_orderkey"), Seq("o_totalprice"))
+    }),
+
+    "ta_sample_n" -> ((s, dir) => {
+      // deterministic quota sampling: exactly 5 docs per language by md5
+      // order — the reproducible "n examples per stratum" picker
+      ext.Sampling.sampleNPerStratum(T(s, dir, "documents"),
+        col("lang"), col("doc_id"), 5)
+        .select("doc_id", "lang")
+    }),
+
     "q_json" -> ((s, dir) => {
       // semi-structured columns: schema'd from_json beats per-row path
       // evaluation (one parse, codegen'd field access, pruned by Catalyst)
@@ -686,6 +711,10 @@ operations:
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd, TRUE AS hll_ok, TRUE AS pctl_ok FROM lineitem GROUP BY l_returnflag",
     "q_json" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k, CAST(props->>'k' AS BIGINT) AS k_path, CAST(props->>'k' AS BIGINT) * 2 AS k_doubled FROM events",
+    "q_diff" ->
+      """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
+    "ta_sample_n" ->
+      """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
     "q_dates" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m, last_day(CAST(o_orderdate AS DATE)) AS month_end, CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95, CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m, CAST(day(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom FROM orders",
     "q_strings" ->

@@ -76,6 +76,20 @@ object Sampling {
     df.where(frac < threshold)
   }
 
+  /** Deterministic quota sample: exactly `n` rows per stratum (fewer if
+    * the stratum is smaller), chosen by md5 order — a reproducible
+    * "n examples per language/source" picker. One shuffle on the stratum
+    * key; the rank window is bounded per stratum.
+    */
+  def sampleNPerStratum(df: DataFrame, stratum: Column, key: Column,
+                        n: Int): DataFrame = {
+    val w = Window.partitionBy(stratum)
+      .orderBy(md5(key.cast("string")), key)
+    df.withColumn("__rn__", row_number().over(w))
+      .where(col("__rn__") <= n)
+      .drop("__rn__")
+  }
+
   /** Sequence packing, chunked-concatenation semantics (the standard
     * pretraining shape: token streams are concatenated in a deterministic
     * order and chunked into fixed `binTokens` context windows; documents
