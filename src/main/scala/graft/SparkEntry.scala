@@ -426,6 +426,15 @@ operations:
         .select("doc_id", "lang")
     }),
 
+    "ta_mix" -> ((s, dir) => {
+      // weighted source mixing: per-stratum keep-fractions (up/down-
+      // sampling rare/common sources deterministically, no RNG)
+      ext.Sampling.stratifiedSample(T(s, dir, "documents"),
+        col("source"), col("doc_id"),
+        Map("src0" -> 0.5, "src1" -> 1.0), default = 0.1)
+        .select("doc_id", "source")
+    }),
+
     "ta_pack" -> ((s, dir) => {
       // chunked-concatenation sequence packing into 4096-token windows,
       // sharded by language (the cumsum window parallelizes across shards)
@@ -536,6 +545,26 @@ operations:
       ext.Sampling.sampleNPerStratum(T(s, dir, "documents"),
         col("lang"), col("doc_id"), 5)
         .select("doc_id", "lang")
+    }),
+
+    "q_arrays" -> ((s, dir) => {
+      // array surface: collect per group (sorted — collect order is
+      // nondeterministic by contract), higher-order transform/filter/
+      // aggregate; arrays render as joined strings so the cross-engine
+      // hash compares a canonical form
+      val li = T(s, dir, "lineitem")
+      li.groupBy("l_orderkey")
+        .agg(sort_array(collect_list(col("l_linenumber"))).as("__lines__"),
+          sort_array(collect_set(col("l_returnflag"))).as("__flags__"))
+        .select(col("l_orderkey"),
+          array_join(col("__lines__"), ",").as("lines"),
+          array_join(col("__flags__"), ",").as("flags"),
+          size(col("__lines__")).as("n_lines"),
+          aggregate(col("__lines__"), lit(0L), (acc, x) => acc + x).as("line_sum"),
+          array_join(transform(col("__lines__"), x => (x * 10).cast("string")), ",")
+            .as("lines_x10"),
+          array_join(filter(col("__lines__"), _ % 2 === 0).cast("array<string>"), ",")
+            .as("even_lines"))
     }),
 
     "q_json" -> ((s, dir) => {
@@ -711,10 +740,14 @@ operations:
       "SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_nd, TRUE AS hll_ok, TRUE AS pctl_ok FROM lineitem GROUP BY l_returnflag",
     "q_json" ->
       "SELECT event_id, CAST(props->>'k' AS BIGINT) AS k, CAST(props->>'k' AS BIGINT) AS k_path, CAST(props->>'k' AS BIGINT) * 2 AS k_doubled FROM events",
+    "q_arrays" ->
+      """SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lines, array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags, CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines, CAST(list_sum(list(l_linenumber)) AS BIGINT) AS line_sum, array_to_string(list_transform(list_sort(list(l_linenumber)), x -> CAST(x * 10 AS VARCHAR)), ',') AS lines_x10, COALESCE(array_to_string(list_filter(list_sort(list(l_linenumber)), x -> x % 2 = 0), ','), '') AS even_lines FROM lineitem GROUP BY l_orderkey""",
     "q_diff" ->
       """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
+    "ta_mix" ->
+      """SELECT doc_id, source FROM documents WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN 'ffffffff' ELSE '1999999a' END""",
     "q_dates" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m, last_day(CAST(o_orderdate AS DATE)) AS month_end, CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95, CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m, CAST(day(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom FROM orders",
     "q_strings" ->
