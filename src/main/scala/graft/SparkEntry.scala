@@ -317,7 +317,13 @@ operations:
     }),
 
     "dd_minhash_dedup" -> ((s, dir) => {
-      ext.Dedup.minhashDedup(T(s, dir, "documents"), "doc_id", "text")
+      // TRANSITIVE dedup: pair edges → connected components → keep the
+      // min-id doc per cluster. Edge-wise removal (drop any doc pairing
+      // with a smaller id) over-keeps on chains a~b~c with no (a,c) edge;
+      // clusterDedup is the production-correct form.
+      val docs = T(s, dir, "documents")
+      ext.Graph.clusterDedup(docs, "doc_id",
+        ext.Dedup.minhashPairs(docs, "doc_id", "text"))
         .select("doc_id", "lang", "source")
     }),
 
@@ -456,8 +462,18 @@ operations:
     }),
 
     "mm_decode" -> ((s, dir) => {
+      // REAL decode round-trip: plant genuine encoder output (ImageIO
+      // png/bmp, AudioSystem wav) whose dims/rates/contents are integer
+      // functions of doc_id, decode it with the JDK codecs, and ALSO parse
+      // the container headers — the oracle recomputes every value from
+      // doc_id alone, so a fake/stub decoder cannot hash-match.
       implicit val sp: SparkSession = s
-      ext.Multimodal.extractMeta(ext.Multimodal.mediaFromDocuments(T(s, dir, "documents"))).toDF()
+      val media = ext.Multimodal.syntheticMedia(T(s, dir, "documents"))
+      val dec = ext.Multimodal.decode(media).toDF()
+      val hdr = ext.Multimodal.extractMeta(media).toDF()
+        .select(col("media_id"), col("width").as("hdr_width"),
+          col("height").as("hdr_height"), col("sample_rate").as("hdr_rate"))
+      dec.join(hdr, Seq("media_id"))
     }),
 
     "mm_frames" -> ((s, dir) => {
@@ -747,7 +763,9 @@ operations:
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
     "ta_mix" ->
-      """SELECT doc_id, source FROM documents WHERE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < CASE source WHEN 'src0' THEN '80000000' WHEN 'src1' THEN 'ffffffff' ELSE '1999999a' END""",
+      // fraction 1.0 keeps ALL rows (not `< 'ffffffff'`, which drops keys
+      // hashing to exactly ffffffff) — mirrors Sampling.keepFraction
+      """SELECT doc_id, source FROM documents WHERE CASE source WHEN 'src0' THEN substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '80000000' WHEN 'src1' THEN TRUE ELSE substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8) < '1999999a' END""",
     "q_dates" ->
       "SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d, CAST(date_trunc('month', CAST(o_orderdate AS DATE)) AS DATE) AS month_start, CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3m, last_day(CAST(o_orderdate AS DATE)) AS month_end, CAST(datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_95, CAST(year(CAST(o_orderdate AS DATE)) AS INTEGER) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS INTEGER) AS m, CAST(day(CAST(o_orderdate AS DATE)) AS INTEGER) AS dom FROM orders",
     "q_strings" ->
@@ -778,6 +796,46 @@ operations:
       """SELECT doc_id, md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))) AS fp FROM documents""",
     "mm_meta" ->
       """SELECT doc_id AS media_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes, 'bin' AS format, sha256(text) AS sha FROM documents""",
+    // mm_decode: every value is an integer function of doc_id (the planted
+    // media's encoder parameters) — a decoder that doesn't actually decode
+    // the real png/bmp/wav payloads cannot reproduce n_samples/content_sum
+    "mm_decode" ->
+      """SELECT doc_id AS media_id,
+           CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'wav' ELSE 'bmp' END AS format,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 8 + doc_id % 17 END AS INTEGER) AS width,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 8 + doc_id % 13 END AS INTEGER) AS height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END AS INTEGER) AS sample_rate,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 64 + doc_id % 64 ELSE (8 + doc_id % 17) * (8 + doc_id % 13) END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN (64 + doc_id % 64) * (doc_id % 2000 - 1000) ELSE (8 + doc_id % 17) * (8 + doc_id % 13) * ((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) END AS BIGINT) AS content_sum,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 8 + doc_id % 17 END AS INTEGER) AS hdr_width,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 8 + doc_id % 13 END AS INTEGER) AS hdr_height,
+           CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE 0 END AS INTEGER) AS hdr_rate
+         FROM documents""",
+    // mm_frames: documents text is pure ASCII in this corpus (verified:
+    // octet_length == length for every row), so DuckDB's char-based
+    // substring sees the same bytes Spark's binary substring does and
+    // md5 hashes agree
+    "mm_frames" ->
+      """WITH idx AS (SELECT unnest(range(8)) AS i)
+         SELECT doc_id AS media_id, CAST(i AS INTEGER) AS frame_idx,
+                CAST(length(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS INTEGER) AS frame_n_bytes,
+                md5(substring(text, CAST(i * 64 + 1 AS BIGINT), 64)) AS frame_hash
+         FROM documents, idx
+         WHERE i < least(CAST(ceil(length(text) / 64.0) AS BIGINT), 8)""",
+    // sim_topk: the scorer is fixed-order double accumulation over
+    // float→double casts — DuckDB's list_dot_product on double-cast lists
+    // is bit-identical (verified on this corpus), so exact scores and
+    // ranks hash-match; ties (none in practice) break by neighbor_id in
+    // both engines
+    "sim_topk" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                  list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score
+           FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+         WHERE rn <= 10""",
     "ta_quality_score" ->
       """WITH base AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base) SELECT doc_id, lang, CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) AS quality_bp FROM comp""",
     "ta_langid" ->

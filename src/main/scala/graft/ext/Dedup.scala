@@ -55,28 +55,45 @@ object Dedup {
       }
     }
 
-  /** Cap LSH bucket occupancy before a self-join. A bucket of size d
-    * contributes d²/2 candidate pairs, so one pathological bucket (near-
-    * constant embeddings, boilerplate bands, a degenerate nbits/threshold
-    * config) degenerates the join toward all-pairs. Buckets above
-    * `maxBucket` are DROPPED — this trades recall (bounded: the OR-
-    * construction's remaining tables still catch true pairs) for a hard
-    * candidate bound, and the drop stats are logged on completion via
-    * observed metrics, never silently.
+  /** Candidate pairs (id_a < id_b) from an LSH bucket table, with bucket
+    * occupancy CAPPED. A bucket of size d contributes d²/2 candidate pairs,
+    * so one pathological bucket (near-constant embeddings, boilerplate
+    * bands, a degenerate nbits/threshold config) degenerates the self-join
+    * toward all-pairs. Buckets up to `maxBucket` take the full all-pairs
+    * self-join; OVERSIZED buckets contribute a SPANNING STAR instead —
+    * every member pairs with the bucket's minimum id (d-1 edges, not
+    * d²/2). The star keeps every member reachable, so transitive
+    * clustering (connected components) still forms the full duplicate
+    * cluster — dropping oversized buckets outright would emit ZERO pairs
+    * for exactly the heaviest duplicates (identical docs collide in EVERY
+    * band, so every one of their buckets is oversized and the
+    * OR-construction has no surviving table to catch them). Star-collapsed
+    * entry counts are logged on completion via observed metrics, never
+    * silently. `bucketed` must carry the member id as `id`.
     */
-  private def capBuckets(bucketed: DataFrame, bucketCols: Seq[String],
-                         maxBucket: Int, what: String): DataFrame = {
+  private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
+                          maxBucket: Int, what: String): DataFrame = {
     ensureMetricsLogger(bucketed.sparkSession)
-    // occupancy via count-over-window: ONE shuffle on the bucket key (which
-    // the downstream self-join needs anyway) — a groupBy+rejoin would
-    // shuffle the bucketed side twice
+    // occupancy + min-id via one window: ONE shuffle on the bucket key
+    // (which the downstream self-join needs anyway) — a groupBy+rejoin
+    // would shuffle the bucketed side twice
     val w = Window.partitionBy(bucketCols.map(col): _*)
-    val sized = bucketed.withColumn("__bsize__", count(lit(1)).over(w))
+    val sized = bucketed
+      .withColumn("__bsize__", count(lit(1)).over(w))
+      .withColumn("__bmin__", min(col("id")).over(w))
     val observed = sized.observe(
       s"graft_${what}_bucket_cap_${obsCounter.incrementAndGet()}",
-      sum(when(col("__bsize__") > maxBucket, 1L).otherwise(0L)).as("dropped_entries"),
+      sum(when(col("__bsize__") > maxBucket, 1L).otherwise(0L)).as("star_entries"),
       max(col("__bsize__")).as("max_bucket"))
-    observed.filter(col("__bsize__") <= maxBucket).drop("__bsize__")
+    val small = observed.filter(col("__bsize__") <= maxBucket)
+      .select(bucketCols.map(col) :+ col("id"): _*)
+    val smallPairs = small.alias("a").join(small.alias("b"), bucketCols)
+      .filter(col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val starPairs = observed
+      .filter(col("__bsize__") > maxBucket && col("id") =!= col("__bmin__"))
+      .select(col("__bmin__").as("id_a"), col("id").as("id_b"))
+    smallPairs.union(starPairs)
   }
 
   // ------------------------------------------------------------ exact
@@ -159,17 +176,12 @@ object Dedup {
     // band join ships only (band, bhash, id) — signatures rejoin AFTER the
     // candidate pairs are distinct, so the k-long arrays never ride the
     // band shuffle (at corpus scale that shuffle is the dominant cost)
-    val banded = capBuckets(
-      sigs.select(col("id"),
-        posexplode(transform(sequence(lit(0), lit(bands - 1)),
-          b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
-        .select(col("id"), col("pos").as("band"), col("col").as("bhash")),
-      Seq("band", "bhash"), maxBucket, "minhash")
+    val banded = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bhash"))
 
-    val pairs = banded.alias("a")
-      .join(banded.alias("b"), Seq("band", "bhash"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val pairs = bucketPairs(banded, Seq("band", "bhash"), maxBucket, "minhash")
       .distinct()
 
     pairs
@@ -202,22 +214,25 @@ object Dedup {
 
   /** Near-duplicate pairs by SimHash: 4×16-bit band blocking, then exact
     * Hamming distance ≤ maxHamming within buckets (pigeonhole: any pair
-    * with ≤3 differing bits shares at least one of 4 bands).
+    * with ≤3 differing bits shares at least one of 4 bands). The band
+    * join is bucket-capped like its siblings (boilerplate corpora put
+    * thousands of docs in one 16-bit band key) and ships ids only — the
+    * 64-bit hashes rejoin after the candidate pairs are distinct.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3, maxBucket: Int = 2000): DataFrame = {
     val hs = simhashes(df, idCol, textCol)
-    val banded = hs.select(col("id"), col("simhash"),
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = hs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    val a = banded.select(col("band"), col("bkey"), col("id").as("id_a"), col("simhash").as("h_a"))
-    val b = banded.select(col("band"), col("bkey"), col("id").as("id_b"), col("simhash").as("h_b"))
-    a.join(b, Seq("band", "bkey"))
-      .filter(col("id_a") < col("id_b"))
+    bucketPairs(banded, Seq("band", "bkey"), maxBucket, "simhash")
+      .distinct()
+      .join(hs.select(col("id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
+      .join(hs.select(col("id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Hashing.hamming64(col("h_a"), col("h_b")).as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .groupBy("id_a", "id_b").agg(min("hamming").as("hamming"))
   }
 
   // ------------------------------------------------------- n-gram Jaccard
@@ -310,14 +325,9 @@ object Dedup {
     val src = Par.fanOut(df)
     val vecs = src.select(col(idCol).as("id"), col(vecCol).as("v"),
       Vectors.norm(col(vecCol)).as("nrm"))
-    val bucketed = capBuckets(
-      src.select(col(idCol).as("id"),
-        explode(Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)).as("bucket")),
-      Seq("bucket"), maxBucket, "embed")
-    val pairs = bucketed.alias("a")
-      .join(bucketed.alias("b"), Seq("bucket"))
-      .filter(col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val bucketed = src.select(col(idCol).as("id"),
+      explode(Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)).as("bucket"))
+    val pairs = bucketPairs(bucketed, Seq("bucket"), maxBucket, "embed")
       .distinct()
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))

@@ -45,40 +45,51 @@ object IvfIndex {
     * deterministic hash-sampled init. Returns (cellId, centroid) pairs on
     * the driver (k × dim doubles — the coarse quantizer is SUPPOSED to be
     * driver/executor-resident; the corpus never is).
+    *
+    * Scale hygiene (FAISS-style practice): the coarse quantizer trains on
+    * a deterministic hash SAMPLE of the corpus (`trainFraction` < 1 — cell
+    * quality needs thousands of points per centroid, not the full 100 TB),
+    * and the training set is persisted once so init + every Lloyd
+    * iteration reads ONE cached scan instead of re-reading the source.
     */
   def train(data: DataFrame, idCol: String, vecCol: String,
-            k: Int, iters: Int = 3): Seq[(Int, Array[Double])] = {
+            k: Int, iters: Int = 3, trainFraction: Double = 1.0): Seq[(Int, Array[Double])] = {
     require(k > 0 && iters >= 0, "k and iters must be positive")
-    val src = Par.fanOut(data)
+    val sampled =
+      if (trainFraction < 1.0) Sampling.hashSample(data, col(idCol), trainFraction)
+      else data
+    val src = Par.fanOut(sampled)
       .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
-
-    // deterministic init: the k rows with smallest md5(id)
-    var centroids: Seq[(Int, Array[Double])] = src
-      .orderBy(md5(col("id").cast("string")))
-      .limit(k)
-      .collect()
-      .zipWithIndex
-      .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
-
-    for (_ <- 0 until iters) {
-      val assigned = src.withColumn("cell", nearestCell(col("v"), centroids))
-      // mean per cell: aggregate element-wise sums + counts (k rows out)
-      val dim = centroids.head._2.length
-      val sums = (0 until dim).map(i =>
-        sum(element_at(col("v"), i + 1)).as(s"s$i"))
-      val aggCols = count(lit(1)).as("n") +: sums
-      val updated = assigned.groupBy("cell")
-        .agg(aggCols.head, aggCols.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // deterministic init: the k rows with smallest md5(id)
+      var centroids: Seq[(Int, Array[Double])] = src
+        .orderBy(md5(col("id").cast("string")))
+        .limit(k)
         .collect()
-        .map { r =>
-          val n = r.getLong(1).toDouble
-          r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
-        }.toSeq
-      // empty cells keep their previous centroid
-      val byId = updated.toMap
-      centroids = centroids.map { case (id, c) => id -> byId.getOrElse(id, c) }
-    }
-    centroids
+        .zipWithIndex
+        .map { case (r, i) => i -> r.getSeq[Double](1).toArray }
+
+      for (_ <- 0 until iters) {
+        val assigned = src.withColumn("cell", nearestCell(col("v"), centroids))
+        // mean per cell: aggregate element-wise sums + counts (k rows out)
+        val dim = centroids.head._2.length
+        val sums = (0 until dim).map(i =>
+          sum(element_at(col("v"), i + 1)).as(s"s$i"))
+        val aggCols = count(lit(1)).as("n") +: sums
+        val updated = assigned.groupBy("cell")
+          .agg(aggCols.head, aggCols.tail: _*)
+          .collect()
+          .map { r =>
+            val n = r.getLong(1).toDouble
+            r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+          }.toSeq
+        // empty cells keep their previous centroid
+        val byId = updated.toMap
+        centroids = centroids.map { case (id, c) => id -> byId.getOrElse(id, c) }
+      }
+      centroids
+    } finally src.unpersist(blocking = false)
   }
 
   /** Assign every row to its nearest cell: the persisted "index" is just

@@ -7,17 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal (image/audio/video) column plumbing: media as opaque
   * `binary` columns + typed metadata, with decode/feature steps running
   * per-partition (the Scala analogue of a pandas-batch UDF: each partition
-  * is processed as one iterator, amortizing any decoder init across rows —
-  * the pattern a real image/audio decoder plugs into).
+  * is processed as one iterator, amortizing decoder init across rows).
   *
-  * METADATA IS REAL, PIXEL DECODE IS STUBBED: container headers (PNG IHDR,
-  * JPEG SOF, GIF, BMP, WAV fmt) are parsed for real — dimensions and
-  * sample rates come from the actual bytes, no codec needed. Only pixel/
-  * sample DATA decoding is stubbed (`decodeStub` derives deterministic
-  * fake values for unrecognized payloads — the container has no codecs).
-  * The Spark-side plumbing — schema, binary handling, partition batching,
-  * frame explode — is real and tested; swap `decodeStub` for a codec to
-  * productionize.
+  * Decode is REAL where the JDK ships a codec: `javax.imageio.ImageIO`
+  * (png/jpeg/gif/bmp — true dimensions + actual pixel values) and
+  * `javax.sound.sampled.AudioSystem` (wav — true sample rate/frames +
+  * actual PCM samples). Container-header metadata (PNG IHDR, JPEG SOF,
+  * GIF, BMP, WAV fmt) is additionally parsed directly from the bytes with
+  * zero codec involvement — the cheap path when only dimensions are
+  * needed. Only genuinely unrecognized payloads fall back to a
+  * deterministic stub (clearly marked with `content_sum = -1`).
   */
 object Multimodal {
 
@@ -25,10 +24,20 @@ object Multimodal {
   case class MediaRecord(media_id: Long, media_type: String,
                          source: String, content: Array[Byte])
 
-  /** Extracted metadata (what a real decoder would emit). */
+  /** Extracted metadata (header-parse path — no pixel/sample decode). */
   case class MediaMeta(media_id: Long, media_type: String, n_bytes: Long,
                        format: String, width: Int, height: Int,
                        sample_rate: Int)
+
+  /** Fully decoded media: real dimensions/rates plus content checksums
+    * computed from the DECODED pixels/samples (not the container bytes) —
+    * `n_samples` is pixels (w×h) for images / frames for audio, and
+    * `content_sum` is Σ(r+g+b) over pixels / Σ(sample values) for audio.
+    * Undecodable payloads keep stub dimensions and content_sum = -1.
+    */
+  case class DecodedMedia(media_id: Long, format: String, width: Int,
+                          height: Int, sample_rate: Int, n_samples: Long,
+                          content_sum: Long)
 
   /** Build a media table from the documents fixture: text bytes standing in
     * for an opaque payload (the plumbing doesn't care what the bytes are).
@@ -39,6 +48,63 @@ object Multimodal {
       lit("application/octet-stream").as("media_type"),
       col("source"),
       col("text").cast(BinaryType).as("content"))
+
+  /** Deterministic REAL media planted from doc ids — every payload is a
+    * genuine encoder's output (JDK ImageIO png/bmp, AudioSystem wav), with
+    * dimensions/rates/contents that are pure integer functions of the id.
+    * Round-tripping these through [[decode]] proves the decoder is real,
+    * and an external oracle can recompute every decoded value from the id
+    * alone: kind = id%3 (0 png, 1 wav, 2 bmp); images are (8+id%17) ×
+    * (8+id%13) filled with constant rgb(id%256, id*7%256, id*13%256); wav
+    * is 16-bit mono at 8000+(id%5)*2000 Hz, 64+id%64 frames of constant
+    * sample value id%2000-1000.
+    */
+  def syntheticMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          val bytes = (id % 3) match {
+            case 1 => encodeWav(8000 + (id % 5).toInt * 2000,
+              64 + (id % 64).toInt, (id % 2000 - 1000).toInt)
+            case k => encodeImage(if (k == 0) "png" else "bmp",
+              8 + (id % 17).toInt, 8 + (id % 13).toInt,
+              (id % 256).toInt, (id * 7 % 256).toInt, (id * 13 % 256).toInt)
+          }
+          MediaRecord(id, if (id % 3 == 1) "audio/wav" else "image", source, bytes)
+        }
+      }.toDF()
+  }
+
+  private[ext] def encodeImage(format: String, w: Int, h: Int,
+                               r: Int, g: Int, b: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) { var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1 }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  private[ext] def encodeWav(rate: Int, nFrames: Int, value: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val data = new Array[Byte](nFrames * 2)
+    var i = 0
+    while (i < nFrames) {
+      data(2 * i) = (value & 0xff).toByte
+      data(2 * i + 1) = ((value >> 8) & 0xff).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
 
   /** Container-format sniff from magic bytes — real logic (PNG/JPEG/RIFF/
     * PDF/GZIP), pure Column expression.
@@ -57,12 +123,62 @@ object Multimodal {
       .otherwise("bin")
   }
 
-  /** STUB decoder — deterministic fake: dimensions derived from a content
-    * hash; a real build replaces the body with an actual codec call.
-    * Kept as a plain function so the mapPartitions plumbing is identical
-    * either way.
+  /** REAL image decode via the JDK's ImageIO (png/jpeg/gif/bmp readers ship
+    * with the JRE): (width, height, Σ(r+g+b) over all pixels). None when no
+    * reader accepts the bytes.
     */
-  def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
+  private[ext] def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Long)] =
+    try {
+      javax.imageio.ImageIO.setUseCache(false)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        var s = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            s += ((rgb >> 16) & 0xff) + ((rgb >> 8) & 0xff) + (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        Some((img.getWidth, img.getHeight, s))
+      }
+    } catch { case _: Exception => None }
+
+  /** REAL audio decode via javax.sound.sampled (wav/aiff/au readers ship
+    * with the JRE): (sampleRate, frames, Σ samples) for 16-bit PCM; frame
+    * count only for other encodings. None when no reader accepts the bytes.
+    */
+  private[ext] def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Long)] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      val frames = ais.getFrameLength
+      val sum =
+        if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1) {
+          val data = ais.readAllBytes()
+          var s = 0L
+          var i = 0
+          while (i + 1 < data.length) {
+            val v =
+              if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+              else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+            s += v
+            i += 2
+          }
+          s
+        } else 0L
+      Some((fmt.getSampleRate.toInt, frames, sum))
+    } catch { case _: Exception => None }
+
+  /** Deterministic STUB for unrecognized payloads only: fake dimensions
+    * from a content hash, content_sum = -1 marks "not decoded".
+    */
+  private[ext] def decodeStub(content: Array[Byte]): (Int, Int, Int) = {
     val h = graft.functions.Hashing.fnv1a64(content, 0, content.length)
     val width = 64 + (Math.floorMod(h, 1024L)).toInt
     val height = 64 + (Math.floorMod(h >>> 20, 1024L)).toInt
@@ -70,17 +186,54 @@ object Multimodal {
     (width, height, sampleRate)
   }
 
-  /** Decode/feature-extract: per-partition batch processing over typed
-    * rows. The partition iterator is the batch — decoder init (the
-    * expensive part for real codecs) happens once per partition, not per
-    * row. Dimensions/sample-rate come from REAL header parsing when the
-    * container format is recognized; the stub only covers opaque payloads.
+  /** Full pixel/sample DECODE: per-partition batch processing with the
+    * real JDK codecs (decoder/reader instances initialize once per
+    * partition via ImageIO's registry). Images → true dims + pixel sum;
+    * audio → true rate/frames + sample sum; anything else → stub dims
+    * with content_sum = -1.
+    */
+  def decode(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val fmt = sniffName(bytes)
+          fmt match {
+            case "png" | "jpeg" | "gif" | "bmp" =>
+              decodeImage(bytes) match {
+                case Some((w, h, sum)) =>
+                  DecodedMedia(rec.media_id, fmt, w, h, 0, w.toLong * h, sum)
+                case None =>
+                  val (w, h, _) = decodeStub(bytes)
+                  DecodedMedia(rec.media_id, fmt, w, h, 0, 0L, -1L)
+              }
+            case "wav" =>
+              decodeAudio(bytes) match {
+                case Some((rate, frames, sum)) =>
+                  DecodedMedia(rec.media_id, fmt, 0, 0, rate, frames, sum)
+                case None =>
+                  val (_, _, sr) = decodeStub(bytes)
+                  DecodedMedia(rec.media_id, fmt, 0, 0, sr, 0L, -1L)
+              }
+            case other =>
+              val (w, h, _) = decodeStub(bytes)
+              DecodedMedia(rec.media_id, other, w, h, 0, 0L, -1L)
+          }
+        }
+      }
+  }
+
+  /** Decode/feature-extract metadata WITHOUT touching pixel data: container
+    * headers (PNG IHDR, JPEG SOF, GIF, BMP, WAV fmt) parsed directly from
+    * the bytes. The cheap path when only dimensions/rates are needed — at
+    * 100 TB you never run a full decoder to learn a width. Unrecognized
+    * payloads get stub values.
     */
   def extractMeta(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaMeta] = {
     import spark.implicits._
     media.select("media_id", "media_type", "source", "content").as[MediaRecord]
       .mapPartitions { it =>
-        // real codecs initialize here, once per partition
         it.map { rec =>
           val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
           val (w, h, sr) = parseHeader(bytes).getOrElse(decodeStub(bytes))
@@ -125,15 +278,22 @@ object Multimodal {
         Some((be32(b, 16), be32(b, 20), 0))
       case "jpeg" =>
         // scan markers for SOF0/1/2 (baseline/extended/progressive):
-        // [FF Cn][len 2B][precision 1B][height 2B][width 2B]
+        // [FF Cn][len 2B][precision 1B][height 2B][width 2B].
+        // 0xFF bytes may be repeated as fill/padding before a marker —
+        // skip them one at a time; stop at SOS (0xDA, entropy-coded data
+        // follows, lengths no longer meaningful) and EOI (0xD9).
         var i = 2
         var res: Option[(Int, Int, Int)] = None
-        while (res.isEmpty && i + 9 < b.length) {
+        var done = false
+        while (!done && res.isEmpty && i + 9 < b.length) {
           if ((b(i) & 0xff) == 0xff) {
             val marker = b(i + 1) & 0xff
-            if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
+            if (marker == 0xff) i += 1 // fill byte, next byte may be the marker
+            else if (marker == 0xc0 || marker == 0xc1 || marker == 0xc2)
               res = Some((be16(b, i + 7), be16(b, i + 5), 0))
-            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd9)) i += 2
+            else if (marker == 0xda || marker == 0xd9) done = true
+            else if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01)
+              i += 2 // standalone markers with no length segment
             else if (i + 3 < b.length) i += 2 + be16(b, i + 2)
             else i = b.length
           } else i += 1
@@ -159,26 +319,47 @@ object Multimodal {
       case _ => None
     }
 
-  /** Resized media record (what a real image resize would emit). */
+  /** Resized media record. */
   case class ResizedMedia(media_id: Long, media_type: String,
                           target_w: Int, target_h: Int, content: Array[Byte])
 
-  /** Resize plumbing: per-partition batch transform producing a
-    * fixed-budget payload per row. STUB: deterministic byte subsampling
-    * stands in for pixel resampling (no codecs in this container); the
-    * schema, typed-row path, and partition batching are the real
-    * interface a codec-backed resize plugs into.
+  /** REAL image resize for decodable images: deterministic nearest-neighbor
+    * resample (src pixel at floor(x·sw/tw), floor(y·sh/th) — no platform-
+    * dependent rendering hints), re-encoded as PNG. Payloads no JDK reader
+    * accepts fall back to deterministic byte subsampling to the pixel
+    * budget (the prior stub behavior), so the operator is total.
     */
-  def resizeStub(media: DataFrame, targetW: Int, targetH: Int)
-                (implicit spark: SparkSession): Dataset[ResizedMedia] = {
+  def resize(media: DataFrame, targetW: Int, targetH: Int)
+            (implicit spark: SparkSession): Dataset[ResizedMedia] = {
     import spark.implicits._
     val budget = targetW * targetH
     media.select("media_id", "media_type", "source", "content").as[MediaRecord]
       .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
         it.map { rec =>
           val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
           val out =
-            if (bytes.length <= budget) bytes
+            if (img != null) {
+              val dst = new java.awt.image.BufferedImage(targetW, targetH,
+                java.awt.image.BufferedImage.TYPE_INT_RGB)
+              var y = 0
+              while (y < targetH) {
+                val sy = (y.toLong * img.getHeight / targetH).toInt
+                var x = 0
+                while (x < targetW) {
+                  val sx = (x.toLong * img.getWidth / targetW).toInt
+                  dst.setRGB(x, y, img.getRGB(sx, sy) & 0xffffff)
+                  x += 1
+                }
+                y += 1
+              }
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(dst, "png", bos)
+              bos.toByteArray
+            } else if (bytes.length <= budget) bytes
             else {
               val step = bytes.length.toDouble / budget
               Array.tabulate(budget)(i => bytes((i * step).toInt))
@@ -190,17 +371,20 @@ object Multimodal {
 
   /** Frame sampling plumbing: split the payload into fixed-size windows
     * (standing in for video frames / audio chunks), exploded with indexes.
-    * Pure expressions — `substring` works on binary and stays in codegen.
+    * Pure expressions — `substring` works on binary and stays in codegen;
+    * frame hashes are md5 (externally reproducible from the same bytes).
     */
   def frameSample(media: DataFrame, frameBytes: Int, maxFrames: Int): DataFrame = {
     val nFrames = least(ceil(length(col("content")).cast(DoubleType) / frameBytes), lit(maxFrames))
       .cast(IntegerType)
+    val frames = when(nFrames > 0,
+      transform(sequence(lit(0), nFrames - 1), i =>
+        call_function("substring", col("content"), i * frameBytes + 1, lit(frameBytes))))
+      .otherwise(array().cast(ArrayType(BinaryType)))
     media
-      .select(col("media_id"),
-        posexplode(transform(sequence(lit(0), nFrames - 1), i =>
-          call_function("substring", col("content"), i * frameBytes + 1, lit(frameBytes)))))
+      .select(col("media_id"), posexplode(frames))
       .select(col("media_id"), col("pos").as("frame_idx"),
         length(col("col")).as("frame_n_bytes"),
-        xxhash64(col("col")).as("frame_hash"))
+        md5(col("col")).as("frame_hash"))
   }
 }

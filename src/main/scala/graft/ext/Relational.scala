@@ -22,9 +22,14 @@ object Relational {
     * ASOF). Left rows with no prior right row get nulls.
     *
     * Implementation: tag and union both sides, then one window pass per
-    * key ordered by (time, tag) carrying the last non-null payload
-    * forward. Right rows sort BEFORE left rows at equal timestamps, so
-    * the match is inclusive (<=), matching DuckDB's `ON l.t >= r.t`.
+    * key ordered by (time, tag) carrying the last RIGHT ROW forward as a
+    * single struct. The struct is non-null exactly for right rows — so a
+    * right row whose payload VALUE is null still matches (its fields
+    * project to null), instead of being skipped in favor of an older
+    * non-null value. This is true ASOF semantics (DuckDB parity); a naive
+    * per-column last(payload, ignoreNulls) diverges on null payloads.
+    * Right rows sort BEFORE left rows at equal timestamps, so the match
+    * is inclusive (<=), matching DuckDB's `ON l.t >= r.t`.
     * Cost: ONE shuffle on the key — no interval explosion, no broadcast
     * requirement, skew handled by AQE like any other window. Right rows
     * should be unique per (key, time); with duplicates the last in
@@ -35,15 +40,14 @@ object Relational {
     val clash = payload.toSet.intersect(left.columns.toSet)
     require(clash.isEmpty, s"asofJoin: payload columns collide with left: $clash")
     val l = left.withColumn("__tag__", lit(1))
-    val r = right.select((key +: time +: payload).map(col): _*).withColumn("__tag__", lit(0))
-    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val r = right.select(col(key), col(time),
+      struct(payload.map(col): _*).as("__pay__")).withColumn("__tag__", lit(0))
+    val unioned = l.unionByName(r, allowMissingColumns = true) // left rows: __pay__ null
     val w = Window.partitionBy(col(key)).orderBy(col(time).asc, col("__tag__").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, p) =>
-      df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__tag__") === 1).drop("__tag__")
-      .select((left.columns.toSeq ++ payload).map(col): _*)
+    val carried = unioned.withColumn("__pay__", last(col("__pay__"), ignoreNulls = true).over(w))
+    carried.filter(col("__tag__") === 1)
+      .select(left.columns.map(col) ++ payload.map(p => col("__pay__").getField(p).as(p)): _*)
   }
 
   /** Interval-containment join: every left row where

@@ -27,6 +27,17 @@ object Sampling {
   private def hexThreshold(fraction: Double): String =
     f"${math.round(fraction * (1L << 32)).min((1L << 32) - 1).max(0L)}%08x"
 
+  /** Keep-predicate for one fraction. Fractions at the ends short-circuit
+    * to constants: the strict `< threshold` compare caps at 0xffffffff, so
+    * fraction 1.0 would otherwise silently drop keys whose first 8 md5 hex
+    * chars are exactly "ffffffff" (~1 in 4.3B rows — invisible in tests,
+    * real at 100 TB row counts).
+    */
+  private def keepFraction(frac: Column, fraction: Double): Column =
+    if (fraction >= 1.0) lit(true)
+    else if (fraction <= 0.0) lit(false)
+    else frac < lit(hexThreshold(fraction))
+
   /** Label each row train/val/test (or any split map) by hash of `key`.
     * Fractions must sum to ≤ 1; remainder falls into the LAST split.
     * Splits are assigned by cumulative hash ranges, so growing one split's
@@ -42,7 +53,7 @@ object Sampling {
     val frac = hexFrac(key)
     val labeled = splits.init.zip(cum.init).foldLeft(when(lit(false), lit(""))) {
       case (acc, ((name, _), cumFrac)) =>
-        acc.when(frac < lit(hexThreshold(cumFrac)), name)
+        acc.when(keepFraction(frac, cumFrac), name)
     }.otherwise(splits.last._1)
     df.withColumn(outCol, labeled)
   }
@@ -52,7 +63,7 @@ object Sampling {
     * across runs, cluster layouts, and data growth.
     */
   def hashSample(df: DataFrame, key: Column, fraction: Double): DataFrame =
-    df.where(hexFrac(key) < lit(hexThreshold(fraction)))
+    df.where(keepFraction(hexFrac(key), fraction))
 
   /** Per-stratum deterministic sampling: keep `fraction` of each stratum
     * (e.g. per-language quotas). One codegen'd filter — no groupBy, no
@@ -61,8 +72,8 @@ object Sampling {
     */
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
                        fraction: Double): DataFrame =
-    df.where(hexFrac(concat(stratum.cast("string"), lit(":"), key.cast("string")))
-      < lit(hexThreshold(fraction)))
+    df.where(keepFraction(
+      hexFrac(concat(stratum.cast("string"), lit(":"), key.cast("string"))), fraction))
 
   /** Per-stratum fractions (e.g. up-sample rare languages): unlisted
     * strata keep `default`.
@@ -70,10 +81,10 @@ object Sampling {
   def stratifiedSample(df: DataFrame, stratum: Column, key: Column,
                        fractions: Map[String, Double], default: Double): DataFrame = {
     val frac = hexFrac(concat(stratum.cast("string"), lit(":"), key.cast("string")))
-    val threshold = fractions.foldLeft(when(lit(false), lit(""))) {
-      case (acc, (s, f)) => acc.when(stratum === lit(s), lit(hexThreshold(f)))
-    }.otherwise(lit(hexThreshold(default)))
-    df.where(frac < threshold)
+    val keep = fractions.foldLeft(when(lit(false), lit(false))) {
+      case (acc, (s, f)) => acc.when(stratum === lit(s), keepFraction(frac, f))
+    }.otherwise(keepFraction(frac, default))
+    df.where(keep)
   }
 
   /** Deterministic quota sample: exactly `n` rows per stratum (fewer if

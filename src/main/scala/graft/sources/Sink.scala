@@ -26,7 +26,14 @@ object Sink {
     df.select(kept.map(col): _*)
   }
 
-  def save(df: DataFrame, fd: FileDef, prettyJson: Boolean = true): Unit = {
+  /** Write `df` per `fd`. JSON defaults to DISTRIBUTED NDJSON — the safe
+    * library default at any scale; the collected pretty-printed array
+    * (reference byte-parity) is opt-in via `prettyJson = true` and is
+    * passed only by the CLI-parity pipeline path (Runner.runOutput),
+    * where outputs are reference-scale by construction. A library caller
+    * never driver-collects by default.
+    */
+  def save(df: DataFrame, fd: FileDef, prettyJson: Boolean = false): Unit = {
     val out = projectToSchema(df, fd)
     fd.format match {
       case "csv" if fd.path.toLowerCase.endsWith(".csv") =>

@@ -36,14 +36,27 @@ object Source {
       System.err.println(s"[source] warning: declared columns absent from $path: ${missing.mkString(", ")}")
 
     val undeclared = header.filterNot(declaredMap.contains)
+
+    // The raw line head is only valid when physical lines == records: a
+    // quoted field with an embedded newline splits one record across lines
+    // (the head truncates mid-record), and directory/glob input interleaves
+    // later files' HEADER lines as data. Detect both; fall back to a
+    // record-accurate sample via the real CSV parser, and read the full
+    // file in multiLine mode when records genuinely span lines.
+    val f = new java.io.File(path)
+    val rawLines = if (f.isFile) headLines(spark, path, 1001) else Nil
+    val linesSafe = rawLines.nonEmpty &&
+      rawLines.forall(l => l.count(_ == '"') % 2 == 0)
+    val needsMultiLine = f.isFile && !linesSafe
+
     val inferredTypes: Map[String, DataType] =
       if (undeclared.isEmpty) Map.empty
       else {
         // reference parity: inference window of 1000 rows (main.py:381).
-        // Inference runs on ONLY the first 1000 data lines — a full-file
+        // Inference runs on ONLY the first 1000 data records — a full-file
         // `inferSchema` pass would both scan everything (cost at scale) and
         // infer from rows outside the reference's window (parity drift).
-        val sampleLines = headLines(spark, path, 1001) // header + 1000 rows
+        val sampleLines = if (linesSafe) rawLines else recordHead(spark, path, 1000)
         val sampleDs = spark.createDataset(sampleLines)(
           org.apache.spark.sql.Encoders.STRING)
         spark.read.option("header", true).option("inferSchema", true)
@@ -56,22 +69,40 @@ object Source {
       StructField(name, dt, nullable = true)
     })
     spark.read.option("header", true).schema(schema)
+      .option("multiLine", needsMultiLine)
       .option("dateFormat", "yyyy-MM-dd").csv(path)
   }
 
-  /** First `n` lines of a CSV source. Local regular files read directly
-    * (exact head, zero Spark jobs); directories/globs/remote paths fall
-    * back to a bounded text scan — the limit stops the scan after enough
-    * partitions produce rows, so the cost stays O(n), not O(file).
-    */
+  /** First `n` lines of a local CSV file — exact head, zero Spark jobs. */
   private def headLines(spark: SparkSession, path: String, n: Int): Seq[String] = {
-    val f = new java.io.File(path)
-    if (f.isFile) {
-      val src = scala.io.Source.fromFile(f)
-      try src.getLines().take(n).toList finally src.close()
-    } else {
-      spark.read.textFile(path).limit(n).collect().toSeq
-    }
+    val src = scala.io.Source.fromFile(new java.io.File(path))
+    try src.getLines().take(n).toList finally src.close()
+  }
+
+  /** Record-accurate sample head: parse with the real CSV reader (which
+    * handles quoted embedded newlines and per-file headers; multiLine for
+    * single files so records spanning lines parse whole), take the first
+    * `n` RECORDS (bounded scan — the limit stops reading early), and
+    * re-serialize them as ONE CSV line per record for the inference
+    * parser. Embedded newlines are flattened to spaces — a value
+    * containing a newline infers as string either way, and the sample
+    * reader consumes one record per dataset element.
+    */
+  private def recordHead(spark: SparkSession, path: String, n: Int): Seq[String] = {
+    def quote(v: String): String =
+      if (v == null) ""
+      else {
+        val flat = v.replace('\n', ' ').replace('\r', ' ')
+        if (flat.exists(c => c == ',' || c == '"'))
+          "\"" + flat.replace("\"", "\"\"") + "\""
+        else flat
+      }
+    val recs = spark.read.option("header", true)
+      .option("multiLine", new java.io.File(path).isFile)
+      .csv(path).limit(n)
+    val headerLine = recs.columns.map(quote).mkString(",")
+    headerLine +: recs.collect().toSeq.map(r =>
+      r.toSeq.map(v => quote(if (v == null) null else v.toString)).mkString(","))
   }
 
   /** For self-describing formats: cast declared columns to their declared

@@ -231,8 +231,9 @@ class ExtSpec extends SparkSpec {
     assert(f.forall(_.getInt(1) < 8))
     assert(f.forall(_.getInt(2) <= 64))
 
-    // resize stub: payload bounded by the target budget, deterministic
-    val resized = Multimodal.resizeStub(media, 8, 8).collect()
+    // resize on undecodable payloads: byte-subsample fallback bounded by
+    // the target budget, deterministic
+    val resized = Multimodal.resize(media, 8, 8).collect()
     assert(resized.forall(r => r.content.length <= 64))
     assert(resized.forall(r => r.target_w == 8 && r.target_h == 8))
   }

@@ -34,6 +34,25 @@ class RelationalSpec extends SparkSpec {
       4L -> Some(200.0), 5L -> Some(300.0), 6L -> None))
   }
 
+  test("asofJoin: a matched right row with a NULL payload value survives the carry-forward") {
+    // the struct-carry makes "matched row whose value is null" distinguishable
+    // from "no right row yet" — a per-column last(ignoreNulls) would wrongly
+    // resurrect the older 100.0 at 13:30
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 11:30:00")), // after 11:00 → 100.0
+      (2L, "u1", ts("2024-01-01 13:30:00")), // after 13:00 whose v IS NULL → null
+      (3L, "u1", ts("2024-01-01 15:30:00"))  // after 15:00 → 300.0
+    ).toDF("id", "k", "t")
+    val right = Seq(
+      ("u1", ts("2024-01-01 11:00:00"), Some(100.0)),
+      ("u1", ts("2024-01-01 13:00:00"), None),
+      ("u1", ts("2024-01-01 15:00:00"), Some(300.0))
+    ).toDF("k", "t", "v")
+    val got = Relational.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().map(x => x.getLong(0) -> Option(x.get(3))).toMap
+    assert(got == Map(1L -> Some(100.0), 2L -> None, 3L -> Some(300.0)))
+  }
+
   test("rangeJoin equals the naive theta-join on random data, across widths") {
     val rnd = new scala.util.Random(7)
     val left = (1 to 300).map(i => (i.toLong, rnd.nextDouble() * 100)).toDF("id", "v")

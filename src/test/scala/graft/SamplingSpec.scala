@@ -35,6 +35,24 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s10.size / n - 0.1) < 0.07)
   }
 
+  test("fraction 1.0 keeps ALL rows, 0.0 keeps none (threshold edge, md5=ffffffff)") {
+    val n = docs.count()
+    // a key hashing to 'ffffffff' is ~1 in 4.3B (unplantable in a test);
+    // the fix short-circuits fraction >= 1.0 to literal TRUE, so no key
+    // can be dropped regardless of its hash — assert the constant plan
+    assert(Sampling.hashSample(docs, col("doc_id"), 1.0).count() == n)
+    assert(Sampling.hashSample(docs, col("doc_id"), 0.0).count() == 0)
+    assert(Sampling.stratifiedSample(docs, col("lang"), col("doc_id"), 1.0).count() == n)
+    assert(Sampling.stratifiedSample(docs, col("source"), col("doc_id"),
+      Map("src0" -> 1.0), default = 1.0).count() == n)
+    // the 1.0 keep-predicate must not reference the hash at all
+    assert(Sampling.hashSample(docs, col("doc_id"), 1.0)
+      .queryExecution.optimizedPlan.toString.toLowerCase.indexOf("md5") < 0)
+    // hashSplit with a full-width first split sends everything there
+    val all = Sampling.hashSplit(docs, col("doc_id"), Seq("a" -> 1.0, "b" -> 0.0))
+    assert(all.filter(col("split") === "a").count() == n)
+  }
+
   test("stratifiedSample: per-stratum fractions hold independently") {
     val perLang = docs.groupBy("lang").count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -24,7 +24,8 @@ class SinkSourceSpec extends graft.SparkSpec {
 
     val cols = schema.fieldNames.map(n => n -> ColumnDef(SchemaType.Str)).toSeq
     val path = s"$tmp/pretty.json"
-    Sink.save(df, FileDef(path, "json", FileSchema("t", cols)))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(path))
+    Sink.save(df, FileDef(path, "json", FileSchema("t", cols)), prettyJson = true)
 
     // expected literal produced by: python3 -c 'import json; json.dump(..., indent=2)'
     val expected =
@@ -34,6 +35,20 @@ class SinkSourceSpec extends graft.SparkSpec {
         "\n    \"opt\": \"x\",\n    \"amt\": 1e+16,\n    \"d\": null,\n    \"arr\": []\n  }\n]"
     val got = java.nio.file.Files.readString(java.nio.file.Paths.get(path))
     assert(got == expected)
+  }
+
+  test("json sink DEFAULT is distributed NDJSON (no driver collect, no pretty array)") {
+    import spark.implicits._
+    val df = (1L to 500L).toDF("id")
+    val path = s"$tmp/ndjson_default"
+    Sink.save(df, FileDef(path, "json",
+      FileSchema("t", Seq("id" -> ColumnDef(SchemaType.Int64)))))
+    val dir = new java.io.File(path)
+    // distributed branch writes a DIRECTORY of part files, not one
+    // collected array file — a large frame never lands on the driver
+    assert(dir.isDirectory, "default json sink must take the distributed branch")
+    assert(dir.listFiles().exists(_.getName.startsWith("part-")))
+    assert(spark.read.json(path).count() == 500)
   }
 
   test("doubles render exactly like CPython repr (plain until 1e16, e+NN beyond)") {
