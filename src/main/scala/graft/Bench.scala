@@ -72,16 +72,41 @@ object Bench {
         System.err.println(s"[bench] pass 1/$passes done")
     }
 
+    // Noise handling: a degraded-CPU window longer than one suite pass can
+    // defeat the interleaved min for a single query, so a wild spread
+    // (max/min > 3× with a non-trivial min) marks the query noise-suspect
+    // and earns ONE extra re-probe after the suite — if the host recovered,
+    // the min self-corrects; if not, the flag rides the JSON so a reader
+    // never mistakes an artifact for a regression.
+    def spreadSuspect(xs: List[Double]): Boolean =
+      xs.size >= 2 && xs.min > 0.2 && xs.max / xs.min > 3.0
+    val suspects = names.filter(n => samples.get(n).exists(spreadSuspect))
+    if (suspects.nonEmpty) {
+      System.err.println(s"[bench] noise re-probe: ${suspects.mkString(", ")}")
+      suspects.foreach { name =>
+        timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
+          samples(name) = sec :: samples(name))
+      }
+    }
+
     def esc(s: String) = s.flatMap {
       case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString
     }
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val timed = names.filter(samples.contains).map(n => n -> samples(n).min)
     val qs = timed.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val medJson = names.filter(samples.contains)
+      .map(n => "\"" + esc(n) + f"\":${median(samples(n))}%.3f").mkString("{", ",", "}")
+    val noise = names.filter(n => samples.get(n).exists(spreadSuspect))
+    val noiseJson = noise.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
     val errJson = names.filter(n => !samples.contains(n))
       .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed")) + "\"")
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

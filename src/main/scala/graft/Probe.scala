@@ -26,12 +26,20 @@ object Probe {
     // warm-up
     spark.read.parquet(s"$sfDir/region.parquet").write.format("noop").mode("overwrite").save()
     names.foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      if (doExplain) { println(s"===== $name plan:"); df.explain("formatted") }
+      if (doExplain) {
+        println(s"===== $name plan:")
+        SparkEntry.queries(name)(spark, sfDir).explain("formatted")
+      }
+      // the query BUILDER runs inside the timed section: streaming queries
+      // (stream_*) execute their whole job in the builder and return a
+      // memory table, so timing only the final write would bill a
+      // memory-scan instead of the real job
       (1 to 2).foreach { i =>
         val t0 = System.nanoTime()
-        df.write.format("noop").mode("overwrite").save()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
         println(f"$name run$i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.catalog.clearCache()
       }
     }
     spark.stop()

@@ -159,14 +159,26 @@ object MiniLambda {
 
     private def parseOr(): Typed = {
       var l = parseAnd()
-      while (acceptIdent("or")) { val r = parseAnd(); l = Typed(l.col || r.col, BooleanType) }
+      while (acceptIdent("or")) {
+        val r = parseAnd()
+        requireBoolean(l, r, "or") // python truthy or/and (value-returning) → fallback surface
+        l = Typed(l.col || r.col, BooleanType)
+      }
       l
     }
     private def parseAnd(): Typed = {
       var l = parseNot()
-      while (acceptIdent("and")) { val r = parseNot(); l = Typed(l.col && r.col, BooleanType) }
+      while (acceptIdent("and")) {
+        val r = parseNot()
+        requireBoolean(l, r, "and")
+        l = Typed(l.col && r.col, BooleanType)
+      }
       l
     }
+    private def requireBoolean(l: Typed, r: Typed, op: String): Unit =
+      if (l.dt != BooleanType || r.dt != BooleanType)
+        throw CompileError(s"'$op' requires boolean operands in the compiled surface " +
+          s"(got ${l.dt.simpleString}, ${r.dt.simpleString}; python truthy '$op' needs the row fallback)")
     private def parseNot(): Typed =
       if (acceptIdent("not")) { val e = parseNot(); Typed(!e.col, BooleanType) }
       else parseComparison()
@@ -244,11 +256,17 @@ object MiniLambda {
             else Typed(l.col + r.col, numericResult(l.dt, r.dt))
         case Some(TOp("-")) =>
           pos += 1; val r = parseMultiplicative()
+          requireNumeric(l, r, "-")
           l = Typed(l.col - r.col, numericResult(l.dt, r.dt))
         case _ => continue = false
       }
       l
     }
+
+    private def requireNumeric(l: Typed, r: Typed, op: String): Unit =
+      if (l.dt == StringType || r.dt == StringType)
+        throw CompileError(
+          s"'$op' requires numeric operands (got ${l.dt.simpleString}, ${r.dt.simpleString})")
 
     private def parseMultiplicative(): Typed = {
       var l = parseUnary()
@@ -256,16 +274,26 @@ object MiniLambda {
       while (continue) peek match {
         case Some(TOp("*")) =>
           pos += 1; val r = parseUnary()
-          l = Typed(l.col * r.col, numericResult(l.dt, r.dt))
+          l =
+            // Python string repetition: s * n / n * s → repeat (a string
+            // would otherwise be CAST to a number and throw at runtime)
+            if (l.dt == StringType && r.dt != StringType)
+              Typed(call_function("repeat", l.col, r.col.cast(IntegerType)), StringType)
+            else if (r.dt == StringType && l.dt != StringType)
+              Typed(call_function("repeat", r.col, l.col.cast(IntegerType)), StringType)
+            else { requireNumeric(l, r, "*"); Typed(l.col * r.col, numericResult(l.dt, r.dt)) }
         case Some(TOp("/")) =>
           // Python 3 true division → always float (Spark Divide also → double)
           pos += 1; val r = parseUnary()
+          requireNumeric(l, r, "/")
           l = Typed(l.col / r.col, DoubleType)
         case Some(TOp("//")) =>
           pos += 1; val r = parseUnary()
+          requireNumeric(l, r, "//")
           l = Typed(floor(l.col / r.col).cast(LongType), LongType)
         case Some(TOp("%")) =>
           pos += 1; val r = parseUnary()
+          requireNumeric(l, r, "%")
           l = Typed(l.col % r.col, numericResult(l.dt, r.dt))
         case _ => continue = false
       }

@@ -85,10 +85,27 @@ object Ops {
   /** Row-wise lambda compiled to native Columns (no UDF in the plan — the
     * expression stays inside whole-stage codegen). Reference:
     * application.py:5-33 (which eval's Python per row).
+    *
+    * Escape hatch (SURVEY §7.4): lambdas outside MiniLambda's compilable
+    * surface raise CompileError by default (the LLM-loop feedback path) —
+    * unless `spark.graft.application.fallback=true`, in which case they
+    * run through the interpreted per-row evaluator (RowLambda), trading
+    * whole-stage codegen for arbitrary-lambda coverage.
     */
   def application(df: DataFrame, op: Application): DataFrame = {
     requireCols(df, op.inputColumns, "application")
-    df.withColumn(out(op), MiniLambda.compile(op.functionStr, df.schema))
+    val compiled =
+      try MiniLambda.compile(op.functionStr, df.schema)
+      catch {
+        case e: MiniLambda.CompileError =>
+          val allow = df.sparkSession.conf
+            .get("spark.graft.application.fallback", "false").toBoolean
+          if (!allow) throw MiniLambda.CompileError(
+            e.msg + " (set spark.graft.application.fallback=true to run " +
+              "out-of-surface lambdas via the interpreted row fallback)")
+          graft.functions.RowLambda.compile(op.functionStr, df.schema)
+      }
+    df.withColumn(out(op), compiled)
   }
 
   // ---------------------------------------------------------- 4 switching
