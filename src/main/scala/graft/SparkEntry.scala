@@ -481,11 +481,60 @@ operations:
         ext.Multimodal.mediaFromDocuments(T(s, dir, "documents")), 64, 8)
     }),
 
+    "mm_resize" -> ((s, dir) => {
+      // REAL resize round-trip: planted constant-color images resized with
+      // the nearest-neighbor resampler, re-decoded — dims and pixel sums
+      // must equal the integer formulas (constant color survives exactly)
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.syntheticMedia(T(s, dir, "documents"))
+        .filter(col("media_id") % 3 =!= 1)
+      val resized = ext.Multimodal.resize(media, 8, 6).toDF()
+        .select(col("media_id"), col("media_type"),
+          lit("resized").as("source"), col("content"))
+      ext.Multimodal.decode(resized).toDF()
+        .select("media_id", "format", "width", "height", "content_sum")
+    }),
+
     // ---- extended: profiling + skew-safe aggregation ----
 
     "q_profile" -> ((s, dir) => {
       ext.Profile.numeric(T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"), exactDistinct = true)
+    }),
+
+    "q_histogram" -> ((s, dir) => {
+      // equi-width histogram: two aggregate passes (tiny min/max broadcast
+      // + one bucketing agg), never a sort; bucket math is fixed-order
+      // IEEE so the assignment is engine-exact
+      ext.Profile.histogram(T(s, dir, "lineitem"), "l_extendedprice", 20)
+    }),
+
+    "ta_vocab" -> ((s, dir) => {
+      // vocabulary heavy hitters: top-20 corpus tokens (map-side combined
+      // hash agg + TakeOrdered — no full sort)
+      ext.TextAnalysis.topTokens(T(s, dir, "documents"), col("text"), 20)
+    }),
+
+    "ev_funnel" -> ((s, dir) => {
+      // view → purchase attribution within 1 hour: one (key, time)
+      // shuffle + a RANGE window (tie-deterministic across engines)
+      ext.Relational.funnel(events(s, dir), "user_id", "ts",
+        "view", "purchase", "event_type", withinSeconds = 3600)
+    }),
+
+    "sim_quant" -> ((s, dir) => {
+      // symmetric int8 quantization of embeddings: amax (order-free max of
+      // |x|) + floor(x/amax*127 + 0.5) — fixed-order IEEE, engine-exact
+      val v = col("embedding")
+      val amax = array_max(transform(v, x => abs(x.cast("double"))))
+      T(s, dir, "embeddings")
+        .withColumn("amax", amax)
+        .select(col("vec_id"), col("amax"),
+          array_join(
+            when(col("amax") === 0, array().cast("array<string>"))
+              .otherwise(transform(v, x =>
+                floor(x.cast("double") / col("amax") * 127 + 0.5).cast("string"))),
+            ",").as("q8"))
     }),
 
     "q_salted_agg" -> ((s, dir) => {
@@ -863,6 +912,16 @@ operations:
         s"""SELECT '$c' AS "column", count($c) AS n, CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null, count(DISTINCT $c) AS n_distinct, CAST(min($c) AS DOUBLE) AS min_v, CAST(max($c) AS DOUBLE) AS max_v FROM lineitem""")
         .mkString(" UNION ALL "),
     "q_salted_agg" ->
-      "SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity, count(*) AS n FROM lineitem GROUP BY l_returnflag"
+      "SELECT l_returnflag, sum(l_quantity) AS sum_l_quantity, count(*) AS n FROM lineitem GROUP BY l_returnflag",
+    "mm_resize" ->
+      """SELECT doc_id AS media_id, 'png' AS format, CAST(8 AS INTEGER) AS width, CAST(6 AS INTEGER) AS height, CAST(48 * ((doc_id % 256) + (doc_id * 7 % 256) + (doc_id * 13 % 256)) AS BIGINT) AS content_sum FROM documents WHERE doc_id % 3 <> 1""",
+    "q_histogram" ->
+      """WITH mm AS (SELECT CAST(min(l_extendedprice) AS DOUBLE) AS mn, CAST(max(l_extendedprice) AS DOUBLE) AS mx FROM lineitem) SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - mn) / ((mx - mn) / 20)), 19) AS BIGINT) AS bucket, count(*) AS n FROM lineitem, mm WHERE l_extendedprice IS NOT NULL GROUP BY 1""",
+    "ta_vocab" ->
+      """SELECT token, count(*) AS n FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 20""",
+    "ev_funnel" ->
+      """WITH t AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events), w AS (SELECT user_id, event_type, tus, max(CASE WHEN event_type = 'view' THEN tus END) OVER (PARTITION BY user_id ORDER BY tus RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view FROM t) SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_target, CAST(sum(CASE WHEN event_type = 'purchase' AND last_view IS NOT NULL AND tus - last_view <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted FROM w GROUP BY user_id""",
+    "sim_quant" ->
+      """SELECT vec_id, amax, CASE WHEN amax = 0 THEN '' ELSE array_to_string(list_transform(dv, x -> CAST(CAST(floor(x / amax * 127 + 0.5) AS BIGINT) AS VARCHAR)), ',') END AS q8 FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax FROM embeddings)"""
   )
 }

@@ -37,6 +37,26 @@ object Profile {
     }
     one.select(explode(array(rows: _*)).as("p")).select("p.*")
   }
+
+  /** Equi-width histogram over a numeric column: `nBins` buckets spanning
+    * [min, max], the last bucket right-closed. TWO passes total (one tiny
+    * min/max aggregate broadcast back, one bucketing aggregate) — never a
+    * sort, never per-bin scans. Bucket arithmetic is plain IEEE division/
+    * floor in a fixed textual order, so an external engine reproduces the
+    * assignment bit-exactly.
+    */
+  def histogram(df: DataFrame, c: String, nBins: Int): DataFrame = {
+    require(nBins > 0, "histogram: nBins must be positive")
+    val mm = df.agg(min(col(c)).cast(DoubleType).as("mn"),
+      max(col(c)).cast(DoubleType).as("mx"))
+    val bucket = least(
+      floor((col(c).cast(DoubleType) - col("mn")) / ((col("mx") - col("mn")) / nBins)),
+      lit(nBins - 1L)).cast(LongType)
+    df.select(col(c)).where(col(c).isNotNull)
+      .crossJoin(broadcast(mm))
+      .groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n"))
+  }
 }
 
 /** Skew mitigation for hot aggregation keys: two-phase salted aggregation.

@@ -86,6 +86,30 @@ object Relational {
       sum(isNew).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
   }
 
+  /** Conversion funnel: per key, how many `toEvent` rows occur within
+    * `withinSeconds` after the latest preceding `fromEvent` (inclusive of
+    * equal timestamps). One (key, time) shuffle, one RANGE window — the
+    * frame is ordered by the NUMERIC event time, so tied timestamps are
+    * peers in the frame (deterministic across engines; a ROWS frame would
+    * make tie order observable) and max() over the frame is
+    * accumulation-order-free. The classic "view → purchase within an
+    * hour" attribution shape without a self-join.
+    */
+  def funnel(df: DataFrame, key: String, time: String,
+             fromEvent: String, toEvent: String, eventCol: String,
+             withinSeconds: Long): DataFrame = {
+    val tUs = unix_micros(col(time))
+    val w = Window.partitionBy(col(key)).orderBy(tUs)
+      .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+    val lastFrom = max(when(col(eventCol) === fromEvent, tUs)).over(w)
+    val converted = col(eventCol) === toEvent &&
+      lastFrom.isNotNull && (tUs - lastFrom) <= withinSeconds * 1000000L
+    df.withColumn("__conv__", converted)
+      .groupBy(col(key))
+      .agg(sum(when(col(eventCol) === toEvent, 1L).otherwise(0L)).as("n_target"),
+        sum(when(col("__conv__"), 1L).otherwise(0L)).as("n_converted"))
+  }
+
   /** Session summary: one row per (key, session) with bounds and volume. */
   def sessionize(df: DataFrame, key: String, time: String, gapSeconds: Long,
                  valueCol: Option[String] = None): DataFrame = {

@@ -99,4 +99,16 @@ object TextAnalysis {
 
   /** 64-bit content hash (xxhash64) — cheap exact-dup key at scale. */
   def contentHash(text: Column): Column = xxhash64(text)
+
+  /** Top-k most frequent tokens across the corpus (vocabulary heavy
+    * hitters). Explode → hash aggregate (map-side partial combine keeps
+    * the shuffle at #distinct-tokens, not #token-occurrences) → global
+    * top-k via TakeOrderedAndProject (no full sort materializes).
+    * Deterministic ties: count desc, then token asc.
+    */
+  def topTokens(df: org.apache.spark.sql.DataFrame, textCol: Column, k: Int): org.apache.spark.sql.DataFrame =
+    Par.fanOut(df).select(explode(tokens(textCol)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc)
+      .limit(k)
 }
