@@ -515,6 +515,41 @@ operations:
       ext.TextAnalysis.topTokens(T(s, dir, "documents"), col("text"), 20)
     }),
 
+    "ta_c4_dedup" -> ((s, dir) => {
+      // C4-style cross-document span dedup: duplicated 10-token spans keep
+      // only the globally-first occurrence; docs reassembled from survivors
+      ext.CorpusClean.c4Dedup(T(s, dir, "documents"), "doc_id", "text", 10)
+    }),
+
+    "ta_repetition" -> ((s, dir) => {
+      // Gopher-style repetition signals as exact integer pairs: duplicate
+      // spans within doc + most-repeated-bigram mass
+      ext.CorpusClean.repetitionStats(T(s, dir, "documents"), "doc_id", "text", 10)
+    }),
+
+    "ta_redact" -> ((s, dir) => {
+      // PII redaction round-trip: plant email/phone/IP derived from doc_id,
+      // redact with fixed-order RE2-compatible regexes, count matches
+      val planted = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"), lit("@example.com or +"),
+        lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"), lit("-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0"), lit(" at 10."),
+        (col("doc_id") % 256).cast("string"), lit(".0.1 now"))
+      val (ne, np, ni) = ext.CorpusClean.piiCounts(planted)
+      T(s, dir, "documents")
+        .select(col("doc_id"), ext.CorpusClean.redactPii(planted).as("clean"),
+          ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"))
+    }),
+
+    "ta_decontam" -> ((s, dir) => {
+      // benchmark decontamination: docs sharing any word 8-gram with the
+      // deterministic 5% hash-sample "benchmark"; bench grams broadcast,
+      // corpus text never shuffles
+      val docs = T(s, dir, "documents")
+      val bench = ext.Sampling.hashSample(docs, col("doc_id"), 0.05)
+      ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
+    }),
+
     "ev_funnel" -> ((s, dir) => {
       // view → purchase attribution within 1 hour: one (key, time)
       // shuffle + a RANGE window (tie-deterministic across engines)
@@ -922,6 +957,14 @@ operations:
     "ev_funnel" ->
       """WITH t AS (SELECT user_id, epoch_us(ts) AS tus, event_type FROM events), w AS (SELECT user_id, event_type, tus, max(CASE WHEN event_type = 'view' THEN tus END) OVER (PARTITION BY user_id ORDER BY tus RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_view FROM t) SELECT user_id, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_target, CAST(sum(CASE WHEN event_type = 'purchase' AND last_view IS NOT NULL AND tus - last_view <= 3600000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted FROM w GROUP BY user_id""",
     "sim_quant" ->
-      """SELECT vec_id, amax, CASE WHEN amax = 0 THEN '' ELSE array_to_string(list_transform(dv, x -> CAST(CAST(floor(x / amax * 127 + 0.5) AS BIGINT) AS VARCHAR)), ',') END AS q8 FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax FROM embeddings)"""
+      """SELECT vec_id, amax, CASE WHEN amax = 0 THEN '' ELSE array_to_string(list_transform(dv, x -> CAST(CAST(floor(x / amax * 127 + 0.5) AS BIGINT) AS VARCHAR)), ',') END AS q8 FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv, list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS amax FROM embeddings)""",
+    "ta_c4_dedup" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, i AS seg_idx, array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg FROM (SELECT doc_id, t, unnest(range(CAST(ceil(len(t)/10.0) AS BIGINT))) AS i FROM toks)), ranked AS (SELECT doc_id, seg_idx, seg, row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn FROM segs), kept AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg_kept, string_agg(seg, ' ' ORDER BY seg_idx) AS text_clean FROM ranked WHERE rn = 1 GROUP BY doc_id), tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_seg FROM segs GROUP BY doc_id) SELECT t.doc_id, t.n_seg, coalesce(k.n_seg_kept, 0) AS n_seg_kept, coalesce(k.text_clean, '') AS text_clean FROM tot t LEFT JOIN kept k USING (doc_id)""",
+    "ta_repetition" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
+    "ta_redact" ->
+      """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "ta_decontam" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)"""
   )
 }
