@@ -1,0 +1,44 @@
+package graft
+
+import graft.ext.Search
+import org.apache.spark.sql.functions._
+
+/** BM25 ranking: hand-computed scores on a tiny corpus. */
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "cat dog cat"),       // tf(cat)=2, dl=3
+    (2L, "cat fish"),          // tf(cat)=1, dl=2
+    (3L, "dog dog dog bird"),  // tf(cat)=0
+    (4L, "fish bird")          // tf(cat)=0
+  ).toDF("doc_id", "text")
+
+  test("bm25TopK: ranks by score, excludes non-matching docs, exact integers") {
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("cat"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSeq == Seq(1L, 2L)) // doc 3,4 excluded
+    // reference BM25 (k1=1.2, b=0.75, N=4, df=2, avgdl=11/4):
+    // idf = ln((4-2+0.5)/(2+0.5)+1) = ln(2)
+    val idf = math.log((4 - 2 + 0.5) / (2 + 0.5) + 1.0)
+    def s(tf: Double, dl: Double) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + (0.75 * dl) / (11.0 / 4.0)))
+    assert(got(0) == ((1L, 1L, 2L, math.floor(s(2, 3) * 10000).toLong)))
+    assert(got(1) == ((2L, 1L, 1L, math.floor(s(1, 2) * 10000).toLong)))
+  }
+
+  test("bm25TopK: multi-term scores sum in fixed order; rarer term scores higher") {
+    val got = Search.bm25TopK(docs, "doc_id", "text", Seq("dog", "fish"), 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(4L) == 1L) // fish only
+    assert(got(2L) == 1L)
+  }
+
+  test("termVector: per-term tf columns, zero for absent") {
+    val got = Search.termVector(docs, "doc_id", "text", Seq("cat", "bird"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got(1L) == ((2L, 0L)))
+    assert(got(3L) == ((0L, 1L)))
+  }
+}
