@@ -558,6 +558,13 @@ operations:
         Seq("spark", "dup", "vector"), 25)
     }),
 
+    "ev_scd2" -> ((s, dir) => {
+      // SCD2 history: per-user event_type state runs with half-open
+      // validity; one key shuffle, exchange reused across both windows
+      ext.Relational.scd2(events(s, dir), "user_id", "ts",
+        Seq("event_type"), Seq("event_id"))
+    }),
+
     "ev_funnel" -> ((s, dir) => {
       // view → purchase attribution within 1 hour: one (key, time)
       // shuffle + a RANGE window (tie-deterministic across engines)
@@ -798,6 +805,34 @@ operations:
         .start()
       q.awaitTermination()
       s.table("graft_stream_window")
+    }),
+
+    "stream_join" -> ((s, dir) => {
+      // driver-visible stream-stream INTERVAL JOIN: views matched to same-
+      // user purchases within the following hour, both sides watermarked
+      // (bounded join state), AvailableNow → memory sink; must equal the
+      // batch self-join oracle exactly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      def src = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val views = src.filter(col("event_type") === "view")
+        .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("value"))
+      val joined = streaming.Streams.intervalJoin(views, purchases,
+        "user_id", "p_user_id", "view_ts", "purchase_ts", "1 HOUR")
+        .select(col("user_id"), col("view_id"), col("purchase_id"),
+          col("view_ts"), col("purchase_ts"),
+          round(col("value") * 10000).cast("long").as("value_c"))
+      s.catalog.dropTempView("graft_stream_join")
+      val q = joined.writeStream.format("memory").queryName("graft_stream_join")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_join")
     })
   )
 
@@ -944,6 +979,8 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_join" ->
+      """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts, CAST(round(p.value * 10000) AS BIGINT) AS value_c FROM events v JOIN events p ON v.event_type = 'view' AND p.event_type = 'purchase' AND p.user_id = v.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     "q_asof" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, p.value AS last_purchase_value FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND e.ts >= p.ts""",
     "q_range_join" ->
@@ -974,6 +1011,8 @@ operations:
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
     "srch_bm25" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0, CAST(len(list_filter(t, x -> x = 'dup')) AS BIGINT) AS tf1, CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf2 FROM toks), stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM base), scored AS (SELECT doc_id, (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms, (tf0 + tf1 + tf2) AS tf_total, (((ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))) + (ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) AS raw FROM base, stats) SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(tf_total AS BIGINT) AS tf_total, CAST(floor(raw * 10000) AS BIGINT) AS score_bp FROM scored WHERE tf_total > 0 ORDER BY score_bp DESC, doc_id ASC LIMIT 25""",
+    "ev_scd2" ->
+      """WITH m AS (SELECT user_id, event_type, ts, event_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM m WHERE prev IS NULL OR event_type <> prev), v AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to, row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version FROM c) SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current, CAST(version AS BIGINT) AS version FROM v""",
     "ta_decontam" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)"""
   )

@@ -110,6 +110,40 @@ object Relational {
         sum(when(col("__conv__"), 1L).otherwise(0L)).as("n_converted"))
   }
 
+  /** Type-2 slowly-changing-dimension history from a change log: one row
+    * per (key, attribute-state run) with half-open validity
+    * [valid_from, valid_to) — `valid_to` is the NEXT change's timestamp,
+    * null while current. Consecutive rows with unchanged attributes
+    * collapse into one version (true SCD2 compression); attribute
+    * comparison is null-safe.
+    *
+    * ONE shuffle on the key: both window passes (change detection over
+    * the raw log, lead/version over the surviving change rows) sort by
+    * the same (time, tieBreak) order under the same partitioning, so
+    * Catalyst reuses the exchange. `tieBreak` makes the order total when
+    * one key can log two changes at the same timestamp — pass a unique
+    * column (an event id) whenever the time column can tie.
+    */
+  def scd2(df: DataFrame, key: String, time: String, attrs: Seq[String],
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    require(attrs.nonEmpty, "scd2: attrs must be non-empty")
+    val ord = (col(time) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(col(key)).orderBy(ord: _*)
+    val state = struct(attrs.map(col): _*)
+    val changed = lag(state, 1).over(w).isNull || !(state <=> lag(state, 1).over(w))
+    val changes = df
+      .withColumn("__chg__", changed)
+      .filter(col("__chg__"))
+      .select((col(key) +: attrs.map(col) :+ col(time).as("valid_from") :+
+        tieBreak.map(col).headOption.getOrElse(lit(0)).as("__tb__")): _*)
+    val w2 = Window.partitionBy(col(key)).orderBy(col("valid_from").asc, col("__tb__").asc)
+    changes
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w2))
+      .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("version", row_number().over(w2).cast("long"))
+      .drop("__tb__")
+  }
+
   /** Session summary: one row per (key, session) with bounds and volume. */
   def sessionize(df: DataFrame, key: String, time: String, gapSeconds: Long,
                  valueCol: Option[String] = None): DataFrame = {

@@ -57,6 +57,28 @@ object Streams {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream interval join: match each left event to right events of
+    * the same key arriving within [0, maxDelay] AFTER it. Both sides carry
+    * watermarks, so join state is bounded — Spark can discard a buffered
+    * left row once the right watermark passes leftTime + maxDelay (the
+    * only way an unbounded stream-stream join survives at scale). The
+    * same expression joins two batch frames identically.
+    *
+    * Column contract: `left`/`right` must already be projected to disjoint
+    * names, with the key columns `leftKey`/`rightKey` and event-time
+    * columns `leftTime`/`rightTime` (watermarks applied by this method).
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame,
+                   leftKey: String, rightKey: String,
+                   leftTime: String, rightTime: String,
+                   maxDelay: String, watermark: String = "1 hour"): DataFrame =
+    left.withWatermark(leftTime, watermark)
+      .join(right.withWatermark(rightTime, watermark),
+        col(leftKey) === col(rightKey) &&
+          col(rightTime) >= col(leftTime) &&
+          col(rightTime) <= col(leftTime) + expr(s"INTERVAL $maxDelay"),
+        "inner")
+
   /** Custom stateful op: gap-based sessionization per user via
     * flatMapGroupsWithState (the mapGroupsWithState family — the engine's
     * escape hatch for state machines Spark's windows can't express).

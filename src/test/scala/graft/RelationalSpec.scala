@@ -91,4 +91,33 @@ class RelationalSpec extends SparkSpec {
     val sessions = Relational.sessionize(ev, "k", "t", 1800)
     assert(sessions.count() == 3)
   }
+
+  test("scd2: collapses unchanged runs, half-open validity, version numbering") {
+    val log = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00"), "bronze"),
+      (2L, "u1", ts("2024-01-01 11:00:00"), "bronze"), // no change → collapsed
+      (3L, "u1", ts("2024-01-01 12:00:00"), "gold"),
+      (4L, "u1", ts("2024-01-01 13:00:00"), "bronze"), // back again → new version
+      (5L, "u2", ts("2024-01-01 10:30:00"), "silver")
+    ).toDF("event_id", "user_id", "ts", "tier")
+    val got = Relational.scd2(log, "user_id", "ts", Seq("tier"), Seq("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getTimestamp(2).toString, Option(r.getTimestamp(3)).map(_.toString),
+        r.getBoolean(4), r.getLong(5))).toSet
+    assert(got == Set(
+      ("u1", "bronze", "2024-01-01 10:00:00.0", Some("2024-01-01 12:00:00.0"), false, 1L),
+      ("u1", "gold", "2024-01-01 12:00:00.0", Some("2024-01-01 13:00:00.0"), false, 2L),
+      ("u1", "bronze", "2024-01-01 13:00:00.0", None, true, 3L),
+      ("u2", "silver", "2024-01-01 10:30:00.0", None, true, 1L)))
+  }
+
+  test("scd2: same-timestamp changes are totally ordered by tieBreak") {
+    val log = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00"), "a"),
+      (2L, "u1", ts("2024-01-01 10:00:00"), "b")
+    ).toDF("event_id", "user_id", "ts", "state")
+    val got = Relational.scd2(log, "user_id", "ts", Seq("state"), Seq("event_id"))
+      .collect().map(r => (r.getString(1), r.getLong(5))).toSet
+    assert(got == Set(("a", 1L), ("b", 2L)))
+  }
 }
