@@ -22,6 +22,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // optimizer rule: non-equi interval joins → bucketed equi-joins, gated
+    // on spark.graft.rangeJoin.bucketWidth (off by default)
+    ext.injectOptimizerRule(_ => plans.RangeJoinRule)
+
     def inject(name: String, clazz: String, usage: String)
               (builder: Seq[Expression] => Expression): Unit =
       ext.injectFunction((

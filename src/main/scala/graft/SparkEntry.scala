@@ -630,6 +630,24 @@ operations:
         .select("event_id", "event_type", "value", "band_type", "lo", "hi")
     }),
 
+    "q_range_sql" -> ((s, dir) => {
+      // the SAME interval join as q_range_join but written as a plain SQL
+      // theta join and rewritten by the RangeJoinRule optimizer rule —
+      // BroadcastNestedLoopJoin becomes a bucketed equi-join; conf stays
+      // set because optimization happens when the driver executes the plan
+      if (!s.experimental.extraOptimizations.contains(plans.RangeJoinRule))
+        s.experimental.extraOptimizations =
+          s.experimental.extraOptimizations :+ plans.RangeJoinRule
+      s.conf.set(plans.RangeJoinRule.WidthConf, "16")
+      events(s, dir).createOrReplaceTempView("graft_events_rj")
+      s.sql("""WITH bands AS (SELECT event_type AS band_type, min(value) AS lo,
+                                     (min(value) + max(value)) / 2 AS hi
+                              FROM graft_events_rj GROUP BY 1)
+               SELECT e.event_id, e.event_type, e.value, b.band_type, b.lo, b.hi
+               FROM graft_events_rj e JOIN bands b
+               ON e.value >= b.lo AND e.value <= b.hi""")
+    }),
+
     "ev_sessions" -> ((s, dir) => {
       // gap-based batch sessionization: 30-minute silence starts a session
       ext.Relational.sessionize(
@@ -984,6 +1002,8 @@ operations:
     "q_asof" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, p.value AS last_purchase_value FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND e.ts >= p.ts""",
     "q_range_join" ->
+      """WITH bands AS (SELECT event_type AS band_type, min(value) AS lo, (min(value) + max(value)) / 2 AS hi FROM events GROUP BY 1) SELECT e.event_id, e.event_type, e.value, b.band_type, b.lo, b.hi FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi""",
+    "q_range_sql" ->
       """WITH bands AS (SELECT event_type AS band_type, min(value) AS lo, (min(value) + max(value)) / 2 AS hi FROM events GROUP BY 1) SELECT e.event_id, e.event_type, e.value, b.band_type, b.lo, b.hi FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi""",
     "ev_sessions" ->
       """WITH g AS (SELECT user_id, ts, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS session_id FROM g) SELECT user_id, CAST(session_id AS BIGINT) AS session_id, count(*) AS n_events, min(ts) AS session_start, max(ts) AS session_end, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM s GROUP BY 1, 2""",

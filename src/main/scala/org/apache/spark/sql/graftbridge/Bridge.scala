@@ -24,4 +24,13 @@ object Bridge {
                         fr: org.apache.spark.sql.catalyst.analysis.FunctionRegistry)
       : org.apache.spark.sql.catalyst.analysis.FunctionRegistry =
     ext.registerFunctions(fr)
+
+  /** The optimizer rules an extensions class collected — what the session
+    * builder wires into the optimizer's "User Provided Optimizers" batch.
+    */
+  def optimizerRules(ext: org.apache.spark.sql.SparkSessionExtensions,
+                     session: org.apache.spark.sql.SparkSession)
+      : Seq[org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]] =
+    ext.buildOptimizerRules(session.asInstanceOf[org.apache.spark.sql.classic.SparkSession])
 }
