@@ -550,6 +550,14 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "dd_jaccard_join" -> ((s, dir) => {
+      // EXACT set-similarity self-join via prefix filtering (AllPairs/
+      // PPJoin): provably equal to the naive all-pairs comparison, so it
+      // carries a full DuckDB cross-join oracle — unlike the LSH family;
+      // candidate shuffle carries (rank, id) pairs only
+      ext.SimJoin.jaccardJoin(T(s, dir, "documents"), "doc_id", "text", 0.9)
+    }),
+
     "srch_bm25" -> ((s, dir) => {
       // BM25 keyword ranking as a vocabulary-projected scan: zero data
       // shuffles, one broadcast stats row, TakeOrdered top-k; scores in
@@ -1029,6 +1037,8 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "dd_jaccard_join" ->
+      """WITH t AS (SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents), s AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0), p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter FROM s a JOIN s b ON a.id < b.id) SELECT id_a, id_b, n_a, n_b, inter, n_a + n_b - inter AS uni, CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard FROM p WHERE n_a + n_b - inter > 0 AND CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.9""",
     "srch_bm25" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0, CAST(len(list_filter(t, x -> x = 'dup')) AS BIGINT) AS tf1, CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf2 FROM toks), stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM base), scored AS (SELECT doc_id, (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms, (tf0 + tf1 + tf2) AS tf_total, (((ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))) + (ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) AS raw FROM base, stats) SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(tf_total AS BIGINT) AS tf_total, CAST(floor(raw * 10000) AS BIGINT) AS score_bp FROM scored WHERE tf_total > 0 ORDER BY score_bp DESC, doc_id ASC LIMIT 25""",
     "ev_scd2" ->

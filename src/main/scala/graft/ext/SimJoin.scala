@@ -1,0 +1,110 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Exact set-similarity self-join with prefix filtering (the AllPairs /
+  * PPJoin family — Bayardo et al. WWW 2007, Xiao et al. WWW 2008): all
+  * document pairs whose TOKEN-SET Jaccard similarity reaches a threshold,
+  * WITHOUT the O(n²) all-pairs comparison and WITHOUT the LSH family's
+  * false negatives. Unlike minhash/simhash this is EXACT — the output is
+  * provably identical to the naive cross join, which is what lets the
+  * driver hash-compare it against a DuckDB all-pairs oracle.
+  *
+  * Prefix-filter principle: order all tokens by a global total order
+  * (ascending corpus frequency, ties by token — rarest first). For a set
+  * x, let prefix(x) = the first `|x| - ceil(t·|x|) + 1` tokens in that
+  * order. If J(x,y) >= t then x and y share at least one prefix token.
+  * Proof sketch: J(x,y) >= t implies |x∩y| >= ceil(t·|x|); if the prefixes
+  * were disjoint, every common token would sit in the last ceil(t·|x|)-1
+  * positions of x — fewer than |x∩y| slots. So joining on exploded prefix
+  * tokens generates a candidate superset, and re-checking exact Jaccard
+  * on candidates loses nothing.
+  *
+  * Scale shape (100 TB):
+  *  - candidate generation shuffles (token, id) pairs only — text and
+  *    full token arrays never shuffle in the candidate stage; arrays are
+  *    re-joined by id for the bounded candidate set;
+  *  - rarest-first ordering makes the hot join keys the RARE tokens:
+  *    frequency-F token contributes at most F(F-1)/2 candidate pairs, and
+  *    prefixes exclude each doc's most frequent tokens entirely (for
+  *    t=0.7, ~30% of each doc's rarest tokens form its prefix);
+  *  - the frequency table is a plain aggregate (mergeable, map-side
+  *    combined); the rank is a zero-partition window over tokens — at
+  *    vocabulary cardinality, orders of magnitude below data cardinality.
+  *
+  * Determinism: output carries integer intersection/union sizes plus the
+  * IEEE double `inter/uni` — division of small ints is bit-exact across
+  * engines, so the driver hash-matches doubles too.
+  */
+object SimJoin {
+
+  /** All pairs (id_a < id_b) with Jaccard(tokens_a, tokens_b) >= t.
+    * Output: (id_a, id_b, n_a, n_b, inter, uni, jaccard).
+    */
+  def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                  threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, "jaccardJoin: threshold in (0, 1]")
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(Dedup.tokens(col(textCol))).as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .filter(col("n") > 0)
+
+    // global rarest-first token order: rank 0 = rarest. One aggregate over
+    // exploded tokens + one window over the VOCABULARY (not the corpus).
+    val freq = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val ranked = freq.withColumn("rank",
+      row_number().over(Window.orderBy(col("tf").asc, col("token").asc)).cast(LongType))
+
+    // per-doc rank-sorted tokens; prefix length |x| - ceil(t|x|) + 1.
+    // The 1e-9 nudge before ceil() guards the fp product: when t·n is
+    // exactly integral, a 1-ulp-high product would ceil one too high and
+    // SHORTEN the prefix — an incompleteness bug; the nudge can only
+    // lengthen it (more candidates, never a missed pair).
+    val byRank = toks.select(col("id"), col("n"), explode(col("toks")).as("token"))
+      .join(ranked, "token")
+      .groupBy("id", "n")
+      .agg(transform(sort_array(collect_list(struct(col("rank"), col("token")))),
+        s => s.getField("rank")).as("ranks"))
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast(IntegerType))
+
+    // candidates: (rank, id, n, position) only through the shuffle, with
+    // the two classic PPJoin prunes applied IN the join condition — both
+    // provably lossless, both with the same conservative fp nudge:
+    //  - length filter: J >= t forces min(n_a,n_b) >= t·max(n_a,n_b);
+    //  - positional filter: a shared prefix token at 0-based positions
+    //    (p_a, p_b) bounds the overlap by 1 + min(n_a-p_a-1, n_b-p_b-1),
+    //    which must reach ceil(t/(1+t)·(n_a+n_b)), the minimum overlap
+    //    J >= t allows. For a true pair the FIRST common token in global
+    //    order passes (all other common tokens sort after it), so pruning
+    //    on it never loses a pair.
+    val prefixes = byRank.select(col("id"), col("n"),
+      posexplode(slice(col("ranks"), lit(1), col("plen"))).as(Seq("pos", "r")))
+    val alpha = ceil((col("a.n") + col("b.n")).cast(DoubleType)
+      * lit(threshold / (1.0 + threshold)) - 1e-9)
+    val overlapUb = lit(1) +
+      least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
+    val cands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.r") === col("b.r") && col("a.id") < col("b.id") &&
+        least(col("a.n"), col("b.n")).cast(DoubleType) >=
+          greatest(col("a.n"), col("b.n")).cast(DoubleType) * threshold - 1e-9 &&
+        overlapUb.cast(DoubleType) >= alpha)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+
+    // exact verify on the bounded candidate set
+    val withSets = cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("t_a"), col("n").as("n_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("t_b"), col("n").as("n_b")), "id_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast(LongType))
+      .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
+      .filter(col("uni") > 0 &&
+        col("inter").cast(DoubleType) / col("uni").cast(DoubleType) >= threshold)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("inter"), col("uni"),
+        (col("inter").cast(DoubleType) / col("uni").cast(DoubleType)).as("jaccard"))
+  }
+}
