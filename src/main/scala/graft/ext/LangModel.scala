@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Statistical language-model quality scoring — the CCNet/Gopher-style
+  * "perplexity filter" used to rank web documents for LLM training data:
+  * train a word-bigram model with add-k smoothing on a deterministic
+  * hash-split of the corpus, then score EVERY document by its total
+  * negative log-likelihood under that model. Low NLL-per-bigram ≈ fluent,
+  * in-distribution text; high ≈ boilerplate/garbage (filter or down-mix).
+  *
+  * Model: p(w2|w1) = (c(w1,w2) + k) / (c1(w1) + k·V), where c1 is the
+  * HISTORY count (occurrences of w1 as a bigram prefix — so the
+  * conditional normalizes) and V the training vocabulary size. Unseen
+  * histories degrade to the uniform 1/V.
+  *
+  * Scale shape (100 TB):
+  *  - training counts are plain mergeable aggregates (map-side combined);
+  *    the train split is a hash filter, not a shuffle;
+  *  - scoring JOINS doc bigrams to the model on the bigram key instead of
+  *    broadcasting it — an n-gram model over a web corpus is itself huge
+  *    (|bigrams| ~ corpus size), so the model is dataframe-shaped state,
+  *    never driver/broadcast state; AQE will still broadcast it when a
+  *    small corpus makes it small;
+  *  - V and the doc re-attach are one scalar crossjoin + one left join.
+  *
+  * Determinism (driver hash-compares): ln() can differ by 1 ulp across
+  * math libraries and float sums are accumulation-order-dependent, so
+  * per-bigram terms are FIXED-POINTED (round(-ln(p)·10⁶) as long — terms
+  * are non-negative since p <= 1, keeping round() half-up identical
+  * across engines) and summed as integers: order-free, bit-exact.
+  * LangModelSpec asserts every term's distance from a rounding boundary
+  * is far beyond 1 ulp of ln on this corpus.
+  */
+object LangModel {
+
+  /** Per-document (n_bigrams, nll_micro): count of scored bigrams and the
+    * integer sum of round(-ln p · 10⁶) over them. Documents with fewer
+    * than 2 tokens score (0, 0).
+    */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                trainFraction: Double = 0.5, k: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+
+    def bigrams(df: DataFrame): DataFrame = df
+      .filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+    val train = toks.join(
+      Sampling.hashSample(docs.select(col(idCol).as("id")), col("id"), trainFraction),
+      "id")
+    val trainBg = bigrams(train)
+    val c12 = trainBg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = trainBg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = train.select(explode(col("toks")).as("t"))
+      .agg(greatest(countDistinct(col("t")).cast(DoubleType), lit(1.0)).as("vsz"))
+
+    val p = (coalesce(col("c12"), lit(0L)).cast(DoubleType) + k) /
+      (coalesce(col("c1"), lit(0L)).cast(DoubleType) + lit(k) * col("vsz"))
+    val scored = bigrams(toks)
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(c1, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), round(-log(p) * 1e6).cast(LongType).as("m"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("m")).as("nll_micro"))
+
+    docs.select(col(idCol).as("id")).join(scored, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
+  }
+}
