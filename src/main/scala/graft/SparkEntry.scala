@@ -840,6 +840,27 @@ operations:
       s.table("graft_stream_window")
     }),
 
+    "stream_sessions" -> ((s, dir) => {
+      // driver-visible STREAMING sessionization: native session_window
+      // (event-time gap merge in the session state store) over the events
+      // stream, complete mode → memory sink; equals the batch
+      // gaps-and-islands oracle. Boundary: silence == gap still merges
+      // (strictly-greater starts a session) — pinned by StreamingSpec.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .select("user_id", "ts", "value")
+      val agg = streaming.Streams.sessionWindowAgg(stream)
+      s.catalog.dropTempView("graft_stream_sessions")
+      val q = agg.writeStream.format("memory").queryName("graft_stream_sessions")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_sessions")
+    }),
+
     "stream_join" -> ((s, dir) => {
       // driver-visible stream-stream INTERVAL JOIN: views matched to same-
       // user purchases within the following hour, both sides watermarked
@@ -1012,6 +1033,8 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_sessions" ->
+      """WITH g AS (SELECT user_id, ts, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM s GROUP BY user_id, sid""",
     "stream_join" ->
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts, CAST(round(p.value * 10000) AS BIGINT) AS value_c FROM events v JOIN events p ON v.event_type = 'view' AND p.event_type = 'purchase' AND p.user_id = v.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     "q_asof" ->

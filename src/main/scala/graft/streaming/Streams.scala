@@ -79,6 +79,30 @@ object Streams {
           col(rightTime) <= col(leftTime) + expr(s"INTERVAL $maxDelay"),
         "inner")
 
+  /** Event-time session windows via the native `session_window` function —
+    * the declarative face of [[sessionize]]: the session-window state store
+    * merges overlapping [ts, ts+gap) windows, the watermark bounds state
+    * and finalizes sessions in append mode. Identical semantics on batch
+    * frames (same function, no state store).
+    *
+    * Gap boundary (pinned by StreamingSpec): an event EXACTLY `gap` after
+    * the previous one still MERGES — a new session needs the silence to
+    * strictly exceed the gap, the same rule as the batch
+    * [[graft.ext.Relational.sessionIds]] (`gap > threshold`).
+    * `session_end` is the window end = last event + gap (not the last
+    * event time).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 10000).cast("long")).as("value_c"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("value_c"))
+
   /** Custom stateful op: gap-based sessionization per user via
     * flatMapGroupsWithState (the mapGroupsWithState family — the engine's
     * escape hatch for state machines Spark's windows can't express).

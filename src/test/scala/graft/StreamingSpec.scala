@@ -72,4 +72,43 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(byUser == truth)
   }
+
+  test("session_window gap boundary: exactly-gap spacing MERGES; beyond it splits") {
+    // pins the inclusive boundary: +30:00.000 merges (same as the batch
+    // sessionIds `gap > threshold` rule), +30:00.001 starts a new session
+    val df = Seq(
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 1.0),      // merges
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00.001"), 1.0)   // splits
+    ).toDF("user_id", "ts", "value")
+    val got = Streams.sessionWindowAgg(df).orderBy("user_id", "session_start").collect()
+    assert(got.length == 3, got.mkString("; "))
+    assert(got(0).getAs[Long]("n_events") == 2)
+    assert(got(0).getAs[java.sql.Timestamp]("session_end").toString
+      == "2024-01-01 01:00:00.0") // last event + gap
+    assert(got(1).getAs[Long]("n_events") == 1 && got(2).getAs[Long]("n_events") == 1)
+  }
+
+  test("streaming session windows equal the batch session_window result") {
+    val dir = "/tmp/graft-test/stream-sess"
+    batchEvents.write.mode("overwrite").parquet(dir)
+    val stream = Streams.sessionWindowAgg(
+      Streams.readEventStream(spark, dir).select("user_id", "ts", "value"))
+    spark.catalog.dropTempView("graft_sess")
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("graft_sess").start()
+    try {
+      q.processAllAvailable()
+      val s = spark.table("graft_sess").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+          (r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4))).toMap
+      val b = Streams.sessionWindowAgg(
+        batchEvents.select("user_id", "ts", "value")).collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1).getTime) ->
+          (r.getTimestamp(2).getTime, r.getLong(3), r.getLong(4))).toMap
+      assert(s === b)
+      assert(b.nonEmpty)
+    } finally q.stop()
+  }
 }
