@@ -327,6 +327,16 @@ operations:
         .select("doc_id", "lang", "source")
     }),
 
+    "dd_semantic" -> ((s, dir) => {
+      // SemDeDup: k-means cells over embeddings + within-cell cosine +
+      // transitive min-id keep — catches paraphrase/translation dups text
+      // hashing can't see. k-means is iterative → not DuckDB-expressible
+      // (rows-only check); SemanticSpec holds the exact ground truth.
+      ext.Semantic.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
+        threshold = 0.45, cells = 16)
+        .select("vec_id")
+    }),
+
     "dd_embed" -> ((s, dir) => {
       ext.Dedup.embeddingDupPairs(T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45)

@@ -71,7 +71,7 @@ object Dedup {
     * entry counts are logged on completion via observed metrics, never
     * silently. `bucketed` must carry the member id as `id`.
     */
-  private def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
+  private[ext] def bucketPairs(bucketed: DataFrame, bucketCols: Seq[String],
                           maxBucket: Int, what: String): DataFrame = {
     ensureMetricsLogger(bucketed.sparkSession)
     // occupancy + min-id via one window: ONE shuffle on the bucket key

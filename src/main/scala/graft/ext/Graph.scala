@@ -32,13 +32,20 @@ import org.apache.spark.sql.types.LongType
   */
 object Graph {
 
+  /** Edge-count threshold for the adaptive driver union-find fast path in
+    * [[components]] (~128 MB of id pairs): below it the distributed star
+    * loop's fixed per-round action latency dwarfs the actual work.
+    */
+  val MaxDriverEdges: Long = 1L << 23
+
   /** Star edges `(id, component)` for every NON-ROOT vertex that appears in
     * `edges`, where `component` is the minimum vertex id reachable from
     * `id`. Roots (the minima) and isolated vertices are not emitted — use
     * [[components]] / [[componentsFor]] for the closed surface.
     */
   private def starEdges(edges: DataFrame, src: String, dst: String,
-                        maxIter: Int): DataFrame = {
+                        maxIter: Int,
+                        maxDriverEdges: Long = Graph.MaxDriverEdges): DataFrame = {
     val undirected = edges
       .select(col(src).cast(LongType).as("u"), col(dst).cast(LongType).as("v"))
       .where(col("u").isNotNull && col("v").isNotNull && col("u") =!= col("v"))
@@ -82,6 +89,36 @@ object Graph {
 
     var e = undirected.localCheckpoint(true)
     var sig = signature(e)
+
+    // Adaptive small-graph path: the star loop costs a fixed ~2 driver
+    // actions (checkpoint + signature) per round regardless of |E| — for
+    // a few thousand edges that overhead IS the runtime (seconds of job
+    // latency for microseconds of work). Below the threshold (~128 MB of
+    // ids at the default) the edge set provably fits on the driver:
+    // union-find locally and return the identical fixed point. The
+    // distributed loop remains the ONLY path above the threshold — the
+    // decision reads the count the convergence check needs anyway.
+    if (sig._1 <= maxDriverEdges) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val parent = collection.mutable.LongMap.empty[Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (parent.getOrElse(x, x) != x) x = parent.getOrElse(x, x)
+        var y = x0 // path compression
+        while (parent.getOrElse(y, y) != y) { val n = parent(y); parent(y) = x; y = n }
+        x
+      }
+      e.collect().foreach { r =>
+        val (ru, rv) = (find(r.getLong(0)), find(r.getLong(1)))
+        if (ru != rv) { // min root wins — components label by minimum id
+          if (ru < rv) parent(rv) = ru else parent(ru) = rv
+        }
+      }
+      val out = parent.keys.toSeq.sorted.map(v => (v, find(v))).filter(p => p._1 != p._2)
+      return out.toDF("u", "v")
+    }
+
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {

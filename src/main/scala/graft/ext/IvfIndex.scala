@@ -29,17 +29,13 @@ object IvfIndex {
     * with the closure — the FAISS "coarse quantizer lives everywhere"
     * shape).
     */
-  private def nearestCell(vec: Column, centroids: Seq[(Int, Array[Double])]): Column = {
+  private def nearestCell(vec: Column, centroids: Seq[(Int, Array[Double])]): Column =
     // ||v - c||² = ||v||² - 2<v,c> + ||c||²; ||v||² is constant across
-    // cells, so argmin needs only <v,c> and ||c||² — one fused dot per
-    // cell, k dots per row, all codegen'd
-    val scored = centroids.map { case (id, c) =>
-      val dot = Vectors.dot(vec, array(c.map(lit(_)): _*))
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - dot * 2).as("d"), lit(id).as("cell"))
-    }
-    least(scored: _*).getField("cell")
-  }
+    // cells, so argmin needs only <v,c> and ||c||² — one native expression
+    // holding the whole centroid matrix as a reference object (a
+    // literal-per-cell least(struct...) tree forces Janino to recompile
+    // k×dim literals on every call — seconds per Lloyd iteration)
+    element_at(graft.functions.VectorExprs.nearestCells(vec, centroids, 1), 1)
 
   /** Train k-means centroids with `iters` Lloyd iterations over a
     * deterministic hash-sampled init. Returns (cellId, centroid) pairs on
@@ -112,18 +108,12 @@ object IvfIndex {
            centroids: Seq[(Int, Array[Double])], k: Int, nProbe: Int = 2): DataFrame = {
     val spark = index.sparkSession
     graft.functions.VectorExprs.register(spark)
-    // per-query probed cells: distance to every centroid, keep nProbe best
-    val cellStructs = centroids.map { case (id, c) =>
-      val dot = Vectors.dot(col("__qv__"), array(c.map(lit(_)): _*))
-      val c2 = c.map(x => x * x).sum
-      struct((lit(c2) - dot * 2).as("d"), lit(id).as("cell"))
-    }
+    // per-query probed cells: the nProbe nearest centroids per query
     val probed = queries
       .select(col(idCol).as("query_id"), col(vecCol).cast("array<double>").as("__qv__"))
-      .withColumn("__cells__",
-        slice(array_sort(array(cellStructs: _*)), 1, nProbe))
       .select(col("query_id"), col("__qv__"),
-        explode(col("__cells__").getField("cell")).as("cell"))
+        explode(graft.functions.VectorExprs.nearestCells(
+          col("__qv__"), centroids, nProbe)).as("cell"))
     val q = broadcast(probed.withColumn("__qn__", Vectors.norm(col("__qv__"))))
     val scored = index.join(q, Seq("cell"))
       .filter(col("id") =!= col("query_id"))

@@ -36,6 +36,13 @@ object VectorExprs {
   def hyperplaneBuckets(vec: Column, nbits: Int, tables: Int): Column =
     toCol(HyperplaneSigsExpr(toExpr(vec), Lit(nbits), Lit(tables)))
 
+  /** The `n` nearest cells (by squared L2, ties by cell id) of `vec`
+    * among `centroids` — matrix-as-reference-object, see NearestCellsExpr.
+    */
+  def nearestCells(vec: Column, centroids: Seq[(Int, Array[Double])], n: Int): Column =
+    toCol(NearestCellsExpr(toExpr(vec),
+      centroids.map(_._1).toArray, centroids.map(_._2).toArray, n))
+
   private[functions] def toDoubles(arr: ArrayData, dt: DataType): Array[Double] = {
     val n = arr.numElements()
     val out = new Array[Double](n)
@@ -144,4 +151,43 @@ case class HyperplaneSigsExpr(vec: Expression, nbitsE: Expression, tablesE: Expr
   override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression) =
     copy(a, b, c)
   override def prettyName: String = "graft_hplanes"
+}
+
+/** `n` nearest centroid cells of a vector by squared L2 distance, ties by
+  * cell id (the exact order `array_sort` over (distance, cell) structs
+  * produces). The centroid MATRIX rides in the expression as a plain
+  * reference object — generated/evaluated code size is independent of k,
+  * where the literal-per-cell `least(struct...)` formulation builds a
+  * k×dim expression tree that Janino recompiles on every training
+  * iteration (seconds at k=16×64, unusable at k=4096).
+  */
+case class NearestCellsExpr(child: Expression, cellIds: Array[Int],
+                            centroids: Array[Array[Double]], n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+  require(cellIds.length == centroids.length && centroids.nonEmpty,
+    "cellIds/centroids must align and be non-empty")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  @transient private lazy val c2: Array[Double] =
+    centroids.map(c => { var s = 0.0; var i = 0; while (i < c.length) { s += c(i) * c(i); i += 1 }; s })
+  override def nullSafeEval(v: Any): Any = {
+    val x = VectorExprs.toDoubles(v.asInstanceOf[ArrayData],
+      child.dataType.asInstanceOf[ArrayType].elementType)
+    val k = centroids.length
+    val d = new Array[Double](k)
+    var i = 0
+    while (i < k) {
+      val c = centroids(i)
+      var s = 0.0; var j = 0
+      val m = math.min(x.length, c.length)
+      while (j < m) { s += x(j) * c(j); j += 1 }
+      d(i) = c2(i) - 2 * s
+      i += 1
+    }
+    val take = math.min(n, k)
+    val order = Array.range(0, k).sortBy(i => (d(i), cellIds(i)))
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      java.util.Arrays.copyOf(order.map(cellIds(_)), take))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_nearest_cells"
 }
