@@ -560,6 +560,17 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "q_grouping_sets" -> ((s, dir) => {
+      // explicit grouping sets (finer than rollup/cube): per-flag,
+      // per-status, and grand-total rows from ONE pass — Spark expands to
+      // a single Expand + hash aggregate, no re-scan per set
+      T(s, dir, "lineitem").createOrReplaceTempView("graft_li_gs")
+      s.sql("""SELECT l_returnflag, l_linestatus,
+                      sum(l_quantity) AS sum_qty, count(*) AS n
+               FROM graft_li_gs
+               GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""")
+    }),
+
     "ta_perplexity" -> ((s, dir) => {
       // CCNet-style LM quality filter: add-k bigram model trained on a
       // deterministic hash-half of the corpus, every doc scored by total
@@ -1077,6 +1088,8 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "ta_perplexity" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), train AS (SELECT doc_id, t FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'), tbg AS (SELECT t[i+1] AS w1, t[i+2] AS w2 FROM (SELECT t, unnest(range(len(t)-1)) AS i FROM train WHERE len(t) >= 2)), c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY 1, 2), c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1), v AS (SELECT greatest(CAST(count(DISTINCT x) AS DOUBLE), 1) AS vsz FROM (SELECT unnest(t) AS x FROM train)), dbg AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2 FROM (SELECT doc_id, t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), terms AS (SELECT doc_id, CAST(round(-ln((coalesce(c12.c12, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.vsz)) * 1000000) AS BIGINT) AS m FROM dbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v), agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(m) AS BIGINT) AS nll_micro FROM terms GROUP BY 1) SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, coalesce(a.nll_micro, 0) AS nll_micro FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "dd_jaccard_join" ->

@@ -64,7 +64,7 @@ object Yaml {
 
   private def parseFileDef(o: Obj, ctx: String): FileDef = {
     val fmt = o.strOpt("format").getOrElse("csv").toLowerCase
-    if (!Set("csv", "json", "parquet")(fmt)) fail(s"$ctx: unsupported format '$fmt'")
+    if (!Set("csv", "json", "parquet", "orc")(fmt)) fail(s"$ctx: unsupported format '$fmt'")
     FileDef(o.str("path", ctx), fmt, parseFileSchema(asObj(o.req("file_schema", ctx), ctx), ctx))
   }
 

@@ -48,7 +48,8 @@ final case class FileSchema(name: String, columns: Seq[(String, ColumnDef)]) {
     StructType(columns.map { case (n, d) => StructField(n, d.tpe.spark, nullable = true) })
 }
 
-/** models.py:32-35. format ∈ csv|json|parquet, default csv. */
+/** models.py:32-35. format ∈ csv|json|parquet, default csv; orc is a
+  * graft extension (columnar alternative, Spark-native). */
 final case class FileDef(path: String, format: String, schema: FileSchema)
 
 /** models.py:141-144; ≥1 input and ≥1 output enforced at parse (main.py:348-351). */

@@ -49,6 +49,10 @@ object Sink {
         writeSingleFile(out, fd.path, "parquet", Map.empty)
       case "parquet" =>
         out.write.mode(SaveMode.Overwrite).parquet(fd.path)
+      case "orc" if fd.path.toLowerCase.endsWith(".orc") =>
+        writeSingleFile(out, fd.path, "orc", Map.empty)
+      case "orc" =>
+        out.write.mode(SaveMode.Overwrite).orc(fd.path)
       case "json" if !prettyJson =>
         // distributed NDJSON — the at-scale JSON representation
         val rendered = renderDates(out)

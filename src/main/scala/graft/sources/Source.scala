@@ -18,6 +18,7 @@ object Source {
     case "csv"     => loadCsv(spark, fd.path, fd.schema.columns.map { case (n, d) => n -> d.tpe })
     case "json"    => castDeclared(spark.read.json(fd.path), fd)
     case "parquet" => castDeclared(spark.read.parquet(fd.path), fd)
+    case "orc"     => castDeclared(spark.read.orc(fd.path), fd)
     case other     => throw new IllegalArgumentException(s"unsupported input format '$other'")
   }
 

@@ -78,4 +78,22 @@ class SinkSourceSpec extends graft.SparkSpec {
     assert(df.count() == 1001)
     assert(df.filter(org.apache.spark.sql.functions.col("v").isNull).count() == 1)
   }
+
+  test("orc sink/source round-trip: directory layout and single-file path") {
+    import spark.implicits._
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    val sch = FileSchema("t", Seq("id" -> ColumnDef(SchemaType.Int64),
+      "name" -> ColumnDef(SchemaType.Str), "v" -> ColumnDef(SchemaType.Flt)))
+    // distributed directory layout
+    val dir = "/tmp/graft-test/orc_dir"
+    Sink.save(df, FileDef(dir, "orc", sch))
+    val back = Source.load(spark, FileDef(dir, "orc", sch))
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // .orc extension → exactly one file at that path (reference parity rule)
+    val single = "/tmp/graft-test/single.orc"
+    Sink.save(df, FileDef(single, "orc", sch))
+    assert(new java.io.File(single).isFile)
+    assert(spark.read.orc(single).count() == 2)
+  }
 }
