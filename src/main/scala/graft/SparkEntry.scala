@@ -560,6 +560,15 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "q_fuzzy_join" -> ((s, dir) => {
+      // EXACT record linkage: all customer-name pairs within edit distance
+      // 1 via deletion-neighborhood blocking (SymSpell) — candidates join
+      // on xxhash64(variant) ids only, then exact levenshtein verify, so
+      // the result provably equals the DuckDB cross-join oracle
+      ext.FuzzyJoin.editDistanceSelfJoin(
+        T(s, dir, "customer"), "c_custkey", "c_name", maxDist = 1)
+    }),
+
     "q_grouping_sets" -> ((s, dir) => {
       // explicit grouping sets (finer than rollup/cube): per-flag,
       // per-status, and grand-total rows from ONE pass — Spark expands to
@@ -1088,6 +1097,8 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS str_a, b.c_name AS str_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1""",
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, count(*) AS n FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""",
     "ta_perplexity" ->
