@@ -560,6 +560,41 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "ta_chunks" -> ((s, dir) => {
+      // RAG-style overlapping chunking: 50-token windows, stride 40 —
+      // pure array expressions, zero shuffles
+      ext.TextAnalysis.chunk(T(s, dir, "documents"), "doc_id", "text",
+        window = 50, stride = 40)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    "q_cdc" -> ((s, dir) => {
+      // CDC apply (Delta-MERGE semantics without a table format): base
+      // snapshot + deterministic changelog (upserts ×1.1 on %5 keys at
+      // seq 1, deletes on %7 keys at seq 2, inserts at seq 1) → latest
+      // sequence number per key wins, deletes drop the key. ONE shuffle
+      // (the per-key window); price exposed in exact cents.
+      val o = T(s, dir, "orders").select("o_orderkey", "o_totalprice")
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("p"), lit(0L).as("seq"), lit("B").as("op"))
+      val upserts = o.where(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"), (col("o_totalprice") * 1.1).as("p"),
+          lit(1L).as("seq"), lit("U").as("op"))
+      val inserts = o.where(col("o_orderkey") % 11 === 0)
+        .select((col("o_orderkey") + 30000000L).as("k"), col("o_totalprice").as("p"),
+          lit(1L).as("seq"), lit("I").as("op"))
+      val deletes = o.where(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey").as("k"), lit(0.0).as("p"),
+          lit(2L).as("seq"), lit("D").as("op"))
+      val log = base.unionByName(upserts).unionByName(inserts).unionByName(deletes)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("k")).orderBy(col("seq").desc)
+      log.withColumn("__rn__", row_number().over(w))
+        .where(col("__rn__") === 1 && col("op") =!= "D")
+        .select(col("k").as("o_orderkey"),
+          round(col("p") * 100).cast("long").as("price_c"), col("op").as("last_op"))
+    }),
+
     "q_fuzzy_join" -> ((s, dir) => {
       // EXACT record linkage: all customer-name pairs within edit distance
       // 1 via deletion-neighborhood blocking (SymSpell) — candidates join
@@ -1097,6 +1132,10 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "ta_chunks" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), c AS (SELECT doc_id, t, unnest(range((len(t) + 39) // 40)) AS i FROM toks WHERE len(t) > 0) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(t[(i*40+1):(i*40+50)]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[(i*40+1):(i*40+50)], ' ') AS chunk_text FROM c""",
+    "q_cdc" ->
+      """WITH log AS (SELECT o_orderkey AS k, o_totalprice AS p, 0 AS seq, 'B' AS op FROM orders UNION ALL SELECT o_orderkey, o_totalprice * 1.1, 1, 'U' FROM orders WHERE o_orderkey % 5 = 0 UNION ALL SELECT o_orderkey + 30000000, o_totalprice, 1, 'I' FROM orders WHERE o_orderkey % 11 = 0 UNION ALL SELECT o_orderkey, 0.0, 2, 'D' FROM orders WHERE o_orderkey % 7 = 0), r AS (SELECT k, p, op, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log) SELECT k AS o_orderkey, CAST(round(p * 100) AS BIGINT) AS price_c, op AS last_op FROM r WHERE rn = 1 AND op <> 'D'""",
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS str_a, b.c_name AS str_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1""",
     "q_grouping_sets" ->

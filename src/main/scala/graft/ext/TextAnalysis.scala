@@ -111,4 +111,31 @@ object TextAnalysis {
       .groupBy("token").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("token").asc)
       .limit(k)
+
+  /** Overlapping token-window chunking (the RAG / context-window splitter):
+    * chunk i covers tokens [i·stride, i·stride + window); starts advance
+    * by `stride` while they remain inside the document, so consecutive
+    * chunks overlap by window − stride tokens and the tail chunk may be
+    * short. Pure codegen'd array expressions — zero shuffles, one pass;
+    * documents with no tokens emit no chunks.
+    * Output: (id, chunk_idx, n_chunk_tokens, chunk_text).
+    */
+  def chunk(df: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+            window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      "chunk: need 0 < stride <= window")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("__toks__"))
+      .withColumn("__n__", size(col("__toks__")))
+      .filter(col("__n__") > 0)
+      .select(col("id"), col("__toks__"),
+        explode(sequence(lit(0L),
+          // integral ceil-div (fp division truncation can mis-round)
+          expr(s"(__n__ + ${stride - 1}) div $stride") - 1)).as("chunk_idx"))
+      .select(col("id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("__toks__"), (col("chunk_idx") * stride + 1).cast("int"),
+          lit(window)).as("__c__"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("__c__")).cast("long").as("n_chunk_tokens"),
+        array_join(col("__c__"), " ").as("chunk_text"))
+  }
 }
