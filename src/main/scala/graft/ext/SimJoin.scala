@@ -47,6 +47,10 @@ object SimJoin {
   def jaccardJoin(df: DataFrame, idCol: String, textCol: String,
                   threshold: Double): DataFrame = {
     require(threshold > 0 && threshold <= 1, "jaccardJoin: threshold in (0, 1]")
+    // NOTE: deliberately NOT persisted — re-tokenizing per consumer costs
+    // less than what caching breaks: a persisted relation's in-memory
+    // size stats stop the planner broadcasting the prefix self-join and
+    // the verify rejoins (measured 8 s → 45 s at sf0.1 with persist)
     val toks = df.select(col(idCol).as("id"),
       array_distinct(Dedup.tokens(col(textCol))).as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
