@@ -560,6 +560,39 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "q_moments" -> ((s, dir) => {
+      // distributed correlation/covariance the ENGINE-EXACT way: emit the
+      // integer-scaled moment sums (cents) as DECIMAL(38) — exact in both
+      // engines, order-free — and let consumers derive corr/covar;
+      // a float corr() aggregate is accumulation-order-dependent and can
+      // never hash-match across engines
+      val li = T(s, dir, "lineitem")
+      val x = round(col("l_extendedprice") * 100).cast("decimal(18,0)")
+      val y = round(col("l_discount") * 100).cast("decimal(18,0)")
+      li.groupBy("l_returnflag").agg(
+        count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,0)").as("sx"),
+        sum(y).cast("decimal(38,0)").as("sy"),
+        sum(x * x).cast("decimal(38,0)").as("sxx"),
+        sum(y * y).cast("decimal(38,0)").as("syy"),
+        sum(x * y).cast("decimal(38,0)").as("sxy"))
+    }),
+
+    "q_moving" -> ((s, dir) => {
+      // moving aggregates over a ROWS frame: 5-row trailing sum and count
+      // per supplier in ship order — one (key, time) shuffle, integral
+      // quantities so the frame sum is fp-exact
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate").asc, col("l_orderkey").asc, col("l_linenumber").asc)
+        .rowsBetween(-4, org.apache.spark.sql.expressions.Window.currentRow)
+      T(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate"), col("l_quantity"))
+        .withColumn("mov_qty", sum(col("l_quantity")).over(w))
+        .withColumn("mov_n", count(lit(1)).over(w))
+    }),
+
     "ta_chunks" -> ((s, dir) => {
       // RAG-style overlapping chunking: 50-token windows, stride 40 —
       // pure array expressions, zero shuffles
@@ -1132,6 +1165,10 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "q_moments" ->
+      """SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy, CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx, CAST(sum(y * y) AS DECIMAL(38,0)) AS syy, CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy FROM (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS x, CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS y FROM lineitem) GROUP BY l_returnflag""",
+    "q_moving" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity, sum(l_quantity) OVER w AS mov_qty, count(*) OVER w AS mov_n FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     "ta_chunks" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), c AS (SELECT doc_id, t, unnest(range((len(t) + 39) // 40)) AS i FROM toks WHERE len(t) > 0) SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx, CAST(len(t[(i*40+1):(i*40+50)]) AS BIGINT) AS n_chunk_tokens, array_to_string(t[(i*40+1):(i*40+50)], ' ') AS chunk_text FROM c""",
     "q_cdc" ->
