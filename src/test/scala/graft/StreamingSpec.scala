@@ -90,6 +90,39 @@ class StreamingSpec extends SparkSpec {
     assert(got(1).getAs[Long]("n_events") == 1 && got(2).getAs[Long]("n_events") == 1)
   }
 
+  test("checkpoint recovery: a restarted query resumes state, no loss, no double-count") {
+    // production concern the memory-sink tests can't see: the SAME
+    // aggregation run as two separate query INSTANCES sharing one
+    // checkpoint must equal the one-shot batch result — state (and source
+    // offsets) recover from the checkpoint, new files are picked up, and
+    // nothing is double-counted.
+    val src = "/tmp/graft-test/stream-ckpt-src"
+    val ckpt = "/tmp/graft-test/stream-ckpt"
+    val out = "/tmp/graft-test/stream-ckpt-out"
+    for (d <- Seq(src, ckpt, out))
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(d))
+    val half1 = batchEvents.filter(col("event_id") % 2 === 0)
+    val half2 = batchEvents.filter(col("event_id") % 2 =!= 0)
+    half1.write.parquet(src)
+
+    def runOnce(): Unit = {
+      val q = Streams.dedupWithinWatermark(
+        Streams.readEventStream(spark, src), Seq("event_id"), "40 days")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt).format("parquet")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(out)
+      q.awaitTermination()
+    }
+    runOnce()                                  // instance 1: first half
+    half2.write.mode("append").parquet(src)
+    half1.write.mode("append").parquet(src)    // replay half1 → state must drop
+    runOnce()                                  // instance 2: resumes from ckpt
+    val got = spark.read.parquet(out)
+    assert(got.count() == batchEvents.count(), "no loss, no double-count")
+    assert(got.select("event_id").distinct().count() == batchEvents.count())
+  }
+
   test("streaming session windows equal the batch session_window result") {
     val dir = "/tmp/graft-test/stream-sess"
     batchEvents.write.mode("overwrite").parquet(dir)
