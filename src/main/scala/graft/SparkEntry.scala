@@ -938,6 +938,20 @@ operations:
       s.table("graft_stream_window")
     }),
 
+    "ev_sessions_typed" -> ((s, dir) => {
+      // the TYPED stateful sessionizer (flatMapGroupsWithState) run in
+      // batch mode — same state machine the stream runs; output limited
+      // to order-free fields (start, count) so the oracle is exact
+      import s.implicits._
+      val ev = events(s, dir)
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"), col("props").cast("string"))
+        .as[streaming.Streams.Event]
+      streaming.Streams.sessionize(ev, gapMinutes = 30)(s)
+        .toDF()
+        .select(col("user_id"), col("session_start"), col("n_events"))
+    }),
+
     "stream_sessions" -> ((s, dir) => {
       // driver-visible STREAMING sessionization: native session_window
       // (event-time gap merge in the session state store) over the events
@@ -1131,6 +1145,8 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "ev_sessions_typed" ->
+      """WITH g AS (SELECT user_id, ts, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, sid""",
     "stream_sessions" ->
       """WITH g AS (SELECT user_id, ts, value, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, value, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM s GROUP BY user_id, sid""",
     "stream_join" ->
