@@ -129,6 +129,19 @@ operations:
       r.select("p_partkey", "p_norm")
     }),
 
+    "q_application_fallback" -> ((s, dir) => {
+      // a DYNAMICALLY-typed lambda MiniLambda's static Column compiler
+      // rejects (mixed string/int conditional branches, string
+      // repetition): runs through the interpreted RowLambda fallback
+      // behind its explicit opt-in flag; result renders via Python str()
+      s.conf.set("spark.graft.application.fallback", "true")
+      val r = Ops.application(T(s, dir, "part"),
+        Application(Seq("p_name", "p_size"),
+          "lambda r: r['p_name'].split(' ')[0] * 2 if r['p_size'] > 25 else len(r['p_name'])",
+          Some("p_dyn")))
+      r.select("p_partkey", "p_dyn")
+    }),
+
     "q_switching" -> ((s, dir) => {
       val r = Ops.switching(T(s, dir, "orders"),
         Switching("o_orderstatus", Seq(("O", "o_orderpriority"), ("F", "o_orderstatus")),
@@ -1011,6 +1024,8 @@ operations:
       "SELECT l_orderkey, l_linenumber, l_returnflag || '-' || l_linestatus AS flag_status FROM lineitem",
     "q_application" ->
       "SELECT p_partkey, upper(replace(p_name, ' ', '_')) AS p_norm FROM part",
+    "q_application_fallback" ->
+      """SELECT p_partkey, CASE WHEN p_size > 25 THEN repeat(string_split(p_name, ' ')[1], 2) ELSE CAST(length(p_name) AS VARCHAR) END AS p_dyn FROM part""",
     "q_switching" ->
       """SELECT o_orderkey, CASE WHEN o_orderstatus = 'O' THEN o_orderpriority WHEN o_orderstatus = 'F' THEN o_orderstatus ELSE 'OTHER' END AS status_label FROM orders""",
     "q_assignation" ->
