@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, shiftleft, shiftright}
 
 /** Physical-layout control: bucketed/sorted table writes for shuffle-free
   * repeated joins and aggregations.
@@ -62,6 +63,39 @@ object Layout {
     (s.selectedPartitions.partitionCount.toLong,
       s.relation.location.listFiles(Nil, Nil).length.toLong)
   }
+
+  /** Morton (Z-order) interleave of two non-negative int columns, `bits`
+    * bits each (x on even bit positions, y on odd): points close in BOTH
+    * dimensions get close z-values, so sorting by z gives every parquet
+    * row group a TIGHT min/max envelope in both x and y — the standard
+    * multi-dimensional data-clustering key (Delta/Iceberg OPTIMIZE
+    * ZORDER) expressed as a plain codegen'd column. Inputs are masked to
+    * `bits` bits (callers bucket/normalize wider domains first).
+    */
+  def zValue(x: Column, y: Column, bits: Int = 16): Column = {
+    require(bits >= 1 && bits <= 31, "zValue: bits in 1..31")
+    val mask = (1L << bits) - 1
+    val xm = x.cast("long").bitwiseAND(mask)
+    val ym = y.cast("long").bitwiseAND(mask)
+    (0 until bits).map { i =>
+      shiftleft(shiftright(xm, i).bitwiseAND(1L), 2 * i)
+        .bitwiseOR(shiftleft(shiftright(ym, i).bitwiseAND(1L), 2 * i + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** Z-ordered parquet write: range-partition into `files` output files by
+    * the interleaved key and sort within each, so a selective predicate on
+    * EITHER dimension prunes row groups via parquet min/max stats — where
+    * a single-column sort only ever prunes its own column. Verified by
+    * ZOrderSpec against the scan's numOutputRows metric.
+    */
+  def writeZOrdered(df: DataFrame, path: String, xCol: String, yCol: String,
+                    files: Int, bits: Int = 16): Unit =
+    df.withColumn("__z__", zValue(col(xCol), col(yCol), bits))
+      .repartitionByRange(files, col("__z__"))
+      .sortWithinPartitions("__z__")
+      .drop("__z__")
+      .write.mode(SaveMode.Overwrite).parquet(path)
 
   /** True iff the executed plan of `df` contains no SHUFFLE exchange —
     * the machine-checkable definition of "this join/agg is co-located".
