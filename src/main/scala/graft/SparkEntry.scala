@@ -573,6 +573,20 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "q_pagerank" -> ((s, dir) => {
+      // integer fixed-point PageRank over the symmetrized customer↔
+      // supplier trade graph (supplier ids offset into their own key
+      // space) — 3 iterations, engine-exact by integral arithmetic
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      ext.Graph.pageRankInt(edges, "src", "dst", iters = 3)
+    }),
+
     "q_moments" -> ((s, dir) => {
       // distributed correlation/covariance the ENGINE-EXACT way: emit the
       // integer-scaled moment sums (cents) as DECIMAL(38) — exact in both
@@ -1196,6 +1210,8 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "q_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
     "q_moments" ->
       """SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy, CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx, CAST(sum(y * y) AS DECIMAL(38,0)) AS syy, CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy FROM (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS x, CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS y FROM lineitem) GROUP BY l_returnflag""",
     "q_moving" ->

@@ -173,4 +173,47 @@ object Graph {
       .where(col(idCol) === col("component"))
       .drop("component")
   }
+
+  /** PageRank in INTEGER micro-units — deterministic across engines by
+    * construction: per-node contribution is `rank div out_degree`
+    * (integral truncation), the damping step is
+    * `150000 + (850 · Σcontribs) div 1000`, and every sum is an integer
+    * sum (order-free), so a fixed iteration count produces bit-identical
+    * ranks anywhere — which is what lets the driver hash-compare against
+    * a DuckDB oracle with the iterations unrolled in SQL. (Float PageRank
+    * can never hash-match: its sums are accumulation-order-dependent.)
+    *
+    * Scale shape: per iteration ONE join of edges to (rank div degree) on
+    * src and ONE partial-aggregated groupBy(dst) — the standard Pregel
+    * message flow as DataFrame ops; ranks/degrees are id→long pairs, the
+    * edge list is ids only. Nodes without incoming edges settle at the
+    * base 150000. Dangling nodes (no OUT-edges) simply leak their mass —
+    * callers wanting classic PageRank semantics should symmetrize or add
+    * sink edges first.
+    */
+  def pageRankInt(edges: DataFrame, src: String = "src", dst: String = "dst",
+                  iters: Int = 3): DataFrame = {
+    // lineage hygiene (same rule as the components loop): without the
+    // per-iteration checkpoint, iteration k's lazy plan re-runs
+    // iterations 1..k-1 AND the edge derivation — quadratic recompute
+    val e = edges.select(col(src).cast(LongType).as("src"),
+      col(dst).cast(LongType).as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var ranks = nodes.withColumn("r", lit(1000000L))
+    for (i <- 0 until iters) {
+      val outbound = ranks.join(deg, "id")
+        .select(col("id").as("src"), expr("r div d").as("c"))
+      val inbox = e.join(outbound, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(inbox, Seq("id"), "left")
+        .select(col("id"),
+          (lit(150000L) + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
+      if (i < iters - 1) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("rank_micro"))
+  }
 }

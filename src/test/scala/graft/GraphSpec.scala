@@ -83,4 +83,19 @@ class GraphSpec extends SparkSpec {
     val reps = comp.groupBy("component").agg(min("doc_id").as("rep"))
     assert(reps.where(col("component") =!= col("rep")).count() == 0)
   }
+
+  test("pageRankInt: hand-computed path graph, exact integer ranks") {
+    import spark.implicits._
+    // symmetrized path 1—2—3: after one iteration
+    //   r(1) = r(3) = 150000 + 850·(10⁶ div 2) div 1000 = 575000
+    //   r(2) = 150000 + 850·(10⁶ + 10⁶) div 1000       = 1850000
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val r1 = Graph.pageRankInt(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r1 === Map(1L -> 575000L, 2L -> 1850000L, 3L -> 575000L))
+    // deterministic across re-runs (integer arithmetic, no fp drift)
+    val r3a = Graph.pageRankInt(edges, iters = 3).collect().map(_.toSeq).toSet
+    val r3b = Graph.pageRankInt(edges, iters = 3).collect().map(_.toSeq).toSet
+    assert(r3a === r3b)
+  }
 }
