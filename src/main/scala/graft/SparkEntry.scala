@@ -573,6 +573,72 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "ev_interp" -> ((s, dir) => {
+      // time-series gap filling: hourly grid per user, value linearly
+      // interpolated between the surrounding events — two windows (prev/
+      // next carry) over one key shuffle, union-and-carry like asofJoin;
+      // identical input bits + identical fp ops → micro values hash-match
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("value"), col("event_id"))
+      val b = ev.groupBy("user_id").agg(
+        date_trunc("hour", min(col("ts"))).as("t0"),
+        date_trunc("hour", max(col("ts"))).as("t1"))
+      val grid = b.select(col("user_id"),
+          explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("t"))
+        .select(col("user_id"), col("t"), lit(1).as("tag"),
+          lit(null).cast("double").as("v"), lit(null).cast("timestamp").as("et"),
+          lit(null).cast("long").as("event_id"))
+      val pts = ev.select(col("user_id"), col("ts").as("t"), lit(0).as("tag"),
+        col("value").as("v"), col("ts").as("et"), col("event_id"))
+      val u = grid.unionByName(pts)
+      val frame = (w: org.apache.spark.sql.expressions.WindowSpec) =>
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAsc = frame(Window.partitionBy("user_id")
+        .orderBy(col("t").asc, col("tag").asc, col("event_id").asc))
+      val wDesc = frame(Window.partitionBy("user_id")
+        .orderBy(col("t").desc, col("tag").asc, col("event_id").desc))
+      val carried = u
+        .withColumn("pt", last(col("et"), ignoreNulls = true).over(wAsc))
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wAsc))
+        .withColumn("nt", last(col("et"), ignoreNulls = true).over(wDesc))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wDesc))
+      val interp = when(col("pt").isNull || col("nt").isNull, lit(null).cast("double"))
+        .when(col("pt") === col("nt"), col("pv"))
+        .otherwise(col("pv") + (col("nv") - col("pv")) *
+          ((unix_micros(col("t")) - unix_micros(col("pt"))) /
+            (unix_micros(col("nt")) - unix_micros(col("pt")))))
+      carried.filter(col("tag") === 1)
+        .select(col("user_id"), col("t").as("grid_ts"),
+          round(interp * 10000).cast("long").as("v_micro"))
+    }),
+
+    "q_dq" -> ((s, dir) => {
+      // data-quality expectation suite: each check is one aggregate row
+      // (violations, total, pass) — uniqueness, referential integrity,
+      // null rate, range — the production gate before any pipeline run
+      val li = T(s, dir, "lineitem")
+      val o = T(s, dir, "orders")
+      def row(name: String, violations: DataFrame): DataFrame =
+        violations.select(lit(name).as("check"),
+          col("v").cast("long").as("n_violations"), col("t").cast("long").as("n_total"),
+          (col("v") === 0).as("pass"))
+      val pk = row("pk_unique_lineitem", li.agg(
+        (count(lit(1)) - countDistinct(col("l_orderkey"), col("l_linenumber"))).as("v"),
+        count(lit(1)).as("t")))
+      val fk = row("fk_lineitem_orders", li.join(o,
+          col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("v"), lit(0L).as("t"))
+        .crossJoin(li.agg(count(lit(1)).as("t2"))).select(col("v"), col("t2").as("t")))
+      val nn = row("notnull_shipdate", li.agg(
+        sum(when(col("l_shipdate").isNull, 1L).otherwise(0L)).as("v"), count(lit(1)).as("t")))
+      val rng = row("range_quantity_1_50", li.agg(
+        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L).otherwise(0L)).as("v"),
+        count(lit(1)).as("t")))
+      val pos = row("positive_totalprice", o.agg(
+        sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)).as("v"), count(lit(1)).as("t")))
+      pk.unionByName(fk).unionByName(nn).unionByName(rng).unionByName(pos)
+    }),
+
     "q_pagerank" -> ((s, dir) => {
       // integer fixed-point PageRank over the symmetrized customer↔
       // supplier trade graph (supplier ids offset into their own key
@@ -1210,6 +1276,10 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "ev_interp" ->
+      """WITH ev AS (SELECT user_id, ts, value, event_id FROM events), b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM ev GROUP BY 1), grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t FROM b), u AS (SELECT user_id, t, 1 AS tag, CAST(NULL AS DOUBLE) AS v, CAST(NULL AS TIMESTAMP) AS et, CAST(NULL AS BIGINT) AS event_id FROM grid UNION ALL SELECT user_id, ts, 0, value, ts, event_id FROM ev), w1 AS (SELECT *, last_value(et IGNORE NULLS) OVER wa AS pt, last_value(v IGNORE NULLS) OVER wa AS pv FROM u WINDOW wa AS (PARTITION BY user_id ORDER BY t ASC, tag ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), w2 AS (SELECT *, last_value(et IGNORE NULLS) OVER wd AS nt, last_value(v IGNORE NULLS) OVER wd AS nv FROM w1 WINDOW wd AS (PARTITION BY user_id ORDER BY t DESC, tag ASC, event_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT user_id, t AS grid_ts, CAST(round((CASE WHEN pt IS NULL OR nt IS NULL THEN NULL WHEN pt = nt THEN pv ELSE pv + (nv - pv) * ((epoch_us(t) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt))) END) * 10000) AS BIGINT) AS v_micro FROM w2 WHERE tag = 1""",
+    "q_dq" ->
+      """SELECT 'pk_unique_lineitem' AS "check", CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_violations, count(*) AS n_total, count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS pass FROM lineitem UNION ALL SELECT 'fk_lineitem_orders', CAST((SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT), (SELECT count(*) FROM lineitem), (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) = 0 UNION ALL SELECT 'notnull_shipdate', CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*), sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem UNION ALL SELECT 'range_quantity_1_50', CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT), count(*), sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 FROM lineitem UNION ALL SELECT 'positive_totalprice', CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT), count(*), sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 FROM orders""",
     "q_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
     "q_moments" ->
