@@ -573,6 +573,30 @@ operations:
       ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text", 8)
     }),
 
+    "sim_pca" -> ((s, dir) => {
+      // distributed PCA, the exact half: one-pass integer gram/mean
+      // aggregation (GramAgg — milli-quantized, order-free long sums,
+      // hash-matches DuckDB); the d×d eigenproblem runs driver-side
+      // (Pca.topEigen, spec-tested) — data-sized work never leaves the
+      // mergeable aggregate
+      ext.Pca.gramMicro(T(s, dir, "embeddings"), "embedding", 64)
+    }),
+
+    "mm_resample" -> ((s, dir) => {
+      // REAL audio resample round-trip: planted constant-signal WAVs
+      // resampled to 8 kHz by linear interpolation, re-decoded — frame
+      // count and sample sum must equal the integer closed forms
+      // (a constant signal survives any interpolation exactly)
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.syntheticMedia(T(s, dir, "documents"))
+        .filter(col("media_id") % 3 === 1)
+      val resampled = ext.Multimodal.resampleAudio(media, 8000).toDF()
+        .select(col("media_id"), col("media_type"),
+          lit("resampled").as("source"), col("content"))
+      ext.Multimodal.decode(resampled).toDF()
+        .select("media_id", "format", "sample_rate", "n_samples", "content_sum")
+    }),
+
     "ev_interp" -> ((s, dir) => {
       // time-series gap filling: hourly grid per user, value linearly
       // interpolated between the surrounding events — two windows (prev/
@@ -1276,6 +1300,10 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), segs AS (SELECT doc_id, list_transform(range(CAST(ceil(len(t)/10.0) AS BIGINT)), i -> array_to_string(t[(i*10+1):(i*10+10)], ' ')) AS sl, CASE WHEN len(t) >= 2 THEN list_transform(range(len(t)-1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END AS g2 FROM toks), gr AS (SELECT doc_id, unnest(g2) AS g FROM segs), top AS (SELECT doc_id, CAST(max(n) AS BIGINT) AS top_gram2_n FROM (SELECT doc_id, g, count(*) AS n FROM gr GROUP BY doc_id, g) GROUP BY doc_id) SELECT s.doc_id, CAST(len(sl) AS BIGINT) AS n_seg, CAST(len(list_distinct(sl)) AS BIGINT) AS n_seg_distinct, CAST(len(g2) AS BIGINT) AS n_gram2, coalesce(top.top_gram2_n, 0) AS top_gram2_n FROM segs s LEFT JOIN top USING (doc_id)""",
     "ta_redact" ->
       """WITH planted AS (SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +' || lpad(CAST(doc_id % 900 + 100 AS VARCHAR), 3, '0') || '-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.1 now' AS t FROM documents) SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g'), '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g') AS clean, CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email, CAST(len(regexp_extract_all(t, '\+?[0-9]{3}-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phone, CAST(len(regexp_extract_all(t, '([0-9]{1,3}\.){3}[0-9]{1,3}')) AS BIGINT) AS n_ip FROM planted""",
+    "sim_pca" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1000 + 0.5) AS BIGINT)) AS qv FROM embeddings), e AS (SELECT vec_id, i, qv[i + 1] AS v FROM q, (SELECT unnest(range(64)) AS i)), cross_s AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS s FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i GROUP BY 1, 2), lin AS (SELECT i, CAST(-1 AS BIGINT) AS j, CAST(sum(v) AS BIGINT) AS s FROM e GROUP BY 1), cnt AS (SELECT CAST(-1 AS BIGINT) AS i, CAST(-1 AS BIGINT) AS j, CAST(count(*) AS BIGINT) AS s FROM q) SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, s FROM cross_s UNION ALL SELECT CAST(i AS BIGINT), j, s FROM lin UNION ALL SELECT i, j, s FROM cnt""",
+    "mm_resample" ->
+      """SELECT doc_id AS media_id, 'wav' AS format, CAST(8000 AS INTEGER) AS sample_rate, CAST((64 + doc_id % 64) * 8000 // (8000 + (doc_id % 5) * 2000) AS BIGINT) AS n_samples, CAST(((64 + doc_id % 64) * 8000 // (8000 + (doc_id % 5) * 2000)) * (doc_id % 2000 - 1000) AS BIGINT) AS content_sum FROM documents WHERE doc_id % 3 = 1""",
     "ev_interp" ->
       """WITH ev AS (SELECT user_id, ts, value, event_id FROM events), b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM ev GROUP BY 1), grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t FROM b), u AS (SELECT user_id, t, 1 AS tag, CAST(NULL AS DOUBLE) AS v, CAST(NULL AS TIMESTAMP) AS et, CAST(NULL AS BIGINT) AS event_id FROM grid UNION ALL SELECT user_id, ts, 0, value, ts, event_id FROM ev), w1 AS (SELECT *, last_value(et IGNORE NULLS) OVER wa AS pt, last_value(v IGNORE NULLS) OVER wa AS pv FROM u WINDOW wa AS (PARTITION BY user_id ORDER BY t ASC, tag ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), w2 AS (SELECT *, last_value(et IGNORE NULLS) OVER wd AS nt, last_value(v IGNORE NULLS) OVER wd AS nv FROM w1 WINDOW wd AS (PARTITION BY user_id ORDER BY t DESC, tag ASC, event_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT user_id, t AS grid_ts, CAST(round((CASE WHEN pt IS NULL OR nt IS NULL THEN NULL WHEN pt = nt THEN pv ELSE pv + (nv - pv) * ((epoch_us(t) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt))) END) * 10000) AS BIGINT) AS v_micro FROM w2 WHERE tag = 1""",
     "q_dq" ->
