@@ -395,6 +395,19 @@ operations:
       ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
     }),
 
+    "sim_topk_pq" -> ((s, dir) => {
+      // product quantization (Jégou et al. 2011): 24-bit codes (64×
+      // compression) + ADC table-lookup scoring + exact refine of a
+      // 50-candidate shortlist — the memory-bound 100 TB tier; scores are
+      // float accumulations → rows-only check, exactness at lossless
+      // codebooks proven in PqSpec
+      val emb = T(s, dir, "embeddings")
+      val books = ext.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 64, iters = 2)
+      val enc = ext.Pq.encode(emb, "vec_id", "embedding", books)
+      ext.Pq.refinedTopK(enc, emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", books, k = 10, shortlist = 50)
+    }),
+
     // ---- extended: text analysis ----
 
     "ta_tokens" -> ((s, dir) => {

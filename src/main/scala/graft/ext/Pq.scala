@@ -1,0 +1,208 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product Quantization (PQ) ANN — the memory-compression scale path
+  * beyond IVF-Flat (Jégou, Douze, Schmid: "Product Quantization for
+  * Nearest Neighbor Search", TPAMI 2011). The reference has no vector
+  * surface at all; this is the beyond-reference similarity tier the
+  * builder brief asks for.
+  *
+  * A dim-D vector is split into M orthogonal subvectors of D/M dims;
+  * each subspace gets its own K-centroid k-means codebook; a vector is
+  * stored as M small integer codes (M bytes for K≤256) instead of D
+  * floats — 64 float dims → 4 codes is a 64× compression, which is what
+  * makes a 100 TB embedding corpus queryable from executor memory.
+  *
+  * Search is ADC (asymmetric distance computation): per query, a flat
+  * M×K table of partial dot products ⟨q_m, c_{m,j}⟩ is computed ONCE on
+  * the driver (M×K doubles — a few KB) and broadcast with the query row;
+  * the approximate dot of any stored vector is then M table lookups
+  * summed — pure builtin `zip_with`+`aggregate` expressions, fully
+  * codegen'd, no per-row trig/sqrt, no vector column ever shuffled.
+  *
+  * Exactness anchor (PqSpec): with codebooks that contain every distinct
+  * subvector, encoding is lossless and ADC scores equal exact cosine
+  * bit-for-bit (fixed-order double accumulation) — the same
+  * "degenerate-config == brute force" proof style as IvfSpec.
+  */
+object Pq {
+
+  /** Codebooks: codebooks(m) = ordered centroids of subspace m
+    * (code j = index j). All subspaces share K.
+    */
+  type Codebooks = Seq[Array[Array[Double]]]
+
+  private def subDim(dim: Int, m: Int): Int = {
+    require(dim % m == 0, s"dim $dim must be divisible by m=$m subspaces")
+    dim / m
+  }
+
+  /** One codegen-cheap argmin per subspace via the shared
+    * NearestCellsExpr (centroid matrix rides as a reference object).
+    */
+  private def codeFor(sub: Column, centroids: Array[Array[Double]]): Column =
+    element_at(graft.functions.VectorExprs.nearestCells(
+      sub, centroids.indices.map(j => j -> centroids(j)), 1), 1)
+
+  /** Train per-subspace codebooks with `iters` Lloyd iterations.
+    *
+    * Scale shape: the training set is a deterministic hash-sample,
+    * persisted once; each iteration is ONE job — vectors explode into
+    * (subspace, subvector) rows (M× rows of D/M doubles = the same bytes
+    * as the original), assignment is a chained CASE of M native argmin
+    * expressions, and the Lloyd update is a single groupBy(m, code)
+    * partial aggregate emitting M×K rows. No iteration shuffles full
+    * vectors; the codebooks (M×K×D/M doubles) live on the driver.
+    */
+  def trainCodebooks(data: DataFrame, idCol: String, vecCol: String,
+                     m: Int, k: Int, iters: Int = 3,
+                     trainFraction: Double = 1.0): Codebooks = {
+    require(m > 0 && k > 0 && iters >= 0, "m, k, iters must be positive")
+    val sampled =
+      if (trainFraction < 1.0) Sampling.hashSample(data, col(idCol), trainFraction)
+      else data
+    val src = Par.fanOut(sampled)
+      .select(col(idCol).cast("string").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val dim = src.select(size(col("v"))).head().getInt(0)
+      val sd = subDim(dim, m)
+      // deterministic init: the k vectors with smallest md5(id), sliced
+      val seed = src.orderBy(md5(col("id"))).limit(k).collect()
+        .map(_.getSeq[Double](1).toArray)
+      var books: Codebooks = (0 until m).map(mm =>
+        seed.map(v => java.util.Arrays.copyOfRange(v, mm * sd, (mm + 1) * sd)).toArray)
+
+      // (m, subvector) long frame: same bytes as the wide vector column
+      val exploded = src.select(col("id"),
+        explode(array((0 until m).map(mm =>
+          struct(lit(mm).as("m"), slice(col("v"), mm * sd + 1, sd).as("sv"))): _*)).as("e"))
+        .select(col("e.m").as("m"), col("e.sv").as("sv"))
+
+      for (_ <- 0 until iters) {
+        val cellExpr = (1 until m).foldLeft(
+          when(col("m") === 0, codeFor(col("sv"), books(0)))) { (acc, mm) =>
+          acc.when(col("m") === mm, codeFor(col("sv"), books(mm)))
+        }
+        val sums = (0 until sd).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+        val updated = exploded.withColumn("code", cellExpr)
+          .groupBy("m", "code")
+          .agg(count(lit(1)).as("n"), sums: _*)
+          .collect()
+        val next = books.map(_.map(identity)) // copy; empty cells keep centroids
+        updated.foreach { r =>
+          val mm = r.getInt(0); val code = r.getInt(1); val n = r.getLong(2).toDouble
+          next(mm)(code) = Array.tabulate(sd)(i => r.getDouble(i + 3) / n)
+        }
+        books = next
+      }
+      books
+    } finally src.unpersist(blocking = false)
+  }
+
+  /** Encode every vector as M integer codes + the reconstruction norm.
+    * One codegen'd map pass; output is (id, codes array<int>, rnorm) —
+    * the compressed index a 100 TB corpus would persist (bucketed by any
+    * IVF cell if composed with IvfIndex).
+    *
+    * rnorm is EXACT for the reconstructed vector: subspaces are
+    * orthogonal, so ‖ĉ‖² = Σ_m ‖c_{m,code_m}‖².
+    */
+  def encode(data: DataFrame, idCol: String, vecCol: String,
+             books: Codebooks): DataFrame = {
+    val m = books.size
+    val sd = books.head.head.length
+    val withCodes = Par.fanOut(data)
+      .select(col(idCol).as("id"), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("codes", array((0 until m).map(mm =>
+        codeFor(slice(col("v"), mm * sd + 1, sd), books(mm))): _*))
+    // ‖c_{m,j}‖² lookup tables as array literals (K doubles per subspace)
+    val c2 = books.map(_.map(c => c.map(x => x * x).sum))
+    val rnorm2 = (0 until m).map(mm =>
+      element_at(typedLit(c2(mm)), element_at(col("codes"), mm + 1) + 1))
+      .reduce(_ + _)
+    withCodes.select(col("id"), col("codes"), sqrt(rnorm2).as("rnorm"))
+  }
+
+  /** ADC top-k cosine: approximate score = Σ_m table[m·K + code_m]
+    * / (‖q‖ · rnorm). Queries ride as driver-computed flat tables
+    * (M×K doubles each) broadcast to the scan; ranking shuffles ≤k rows
+    * per partition per query through the bounded-heap TopKAgg.
+    */
+  def adcTopK(encoded: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+              books: Codebooks, k: Int): DataFrame = {
+    val spark = encoded.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val kk = books.head.length
+    val sd = books.head.head.length
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        val table = new Array[Double](m * kk)
+        var mm = 0
+        while (mm < m) {
+          var j = 0
+          while (j < kk) {
+            val c = books(mm)(j); var s = 0.0; var i = 0
+            while (i < sd) { s += qv(mm * sd + i) * c(i); i += 1 }
+            table(mm * kk + j) = s; j += 1
+          }
+          mm += 1
+        }
+        var qn = 0.0; qv.foreach(x => qn += x * x)
+        (qid, table, math.sqrt(qn))
+      }.toSeq
+    val q = broadcast(qRows.toDF("query_id", "__tbl__", "__qn__"))
+    val adcDot = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, mm) => element_at(col("__tbl__"), mm * kk + code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = encoded.crossJoin(q)
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", adcDot / (col("__qn__") * col("rnorm")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("score"),
+        col("neighbor_id").cast("double"),
+        struct(col("neighbor_id"), col("score"))).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
+  }
+
+  /** ADC shortlist + exact re-rank (the FAISS `IVFPQ,Refine` shape):
+    * approximate scoring over the compressed codes picks `shortlist`
+    * candidates per query, then ONLY those rows' full vectors are
+    * re-read for exact cosine. At 100 TB the full-width read is
+    * |queries|×shortlist rows — the compressed index absorbs the scan.
+    */
+  def refinedTopK(encoded: DataFrame, data: DataFrame, queries: DataFrame,
+                  idCol: String, vecCol: String, books: Codebooks,
+                  k: Int, shortlist: Int = 50): DataFrame = {
+    val cand = adcTopK(encoded, queries, idCol, vecCol, books, shortlist)
+      .select(col("query_id"), col("neighbor_id"))
+    val full = data.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__nv__"))
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv__")))
+    val rescored = cand.join(full, "neighbor_id").join(q, "query_id")
+      .withColumn("score",
+        graft.functions.VectorExprs.dot(col("__nv__"), col("__qv__")) /
+          (graft.functions.VectorExprs.norm(col("__nv__")) *
+            graft.functions.VectorExprs.norm(col("__qv__"))))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    rescored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("score"),
+        col("neighbor_id").cast("double"),
+        struct(col("neighbor_id"), col("score"))).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
+  }
+}
