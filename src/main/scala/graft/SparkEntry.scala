@@ -294,6 +294,18 @@ operations:
         .select("c_custkey", "c_name")
     }),
 
+    "q_bloom_join" -> ((s, dir) => {
+      // semi-join reduction: broadcast Bloom of the selective dim's key
+      // set prunes the fact scan BEFORE the shuffle (codegen'd probe);
+      // no false negatives + real join after ⇒ result is exactly the
+      // plain join, so the oracle is the plain SQL join
+      val cust = T(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name")
+      ext.BloomPrune.prunedJoin(T(s, dir, "orders"), cust,
+        "o_custkey", "c_custkey", expectedItems = 100000)
+        .select("o_orderkey", "o_custkey", "c_name")
+    }),
+
     "q_union" -> ((s, dir) => {
       val n = T(s, dir, "nation").select(col("n_nationkey").cast("long").as("k"), col("n_name").as("name"))
       val r = T(s, dir, "region").select(col("r_regionkey").cast("long").as("k"), col("r_name").as("name"))
@@ -688,6 +700,17 @@ operations:
       val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
         .union(pairs.select(col("s").as("src"), col("c").as("dst")))
       ext.Graph.pageRankInt(edges, "src", "dst", iters = 3)
+    }),
+
+    "q_triangles" -> ((s, dir) => {
+      // per-vertex triangle counts on the part co-purchase graph (parts
+      // sharing an order) via degree-oriented compact-forward — wedge
+      // fan-out bounded O(√E) under skew; all-integer output, oracle is
+      // the id-ordered 3-way join
+      val lp = T(s, dir, "lineitem").select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = lp.as("x").join(lp.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      ext.Graph.triangleCounts(e).withColumnRenamed("id", "part_id")
     }),
 
     "q_moments" -> ((s, dir) => {
@@ -1203,6 +1226,8 @@ operations:
       "SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem WHERE EXISTS (SELECT 1 FROM part WHERE p_partkey = l_partkey AND p_size > 40)",
     "q_anti_join" ->
       "SELECT c_custkey, c_name FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)",
+    "q_bloom_join" ->
+      "SELECT o_orderkey, o_custkey, c_name FROM orders JOIN customer ON o_custkey = c_custkey WHERE c_mktsegment = 'BUILDING'",
     "q_union" ->
       "SELECT CAST(n_nationkey AS BIGINT) AS k, n_name AS name FROM nation UNION ALL SELECT CAST(r_regionkey AS BIGINT), r_name FROM region",
     // ---- extension oracles (duckdb-expressible subset; hash/LSH queries
@@ -1321,6 +1346,8 @@ operations:
       """WITH ev AS (SELECT user_id, ts, value, event_id FROM events), b AS (SELECT user_id, date_trunc('hour', min(ts)) AS t0, date_trunc('hour', max(ts)) AS t1 FROM ev GROUP BY 1), grid AS (SELECT user_id, unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS t FROM b), u AS (SELECT user_id, t, 1 AS tag, CAST(NULL AS DOUBLE) AS v, CAST(NULL AS TIMESTAMP) AS et, CAST(NULL AS BIGINT) AS event_id FROM grid UNION ALL SELECT user_id, ts, 0, value, ts, event_id FROM ev), w1 AS (SELECT *, last_value(et IGNORE NULLS) OVER wa AS pt, last_value(v IGNORE NULLS) OVER wa AS pv FROM u WINDOW wa AS (PARTITION BY user_id ORDER BY t ASC, tag ASC, event_id ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), w2 AS (SELECT *, last_value(et IGNORE NULLS) OVER wd AS nt, last_value(v IGNORE NULLS) OVER wd AS nv FROM w1 WINDOW wd AS (PARTITION BY user_id ORDER BY t DESC, tag ASC, event_id DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT user_id, t AS grid_ts, CAST(round((CASE WHEN pt IS NULL OR nt IS NULL THEN NULL WHEN pt = nt THEN pv ELSE pv + (nv - pv) * ((epoch_us(t) - epoch_us(pt)) / (epoch_us(nt) - epoch_us(pt))) END) * 10000) AS BIGINT) AS v_micro FROM w2 WHERE tag = 1""",
     "q_dq" ->
       """SELECT 'pk_unique_lineitem' AS "check", CAST(count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS BIGINT) AS n_violations, count(*) AS n_total, count(*) = count(DISTINCT (l_orderkey, l_linenumber)) AS pass FROM lineitem UNION ALL SELECT 'fk_lineitem_orders', CAST((SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) AS BIGINT), (SELECT count(*) FROM lineitem), (SELECT count(*) FROM lineitem WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)) = 0 UNION ALL SELECT 'notnull_shipdate', CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*), sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem UNION ALL SELECT 'range_quantity_1_50', CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT), count(*), sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) = 0 FROM lineitem UNION ALL SELECT 'positive_totalprice', CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT), count(*), sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) = 0 FROM orders""",
+    "q_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p), deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a JOIN e b ON b.u = a.u AND a.v < b.v JOIN e c ON c.u = a.v AND c.v = b.v), pv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) SELECT deg.id AS part_id, deg.deg, coalesce(pv.tri_cnt, 0) AS tri_cnt FROM deg LEFT JOIN pv USING (id)""",
     "q_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
     "q_moments" ->

@@ -216,4 +216,52 @@ object Graph {
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
+
+  /** Per-vertex triangle counts via degree-ordered edge orientation —
+    * the "compact-forward" / node-iterator++ scheme (Latapy, TCS 2008;
+    * Suri & Vassilvitskii's MapReduce variant, WWW 2011).
+    *
+    * Every undirected edge is oriented from the (degree, id)-smaller
+    * endpoint to the larger; each triangle then has exactly ONE vertex
+    * with two out-edges, so wedges (two out-neighbors of one vertex)
+    * joined against the closing edge count each triangle once, no
+    * division by 3/6 needed. Orienting by DEGREE is the scale move: the
+    * wedge fan-out per vertex is its OUT-degree, which degree-ordering
+    * bounds by O(√|E|) even when raw degrees are power-law skewed — a
+    * celebrity node with 10⁶ followers produces wedges only from its
+    * (few) higher-degree peers, not from its fan base.
+    *
+    * Output (id, deg, tri_cnt) is all-integer ⇒ engine-exact, so the
+    * driver hash-compares against an id-ordered 3-way-join DuckDB oracle
+    * (orientation changes the join shape, not the triangle set).
+    */
+  def triangleCounts(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).cast(LongType).as("u"),
+        greatest(col(src), col(dst)).cast(LongType).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+    val oriented = e
+      .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
+      .select(when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")),
+          struct(col("u").as("a"), col("v").as("b")))
+        .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
+      .select(col("o.a").as("a"), col("o.b").as("b"))
+    // wedges: out-neighbor pairs of each apex; b < c keeps exactly one
+    // ordering per pair and matches the (u < v)-normalized closing edge
+    val wedges = oriented
+      .join(oriented.select(col("a"), col("b").as("c")), "a")
+      .filter(col("b") < col("c"))
+    val tris = wedges.join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
+    val perVertex = tris.select(col("a").as("id"))
+      .union(tris.select(col("b").as("id")))
+      .union(tris.select(col("c").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("tri_cnt"))
+    deg.join(perVertex, Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))
+  }
 }

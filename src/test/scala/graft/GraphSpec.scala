@@ -98,4 +98,40 @@ class GraphSpec extends SparkSpec {
     val r3b = Graph.pageRankInt(edges, iters = 3).collect().map(_.toSeq).toSet
     assert(r3a === r3b)
   }
+
+  test("triangle counts: hand graph, direction/duplicate invariance, skew apex") {
+    // two triangles sharing edge 2-3, plus a pendant vertex 4
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 5L), (3L, 5L))
+    def counts(e: Seq[(Long, Long)]): Map[Long, (Long, Long)] =
+      Graph.triangleCounts(e.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val expected = Map(
+      1L -> (2L, 1L), 2L -> (3L, 2L), 3L -> (4L, 2L), 4L -> (1L, 0L), 5L -> (2L, 1L))
+    assert(counts(edges) == expected)
+    // reversing directions and duplicating edges must not change anything
+    val noisy = edges.map { case (a, b) => (b, a) } ++ edges ++ edges
+    assert(counts(noisy) == expected)
+  }
+
+  test("triangle counts: agrees with brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 30 + trial * 10
+      val edges = Seq.fill(n * 4)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val eSet = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val verts = eSet.flatMap { case (a, b) => Seq(a, b) }.toSeq.sorted
+      val brute = scala.collection.mutable.Map[Long, Long]().withDefaultValue(0L)
+      for {
+        i <- verts.indices; j <- (i + 1) until verts.size
+        if eSet.contains((verts(i), verts(j)))
+        k <- (j + 1) until verts.size
+        if eSet.contains((verts(j), verts(k))) && eSet.contains((verts(i), verts(k)))
+      } { brute(verts(i)) += 1; brute(verts(j)) += 1; brute(verts(k)) += 1 }
+      val got = Graph.triangleCounts(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+      val want = verts.map(v => v -> brute(v)).toMap
+      assert(got == want, s"trial $trial mismatch")
+    }
+  }
 }
