@@ -589,6 +589,19 @@ operations:
           ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"))
     }),
 
+    "ta_markup" -> ((s, dir) => {
+      // html → text extraction (the WET step): wrap each doc in markup
+      // with a style block, entities and a script block, then strip with
+      // the RE2-compatible chain — oracle replays the identical patterns
+      val html = concat(
+        lit("<html><head><style>p { color: red; }</style></head><body><h1>Doc "),
+        col("doc_id").cast("string"),
+        lit("</h1>\n<p class=\"body\">"), col("text"),
+        lit(" &amp; more &lt;soon&gt;</p>\n<script>var x = 1 && 2;</script></body></html>"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), ext.CorpusClean.stripMarkup(html).as("clean_text"))
+    }),
+
     "ta_decontam" -> ((s, dir) => {
       // benchmark decontamination: docs sharing any word 8-gram with the
       // deterministic 5% hash-sample "benchmark"; bench grams broadcast,
@@ -711,6 +724,18 @@ operations:
       val e = lp.as("x").join(lp.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
         .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
       ext.Graph.triangleCounts(e).withColumnRenamed("id", "part_id")
+    }),
+
+    "q_winsor" -> ((s, dir) => {
+      // per-group winsorization on NEAREST-RANK order statistics (a value
+      // that exists in the data — engine-exact, unlike interpolated
+      // quantiles whose float blend can't hash-match across engines)
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      ext.Robust.winsorize(li, "l_returnflag", "price_c", 0.05, 0.95,
+        tieCols = Seq("l_orderkey", "l_linenumber"),
+        keep = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price_c"))
     }),
 
     "q_moments" -> ((s, dir) => {
@@ -1350,6 +1375,10 @@ operations:
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p), deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a JOIN e b ON b.u = a.u AND a.v < b.v JOIN e c ON c.u = a.v AND c.v = b.v), pv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) SELECT deg.id AS part_id, deg.deg, coalesce(pv.tri_cnt, 0) AS tri_cnt FROM deg LEFT JOIN pv USING (id)""",
     "q_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
+    "q_winsor" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c, l_orderkey, l_linenumber) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS n FROM v), b AS (SELECT l_returnflag, min(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT)) THEN price_c END) AS lo, min(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)) THEN price_c END) AS hi FROM r GROUP BY 1) SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.price_c, b.lo, b.hi, least(greatest(r.price_c, b.lo), b.hi) AS price_c_w, (r.price_c < b.lo OR r.price_c > b.hi) AS is_outlier FROM r JOIN b USING (l_returnflag)""",
+    "ta_markup" ->
+      """WITH h AS (SELECT doc_id, '<html><head><style>p { color: red; }</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p class="body">' || text || ' &amp; more &lt;soon&gt;</p>' || chr(10) || '<script>var x = 1 && 2;</script></body></html>' AS html FROM documents), s AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'), '<[^>]+>', ' ', 'g') AS t FROM h), d AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s) SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM d""",
     "q_moments" ->
       """SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy, CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx, CAST(sum(y * y) AS DECIMAL(38,0)) AS syy, CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy FROM (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS x, CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS y FROM lineitem) GROUP BY l_returnflag""",
     "q_moving" ->

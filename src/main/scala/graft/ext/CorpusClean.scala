@@ -130,6 +130,31 @@ object CorpusClean {
       regexp_count(text, lit(phoneRe)).cast(LongType),
       regexp_count(text, lit(ipRe)).cast(LongType))
 
+  /** Markup → text extraction (the CommonCrawl WET step every web corpus
+    * needs before any quality scoring): drop script/style blocks wholesale
+    * (their content is code, not prose), strip remaining tags, decode the
+    * core HTML entities, collapse whitespace. Pure projection — zero
+    * shuffles, codegen'd regexp_replace chain.
+    *
+    * All patterns are RE2-compatible (non-greedy + (?s), no backrefs, no
+    * lookaround) so the identical pattern text runs under Java regex and
+    * RE2-family engines — which is what lets the driver oracle replicate
+    * this byte-for-byte in DuckDB.
+    */
+  val scriptBlockRe = "(?s)<(script|style)[^>]*>.*?</(script|style)>"
+  val tagRe = "<[^>]+>"
+
+  def stripMarkup(html: Column): Column = {
+    val noBlocks = regexp_replace(html, scriptBlockRe, " ")
+    val noTags = regexp_replace(noBlocks, tagRe, " ")
+    // entity names are regex-metacharacter-free, so they run as literal
+    // patterns in both engines (\Q\E quoting would break RE2)
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&") // amp LAST (double-escapes)
+      .foldLeft(noTags) { case (c, (from, to)) => regexp_replace(c, from, to) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** Benchmark decontamination: flag every corpus document sharing at least
     * one word `n`-gram with the (small) benchmark set.
     *

@@ -49,6 +49,24 @@ class CorpusCleanSpec extends SparkSpec {
     assert((c.getLong(0), c.getLong(1), c.getLong(2)) == ((1L, 1L, 1L)))
   }
 
+  test("stripMarkup: tags, entities, script/style blocks (incl. multiline) all go") {
+    val html = "<html><head><style>\np { color: red; }\n</style></head>" +
+      "<body><h1>Title</h1>\n<p class=\"x\">Hello   <b>bold</b> world &amp; " +
+      "&lt;tag&gt; &quot;q&quot; &#39;s&#39; a&nbsp;b</p>" +
+      "<script type=\"text/javascript\">\nvar x = 1 && 2;\n</script></body></html>"
+    val got = spark.range(1)
+      .select(CorpusClean.stripMarkup(org.apache.spark.sql.functions.lit(html)))
+      .collect()(0).getString(0)
+    assert(got == "Title Hello bold world & <tag> \"q\" 's' a b")
+  }
+
+  test("stripMarkup: plain text is untouched except whitespace collapse") {
+    val got = spark.range(1)
+      .select(CorpusClean.stripMarkup(org.apache.spark.sql.functions.lit("  just\t\ttext\nhere ")))
+      .collect()(0).getString(0)
+    assert(got == "just text here")
+  }
+
   test("decontaminate: only docs sharing an n-gram with bench are flagged") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta"),
