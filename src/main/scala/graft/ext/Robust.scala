@@ -48,4 +48,39 @@ object Robust {
         least(greatest(col(valueCol), col("lo")), col("hi")).as(s"${valueCol}_w") :+
         (col(valueCol) < col("lo") || col(valueCol) > col("hi")).as("is_outlier")): _*)
   }
+
+  /** Streaming-style anomaly flag: a point is anomalous when it sits more
+    * than `kSigma` standard deviations from the mean of its `lookback`
+    * PRECEDING points (current row excluded — the candidate must not
+    * poison its own baseline).
+    *
+    * The test is evaluated in INTEGERS: with s=Σv, ss=Σv² over the
+    * trailing frame of n rows, `(n·v − s)² > k²·(n·ss − s²)` is the exact
+    * z² > k² condition cleared of divisions — no float mean/stddev, so
+    * the flag is engine-exact and the driver hash-matches it (float
+    * stddev windows differ in the last ulp across engines and would not).
+    * `valueCol` must already be integral (e.g. cents).
+    *
+    * One shuffle on the key; the frame is ROWS-bounded so state is O(1)
+    * per row in a streaming translation.
+    */
+  def trailingAnomaly(df: DataFrame, keyCol: String, orderCols: Seq[String],
+                      valueCol: String, lookback: Int = 20,
+                      minPrev: Int = 5, kSigma: Int = 3,
+                      keep: Seq[String] = Nil): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(orderCols.map(col): _*)
+      .rowsBetween(-lookback, -1)
+    val v = col(valueCol)
+    val out = df
+      .withColumn("n_prev", count(v).over(w))
+      .withColumn("s_prev", coalesce(sum(v).over(w), lit(0L)))
+      .withColumn("ss_prev", coalesce(sum(v * v).over(w), lit(0L)))
+    val n = col("n_prev"); val s = col("s_prev"); val ss = col("ss_prev")
+    val dev = n * v - s
+    val flagged = out.withColumn("is_anomaly",
+      n >= minPrev && dev * dev > lit(kSigma.toLong * kSigma) * (n * ss - s * s))
+    val cols = (if (keep.isEmpty) df.columns.toSeq else keep).map(col) ++
+      Seq(n, s, col("is_anomaly"))
+    flagged.select(cols: _*)
+  }
 }

@@ -36,6 +36,40 @@ class RobustSpec extends SparkSpec {
     assert(b.forall(r => r(3) == 1001L))
   }
 
+  test("trailingAnomaly: spike flagged, constant series and warm-up rows never flagged") {
+    // user 1: ten 10s then a 1000 spike; user 2: all constant
+    val rows = (1 to 10).map(i => (1L, i.toLong, 10L)) ++ Seq((1L, 11L, 1000L)) ++
+      (1 to 8).map(i => (2L, i.toLong, 55L))
+    val df = rows.toDF("user_id", "seq", "v")
+    val got = Robust.trailingAnomaly(df, "user_id", Seq("seq"), "v",
+      lookback = 20, minPrev = 5, kSigma = 3, keep = Seq("user_id", "seq", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    assert(got((1L, 11L)), "spike must be flagged")
+    assert(rows.filterNot(_ == ((1L, 11L, 1000L))).forall { case (u, i, _) => !got((u, i)) },
+      "nothing else may be flagged")
+    // physical order invariance
+    val got2 = Robust.trailingAnomaly(df.repartition(5).sortWithinPartitions("v"),
+      "user_id", Seq("seq"), "v", 20, 5, 3, Seq("user_id", "seq", "v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getBoolean(5)).toMap
+    assert(got2 == got)
+  }
+
+  test("trailingAnomaly: kSigma boundary is strict (z exactly k is not anomalous)") {
+    // baseline 5 points mean 0, var... construct: prev = {-1,-1,-1,1,1,1}? use
+    // simple exactness check: prev = {0,0,0,0,2}, n=5, s=2, ss=4
+    // candidate v: (5v-2)^2 > 9*(20-4)=144 ⟺ |5v-2| > 12 ⟺ v >= 3 or v <= -3
+    // (v=-2 gives |5v-2| = 12, strictly-greater fails ⇒ not anomalous)
+    val rows = Seq(0L, 0L, 0L, 0L, 2L).zipWithIndex.map { case (v, i) => (1L, i.toLong, v) }
+    def flagOf(cand: Long): Boolean =
+      Robust.trailingAnomaly((rows :+ ((1L, 99L, cand))).toDF("user_id", "seq", "v"),
+        "user_id", Seq("seq"), "v", 20, 5, 3, Seq("user_id", "seq", "v"))
+        .filter($"seq" === 99L).collect()(0).getBoolean(5)
+    assert(!flagOf(2L))
+    assert(flagOf(3L))
+    assert(!flagOf(-2L))
+    assert(flagOf(-3L))
+  }
+
   test("winsorize: singleton group clips nothing") {
     val df = Seq(("s", 1L, 42L)).toDF("k", "id", "v")
     val r = Robust.winsorize(df, "k", "v", 0.05, 0.95, Seq("id"), Seq("k", "id", "v"))
