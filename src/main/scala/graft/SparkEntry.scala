@@ -726,6 +726,16 @@ operations:
       ext.Graph.triangleCounts(e).withColumnRenamed("id", "part_id")
     }),
 
+    "ev_variant" -> ((s, dir) => {
+      // semi-structured ingestion via Spark 4 VARIANT: parse the raw JSON
+      // props once into the shredded binary variant encoding, extract a
+      // typed path, aggregate — the open-table-format answer to schema
+      // drift (no schema declared up front, unlike q_json's from_json)
+      events(s, dir)
+        .select(variant_get(parse_json(col("props")), "$.k", "long").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+    }),
+
     "ev_anomaly" -> ((s, dir) => {
       // trailing-window z-score anomaly flag per user, evaluated as the
       // division-free integer condition (n·v−s)² > k²·(n·ss−s²) — exact
@@ -1387,6 +1397,8 @@ operations:
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p), deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a JOIN e b ON b.u = a.u AND a.v < b.v JOIN e c ON c.u = a.v AND c.v = b.v), pv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) SELECT deg.id AS part_id, deg.deg, coalesce(pv.tri_cnt, 0) AS tri_cnt FROM deg LEFT JOIN pv USING (id)""",
     "q_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
+    "ev_variant" ->
+      """SELECT CAST(props->>'$.k' AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1""",
     "ev_anomaly" ->
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), w AS (SELECT event_id, user_id, v_c, CAST(count(v_c) OVER win AS BIGINT) AS n_prev, CAST(coalesce(sum(v_c) OVER win, 0) AS BIGINT) AS s_prev, CAST(coalesce(sum(v_c * v_c) OVER win, 0) AS BIGINT) AS ss_prev FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, v_c, n_prev, s_prev, (n_prev >= 5 AND (n_prev * v_c - s_prev) * (n_prev * v_c - s_prev) > 9 * (n_prev * ss_prev - s_prev * s_prev)) AS is_anomaly FROM w""",
     "q_winsor" ->

@@ -106,4 +106,43 @@ object Layout {
     df.queryExecution.executedPlan.collect {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.isEmpty
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ⌈bytes / targetBytes⌉ files, optionally re-clustered on `sortCols`.
+    *
+    * The operational problem this solves at 100 TB: streaming /
+    * incremental writers produce thousands of KB-sized files per
+    * partition, and every downstream scan then pays one task + one footer
+    * read + one open per file (plus NameNode/object-store pressure).
+    * Compaction is the standard maintenance op (Delta OPTIMIZE / Iceberg
+    * rewrite_data_files re-expressed on plain parquet).
+    *
+    * With `sortCols` the rewrite is `repartitionByRange + sort` — files
+    * then carry DISJOINT key ranges, so parquet min/max pruning works
+    * across files, not just within row groups. Without, a plain
+    * round-robin repartition balances bytes.
+    *
+    * Returns (filesBefore, filesAfter). Writes to `outPath` (never
+    * in-place: a failed in-place rewrite loses data; callers swap
+    * directories atomically at the catalog layer).
+    */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+              targetBytes: Long, sortCols: Seq[String] = Nil): (Long, Long) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val in = new java.io.File(inPath)
+    val parts = Option(in.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val totalBytes = parts.map(_.length()).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(inPath)
+    val rewritten =
+      if (sortCols.nonEmpty)
+        df.repartitionByRange(nOut, sortCols.map(col): _*)
+          .sortWithinPartitions(sortCols.map(col): _*)
+      else df.repartition(nOut)
+    rewritten.write.mode(SaveMode.Overwrite).parquet(outPath)
+    val after = Option(new java.io.File(outPath).listFiles()).getOrElse(Array.empty)
+      .count(f => f.isFile && f.getName.endsWith(".parquet")).toLong
+    (parts.length.toLong, after)
+  }
 }

@@ -67,6 +67,39 @@ class LayoutSpec extends SparkSpec {
       events.where(col("event_type") === "click").count())
   }
 
+  test("compact: many small files become few, rows survive, sort enables cross-file pruning") {
+    val src = "/tmp/graft-test/compact-in"
+    val out = "/tmp/graft-test/compact-out"
+    val li = SparkEntry.T(spark, sf0001, "lineitem")
+      .select("l_orderkey", "l_linenumber", "l_quantity")
+    // simulate a streaming writer: 40 tiny files
+    li.repartition(40).write.mode("overwrite").parquet(src)
+    val bytes = Option(new java.io.File(src).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(_.length()).sum
+
+    val (before, after) = Layout.compact(spark, src, out,
+      targetBytes = bytes / 3, sortCols = Seq("l_orderkey"))
+    assert(before == 40L, s"fixture wrote $before files")
+    assert(after <= 4L && after >= 2L, s"expected ~3 compacted files, got $after")
+
+    val back = spark.read.parquet(out)
+    assert(back.count() == li.count())
+    assert(back.select(sum("l_quantity")).head().getDouble(0) ==
+      li.select(sum("l_quantity")).head().getDouble(0))
+
+    // range-partitioned rewrite ⇒ files carry disjoint l_orderkey ranges:
+    // a selective key predicate must prune whole files at the scan
+    val files = Option(new java.io.File(out).listFiles()).get
+      .filter(_.getName.endsWith(".parquet")).map(f => spark.read.parquet(f.getPath))
+    val ranges = files.map(f =>
+      (f.agg(min("l_orderkey")).head().getLong(0), f.agg(max("l_orderkey")).head().getLong(0)))
+    val sorted = ranges.sortBy(_._1)
+    sorted.sliding(2).foreach {
+      case Array((_, hi1), (lo2, _)) => assert(hi1 <= lo2, s"overlapping file ranges: $sorted")
+      case _ =>
+    }
+  }
+
   test("saltedJoin equals the plain join for inner and left") {
     val orders = SparkEntry.T(spark, sf0001, "orders")
     val customer = SparkEntry.T(spark, sf0001, "customer")
