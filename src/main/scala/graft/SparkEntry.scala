@@ -756,7 +756,6 @@ operations:
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
           round(col("l_extendedprice") * 100).cast("long").as("price_c"))
       ext.Robust.winsorize(li, "l_returnflag", "price_c", 0.05, 0.95,
-        tieCols = Seq("l_orderkey", "l_linenumber"),
         keep = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price_c"))
     }),
 

@@ -236,13 +236,21 @@ object Graph {
     * (orientation changes the join shape, not the triangle set).
     */
   def triangleCounts(edges: DataFrame, src: String = "src", dst: String = "dst"): DataFrame = {
+    // e is consumed THREE times (degrees, orientation, closing-edge join)
+    // and oriented twice (both wedge sides) — without truncation each
+    // consumer would re-run the caller's whole edge derivation (for a
+    // co-purchase graph that's the pair-generation self-join, the most
+    // expensive step of the query); with the explode fix below this
+    // took the sf0.1 query from 43 s to ~9 s
     val e = edges
       .select(least(col(src), col(dst)).cast(LongType).as("u"),
         greatest(col(src), col(dst)).cast(LongType).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
+      .localCheckpoint(true)
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
     val oriented = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
@@ -251,15 +259,32 @@ object Graph {
           struct(col("u").as("a"), col("v").as("b")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
+      .localCheckpoint(true)
     // wedges: out-neighbor pairs of each apex; b < c keeps exactly one
-    // ordering per pair and matches the (u < v)-normalized closing edge
+    // ordering per pair and matches the (u < v)-normalized closing edge.
+    // On a dense graph wedges dwarf edges (41M wedges from 1.2M edges on
+    // the sf0.1 co-purchase graph) — they must NEVER hit an exchange. The
+    // self-join shuffles only `oriented` (edge-sized); the closing-edge
+    // check is a broadcast hash probe when the edge list fits (≤~5M
+    // edges ≈ 80 MB), so the wedge stream stays pipelined map-side.
+    // Above the cap it degrades to a partitioned join — the 100 TB-safe
+    // fallback.
+    val fitsBroadcast = e.count() <= 5000000L
+    val wedgeRight = {
+      val r = oriented.select(col("a"), col("b").as("c"))
+      if (fitsBroadcast) broadcast(r) else r
+    }
     val wedges = oriented
-      .join(oriented.select(col("a"), col("b").as("c")), "a")
+      .join(wedgeRight, "a")
       .filter(col("b") < col("c"))
-    val tris = wedges.join(e.select(col("u").as("b"), col("v").as("c")), Seq("b", "c"))
-    val perVertex = tris.select(col("a").as("id"))
-      .union(tris.select(col("b").as("id")))
-      .union(tris.select(col("c").as("id")))
+    val closing = e.select(col("u").as("b"), col("v").as("c"))
+    val closingSide = if (fitsBroadcast) broadcast(closing) else closing
+    val tris = wedges.join(closingSide, Seq("b", "c"))
+    // explode, don't union: a 3-branch union re-executes the whole
+    // triangle pipeline once per branch (3× the wedge work); explode
+    // emits all three memberships in the same single pass
+    val perVertex = tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("tri_cnt"))
     deg.join(perVertex, Seq("id"), "left")
       .select(col("id"), col("deg"), coalesce(col("tri_cnt"), lit(0L)).as("tri_cnt"))

@@ -11,8 +11,7 @@ class RobustSpec extends SparkSpec {
   test("winsorize: nearest-rank bounds on a hand group") {
     // group g: values 1..10 → idx(0.2)=2, idx(0.8)=8 ⇒ lo=2, hi=8
     val df = (1 to 10).map(i => ("g", i.toLong, i.toLong)).toDF("k", "id", "v")
-    val out = Robust.winsorize(df, "k", "v", 0.2, 0.8,
-      tieCols = Seq("id"), keep = Seq("k", "id", "v"))
+    val out = Robust.winsorize(df, "k", "v", 0.2, 0.8, keep = Seq("k", "id", "v"))
       .collect().map(r => r.getLong(1) ->
         ((r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6)))).toMap
     (1 to 10).foreach { i =>
@@ -27,9 +26,9 @@ class RobustSpec extends SparkSpec {
     val rows = (1 to 50).map(i => ("a", i.toLong, (i * 37 % 100).toLong)) ++
       (1 to 7).map(i => ("b", i.toLong, (1000 + i).toLong))
     val fwd = Robust.winsorize(rows.toDF("k", "id", "v"), "k", "v", 0.1, 0.9,
-      Seq("id"), Seq("k", "id", "v")).collect().map(_.toSeq).toSet
+      Seq("k", "id", "v")).collect().map(_.toSeq).toSet
     val rev = Robust.winsorize(rows.reverse.toDF("k", "id", "v").repartition(7), "k", "v",
-      0.1, 0.9, Seq("id"), Seq("k", "id", "v")).collect().map(_.toSeq).toSet
+      0.1, 0.9, Seq("k", "id", "v")).collect().map(_.toSeq).toSet
     assert(fwd == rev)
     // group b (n=7): idx(0.1)=1 → lo is the min; nothing clipped below
     val b = fwd.filter(_.head == "b")
@@ -72,7 +71,7 @@ class RobustSpec extends SparkSpec {
 
   test("winsorize: singleton group clips nothing") {
     val df = Seq(("s", 1L, 42L)).toDF("k", "id", "v")
-    val r = Robust.winsorize(df, "k", "v", 0.05, 0.95, Seq("id"), Seq("k", "id", "v"))
+    val r = Robust.winsorize(df, "k", "v", 0.05, 0.95, Seq("k", "id", "v"))
       .collect()(0)
     assert(r.getLong(3) == 42L && r.getLong(4) == 42L)
     assert(r.getLong(5) == 42L && !r.getBoolean(6))
