@@ -117,4 +117,40 @@ object Source {
       else acc
     }
   }
+
+  /** Production ingestion with a QUARANTINE channel: rows the declared
+    * schema cannot parse are captured (PERMISSIVE mode + the corrupt-
+    * record column) instead of nulling out silently or killing the job.
+    * Returns (good rows in the declared schema, quarantined raw lines).
+    *
+    * The reference's strict world (Polars raises on the first bad value)
+    * is right for a 10-row demo CSV and wrong at 100 TB, where a
+    * petabyte-scale load ALWAYS contains some malformed rows and the
+    * job must not die at hour 9 of 10 — the operational pattern is
+    * load-all, route rejects to a side table, alert on the reject rate
+    * (see `ext.Quality` for the gating side).
+    *
+    * Both frames come from ONE scan definition; Spark evaluates the
+    * corrupt-record column during the same parse that produces the good
+    * rows, so quarantining costs nothing extra over a permissive read.
+    */
+  def loadCsvWithQuarantine(spark: SparkSession, path: String,
+                            declared: Seq[(String, SchemaType)]): (DataFrame, DataFrame) = {
+    val fields = declared.map { case (n, t) => StructField(n, t.spark, nullable = true) }
+    val schema = StructType(fields :+ StructField("_corrupt_record", StringType, nullable = true))
+    val raw = spark.read
+      .option("header", true)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(schema)
+      .csv(path)
+      // the corrupt-record column must be materialized before filtering on
+      // it (Spark refuses a filter-only reference to it), and caching the
+      // parsed frame keeps good/bad extraction to one scan
+      .cache()
+    val good = raw.filter(col("_corrupt_record").isNull).drop("_corrupt_record")
+    val bad = raw.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record").as("raw_line"))
+    (good, bad)
+  }
 }

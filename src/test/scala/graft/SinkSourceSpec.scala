@@ -79,6 +79,27 @@ class SinkSourceSpec extends graft.SparkSpec {
     assert(df.filter(org.apache.spark.sql.functions.col("v").isNull).count() == 1)
   }
 
+  test("quarantine load: bad rows captured raw, good rows typed, nothing lost") {
+    val p = "/tmp/graft-test/quarantine.csv"
+    val w = new java.io.PrintWriter(p)
+    w.println("id,qty,price")
+    w.println("1,5,10.5")          // good
+    w.println("2,notanum,3.25")    // bad long
+    w.println("3,7,oops")          // bad double
+    w.println("4,,2.0")            // null qty is VALID (missing ≠ malformed)
+    w.println("5,9,1.0")           // good
+    w.close()
+    val (good, bad) = Source.loadCsvWithQuarantine(spark, p,
+      Seq("id" -> SchemaType.Int64, "qty" -> SchemaType.Int64, "price" -> SchemaType.Flt))
+    val goodIds = good.collect().map(_.getLong(0)).sorted.toSeq
+    assert(goodIds == Seq(1L, 4L, 5L), s"got $goodIds")
+    val badLines = bad.collect().map(_.getString(0)).sorted.toSeq
+    assert(badLines == Seq("2,notanum,3.25", "3,7,oops"), s"got $badLines")
+    // conservation: every input record lands in exactly one channel
+    assert(good.count() + bad.count() == 5)
+    good.unpersist(); spark.catalog.clearCache()
+  }
+
   test("orc sink/source round-trip: directory layout and single-file path") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
