@@ -1137,6 +1137,30 @@ operations:
       s.table("graft_stream_window")
     }),
 
+    "stream_enrich" -> ((s, dir) => {
+      // stream-STATIC join: the streaming micro-batch joins a static dim
+      // snapshot read per batch (the broadcast enrichment every event
+      // pipeline does); aggregation keyed by the dim attribute proves the
+      // join ran inside the stream — result equals the batch join oracle
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val dim = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val joined = stream.join(broadcast(dim), Seq("user_id"), "inner")
+        .groupBy(col("c_mktsegment"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(round(col("value") * 100).cast("long")).as("value_c"))
+      s.catalog.dropTempView("graft_stream_enrich")
+      val q = joined.writeStream.format("memory").queryName("graft_stream_enrich")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_enrich")
+    }),
+
     "ev_sessions_typed" -> ((s, dir) => {
       // the TYPED stateful sessionizer (flatMapGroupsWithState) run in
       // batch mode — same state machine the stream runs; output limited
@@ -1348,6 +1372,8 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_enrich" ->
+      """SELECT c_mktsegment, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2""",
     "ev_sessions_typed" ->
       """WITH g AS (SELECT user_id, ts, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)), s AS (SELECT user_id, ts, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts) AS sid FROM g) SELECT user_id, min(ts) AS session_start, count(*) AS n_events FROM s GROUP BY user_id, sid""",
     "stream_sessions" ->
