@@ -589,6 +589,14 @@ operations:
           ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"))
     }),
 
+    "ta_pmi" -> ((s, dir) => {
+      // collocation extraction: top-50 bigrams by PMI (min count 5) —
+      // positive-PMI filter is an exact integer predicate, score is
+      // micro-nat fixed point, ties broken lexically ⇒ exact top-k
+      ext.LangModel.collocations(T(s, dir, "documents"), "doc_id", "text",
+        minCount = 5, topK = 50)
+    }),
+
     "ta_markup" -> ((s, dir) => {
       // html → text extraction (the WET step): wrap each doc in markup
       // with a style block, entities and a script block, then strip with
@@ -1428,6 +1436,8 @@ operations:
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), w AS (SELECT event_id, user_id, v_c, CAST(count(v_c) OVER win AS BIGINT) AS n_prev, CAST(coalesce(sum(v_c) OVER win, 0) AS BIGINT) AS s_prev, CAST(coalesce(sum(v_c * v_c) OVER win, 0) AS BIGINT) AS ss_prev FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, v_c, n_prev, s_prev, (n_prev >= 5 AND (n_prev * v_c - s_prev) * (n_prev * v_c - s_prev) > 9 * (n_prev * ss_prev - s_prev * s_prev)) AS is_anomaly FROM w""",
     "q_winsor" ->
       """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c, l_orderkey, l_linenumber) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS n FROM v), b AS (SELECT l_returnflag, min(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT)) THEN price_c END) AS lo, min(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)) THEN price_c END) AS hi FROM r GROUP BY 1) SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.price_c, b.lo, b.hi, least(greatest(r.price_c, b.lo), b.hi) AS price_c_w, (r.price_c < b.lo OR r.price_c > b.hi) AS is_outlier FROM r JOIN b USING (l_returnflag)""",
+    "ta_pmi" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), bg AS (SELECT t[i+1] AS w1, t[i+2] AS w2 FROM (SELECT t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2), c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1), c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1), n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg) SELECT w1, w2, c12, CAST(round(ln(CAST(c12 * nb AS DOUBLE) / CAST(c1 * c2 AS DOUBLE)) * 1000000) AS BIGINT) AS pmi_micro FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2) CROSS JOIN n WHERE c12 >= 5 AND c12 * nb > c1 * c2 ORDER BY pmi_micro DESC, w1, w2 LIMIT 50""",
     "ta_markup" ->
       """WITH h AS (SELECT doc_id, '<html><head><style>p { color: red; }</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p class="body">' || text || ' &amp; more &lt;soon&gt;</p>' || chr(10) || '<script>var x = 1 && 2;</script></body></html>' AS html FROM documents), s AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'), '<[^>]+>', ' ', 'g') AS t FROM h), d AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s) SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM d""",
     "q_moments" ->

@@ -76,4 +76,49 @@ object LangModel {
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
+
+  /** Collocation extraction by pointwise mutual information:
+    * PMI(w1,w2) = ln(c12·N / (c1·c2)) over corpus bigrams, where c1/c2
+    * are positional (w1-as-first / w2-as-second) counts and N the total
+    * bigram count — the classic Church & Hanks (1990) association
+    * measure.
+    *
+    * Determinism: candidates are pre-filtered by the INTEGER predicate
+    * c12·N > c1·c2 (exactly PMI > 0 — no float in the filter), so the
+    * fixed-pointed score round(ln·10⁶) only ever rounds non-negative
+    * values, the same half-up-stability argument as bigramNll. Ranking
+    * ties break on (w1, w2), making the top-k cut exact across engines.
+    *
+    * Scale shape: two count aggregates over the bigram stream + one
+    * total; the c1/c2 joins are on single-word keys (dataframe-sized
+    * model state like the LM — AQE broadcasts them when small); the
+    * top-k is a |candidates|-row sort AFTER the minCount filter.
+    */
+  def collocations(docs: DataFrame, idCol: String, textCol: String,
+                   minCount: Long = 5, topK: Int = 50): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+    val bg = toks
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val n = bg.agg(count(lit(1)).as("nb"))
+    c12.filter(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      // decimal(38) products: c12·N at web scale (N ~ 10¹²) overflows a
+      // long; the filter must stay EXACT, not float
+      .filter(col("c12").cast("decimal(38,0)") * col("nb") >
+        col("c1").cast("decimal(38,0)") * col("c2")) // PMI > 0, exact
+      .select(col("w1"), col("w2"), col("c12"),
+        round(log((col("c12") * col("nb")).cast(DoubleType) /
+          (col("c1") * col("c2")).cast(DoubleType)) * 1e6).cast(LongType).as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
 }

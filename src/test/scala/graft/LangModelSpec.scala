@@ -61,6 +61,38 @@ class LangModelSpec extends SparkSpec {
     assert(want.values.map(_._2).toSet.size > 10)
   }
 
+  test("collocations: exact local PMI mirror, positive-PMI filter, boundary distance") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSeq
+    // local mirror
+    val bgs = docs.flatMap { case (_, t) =>
+      val w = t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      if (w.length >= 2) w.sliding(2).map(p => (p(0), p(1))).toSeq else Nil
+    }
+    val c12 = bgs.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val c1 = bgs.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val c2 = bgs.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+    val nb = bgs.size.toLong
+    val cands = c12.filter { case ((a, b), c) =>
+      c >= 5 && c * nb > c1(a) * c2(b) }
+    val scored = cands.map { case ((a, b), c) =>
+      val raw = math.log((c * nb).toDouble / (c1(a) * c2(b)).toDouble) * 1e6
+      (a, b, c, math.round(raw), raw)
+    }.toSeq
+    val want = scored.sortBy(t => (-t._4, t._1, t._2)).take(50).map(t => (t._1, t._2, t._3, t._4))
+
+    val got = graft.ext.LangModel.collocations(
+      spark.read.parquet(s"$sf0001/documents.parquet"), "doc_id", "text", 5, 50)
+      .select("w1", "w2", "c12", "pmi_micro")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+    // every emitted score is PMI > 0 and far from a rounding boundary
+    assert(want.forall(_._4 >= 0))
+    val minDist = scored.map(t => math.abs(t._5 - math.floor(t._5) - 0.5)).min
+    assert(minDist > 1e-4, f"PMI term within $minDist%.2e of a .5 boundary")
+  }
+
   test("short and empty docs score (0, 0); unseen-history docs still score") {
     // ids 6 and 9 hash below 0x80000000 → train split; 1, 2, 4 → eval
     val docs: Seq[(Long, String)] = Seq(
