@@ -756,6 +756,16 @@ operations:
         keep = Seq("event_id", "user_id", "v_c"))
     }),
 
+    "q_bins" -> ((s, dir) => {
+      // equal-frequency discretization into deciles per return flag —
+      // integer bin ids from the value histogram, engine-exact
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      ext.Robust.equiDepthBins(li, "l_returnflag", "price_c", nBins = 10,
+        keep = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price_c"))
+    }),
+
     "q_winsor" -> ((s, dir) => {
       // per-group winsorization on NEAREST-RANK order statistics (a value
       // that exists in the data — engine-exact, unlike interpolated
@@ -1434,6 +1444,8 @@ operations:
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1""",
     "ev_anomaly" ->
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), w AS (SELECT event_id, user_id, v_c, CAST(count(v_c) OVER win AS BIGINT) AS n_prev, CAST(coalesce(sum(v_c) OVER win, 0) AS BIGINT) AS s_prev, CAST(coalesce(sum(v_c * v_c) OVER win, 0) AS BIGINT) AS ss_prev FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, v_c, n_prev, s_prev, (n_prev >= 5 AND (n_prev * v_c - s_prev) * (n_prev * v_c - s_prev) > 9 * (n_prev * ss_prev - s_prev * s_prev)) AS is_anomaly FROM w""",
+    "q_bins" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), h AS (SELECT l_returnflag, price_c, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2), b AS (SELECT l_returnflag, price_c, CAST(10 * coalesce(sum(c) OVER (PARTITION BY l_returnflag ORDER BY price_c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS bin FROM h) SELECT v.l_orderkey, v.l_linenumber, v.l_returnflag, v.price_c, b.bin FROM v JOIN b USING (l_returnflag, price_c)""",
     "q_winsor" ->
       """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag ORDER BY price_c, l_orderkey, l_linenumber) AS rn, count(*) OVER (PARTITION BY l_returnflag) AS n FROM v), b AS (SELECT l_returnflag, min(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.05 AS DOUBLE) * n) AS BIGINT)) THEN price_c END) AS lo, min(CASE WHEN rn = greatest(1, CAST(ceil(CAST(0.95 AS DOUBLE) * n) AS BIGINT)) THEN price_c END) AS hi FROM r GROUP BY 1) SELECT r.l_orderkey, r.l_linenumber, r.l_returnflag, r.price_c, b.lo, b.hi, least(greatest(r.price_c, b.lo), b.hi) AS price_c_w, (r.price_c < b.lo OR r.price_c > b.hi) AS is_outlier FROM r JOIN b USING (l_returnflag)""",
     "ta_pmi" ->

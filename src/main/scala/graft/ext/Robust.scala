@@ -60,6 +60,32 @@ object Robust {
         (col(valueCol) < col("lo") || col(valueCol) > col("hi")).as("is_outlier")): _*)
   }
 
+  /** Per-group equal-frequency (equi-depth) discretization: value v maps
+    * to bin ⌊B·cumBefore(v) / n⌋ where cumBefore counts STRICTLY smaller
+    * values — pure integer arithmetic over the same value histogram
+    * winsorize uses, so bin ids are engine-exact and ties always land in
+    * one bin. The quantile-binning every feature pipeline needs, without
+    * an interpolated (float, unhashable) quantile anywhere.
+    *
+    * Same scale shape as winsorize: parallel groupBy(key, value) counts,
+    * cumsum over the small distinct-value frame, broadcast join back.
+    */
+  def equiDepthBins(df: DataFrame, keyCol: String, valueCol: String,
+                    nBins: Int, keep: Seq[String]): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val hist = df.groupBy(keyCol, valueCol).agg(count(lit(1)).as("__c__"))
+    val wBefore = Window.partitionBy(keyCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(keyCol)
+    val binned = hist
+      .withColumn("__cb__", coalesce(sum(col("__c__")).over(wBefore), lit(0L)))
+      .withColumn("__n__", sum(col("__c__")).over(wAll))
+      .select(col(keyCol), col(valueCol),
+        expr(s"($nBins * __cb__) div __n__").as("bin"))
+    df.join(binned, Seq(keyCol, valueCol))
+      .select((keep.map(col) :+ col("bin")): _*)
+  }
+
   /** Streaming-style anomaly flag: a point is anomalous when it sits more
     * than `kSigma` standard deviations from the mean of its `lookback`
     * PRECEDING points (current row excluded — the candidate must not

@@ -69,6 +69,22 @@ class RobustSpec extends SparkSpec {
     assert(flagOf(-3L))
   }
 
+  test("equiDepthBins: uniform values split evenly, ties share a bin, ids exact") {
+    val df = (1 to 100).map(i => ("g", i.toLong, i.toLong)).toDF("k", "id", "v")
+    val got = Robust.equiDepthBins(df, "k", "v", 4, Seq("k", "id", "v"))
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    (1 to 100).foreach { i =>
+      assert(got(i.toLong) == (i - 1) / 25, s"value $i in wrong bin ${got(i.toLong)}")
+    }
+    // heavy tie: one value holding half the mass occupies exactly one bin
+    val tied = (Seq.fill(50)(10L) ++ (1L to 50L).map(_ + 100L)).zipWithIndex
+      .map { case (v, i) => ("t", i.toLong, v) }.toDF("k", "id", "v")
+    val byValue = Robust.equiDepthBins(tied, "k", "v", 4, Seq("k", "id", "v"))
+      .collect().map(r => r.getLong(2) -> r.getLong(3)).toMap
+    assert(byValue(10L) == 0L)
+    assert(byValue.filter { case (v, _) => v > 100L }.values.toSet == Set(2L, 3L))
+  }
+
   test("winsorize: singleton group clips nothing") {
     val df = Seq(("s", 1L, 42L)).toDF("k", "id", "v")
     val r = Robust.winsorize(df, "k", "v", 0.05, 0.95, Seq("k", "id", "v"))
