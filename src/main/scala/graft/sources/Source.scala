@@ -118,6 +118,26 @@ object Source {
     }
   }
 
+  /** Evolving-directory read: a parquet/orc directory written by several
+    * pipeline versions carries DIFFERENT file schemas; the default read
+    * takes one footer's schema and silently drops columns the sampled
+    * file lacks. `mergeSchema` unions all file schemas (missing columns
+    * null-fill per file), then declared casts apply on top.
+    *
+    * Kept separate from `load` on purpose: schema merging reads every
+    * file's footer at planning time — fine for a maintenance/backfill
+    * read, wasteful as the default on a million-file 100 TB table (there
+    * you pin the schema in a catalog and use `load`).
+    */
+  def loadMerged(spark: SparkSession, fd: FileDef): DataFrame = fd.format match {
+    case "parquet" =>
+      castDeclared(spark.read.option("mergeSchema", true).parquet(fd.path), fd)
+    case "orc" =>
+      castDeclared(spark.read.option("mergeSchema", true).orc(fd.path), fd)
+    case other =>
+      throw new IllegalArgumentException(s"loadMerged supports parquet/orc, got '$other'")
+  }
+
   /** Production ingestion with a QUARANTINE channel: rows the declared
     * schema cannot parse are captured (PERMISSIVE mode + the corrupt-
     * record column) instead of nulling out silently or killing the job.

@@ -100,6 +100,31 @@ class SinkSourceSpec extends graft.SparkSpec {
     good.unpersist(); spark.catalog.clearCache()
   }
 
+  test("loadMerged: evolving parquet dir unions file schemas; plain load may drop the new column") {
+    import spark.implicits._
+    val dir = "/tmp/graft-test/evolve"
+    def rm(f: java.io.File): Unit = { Option(f.listFiles()).foreach(_.foreach(rm)); f.delete() }
+    rm(new java.io.File(dir)); new java.io.File(dir).mkdirs()
+    // v1 writer: (id, a) — v2 writer adds column b
+    Seq((1L, "x")).toDF("id", "a").write.parquet(s"$dir/p1")
+    Seq((2L, "y", 9L)).toDF("id", "a", "b").write.parquet(s"$dir/p2")
+    // flatten part-files into one directory (two schema generations side by side)
+    val files = new java.io.File(dir).listFiles.filter(_.isDirectory).flatMap(_.listFiles)
+      .filter(_.getName.endsWith(".parquet"))
+    files.zipWithIndex.foreach { case (f, i) =>
+      java.nio.file.Files.move(f.toPath, new java.io.File(dir, s"part-$i.parquet").toPath)
+    }
+    new java.io.File(dir).listFiles.filter(_.isDirectory).foreach(rm)
+
+    val sch = FileSchema("t", Seq("id" -> ColumnDef(SchemaType.Int64)))
+    val merged = Source.loadMerged(spark, FileDef(dir, "parquet", sch))
+    assert(merged.columns.toSet == Set("id", "a", "b"))
+    val rows = merged.orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(rows(0).isNullAt(rows(0).fieldIndex("b")), "v1 rows null-fill the new column")
+    assert(rows(1).getLong(rows(1).fieldIndex("b")) == 9L)
+  }
+
   test("orc sink/source round-trip: directory layout and single-file path") {
     import spark.implicits._
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
