@@ -529,6 +529,18 @@ operations:
         ext.Multimodal.mediaFromDocuments(T(s, dir, "documents")), 64, 8)
     }),
 
+    "mm_neardup" -> ((s, dir) => {
+      // image near-dup via perceptual dHash on REAL decoded pixels +
+      // Hamming banding through the spanning-star bucket cap (the flat
+      // synthetic images all collide — the degenerate case the cap
+      // exists for); rows-only check, invariances + cap proven in
+      // PerceptualHashSpec
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.syntheticMedia(T(s, dir, "documents"))
+      val hashes = ext.Multimodal.perceptualHash(media).toDF()
+      ext.Multimodal.nearDupImagePairs(hashes, maxHamming = 1)
+    }),
+
     "mm_resize" -> ((s, dir) => {
       // REAL resize round-trip: planted constant-color images resized with
       // the nearest-neighbor resampler, re-decoded — dims and pixel sums

@@ -386,6 +386,98 @@ object Multimodal {
   }
 
   /** Resized media record. */
+  /** 64-bit difference hash (dHash, the standard perceptual image
+    * fingerprint): nearest-neighbor downscale to a 9×8 integer-luma grid,
+    * bit (y·8+x) set when luma(x,y) > luma(x+1,y). Invariant to uniform
+    * brightness shifts and to re-encoding (PNG vs BMP of the same pixels
+    * hash identically); near-duplicate images differ in a few bits.
+    * All-integer math and the same deterministic floor-sampling as
+    * `resize` — no rendering hints, so the hash is platform-stable.
+    */
+  private[ext] def dHash64(img: java.awt.image.BufferedImage): Long = {
+    val gw = 9; val gh = 8
+    val g = Array.ofDim[Int](gh, gw)
+    var y = 0
+    while (y < gh) {
+      val sy = (y.toLong * img.getHeight / gh).toInt
+      var x = 0
+      while (x < gw) {
+        val sx = (x.toLong * img.getWidth / gw).toInt
+        val rgb = img.getRGB(sx, sy)
+        g(y)(x) = 299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff) +
+          114 * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    var h = 0L
+    y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < 8) {
+        if (g(y)(x) > g(y)(x + 1)) h |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    h
+  }
+
+  case class MediaHash(media_id: Long, media_type: String,
+                       p_hash: Long, decodable: Boolean)
+
+  /** Perceptual hash per media row: dHash for decodable images; payloads
+    * no JDK reader accepts fall back to an exact byte hash (FNV-1a) with
+    * `decodable = false`, so the column is total and exact dedup still
+    * works on opaque blobs.
+    */
+  def perceptualHash(media: DataFrame)(implicit spark: SparkSession): Dataset[MediaHash] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img != null)
+            MediaHash(rec.media_id, rec.media_type, dHash64(img), decodable = true)
+          else
+            MediaHash(rec.media_id, rec.media_type,
+              graft.functions.Hashing.fnv1a64(bytes, 0, bytes.length), decodable = false)
+        }
+      }
+  }
+
+  /** Image near-dup pairs by dHash Hamming distance ≤ `maxHamming`,
+    * found via 4×16-bit banding (pigeonhole: ≤3 differing bits leave at
+    * least one band intact), candidate-capped through the shared
+    * spanning-star bucket guard (flat/boilerplate images hash
+    * identically and would otherwise degenerate every band bucket to
+    * all-pairs), then exact bit_count verify after an ids-only shuffle —
+    * the image twin of the SimHash text pipeline.
+    */
+  def nearDupImagePairs(hashes: DataFrame, maxHamming: Int = 3,
+                        maxBucket: Int = 1000): DataFrame = {
+    require(maxHamming <= 3, "4x16-bit banding only guarantees recall for hamming <= 3")
+    val banded = hashes.filter(col("decodable"))
+      .select(col("media_id").as("id"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("band"),
+            shiftright(col("p_hash"), i * 16).bitwiseAND(0xffffL).as("bkey"))): _*)).as("b"))
+      .select(col("id"), col("b.band").as("band"), col("b.bkey").as("bkey"))
+    val cand = Dedup.bucketPairs(banded, Seq("band", "bkey"), maxBucket, "dhash")
+      .distinct()
+    val h = hashes.select(col("media_id"), col("p_hash"))
+    cand
+      .join(h.select(col("media_id").as("id_a"), col("p_hash").as("h_a")), "id_a")
+      .join(h.select(col("media_id").as("id_b"), col("p_hash").as("h_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("h_a").bitwiseXOR(col("h_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   case class ResizedMedia(media_id: Long, media_type: String,
                           target_w: Int, target_h: Int, content: Array[Byte])
 
