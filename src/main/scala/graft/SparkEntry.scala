@@ -1022,6 +1022,16 @@ operations:
         .select("doc_id", "lang")
     }),
 
+    "ta_wsample" -> ((s, dir) => {
+      // weighted sampling without replacement (Efraimidis–Spirakis
+      // exponential keys), weights = token counts: micro-nat fixed-point
+      // keys + one IEEE division make the top-50 cut engine-exact
+      val d = T(s, dir, "documents")
+        .withColumn("n_tokens", size(ext.Dedup.tokens(col("text"))).cast("long"))
+      ext.Sampling.weightedSampleK(d, "doc_id", col("n_tokens"), 50)
+        .select("doc_id", "n_tokens", "nl_micro")
+    }),
+
     "q_arrays" -> ((s, dir) => {
       // array surface: collect per group (sorted — collect order is
       // nondeterministic by contract), higher-order transform/filter/
@@ -1310,6 +1320,8 @@ operations:
       """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
+    "ta_wsample" ->
+      """WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), keyed AS (SELECT doc_id, n_tokens, CAST(round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) * 1000000) AS BIGINT) AS nl_micro FROM d WHERE n_tokens > 0) SELECT doc_id, n_tokens, nl_micro FROM keyed ORDER BY CAST(nl_micro AS DOUBLE) / n_tokens ASC, doc_id ASC LIMIT 50""",
     "ta_mix" ->
       // fraction 1.0 keeps ALL rows (not `< 'ffffffff'`, which drops keys
       // hashing to exactly ffffffff) — mirrors Sampling.keepFraction

@@ -168,4 +168,36 @@ object Sampling {
       }
       .toDF("shard", "ord", "bin", "bin_offset")
   }
+
+  /** Weighted sampling WITHOUT replacement (top-k by exponential keys —
+    * Efraimidis & Spirakis, IPL 2006): row i is kept iff its key
+    * -ln(uᵢ)/wᵢ is among the k smallest, which draws exactly k rows with
+    * inclusion probability proportional to weight. The workhorse for
+    * "sample 10M docs, longer docs proportionally more" training-mix
+    * draws.
+    *
+    * Engine-exact determinism, in three steps: uᵢ comes from the first 8
+    * md5 hex chars of the id ((h+0.5)/2³² — the same deterministic
+    * uniform the hash-split family uses); -ln(u) is FIXED-POINTED to
+    * micro-nats (non-negative, so round() half-up agrees across
+    * engines); and the only float op after that is ONE IEEE division
+    * nl_micro/w, bit-identical everywhere. Ties break on id, so the
+    * top-k cut is exact and the driver hash-matches it.
+    *
+    * Scale shape: one map pass + TakeOrderedAndProject (per-partition
+    * bounded heaps, k rows shuffled per partition — never a global sort).
+    */
+  def weightedSampleK(df: DataFrame, idCol: String, weight: Column,
+                      k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val h = conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10).cast("long")
+    val nl = round(-log((h.cast("double") + 0.5) / 4294967296.0) * 1e6).cast("long")
+    df.withColumn("__w__", weight.cast("long"))
+      .filter(col("__w__") > 0)
+      .withColumn("nl_micro", nl)
+      .withColumn("wkey", col("nl_micro").cast("double") / col("__w__"))
+      .orderBy(col("wkey").asc, col(idCol).asc)
+      .limit(k)
+      .drop("__w__")
+  }
 }

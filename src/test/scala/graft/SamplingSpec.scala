@@ -107,4 +107,33 @@ class SamplingSpec extends SparkSpec {
     assert(placed(("t", 1L)) == (0L, 0L))
     assert(placed(("t", 2L)) == (1L, 0L))
   }
+
+  test("weightedSampleK: exact local mirror, zero-weight excluded, boundary distance") {
+    val rows = (1L to 400L).map(i => (i, (i % 7) * 10)) // weights 0..60, some zero
+    val df = rows.toDF("id", "w")
+    // local mirror of the exponential-key draw
+    def nlMicro(id: Long): (Long, Double) = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val raw = -math.log((h.toDouble + 0.5) / 4294967296.0) * 1e6
+      (math.round(raw), raw)
+    }
+    val keyed = rows.filter(_._2 > 0).map { case (id, w) =>
+      (id, w, nlMicro(id)._1, nlMicro(id)._1.toDouble / w)
+    }
+    val want = keyed.sortBy(t => (t._4, t._1)).take(25).map(t => (t._1, t._3)).toSet
+    val got = Sampling.weightedSampleK(df, "id", col("w"), 25)
+      .select("id", "nl_micro").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+    // no zero-weight row may ever be drawn, even with k > |positive rows|
+    val all = Sampling.weightedSampleK(df, "id", col("w"), 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all == rows.filter(_._2 > 0).map(_._1).toSet)
+    // fixed-point rounding sits far from every .5 boundary on this draw
+    val minDist = rows.map(r => nlMicro(r._1)._2)
+      .map(v => math.abs(v - math.floor(v) - 0.5)).min
+    assert(minDist > 1e-4, f"nl term within $minDist%.2e of a boundary")
+  }
 }
