@@ -756,6 +756,34 @@ operations:
         .groupBy("k").agg(count(lit(1)).as("n"))
     }),
 
+    "ev_cohorts" -> ((s, dir) => {
+      // retention cohort analysis: users grouped by first-seen week,
+      // distinct-user counts per week offset — all integer/date math
+      val ev = events(s, dir).select(col("user_id"), col("ts"))
+      val firsts = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      ev.join(firsts, "user_id")
+        .select(col("user_id"),
+          to_date(date_trunc("week", col("first_ts"))).as("cohort_week"),
+          expr("datediff(to_date(ts), to_date(date_trunc('week', first_ts))) div 7")
+            .cast("long").as("week_offset"))
+        .groupBy("cohort_week", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }),
+
+    "ev_attribution" -> ((s, dir) => {
+      // last-touch attribution: each purchase credits the user's most
+      // recent preceding click (carry-forward window, engine-exact ids)
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("last_click",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("last_click"))
+    }),
+
     "ev_anomaly" -> ((s, dir) => {
       // trailing-window z-score anomaly flag per user, evaluated as the
       // division-free integer condition (n·v−s)² > k²·(n·ss−s²) — exact
@@ -1466,6 +1494,10 @@ operations:
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
     "ev_variant" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1""",
+    "ev_cohorts" ->
+      """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1) SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week, CAST(datediff('day', CAST(date_trunc('week', f.first_ts) AS DATE), CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users FROM events e JOIN f USING (user_id) GROUP BY 1, 2""",
+    "ev_attribution" ->
+      """SELECT event_id AS purchase_id, user_id, last_click FROM (SELECT event_id, user_id, event_type, last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click FROM events) WHERE event_type = 'purchase'""",
     "ev_anomaly" ->
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), w AS (SELECT event_id, user_id, v_c, CAST(count(v_c) OVER win AS BIGINT) AS n_prev, CAST(coalesce(sum(v_c) OVER win, 0) AS BIGINT) AS s_prev, CAST(coalesce(sum(v_c * v_c) OVER win, 0) AS BIGINT) AS ss_prev FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, v_c, n_prev, s_prev, (n_prev >= 5 AND (n_prev * v_c - s_prev) * (n_prev * v_c - s_prev) > 9 * (n_prev * ss_prev - s_prev * s_prev)) AS is_anomaly FROM w""",
     "q_bins" ->
