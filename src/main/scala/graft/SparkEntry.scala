@@ -1050,6 +1050,41 @@ operations:
         .select("doc_id", "lang")
     }),
 
+    "ta_feathash" -> ((s, dir) => {
+      // the hashing trick (Weinberger et al. 2009): tokens → fixed 256-dim
+      // sparse counts via md5-derived indices — no vocabulary state at
+      // all, the property that makes it the streaming/100 TB featurizer;
+      // md5 keeps the index computable in both engines
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), explode(ext.Dedup.tokens(col("text"))).as("tok"))
+      toks
+        .withColumn("dim",
+          pmod(conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"), lit(256L)))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+    }),
+
+    "q_features" -> ((s, dir) => {
+      // ML feature assembly: one-hot the category against its sorted
+      // vocabulary + numerics, into one fixed-layout array column
+      val li = T(s, dir, "lineitem")
+      val flags = Seq("A", "N", "R") // sorted l_returnflag vocabulary
+      val oneHot = flags.map(f => when(col("l_returnflag") === f, 1L).otherwise(0L))
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        array(oneHot :+ col("l_quantity").cast("long") :+
+          round(col("l_extendedprice") * 100).cast("long"): _*).as("features"))
+    }),
+
+    "ev_wau" -> ((s, dir) => {
+      // rolling 7-day active users per day: each event-day contributes to
+      // the 7 windows ending on d..d+6; exact distinct-user counts
+      val ev = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      ev.select(col("user_id"), explode(sequence(col("d"),
+          date_add(col("d"), 6))).as("win_end"))
+        .groupBy("win_end")
+        .agg(countDistinct(col("user_id")).as("wau"))
+    }),
+
     "ta_wsample" -> ((s, dir) => {
       // weighted sampling without replacement (Efraimidis–Spirakis
       // exponential keys), weights = token counts: micro-nat fixed-point
@@ -1348,6 +1383,12 @@ operations:
       """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
+    "ta_feathash" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents) SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS dim, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2""",
+    "q_features" ->
+      """SELECT l_orderkey, l_linenumber, [CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)] AS features FROM lineitem""",
+    "ev_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), w AS (SELECT user_id, d + CAST(x AS INTEGER) AS win_end FROM ud, unnest(range(7)) AS t(x)) SELECT win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM w GROUP BY 1""",
     "ta_wsample" ->
       """WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), keyed AS (SELECT doc_id, n_tokens, CAST(round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) * 1000000) AS BIGINT) AS nl_micro FROM d WHERE n_tokens > 0) SELECT doc_id, n_tokens, nl_micro FROM keyed ORDER BY CAST(nl_micro AS DOUBLE) / n_tokens ASC, doc_id ASC LIMIT 50""",
     "ta_mix" ->
