@@ -1050,6 +1050,14 @@ operations:
         .select("doc_id", "lang")
     }),
 
+    "ta_wordpiece" -> ((s, dir) => {
+      // REAL subword tokenization: greedy longest-match against the
+      // corpus top-200 + [a-z0-9] vocabulary, applied to distinct words
+      // (dictionary encoding); oracle replays the exact greedy walk as a
+      // DuckDB recursive CTE
+      ext.TextAnalysis.wordpieceStats(T(s, dir, "documents"), "doc_id", "text", 200)
+    }),
+
     "ta_feathash" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. 2009): tokens → fixed 256-dim
       // sparse counts via md5-derived indices — no vocabulary state at
@@ -1383,6 +1391,8 @@ operations:
       """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
+    "ta_wordpiece" ->
+      """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), allw AS (SELECT unnest(t) AS w FROM toks), top AS (SELECT w FROM (SELECT w, count(*) AS c FROM allw GROUP BY w) QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 200), vocab AS (SELECT DISTINCT piece FROM (SELECT w AS piece FROM top UNION ALL SELECT unnest(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z','0','1','2','3','4','5','6','7','8','9']))), words AS (SELECT DISTINCT w FROM allw), m AS (SELECT w, 1 AS pos, 0 AS n_tok, FALSE AS unk FROM words UNION ALL SELECT w, pos + best_len, n_tok + 1, best_len IS NULL FROM (SELECT m.w, m.pos, m.n_tok, (SELECT max(len(piece)) FROM vocab WHERE piece = substr(m.w, m.pos, len(piece))) AS best_len FROM m WHERE NOT m.unk AND m.pos <= len(m.w))), ws AS (SELECT w, max(CASE WHEN unk THEN -1 ELSE n_tok END) AS n_pieces FROM m WHERE unk OR pos > len(w) GROUP BY w), dw AS (SELECT doc_id, unnest(t) AS w FROM toks), agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(CASE WHEN n_pieces < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words, CAST(sum(CASE WHEN n_pieces > 0 THEN n_pieces ELSE 0 END) AS BIGINT) AS n_pieces FROM dw JOIN ws USING (w) GROUP BY 1) SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, coalesce(a.n_unk_words, 0) AS n_unk_words, coalesce(a.n_pieces, 0) AS n_pieces FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "ta_feathash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents) SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS dim, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2""",
     "q_features" ->

@@ -138,4 +138,40 @@ object TextAnalysis {
         size(col("__c__")).cast("long").as("n_chunk_tokens"),
         array_join(col("__c__"), " ").as("chunk_text"))
   }
+
+  /** Real subword token statistics: greedy longest-match tokenization
+    * (WordPiece apply) against a corpus-derived vocabulary — the top
+    * `topN` words by (count desc, word) plus [a-z0-9] single characters —
+    * giving per-doc piece counts an actual tokenizer would produce, not
+    * whitespace word counts.
+    *
+    * Scale shape: the vocabulary is a bounded driver collect (topN rows,
+    * the IVF-centroid pattern); tokenization runs on DISTINCT words only
+    * (dictionary encoding — billions of occurrences, millions of
+    * distinct words) and joins back by word. Exact across engines: the
+    * greedy match is pure integer/string logic, mirrored in the oracle
+    * by a recursive CTE.
+    */
+  def wordpieceStats(docs: org.apache.spark.sql.DataFrame, idCol: String,
+                     textCol: String, topN: Int = 200): org.apache.spark.sql.DataFrame = {
+    val words = docs.select(explode(Dedup.tokens(col(textCol))).as("w"))
+    val top = words.groupBy("w").agg(count(lit(1)).as("c"))
+      .orderBy(col("c").desc, col("w")).limit(topN)
+      .collect().map(_.getString(0)).toSeq
+    val chars = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val vocab = (top ++ chars).distinct
+    val stats = words.distinct().withColumn("n_pieces",
+      graft.functions.Tokenize.greedyPieceCount(col("w"), vocab))
+    val perDoc = docs.select(col(idCol).as("id"), explode(Dedup.tokens(col(textCol))).as("w"))
+      .join(stats, "w")
+      .groupBy("id").agg(
+        count(lit(1)).as("n_words"),
+        sum(when(col("n_pieces") < 0, 1L).otherwise(0L)).as("n_unk_words"),
+        sum(when(col("n_pieces") > 0, col("n_pieces").cast("long")).otherwise(0L)).as("n_pieces"))
+    docs.select(col(idCol).as("id")).join(perDoc, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("n_words"), lit(0L)).as("n_words"),
+        coalesce(col("n_unk_words"), lit(0L)).as("n_unk_words"),
+        coalesce(col("n_pieces"), lit(0L)).as("n_pieces"))
+  }
 }

@@ -237,4 +237,42 @@ class ExtSpec extends SparkSpec {
     assert(resized.forall(r => r.content.length <= 64))
     assert(resized.forall(r => r.target_w == 8 && r.target_h == 8))
   }
+
+  test("greedy subword pieces: longest-match wins, unk on uncovered chars") {
+    import org.apache.spark.sql.functions._
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    def pieces(word: String, vocab: Seq[String]): Int =
+      Seq(word).toDF("w")
+        .select(graft.functions.Tokenize.greedyPieceCount(col("w"), vocab))
+        .collect()(0).getInt(0)
+    assert(pieces("unbreakable", Seq("un", "break", "able")) == 3)
+    assert(pieces("zzz", Seq("un", "break")) == -1)
+    // GREEDY longest: aaaa → aaa|a (2), never a|a|a|a
+    assert(pieces("aaaa", Seq("a", "aa", "aaa")) == 2)
+    // greedy can fail where backtracking would not: ab with {a, ab-less
+    // vocab}: vocab {ab, abc... } — verify the documented greedy semantics
+    assert(pieces("abc", Seq("ab", "c", "a", "bc")) == 2) // ab|c, not a|bc
+    assert(pieces("", Seq("a")) == 0)
+  }
+
+  test("wordpieceStats: hand mirror incl. empty docs and unk words") {
+    import org.apache.spark.sql.functions._
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    // corpus where 'hello' and 'world' dominate the top-N; 'qx!' has '!'
+    // outside [a-z0-9] and both words → unk
+    val docs = Seq(
+      (1L, "hello world hello world"),
+      (2L, "helloworld q1"),
+      (3L, ""),
+      (4L, "qx!")).toDF("doc_id", "text")
+    val got = graft.ext.TextAnalysis.wordpieceStats(docs, "doc_id", "text", topN = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // counts: hello 2, world 2, rest 1 ⇒ top-2 vocab = {hello, world} (+ [a-z0-9])
+    assert(got(1L) == ((4L, 0L, 4L)))           // four single-piece words
+    assert(got(2L) == ((2L, 0L, 2L + 2L)))      // helloworld→hello|world, q1→q|1
+    assert(got(3L) == ((0L, 0L, 0L)))
+    assert(got(4L) == ((1L, 1L, 0L)))           // '!' uncovered → unk
+  }
 }
