@@ -407,6 +407,18 @@ operations:
       ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
     }),
 
+    "sim_topk_ivfpq" -> ((s, dir) => {
+      // the composed FAISS IVFPQ tier: coarse cells bound the rows
+      // scanned (nProbe), PQ codes bound the bytes per row, exact refine
+      // bounds full-width reads; rows-only — composition glue proven
+      // exact in PqSpec (all cells + lossless books == brute force)
+      val emb = T(s, dir, "embeddings")
+      val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val books = ext.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 64, iters = 2)
+      ext.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
+        cents, books, k = 10, nProbe = 3, shortlist = 50)
+    }),
+
     "sim_topk_pq" -> ((s, dir) => {
       // product quantization (Jégou et al. 2011): 24-bit codes (64×
       // compression) + ADC table-lookup scoring + exact refine of a

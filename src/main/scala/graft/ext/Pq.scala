@@ -176,6 +176,95 @@ object Pq {
         col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
   }
 
+  /** The composed IVF+PQ index (FAISS `IVFx,PQy`): coarse k-means cells
+    * bound WHICH rows are scanned (nProbe cells per query), PQ codes
+    * bound the BYTES per scanned row (M codes instead of D floats), and
+    * an exact refine bounds the full-width reads to |queries|·shortlist.
+    * This is the tier layout a 100 TB vector corpus actually ships:
+    * partition the compressed index by cell, and a probe touches nProbe
+    * partitions of M-byte codes.
+    *
+    * Exactness anchor (PqSpec): probing ALL cells with lossless codebooks
+    * degenerates to brute force exactly — both approximations removed at
+    * once proves the composition glue loses nothing.
+    */
+  def ivfPqTopK(data: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
+                centroids: Seq[(Int, Array[Double])], books: Codebooks,
+                k: Int, nProbe: Int, shortlist: Int = 50): DataFrame = {
+    val spark = data.sparkSession
+    import spark.implicits._
+    val m = books.size
+    val kk = books.head.length
+    val sd = books.head.head.length
+    // compressed, cell-partitioned index: (cell, id, codes, rnorm)
+    val index = IvfIndex.assign(data, idCol, vecCol, centroids)
+      .join(encode(data, idCol, vecCol, books), "id")
+      .select(col("cell"), col("id"), col("codes"), col("rnorm"))
+    // per-query: ADC table + the nProbe nearest cells, computed on the
+    // driver (queries are broadcast-small by contract)
+    val cents = centroids.toArray
+    val qRows = queries
+      .select(col(idCol).cast("long").as("qid"), col(vecCol).cast("array<double>").as("qv"))
+      .collect()
+      .map { r =>
+        val qid = r.getLong(0)
+        val qv = r.getSeq[Double](1).toArray
+        val table = new Array[Double](m * kk)
+        var mm = 0
+        while (mm < m) {
+          var j = 0
+          while (j < kk) {
+            val c = books(mm)(j); var s = 0.0; var i = 0
+            while (i < sd) { s += qv(mm * sd + i) * c(i); i += 1 }
+            table(mm * kk + j) = s; j += 1
+          }
+          mm += 1
+        }
+        var qn = 0.0; qv.foreach(x => qn += x * x)
+        val probed = cents.map { case (cid, c) =>
+          var d = 0.0; var i = 0
+          while (i < c.length) { val t = qv(i) - c(i); d += t * t; i += 1 }
+          (d, cid)
+        }.sortBy(identity).take(math.min(nProbe, cents.length)).map(_._2)
+        (qid, table, math.sqrt(qn), probed)
+      }.toSeq
+    val q = broadcast(qRows.toDF("query_id", "__tbl__", "__qn__", "__cells__")
+      .select(col("query_id"), col("__tbl__"), col("__qn__"),
+        explode(col("__cells__")).as("cell")))
+    val adcDot = aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (code, mm) => element_at(col("__tbl__"), mm * kk + code + 1)),
+      lit(0.0), (acc, x) => acc + x)
+    val scored = index.join(q, Seq("cell"))
+      .filter(col("id") =!= col("query_id"))
+      .withColumn("score", adcDot / (col("__qn__") * col("rnorm")))
+      .select(col("query_id"), col("id").as("neighbor_id"), col("score"))
+    val cand = scored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(shortlist, col("score"),
+        col("neighbor_id").cast("double"),
+        struct(col("neighbor_id"), col("score"))).as("__top__"))
+      .select(col("query_id"), explode(col("__top__")).as("c"))
+      .select(col("query_id"), col("c.neighbor_id").as("neighbor_id"))
+    // exact refine of the shortlist
+    val full = data.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("__nv__"))
+    val qv = broadcast(queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("__qv__")))
+    val rescored = cand.join(full, "neighbor_id").join(qv, "query_id")
+      .withColumn("score",
+        graft.functions.VectorExprs.dot(col("__nv__"), col("__qv__")) /
+          (graft.functions.VectorExprs.norm(col("__nv__")) *
+            graft.functions.VectorExprs.norm(col("__qv__"))))
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    rescored.groupBy("query_id")
+      .agg(graft.functions.TopKAgg.topK(k, col("score"),
+        col("neighbor_id").cast("double"),
+        struct(col("neighbor_id"), col("score"))).as("__top__"))
+      .select(col("query_id"), posexplode(col("__top__")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
+  }
+
   /** ADC shortlist + exact re-rank (the FAISS `IVFPQ,Refine` shape):
     * approximate scoring over the compressed codes picks `shortlist`
     * candidates per query, then ONLY those rows' full vectors are

@@ -62,6 +62,31 @@ class PqSpec extends SparkSpec {
     assert(got1 == got2)
   }
 
+  test("IVFPQ: all cells + lossless codebooks degenerates to brute force exactly") {
+    val books = losslessBooks(4)
+    val cents = graft.ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val got = Pq.ivfPqTopK(emb, queries, "vec_id", "embedding", cents, books,
+      k = 10, nProbe = 8, shortlist = 500)
+    val exact = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10)
+    assert(neighborSets(got) == neighborSets(exact))
+  }
+
+  test("IVFPQ: compressed + partial probe keeps useful recall, never beats its refine") {
+    val books = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 64, iters = 2)
+    val cents = graft.ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val truth = neighborSets(Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 10))
+    def recallOf(got: Map[Long, Set[Long]]): Double = truth.map { case (q, t) =>
+      got.getOrElse(q, Set.empty).count(t).toDouble / t.size
+    }.sum / truth.size
+    val r3 = recallOf(neighborSets(Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      cents, books, k = 10, nProbe = 3, shortlist = 50)))
+    val r8 = recallOf(neighborSets(Pq.ivfPqTopK(emb, queries, "vec_id", "embedding",
+      cents, books, k = 10, nProbe = 8, shortlist = 50)))
+    info(f"IVFPQ recall@10: nProbe=3 $r3%.2f, nProbe=8 $r8%.2f")
+    assert(r8 >= r3, f"more probes must not hurt: $r3%.2f -> $r8%.2f")
+    assert(r3 > 0.2, f"IVFPQ recall collapsed: $r3%.2f")
+  }
+
   test("encode emits compact codes and exact reconstruction norms") {
     val books = Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 16, iters = 1)
     val enc = Pq.encode(emb, "vec_id", "embedding", books).collect()
