@@ -107,6 +107,31 @@ object Layout {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
     }.isEmpty
 
+  /** Clustering-quality metric for a directory's sort key: the average
+    * number of files whose [min, max] key range OVERLAPS each file's
+    * range (a file always overlaps itself, so perfect clustering → 1.0
+    * and no clustering → ≈ fileCount). This is the number a maintenance
+    * job watches to decide WHEN `compact`/`writeZOrdered` pays for
+    * itself: scan-time file pruning eliminates a fraction ≈ 1 −
+    * depth/files of the table for a point predicate.
+    */
+  def clusteringDepth(spark: SparkSession, path: String, keyCol: String): Double = {
+    val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    if (files.length <= 1) return files.length.toDouble
+    val ranges = files.map { f =>
+      val r = spark.read.parquet(f.getPath)
+        .agg(org.apache.spark.sql.functions.min(col(keyCol)).cast("double"),
+          org.apache.spark.sql.functions.max(col(keyCol)).cast("double"))
+        .head()
+      (r.getDouble(0), r.getDouble(1))
+    }
+    val overlaps = ranges.map { case (lo, hi) =>
+      ranges.count { case (lo2, hi2) => lo2 <= hi && lo <= hi2 }
+    }
+    overlaps.sum.toDouble / files.length
+  }
+
   /** Small-file compaction: rewrite a parquet directory into
     * ⌈bytes / targetBytes⌉ files, optionally re-clustered on `sortCols`.
     *
