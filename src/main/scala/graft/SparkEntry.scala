@@ -1062,6 +1062,31 @@ operations:
         .select("doc_id", "lang")
     }),
 
+    "ta_curate" -> ((s, dir) => {
+      // the WHOLE curation pipeline as ONE lazy plan — quality gate →
+      // language gate → exact dedup → benchmark decontamination → train
+      // split → sequence packing — every stage individually oracled
+      // elsewhere, composed here and hash-matched END TO END (the "could
+      // a user run their curation on this" proof)
+      val d = T(s, dir, "documents")
+      val gated = d
+        .withColumn("quality_bp",
+          floor(ext.TextAnalysis.rawQualityScore(col("text")) * 10000).cast("long"))
+        .filter(col("quality_bp") >= 5000)
+        .filter(ext.TextAnalysis.langId(col("text")) === "en")
+      val deduped = ext.Dedup.exactDedup(gated, Seq(md5(col("text"))), col("doc_id"))
+      val bench = d.filter(substring(md5(col("doc_id").cast("string")), 1, 8) < "0ccccccd")
+      val clean = deduped.join(
+        ext.CorpusClean.decontaminate(deduped, bench, "doc_id", "text", 8)
+          .filter(!col("contaminated")).select("doc_id"), "doc_id")
+      val train = ext.Sampling.hashSplit(clean, col("doc_id"))
+        .filter(col("split") === "train")
+      val withTok = train.withColumn("n_tokens", ext.TextAnalysis.tokenCount(col("text")))
+      ext.Sampling.packSequences(withTok, col("lang"), col("doc_id"),
+        col("n_tokens"), 2048)
+        .select("doc_id", "lang", "n_tokens", "bin", "bin_offset")
+    }),
+
     "ta_wordpiece" -> ((s, dir) => {
       // REAL subword tokenization: greedy longest-match against the
       // corpus top-200 + [a-z0-9] vocabulary, applied to distinct words
@@ -1403,6 +1428,8 @@ operations:
       """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
+    "ta_curate" ->
+      """WITH base AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base), q AS (SELECT doc_id FROM comp WHERE CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) >= 5000), scores AS (SELECT doc_id, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base), en AS (SELECT doc_id FROM (SELECT doc_id, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1 AND lang_guess = 'en'), gated AS (SELECT b.doc_id, b.lang, b.text, b.toks FROM base b JOIN q USING (doc_id) JOIN en USING (doc_id)), keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)), grams AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN list_transform(range(len(toks)-7), i -> array_to_string(toks[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM dd), benchg AS (SELECT DISTINCT g FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN list_transform(range(len(toks)-7), i -> array_to_string(toks[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM base WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), contam AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM benchg)), train AS (SELECT dd.doc_id, dd.lang, CAST(len(dd.toks) AS BIGINT) AS n_tokens FROM dd WHERE dd.doc_id NOT IN (SELECT doc_id FROM contam) AND substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8) < 'cccccccd'), c AS (SELECT doc_id, lang, n_tokens, COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM train) SELECT doc_id, lang, n_tokens, CAST(cum // 2048 AS BIGINT) AS bin, CAST(cum % 2048 AS BIGINT) AS bin_offset FROM c""",
     "ta_wordpiece" ->
       """WITH RECURSIVE toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), allw AS (SELECT unnest(t) AS w FROM toks), top AS (SELECT w FROM (SELECT w, count(*) AS c FROM allw GROUP BY w) QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 200), vocab AS (SELECT DISTINCT piece FROM (SELECT w AS piece FROM top UNION ALL SELECT unnest(['a','b','c','d','e','f','g','h','i','j','k','l','m','n','o','p','q','r','s','t','u','v','w','x','y','z','0','1','2','3','4','5','6','7','8','9']))), words AS (SELECT DISTINCT w FROM allw), m AS (SELECT w, 1 AS pos, 0 AS n_tok, FALSE AS unk FROM words UNION ALL SELECT w, pos + best_len, n_tok + 1, best_len IS NULL FROM (SELECT m.w, m.pos, m.n_tok, (SELECT max(len(piece)) FROM vocab WHERE piece = substr(m.w, m.pos, len(piece))) AS best_len FROM m WHERE NOT m.unk AND m.pos <= len(m.w))), ws AS (SELECT w, max(CASE WHEN unk THEN -1 ELSE n_tok END) AS n_pieces FROM m WHERE unk OR pos > len(w) GROUP BY w), dw AS (SELECT doc_id, unnest(t) AS w FROM toks), agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(CASE WHEN n_pieces < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk_words, CAST(sum(CASE WHEN n_pieces > 0 THEN n_pieces ELSE 0 END) AS BIGINT) AS n_pieces FROM dw JOIN ws USING (w) GROUP BY 1) SELECT d.doc_id, coalesce(a.n_words, 0) AS n_words, coalesce(a.n_unk_words, 0) AS n_unk_words, coalesce(a.n_pieces, 0) AS n_pieces FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "ta_feathash" ->
