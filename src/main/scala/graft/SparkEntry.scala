@@ -1062,6 +1062,34 @@ operations:
         .select("doc_id", "lang")
     }),
 
+    "ta_overlap" -> ((s, dir) => {
+      // cross-source contamination matrix: pairwise shared-8-gram counts
+      // between sources — the "how much did crawl A leak into crawl B"
+      // report; distinct'ed (source, gram) keeps the join ids-and-grams
+      val g = T(s, dir, "documents")
+        .select(col("source"), explode(ext.Dedup.wordNgrams(col("text"), 8)).as("g"))
+        .distinct()
+      g.as("a").join(g.as("b"),
+          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(count(lit(1)).as("shared_grams"))
+    }),
+
+    "ta_source_stats" -> ((s, dir) => {
+      // per-source corpus report card: doc count, token volume, integer
+      // quality sums (exact — a float mean could not hash-match)
+      val d = T(s, dir, "documents")
+        .withColumn("quality_bp",
+          floor(ext.TextAnalysis.rawQualityScore(col("text")) * 10000).cast("long"))
+        .withColumn("n_tokens", ext.TextAnalysis.tokenCount(col("text")))
+      d.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        sum(col("quality_bp")).as("quality_bp_sum"),
+        min(col("quality_bp")).as("quality_bp_min"),
+        max(col("quality_bp")).as("quality_bp_max"))
+    }),
+
     "ta_curate" -> ((s, dir) => {
       // the WHOLE curation pipeline as ONE lazy plan — quality gate →
       // language gate → exact dedup → benchmark decontamination → train
@@ -1428,6 +1456,10 @@ operations:
       """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
+    "ta_overlap" ->
+      """WITH toks AS (SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), g AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks) SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_grams FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2""",
+    "ta_source_stats" ->
+      """WITH base AS (SELECT source, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base), scored AS (SELECT source, n_tokens, CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) AS quality_bp FROM comp) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(sum(quality_bp) AS BIGINT) AS quality_bp_sum, CAST(min(quality_bp) AS BIGINT) AS quality_bp_min, CAST(max(quality_bp) AS BIGINT) AS quality_bp_max FROM scored GROUP BY 1""",
     "ta_curate" ->
       """WITH base AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base), q AS (SELECT doc_id FROM comp WHERE CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) >= 5000), scores AS (SELECT doc_id, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base), en AS (SELECT doc_id FROM (SELECT doc_id, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1 AND lang_guess = 'en'), gated AS (SELECT b.doc_id, b.lang, b.text, b.toks FROM base b JOIN q USING (doc_id) JOIN en USING (doc_id)), keep AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)), dd AS (SELECT g.* FROM gated g JOIN keep USING (doc_id)), grams AS (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN list_transform(range(len(toks)-7), i -> array_to_string(toks[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM dd), benchg AS (SELECT DISTINCT g FROM (SELECT doc_id, unnest(CASE WHEN len(toks) >= 8 THEN list_transform(range(len(toks)-7), i -> array_to_string(toks[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM base WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), contam AS (SELECT DISTINCT doc_id FROM grams WHERE g IN (SELECT g FROM benchg)), train AS (SELECT dd.doc_id, dd.lang, CAST(len(dd.toks) AS BIGINT) AS n_tokens FROM dd WHERE dd.doc_id NOT IN (SELECT doc_id FROM contam) AND substr(md5(CAST(dd.doc_id AS VARCHAR)), 1, 8) < 'cccccccd'), c AS (SELECT doc_id, lang, n_tokens, COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum FROM train) SELECT doc_id, lang, n_tokens, CAST(cum // 2048 AS BIGINT) AS bin, CAST(cum % 2048 AS BIGINT) AS bin_offset FROM c""",
     "ta_wordpiece" ->
