@@ -818,6 +818,31 @@ operations:
         keep = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price_c"))
     }),
 
+    "q_bfs" -> ((s, dir) => {
+      // bounded-hop BFS from flagged customers over the symmetrized
+      // trade graph — min hop distance ≤ 3, unrolled-SQL oracle
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_custkey") < 5)
+        .select(col("c_custkey").as("id"))
+      ext.Graph.bfsHops(edges, seeds, maxHops = 3)
+    }),
+
+    "q_mad" -> ((s, dir) => {
+      // median/MAD robust outliers per return flag — both statistics are
+      // nearest-rank order statistics, the flag a pure integer compare
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"))
+      ext.Robust.madOutliers(li, "l_returnflag", "price_c", kMad = 3,
+        keep = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price_c"))
+    }),
+
     "q_winsor" -> ((s, dir) => {
       // per-group winsorization on NEAREST-RANK order statistics (a value
       // that exists in the data — engine-exact, unlike interpolated
@@ -1622,6 +1647,10 @@ operations:
       """SELECT event_id AS purchase_id, user_id, last_click FROM (SELECT event_id, user_id, event_type, last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click FROM events) WHERE event_type = 'purchase'""",
     "ev_anomaly" ->
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), w AS (SELECT event_id, user_id, v_c, CAST(count(v_c) OVER win AS BIGINT) AS n_prev, CAST(coalesce(sum(v_c) OVER win, 0) AS BIGINT) AS s_prev, CAST(coalesce(sum(v_c * v_c) OVER win, 0) AS BIGINT) AS ss_prev FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, v_c, n_prev, s_prev, (n_prev >= 5 AND (n_prev * v_c - s_prev) * (n_prev * v_c - s_prev) > 9 * (n_prev * ss_prev - s_prev * s_prev)) AS is_anomaly FROM w""",
+    "q_bfs" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, p AS dst FROM pairs UNION SELECT p, c FROM pairs), s0 AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 5), d1 AS (SELECT DISTINCT dst AS id FROM e WHERE src IN (SELECT id FROM s0)), d2 AS (SELECT DISTINCT dst AS id FROM e WHERE src IN (SELECT id FROM d1)), d3 AS (SELECT DISTINCT dst AS id FROM e WHERE src IN (SELECT id FROM d2)), u AS (SELECT id, 0 AS dist FROM s0 UNION ALL SELECT id, 1 FROM d1 UNION ALL SELECT id, 2 FROM d2 UNION ALL SELECT id, 3 FROM d3) SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM u GROUP BY 1""",
+    "q_mad" ->
+      """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), h1 AS (SELECT l_returnflag, price_c, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2), c1 AS (SELECT *, sum(c) OVER (PARTITION BY l_returnflag ORDER BY price_c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM h1), med AS (SELECT l_returnflag, min(CASE WHEN cum >= greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN price_c END) AS med FROM c1 GROUP BY 1), d AS (SELECT v.*, med.med, abs(price_c - med) AS dev FROM v JOIN med USING (l_returnflag)), h2 AS (SELECT l_returnflag, dev, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2), c2 AS (SELECT *, sum(c) OVER (PARTITION BY l_returnflag ORDER BY dev ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER (PARTITION BY l_returnflag) AS n FROM h2), mad AS (SELECT l_returnflag, min(CASE WHEN cum >= greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN dev END) AS mad FROM c2 GROUP BY 1) SELECT d.l_orderkey, d.l_linenumber, d.l_returnflag, d.price_c, d.med, mad.mad, d.dev > 3 * mad.mad AS is_outlier FROM d JOIN mad USING (l_returnflag)""",
     "q_bins" ->
       """WITH v AS (SELECT l_orderkey, l_linenumber, l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c FROM lineitem), h AS (SELECT l_returnflag, price_c, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2), b AS (SELECT l_returnflag, price_c, CAST(10 * coalesce(sum(c) OVER (PARTITION BY l_returnflag ORDER BY price_c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) // CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS bin FROM h) SELECT v.l_orderkey, v.l_linenumber, v.l_returnflag, v.price_c, b.bin FROM v JOIN b USING (l_returnflag, price_c)""",
     "q_winsor" ->

@@ -217,6 +217,35 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Bounded-hop BFS: minimum hop distance from any source vertex,
+    * up to `maxHops` (Pregel frontier expansion as DataFrame ops —
+    * the "who is within N hops of a flagged account" query).
+    *
+    * Per hop: ONE ids-only join of the previous frontier to the edge
+    * list + a min-aggregate; lineage truncated per hop like the other
+    * iterative graph ops. A fixed hop bound is also what makes the
+    * result expressible as an unrolled SQL oracle — all-integer output,
+    * engine-exact.
+    */
+  def bfsHops(edges: DataFrame, sources: DataFrame, srcCol: String = "src",
+              dstCol: String = "dst", idCol: String = "id",
+              maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct().localCheckpoint(true)
+    var dist = sources.select(col(idCol).cast(LongType).as("id"))
+      .distinct().withColumn("dist", lit(0L))
+    for (k <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === (k - 1))
+      val next = e.join(frontier.select(col("id").as("src")), "src")
+        .select(col("dst").as("id")).distinct()
+        .withColumn("dist", lit(k.toLong))
+      dist = dist.union(next).groupBy("id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
   /** Per-vertex triangle counts via degree-ordered edge orientation —
     * the "compact-forward" / node-iterator++ scheme (Latapy, TCS 2008;
     * Suri & Vassilvitskii's MapReduce variant, WWW 2011).

@@ -60,6 +60,40 @@ object Robust {
         (col(valueCol) < col("lo") || col(valueCol) > col("hi")).as("is_outlier")): _*)
   }
 
+  /** Nearest-rank order statistic per group via the value-histogram
+    * path (see winsorize for why this beats a rank window at scale).
+    */
+  private def orderStat(df: DataFrame, keyCol: String, valueCol: String,
+                        p: Double, statName: String): DataFrame = {
+    val hist = df.groupBy(keyCol, valueCol).agg(count(lit(1)).as("__c__"))
+    val wOrd = Window.partitionBy(keyCol).orderBy(valueCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keyCol)
+    hist
+      .withColumn("__cum__", sum(col("__c__")).over(wOrd))
+      .withColumn("__n__", sum(col("__c__")).over(wAll))
+      .groupBy(keyCol)
+      .agg(min(when(col("__cum__") >=
+        greatest(lit(1L), ceil(lit(p) * col("__n__"))), col(valueCol))).as(statName))
+  }
+
+  /** Median/MAD robust outlier flag: |v − median| > k·MAD, the
+    * breakdown-resistant alternative to mean/stddev (one wild value
+    * cannot move the threshold). Both statistics are nearest-rank order
+    * statistics over integer values — two histogram passes, everything
+    * engine-exact including the flag (pure integer comparison).
+    */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+                  kMad: Int, keep: Seq[String]): DataFrame = {
+    val med = orderStat(df, keyCol, valueCol, 0.5, "med")
+    val withMed = df.join(med, keyCol)
+      .withColumn("__dev__", abs(col(valueCol) - col("med")))
+    val mad = orderStat(withMed, keyCol, "__dev__", 0.5, "mad")
+    withMed.join(mad, keyCol)
+      .select((keep.map(col) :+ col("med") :+ col("mad") :+
+        (col("__dev__") > lit(kMad.toLong) * col("mad")).as("is_outlier")): _*)
+  }
+
   /** Per-group equal-frequency (equi-depth) discretization: value v maps
     * to bin ⌊B·cumBefore(v) / n⌋ where cumBefore counts STRICTLY smaller
     * values — pure integer arithmetic over the same value histogram

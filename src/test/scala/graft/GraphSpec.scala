@@ -113,6 +113,20 @@ class GraphSpec extends SparkSpec {
     assert(counts(noisy) == expected)
   }
 
+  test("bfsHops: chain distances, unreachable absent, min over multiple paths") {
+    // chain 1-2-3-4-5, shortcut 1-4, island 99-100
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L), (99L, 100L))
+      .toDF("src", "dst")
+    val got = Graph.bfsHops(edges, Seq(1L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // NOTE: edges are used as given (directed); 1→2→3→4, 1→4→5
+    assert(got == Map(1L -> 0L, 2L -> 1L, 4L -> 1L, 3L -> 2L, 5L -> 2L))
+    // maxHops truncates: from 5 nothing is reachable (no out-edges)
+    val from5 = Graph.bfsHops(edges, Seq(5L).toDF("id"), maxHops = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(from5 == Map(5L -> 0L))
+  }
+
   test("triangle counts: agrees with brute-force enumeration on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {

@@ -85,6 +85,24 @@ class RobustSpec extends SparkSpec {
     assert(byValue.filter { case (v, _) => v > 100L }.values.toSet == Set(2L, 3L))
   }
 
+  test("madOutliers: wild value flagged, median/MAD resist it, constants never flag") {
+    // 9 values near 10 plus one wild 1000: median 10, MAD small, wild flagged
+    val rows = Seq(8L, 9L, 9L, 10L, 10L, 10L, 11L, 11L, 12L, 1000L).zipWithIndex
+      .map { case (v, i) => ("g", i.toLong, v) }
+    val got = Robust.madOutliers(rows.toDF("k", "id", "v"), "k", "v", 3,
+      Seq("k", "id", "v")).collect()
+      .map(r => r.getLong(1) -> ((r.getLong(3), r.getLong(4), r.getBoolean(5)))).toMap
+    // n=10 → median = 5th order stat = 10; dev median over {0,0,0,1,1,1,1,2,2,990} = 1
+    got.values.foreach { case (med, mad, _) => assert(med == 10L && mad == 1L) }
+    assert(got(9L)._3, "wild value must be flagged")
+    assert(got.filter(_._1 != 9L).values.forall(!_._3), "no inlier may be flagged")
+    // constant group: MAD 0 → only deviations > 0·k flag, i.e. none
+    val const = Robust.madOutliers(
+      Seq.fill(6)(42L).zipWithIndex.map { case (v, i) => ("c", i.toLong, v) }
+        .toDF("k", "id", "v"), "k", "v", 3, Seq("k", "id", "v")).collect()
+    assert(const.forall(!_.getBoolean(5)))
+  }
+
   test("winsorize: singleton group clips nothing") {
     val df = Seq(("s", 1L, 42L)).toDF("k", "id", "v")
     val r = Robust.winsorize(df, "k", "v", 0.05, 0.95, Seq("k", "id", "v"))
