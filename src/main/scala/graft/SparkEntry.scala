@@ -843,6 +843,24 @@ operations:
         keep = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price_c"))
     }),
 
+    "q_cube" -> ((s, dir) => {
+      // full CUBE lattice (all 4 grouping combinations) — completes the
+      // rollup/grouping-sets family
+      T(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+    }),
+
+    "q_ntile" -> ((s, dir) => {
+      // ntile quartiles per group (deterministic order incl. tiebreak)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          ntile(4).over(w).as("quartile"))
+    }),
+
     "q_winsor" -> ((s, dir) => {
       // per-group winsorization on NEAREST-RANK order statistics (a value
       // that exists in the data — engine-exact, unlike interpolated
@@ -1647,6 +1665,10 @@ operations:
       """SELECT event_id AS purchase_id, user_id, last_click FROM (SELECT event_id, user_id, event_type, last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click FROM events) WHERE event_type = 'purchase'""",
     "ev_anomaly" ->
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), w AS (SELECT event_id, user_id, v_c, CAST(count(v_c) OVER win AS BIGINT) AS n_prev, CAST(coalesce(sum(v_c) OVER win, 0) AS BIGINT) AS s_prev, CAST(coalesce(sum(v_c * v_c) OVER win, 0) AS BIGINT) AS ss_prev FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, v_c, n_prev, s_prev, (n_prev >= 5 AND (n_prev * v_c - s_prev) * (n_prev * v_c - s_prev) > 9 * (n_prev * ss_prev - s_prev * s_prev)) AS is_anomaly FROM w""",
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+    "q_ntile" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, CAST(ntile(4) OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS INTEGER) AS quartile FROM lineitem""",
     "q_bfs" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, p AS dst FROM pairs UNION SELECT p, c FROM pairs), s0 AS (SELECT c_custkey AS id FROM customer WHERE c_custkey < 5), d1 AS (SELECT DISTINCT dst AS id FROM e WHERE src IN (SELECT id FROM s0)), d2 AS (SELECT DISTINCT dst AS id FROM e WHERE src IN (SELECT id FROM d1)), d3 AS (SELECT DISTINCT dst AS id FROM e WHERE src IN (SELECT id FROM d2)), u AS (SELECT id, 0 AS dist FROM s0 UNION ALL SELECT id, 1 FROM d1 UNION ALL SELECT id, 2 FROM d2 UNION ALL SELECT id, 3 FROM d3) SELECT id, CAST(min(dist) AS BIGINT) AS dist FROM u GROUP BY 1""",
     "q_mad" ->
