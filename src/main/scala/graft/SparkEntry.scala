@@ -768,6 +768,22 @@ operations:
         .groupBy("k").agg(count(lit(1)).as("n"))
     }),
 
+    "ev_trailing_1h" -> ((s, dir) => {
+      // TIME-based RANGE window frame (trailing 3600 s per user) — the
+      // value-range frame ROWS frames can't express; epoch-second keys
+      // keep the frame boundary identical in both engines
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(unix_timestamp(col("ts")))
+        .rangeBetween(-3600, 0)
+      events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .withColumn("trail_sum", sum(col("v_c")).over(w))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .drop("ts")
+    }),
+
     "ev_cohorts" -> ((s, dir) => {
       // retention cohort analysis: users grouped by first-seen week,
       // distinct-user counts per week offset — all integer/date math
@@ -1659,6 +1675,8 @@ operations:
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
     "ev_variant" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1""",
+    "ev_trailing_1h" ->
+      """SELECT event_id, user_id, v_c, CAST(sum(v_c) OVER w AS BIGINT) AS trail_sum, CAST(count(*) OVER w AS BIGINT) AS trail_n FROM (SELECT event_id, user_id, CAST(floor(epoch(ts)) AS BIGINT) AS es, CAST(round(value * 100) AS BIGINT) AS v_c FROM events) WINDOW w AS (PARTITION BY user_id ORDER BY es RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""",
     "ev_cohorts" ->
       """WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1) SELECT CAST(date_trunc('week', f.first_ts) AS DATE) AS cohort_week, CAST(datediff('day', CAST(date_trunc('week', f.first_ts) AS DATE), CAST(e.ts AS DATE)) // 7 AS BIGINT) AS week_offset, CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users FROM events e JOIN f USING (user_id) GROUP BY 1, 2""",
     "ev_attribution" ->
