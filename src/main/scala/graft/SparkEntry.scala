@@ -859,6 +859,50 @@ operations:
         keep = Seq("l_orderkey", "l_linenumber", "l_returnflag", "price_c"))
     }),
 
+    "q_regex" -> ((s, dir) => {
+      // regexp extraction surface (RE2-safe patterns: no backrefs or
+      // lookaround, so Java regex and RE2 agree): group extraction,
+      // boolean match, global count
+      val p = T(s, dir, "part")
+      p.select(col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)", 2).as("second_word"),
+        col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"),
+        regexp_count(col("p_name"), lit("[aeiou]")).cast("long").as("n_vowels"))
+    }),
+
+    "q_pivot_multi" -> ((s, dir) => {
+      // pivot with MULTIPLE aggregates per pivot value (beyond unfold's
+      // hard-coded first()): explicit value list keeps columns stable
+      T(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sum(col("l_quantity")).as("qty"), count(lit(1)).as("n"))
+    }),
+
+    "q_lift" -> ((s, dir) => {
+      // market-basket association: top part pairs by lift (support ratio),
+      // mirror of the PMI trick — integer lift>1 filter, micro-nat score
+      val lp = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val n = lp.select(countDistinct(col("o")).as("n_orders"))
+      val pairs = lp.as("a").join(lp.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("p_a"), col("b.p").as("p_b"))
+        .agg(count(lit(1)).as("c_ab"))
+      val sup = lp.groupBy(col("p").as("pk")).agg(count(lit(1)).as("c"))
+      pairs.filter(col("c_ab") >= 3)
+        .join(sup.select(col("pk").as("p_a"), col("c").as("c_a")), "p_a")
+        .join(sup.select(col("pk").as("p_b"), col("c").as("c_b")), "p_b")
+        .crossJoin(broadcast(n))
+        .filter(col("c_ab").cast("decimal(38,0)") * col("n_orders") >
+          col("c_a").cast("decimal(38,0)") * col("c_b")) // lift > 1, exact
+        .select(col("p_a"), col("p_b"), col("c_ab"),
+          round(log((col("c_ab") * col("n_orders")).cast("double") /
+            (col("c_a") * col("c_b")).cast("double")) * 1e6).cast("long").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("p_a"), col("p_b"))
+        .limit(50)
+    }),
+
     "q_cube" -> ((s, dir) => {
       // full CUBE lattice (all 4 grouping combinations) — completes the
       // rollup/grouping-sets family
@@ -1683,6 +1727,12 @@ operations:
       """SELECT event_id AS purchase_id, user_id, last_click FROM (SELECT event_id, user_id, event_type, last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click FROM events) WHERE event_type = 'purchase'""",
     "ev_anomaly" ->
       """WITH v AS (SELECT event_id, user_id, ts, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), w AS (SELECT event_id, user_id, v_c, CAST(count(v_c) OVER win AS BIGINT) AS n_prev, CAST(coalesce(sum(v_c) OVER win, 0) AS BIGINT) AS s_prev, CAST(coalesce(sum(v_c * v_c) OVER win, 0) AS BIGINT) AS ss_prev FROM v WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING)) SELECT event_id, user_id, v_c, n_prev, s_prev, (n_prev >= 5 AND (n_prev * v_c - s_prev) * (n_prev * v_c - s_prev) > 9 * (n_prev * ss_prev - s_prev * s_prev)) AS is_anomaly FROM w""",
+    "q_regex" ->
+      """SELECT p_partkey, regexp_extract(p_name, '^([a-z]+) ([a-z]+)', 2) AS second_word, regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words, CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS BIGINT) AS n_vowels FROM part""",
+    "q_pivot_multi" ->
+      """SELECT l_returnflag, sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS O_qty, CAST(count(CASE WHEN l_linestatus = 'O' THEN 1 END) AS BIGINT) AS O_n, sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS F_qty, CAST(count(CASE WHEN l_linestatus = 'F' THEN 1 END) AS BIGINT) AS F_n FROM lineitem GROUP BY 1""",
+    "q_lift" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM lp), pairs AS (SELECT a.p AS p_a, b.p AS p_b, CAST(count(*) AS BIGINT) AS c_ab FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2), sup AS (SELECT p AS pk, CAST(count(*) AS BIGINT) AS c FROM lp GROUP BY 1) SELECT pr.p_a, pr.p_b, pr.c_ab, CAST(round(ln(CAST(pr.c_ab * n.n_orders AS DOUBLE) / CAST(sa.c * sb.c AS DOUBLE)) * 1000000) AS BIGINT) AS lift_micro FROM pairs pr JOIN sup sa ON sa.pk = pr.p_a JOIN sup sb ON sb.pk = pr.p_b CROSS JOIN n WHERE pr.c_ab >= 3 AND pr.c_ab * n.n_orders > sa.c * sb.c ORDER BY lift_micro DESC, p_a, p_b LIMIT 50""",
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
     "q_ntile" ->
