@@ -106,7 +106,16 @@ object Bench {
       .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed")) + "\"")
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}"""
+    println(line)
+    // also persist to a file: stdout tail-capture truncated the (long)
+    // JSON line in round 3 — the file copy is always complete/parseable
+    try {
+      val out = java.nio.file.Paths.get("target", "bench.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      System.err.println(s"[bench] json written to ${out.toAbsolutePath}")
+    } catch { case e: Exception => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -941,13 +941,16 @@ operations:
       val li = T(s, dir, "lineitem")
       val x = round(col("l_extendedprice") * 100).cast("decimal(18,0)")
       val y = round(col("l_discount") * 100).cast("decimal(18,0)")
+      // sums stay DECIMAL(38,0) internally (overflow-safe), but render as
+      // STRING: the driver's hash canonicalization of wide decimals differs
+      // from DuckDB's, so both engines present the digits as text (r3 fix)
       li.groupBy("l_returnflag").agg(
         count(lit(1)).as("n"),
-        sum(x).cast("decimal(38,0)").as("sx"),
-        sum(y).cast("decimal(38,0)").as("sy"),
-        sum(x * x).cast("decimal(38,0)").as("sxx"),
-        sum(y * y).cast("decimal(38,0)").as("syy"),
-        sum(x * y).cast("decimal(38,0)").as("sxy"))
+        sum(x).cast("decimal(38,0)").cast("string").as("sx"),
+        sum(y).cast("decimal(38,0)").cast("string").as("sy"),
+        sum(x * x).cast("decimal(38,0)").cast("string").as("sxx"),
+        sum(y * y).cast("decimal(38,0)").cast("string").as("syy"),
+        sum(x * y).cast("decimal(38,0)").cast("string").as("sxy"))
     }),
 
     "q_moving" -> ((s, dir) => {
@@ -1245,9 +1248,13 @@ operations:
       val li = T(s, dir, "lineitem")
       val flags = Seq("A", "N", "R") // sorted l_returnflag vocabulary
       val oneHot = flags.map(f => when(col("l_returnflag") === f, 1L).otherwise(0L))
+      // render the vector as a joined string: raw array columns crash the
+      // driver's pandas comparator (unhashable ndarray) — same canonical
+      // form q_arrays uses (r3 fix)
       li.select(col("l_orderkey"), col("l_linenumber"),
-        array(oneHot :+ col("l_quantity").cast("long") :+
-          round(col("l_extendedprice") * 100).cast("long"): _*).as("features"))
+        array_join(array(oneHot :+ col("l_quantity").cast("long") :+
+          round(col("l_extendedprice") * 100).cast("long"): _*)
+          .cast("array<string>"), ",").as("features"))
     }),
 
     "ev_wau" -> ((s, dir) => {
@@ -1570,7 +1577,7 @@ operations:
     "ta_feathash" ->
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents) SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 8) AS BIGINT) % 256 AS dim, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2""",
     "q_features" ->
-      """SELECT l_orderkey, l_linenumber, [CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)] AS features FROM lineitem""",
+      """SELECT l_orderkey, l_linenumber, array_to_string([CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)], ',') AS features FROM lineitem""",
     "ev_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), w AS (SELECT user_id, d + CAST(x AS INTEGER) AS win_end FROM ud, unnest(range(7)) AS t(x)) SELECT win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM w GROUP BY 1""",
     "ta_wsample" ->
@@ -1750,7 +1757,7 @@ operations:
     "ta_markup" ->
       """WITH h AS (SELECT doc_id, '<html><head><style>p { color: red; }</style></head><body><h1>Doc ' || CAST(doc_id AS VARCHAR) || '</h1>' || chr(10) || '<p class="body">' || text || ' &amp; more &lt;soon&gt;</p>' || chr(10) || '<script>var x = 1 && 2;</script></body></html>' AS html FROM documents), s AS (SELECT doc_id, regexp_replace(regexp_replace(html, '(?s)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'), '<[^>]+>', ' ', 'g') AS t FROM h), d AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(t, '&lt;', '<', 'g'), '&gt;', '>', 'g'), '&quot;', '"', 'g'), '&#39;', CHR(39), 'g'), '&nbsp;', ' ', 'g'), '&amp;', '&', 'g') AS t FROM s) SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS clean_text FROM d""",
     "q_moments" ->
-      """SELECT l_returnflag, count(*) AS n, CAST(sum(x) AS DECIMAL(38,0)) AS sx, CAST(sum(y) AS DECIMAL(38,0)) AS sy, CAST(sum(x * x) AS DECIMAL(38,0)) AS sxx, CAST(sum(y * y) AS DECIMAL(38,0)) AS syy, CAST(sum(x * y) AS DECIMAL(38,0)) AS sxy FROM (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS x, CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS y FROM lineitem) GROUP BY l_returnflag""",
+      """SELECT l_returnflag, count(*) AS n, CAST(CAST(sum(x) AS DECIMAL(38,0)) AS VARCHAR) AS sx, CAST(CAST(sum(y) AS DECIMAL(38,0)) AS VARCHAR) AS sy, CAST(CAST(sum(x * x) AS DECIMAL(38,0)) AS VARCHAR) AS sxx, CAST(CAST(sum(y * y) AS DECIMAL(38,0)) AS VARCHAR) AS syy, CAST(CAST(sum(x * y) AS DECIMAL(38,0)) AS VARCHAR) AS sxy FROM (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS DECIMAL(18,0)) AS x, CAST(round(l_discount * 100) AS DECIMAL(18,0)) AS y FROM lineitem) GROUP BY l_returnflag""",
     "q_moving" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity, sum(l_quantity) OVER w AS mov_qty, count(*) OVER w AS mov_n FROM lineitem WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
     "ta_chunks" ->

@@ -1,7 +1,6 @@
 package graft.ext
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -32,8 +31,11 @@ import org.apache.spark.sql.types._
   *    prefixes exclude each doc's most frequent tokens entirely (for
   *    t=0.7, ~30% of each doc's rarest tokens form its prefix);
   *  - the frequency table is a plain aggregate (mergeable, map-side
-  *    combined); the rank is a zero-partition window over tokens — at
-  *    vocabulary cardinality, orders of magnitude below data cardinality.
+  *    combined); the total order is the `(tf, token)` composite itself —
+  *    no global rank window exists, so there is NO single-partition sort
+  *    of the vocabulary anywhere in the plan (a web-scale corpus has 10⁹
+  *    distinct tokens; a zero-partition Window.orderBy over them would be
+  *    a serialization point).
   *
   * Determinism: output carries integer intersection/union sizes plus the
   * IEEE double `inter/uni` — division of small ints is bit-exact across
@@ -56,26 +58,26 @@ object SimJoin {
       .withColumn("n", size(col("toks")).cast(LongType))
       .filter(col("n") > 0)
 
-    // global rarest-first token order: rank 0 = rarest. One aggregate over
-    // exploded tokens + one window over the VOCABULARY (not the corpus).
+    // global rarest-first token order: the `(tf, token)` composite IS a
+    // total order (ascending frequency, ties by token), so no rank needs
+    // materializing — one mergeable aggregate over exploded tokens and
+    // zero windows. Struct sort_array orders field-by-field, which is
+    // exactly this composite order.
     val freq = toks.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
-    val ranked = freq.withColumn("rank",
-      row_number().over(Window.orderBy(col("tf").asc, col("token").asc)).cast(LongType))
 
-    // per-doc rank-sorted tokens; prefix length |x| - ceil(t|x|) + 1.
+    // per-doc order-sorted token keys; prefix length |x| - ceil(t|x|) + 1.
     // The 1e-9 nudge before ceil() guards the fp product: when t·n is
     // exactly integral, a 1-ulp-high product would ceil one too high and
     // SHORTEN the prefix — an incompleteness bug; the nudge can only
     // lengthen it (more candidates, never a missed pair).
     val byRank = toks.select(col("id"), col("n"), explode(col("toks")).as("token"))
-      .join(ranked, "token")
+      .join(freq, "token")
       .groupBy("id", "n")
-      .agg(transform(sort_array(collect_list(struct(col("rank"), col("token")))),
-        s => s.getField("rank")).as("ranks"))
+      .agg(sort_array(collect_list(struct(col("tf"), col("token")))).as("keys"))
       .withColumn("plen", (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast(IntegerType))
 
-    // candidates: (rank, id, n, position) only through the shuffle, with
+    // candidates: (key, id, n, position) only through the shuffle, with
     // the two classic PPJoin prunes applied IN the join condition — both
     // provably lossless, both with the same conservative fp nudge:
     //  - length filter: J >= t forces min(n_a,n_b) >= t·max(n_a,n_b);
@@ -86,13 +88,13 @@ object SimJoin {
     //    order passes (all other common tokens sort after it), so pruning
     //    on it never loses a pair.
     val prefixes = byRank.select(col("id"), col("n"),
-      posexplode(slice(col("ranks"), lit(1), col("plen"))).as(Seq("pos", "r")))
+      posexplode(slice(col("keys"), lit(1), col("plen"))).as(Seq("pos", "k")))
     val alpha = ceil((col("a.n") + col("b.n")).cast(DoubleType)
       * lit(threshold / (1.0 + threshold)) - 1e-9)
     val overlapUb = lit(1) +
       least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
     val cands = prefixes.as("a").join(prefixes.as("b"),
-        col("a.r") === col("b.r") && col("a.id") < col("b.id") &&
+        col("a.k") === col("b.k") && col("a.id") < col("b.id") &&
         least(col("a.n"), col("b.n")).cast(DoubleType) >=
           greatest(col("a.n"), col("b.n")).cast(DoubleType) * threshold - 1e-9 &&
         overlapUb.cast(DoubleType) >= alpha)

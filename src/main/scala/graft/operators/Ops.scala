@@ -327,13 +327,15 @@ object Ops {
   def unfold(df: DataFrame, op: Unfold): DataFrame = {
     requireCols(df, op.indexColumns ++ Seq(op.keyColumn, op.valueColumn), "unfold")
     // pivot needs the distinct keys up front, so the input runs twice
-    // (discovery + pivot); persist so an expensive upstream (a whole
-    // pipeline) isn't re-executed — callers release it via
-    // spark.catalog.clearCache() after the action (Bench/Verify do).
+    // (discovery + pivot); snapshot with an EAGER localCheckpoint so an
+    // expensive upstream (a whole pipeline) runs exactly once, and —
+    // unlike persist() — the blocks are released by the ContextCleaner as
+    // soon as the result frame becomes unreachable: a library user who
+    // never calls spark.catalog.clearCache() accumulates nothing.
     // Guard the driver collect: a high-cardinality key column would both
     // blow the driver and produce an unusable million-column frame.
     val maxKeys = sys.props.get("graft.unfold.maxKeys").map(_.toInt).getOrElse(10000)
-    val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cached = df.localCheckpoint()
     val keysInOrder: Seq[Any] = cached
       .select(col(op.keyColumn))
       .withColumn("__rid__", monotonically_increasing_id())

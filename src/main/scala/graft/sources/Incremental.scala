@@ -23,7 +23,10 @@ object Incremental {
 
   private def readLedger(ledger: java.io.File): Set[String] =
     if (!ledger.exists()) Set.empty
-    else scala.io.Source.fromFile(ledger).getLines().filter(_.nonEmpty).toSet
+    else {
+      val src = scala.io.Source.fromFile(ledger)
+      try src.getLines().filter(_.nonEmpty).toSet finally src.close()
+    }
 
   /** Run `process` over files in `inputDir` not yet in the ledger.
     * Returns the number of newly processed files (0 = nothing new,

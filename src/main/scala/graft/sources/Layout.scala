@@ -119,17 +119,20 @@ object Layout {
     val files = Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isFile && f.getName.endsWith(".parquet"))
     if (files.length <= 1) return files.length.toDouble
-    val ranges = files.map { f =>
+    val ranges = files.flatMap { f =>
       val r = spark.read.parquet(f.getPath)
         .agg(org.apache.spark.sql.functions.min(col(keyCol)).cast("double"),
           org.apache.spark.sql.functions.max(col(keyCol)).cast("double"))
         .head()
-      (r.getDouble(0), r.getDouble(1))
+      // zero-row files (streaming/compaction writers produce them) have
+      // null min/max — they prune against every predicate, so skip them
+      if (r.isNullAt(0) || r.isNullAt(1)) None else Some((r.getDouble(0), r.getDouble(1)))
     }
+    if (ranges.isEmpty) return 0.0
     val overlaps = ranges.map { case (lo, hi) =>
       ranges.count { case (lo2, hi2) => lo2 <= hi && lo <= hi2 }
     }
-    overlaps.sum.toDouble / files.length
+    overlaps.sum.toDouble / ranges.length
   }
 
   /** Small-file compaction: rewrite a parquet directory into

@@ -165,9 +165,14 @@ object Streams {
                 (batch: DataFrame, batchId: Long): Unit = {
     val spark = batch.sparkSession
     val dir = new java.io.File(tableDir)
+    recoverSwap(tableDir)
+    // tie-break beyond seqCol: two rows sharing (key, seq) in one batch
+    // must pick the SAME winner on a post-crash replay, or idempotence
+    // breaks — a content hash of the full row is replay-stable
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(keyCols.map(col): _*)
-      .orderBy(col(seqCol).desc)
+      .orderBy(col(seqCol).desc,
+        xxhash64(batch.columns.map(col).toIndexedSeq: _*).desc)
     val latestInBatch = batch
       .withColumn("__rn__", row_number().over(w))
       .filter(col("__rn__") === 1).drop("__rn__")
@@ -183,16 +188,50 @@ object Streams {
       }
     val tmp = tableDir + s".tmp-$batchId"
     merged.write.mode("overwrite").parquet(tmp)
-    // swap: parquet dirs are immutable once written; rename is the atomic
-    // commit (object stores would use a manifest/table format instead)
+    // swap: parquet dirs are immutable once written; rename is the commit.
+    // The swap is two renames, not one atomic step — each result is
+    // CHECKED (a silent false would leave the table missing/stale while
+    // the sink reports success), and recoverSwap() above rolls a
+    // half-completed swap forward/back on the next batch after a crash.
     val old = new java.io.File(tableDir + s".old-$batchId")
-    if (dir.exists()) dir.renameTo(old)
-    new java.io.File(tmp).renameTo(dir)
-    if (old.exists()) {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+    if (dir.exists() && !dir.renameTo(old))
+      throw new java.io.IOException(s"upsertSink: rename $dir -> $old failed")
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(s"upsertSink: rename $tmp -> $dir failed")
+    if (old.exists()) rmTree(old)
+  }
+
+  private def rmTree(f: java.io.File): Unit = {
+    Option(f.listFiles()).foreach(_.foreach(rmTree)); f.delete()
+  }
+
+  /** Crash recovery for the two-rename swap: if the process died between
+    * `table -> table.old-N` and `table.tmp-N -> table`, the table dir is
+    * missing. Roll FORWARD when the fully-written tmp for the same batch
+    * exists (the merge result was durable), otherwise roll BACK to the
+    * old snapshot. Stale tmp/old dirs from completed swaps are dropped —
+    * foreachBatch will redeliver their batch anyway (idempotent merge).
+    */
+  private def recoverSwap(tableDir: String): Unit = {
+    val table = new java.io.File(tableDir)
+    val parent = Option(table.getParentFile).getOrElse(new java.io.File("."))
+    val name = table.getName
+    val leftovers = Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(name + ".tmp-") || f.getName.startsWith(name + ".old-"))
+    if (!table.exists()) {
+      val byBatch = leftovers.groupBy(_.getName.split("-").last)
+      // prefer the highest batch id that left a complete artifact behind
+      byBatch.toSeq.sortBy(-_._1.toLong).headOption.foreach { case (_, fs) =>
+        val tmp = fs.find(_.getName.contains(".tmp-"))
+        val old = fs.find(_.getName.contains(".old-"))
+        val src = tmp.orElse(old).get
+        if (!src.renameTo(table))
+          throw new java.io.IOException(s"upsertSink recovery: rename $src -> $table failed")
       }
-      rm(old)
     }
+    // anything still lying around belongs to a completed (or rolled) swap
+    Option(parent.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith(name + ".tmp-") || f.getName.startsWith(name + ".old-"))
+      .foreach(rmTree)
   }
 }

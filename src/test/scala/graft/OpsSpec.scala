@@ -126,6 +126,27 @@ class OpsSpec extends SparkSpec {
     assert(byId(2L) == (Some(3.0), None))
   }
 
+  test("unfold releases its snapshot without caller clearCache") {
+    // the snapshot must never enter the catalog cache (which only
+    // clearCache() empties), and its RDD blocks must be reclaimed by the
+    // ContextCleaner once the result frame is unreachable
+    val before = spark.sparkContext.getPersistentRDDs.size
+    def runScoped(): Long = {
+      val long = Seq((1L, "z_key", 1.0), (1L, "a_key", 2.0), (2L, "z_key", 3.0)).toDF("id", "k", "v")
+      Ops.unfold(long, Unfold(Seq("id"), "k", "v")).count()
+    }
+    assert(runScoped() == 2L)
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "unfold must not register a catalog-cached relation")
+    val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+    var n = spark.sparkContext.getPersistentRDDs.size
+    while (n > before && System.nanoTime() < deadline) {
+      System.gc(); Thread.sleep(200)
+      n = spark.sparkContext.getPersistentRDDs.size
+    }
+    assert(n <= before, s"unfold snapshot blocks still pinned: $n persistent RDDs (baseline $before)")
+  }
+
   test("runner drops assignation temp columns named _*_ after all ops") {
     val ops = Seq(
       Assignation("tmp", Some("_scratch_")),

@@ -60,6 +60,49 @@ class SimJoinSpec extends SparkSpec {
     assert(want.nonEmpty, "corpus should contain near-dup pairs at t=0.7")
   }
 
+  test("tie-heavy vocabulary: every token has the same frequency") {
+    // every token appears exactly twice → the tf component of the
+    // (tf, token) composite order is a total tie and the order falls
+    // entirely to the token tiebreak; pair set must still be exact
+    val docs: Seq[(Long, String)] = Seq(
+      1L -> "a b c d e",
+      2L -> "a b c d f",
+      3L -> "e f g h i",
+      4L -> "g h i j k",
+      5L -> "j k l m n",
+      6L -> "l m n o p",
+      7L -> "o p q r s",
+      8L -> "q r s t u",
+      9L -> "t u v w x",
+      10L -> "v w x y z",
+      11L -> "y z a1 b1 c1",
+      12L -> "a1 b1 c1 d1 e1",
+      13L -> "d1 e1 f1 g1 h1",
+      14L -> "f1 g1 h1 i1 j1",
+      15L -> "i1 j1 k1 l1 m1",
+      16L -> "k1 l1 m1 n1 o1",
+      17L -> "n1 o1 p1 q1 r1",
+      18L -> "p1 q1 r1 s1 t1",
+      19L -> "s1 t1 u1 v1 w1",
+      20L -> "u1 v1 w1")
+    val freqs = docs.flatMap(_._2.split("\\s+")).groupBy(identity).values.map(_.size).toSet
+    assert(freqs === Set(2), "fixture invariant: every token appears exactly twice")
+    for (t <- Seq(0.5, 0.6, 0.8)) {
+      assert(run(docs, t) === bruteForce(docs, t), s"threshold $t")
+    }
+  }
+
+  test("plan contains no Window operator (no single-partition vocabulary sort)") {
+    import spark.implicits._
+    val docs = Seq(1L -> "a b c", 2L -> "a b d").toDF("doc_id", "text")
+    val plan = SimJoin.jaccardJoin(docs, "doc_id", "text", 0.5)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty, "jaccardJoin must not plan any Window node")
+  }
+
   test("threshold boundary: pairs exactly AT the threshold are kept") {
     // J = 3/5 = 0.6 exactly
     val docs: Seq[(Long, String)] = Seq(
