@@ -542,13 +542,13 @@ operations:
     }),
 
     "mm_neardup" -> ((s, dir) => {
-      // image near-dup via perceptual dHash on REAL decoded pixels +
-      // Hamming banding through the spanning-star bucket cap (the flat
-      // synthetic images all collide — the degenerate case the cap
-      // exists for); rows-only check, invariances + cap proven in
-      // PerceptualHashSpec
+      // image near-dup via dHash Hamming banding on planted GRADIENT
+      // images whose dHash is a closed-form md5 function of doc_id
+      // (cluster head ⊕ one member bit): the DuckDB oracle brute-forces
+      // the full pair set from doc_id alone, hash-gating banding recall,
+      // the bucket cap, the REAL PNG decode, and the dHash math at once
       implicit val sp: SparkSession = s
-      val media = ext.Multimodal.syntheticMedia(T(s, dir, "documents"))
+      val media = ext.Multimodal.gradientMedia(T(s, dir, "documents"))
       val hashes = ext.Multimodal.perceptualHash(media).toDF()
       ext.Multimodal.nearDupImagePairs(hashes, maxHamming = 1)
     }),
@@ -1513,7 +1513,40 @@ operations:
 
   // ---------------------------------------------------------- oracle SQL
 
+  /** DuckDB replay of the winnowing fingerprint pipeline (k=8, w=16,
+    * minShared=5, maxDocFreq=20 — Dedup.winnowPairs defaults). The JVM
+    * rolling Rabin-Karp hash wraps mod 2^64, so each k-gram hash equals
+    * the direct polynomial Σ byte_j·257^(7-j) mod 2^64 — computed in
+    * HUGEINT and re-signed to BIGINT (the window min compares SIGNED
+    * longs, matching Hashing.winnowLocal). The fixture text is pure
+    * ASCII, so ascii(char) == utf8 byte.
+    */
+  private lazy val winnowOracleSql: String = {
+    val expr = (0 until 8).map(j =>
+      s"CAST(ascii(substr(text, CAST(i AS INTEGER) + ${j + 1}, 1)) AS HUGEINT) * ${BigInt(257).pow(7 - j)}"
+    ).mkString("((", " + ", ") % 18446744073709551616::HUGEINT)")
+    s"""WITH b AS (SELECT doc_id, text, strlen(text) AS nb FROM documents WHERE strlen(text) >= 8),
+       |hs AS (SELECT doc_id, list_transform(range(nb - 7), i ->
+       |  CAST(CASE WHEN $expr >= 9223372036854775808::HUGEINT
+       |       THEN $expr - 18446744073709551616::HUGEINT
+       |       ELSE $expr END AS BIGINT)) AS h FROM b),
+       |mw AS (SELECT doc_id, CASE WHEN len(h) <= 16 THEN [list_min(h)]
+       |  ELSE list_transform(range(len(h) - 15), i -> list_min(h[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+16)])) END AS mins FROM hs),
+       |fps AS (SELECT DISTINCT doc_id, unnest(mins) AS fp FROM mw),
+       |rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 20),
+       |kept AS (SELECT doc_id, fp FROM fps JOIN rare USING (fp))
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS n_shared
+       |FROM kept a JOIN kept b USING (fp) WHERE a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
+    "ta_winnow" -> winnowOracleSql,
+    // mm_neardup: replay the planted gradient-image dHash (md5_64 of the
+    // ten-doc cluster id, one member bit flipped) and brute-force the
+    // Hamming<=1 pair set — Spark must reach it through decode + banding
+    "mm_neardup" ->
+      """WITH u AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 8) AS BIGINT)::HUGEINT * 4294967296::HUGEINT + CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 9, 8) AS BIGINT)::HUGEINT AS uh, CAST(doc_id % 10 AS INTEGER) AS m FROM documents), hh AS (SELECT doc_id, CASE WHEN m > 0 THEN xor(h0, 1::BIGINT << (m - 1)) ELSE h0 END AS h FROM (SELECT doc_id, m, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS h0 FROM u)) SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming FROM hh a JOIN hh b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 1""",
     "q_equality" ->
       "SELECT l_orderkey, l_linenumber, l_quantity AS qty_copy FROM lineitem",
     "q_concatenation" ->

@@ -76,6 +76,71 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Deterministic GRADIENT images whose dHash is a closed-form function
+    * of the id — the non-degenerate twin of [[syntheticMedia]] (whose
+    * flat images all dHash to 0). The 9×8 pixel grid is constructed so
+    * that [[dHash64]] equals exactly
+    * `h(id) = md5_64(id/10)  XOR  (id%10 > 0 ? 1 << (id%10 - 1) : 0)`:
+    * each ten-doc cluster shares a head hash and every member differs
+    * from the head in exactly one bit (Hamming 1). An external oracle can
+    * therefore recompute the FULL near-dup pair set from doc_id alone,
+    * which hash-gates the banding recall, the bucket cap, the real PNG
+    * round-trip, and the dHash math at once.
+    */
+  def gradientMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          MediaRecord(id, "image", source, encodeGradientPng(plantedDHash(id)))
+        }
+      }.toDF()
+  }
+
+  /** The closed-form hash [[gradientMedia]] plants (mirrored by the
+    * DuckDB oracle): unsigned 64-bit parse of the first 16 md5 hex chars
+    * of the cluster id, one member bit flipped.
+    */
+  private[graft] def plantedDHash(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest((id / 10).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val base = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
+    val m = (id % 10).toInt
+    if (m > 0) base ^ (1L << (m - 1)) else base
+  }
+
+  /** 9×8 grayscale PNG whose dHash64 is exactly `h`: at grid size the
+    * downscale sampling is the identity, and per row the pixel value
+    * steps up by 1 leftward exactly where the corresponding hash bit is
+    * set (bit (y·8+x) ⇔ luma(x,y) > luma(x+1,y)).
+    */
+  private[graft] def encodeGradientPng(h: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(9, 8,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < 8) {
+      val v = new Array[Int](9)
+      v(8) = 128
+      var x = 7
+      while (x >= 0) {
+        v(x) = v(x + 1) + (((h >>> (y * 8 + x)) & 1L)).toInt
+        x -= 1
+      }
+      var xx = 0
+      while (xx < 9) {
+        val p = v(xx)
+        img.setRGB(xx, y, (p << 16) | (p << 8) | p)
+        xx += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.setUseCache(false)
+    require(javax.imageio.ImageIO.write(img, "png", bos), "no ImageIO writer for png")
+    bos.toByteArray
+  }
+
   private[ext] def encodeImage(format: String, w: Int, h: Int,
                                r: Int, g: Int, b: Int): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
@@ -394,7 +459,7 @@ object Multimodal {
     * All-integer math and the same deterministic floor-sampling as
     * `resize` — no rendering hints, so the hash is platform-stable.
     */
-  private[ext] def dHash64(img: java.awt.image.BufferedImage): Long = {
+  private[graft] def dHash64(img: java.awt.image.BufferedImage): Long = {
     val gw = 9; val gh = 8
     val g = Array.ofDim[Int](gh, gw)
     var y = 0

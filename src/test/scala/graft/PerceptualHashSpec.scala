@@ -71,6 +71,21 @@ class PerceptualHashSpec extends SparkSpec {
     assert(pairs == Set((1L, 2L), (1L, 3L), (2L, 3L)))
   }
 
+  test("gradient planting: PNG round-trip reproduces the planted dHash exactly") {
+    // the mm_neardup oracle's whole premise: dHash64(decode(encodeGradientPng(h))) == h
+    for (id <- Seq(0L, 1L, 9L, 10L, 137L, 4999L, 123456789L)) {
+      val want = Multimodal.plantedDHash(id)
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.encodeGradientPng(want)))
+      assert(Multimodal.dHash64(img) === want, s"id $id")
+    }
+    // cluster structure: member m differs from head in exactly bit m-1
+    for (m <- 1 to 9) {
+      val d = Multimodal.plantedDHash(20L) ^ Multimodal.plantedDHash(20L + m)
+      assert(d === (1L << (m - 1)), s"member $m")
+    }
+  }
+
   test("degenerate corpus: 500 identical flat images stay capped AND fully clustered") {
     val flat = Multimodal.perceptualHash(mediaDf(
       (1L to 500L).map(i => i -> encode("png", Array.tabulate(8, 8)((_, _) => 0x808080)))
