@@ -1482,6 +1482,45 @@ operations:
       s.table("graft_stream_sessions")
     }),
 
+    "stream_recovery" -> ((s, dir) => {
+      // checkpoint RECOVERY as a driver-gated query: half the input is
+      // processed by one streaming query, the query stops (the "crash"
+      // boundary), more files land, and a NEW query object restarts from
+      // the SAME checkpoint — the file source must resume from recorded
+      // offsets (batch ids continue, seen files are skipped; require()
+      // fails the query if the restart began at batch 0), and the final
+      // upsert table must equal the batch latest-per-key oracle exactly
+      import org.apache.spark.sql.streaming.Trigger
+      val base = new java.io.File("/tmp/graft-stream-recovery")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(base)
+      val inDir = s"$base/in"; val tableDir = s"$base/table"; val ckpt = s"$base/ckpt"
+      val ev = events(s, dir).select(col("user_id"), col("event_id"),
+        col("event_type"), round(col("value") * 100).cast("long").as("value_c"))
+      def land(part: Int): Unit =
+        ev.filter(pmod(col("event_id"), lit(4)) === part).repartition(1)
+          .write.mode("append").parquet(inDir)
+      def runOnce(): org.apache.spark.sql.streaming.StreamingQuery = {
+        val schema = s.read.parquet(inDir).schema
+        s.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(inDir)
+          .writeStream
+          .foreachBatch(streaming.Streams.upsertSink(tableDir, Seq("user_id"), "event_id") _)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      }
+      land(0); land(1)
+      val q1 = runOnce(); q1.awaitTermination(); q1.stop()
+      land(2); land(3)
+      val q2 = runOnce(); q2.awaitTermination(); q2.stop()
+      val ids = q2.recentProgress.map(_.batchId)
+      require(ids.nonEmpty && ids.min >= 1,
+        s"restart did not resume from checkpoint: batch ids ${ids.toSeq}")
+      s.read.parquet(tableDir)
+    }),
+
     "stream_join" -> ((s, dir) => {
       // driver-visible stream-stream INTERVAL JOIN: views matched to same-
       // user purchases within the following hour, both sides watermarked
@@ -1707,6 +1746,8 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    "stream_recovery" ->
+      """WITH r AS (SELECT user_id, event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_c, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) SELECT user_id, event_id, event_type, value_c FROM r WHERE rn = 1""",
     "stream_enrich" ->
       """SELECT c_mktsegment, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS value_c FROM events JOIN customer ON user_id = c_custkey GROUP BY 1, 2""",
     "ev_sessions_typed" ->

@@ -145,16 +145,19 @@ object Streams {
   /** Streaming keyed upsert into a parquet "table" via foreachBatch —
     * the maintenance pattern behind every streaming silver table
     * (Delta MERGE re-expressed on plain parquet): per micro-batch,
-    * latest-wins dedup WITHIN the batch by `seqCol`, then full-outer
-    * merge against the current table snapshot, then an atomic
+    * merge the batch against the current table snapshot keeping the
+    * HIGHEST `seqCol` per key (monotone upsert), then a checked
     * swap-by-rename.
     *
     * Exactly-once story: foreachBatch can replay a batch after a crash
-    * (at-least-once delivery), but the merge is IDEMPOTENT — replaying
-    * the same rows produces the same table (keyed latest-wins with a
-    * deterministic tie-break), which upgrades the sink to effective
-    * exactly-once. That idempotence is what StreamingUpsertSpec replays
-    * a batch to prove.
+    * (at-least-once delivery), but the merge is IDEMPOTENT and
+    * MONOTONE — replaying any batch, in any order, can never regress a
+    * key to an older sequence (max-by-seq is commutative/associative/
+    * idempotent), which upgrades the sink to effective exactly-once even
+    * under out-of-order redelivery. Ties on (key, seq) break by a
+    * replay-stable full-row hash. StreamingUpsertSpec replays a batch to
+    * prove it; the stream_recovery driver query crash-restarts a real
+    * checkpointed stream over it.
     *
     * Scale shape: one shuffle per batch on the key for the merge join;
     * the snapshot re-read is the plain-parquet cost (a table format with
@@ -179,12 +182,12 @@ object Streams {
     val merged =
       if (!dir.exists()) latestInBatch
       else {
-        val current = spark.read.parquet(tableDir)
-        // anti-join keeps current rows not touched by the batch; the
-        // batch's latest rows win for touched keys
-        current.join(latestInBatch.select(keyCols.map(col): _*),
-          keyCols, "left_anti")
+        // monotone merge: current ∪ batch, keep the max-seq row per key —
+        // an out-of-order (or replayed) batch can never regress the table
+        spark.read.parquet(tableDir)
           .unionByName(latestInBatch)
+          .withColumn("__rn__", row_number().over(w))
+          .filter(col("__rn__") === 1).drop("__rn__")
       }
     val tmp = tableDir + s".tmp-$batchId"
     merged.write.mode("overwrite").parquet(tmp)

@@ -43,6 +43,13 @@ class StreamingUpsertSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("monotone: an out-of-order batch with an older seq cannot regress the table") {
+    val before = tableState()
+    val stale = Seq((2L, "bOLD", 1L)).toDF("k", "v", "seq")
+    Streams.upsertSink(tableDir, Seq("k"), "seq")(stale, batchId = 100L)
+    assert(tableState() == before)
+  }
+
   test("upsert merge is idempotent: replaying the same batch leaves the table unchanged") {
     val before = tableState()
     // replay batch 2's rows directly (what a post-crash foreachBatch does)
