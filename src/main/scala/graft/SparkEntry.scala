@@ -1268,6 +1268,147 @@ operations:
         .agg(countDistinct(col("user_id")).as("wau"))
     }),
 
+    "ev_pattern" -> ((s, dir) => {
+      // MATCH_RECOGNIZE-lite sequence analytics: per-user event-type
+      // string in (ts, event_id) order, then plain regexes over the
+      // sequence answer funnel questions (view-streak→purchase runs,
+      // signup-before-purchase) with no dedicated operator. One key
+      // shuffle; the sequence is bounded by the user's event count.
+      val ev = events(s, dir)
+      ev.select(col("user_id"),
+          struct(col("ts"), col("event_id"), col("event_type")).as("e"))
+        .groupBy("user_id")
+        .agg(array_join(transform(array_sort(collect_list(col("e"))),
+          e => substring(e.getField("event_type"), 1, 1)), "").as("seq"))
+        .select(col("user_id"), col("seq"),
+          length(col("seq")).cast("long").as("n_events"),
+          regexp_count(col("seq"), lit("v+p")).cast("long").as("n_funnels"),
+          col("seq").rlike("s.*p").as("signup_then_purchase"))
+    }),
+
+    "ev_coverage" -> ((s, dir) => {
+      // interval-union coverage (gaps-and-islands over half-open activity
+      // intervals): each event opens a 5-minute window; overlapping/
+      // touching windows merge per user — islands counted and covered
+      // time summed in integer microseconds, engine-exact
+      import org.apache.spark.sql.expressions.Window
+      val base = events(s, dir).select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("st"),
+        (unix_micros(col("ts")) + lit(300000000L)).as("en"))
+      val ord = Window.partitionBy("user_id")
+        .orderBy(col("st").asc, col("event_id").asc)
+      val isNew = when(col("st") > coalesce(
+        max(col("en")).over(ord.rowsBetween(Window.unboundedPreceding, -1)),
+        lit(-1L)), 1).otherwise(0)
+      base.withColumn("is_new", isNew)
+        .withColumn("island",
+          sum(col("is_new")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("user_id"), col("island"))
+        .agg(min(col("st")).as("ms"), max(col("en")).as("me"),
+          count(lit(1)).as("ne"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_islands"),
+          sum(col("me") - col("ms")).as("covered_us"),
+          sum(col("ne")).as("n_events"))
+    }),
+
+    "q_wmedian" -> ((s, dir) => {
+      // weighted median (lower) per group from a value HISTOGRAM — the
+      // fully-parallel shape q_winsor documented (no per-group sort of
+      // the data, only a cumsum over the small distinct-value frame);
+      // quantity-weighted, all-integer, engine-exact
+      import org.apache.spark.sql.expressions.Window
+      val li = T(s, dir, "lineitem").select(col("l_returnflag"),
+        round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+        col("l_quantity").cast("long").as("wt"))
+      val h = li.groupBy("l_returnflag", "price_c").agg(sum(col("wt")).as("w"))
+      val ord = Window.partitionBy("l_returnflag").orderBy(col("price_c").asc)
+      h.withColumn("cum",
+          sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("total",
+          sum(col("w")).over(Window.partitionBy("l_returnflag")))
+        .filter(col("cum") * 2 >= col("total"))
+        .groupBy("l_returnflag")
+        .agg(min(col("price_c")).as("wmedian_c"), max(col("total")).as("total_wt"))
+    }),
+
+    "ta_shuffle" -> ((s, dir) => {
+      // deterministic training-order shuffle: docs land in 32 shards by
+      // seeded hash, position within shard by hash order — a reproducible
+      // epoch permutation with NO global sort (shard-local ranks only,
+      // the shape that survives 100 TB: shards are the parallel unit)
+      import org.apache.spark.sql.expressions.Window
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("epoch0:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("shard",
+          conv(substring(col("h"), 1, 4), 16, 10).cast("long") % 32)
+      val w = Window.partitionBy("shard").orderBy(col("h").asc, col("doc_id").asc)
+      d.select(col("doc_id"), col("shard"),
+        row_number().over(w).cast("long").as("pos"))
+    }),
+
+    "ta_temperature" -> ((s, dir) => {
+      // temperature-weighted source mixing (α = 0.5): per-source quotas
+      // ∝ √n in integer micro fixed point (IEEE sqrt is correctly
+      // rounded, so both engines derive identical quotas), then a
+      // deterministic hash-ordered selection fills each quota exactly.
+      // Scale note: the per-source rank would become a two-pass hash-
+      // threshold cutoff at 100 TB; quota arithmetic is unchanged.
+      import org.apache.spark.sql.expressions.Window
+      val d = T(s, dir, "documents")
+      val weights = d.groupBy("source").agg(count(lit(1)).as("n"))
+        .withColumn("w_micro",
+          round(sqrt(col("n").cast("double")) * 1e6).cast("long"))
+      val tot = weights.agg(sum(col("w_micro")).as("tw"))
+      val quota = weights.crossJoin(tot)
+        .select(col("source"), expr("(250 * w_micro) div tw").as("quota"))
+      val ranked = d.select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(Window.partitionBy("source")
+          .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)))
+      ranked.join(quota, "source").filter(col("rn") <= col("quota"))
+        .select(col("doc_id"), col("source"))
+    }),
+
+    "sim_centroids" -> ((s, dir) => {
+      // per-label embedding centroids in integer fixed point: component
+      // sums of round(x·1e6) are order-free BIGINTs, so the 64-dim
+      // centroid table is engine-exact (float→double widening is exact;
+      // a float centroid sum would be accumulation-order-dependent)
+      T(s, dir, "embeddings")
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim").cast("long").as("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("x").cast("double") * 1e6).cast("long")).as("sum_micro"))
+    }),
+
+    "ta_stem" -> ((s, dir) => {
+      // suffix-stripping stemmer-lite as an explicit CASE chain (no
+      // regex dialect risk — exact cross-engine parity): top-50 stems by
+      // corpus frequency, ties broken lexicographically
+      val tok = explode(ext.TextAnalysis.tokens(col("text"))).as("tok")
+      val t = T(s, dir, "documents").select(tok).filter(length(col("tok")) > 0)
+      val stem = when(col("tok").endsWith("ies") && length(col("tok")) > 4,
+          concat(expr("substring(tok, 1, length(tok) - 3)"), lit("y")))
+        .when(col("tok").endsWith("ing") && length(col("tok")) > 5,
+          expr("substring(tok, 1, length(tok) - 3)"))
+        .when(col("tok").endsWith("ed") && length(col("tok")) > 4,
+          expr("substring(tok, 1, length(tok) - 2)"))
+        .when(col("tok").endsWith("ly") && length(col("tok")) > 4,
+          expr("substring(tok, 1, length(tok) - 2)"))
+        .when(col("tok").endsWith("es") && length(col("tok")) > 4,
+          expr("substring(tok, 1, length(tok) - 2)"))
+        .when(col("tok").endsWith("s") && !col("tok").endsWith("ss")
+            && length(col("tok")) > 3,
+          expr("substring(tok, 1, length(tok) - 1)"))
+        .otherwise(col("tok"))
+      t.select(stem.as("stem"))
+        .groupBy("stem").agg(count(lit(1)).as("n_tokens"))
+        .orderBy(col("n_tokens").desc, col("stem").asc)
+        .limit(50)
+    }),
+
     "ta_wsample" -> ((s, dir) => {
       // weighted sampling without replacement (Efraimidis–Spirakis
       // exponential keys), weights = token counts: micro-nat fixed-point
@@ -1652,6 +1793,20 @@ operations:
       """SELECT l_orderkey, l_linenumber, array_to_string([CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)], ',') AS features FROM lineitem""",
     "ev_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events), w AS (SELECT user_id, d + CAST(x AS INTEGER) AS win_end FROM ud, unnest(range(7)) AS t(x)) SELECT win_end, CAST(count(DISTINCT user_id) AS BIGINT) AS wau FROM w GROUP BY 1""",
+    "ev_pattern" ->
+      """WITH s AS (SELECT user_id, string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id) AS seq FROM events GROUP BY 1) SELECT user_id, seq, CAST(length(seq) AS BIGINT) AS n_events, CAST(len(regexp_extract_all(seq, 'v+p')) AS BIGINT) AS n_funnels, regexp_matches(seq, 's.*p') AS signup_then_purchase FROM s""",
+    "ev_coverage" ->
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS st, epoch_us(ts) + 300000000 AS en FROM events), g AS (SELECT *, CASE WHEN st > coalesce(max(en) OVER (PARTITION BY user_id ORDER BY st, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS is_new FROM b), i AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY st, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island FROM g), m AS (SELECT user_id, island, min(st) AS ms, max(en) AS me, count(*) AS ne FROM i GROUP BY 1, 2) SELECT user_id, CAST(count(*) AS BIGINT) AS n_islands, CAST(sum(me - ms) AS BIGINT) AS covered_us, CAST(sum(ne) AS BIGINT) AS n_events FROM m GROUP BY 1""",
+    "q_wmedian" ->
+      """WITH h AS (SELECT l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w FROM lineitem GROUP BY 1, 2), c AS (SELECT *, sum(w) OVER (PARTITION BY l_returnflag ORDER BY price_c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(w) OVER (PARTITION BY l_returnflag) AS total FROM h) SELECT l_returnflag, CAST(min(price_c) AS BIGINT) AS wmedian_c, CAST(max(total) AS BIGINT) AS total_wt FROM c WHERE cum * 2 >= total GROUP BY 1""",
+    "ta_shuffle" ->
+      """WITH d AS (SELECT doc_id, md5('epoch0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), s AS (SELECT doc_id, h, CAST('0x' || substr(h, 1, 4) AS BIGINT) % 32 AS shard FROM d) SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS BIGINT) AS pos FROM s""",
+    "ta_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1), w AS (SELECT source, CAST(round(sqrt(CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro FROM c), t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS tw FROM w), q AS (SELECT source, (250 * w_micro) // tw AS quota FROM w, t), r AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE rn <= quota""",
+    "sim_centroids" ->
+      """SELECT CAST(label AS BIGINT) AS label, CAST(i AS BIGINT) AS dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(round(CAST(embedding[CAST(i AS INTEGER) + 1] AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro FROM embeddings, unnest(range(len(embedding))) t(i) GROUP BY 1, 2""",
+    "ta_stem" ->
+      """WITH toks AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents), st AS (SELECT CASE WHEN ends_with(tok, 'ies') AND length(tok) > 4 THEN substr(tok, 1, length(tok) - 3) || 'y' WHEN ends_with(tok, 'ing') AND length(tok) > 5 THEN substr(tok, 1, length(tok) - 3) WHEN ends_with(tok, 'ed') AND length(tok) > 4 THEN substr(tok, 1, length(tok) - 2) WHEN ends_with(tok, 'ly') AND length(tok) > 4 THEN substr(tok, 1, length(tok) - 2) WHEN ends_with(tok, 'es') AND length(tok) > 4 THEN substr(tok, 1, length(tok) - 2) WHEN ends_with(tok, 's') AND NOT ends_with(tok, 'ss') AND length(tok) > 3 THEN substr(tok, 1, length(tok) - 1) ELSE tok END AS stem FROM toks) SELECT stem, CAST(count(*) AS BIGINT) AS n_tokens FROM st GROUP BY 1 ORDER BY n_tokens DESC, stem ASC LIMIT 50""",
     "ta_wsample" ->
       """WITH d AS (SELECT doc_id, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens FROM documents), keyed AS (SELECT doc_id, n_tokens, CAST(round(-ln((CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) AS DOUBLE) + 0.5) / 4294967296.0) * 1000000) AS BIGINT) AS nl_micro FROM d WHERE n_tokens > 0) SELECT doc_id, n_tokens, nl_micro FROM keyed ORDER BY CAST(nl_micro AS DOUBLE) / n_tokens ASC, doc_id ASC LIMIT 50""",
     "ta_mix" ->
