@@ -758,6 +758,32 @@ operations:
       ext.Graph.triangleCounts(e).withColumnRenamed("id", "part_id")
     }),
 
+    "g_kcore" -> ((s, dir) => {
+      // k-core (k=80) of the part co-purchase graph: iterative peel to
+      // fixpoint (6 rounds at sf0.01); the oracle is a 10-round unrolled
+      // replay — peeling is monotone, so rounds past the fixpoint are
+      // identity and the bounded unroll is exact
+      val lp = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = lp.as("x").join(lp.as("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+      ext.Graph.kCore(e, k = 80).withColumnRenamed("id", "part_id")
+    }),
+
+    "g_labelprop" -> ((s, dir) => {
+      // synchronous label propagation (3 rounds, min-label tie-break)
+      // over the symmetrized customer↔supplier trade graph — community
+      // labels are all-integer and the fixed round count makes the
+      // unrolled SQL oracle exact
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst")).distinct()
+      ext.Graph.labelPropagation(pairs, iters = 3)
+    }),
+
     "ev_variant" -> ((s, dir) => {
       // semi-structured ingestion via Spark 4 VARIANT: parse the raw JSON
       // props once into the shredded binary variant encoding, extract a
@@ -1720,8 +1746,45 @@ operations:
        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
   }
 
+  /** 10-round unrolled k-core peel (k=80) over the part co-purchase
+    * graph. MATERIALIZED hints keep DuckDB from re-inlining the chain
+    * (each round references its predecessor three times). Peeling reaches
+    * its fixpoint in 6 rounds at sf0.01; rounds 7-10 are provably
+    * identity (monotone peel), so the unroll equals the true k-core.
+    */
+  private lazy val kcoreOracleSql: String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+      "e0 AS MATERIALIZED (SELECT DISTINCT x.p AS src, y.p AS dst FROM lp x JOIN lp y ON x.o = y.o AND x.p <> y.p)")
+    for (r <- 1 to 10) {
+      parts += s"k$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= 80)"
+      parts += s"e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e JOIN k$r a ON e.src = a.src JOIN k$r b ON e.dst = b.src)"
+    }
+    "WITH " + parts.mkString(", ") +
+      " SELECT src AS part_id, CAST(count(*) AS BIGINT) AS core_deg FROM e10 GROUP BY 1"
+  }
+
+  /** 3-round unrolled synchronous label propagation over the symmetrized
+    * trade graph, min-label tie-break — mirrors Graph.labelPropagation.
+    */
+  private lazy val labelpropOracleSql: String = {
+    val parts = scala.collection.mutable.ArrayBuffer(
+      "base AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
+      "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM base UNION SELECT s, c FROM base)",
+      "l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS lbl FROM e)")
+    for (r <- 1 to 3) {
+      parts += s"f$r AS MATERIALIZED (SELECT e.src AS id, l.lbl, count(*) AS c FROM e JOIN l${r - 1} l ON e.dst = l.id GROUP BY 1, 2)"
+      parts += s"p$r AS MATERIALIZED (SELECT id, lbl FROM f$r QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1)"
+      parts += s"l$r AS MATERIALIZED (SELECT n.id, coalesce(p.lbl, n.lbl) AS lbl FROM l${r - 1} n LEFT JOIN p$r p USING (id))"
+    }
+    "WITH " + parts.mkString(", ") +
+      " SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l3"
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "ta_winnow" -> winnowOracleSql,
+    "g_kcore" -> kcoreOracleSql,
+    "g_labelprop" -> labelpropOracleSql,
     // mm_neardup: replay the planted gradient-image dHash (md5_64 of the
     // ten-doc cluster id, one member bit flipped) and brute-force the
     // Hamming<=1 pair set — Spark must reach it through decode + banding

@@ -246,6 +246,77 @@ object Graph {
     dist
   }
 
+  /** k-core membership (Seidman 1983): iteratively peel vertices whose
+    * degree among the remaining vertices is < k, until fixpoint. Returns
+    * surviving vertices with their in-core degree — the standard graph
+    * filter for boilerplate/spam neighborhoods in web-corpus curation.
+    *
+    * Input edges may be directed; they are symmetrized and de-duplicated
+    * first, so `core_deg` is a true undirected degree. Per round: one
+    * mergeable degree aggregate + two ids-only semi-joins, lineage
+    * truncated per round. Rounds are bounded by the peeling depth (the
+    * degeneracy ordering's layer count — small in practice), and peeling
+    * is MONOTONE: once the fixpoint is reached further rounds are no-ops,
+    * which is what lets a bounded unrolled SQL replay oracle the result
+    * exactly.
+    */
+  def kCore(edges: DataFrame, src: String = "src", dst: String = "dst",
+            k: Int = 3, maxRounds: Int = 100): DataFrame = {
+    require(k >= 1, "kCore: k must be >= 1")
+    val d0 = edges.select(col(src).cast(LongType).as("src"),
+      col(dst).cast(LongType).as("dst")).filter(col("src") =!= col("dst"))
+    var e = d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    var n = e.count()
+    var round = 0
+    var done = n == 0
+    while (!done && round < maxRounds) {
+      val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
+        .filter(col("d") >= k).select(col("src").as("kid"))
+      val e2 = e
+        .join(keep, col("src") === col("kid"), "left_semi")
+        .join(keep, col("dst") === col("kid"), "left_semi")
+        .localCheckpoint(true)
+      val n2 = e2.count()
+      done = n2 == n || n2 == 0
+      e = e2; n = n2; round += 1
+    }
+    e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Synchronous label propagation (Raghavan, Albert, Kumara 2007) with a
+    * deterministic tie-break: labels start as vertex ids; each round every
+    * vertex adopts the most frequent label among its neighbors' PREVIOUS
+    * labels (ties → smallest label). A fixed iteration count keeps the
+    * result deterministic AND expressible as an unrolled SQL oracle —
+    * async/random-order LPA is neither. Per round: one ids-only join, one
+    * (vertex, label) count aggregate, one argmax window over the count
+    * frame (partitioned by vertex — parallel, bounded by the distinct
+    * neighbor-label count per vertex, never the corpus).
+    */
+  def labelPropagation(edges: DataFrame, src: String = "src",
+                       dst: String = "dst", iters: Int = 3): DataFrame = {
+    require(iters >= 0, "labelPropagation: iters must be >= 0")
+    val d0 = edges.select(col(src).cast(LongType).as("src"),
+      col(dst).cast(LongType).as("dst")).filter(col("src") =!= col("dst"))
+    val e = d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint(true)
+    var lbl = nodes.withColumn("lbl", col("id"))
+    for (i <- 0 until iters) {
+      val freq = e.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
+        .groupBy(col("src").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("id").orderBy(col("c").desc, col("lbl").asc)
+      val pick = freq.withColumn("__rn__", row_number().over(w))
+        .filter(col("__rn__") === 1).select(col("id"), col("lbl").as("nl"))
+      lbl = lbl.join(pick, Seq("id"), "left")
+        .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
+      if (i < iters - 1) lbl = lbl.localCheckpoint(true)
+    }
+    lbl
+  }
+
   /** Per-vertex triangle counts via degree-ordered edge orientation —
     * the "compact-forward" / node-iterator++ scheme (Latapy, TCS 2008;
     * Suri & Vassilvitskii's MapReduce variant, WWW 2011).

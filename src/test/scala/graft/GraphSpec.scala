@@ -127,6 +127,55 @@ class GraphSpec extends SparkSpec {
     assert(from5 == Map(5L -> 0L))
   }
 
+  test("kCore: agrees with brute-force peeling on random graphs") {
+    def brute(eSet: Set[(Long, Long)], k: Int): Map[Long, Long] = {
+      var adj = eSet.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (v, es) => v -> es.map(_._2) }
+      var changed = true
+      while (changed) {
+        val drop = adj.collect { case (v, ns) if ns.size < k => v }.toSet
+        changed = drop.nonEmpty
+        adj = adj.collect { case (v, ns) if !drop(v) =>
+          v -> ns.filterNot(drop) }.filter(_._2.nonEmpty)
+        adj = adj.filter(_._2.nonEmpty)
+      }
+      adj.map { case (v, ns) => v -> ns.size.toLong }
+    }
+    val rnd = new scala.util.Random(11)
+    for (trial <- 0 until 3) {
+      val n = 25 + trial * 10
+      val edges = Seq.fill(n * 3)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val eSet = edges.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      for (k <- Seq(2, 3, 4)) {
+        val got = Graph.kCore(edges.toDF("src", "dst"), k = k)
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        assert(got == brute(eSet, k), s"trial $trial k=$k")
+      }
+    }
+  }
+
+  test("labelPropagation: two cliques joined by a bridge keep separate labels") {
+    // cliques {1,2,3} and {10,11,12}, bridge 3-10; 3 sync rounds with
+    // min-label tie-break: each clique converges to its min id
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L),
+      (11L, 12L), (3L, 10L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L, 10L, 11L, 12L))
+    // community structure: 1 and 2 share a label; 11 and 12 share a label
+    assert(got(1L) == got(2L))
+    assert(got(11L) == got(12L))
+    assert(got(1L) != got(11L), "the two cliques must not merge")
+  }
+
+  test("labelPropagation: 0 iterations returns identity labels") {
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.labelPropagation(edges, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
   test("triangle counts: agrees with brute-force enumeration on random graphs") {
     val rnd = new scala.util.Random(7)
     for (trial <- 0 until 3) {
