@@ -1781,10 +1781,167 @@ operations:
       " SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l3"
   }
 
+  // --- MinHash / SimHash DuckDB replays -------------------------------
+  // The LSH *signatures* are deterministic integer hashing (FNV-1a and
+  // multiply-add permutations wrap mod 2^64), so the banded pair sets are
+  // fully oracle-able: HUGEINT arithmetic replays the wrapping exactly
+  // (split multiplication keeps a·h below 2^127), and bucket keys compare
+  // the raw signature slices (Spark's xxhash64 band key is injective up
+  // to astronomically-unlikely collisions, which would only ADD Spark
+  // candidates). Bucket caps never trigger at sf0.01 (500 docs < 2000).
+
+  private val U64 = "18446744073709551616::HUGEINT"
+
+  /** FNV-1a 64 of a string column `g` (ASCII fixture) via list_reduce. */
+  private val fnvSql: String =
+    "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "list_transform(range(strlen(g)), i -> CAST(ascii(g[CAST(i AS INTEGER)+1:CAST(i AS INTEGER)+1]) AS HUGEINT))), " +
+      s"(acc, b) -> (xor(acc, b) * 1099511628211::HUGEINT) % $U64)"
+
+  /** CTEs replaying Hashing.textMinhash(text, n, k) into
+    * `sigs(doc_id, sig LIST<BIGINT>)` — tokenize, word n-grams, FNV per
+    * gram, k signed-min multiply-add permutations (vectorized as k min
+    * aggregates over exploded gram hashes).
+    */
+  private def minhashSigCtes(n: Int, k: Int): String = {
+    val (as0, bs0) = graft.functions.Hashing.permConsts(k)
+    val mask = (BigInt(1) << 64) - 1
+    def perm(j: Int): String = {
+      val a = BigInt(as0(j)) & mask
+      val b = BigInt(bs0(j)) & mask
+      val v = s"(($a::HUGEINT * hlo) % $U64 + (($a::HUGEINT * hhi) % 4294967296::HUGEINT) * 4294967296::HUGEINT + $b::HUGEINT) % $U64"
+      s"min(CAST(CASE WHEN $v >= 9223372036854775808::HUGEINT THEN $v - $U64 ELSE $v END AS BIGINT)) AS s$j"
+    }
+    val sigCols = (0 until k).map(perm).mkString(", ")
+    val sigArr = (0 until k).map(j => s"s$j").mkString("[", ", ", "]")
+    s"""toks AS MATERIALIZED (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents),
+       |grams AS MATERIALIZED (SELECT doc_id, unnest(list_transform(range(len(t) - ${n - 1}), i -> array_to_string(t[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+$n)], ' '))) AS g FROM toks WHERE len(t) >= $n),
+       |gh AS MATERIALIZED (SELECT doc_id, h % 4294967296::HUGEINT AS hlo, h // 4294967296::HUGEINT AS hhi FROM (SELECT doc_id, $fnvSql AS h FROM grams)),
+       |sigw AS MATERIALIZED (SELECT doc_id, $sigCols FROM gh GROUP BY doc_id),
+       |sigs AS MATERIALIZED (SELECT doc_id, $sigArr AS sig FROM sigw)""".stripMargin
+  }
+
+  /** Banded candidate pairs + signature-jaccard filter over `sigs` —
+    * mirrors Dedup.minhashPairs' band join and estimate filter.
+    */
+  private def minhashPairSql(k: Int, bands: Int, threshold: Double): String = {
+    val r = k / bands
+    s"""banded AS MATERIALIZED (SELECT doc_id, b, array_to_string(sig[(CAST(b AS INTEGER)*$r+1):(CAST(b AS INTEGER)*$r+$r)], ',') AS bkey FROM sigs, unnest(range($bands)) t(b)),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+       |est AS MATERIALIZED (SELECT id_a, id_b, CAST(len(list_filter(range($k), i -> sa.sig[CAST(i AS INTEGER)+1] = sb.sig[CAST(i AS INTEGER)+1])) AS DOUBLE) / $k AS est_jaccard FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id),
+       |mh_pairs AS MATERIALIZED (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= $threshold)""".stripMargin
+  }
+
+  private lazy val minhashOracleSql: String =
+    s"WITH ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)} SELECT id_a, id_b, est_jaccard FROM mh_pairs"
+
+  /** dd_minhash_dedup: connected components over the minhash pair graph
+    * (recursive min-label propagation — labels only decrease, so the
+    * UNION-dedup recursion terminates), keep the min-id doc per cluster.
+    */
+  private lazy val minhashDedupOracleSql: String =
+    s"""WITH RECURSIVE ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)},
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mh_pairs UNION SELECT id_b, id_a FROM mh_pairs),
+       |lab AS (SELECT doc_id AS id, doc_id AS lbl FROM documents UNION SELECT e.dst AS id, lab.lbl FROM lab JOIN edges e ON lab.id = e.src WHERE lab.lbl < e.dst),
+       |comp AS (SELECT id, min(lbl) AS root FROM lab GROUP BY 1)
+       |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN comp c ON d.doc_id = c.id WHERE c.root = c.id""".stripMargin
+
+  /** dd_ngram: minhash candidates (k=32, est ≥ 0.35 safety margin) then
+    * EXACT distinct-3-gram Jaccard ≥ 0.5 — mirrors Dedup.ngramJaccardPairs.
+    */
+  private lazy val ngramOracleSql: String =
+    s"""WITH ${minhashSigCtes(3, 32)}, ${minhashPairSql(32, 16, 0.35)},
+       |dg AS MATERIALIZED (SELECT doc_id, list_distinct(list_transform(range(len(t) - 2), i -> array_to_string(t[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+3)], ' '))) AS gs FROM toks WHERE len(t) >= 3)
+       |SELECT p.id_a, p.id_b, CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS jaccard
+       |FROM mh_pairs p JOIN dg a ON p.id_a = a.doc_id JOIN dg b ON p.id_b = b.doc_id
+       |WHERE CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) / (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) >= 0.5""".stripMargin
+
+  /** dd_simhash: replay Hashing.simhash64 (FNV per RAW whitespace token,
+    * ±1 per bit over token occurrences, sign → bit), then the 4×16-bit
+    * band join and Hamming filter. Docs with no tokens hash to 0.
+    */
+  private lazy val simhashOracleSql: String = {
+    val bit = "CAST((h // CAST(power(2, CAST(b AS INTEGER)) AS HUGEINT)) % 2 AS INTEGER)"
+    s"""WITH rt AS MATERIALIZED (SELECT doc_id, unnest(list_filter(string_split_regex(text, '[ \\t\\n\\r]+'), x -> x <> '')) AS g FROM documents),
+       |th AS MATERIALIZED (SELECT doc_id, $fnvSql AS h FROM rt),
+       |bits AS MATERIALIZED (SELECT doc_id, b, sum(CASE WHEN $bit = 1 THEN 1 ELSE -1 END) AS cnt FROM th, unnest(range(64)) t(b) GROUP BY 1, 2),
+       |hu AS MATERIALIZED (SELECT d.doc_id, coalesce((SELECT sum(CASE WHEN cnt > 0 THEN CAST(power(2, CAST(b AS INTEGER)) AS HUGEINT) ELSE 0::HUGEINT END) FROM bits WHERE bits.doc_id = d.doc_id), 0::HUGEINT) AS u FROM documents d),
+       |sh AS MATERIALIZED (SELECT doc_id, u, CAST(CASE WHEN u >= 9223372036854775808::HUGEINT THEN u - $U64 ELSE u END AS BIGINT) AS h FROM hu),
+       |sbanded AS MATERIALIZED (SELECT doc_id, b, CAST((u // CAST(power(2, CAST(b AS INTEGER) * 16) AS HUGEINT)) % 65536 AS BIGINT) AS bkey FROM sh, unnest(range(4)) t(b)),
+       |scand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b FROM sbanded a JOIN sbanded b ON a.b = b.b AND a.bkey = b.bkey AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(ha.h, hb.h)) AS BIGINT) AS hamming
+       |FROM scand JOIN sh ha ON scand.id_a = ha.doc_id JOIN sh hb ON scand.id_b = hb.doc_id
+       |WHERE bit_count(xor(ha.h, hb.h)) <= 8""".stripMargin
+  }
+
+  /** dd_embed: replay the hyperplane LSH + exact-cosine verify. The
+    * hyperplane components are hash-derived exact multiples of 1/1000
+    * (emitted as shortest-roundtrip double literals — identical bits in
+    * both engines), and every float op is fixed-order IEEE: left-to-right
+    * dot products (list_reduce ≡ the Expression's index loop), sqrt, one
+    * multiply, one divide — so even the DOUBLE cosine hash-matches.
+    */
+  /** VALUES rows of hash-derived hyperplane components for the given LSH
+    * shape — shortest-roundtrip double literals, identical bits in both
+    * engines (each component is an exact k/1000.0).
+    */
+  private def planeRowsSql(nbits: Int, tables: Int, dim: Int): String =
+    (0 until tables * nbits).map { pid =>
+      val comps = (0 until dim)
+        .map(d => graft.functions.VectorExprs.component(pid / nbits, pid % nbits, d))
+        .mkString("[", ", ", "]")
+      s"($pid, $comps)"
+    }.mkString(", ")
+
+  private lazy val embedOracleSql: String = {
+    val nbits = 4; val tables = 16; val dim = 64
+    val planeRows = planeRowsSql(nbits, tables, dim)
+    val idx = "CAST(i AS INTEGER)+1"
+    val dotVP = s"list_reduce(list_transform(range(len(e)), i -> CAST(e[$idx] AS DOUBLE) * c[$idx]), (a, b) -> a + b)"
+    val dotVV = s"list_reduce(list_transform(range(len(va)), i -> CAST(va[$idx] AS DOUBLE) * CAST(vb[$idx] AS DOUBLE)), (a, b) -> a + b)"
+    val nrm = s"sqrt(list_reduce(list_transform(range(len(e)), i -> CAST(e[$idx] AS DOUBLE) * CAST(e[$idx] AS DOUBLE)), (a, b) -> a + b))"
+    s"""WITH planes(pid, c) AS MATERIALIZED (SELECT * FROM (VALUES $planeRows) t(pid, c)),
+       |v AS MATERIALIZED (SELECT vec_id, embedding AS e FROM embeddings),
+       |dots AS MATERIALIZED (SELECT vec_id, pid, $dotVP AS s FROM v, planes),
+       |buck AS MATERIALIZED (SELECT vec_id, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, 3 - (pid % $nbits)) AS BIGINT) ELSE 0 END) AS BIGINT) * $tables + (pid // $nbits) AS bucket FROM dots GROUP BY vec_id, pid // $nbits),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM buck a JOIN buck b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |nv AS MATERIALIZED (SELECT vec_id, e, $nrm AS nm FROM v),
+       |ver AS (SELECT id_a, id_b, $dotVV / (na.nm * nb.nm) AS cosine FROM (SELECT c2.id_a, c2.id_b, a.e AS va, b.e AS vb FROM cand c2 JOIN v a ON c2.id_a = a.vec_id JOIN v b ON c2.id_b = b.vec_id) j JOIN nv na ON j.id_a = na.vec_id JOIN nv nb ON j.id_b = nb.vec_id)
+       |SELECT id_a, id_b, cosine FROM ver WHERE cosine >= 0.45""".stripMargin
+  }
+
+  /** sim_topk_lsh: replay the multi-probe hyperplane index (nbits=6,
+    * tables=8, 1-bit-flip probes) with fixed-order IEEE plane dots, then
+    * the same exact-cosine re-rank the sim_topk oracle already verifies
+    * bit-identical on this corpus. Approximate ANN, exact replay.
+    */
+  private lazy val lshTopKOracleSql: String = {
+    val nbits = 6; val tables = 8
+    val idx = "CAST(i AS INTEGER)+1"
+    val dotVP = s"list_reduce(list_transform(range(len(v)), i -> v[$idx] * c[$idx]), (a, b) -> a + b)"
+    s"""WITH planes(pid, c) AS MATERIALIZED (SELECT * FROM (VALUES ${planeRowsSql(nbits, tables, 64)}) t(pid, c)),
+       |e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |dots AS MATERIALIZED (SELECT vec_id, pid, $dotVP AS s FROM e, planes),
+       |sigs AS MATERIALIZED (SELECT vec_id, pid // $nbits AS tbl, CAST(sum(CASE WHEN s > 0 THEN CAST(power(2, ${nbits - 1} - (pid % $nbits)) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig FROM dots GROUP BY 1, 2),
+       |dbuck AS MATERIALIZED (SELECT vec_id, sig * $tables + tbl AS bucket FROM sigs),
+       |qbuck AS MATERIALIZED (SELECT vec_id, (CASE WHEN f = 0 THEN sig ELSE xor(sig, CAST(power(2, CAST(f AS INTEGER) - 1) AS BIGINT)) END) * $tables + tbl AS bucket FROM sigs, unnest(range(${nbits + 1})) t(f) WHERE vec_id < 8),
+       |cand AS MATERIALIZED (SELECT DISTINCT q.vec_id AS query_id, d.vec_id AS neighbor_id FROM qbuck q JOIN dbuck d ON q.bucket = d.bucket AND d.vec_id <> q.vec_id),
+       |scored AS (SELECT query_id, neighbor_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score FROM cand JOIN e d ON cand.neighbor_id = d.vec_id JOIN e q ON cand.query_id = q.vec_id)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+       |WHERE rn <= 10""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "ta_winnow" -> winnowOracleSql,
+    "dd_embed" -> embedOracleSql,
+    "sim_topk_lsh" -> lshTopKOracleSql,
     "g_kcore" -> kcoreOracleSql,
     "g_labelprop" -> labelpropOracleSql,
+    "dd_minhash" -> minhashOracleSql,
+    "dd_minhash_dedup" -> minhashDedupOracleSql,
+    "dd_simhash" -> simhashOracleSql,
+    "dd_ngram" -> ngramOracleSql,
     // mm_neardup: replay the planted gradient-image dHash (md5_64 of the
     // ten-doc cluster id, one member bit flipped) and brute-force the
     // Hamming<=1 pair set — Spark must reach it through decode + banding

@@ -174,7 +174,7 @@ object Hashing {
   /** Deterministic multiply-add permutation constants (odd multipliers) for
     * the MinHash family — fixed seed, identical on every executor.
     */
-  private[functions] def permConsts(k: Int): (Array[Long], Array[Long]) = {
+  private[graft] def permConsts(k: Int): (Array[Long], Array[Long]) = {
     val rnd = new java.util.Random(0x5EEDL)
     val as = Array.fill(k)(rnd.nextLong() | 1L)
     val bs = Array.fill(k)(rnd.nextLong())

@@ -65,7 +65,7 @@ object VectorExprs {
   /** Hyperplane component (table, bit, dim) in [-1, 1] — hash-derived,
     * identical on every executor.
     */
-  private[functions] def component(table: Int, bit: Int, dim: Int): Double =
+  private[graft] def component(table: Int, bit: Int, dim: Int): Double =
     (Math.floorMod(splitmix64(table.toLong * 1000003 + bit.toLong * 100003 + dim), 2001L) - 1000L) / 1000.0
 }
 
