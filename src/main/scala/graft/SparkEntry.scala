@@ -355,8 +355,9 @@ operations:
     "dd_semantic" -> ((s, dir) => {
       // SemDeDup: k-means cells over embeddings + within-cell cosine +
       // transitive min-id keep — catches paraphrase/translation dups text
-      // hashing can't see. k-means is iterative → not DuckDB-expressible
-      // (rows-only check); SemanticSpec holds the exact ground truth.
+      // hashing can't see. Fixed-point Lloyd training makes the whole
+      // pipeline DuckDB-replayable (unrolled iterations, recursive
+      // components); SemanticSpec holds the exact ground truth too.
       ext.Semantic.semDedup(T(s, dir, "embeddings"), "vec_id", "embedding",
         threshold = 0.45, cells = 16)
         .select("vec_id")
@@ -392,9 +393,9 @@ operations:
 
     "sim_topk_ivf" -> ((s, dir) => {
       // trained-centroid IVF: k-means cells + nProbe probing (FAISS
-      // IVF-Flat shape as DataFrame ops); scores are float accumulations
-      // → rows-only driver check, exactness proven in IvfSpec (nProbe=k
-      // probe == brute force)
+      // IVF-Flat shape as DataFrame ops); fixed-point Lloyd training +
+      // fixed-order float scoring → full DuckDB hash-match (unrolled
+      // iterations); IvfSpec additionally proves nProbe=k == brute force
       val emb = T(s, dir, "embeddings")
       val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
       val index = ext.IvfIndex.assign(emb, "vec_id", "embedding", cents)
@@ -410,8 +411,8 @@ operations:
     "sim_topk_ivfpq" -> ((s, dir) => {
       // the composed FAISS IVFPQ tier: coarse cells bound the rows
       // scanned (nProbe), PQ codes bound the bytes per row, exact refine
-      // bounds full-width reads; rows-only — composition glue proven
-      // exact in PqSpec (all cells + lossless books == brute force)
+      // bounds full-width reads; fully DuckDB hash-matched (both trained
+      // quantizers replayed); PqSpec adds all-cells+lossless == brute force
       val emb = T(s, dir, "embeddings")
       val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
       val books = ext.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 64, iters = 2)
@@ -422,9 +423,9 @@ operations:
     "sim_topk_pq" -> ((s, dir) => {
       // product quantization (Jégou et al. 2011): 24-bit codes (64×
       // compression) + ADC table-lookup scoring + exact refine of a
-      // 50-candidate shortlist — the memory-bound 100 TB tier; scores are
-      // float accumulations → rows-only check, exactness at lossless
-      // codebooks proven in PqSpec
+      // 50-candidate shortlist — the memory-bound 100 TB tier; codebook
+      // training and fixed-order ADC scoring are fully DuckDB
+      // hash-matched; PqSpec adds lossless-codebooks == brute force
       val emb = T(s, dir, "embeddings")
       val books = ext.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 64, iters = 2)
       val enc = ext.Pq.encode(emb, "vec_id", "embedding", books)
@@ -1932,8 +1933,155 @@ operations:
        |WHERE rn <= 10""".stripMargin
   }
 
+  // --- k-means family DuckDB replays ---------------------------------
+  // IvfIndex.train is now EXACTLY replayable: md5-ordered init, argmin by
+  // the NearestCellsExpr score (‖c‖² − 2⟨v,c⟩, fixed left-to-right double
+  // accumulation — DuckDB's list_dot_product/list_reduce match bit-for-bit,
+  // proven by sim_topk/dd_embed), and fixed-point Lloyd updates whose
+  // BIGINT sums are accumulation-order-free on both engines.
+
+  /** Score of vector `v` against centroid `c` exactly as NearestCellsExpr
+    * computes it (c² left-fold minus twice the left-fold dot).
+    */
+  private def cellScore(v: String, c: String): String =
+    s"list_reduce(list_transform($c, x -> x*x), (a, b) -> a + b) - 2 * list_dot_product($v, $c)"
+
+  /** CTEs replaying IvfIndex.train(embeddings, k, iters) into
+    * `cen$iters(cell, v)`; also defines `e(vec_id, v)` double-cast vectors.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+    val grid = graft.ext.IvfIndex.Grid
+    val init =
+      s"""e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |cen0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS cell, v FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k)""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s"""asg$t AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen$t c) WHERE rn = 1),
+         |upd$t AS MATERIALIZED (SELECT cell, j, CAST(sum(CAST(floor(v[CAST(j AS INTEGER)+1] * $grid) AS BIGINT)) AS BIGINT) AS sj, count(*) AS n FROM asg$t, unnest(range($dim)) t(j) GROUP BY 1, 2),
+         |cen${t + 1} AS MATERIALIZED (SELECT p.cell, COALESCE(u.nv, p.v) AS v FROM cen$t p LEFT JOIN (SELECT cell, list(CAST(sj AS DOUBLE) / CAST(n * $grid AS DOUBLE) ORDER BY j) AS nv FROM upd$t GROUP BY cell) u ON p.cell = u.cell)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** sim_topk_ivf: trained-centroid IVF (k=8 cells, 2 Lloyd iterations,
+    * nProbe=3) — hard-assign the corpus under the final centroids, probe
+    * each query's 3 nearest cells, exact-cosine re-rank top-10.
+    */
+  private lazy val ivfTopKOracleSql: String = {
+    val cos = "list_dot_product(i.v, p.qv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
+    s"""WITH ${kmeansCtes(8, 2, 64)},
+       |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+       |prob AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c WHERE e.vec_id < 8) WHERE rn <= 3),
+       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id, $cos AS score FROM prob p JOIN idx i ON p.cell = i.cell AND i.vec_id <> p.query_id)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+       |WHERE rn <= 10""".stripMargin
+  }
+
+  /** dd_semantic: SemDeDup — 16 trained cells, soft-assign each vector to
+    * its 2 nearest (the nAssign recall dial), all within-cell pairs (the
+    * 2000 bucket cap never binds at 500 rows), exact cosine ≥ 0.45, then
+    * transitive min-label components; keep the component roots.
+    */
+  private lazy val semanticOracleSql: String = {
+    val cos = "list_dot_product(ea.v, eb.v) / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v)))"
+    s"""WITH RECURSIVE ${kmeansCtes(16, 2, 64)},
+       |asgn AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn <= 2),
+       |cpair AS MATERIALIZED (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b FROM asgn a JOIN asgn b ON a.cell = b.cell AND a.vec_id < b.vec_id),
+       |spairs AS MATERIALIZED (SELECT id_a, id_b FROM cpair JOIN e ea ON cpair.id_a = ea.vec_id JOIN e eb ON cpair.id_b = eb.vec_id WHERE $cos >= 0.45),
+       |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM spairs UNION SELECT id_b, id_a FROM spairs),
+       |lab AS (SELECT vec_id AS id, vec_id AS lbl FROM embeddings UNION SELECT e2.dst AS id, lab.lbl FROM lab JOIN edges e2 ON lab.id = e2.src WHERE lab.lbl < e2.dst),
+       |comp AS (SELECT id, min(lbl) AS root FROM lab GROUP BY 1)
+       |SELECT id AS vec_id FROM comp WHERE root = id""".stripMargin
+  }
+
+  /** ‖c‖² exactly as the engine's lookup tables compute it (left fold). */
+  private def c2Of(c: String): String =
+    s"list_reduce(list_transform($c, x -> x*x), (a, b) -> a + b)"
+
+  /** CTEs replaying Pq.trainCodebooks(m=4, k=64, iters) into
+    * `bk$iters(m, code, c)` — md5-seeded sliced codebooks, per-subspace
+    * argmin assignment, fixed-point Lloyd updates (empty codes keep their
+    * centroid). Assumes `e(vec_id, v)` is already defined.
+    */
+  private def pqCtes(iters: Int): String = {
+    val grid = graft.ext.IvfIndex.Grid
+    val init =
+      s"""seed AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS code, v FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= 64),
+         |ms AS MATERIALIZED (SELECT CAST(m AS INTEGER) AS m FROM unnest(range(4)) t(m)),
+         |bk0 AS MATERIALIZED (SELECT ms.m, s.code, s.v[ms.m*16+1 : ms.m*16+16] AS c FROM seed s CROSS JOIN ms),
+         |sv AS MATERIALIZED (SELECT e.vec_id, ms.m, e.v[ms.m*16+1 : ms.m*16+16] AS sv FROM e CROSS JOIN ms)""".stripMargin
+    val steps = (0 until iters).map { t =>
+      s"""pasg$t AS MATERIALIZED (SELECT vec_id, m, sv, code FROM (SELECT s.vec_id, s.m, s.sv, b.code, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY ${cellScore("s.sv", "b.c")}, b.code) AS rn FROM sv s JOIN bk$t b ON s.m = b.m) WHERE rn = 1),
+         |pupd$t AS MATERIALIZED (SELECT m, code, j, CAST(sum(CAST(floor(sv[CAST(j AS INTEGER)+1] * $grid) AS BIGINT)) AS BIGINT) AS sj, count(*) AS n FROM pasg$t, unnest(range(16)) t(j) GROUP BY 1, 2, 3),
+         |bk${t + 1} AS MATERIALIZED (SELECT p.m, p.code, COALESCE(u.nc, p.c) AS c FROM bk$t p LEFT JOIN (SELECT m, code, list(CAST(sj AS DOUBLE) / CAST(n * $grid AS DOUBLE) ORDER BY j) AS nc FROM pupd$t GROUP BY 1, 2) u ON p.m = u.m AND p.code = u.code)""".stripMargin
+    }
+    (init +: steps).mkString(",\n")
+  }
+
+  /** Encoding CTEs under codebook table `book`: `enc(vec_id, k0..k3,
+    * rnorm)` — per-subspace argmin codes and the exact reconstruction
+    * norm sqrt(((c2₀+c2₁)+c2₂)+c2₃) in the engine's fold order.
+    */
+  private def pqEncCtes(book: String): String =
+    s"""fasg AS MATERIALIZED (SELECT vec_id, m, code FROM (SELECT s.vec_id, s.m, b.code, row_number() OVER (PARTITION BY s.vec_id, s.m ORDER BY ${cellScore("s.sv", "b.c")}, b.code) AS rn FROM sv s JOIN $book b ON s.m = b.m) WHERE rn = 1),
+       |encw AS MATERIALIZED (SELECT vec_id, max(CASE WHEN m = 0 THEN code END) AS k0, max(CASE WHEN m = 1 THEN code END) AS k1, max(CASE WHEN m = 2 THEN code END) AS k2, max(CASE WHEN m = 3 THEN code END) AS k3 FROM fasg GROUP BY vec_id),
+       |enc AS MATERIALIZED (SELECT n.vec_id, n.k0, n.k1, n.k2, n.k3, sqrt(((${c2Of("b0.c")} + ${c2Of("b1.c")}) + ${c2Of("b2.c")}) + ${c2Of("b3.c")}) AS rnorm FROM encw n JOIN $book b0 ON b0.m = 0 AND b0.code = n.k0 JOIN $book b1 ON b1.m = 1 AND b1.code = n.k1 JOIN $book b2 ON b2.m = 2 AND b2.code = n.k2 JOIN $book b3 ON b3.m = 3 AND b3.code = n.k3)""".stripMargin
+
+  /** ADC score: Σ_m ⟨q_m, c_{m,code_m}⟩ in the engine's left-fold order,
+    * over qn·rnorm — requires aliases q (query), n (enc row), b0..b3
+    * (codebook rows of n's codes).
+    */
+  private val adcScore: String =
+    "(((list_dot_product(q.qv[1:16], b0.c) + list_dot_product(q.qv[17:32], b1.c)) + list_dot_product(q.qv[33:48], b2.c)) + list_dot_product(q.qv[49:64], b3.c)) / (q.qn * n.rnorm)"
+
+  private val pqBookJoins: String =
+    "JOIN bk2 b0 ON b0.m = 0 AND b0.code = n.k0 JOIN bk2 b1 ON b1.m = 1 AND b1.code = n.k1 JOIN bk2 b2 ON b2.m = 2 AND b2.code = n.k2 JOIN bk2 b3 ON b3.m = 3 AND b3.code = n.k3"
+
+  private val refineTailSql: String = {
+    val cos = "list_dot_product(nb.v, q.qv) / (sqrt(list_dot_product(nb.v, nb.v)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    s"""ref AS (SELECT s.query_id, s.neighbor_id, $cos AS score FROM shortl s JOIN e nb ON s.neighbor_id = nb.vec_id JOIN q ON s.query_id = q.query_id)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM ref)
+       |WHERE rn <= 10""".stripMargin
+  }
+
+  /** sim_topk_pq: PQ codes (m=4, 64 codes, 2 Lloyd iterations) + ADC
+    * table scoring + top-50 shortlist + exact-cosine refine to top-10.
+    */
+  private lazy val pqTopKOracleSql: String =
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+       |${pqCtes(2)},
+       |${pqEncCtes("bk2")},
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 8),
+       |adc AS MATERIALIZED (SELECT q.query_id, n.vec_id AS neighbor_id, $adcScore AS score FROM q CROSS JOIN enc n $pqBookJoins WHERE n.vec_id <> q.query_id),
+       |shortl AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM adc) WHERE rn <= 50),
+       |$refineTailSql""".stripMargin
+
+  /** sim_topk_ivfpq: coarse trained cells (k=8, nProbe=3 by driver-side
+    * SQUARED-L2 distance — a different fold than NearestCellsExpr, so it
+    * is replayed as Σ(q−c)², not ‖c‖²−2⟨q,c⟩) bound the rows scanned; PQ
+    * codes bound bytes; exact refine of the 50-candidate shortlist.
+    */
+  private lazy val ivfPqTopKOracleSql: String = {
+    val i1 = "CAST(i AS INTEGER)+1"
+    val l2 = s"list_reduce(list_transform(range(64), i -> (q.qv[$i1] - c.v[$i1]) * (q.qv[$i1] - c.v[$i1])), (a, b) -> a + b)"
+    s"""WITH ${kmeansCtes(8, 2, 64)},
+       |${pqCtes(2)},
+       |${pqEncCtes("bk2")},
+       |idx AS MATERIALIZED (SELECT vec_id, cell FROM (SELECT e.vec_id, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+       |q AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 8),
+       |prb AS MATERIALIZED (SELECT query_id, cell FROM (SELECT q.query_id, c.cell, row_number() OVER (PARTITION BY q.query_id ORDER BY $l2, c.cell) AS rn FROM q CROSS JOIN cen2 c) WHERE rn <= 3),
+       |adc AS MATERIALIZED (SELECT q.query_id, n.vec_id AS neighbor_id, $adcScore AS score FROM q JOIN prb ON q.query_id = prb.query_id JOIN idx ON idx.cell = prb.cell JOIN enc n ON n.vec_id = idx.vec_id $pqBookJoins WHERE n.vec_id <> q.query_id),
+       |shortl AS MATERIALIZED (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM adc) WHERE rn <= 50),
+       |$refineTailSql""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "ta_winnow" -> winnowOracleSql,
+    "sim_topk_ivf" -> ivfTopKOracleSql,
+    "dd_semantic" -> semanticOracleSql,
+    "sim_topk_pq" -> pqTopKOracleSql,
+    "sim_topk_ivfpq" -> ivfPqTopKOracleSql,
     "dd_embed" -> embedOracleSql,
     "sim_topk_lsh" -> lshTopKOracleSql,
     "g_kcore" -> kcoreOracleSql,

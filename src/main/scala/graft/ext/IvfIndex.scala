@@ -18,11 +18,17 @@ import org.apache.spark.sql.functions._
   * candidate re-rank, bounded by nProbe cells per query.
   *
   * Determinism: init picks the k vectors with the smallest md5(id) (a
-  * deterministic uniform sample), and Lloyd updates are
-  * accumulation-order-dependent only in the last ulp of the mean —
-  * assignments are stable for non-degenerate inputs.
+  * deterministic uniform sample), and Lloyd updates accumulate on an
+  * integer fixed-point grid — training is bit-identical under any
+  * partitioning, so the index is reproducible and oracle-replayable.
   */
 object IvfIndex {
+
+  /** Lloyd-update fixed-point grid (2^20): centroid means are computed as
+    * integer sums of floor(component·Grid), making training deterministic
+    * under any partitioning (shared with Pq.trainCodebooks).
+    */
+  private[graft] val Grid = 1048576L
 
   /** argmin over centroids of squared L2 distance. `centroids` is a
     * Seq of (cellId, vector) baked into the plan as literals (broadcast
@@ -68,17 +74,23 @@ object IvfIndex {
 
       for (_ <- 0 until iters) {
         val assigned = src.withColumn("cell", nearestCell(col("v"), centroids))
-        // mean per cell: aggregate element-wise sums + counts (k rows out)
+        // mean per cell on a 2^-20 fixed-point grid: floor(v·2^20) BIGINT
+        // sums are accumulation-ORDER-FREE (double sums drift in the last
+        // ulp with partition count), so the trained quantizer is
+        // bit-identical on 32 local threads and 1000 executors — and
+        // exactly replayable by an external oracle. Overflow bound:
+        // |component| ≤ 2^10 → |floor| ≤ 2^30; safe to 2^33 rows/cell.
         val dim = centroids.head._2.length
         val sums = (0 until dim).map(i =>
-          sum(element_at(col("v"), i + 1)).as(s"s$i"))
+          sum(floor(element_at(col("v"), i + 1) * Grid)).as(s"s$i"))
         val aggCols = count(lit(1)).as("n") +: sums
         val updated = assigned.groupBy("cell")
           .agg(aggCols.head, aggCols.tail: _*)
           .collect()
           .map { r =>
-            val n = r.getLong(1).toDouble
-            r.getInt(0) -> Array.tabulate(dim)(i => r.getDouble(i + 2) / n)
+            val n = r.getLong(1)
+            r.getInt(0) -> Array.tabulate(dim)(i =>
+              r.getLong(i + 2).toDouble / (n * Grid).toDouble)
           }.toSeq
         // empty cells keep their previous centroid
         val byId = updated.toMap

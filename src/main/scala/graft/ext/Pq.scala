@@ -86,15 +86,19 @@ object Pq {
           when(col("m") === 0, codeFor(col("sv"), books(0)))) { (acc, mm) =>
           acc.when(col("m") === mm, codeFor(col("sv"), books(mm)))
         }
-        val sums = (0 until sd).map(i => sum(element_at(col("sv"), i + 1)).as(s"s$i"))
+        // fixed-point Lloyd update (see IvfIndex.Grid): order-free BIGINT
+        // sums → bit-identical codebooks under any partitioning
+        val sums = (0 until sd).map(i =>
+          sum(floor(element_at(col("sv"), i + 1) * IvfIndex.Grid)).as(s"s$i"))
         val updated = exploded.withColumn("code", cellExpr)
           .groupBy("m", "code")
           .agg(count(lit(1)).as("n"), sums: _*)
           .collect()
         val next = books.map(_.map(identity)) // copy; empty cells keep centroids
         updated.foreach { r =>
-          val mm = r.getInt(0); val code = r.getInt(1); val n = r.getLong(2).toDouble
-          next(mm)(code) = Array.tabulate(sd)(i => r.getDouble(i + 3) / n)
+          val mm = r.getInt(0); val code = r.getInt(1); val n = r.getLong(2)
+          next(mm)(code) = Array.tabulate(sd)(i =>
+            r.getLong(i + 3).toDouble / (n * IvfIndex.Grid).toDouble)
         }
         books = next
       }

@@ -25,10 +25,11 @@ import org.apache.spark.sql.functions._
   *  - vectors shuffle ONCE (cell assignment); candidate pairs carry ids
   *    only and re-join vectors for the bounded candidate set.
   *
-  * Not DuckDB-expressible (k-means is iterative) → the driver records a
-  * rows-only check; SemanticSpec carries the quantitative ground truth:
-  * on the test corpus the kept set equals the exact all-pairs transitive
-  * dedup at the same threshold.
+  * Fully DuckDB-replayable: fixed-point Lloyd training (IvfIndex.Grid)
+  * plus fixed-order float scoring let the driver hash-match the whole
+  * pipeline with unrolled iterations; SemanticSpec carries the
+  * quantitative ground truth too (kept set == exact all-pairs transitive
+  * dedup at the same threshold on the test corpus).
   */
 object Semantic {
 

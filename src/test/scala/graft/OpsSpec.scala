@@ -129,22 +129,27 @@ class OpsSpec extends SparkSpec {
   test("unfold releases its snapshot without caller clearCache") {
     // the snapshot must never enter the catalog cache (which only
     // clearCache() empties), and its RDD blocks must be reclaimed by the
-    // ContextCleaner once the result frame is unreachable
-    val before = spark.sparkContext.getPersistentRDDs.size
-    def runScoped(): Long = {
+    // ContextCleaner once the result frame is unreachable. Assertions are
+    // scoped to THIS unfold (result-plan lookup + delta RDD ids) — global
+    // cache emptiness is racy when other suites share the session.
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    def runScoped(): scala.collection.immutable.Set[Int] = {
       val long = Seq((1L, "z_key", 1.0), (1L, "a_key", 2.0), (2L, "z_key", 3.0)).toDF("id", "k", "v")
-      Ops.unfold(long, Unfold(Seq("id"), "k", "v")).count()
+      val res = Ops.unfold(long, Unfold(Seq("id"), "k", "v"))
+      assert(res.count() == 2L)
+      assert(spark.sharedState.cacheManager
+        .lookupCachedData(res.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]).isEmpty,
+        "unfold must not register a catalog-cached relation for its result")
+      spark.sparkContext.getPersistentRDDs.keySet.diff(before).toSet
     }
-    assert(runScoped() == 2L)
-    assert(spark.sharedState.cacheManager.isEmpty,
-      "unfold must not register a catalog-cached relation")
+    val mine = runScoped()
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    var n = spark.sparkContext.getPersistentRDDs.size
-    while (n > before && System.nanoTime() < deadline) {
+    var pinned = mine.intersect(spark.sparkContext.getPersistentRDDs.keySet.toSet)
+    while (pinned.nonEmpty && System.nanoTime() < deadline) {
       System.gc(); Thread.sleep(200)
-      n = spark.sparkContext.getPersistentRDDs.size
+      pinned = mine.intersect(spark.sparkContext.getPersistentRDDs.keySet.toSet)
     }
-    assert(n <= before, s"unfold snapshot blocks still pinned: $n persistent RDDs (baseline $before)")
+    assert(pinned.isEmpty, s"unfold snapshot blocks still pinned: RDD ids $pinned")
   }
 
   test("runner drops assignation temp columns named _*_ after all ops") {
