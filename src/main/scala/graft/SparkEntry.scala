@@ -420,6 +420,16 @@ operations:
         cents, books, k = 10, nProbe = 3, shortlist = 50)
     }),
 
+    "sim_coreset" -> ((s, dir) => {
+      // greedy k-center coreset (Gonzalez 1985 / Sener-Savarese): 8
+      // maximally spread embeddings — diversity selection for training
+      // budgets, the complement of SemDeDup; deterministic (min-id seed,
+      // exact-comparison nearest-center, (d desc, id) argmax) → fully
+      // DuckDB hash-matched with the 7 selection rounds unrolled
+      ext.Coreset.kCenter(T(s, dir, "embeddings"), "vec_id", "embedding", 8)
+        .select(col("sel_rank"), col("id").as("vec_id"), col("dist"))
+    }),
+
     "sim_topk_pq" -> ((s, dir) => {
       // product quantization (Jégou et al. 2011): 24-bit codes (64×
       // compression) + ADC table-lookup scoring + exact refine of a
@@ -1256,6 +1266,14 @@ operations:
       ext.TextAnalysis.wordpieceStats(T(s, dir, "documents"), "doc_id", "text", 200)
     }),
 
+    "ta_bpe" -> ((s, dir) => {
+      // BPE merge TRAINING (Sennrich 2016): learn the top-8 merge rules
+      // from dictionary-encoded pair statistics; every intermediate
+      // symbol state is bit-identical across engines (sentinel-delimited
+      // replace), so the oracle replays all 8 unrolled steps exactly
+      ext.Bpe.trainMerges(T(s, dir, "documents"), "text", 8)
+    }),
+
     "ta_feathash" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. 2009): tokens → fixed 256-dim
       // sparse counts via md5-derived indices — no vocabulary state at
@@ -2076,12 +2094,57 @@ operations:
        |$refineTailSql""".stripMargin
   }
 
+  /** ta_bpe: replay Bpe.trainMerges(text, 8) — 8 unrolled merge steps,
+    * each = count adjacent symbol pairs over the symbol-list states, pick
+    * argmax on (cnt desc, l, r), then apply the merge with a recursive
+    * position walk (classic greedy left-to-right non-overlapping — the
+    * same scan the engine's aggregate-fold implements).
+    */
+  private lazy val bpeOracleSql: String = {
+    def step(t: Int): String =
+      s"""pr$t AS MATERIALIZED (SELECT freq, unnest(list_transform(range(len(sy) - 1), i -> {'l': sy[CAST(i AS INTEGER)+1], 'r': sy[CAST(i AS INTEGER)+2]})) AS p FROM s$t WHERE len(sy) >= 2),
+         |m$t AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM pr$t GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |wk$t AS (SELECT w, freq, sy, 0 AS i, CAST([] AS VARCHAR[]) AS acc FROM s$t
+         |  UNION ALL
+         |  SELECT w, freq, sy,
+         |    CASE WHEN i < len(sy) - 1 AND sy[i+1] = m.l AND sy[i+2] = m.r THEN i + 2 ELSE i + 1 END,
+         |    CASE WHEN i < len(sy) - 1 AND sy[i+1] = m.l AND sy[i+2] = m.r THEN list_append(acc, m.l || m.r) ELSE list_append(acc, sy[i+1]) END
+         |  FROM wk$t, m$t m WHERE i < len(sy)),
+         |s${t + 1} AS MATERIALIZED (SELECT w, freq, acc AS sy FROM wk$t WHERE i >= len(sy))""".stripMargin
+    val steps = (0 until 8).map(step).mkString(",\n")
+    val out = (0 until 8).map(t =>
+      s"SELECT ${t + 1} AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM m$t").mkString(" UNION ALL ")
+    s"""WITH RECURSIVE w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, freq, list_transform(range(strlen(w)), i -> w[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1]) AS sy FROM w),
+       |$steps
+       |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, pair_count FROM ($out)""".stripMargin
+  }
+
+  /** sim_coreset: replay Coreset.kCenter(embeddings, 8) — min-id seed,
+    * then 7 unrolled rounds each picking the point with max (d desc, id)
+    * where d = exact MIN over selected centers of (‖v‖²−2⟨v,c⟩)+‖c‖².
+    */
+  private lazy val coresetOracleSql: String = {
+    val steps = (2 to 8).map { r =>
+      s"""c$r AS MATERIALIZED (SELECT t.vec_id, t.v, min((t.vv - 2 * list_dot_product(t.v, c.v)) + list_dot_product(c.v, c.v)) AS d FROM t, sel${r - 1} c WHERE t.vec_id NOT IN (SELECT vec_id FROM sel${r - 1}) GROUP BY t.vec_id, t.v ORDER BY d DESC, t.vec_id LIMIT 1),
+         |sel$r AS (SELECT vec_id, v FROM sel${r - 1} UNION ALL SELECT vec_id, v FROM c$r)""".stripMargin
+    }.mkString(",\n")
+    val out = (2 to 8).map(r => s"SELECT $r AS sel_rank, vec_id, d AS dist FROM c$r").mkString(" UNION ALL ")
+    s"""WITH t AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v, list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)), list_transform(embedding, x -> CAST(x AS DOUBLE))) AS vv FROM embeddings),
+       |c1 AS MATERIALIZED (SELECT vec_id, v, CAST(0.0 AS DOUBLE) AS d FROM t ORDER BY vec_id LIMIT 1),
+       |sel1 AS (SELECT vec_id, v FROM c1),
+       |$steps
+       |SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, dist FROM (SELECT 1 AS sel_rank, vec_id, d AS dist FROM c1 UNION ALL $out)""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = ListMap(
     "ta_winnow" -> winnowOracleSql,
     "sim_topk_ivf" -> ivfTopKOracleSql,
     "dd_semantic" -> semanticOracleSql,
     "sim_topk_pq" -> pqTopKOracleSql,
     "sim_topk_ivfpq" -> ivfPqTopKOracleSql,
+    "ta_bpe" -> bpeOracleSql,
+    "sim_coreset" -> coresetOracleSql,
     "dd_embed" -> embedOracleSql,
     "sim_topk_lsh" -> lshTopKOracleSql,
     "g_kcore" -> kcoreOracleSql,

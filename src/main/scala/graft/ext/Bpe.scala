@@ -1,0 +1,75 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge training (Sennrich, Haddow, Birch: "Neural
+  * Machine Translation of Rare Words with Subword Units", ACL 2016) — the
+  * canonical tokenizer-training pass every LLM data pipeline runs over its
+  * corpus. The reference has no tokenizer surface; this joins wordpiece
+  * (inference over a given vocab) with the TRAINING side: learn the top-N
+  * merge rules from pair statistics.
+  *
+  * Scale shape (100 TB):
+  *  - statistics are WORD-level, so the corpus collapses to its dictionary
+  *    (distinct word, freq) before any per-character work — the same
+  *    dictionary-encoding trick as wordpieceStats; a web corpus's vocab is
+  *    ~10⁸ rows where the corpus is ~10¹² tokens;
+  *  - each merge step is ONE partial-aggregated groupBy over adjacent
+  *    symbol pairs (vocab-bounded shuffle of (l, r, cnt) triples only)
+  *    plus one map pass applying the merge — no step ever shuffles text;
+  *  - the argmax collect is a single row per step (the merge decision is
+  *    inherently sequential — that IS the BPE algorithm).
+  *
+  * Merge application is the classic greedy left-to-right non-overlapping
+  * scan, expressed as a builtin `aggregate` fold with a look-behind: merge
+  * when the accumulator's last symbol is `l` and the current is `r`. The
+  * fold IS the classic scan because a just-formed symbol `l||r` is
+  * strictly longer than `l` and therefore can never equal it — re-merging
+  * into a fresh merge is impossible, so look-behind ≡ look-ahead.
+  * Everything is integer counts, binary-UTF8 tie-breaks (cnt desc, l, r),
+  * and deterministic folds → every learned merge is bit-identical across
+  * engines and exactly replayable by the driver's DuckDB oracle
+  * (recursive position-walk per unrolled step).
+  */
+object Bpe {
+
+  /** Learn `nMerges` merges over the lowercase whitespace-tokenized
+    * corpus. Returns (merge_rank, lhs, rhs, pair_count) — one row per
+    * learned merge, in order.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    require(nMerges > 0, "nMerges must be positive")
+    val spark = docs.sparkSession
+    // dictionary encoding + initial state: every character is a symbol
+    val words = docs
+      .select(explode(filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("freq"))
+      .withColumn("sy", filter(split(col("w"), ""), x => x =!= ""))
+      .localCheckpoint() // every merge step re-reads this — tokenize once
+    var state = words
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to nMerges) {
+      val best = state
+        .where(size(col("sy")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(sy) - 1), i -> named_struct('l', sy[i-1], 'r', sy[i]))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), asc("l"), asc("r"))
+        .limit(1).collect()
+      if (best.nonEmpty) {
+        val l = best(0).getString(0); val r = best(0).getString(1)
+        merges += ((rank, l, r, best(0).getLong(2)))
+        state = state.withColumn("sy",
+          aggregate(col("sy"), array().cast("array<string>"),
+            (acc, x) => when(
+              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+              .otherwise(concat(acc, array(x)))))
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+}
