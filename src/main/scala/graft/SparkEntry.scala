@@ -585,6 +585,18 @@ operations:
         Seq("l_quantity", "l_extendedprice", "l_discount"), exactDistinct = true)
     }),
 
+    "q_kanon" -> ((s, dir) => {
+      // k-anonymity audit (Sweeney 2002): group customers by the
+      // quasi-identifier tuple (segment, nation), flag equivalence
+      // classes smaller than k=5 — the rows a release would need to
+      // suppress or generalize. One hash aggregation; the governance
+      // pass a 100 TB PII review runs before any export.
+      T(s, dir, "customer")
+        .groupBy(col("c_mktsegment"), col("c_nationkey"))
+        .agg(count(lit(1)).as("class_size"))
+        .withColumn("anonymous", col("class_size") >= 5)
+    }),
+
     "q_histogram" -> ((s, dir) => {
       // equi-width histogram: two aggregate passes (tiny min/max broadcast
       // + one bucketing agg), never a sort; bucket math is fixed-order
@@ -1274,6 +1286,25 @@ operations:
       ext.Bpe.trainMerges(T(s, dir, "documents"), "text", 8)
     }),
 
+    "ta_entropy" -> ((s, dir) => {
+      // character-entropy quality signal (gibberish/boilerplate detector):
+      // per-doc char histogram → the integer pieces of Shannon entropy
+      // H = ln N − (Σ c·ln c)/N, fixed-pointed per TERM (c · round(ln c
+      // ·10⁶) as long — micro-nat trick from ta_perplexity) so the sums
+      // are order-free and engine-exact; whitespace excluded
+      val d = T(s, dir, "documents")
+      val chars = d.select(col("doc_id"),
+        explode(filter(split(col("text"), ""),
+          x => !(x === "" || x === " " || x === "\t" || x === "\n" || x === "\r"))).as("ch"))
+      val agg = chars.groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_chars"),
+          sum(col("c") * round(log(col("c").cast("double")) * 1e6).cast("long")).as("clnc_micro"))
+      d.select("doc_id").join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_chars"), lit(0L)).as("n_chars"),
+          coalesce(col("clnc_micro"), lit(0L)).as("clnc_micro"))
+    }),
+
     "ta_feathash" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. 2009): tokens → fixed 256-dim
       // sparse counts via md5-derived indices — no vocabulary state at
@@ -1580,6 +1611,45 @@ operations:
         .start()
       q.awaitTermination()
       s.table("graft_stream_dedup")
+    }),
+
+    "stream_neardup" -> ((s, dir) => {
+      // STREAMING near-duplicate detection — the live-ingest shape of
+      // dd_minhash: incoming docs are minhash-banded with the SAME
+      // stateless native expression and probed against the static banded
+      // index of the existing corpus (stream-static equi-join, no stream
+      // state beyond the final pair dedup). Result equals the batch
+      // banded pair set, so it shares dd_minhash's DuckDB replay. At
+      // scale the per-band est recompute would move behind an ids-first
+      // distinct exactly as the batch path does.
+      graft.functions.Hashing.register(s)
+      val schema = s.read.parquet(s"$dir/documents.parquet").schema
+      val k = 64; val bands = 16; val r = k / bands
+      def bandedOf(df: DataFrame): DataFrame = df
+        .select(col("doc_id"),
+          graft.functions.Hashing.textMinhash(col("text"), 3, k).as("sig"))
+        .filter(element_at(col("sig"), 1) =!= lit(Long.MaxValue))
+        .select(col("doc_id"), col("sig"),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
+        .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bhash"))
+      val static = bandedOf(s.read.parquet(s"$dir/documents.parquet"))
+        .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bhash"))
+      val stream = bandedOf(s.readStream.schema(schema).parquet(s"$dir/[d]ocuments.parquet"))
+        .select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bhash"))
+      val pairs = stream.join(static, Seq("band", "bhash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          ext.Dedup.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+        .filter(col("est_jaccard") >= 0.5)
+        .dropDuplicates("id_a", "id_b")
+      s.catalog.dropTempView("graft_stream_neardup")
+      val q = pairs.writeStream.format("memory").queryName("graft_stream_neardup")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_neardup")
     }),
 
     "stream_window" -> ((s, dir) => {
@@ -2145,11 +2215,26 @@ operations:
     "sim_topk_ivfpq" -> ivfPqTopKOracleSql,
     "ta_bpe" -> bpeOracleSql,
     "sim_coreset" -> coresetOracleSql,
+    "q_kanon" ->
+      "SELECT c_mktsegment, c_nationkey, count(*) AS class_size, count(*) >= 5 AS anonymous FROM customer GROUP BY 1, 2",
+    // ta_entropy: char extraction replayed positionally (text[i:i] is
+    // character-indexed like Spark's split-by-empty on BMP text); the
+    // micro-nat term rounding agrees because ln() on both engines is
+    // within 1 ulp and no integer count lands near a .5e-6 boundary
+    // (EntropySpec proves the margin for every count up to 200k)
+    "ta_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(list_transform(range(strlen(text)), i -> text[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1])) AS ch FROM documents),
+         |g AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch NOT IN (' ', chr(9), chr(10), chr(13)) GROUP BY 1, 2),
+         |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS clnc_micro FROM g GROUP BY 1)
+         |SELECT d.doc_id, coalesce(a.n_chars, 0) AS n_chars, coalesce(a.clnc_micro, 0) AS clnc_micro FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
     "dd_embed" -> embedOracleSql,
     "sim_topk_lsh" -> lshTopKOracleSql,
     "g_kcore" -> kcoreOracleSql,
     "g_labelprop" -> labelpropOracleSql,
     "dd_minhash" -> minhashOracleSql,
+    // stream_neardup: the streaming probe finds exactly the batch banded
+    // pair set (same expressions both sides) — same replay as dd_minhash
+    "stream_neardup" -> minhashOracleSql,
     "dd_minhash_dedup" -> minhashDedupOracleSql,
     "dd_simhash" -> simhashOracleSql,
     "dd_ngram" -> ngramOracleSql,
