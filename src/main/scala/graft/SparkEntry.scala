@@ -503,6 +503,13 @@ operations:
         .select("doc_id", "lang")
     }),
 
+    "ta_apportion" -> ((s, dir) => {
+      // largest-remainder (Hamilton) apportionment: split a 1000-doc
+      // budget across sources so quotas sum to the budget EXACTLY — all
+      // integer math, windows over the #sources frame only
+      ext.Sampling.apportion(T(s, dir, "documents"), "source", 1000L)
+    }),
+
     "ta_mix" -> ((s, dir) => {
       // weighted source mixing: per-stratum keep-fractions (up/down-
       // sampling rare/common sources deterministically, no RNG)
@@ -1093,6 +1100,17 @@ operations:
       // floor-basis-points (ln can differ 1 ulp across engines)
       ext.Search.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
         Seq("spark", "dup", "vector"), 25)
+    }),
+
+    "srch_hybrid" -> ((s, dir) => {
+      // hybrid RAG retrieval: BM25 keyword pool + cosine vector pool
+      // fused by reciprocal-rank fusion in integer micro-units (one
+      // deterministic division per rank — engine-exact); top-15 of the
+      // fused union
+      ext.Search.hybridTopK(T(s, dir, "documents"), T(s, dir, "embeddings"),
+        "doc_id", "text", "vec_id", "embedding",
+        Seq("spark", "dup", "vector"), queryVecId = 0L, k = 15)
+        .select(col("id").as("doc_id"), col("rrf_micro"), col("kw_rank"), col("vec_rank"))
     }),
 
     "ev_scd2" -> ((s, dir) => {
@@ -2207,6 +2225,9 @@ operations:
        |SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, dist FROM (SELECT 1 AS sel_rank, vec_id, d AS dist FROM c1 UNION ALL $out)""".stripMargin
   }
 
+  private lazy val bm25OracleSql: String =
+    """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0, CAST(len(list_filter(t, x -> x = 'dup')) AS BIGINT) AS tf1, CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf2 FROM toks), stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM base), scored AS (SELECT doc_id, (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms, (tf0 + tf1 + tf2) AS tf_total, (((ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))) + (ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) AS raw FROM base, stats) SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(tf_total AS BIGINT) AS tf_total, CAST(floor(raw * 10000) AS BIGINT) AS score_bp FROM scored WHERE tf_total > 0 ORDER BY score_bp DESC, doc_id ASC LIMIT 25"""
+
   def oracleSql: Map[String, String] = ListMap(
     "ta_winnow" -> winnowOracleSql,
     "sim_topk_ivf" -> ivfTopKOracleSql,
@@ -2217,6 +2238,22 @@ operations:
     "sim_coreset" -> coresetOracleSql,
     "q_kanon" ->
       "SELECT c_mktsegment, c_nationkey, count(*) AS class_size, count(*) >= 5 AS anonymous FROM customer GROUP BY 1, 2",
+    "ta_apportion" ->
+      """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT source, n, (SELECT sum(n) FROM g) AS tot FROM g),
+         |r AS (SELECT source, n, (1000 * n) // tot AS base, (1000 * n) % tot AS rem, row_number() OVER (ORDER BY (1000 * n) % tot DESC, source) AS rk FROM t),
+         |l AS (SELECT 1000 - (SELECT sum(base) FROM r) AS leftover)
+         |SELECT source, CAST(n AS BIGINT) AS n, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota FROM r, l""".stripMargin,
+    // srch_hybrid: nest the full srch_bm25 replay as the keyword pool,
+    // rank a cosine pool for query vec 0, fuse with round(1e6/(60+rank))
+    "srch_hybrid" ->
+      s"""WITH kwp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS INTEGER) AS kw_rank FROM ($bm25OracleSql)),
+         |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         |q AS (SELECT v FROM e WHERE vec_id = 0),
+         |vp AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS vec_rank FROM (SELECT d.vec_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos FROM e d, q ORDER BY cos DESC, d.vec_id LIMIT 25)),
+         |f AS (SELECT coalesce(k.doc_id, v.vec_id) AS doc_id, k.kw_rank, v.vec_rank FROM kwp k FULL OUTER JOIN vp v ON k.doc_id = v.vec_id)
+         |SELECT doc_id, coalesce(CAST(round(1e6 / (60 + kw_rank)) AS BIGINT), 0) + coalesce(CAST(round(1e6 / (60 + vec_rank)) AS BIGINT), 0) AS rrf_micro, kw_rank, vec_rank
+         |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 15""".stripMargin,
     // ta_entropy: char extraction replayed positionally (text[i:i] is
     // character-indexed like Spark's split-by-empty on BMP text); the
     // micro-nat term rounding agrees because ln() on both engines is
@@ -2517,8 +2554,7 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), train AS (SELECT doc_id, t FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'), tbg AS (SELECT t[i+1] AS w1, t[i+2] AS w2 FROM (SELECT t, unnest(range(len(t)-1)) AS i FROM train WHERE len(t) >= 2)), c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY 1, 2), c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM tbg GROUP BY 1), v AS (SELECT greatest(CAST(count(DISTINCT x) AS DOUBLE), 1) AS vsz FROM (SELECT unnest(t) AS x FROM train)), dbg AS (SELECT doc_id, t[i+1] AS w1, t[i+2] AS w2 FROM (SELECT doc_id, t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), terms AS (SELECT doc_id, CAST(round(-ln((coalesce(c12.c12, 0) + 0.5) / (coalesce(c1.c1, 0) + 0.5 * v.vsz)) * 1000000) AS BIGINT) AS m FROM dbg LEFT JOIN c12 USING (w1, w2) LEFT JOIN c1 USING (w1) CROSS JOIN v), agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams, CAST(sum(m) AS BIGINT) AS nll_micro FROM terms GROUP BY 1) SELECT d.doc_id, coalesce(a.n_bigrams, 0) AS n_bigrams, coalesce(a.nll_micro, 0) AS nll_micro FROM documents d LEFT JOIN agg a USING (doc_id)""",
     "dd_jaccard_join" ->
       """WITH t AS (SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents), s AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0), p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter FROM s a JOIN s b ON a.id < b.id) SELECT id_a, id_b, n_a, n_b, inter, n_a + n_b - inter AS uni, CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard FROM p WHERE n_a + n_b - inter > 0 AND CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.9""",
-    "srch_bm25" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0, CAST(len(list_filter(t, x -> x = 'dup')) AS BIGINT) AS tf1, CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf2 FROM toks), stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM base), scored AS (SELECT doc_id, (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms, (tf0 + tf1 + tf2) AS tf_total, (((ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))) + (ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) AS raw FROM base, stats) SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(tf_total AS BIGINT) AS tf_total, CAST(floor(raw * 10000) AS BIGINT) AS score_bp FROM scored WHERE tf_total > 0 ORDER BY score_bp DESC, doc_id ASC LIMIT 25""",
+    "srch_bm25" -> bm25OracleSql,
     "ev_scd2" ->
       """WITH m AS (SELECT user_id, event_type, ts, event_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM m WHERE prev IS NULL OR event_type <> prev), v AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to, row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version FROM c) SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current, CAST(version AS BIGINT) AS version FROM v""",
     "ta_decontam" ->

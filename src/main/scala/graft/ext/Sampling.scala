@@ -200,4 +200,31 @@ object Sampling {
       .limit(k)
       .drop("__w__")
   }
+
+  /** Exact integer apportionment of a row budget across groups by the
+    * largest-remainder (Hamilton) method: base quota = ⌊budget·nᵢ/N⌋,
+    * then the leftover seats go to the largest remainders (ties by key
+    * asc). Σ quota == budget exactly — the allocator behind proportional
+    * source mixing when "multiply by a fraction and round" must not
+    * over- or under-shoot the token budget.
+    *
+    * Scale shape: one hash aggregation to group counts; every window
+    * below runs over the #groups-row frame (sources/domains — thousands
+    * at most), never over the corpus.
+    */
+  def apportion(df: DataFrame, keyCol: String, budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val all = Window.partitionBy()
+    df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
+      .withColumn("__tot__", sum(col("n")).over(all))
+      .withColumn("__base__", expr(s"($budget * n) div __tot__"))
+      .withColumn("__rem__", expr(s"($budget * n) % __tot__"))
+      .withColumn("__rk__", row_number().over(
+        Window.orderBy(col("__rem__").desc, col(keyCol).asc)))
+      .withColumn("__left__", lit(budget) - sum(col("__base__")).over(all))
+      .withColumn("quota",
+        col("__base__") + when(col("__rk__") <= col("__left__"), 1L).otherwise(0L))
+      .select(col(keyCol), col("n"), col("quota"))
+  }
 }

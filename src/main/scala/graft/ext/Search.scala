@@ -65,6 +65,48 @@ object Search {
       .limit(k)
   }
 
+  /** Hybrid retrieval: a BM25 keyword pool and a cosine vector pool fused
+    * by reciprocal-rank fusion (Cormack, Clarke, Büttcher SIGIR 2009) —
+    * the standard RAG retrieval shape. RRF contribution per list is
+    * round(10⁶/(60+rank)) in integer micro-units: one deterministic
+    * double division per rank (no accumulation), so fused scores are
+    * engine-exact; docs in one pool only keep that pool's contribution.
+    *
+    * Scale shape: both pools are TakeOrdered top-poolK (bounded heaps, no
+    * full sort); the rank windows and the fusion join run over ≤poolK
+    * rows each — driver-bounded frames, not corpus shuffles.
+    */
+  def hybridTopK(docs: DataFrame, emb: DataFrame, idCol: String,
+                 textCol: String, vecIdCol: String, vecCol: String,
+                 terms: Seq[String], queryVecId: Long, k: Int,
+                 poolK: Int = 25): DataFrame = {
+    val spark = docs.sparkSession
+    graft.functions.VectorExprs.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val kw = bm25TopK(docs, idCol, textCol, terms, poolK)
+      .select(col(idCol).as("id"), col("score_bp"))
+      .withColumn("kw_rank",
+        row_number().over(Window.orderBy(col("score_bp").desc, col("id").asc)))
+    val qRow = emb.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    val qn = { var s = 0.0; var i = 0; while (i < qRow.length) { s += qRow(i) * qRow(i); i += 1 }; math.sqrt(s) }
+    val vec = emb
+      .select(col(vecIdCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .select(col("id"), (graft.functions.VectorExprs.dot(col("v"), lit(qRow)) /
+        (graft.functions.VectorExprs.norm(col("v")) * lit(qn))).as("cos"))
+      .orderBy(col("cos").desc, col("id").asc).limit(poolK)
+      .withColumn("vec_rank",
+        row_number().over(Window.orderBy(col("cos").desc, col("id").asc)))
+    def rrf(r: Column): Column =
+      round(lit(1e6) / (lit(60.0) + r.cast(DoubleType))).cast(LongType)
+    kw.select(col("id"), col("kw_rank"))
+      .join(vec.select(col("id"), col("vec_rank")), Seq("id"), "full_outer")
+      .select(col("id"),
+        (coalesce(rrf(col("kw_rank")), lit(0L)) + coalesce(rrf(col("vec_rank")), lit(0L))).as("rrf_micro"),
+        col("kw_rank"), col("vec_rank"))
+      .orderBy(col("rrf_micro").desc, col("id").asc).limit(k)
+  }
+
   /** Per-document term-frequency vector for a fixed vocabulary — the
     * dense feature extraction for downstream classifiers. Pure expression:
     * zero shuffles, one pass.

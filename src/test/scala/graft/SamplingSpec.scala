@@ -136,4 +136,22 @@ class SamplingSpec extends SparkSpec {
       .map(v => math.abs(v - math.floor(v) - 0.5)).min
     assert(minDist > 1e-4, f"nl term within $minDist%.2e of a boundary")
   }
+
+  test("apportion: quotas sum exactly to the budget, largest remainders win") {
+    import spark.implicits._
+    // counts 7, 2, 1 over budget 10: exact shares 7.0, 2.0, 1.0 → no
+    // leftover; counts 5, 4, 2 over budget 10: shares 4.54, 3.63, 1.81 →
+    // bases 4, 3, 1 (sum 8), two leftover seats to the two largest
+    // remainders (.63 "b", .81 "c") → 4, 4, 2
+    val rows = Seq.fill(5)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")
+    val got = Sampling.apportion(rows.toDF("k"), "k", 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(got == Map("a" -> 4L, "b" -> 4L, "c" -> 2L))
+    assert(got.values.sum == 10L)
+    // property: any weights, any budget — the sum is always exact
+    val rows2 = (0 until 97).map(i => s"s${i % 7}")
+    val got2 = Sampling.apportion(rows2.toDF("k"), "k", 1000L)
+      .collect().map(_.getLong(2))
+    assert(got2.sum == 1000L)
+  }
 }

@@ -41,4 +41,25 @@ class SearchSpec extends SparkSpec {
     assert(got(1L) == ((2L, 0L)))
     assert(got(3L) == ((0L, 1L)))
   }
+
+  test("hybridTopK: RRF fuses keyword and vector pools with exact micro-units") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 4 docs; terms hit docs 1,2; vectors put doc 3 nearest to query 0
+    val d = Seq((0L, "cat dog"), (1L, "cat cat cat"), (2L, "cat"), (3L, "fish"))
+      .toDF("doc_id", "text")
+    val e = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)),
+      (2L, Array(0.5f, 0.5f)), (3L, Array(1.0f, 0.1f))).toDF("vec_id", "embedding")
+    val got = Search.hybridTopK(d, e, "doc_id", "text", "vec_id", "embedding",
+      Seq("cat"), queryVecId = 0L, k = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def rrf(r: Int): Long = math.round(1e6 / (60 + r))
+    // keyword ranks: doc1 (3x cat) > doc0? bm25 tf saturation ranks by tf
+    // then doc_id; vector ranks: 0 (self, cos 1), 3, 2, 1
+    val kw = Map(1L -> 1, 2L -> 2, 0L -> 3) // doc3 has no term match
+    val vec = Map(0L -> 1, 3L -> 2, 2L -> 3, 1L -> 4)
+    val want = (0L to 3L).map(id =>
+      id -> (kw.get(id.toInt).map(rrf).getOrElse(0L) + vec.get(id).map(rrf).getOrElse(0L))).toMap
+    assert(got == want)
+  }
 }
