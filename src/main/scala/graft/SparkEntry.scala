@@ -352,6 +352,21 @@ operations:
         .select("doc_id", "lang", "source")
     }),
 
+    "dd_incremental" -> ((s, dir) => {
+      // incremental-ingest dedup: an incoming batch (doc_id ≥ 250) checked
+      // against the EXISTING corpus's fingerprint ledger (ids/fps only —
+      // the historical text is never re-read) plus first-wins dedup
+      // within the batch. The anti-join + min-id shape is what a daily
+      // 100 TB ingest runs against its cumulative ledger table.
+      val d = T(s, dir, "documents").withColumn("fp", md5(col("text")))
+      val existing = d.filter(col("doc_id") < 250).select(col("fp")).distinct()
+      val incoming = d.filter(col("doc_id") >= 250)
+      val firstPerFp = incoming.groupBy("fp").agg(min("doc_id").as("doc_id"))
+      incoming.join(existing, Seq("fp"), "left_anti")
+        .join(firstPerFp, Seq("fp", "doc_id"))
+        .select(col("doc_id"), col("fp"))
+    }),
+
     "dd_semantic" -> ((s, dir) => {
       // SemDeDup: k-means cells over embeddings + within-cell cosine +
       // transitive min-id keep — catches paraphrase/translation dups text
@@ -418,6 +433,29 @@ operations:
       val books = ext.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 64, iters = 2)
       ext.Pq.ivfPqTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding",
         cents, books, k = 10, nProbe = 3, shortlist = 50)
+    }),
+
+    "sim_ivf_stats" -> ((s, dir) => {
+      // IVF index health report: per-cell occupancy and summed
+      // quantization error (d² to own centroid, micro-rounded per ROW so
+      // the sum is order-free; d² itself is bit-identical across engines
+      // — products and fixed-order folds only, no transcendentals)
+      val emb = T(s, dir, "embeddings")
+      val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val assigned = ext.IvfIndex.assign(emb, "vec_id", "embedding", cents)
+      val vv = graft.functions.VectorExprs.dot(col("v"), col("v"))
+      def d2(c: Array[Double]): org.apache.spark.sql.Column = {
+        val c2 = { var s0 = 0.0; var i = 0; while (i < c.length) { s0 += c(i) * c(i); i += 1 }; s0 }
+        (vv - lit(2.0) * graft.functions.VectorExprs.dot(col("v"), lit(c))) + lit(c2)
+      }
+      val qerr = cents.tail.foldLeft(
+        when(col("cell") === cents.head._1, d2(cents.head._2))) { case (acc, (cid, c)) =>
+        acc.when(col("cell") === cid, d2(c))
+      }
+      assigned
+        .withColumn("q", round(qerr * 1e6).cast("long"))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("qerr_micro"))
     }),
 
     "sim_coreset" -> ((s, dir) => {
@@ -1323,6 +1361,16 @@ operations:
           coalesce(col("clnc_micro"), lit(0L)).as("clnc_micro"))
     }),
 
+    "ta_bpe_apply" -> ((s, dir) => {
+      // the APPLY side of the tokenizer lifecycle: train 8 merges, then
+      // tokenize the whole corpus with them — per-doc word/subword counts
+      // (the compression the tokenizer actually buys); merges fold once
+      // per DISTINCT word (dictionary encoding), not once per token
+      val d = T(s, dir, "documents")
+      val merges = ext.Bpe.learn(d, "text", 8).map { case (l, r, _) => (l, r) }
+      ext.Bpe.tokenize(d, "doc_id", "text", merges)
+    }),
+
     "ta_feathash" -> ((s, dir) => {
       // the hashing trick (Weinberger et al. 2009): tokens → fixed 256-dim
       // sparse counts via md5-derived indices — no vocabulary state at
@@ -2188,7 +2236,11 @@ operations:
     * position walk (classic greedy left-to-right non-overlapping — the
     * same scan the engine's aggregate-fold implements).
     */
-  private lazy val bpeOracleSql: String = {
+  /** WITH-body replaying Bpe.learn's 8 unrolled merge steps: pair stats
+    * (pr/m per step) and recursive classic-greedy walks (wk) producing
+    * the post-merge dictionary state `s8(w, freq, sy)`.
+    */
+  private lazy val bpeCtes: String = {
     def step(t: Int): String =
       s"""pr$t AS MATERIALIZED (SELECT freq, unnest(list_transform(range(len(sy) - 1), i -> {'l': sy[CAST(i AS INTEGER)+1], 'r': sy[CAST(i AS INTEGER)+2]})) AS p FROM s$t WHERE len(sy) >= 2),
          |m$t AS MATERIALIZED (SELECT p.l AS l, p.r AS r, CAST(sum(freq) AS BIGINT) AS cnt FROM pr$t GROUP BY 1, 2 ORDER BY cnt DESC, l, r LIMIT 1),
@@ -2200,13 +2252,27 @@ operations:
          |  FROM wk$t, m$t m WHERE i < len(sy)),
          |s${t + 1} AS MATERIALIZED (SELECT w, freq, acc AS sy FROM wk$t WHERE i >= len(sy))""".stripMargin
     val steps = (0 until 8).map(step).mkString(",\n")
+    s"""w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY 1),
+       |s0 AS MATERIALIZED (SELECT w, freq, list_transform(range(strlen(w)), i -> w[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1]) AS sy FROM w),
+       |$steps""".stripMargin
+  }
+
+  private lazy val bpeOracleSql: String = {
     val out = (0 until 8).map(t =>
       s"SELECT ${t + 1} AS merge_rank, l AS lhs, r AS rhs, cnt AS pair_count FROM m$t").mkString(" UNION ALL ")
-    s"""WITH RECURSIVE w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT w, freq, list_transform(range(strlen(w)), i -> w[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1]) AS sy FROM w),
-       |$steps
+    s"""WITH RECURSIVE $bpeCtes
        |SELECT CAST(merge_rank AS INTEGER) AS merge_rank, lhs, rhs, pair_count FROM ($out)""".stripMargin
   }
+
+  /** ta_bpe_apply: the trained dictionary state s8 IS the merge list
+    * applied in order, so per-doc subword counts are a word join plus a
+    * re-aggregation of word frequencies.
+    */
+  private lazy val bpeApplyOracleSql: String =
+    s"""WITH RECURSIVE $bpeCtes,
+       |wc AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w FROM documents),
+       |j AS (SELECT wc.doc_id, len(s8.sy) AS ns FROM wc JOIN s8 ON wc.w = s8.w)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(ns) AS BIGINT) AS n_subwords FROM j GROUP BY 1""".stripMargin
 
   /** sim_coreset: replay Coreset.kCenter(embeddings, 8) — min-id seed,
     * then 7 unrolled rounds each picking the point with max (d desc, id)
@@ -2228,6 +2294,16 @@ operations:
   private lazy val bm25OracleSql: String =
     """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0, CAST(len(list_filter(t, x -> x = 'dup')) AS BIGINT) AS tf1, CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf2 FROM toks), stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM base), scored AS (SELECT doc_id, (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms, (tf0 + tf1 + tf2) AS tf_total, (((ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))) + (ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) AS raw FROM base, stats) SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(tf_total AS BIGINT) AS tf_total, CAST(floor(raw * 10000) AS BIGINT) AS score_bp FROM scored WHERE tf_total > 0 ORDER BY score_bp DESC, doc_id ASC LIMIT 25"""
 
+  /** sim_ivf_stats: per-cell occupancy + micro-rounded quantization error
+    * under the same replayed training (d² = (‖v‖²−2⟨v,c⟩)+‖c‖² per row,
+    * bit-identical — so rounding agrees regardless of boundary margins).
+    */
+  private lazy val ivfStatsOracleSql: String =
+    s"""WITH ${kmeansCtes(8, 2, 64)},
+       |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+       |st AS (SELECT i.cell, CAST(round(((list_dot_product(i.v, i.v) - 2 * list_dot_product(i.v, c.v)) + list_dot_product(c.v, c.v)) * 1e6) AS BIGINT) AS q FROM idx i JOIN cen2 c ON i.cell = c.cell)
+       |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(q) AS BIGINT) AS qerr_micro FROM st GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "ta_winnow" -> winnowOracleSql,
     "sim_topk_ivf" -> ivfTopKOracleSql,
@@ -2235,7 +2311,9 @@ operations:
     "sim_topk_pq" -> pqTopKOracleSql,
     "sim_topk_ivfpq" -> ivfPqTopKOracleSql,
     "ta_bpe" -> bpeOracleSql,
+    "ta_bpe_apply" -> bpeApplyOracleSql,
     "sim_coreset" -> coresetOracleSql,
+    "sim_ivf_stats" -> ivfStatsOracleSql,
     "q_kanon" ->
       "SELECT c_mktsegment, c_nationkey, count(*) AS class_size, count(*) >= 5 AS anonymous FROM customer GROUP BY 1, 2",
     "ta_apportion" ->
@@ -2269,6 +2347,12 @@ operations:
     "g_kcore" -> kcoreOracleSql,
     "g_labelprop" -> labelpropOracleSql,
     "dd_minhash" -> minhashOracleSql,
+    "dd_incremental" ->
+      """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |inc AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250)
+         |SELECT doc_id, fp FROM inc
+         |WHERE fp NOT IN (SELECT fp FROM f WHERE doc_id < 250)
+         |  AND doc_id = (SELECT min(doc_id) FROM inc i2 WHERE i2.fp = inc.fp)""".stripMargin,
     // stream_neardup: the streaming probe finds exactly the batch banded
     // pair set (same expressions both sides) — same replay as dd_minhash
     "stream_neardup" -> minhashOracleSql,

@@ -34,22 +34,31 @@ import org.apache.spark.sql.functions._
   */
 object Bpe {
 
-  /** Learn `nMerges` merges over the lowercase whitespace-tokenized
-    * corpus. Returns (merge_rank, lhs, rhs, pair_count) — one row per
-    * learned merge, in order.
+  /** The classic greedy merge pass as a builtin fold (see scaladoc). */
+  private[ext] def applyMerge(sy: org.apache.spark.sql.Column, l: String, r: String) =
+    aggregate(sy, array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
+        .otherwise(concat(acc, array(x))))
+
+  /** Dictionary-encode the corpus: (w, freq, sy) with one symbol per
+    * character.
     */
-  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  private[ext] def dictionary(docs: DataFrame, textCol: String): DataFrame = docs
+    .select(explode(filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")).as("w"))
+    .groupBy("w").agg(count(lit(1)).as("freq"))
+    .withColumn("sy", filter(split(col("w"), ""), x => x =!= ""))
+
+  /** Learn `nMerges` merges; returns them as ordered (lhs, rhs, count). */
+  def learn(docs: DataFrame, textCol: String, nMerges: Int): Seq[(String, String, Long)] = {
     require(nMerges > 0, "nMerges must be positive")
-    val spark = docs.sparkSession
     // dictionary encoding + initial state: every character is a symbol
-    val words = docs
-      .select(explode(filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("freq"))
-      .withColumn("sy", filter(split(col("w"), ""), x => x =!= ""))
+    val words = dictionary(docs, textCol)
       .localCheckpoint() // every merge step re-reads this — tokenize once
     var state = words
-    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
-    for (rank <- 1 to nMerges) {
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    for (_ <- 1 to nMerges) {
       val best = state
         .where(size(col("sy")) >= 2)
         .select(col("freq"), explode(expr(
@@ -60,16 +69,43 @@ object Bpe {
         .limit(1).collect()
       if (best.nonEmpty) {
         val l = best(0).getString(0); val r = best(0).getString(1)
-        merges += ((rank, l, r, best(0).getLong(2)))
-        state = state.withColumn("sy",
-          aggregate(col("sy"), array().cast("array<string>"),
-            (acc, x) => when(
-              size(acc) > 0 && element_at(acc, -1) === lit(l) && x === lit(r),
-              concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
-              .otherwise(concat(acc, array(x)))))
+        merges += ((l, r, best(0).getLong(2)))
+        state = state.withColumn("sy", applyMerge(col("sy"), l, r))
       }
     }
+    merges.toSeq
+  }
+
+  /** Learn `nMerges` merges over the lowercase whitespace-tokenized
+    * corpus. Returns (merge_rank, lhs, rhs, pair_count) — one row per
+    * learned merge, in order.
+    */
+  def trainMerges(docs: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = docs.sparkSession
     import spark.implicits._
-    merges.toSeq.toDF("merge_rank", "lhs", "rhs", "pair_count")
+    learn(docs, textCol, nMerges).zipWithIndex
+      .map { case ((l, r, c), i) => (i + 1, l, r, c) }
+      .toDF("merge_rank", "lhs", "rhs", "pair_count")
+  }
+
+  /** TOKENIZE with learned merges: per-document word and subword counts
+    * after applying the merge list in training order to every word — the
+    * apply side of the tokenizer lifecycle. Statistics stay
+    * dictionary-encoded (merges fold once per DISTINCT word, then per-doc
+    * counts re-aggregate), so the per-word fold cost is vocab-bounded
+    * exactly like training.
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val dict = merges.foldLeft(
+      dictionary(docs, textCol).select(col("w"), col("sy"))) { case (d, (l, r)) =>
+      d.withColumn("sy", applyMerge(col("sy"), l, r))
+    }.select(col("w"), size(col("sy")).cast("long").as("n_subwords"))
+    docs
+      .select(col(idCol),
+        explode(filter(split(lower(col(textCol)), "\\s+"), x => x =!= "")).as("w"))
+      .join(dict, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_subwords")).as("n_subwords"))
   }
 }
