@@ -435,6 +435,20 @@ operations:
         cents, books, k = 10, nProbe = 3, shortlist = 50)
     }),
 
+    "sim_normalize" -> ((s, dir) => {
+      // per-dimension standardization stats for embedding preprocessing
+      // (the mean/var inputs to z-scoring before PCA/k-means): counts and
+      // fixed-point component sums/square-sums on the 2^-20 grid — pure
+      // integer aggregation, order-free, engine-exact. Overflow bound:
+      // squares ≤ 2^40, safe to 2^23 rows/dim at unit scale (coarsen the
+      // grid for larger corpora).
+      val fp = floor(col("x") * graft.ext.IvfIndex.Grid)
+      T(s, dir, "embeddings")
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy("dim")
+        .agg(count(lit(1)).as("n"), sum(fp).as("sum_fp"), sum(fp * fp).as("sumsq_fp"))
+    }),
+
     "sim_ivf_stats" -> ((s, dir) => {
       // IVF index health report: per-cell occupancy and summed
       // quantization error (d² to own centroid, micro-rounded per ROW so
@@ -546,6 +560,23 @@ operations:
       // budget across sources so quotas sum to the budget EXACTLY — all
       // integer math, windows over the #sources frame only
       ext.Sampling.apportion(T(s, dir, "documents"), "source", 1000L)
+    }),
+
+    "ta_quota_sample" -> ((s, dir) => {
+      // EXACT budget sampling: Hamilton quotas per source (Σ == 1000
+      // exactly) filled by hash-deterministic per-source rank — the
+      // composition of ta_apportion and md5-ordered selection. The
+      // per-source sort is the price of exact quotas (the md5-threshold
+      // ta_sample is the constant-time approximate alternative).
+      import org.apache.spark.sql.expressions.Window
+      val d = T(s, dir, "documents")
+      val quotas = ext.Sampling.apportion(d, "source", 1000L)
+        .select(col("source"), col("quota"))
+      d.withColumn("rk", row_number().over(Window.partitionBy("source")
+          .orderBy(md5(concat(lit("qs:"), col("doc_id").cast("string"))), col("doc_id"))))
+        .join(quotas, Seq("source"))
+        .filter(col("rk") <= col("quota"))
+        .select(col("doc_id"), col("source"), col("rk").cast("long").as("pick_rank"))
     }),
 
     "ta_mix" -> ((s, dir) => {
@@ -2322,6 +2353,18 @@ operations:
          |r AS (SELECT source, n, (1000 * n) // tot AS base, (1000 * n) % tot AS rem, row_number() OVER (ORDER BY (1000 * n) % tot DESC, source) AS rk FROM t),
          |l AS (SELECT 1000 - (SELECT sum(base) FROM r) AS leftover)
          |SELECT source, CAST(n AS BIGINT) AS n, CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT) AS quota FROM r, l""".stripMargin,
+    "ta_quota_sample" ->
+      """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         |t AS (SELECT source, n, (SELECT sum(n) FROM g) AS tot FROM g),
+         |r AS (SELECT source, n, (1000 * n) // tot AS base, (1000 * n) % tot AS rem, row_number() OVER (ORDER BY (1000 * n) % tot DESC, source) AS rk FROM t),
+         |l AS (SELECT 1000 - (SELECT sum(base) FROM r) AS leftover),
+         |q AS (SELECT source, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM r, l),
+         |p AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5('qs:' || CAST(doc_id AS VARCHAR)), doc_id) AS pk FROM documents)
+         |SELECT doc_id, p.source, CAST(pk AS BIGINT) AS pick_rank FROM p JOIN q ON p.source = q.source WHERE pk <= quota""".stripMargin,
+    "sim_normalize" ->
+      """WITH x AS (SELECT CAST(i AS INTEGER) AS dim, CAST(embedding[CAST(i AS INTEGER)+1] AS DOUBLE) AS x FROM embeddings, unnest(range(64)) t(i)),
+         |f AS (SELECT dim, CAST(floor(x * 1048576) AS BIGINT) AS fp FROM x)
+         |SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(fp) AS BIGINT) AS sum_fp, CAST(sum(fp * fp) AS BIGINT) AS sumsq_fp FROM f GROUP BY 1""".stripMargin,
     // srch_hybrid: nest the full srch_bm25 replay as the keyword pool,
     // rank a cosine pool for query vec 0, fuse with round(1e6/(60+rank))
     "srch_hybrid" ->
