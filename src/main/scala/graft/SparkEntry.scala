@@ -352,6 +352,20 @@ operations:
         .select("doc_id", "lang", "source")
     }),
 
+    "dd_report" -> ((s, dir) => {
+      // dedup IMPACT report: per-source document counts and how many the
+      // transitive minhash dedup removes — the governance rollup a 100 TB
+      // curation run publishes with its output (which sources shrink, by
+      // how much); composes the components pipeline with one aggregation
+      val docs = T(s, dir, "documents")
+      val kept = ext.Graph.clusterDedup(docs, "doc_id",
+        ext.Dedup.minhashPairs(docs, "doc_id", "text")).select(col("doc_id"))
+      docs.join(kept.withColumn("kept", lit(1L)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("kept").isNull, 1L).otherwise(0L)).as("n_dups_removed"))
+    }),
+
     "dd_incremental" -> ((s, dir) => {
       // incremental-ingest dedup: an incoming batch (doc_id ≥ 250) checked
       // against the EXISTING corpus's fingerprint ledger (ids/fps only —
@@ -659,6 +673,23 @@ operations:
     "q_profile" -> ((s, dir) => {
       ext.Profile.numeric(T(s, dir, "lineitem"),
         Seq("l_quantity", "l_extendedprice", "l_discount"), exactDistinct = true)
+    }),
+
+    "q_refint" -> ((s, dir) => {
+      // referential-integrity audit across the relational schema: orphan
+      // counts per FK edge (orders→customer, lineitem→orders,
+      // customer→nation, supplier→nation) via broadcast-able anti-joins —
+      // the data-quality gate a warehouse runs after every load
+      def orphans(child: DataFrame, key: String, parent: DataFrame,
+                  pkey: String, edge: String): DataFrame =
+        child.select(col(key).as("k"))
+          .join(parent.select(col(pkey).as("k")).distinct(), Seq("k"), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(edge).as("fk_edge"), col("n_orphans"))
+      orphans(T(s, dir, "orders"), "o_custkey", T(s, dir, "customer"), "c_custkey", "orders.custkey")
+        .unionAll(orphans(T(s, dir, "lineitem"), "l_orderkey", T(s, dir, "orders"), "o_orderkey", "lineitem.orderkey"))
+        .unionAll(orphans(T(s, dir, "customer"), "c_nationkey", T(s, dir, "nation"), "n_nationkey", "customer.nationkey"))
+        .unionAll(orphans(T(s, dir, "supplier"), "s_nationkey", T(s, dir, "nation"), "n_nationkey", "supplier.nationkey"))
     }),
 
     "q_kanon" -> ((s, dir) => {
@@ -2025,12 +2056,26 @@ operations:
     * (recursive min-label propagation — labels only decrease, so the
     * UNION-dedup recursion terminates), keep the min-id doc per cluster.
     */
-  private lazy val minhashDedupOracleSql: String =
-    s"""WITH RECURSIVE ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)},
+  /** Shared WITH-body: minhash pair graph → connected components
+    * (`comp(id, root)`), the transitive-dedup backbone.
+    */
+  private lazy val minhashCompCtes: String =
+    s"""${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)},
        |edges AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM mh_pairs UNION SELECT id_b, id_a FROM mh_pairs),
        |lab AS (SELECT doc_id AS id, doc_id AS lbl FROM documents UNION SELECT e.dst AS id, lab.lbl FROM lab JOIN edges e ON lab.id = e.src WHERE lab.lbl < e.dst),
-       |comp AS (SELECT id, min(lbl) AS root FROM lab GROUP BY 1)
+       |comp AS (SELECT id, min(lbl) AS root FROM lab GROUP BY 1)""".stripMargin
+
+  private lazy val minhashDedupOracleSql: String =
+    s"""WITH RECURSIVE $minhashCompCtes
        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN comp c ON d.doc_id = c.id WHERE c.root = c.id""".stripMargin
+
+  /** dd_report: per-source dedup impact — how many docs the transitive
+    * minhash dedup removes from each source.
+    */
+  private lazy val dedupReportOracleSql: String =
+    s"""WITH RECURSIVE $minhashCompCtes
+       |SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(CASE WHEN c.root <> c.id THEN 1 ELSE 0 END) AS BIGINT) AS n_dups_removed
+       |FROM documents d JOIN comp c ON d.doc_id = c.id GROUP BY 1""".stripMargin
 
   /** dd_ngram: minhash candidates (k=32, est ≥ 0.35 safety margin) then
     * EXACT distinct-3-gram Jaccard ≥ 0.5 — mirrors Dedup.ngramJaccardPairs.
@@ -2347,6 +2392,11 @@ operations:
     "sim_ivf_stats" -> ivfStatsOracleSql,
     "q_kanon" ->
       "SELECT c_mktsegment, c_nationkey, count(*) AS class_size, count(*) >= 5 AS anonymous FROM customer GROUP BY 1, 2",
+    "q_refint" ->
+      """SELECT 'orders.custkey' AS fk_edge, (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
+         |UNION ALL SELECT 'lineitem.orderkey', (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+         |UNION ALL SELECT 'customer.nationkey', (SELECT count(*) FROM customer WHERE c_nationkey NOT IN (SELECT n_nationkey FROM nation))
+         |UNION ALL SELECT 'supplier.nationkey', (SELECT count(*) FROM supplier WHERE s_nationkey NOT IN (SELECT n_nationkey FROM nation))""".stripMargin,
     "ta_apportion" ->
       """WITH g AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
          |t AS (SELECT source, n, (SELECT sum(n) FROM g) AS tot FROM g),
@@ -2400,6 +2450,7 @@ operations:
     // pair set (same expressions both sides) — same replay as dd_minhash
     "stream_neardup" -> minhashOracleSql,
     "dd_minhash_dedup" -> minhashDedupOracleSql,
+    "dd_report" -> dedupReportOracleSql,
     "dd_simhash" -> simhashOracleSql,
     "dd_ngram" -> ngramOracleSql,
     // mm_neardup: replay the planted gradient-image dHash (md5_64 of the
