@@ -529,6 +529,33 @@ operations:
         floor(ext.TextAnalysis.meanTokenLength(col("text")) * 100).cast("long").as("mtl_c"))
     }),
 
+    "ta_curriculum" -> ((s, dir) => {
+      // curriculum ordering (easy→hard training schedules): docs banded
+      // by FIXED quality-bp thresholds (no global quantile sort), ordered
+      // within bands by deterministic hash, and given a global curriculum
+      // position via cross-band offsets (4 scalars, broadcast) — the
+      // ordering pass that feeds sequence packing. Windows sort within
+      // band partitions only; at scale band ≈ shard and the position is
+      // offset + band_rank with no global sort.
+      import org.apache.spark.sql.expressions.Window
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(ext.TextAnalysis.rawQualityScore(col("text")) * 10000).cast("long").as("qbp"))
+        .withColumn("band",
+          when(col("qbp") >= 8000, 0L).when(col("qbp") >= 6000, 1L)
+            .when(col("qbp") >= 4000, 2L).otherwise(3L))
+      val ranked = d.withColumn("band_rank",
+        row_number().over(Window.partitionBy("band")
+          .orderBy(md5(concat(lit("cur:"), col("doc_id").cast("string"))), col("doc_id"))).cast("long"))
+      val offsets = d.groupBy("band").agg(count(lit(1)).as("bn"))
+        .withColumn("offset", coalesce(sum(col("bn")).over(
+          Window.orderBy("band").rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("band"), col("offset"))
+      ranked.join(broadcast(offsets), Seq("band"))
+        .select(col("doc_id"), col("band"), col("band_rank"),
+          (col("offset") + col("band_rank")).as("curriculum_pos"))
+    }),
+
     "ta_quality_score" -> ((s, dir) => {
       // integer basis points of the raw composite (identical IEEE double
       // expression on both engines, then exact integer floor) — the rounded
@@ -1003,6 +1030,23 @@ operations:
       val seeds = T(s, dir, "customer").filter(col("c_custkey") < 5)
         .select(col("c_custkey").as("id"))
       ext.Graph.bfsHops(edges, seeds, maxHops = 3)
+    }),
+
+    "g_harmonic" -> ((s, dir) => {
+      // truncated harmonic centrality (Boldi-Vigna) for flagged customers
+      // over the trade graph: ONE keyed BFS (frontier carries (seed, id)
+      // pairs) instead of a job per seed; scores are exact integer
+      // micro-units (10⁶ div hops) — no float anywhere
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("p"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("p").as("dst"))
+        .union(pairs.select(col("p").as("src"), col("c").as("dst")))
+      val seeds = T(s, dir, "customer").filter(col("c_custkey") < 5)
+        .select(col("c_custkey").as("id"))
+      ext.Graph.harmonicCentrality(edges, seeds, maxHops = 3)
     }),
 
     "q_mad" -> ((s, dir) => {
@@ -2056,6 +2100,9 @@ operations:
     * (recursive min-label propagation — labels only decrease, so the
     * UNION-dedup recursion terminates), keep the min-id doc per cluster.
     */
+  private lazy val qualityScoreOracleSql: String =
+    """WITH base AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base) SELECT doc_id, lang, CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) AS quality_bp FROM comp"""
+
   /** Shared WITH-body: minhash pair graph → connected components
     * (`comp(id, root)`), the transitive-dedup backbone.
     */
@@ -2392,6 +2439,17 @@ operations:
     "sim_ivf_stats" -> ivfStatsOracleSql,
     "q_kanon" ->
       "SELECT c_mktsegment, c_nationkey, count(*) AS class_size, count(*) >= 5 AS anonymous FROM customer GROUP BY 1, 2",
+    "g_harmonic" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |ed AS (SELECT c AS src, p AS dst FROM pairs UNION SELECT p, c FROM pairs),
+         |d0 AS (SELECT c_custkey AS seed, c_custkey AS id, 0 AS dist FROM customer WHERE c_custkey < 5),
+         |n1 AS (SELECT DISTINCT d0.seed, ed.dst AS id, 1 AS dist FROM d0 JOIN ed ON d0.id = ed.src),
+         |d1 AS (SELECT seed, id, min(dist) AS dist FROM (SELECT * FROM d0 UNION ALL SELECT * FROM n1) GROUP BY 1, 2),
+         |n2 AS (SELECT DISTINCT d1.seed, ed.dst AS id, 2 AS dist FROM d1 JOIN ed ON d1.id = ed.src WHERE d1.dist = 1),
+         |d2 AS (SELECT seed, id, min(dist) AS dist FROM (SELECT * FROM d1 UNION ALL SELECT * FROM n2) GROUP BY 1, 2),
+         |n3 AS (SELECT DISTINCT d2.seed, ed.dst AS id, 3 AS dist FROM d2 JOIN ed ON d2.id = ed.src WHERE d2.dist = 2),
+         |d3 AS (SELECT seed, id, min(dist) AS dist FROM (SELECT * FROM d2 UNION ALL SELECT * FROM n3) GROUP BY 1, 2)
+         |SELECT seed, CAST(count(*) AS BIGINT) AS n_reached, CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_micro FROM d3 WHERE dist > 0 GROUP BY 1""".stripMargin,
     "q_refint" ->
       """SELECT 'orders.custkey' AS fk_edge, (SELECT count(*) FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)) AS n_orphans
          |UNION ALL SELECT 'lineitem.orderkey', (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
@@ -2411,6 +2469,13 @@ operations:
          |q AS (SELECT source, base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS quota FROM r, l),
          |p AS (SELECT doc_id, source, row_number() OVER (PARTITION BY source ORDER BY md5('qs:' || CAST(doc_id AS VARCHAR)), doc_id) AS pk FROM documents)
          |SELECT doc_id, p.source, CAST(pk AS BIGINT) AS pick_rank FROM p JOIN q ON p.source = q.source WHERE pk <= quota""".stripMargin,
+    "ta_curriculum" ->
+      s"""WITH qs AS ($qualityScoreOracleSql),
+         |b AS (SELECT doc_id, CASE WHEN quality_bp >= 8000 THEN 0 WHEN quality_bp >= 6000 THEN 1 WHEN quality_bp >= 4000 THEN 2 ELSE 3 END AS band FROM qs),
+         |rk AS (SELECT doc_id, band, row_number() OVER (PARTITION BY band ORDER BY md5('cur:' || CAST(doc_id AS VARCHAR)), doc_id) AS band_rank FROM b),
+         |off AS (SELECT band, coalesce(sum(bn) OVER (ORDER BY band ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o FROM (SELECT band, count(*) AS bn FROM b GROUP BY 1))
+         |SELECT doc_id, CAST(rk.band AS BIGINT) AS band, CAST(band_rank AS BIGINT) AS band_rank, CAST(o + band_rank AS BIGINT) AS curriculum_pos
+         |FROM rk JOIN off ON rk.band = off.band""".stripMargin,
     "sim_normalize" ->
       """WITH x AS (SELECT CAST(i AS INTEGER) AS dim, CAST(embedding[CAST(i AS INTEGER)+1] AS DOUBLE) AS x FROM embeddings, unnest(range(64)) t(i)),
          |f AS (SELECT dim, CAST(floor(x * 1048576) AS BIGINT) AS fp FROM x)
@@ -2616,8 +2681,7 @@ operations:
          SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
          WHERE rn <= 10""",
-    "ta_quality_score" ->
-      """WITH base AS (SELECT doc_id, lang, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT doc_id, lang, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base) SELECT doc_id, lang, CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) AS quality_bp FROM comp""",
+    "ta_quality_score" -> qualityScoreOracleSql,
     "ta_langid" ->
       """WITH base AS (SELECT doc_id, lang AS lang_truth, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), scores AS (SELECT doc_id, lang_truth, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, lang_truth, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base) SELECT doc_id, lang_truth, lang_guess FROM (SELECT doc_id, lang_truth, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1""",
     "ta_split" ->

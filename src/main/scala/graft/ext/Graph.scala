@@ -246,6 +246,44 @@ object Graph {
     dist
   }
 
+  /** Per-seed bounded-hop BFS: like [[bfsHops]] but distances are kept
+    * PER SOURCE — the frontier carries (seed, id) pairs, so one run
+    * yields every seed's distance map (multi-source centrality in
+    * |seeds|× the ids-only traffic, not |seeds|× the jobs). Returns
+    * (seed, id, dist).
+    */
+  def bfsHopsKeyed(edges: DataFrame, sources: DataFrame,
+                   srcCol: String = "src", dstCol: String = "dst",
+                   idCol: String = "id", maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 0, "maxHops must be non-negative")
+    val e = edges.select(col(srcCol).cast(LongType).as("src"),
+      col(dstCol).cast(LongType).as("dst")).distinct().localCheckpoint(true)
+    var dist = sources.select(col(idCol).cast(LongType).as("seed"))
+      .distinct().select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
+    for (k <- 1 to maxHops) {
+      val frontier = dist.filter(col("dist") === (k - 1))
+      val next = e.join(frontier.select(col("seed"), col("id").as("src")), "src")
+        .select(col("seed"), col("dst").as("id")).distinct()
+        .withColumn("dist", lit(k.toLong))
+      dist = dist.union(next).groupBy("seed", "id").agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  /** Harmonic centrality over a bounded horizon (Boldi & Vigna 2014's
+    * truncated variant): per seed, Σ 1/d over reached nodes within
+    * `maxHops` — in EXACT integer micro-units (10⁶ div d — hop distances
+    * are integers, so there is no float anywhere).
+    */
+  def harmonicCentrality(edges: DataFrame, sources: DataFrame,
+                         maxHops: Int = 3): DataFrame =
+    bfsHopsKeyed(edges, sources, maxHops = maxHops)
+      .filter(col("dist") > 0)
+      .groupBy("seed")
+      .agg(count(lit(1)).as("n_reached"),
+        sum(expr("1000000 div dist")).as("harmonic_micro"))
+
   /** k-core membership (Seidman 1983): iteratively peel vertices whose
     * degree among the remaining vertices is < k, until fixpoint. Returns
     * surviving vertices with their in-core degree — the standard graph
