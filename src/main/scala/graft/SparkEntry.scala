@@ -681,6 +681,24 @@ operations:
       ext.Multimodal.nearDupImagePairs(hashes, maxHamming = 1)
     }),
 
+    "mm_curate" -> ((s, dir) => {
+      // composed MULTIMODAL curation — the image twin of ta_curate: decode
+      // (real PNG) → perceptual dHash → banded Hamming pairs → transitive
+      // components → keep one representative per near-dup cluster, with
+      // decoded dims attached; ONE lazy plan over the planted gradient
+      // corpus, every stage reaching the oracle's closed forms
+      implicit val sp: SparkSession = s
+      val docs = T(s, dir, "documents")
+      val media = ext.Multimodal.gradientMedia(docs)
+      val hashes = ext.Multimodal.perceptualHash(media).toDF()
+      val pairs = ext.Multimodal.nearDupImagePairs(hashes, maxHamming = 1)
+        .select(col("id_a"), col("id_b"))
+      val kept = ext.Graph.clusterDedup(docs.select("doc_id"), "doc_id", pairs)
+      val dims = ext.Multimodal.decode(media).toDF()
+        .select(col("media_id").as("doc_id"), col("width"), col("height"))
+      kept.join(dims, Seq("doc_id")).select("doc_id", "width", "height")
+    }),
+
     "mm_resize" -> ((s, dir) => {
       // REAL resize round-trip: planted constant-color images resized with
       // the nearest-neighbor resampler, re-decoded — dims and pixel sums
@@ -1292,6 +1310,18 @@ operations:
       ext.Skew.saltedSumCount(
         T(s, dir, "lineitem").select("l_returnflag", "l_quantity"),
         Seq("l_returnflag"), "l_quantity")
+    }),
+
+    "q_salted_join" -> ((s, dir) => {
+      // salted equi-join (hot-key spreading: left rows row-hash-salted,
+      // small right replicated per salt) must equal the PLAIN join — the
+      // manual skew fallback where AQE skew splitting doesn't fire
+      val li = T(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_suppkey").as("suppkey"))
+      val sup = T(s, dir, "supplier")
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      ext.Skew.saltedJoin(li, sup, Seq("suppkey"))
+        .select("l_orderkey", "l_linenumber", "suppkey", "s_nationkey")
     }),
 
     // ---- extended: event-time windowing (batch == streaming transform) ----
@@ -2439,6 +2469,18 @@ operations:
     "sim_ivf_stats" -> ivfStatsOracleSql,
     "q_kanon" ->
       "SELECT c_mktsegment, c_nationkey, count(*) AS class_size, count(*) >= 5 AS anonymous FROM customer GROUP BY 1, 2",
+    "q_salted_join" ->
+      "SELECT l_orderkey, l_linenumber, l_suppkey AS suppkey, s_nationkey FROM lineitem JOIN supplier ON l_suppkey = s_suppkey",
+    // mm_curate: replay the planted dHash pair set (see mm_neardup), close
+    // it transitively, keep component roots; dims are the 9×8 grid
+    "mm_curate" ->
+      """WITH RECURSIVE u AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 1, 8) AS BIGINT)::HUGEINT * 4294967296::HUGEINT + CAST('0x' || substr(md5(CAST(doc_id // 10 AS VARCHAR)), 9, 8) AS BIGINT)::HUGEINT AS uh, CAST(doc_id % 10 AS INTEGER) AS m FROM documents),
+         |hh AS (SELECT doc_id, CASE WHEN m > 0 THEN xor(h0, 1::BIGINT << (m - 1)) ELSE h0 END AS h FROM (SELECT doc_id, m, CAST(CASE WHEN uh >= 9223372036854775808::HUGEINT THEN uh - 18446744073709551616::HUGEINT ELSE uh END AS BIGINT) AS h0 FROM u)),
+         |mp AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b FROM hh a JOIN hh b ON a.doc_id < b.doc_id WHERE bit_count(xor(a.h, b.h)) <= 1),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM mp UNION SELECT id_b, id_a FROM mp),
+         |lab AS (SELECT doc_id AS id, doc_id AS lbl FROM documents UNION SELECT e.dst AS id, lab.lbl FROM lab JOIN edges e ON lab.id = e.src WHERE lab.lbl < e.dst),
+         |comp AS (SELECT id, min(lbl) AS root FROM lab GROUP BY 1)
+         |SELECT id AS doc_id, CAST(9 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height FROM comp WHERE root = id""".stripMargin,
     "g_harmonic" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS p FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
          |ed AS (SELECT c AS src, p AS dst FROM pairs UNION SELECT p, c FROM pairs),
