@@ -589,6 +589,22 @@ operations:
         .select("doc_id", "split")
     }),
 
+    "ta_leakage" -> ((s, dir) => {
+      // split-leakage audit: NEAR-dup pairs that straddle the
+      // train/val/test boundary — the contamination exact 8-gram
+      // decontam can't see (paraphrases of a test doc inside train).
+      // Composes the minhash pair graph with the split assignment; ids
+      // only ride the join.
+      val d = T(s, dir, "documents")
+      val split = ext.Sampling.hashSplit(d, col("doc_id")).select("doc_id", "split")
+      ext.Dedup.minhashPairs(d, "doc_id", "text")
+        .join(split.select(col("doc_id").as("id_a"), col("split").as("split_a")), Seq("id_a"))
+        .join(split.select(col("doc_id").as("id_b"), col("split").as("split_b")), Seq("id_b"))
+        .filter(col("split_a") =!= col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(count(lit(1)).as("n_leaky_pairs"))
+    }),
+
     "ta_sample" -> ((s, dir) => {
       // per-language 20% deterministic sample — no RNG, no shuffle
       ext.Sampling.stratifiedSample(T(s, dir, "documents"),
@@ -2558,6 +2574,13 @@ operations:
     "stream_neardup" -> minhashOracleSql,
     "dd_minhash_dedup" -> minhashDedupOracleSql,
     "dd_report" -> dedupReportOracleSql,
+    // ta_leakage: minhash pair replay × the md5-threshold split replay
+    "ta_leakage" ->
+      s"""WITH ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)},
+         |sp AS (SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' ELSE 'test' END AS split FROM documents)
+         |SELECT a.split AS split_a, b.split AS split_b, CAST(count(*) AS BIGINT) AS n_leaky_pairs
+         |FROM mh_pairs p JOIN sp a ON p.id_a = a.doc_id JOIN sp b ON p.id_b = b.doc_id
+         |WHERE a.split <> b.split GROUP BY 1, 2""".stripMargin,
     "dd_simhash" -> simhashOracleSql,
     "dd_ngram" -> ngramOracleSql,
     // mm_neardup: replay the planted gradient-image dHash (md5_64 of the
