@@ -1831,6 +1831,37 @@ operations:
       s.table("graft_stream_dedup")
     }),
 
+    "stream_curate" -> ((s, dir) => {
+      // STREAMING curation — ta_curate's gates on live ingest: stateless
+      // quality gate → stream-static LEFT ANTI against the benchmark's
+      // contaminated fingerprints → stateful exact dedup. Output columns
+      // are all TEXT-derived (fp, quality_bp), so the arbitrary
+      // dedup-winner choice is invisible and the result equals the batch
+      // DISTINCT — determinism by construction, not by arrival order.
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val bench = docs.filter(substring(md5(col("doc_id").cast("string")), 1, 8) < "0ccccccd")
+      val contaminatedFps = ext.CorpusClean.decontaminate(docs, bench, "doc_id", "text")
+        .filter(col("contaminated"))
+        .join(docs.select(col("doc_id"), md5(col("text")).as("fp")), Seq("doc_id"))
+        .select("fp").distinct()
+      val schema = docs.schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[d]ocuments.parquet")
+        .withColumn("fp", md5(col("text")))
+        .withColumn("quality_bp",
+          floor(ext.TextAnalysis.rawQualityScore(col("text")) * 10000).cast("long"))
+        .filter(col("quality_bp") >= 5000)
+        .join(contaminatedFps, Seq("fp"), "left_anti")
+        .dropDuplicates("fp")
+        .select("fp", "quality_bp")
+      s.catalog.dropTempView("graft_stream_curate")
+      val q = stream.writeStream.format("memory").queryName("graft_stream_curate")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_curate")
+    }),
+
     "stream_neardup" -> ((s, dir) => {
       // STREAMING near-duplicate detection — the live-ingest shape of
       // dd_minhash: incoming docs are minhash-banded with the SAME
@@ -2572,6 +2603,17 @@ operations:
     // stream_neardup: the streaming probe finds exactly the batch banded
     // pair set (same expressions both sides) — same replay as dd_minhash
     "stream_neardup" -> minhashOracleSql,
+    // stream_curate: batch replay of the streamed gates — quality ≥ 5000
+    // bp, not sharing a benchmark 8-gram, DISTINCT text fingerprints
+    "stream_curate" ->
+      s"""WITH qs AS ($qualityScoreOracleSql),
+         |tk AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS t FROM documents),
+         |gr AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM tk),
+         |bn AS (SELECT DISTINCT g FROM gr WHERE doc_id IN (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '0ccccccd')),
+         |ct AS (SELECT DISTINCT doc_id FROM gr WHERE g IN (SELECT g FROM bn)),
+         |cfp AS (SELECT DISTINCT md5(text) AS fp FROM documents WHERE doc_id IN (SELECT doc_id FROM ct)),
+         |f AS (SELECT d.doc_id, md5(d.text) AS fp, qs.quality_bp FROM documents d JOIN qs ON d.doc_id = qs.doc_id)
+         |SELECT DISTINCT fp, quality_bp FROM f WHERE quality_bp >= 5000 AND fp NOT IN (SELECT fp FROM cfp)""".stripMargin,
     "dd_minhash_dedup" -> minhashDedupOracleSql,
     "dd_report" -> dedupReportOracleSql,
     // ta_leakage: minhash pair replay × the md5-threshold split replay
