@@ -1882,7 +1882,15 @@ operations:
           posexplode(transform(sequence(lit(0), lit(bands - 1)),
             b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
         .select(col("doc_id"), col("sig"), col("pos").as("band"), col("col").as("bhash"))
+      // static-side bucket cap (same semantics as Dedup.bucketPairs): an
+      // oversized bucket keeps ONLY its min-id star center on the static
+      // side, so streamed members pair with the center (the batch star
+      // edges) instead of all-pairs exploding on boilerplate clusters
+      val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
       val static = bandedOf(s.read.parquet(s"$dir/documents.parquet"))
+        .withColumn("__bsize__", count(lit(1)).over(bw))
+        .withColumn("__bmin__", min(col("doc_id")).over(bw))
+        .filter(col("__bsize__") <= 2000 || col("doc_id") === col("__bmin__"))
         .select(col("doc_id").as("id_a"), col("sig").as("sig_a"), col("band"), col("bhash"))
       val stream = bandedOf(s.readStream.schema(schema).parquet(s"$dir/[d]ocuments.parquet"))
         .select(col("doc_id").as("id_b"), col("sig").as("sig_b"), col("band"), col("bhash"))
@@ -2449,11 +2457,11 @@ operations:
          |  SELECT w, freq, sy,
          |    CASE WHEN i < len(sy) - 1 AND sy[i+1] = m.l AND sy[i+2] = m.r THEN i + 2 ELSE i + 1 END,
          |    CASE WHEN i < len(sy) - 1 AND sy[i+1] = m.l AND sy[i+2] = m.r THEN list_append(acc, m.l || m.r) ELSE list_append(acc, sy[i+1]) END
-         |  FROM wk$t, m$t m WHERE i < len(sy)),
+         |  FROM wk$t LEFT JOIN m$t m ON true WHERE i < len(sy)),
          |s${t + 1} AS MATERIALIZED (SELECT w, freq, acc AS sy FROM wk$t WHERE i >= len(sy))""".stripMargin
     val steps = (0 until 8).map(step).mkString(",\n")
     s"""w AS MATERIALIZED (SELECT w, count(*) AS freq FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS w FROM documents) GROUP BY 1),
-       |s0 AS MATERIALIZED (SELECT w, freq, list_transform(range(strlen(w)), i -> w[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1]) AS sy FROM w),
+       |s0 AS MATERIALIZED (SELECT w, freq, list_transform(range(length(w)), i -> w[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1]) AS sy FROM w),
        |$steps""".stripMargin
   }
 
@@ -2575,7 +2583,7 @@ operations:
       s"""WITH kwp AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS INTEGER) AS kw_rank FROM ($bm25OracleSql)),
          |e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          |q AS (SELECT v FROM e WHERE vec_id = 0),
-         |vp AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS vec_rank FROM (SELECT d.vec_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos FROM e d, q ORDER BY cos DESC, d.vec_id LIMIT 25)),
+         |vp AS (SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INTEGER) AS vec_rank FROM (SELECT d.vec_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS cos FROM e d, q WHERE d.vec_id <> 0 ORDER BY cos DESC, d.vec_id LIMIT 25)),
          |f AS (SELECT coalesce(k.doc_id, v.vec_id) AS doc_id, k.kw_rank, v.vec_rank FROM kwp k FULL OUTER JOIN vp v ON k.doc_id = v.vec_id)
          |SELECT doc_id, coalesce(CAST(round(1e6 / (60 + kw_rank)) AS BIGINT), 0) + coalesce(CAST(round(1e6 / (60 + vec_rank)) AS BIGINT), 0) AS rrf_micro, kw_rank, vec_rank
          |FROM f ORDER BY rrf_micro DESC, doc_id LIMIT 15""".stripMargin,
@@ -2585,7 +2593,7 @@ operations:
     // within 1 ulp and no integer count lands near a .5e-6 boundary
     // (EntropySpec proves the margin for every count up to 200k)
     "ta_entropy" ->
-      """WITH ch AS (SELECT doc_id, unnest(list_transform(range(strlen(text)), i -> text[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1])) AS ch FROM documents),
+      """WITH ch AS (SELECT doc_id, unnest(list_transform(range(length(text)), i -> text[CAST(i AS INTEGER)+1 : CAST(i AS INTEGER)+1])) AS ch FROM documents),
          |g AS (SELECT doc_id, ch, count(*) AS c FROM ch WHERE ch NOT IN (' ', chr(9), chr(10), chr(13)) GROUP BY 1, 2),
          |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars, CAST(sum(c * CAST(round(ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS clnc_micro FROM g GROUP BY 1)
          |SELECT d.doc_id, coalesce(a.n_chars, 0) AS n_chars, coalesce(a.clnc_micro, 0) AS clnc_micro FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,

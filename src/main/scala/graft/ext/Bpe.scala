@@ -70,7 +70,10 @@ object Bpe {
       if (best.nonEmpty) {
         val l = best(0).getString(0); val r = best(0).getString(1)
         merges += ((l, r, best(0).getLong(2)))
-        state = state.withColumn("sy", applyMerge(col("sy"), l, r))
+        // checkpoint per step: without it, step t re-executes all t prior
+        // folds and the nested expression tree grows linearly — the
+        // "one shuffle + one map pass per merge" claim requires this
+        state = state.withColumn("sy", applyMerge(col("sy"), l, r)).localCheckpoint()
       }
     }
     merges.toSeq
@@ -97,9 +100,12 @@ object Bpe {
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
-    val dict = merges.foldLeft(
-      dictionary(docs, textCol).select(col("w"), col("sy"))) { case (d, (l, r)) =>
-      d.withColumn("sy", applyMerge(col("sy"), l, r))
+    val dict = merges.zipWithIndex.foldLeft(
+      dictionary(docs, textCol).select(col("w"), col("sy"))) { case (d, ((l, r), i)) =>
+      val next = d.withColumn("sy", applyMerge(col("sy"), l, r))
+      // truncate the fold tree every 16 merges: a long merge list would
+      // otherwise build one analysis-breaking nested expression
+      if ((i + 1) % 16 == 0) next.localCheckpoint() else next
     }.select(col("w"), size(col("sy")).cast("long").as("n_subwords"))
     docs
       .select(col(idCol),

@@ -37,7 +37,9 @@ object Coreset {
       .select(col(idCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
       .withColumn("vv", graft.functions.VectorExprs.dot(col("v"), col("v")))
       .localCheckpoint() // k argmax passes re-read this — scan the source once
-    val seed = src.orderBy("id").limit(1).collect()(0)
+    val seedRows = src.orderBy("id").limit(1).collect()
+    require(seedRows.nonEmpty, "kCenter: input DataFrame is empty")
+    val seed = seedRows(0)
     val selected = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)](
       (1, seed.getLong(0), 0.0))
     val centers = scala.collection.mutable.ArrayBuffer[Array[Double]](

@@ -233,14 +233,26 @@ object Graph {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst")).distinct().localCheckpoint(true)
-    var dist = sources.select(col(idCol).cast(LongType).as("id"))
+    val dist0 = sources.select(col(idCol).cast(LongType).as("id"))
       .distinct().withColumn("dist", lit(0L))
+    bfsLoop(e, dist0, Seq.empty, maxHops)
+  }
+
+  /** Shared frontier-expansion loop for [[bfsHops]]/[[bfsHopsKeyed]]:
+    * `keyCols` ride the frontier untouched (empty = merged multi-source,
+    * Seq("seed") = per-source distances).
+    */
+  private def bfsLoop(e: DataFrame, dist0: DataFrame, keyCols: Seq[String],
+                      maxHops: Int): DataFrame = {
+    var dist = dist0
     for (k <- 1 to maxHops) {
       val frontier = dist.filter(col("dist") === (k - 1))
-      val next = e.join(frontier.select(col("id").as("src")), "src")
-        .select(col("dst").as("id")).distinct()
+      val next = e.join(
+          frontier.select((keyCols.map(col) :+ col("id").as("src")): _*), "src")
+        .select((keyCols.map(col) :+ col("dst").as("id")): _*).distinct()
         .withColumn("dist", lit(k.toLong))
-      dist = dist.union(next).groupBy("id").agg(min(col("dist")).as("dist"))
+      dist = dist.union(next)
+        .groupBy((keyCols :+ "id").map(col): _*).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
     }
     dist
@@ -258,17 +270,9 @@ object Graph {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
       col(dstCol).cast(LongType).as("dst")).distinct().localCheckpoint(true)
-    var dist = sources.select(col(idCol).cast(LongType).as("seed"))
+    val dist0 = sources.select(col(idCol).cast(LongType).as("seed"))
       .distinct().select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
-    for (k <- 1 to maxHops) {
-      val frontier = dist.filter(col("dist") === (k - 1))
-      val next = e.join(frontier.select(col("seed"), col("id").as("src")), "src")
-        .select(col("seed"), col("dst").as("id")).distinct()
-        .withColumn("dist", lit(k.toLong))
-      dist = dist.union(next).groupBy("seed", "id").agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
-    }
-    dist
+    bfsLoop(e, dist0, Seq("seed"), maxHops)
   }
 
   /** Harmonic centrality over a bounded horizon (Boldi & Vigna 2014's

@@ -218,8 +218,10 @@ object Sampling {
     val all = Window.partitionBy()
     df.groupBy(col(keyCol)).agg(count(lit(1)).as("n"))
       .withColumn("__tot__", sum(col("n")).over(all))
-      .withColumn("__base__", expr(s"($budget * n) div __tot__"))
-      .withColumn("__rem__", expr(s"($budget * n) % __tot__"))
+      // DECIMAL(38,0) product: budget·n overflows BIGINT for the trillion
+      // -token budgets this is for; integral div of decimals returns LONG
+      .withColumn("__base__", expr(s"(CAST($budget AS DECIMAL(38,0)) * n) div __tot__"))
+      .withColumn("__rem__", expr(s"(CAST($budget AS DECIMAL(38,0)) * n) % __tot__"))
       .withColumn("__rk__", row_number().over(
         Window.orderBy(col("__rem__").desc, col(keyCol).asc)))
       .withColumn("__left__", lit(budget) - sum(col("__base__")).over(all))

@@ -87,11 +87,14 @@ object Search {
       .select(col(idCol).as("id"), col("score_bp"))
       .withColumn("kw_rank",
         row_number().over(Window.orderBy(col("score_bp").desc, col("id").asc)))
-    val qRow = emb.filter(col(vecIdCol) === queryVecId)
-      .select(col(vecCol).cast("array<double>")).head().getSeq[Double](0).toArray
+    val qRows = emb.filter(col(vecIdCol) === queryVecId)
+      .select(col(vecCol).cast("array<double>")).collect()
+    require(qRows.nonEmpty, s"hybridTopK: no row with $vecIdCol == $queryVecId")
+    val qRow = qRows(0).getSeq[Double](0).toArray
     val qn = { var s = 0.0; var i = 0; while (i < qRow.length) { s += qRow(i) * qRow(i); i += 1 }; math.sqrt(s) }
     val vec = emb
       .select(col(vecIdCol).cast("long").as("id"), col(vecCol).cast("array<double>").as("v"))
+      .filter(col("id") =!= queryVecId) // no self-retrieval in the pool
       .select(col("id"), (graft.functions.VectorExprs.dot(col("v"), lit(qRow)) /
         (graft.functions.VectorExprs.norm(col("v")) * lit(qn))).as("cos"))
       .orderBy(col("cos").desc, col("id").asc).limit(poolK)

@@ -55,9 +55,9 @@ class SearchSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     def rrf(r: Int): Long = math.round(1e6 / (60 + r))
     // keyword ranks: doc1 (3x cat) > doc0? bm25 tf saturation ranks by tf
-    // then doc_id; vector ranks: 0 (self, cos 1), 3, 2, 1
+    // then doc_id; vector ranks EXCLUDE the query itself: 3, 2, 1
     val kw = Map(1L -> 1, 2L -> 2, 0L -> 3) // doc3 has no term match
-    val vec = Map(0L -> 1, 3L -> 2, 2L -> 3, 1L -> 4)
+    val vec = Map(3L -> 1, 2L -> 2, 1L -> 3)
     val want = (0L to 3L).map(id =>
       id -> (kw.get(id.toInt).map(rrf).getOrElse(0L) + vec.get(id).map(rrf).getOrElse(0L))).toMap
     assert(got == want)
