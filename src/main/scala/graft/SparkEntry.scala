@@ -2060,8 +2060,108 @@ operations:
         .start()
       q.awaitTermination()
       s.table("graft_stream_join")
+    }),
+
+    "sk_hll" -> ((s, dir) => {
+      // mergeable HyperLogLog registers (functions.SketchAgg): ONE pass,
+      // 1 KiB buffer per group, map-side combine — the 100 TB substitute
+      // for count(DISTINCT) when groups × keys don't fit a shuffle. The
+      // registers are deterministic FNV-1a maxima (order-free), and the
+      // estimate is a fixed-order dyadic fold (2^-rho terms), so the
+      // DOUBLE result is bit-identical to the DuckDB replay. hll_est is
+      // the RAW estimator (valid here: nd >= 2.5m); below that regime the
+      // emitted zero-register count is the linear-counting sufficient
+      // statistic for the caller (m*ln(m/V) uses ln, which is not
+      // bit-stable across engines — SketchSpec covers both regimes).
+      // Exact distinct aggregates SEPARATELY (see q_approx: mixing
+      // distinct with other aggs expands the sketch to per-(flag,key)
+      // granularity).
+      val li = T(s, dir, "lineitem")
+      val p = hllP
+      val m = 1 << p
+      val amm = hllAlphaM2(m)
+      val regs = li.groupBy("l_returnflag").agg(
+        graft.functions.SketchAgg.hllRegisters(col("l_orderkey").cast("string"), p).as("regs"))
+      val exact = li.groupBy("l_returnflag")
+        .agg(count_distinct(col("l_orderkey")).as("exact_nd"))
+      regs.join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          size(filter(col("regs"), x => x === 0)).cast("long").as("zeros"),
+          (lit(amm) / aggregate(col("regs"), lit(0.0),
+            (acc, x) => acc + pow(lit(2.0), -x.cast("double")))).as("hll_est"),
+          col("exact_nd"))
+    }),
+
+    "sk_cms" -> ((s, dir) => {
+      // Count-Min heavy hitters: ONE pass builds a 4×1024-counter matrix
+      // (32 KiB, elementwise-sum merge); the probe side broadcasts the
+      // single sketch row and reads min-of-4 counters per candidate — at
+      // 100 TB the sketch replaces a second full scan when candidate keys
+      // are known (boilerplate/stop-token detection). est >= true_cnt by
+      // construction (one-sided error); collisions of 2000 parts into
+      // 1024 buckets make the overestimate REAL, and the oracle replays
+      // the exact collided counters.
+      val li = T(s, dir, "lineitem")
+      val keys = li.select(col("l_partkey").cast("string").as("g"))
+      val sk = keys.agg(
+        graft.functions.SketchAgg.cmsCounters(col("g"), cmsDepth, cmsLogW).as("cms"))
+      val heavy = keys.groupBy("g").agg(count(lit(1)).as("true_cnt"))
+        .filter(col("true_cnt") >= 45)
+      heavy.join(broadcast(sk))
+        .select(col("g").cast("long").as("l_partkey"), col("true_cnt"),
+          graft.functions.SketchAgg.cmsEstimate(
+            col("cms"), col("g"), cmsDepth, cmsLogW).as("cms_est"))
+    }),
+
+    "q_ols" -> ((s, dir) => {
+      // one-pass distributed least squares: the SAME integer Gram
+      // aggregate that powers PCA (functions.GramAgg — d(d+1)/2+d+1 longs
+      // per partition, elementwise-sum merge) accumulates X^TX | X^Ty |
+      // y^Ty for [1, qty, disc_pct, price_dollars]; the driver solves the
+      // 3×3 normal equations by Cramer's rule — d² work, independent of
+      // n. Integer quantization makes the Gram ENGINE-EXACT; the double
+      // Cramer arithmetic is written in the identical operation order in
+      // the oracle, so the coefficients are bit-identical. Overflow
+      // margin: Σ price² ≈ 1.2e10·n — safe through n ≈ 7e8 rows per the
+      // BIGINT budget; beyond that, pre-aggregate per shard or widen the
+      // buffer to DECIMAL.
+      val li = T(s, dir, "lineitem")
+      val vec = array(lit(1L), col("l_quantity").cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      val g = li.agg(graft.functions.GramAgg.gram(vec, 4).as("g"))
+        .head().getSeq[Long](0)
+      // upper-tri row-major for d=4: (0,0)..(0,3),(1,1)..(1,3),(2,2),(2,3),(3,3)
+      val a00 = g(0).toDouble; val a01 = g(1).toDouble; val a02 = g(2).toDouble
+      val b0 = g(3).toDouble
+      val a11 = g(4).toDouble; val a12 = g(5).toDouble; val b1 = g(6).toDouble
+      val a22 = g(7).toDouble; val b2 = g(8).toDouble
+      val n = g(14)
+      val det = a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * a12 - a11 * a02)
+      val beta0 = (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) +
+        a02 * (b1 * a12 - a11 * b2)) / det
+      val beta1 = (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * b2 - b1 * a02)) / det
+      val beta2 = (a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) +
+        b0 * (a01 * a12 - a11 * a02)) / det
+      import s.implicits._
+      Seq((beta0, beta1, beta2, n)).toDF("beta0", "beta1", "beta2", "n")
     })
   )
+
+  /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
+  private val hllP = 10
+
+  /** α_m·m² computed ONCE in driver doubles and embedded as a literal in
+    * both engines (Double.toString round-trips, so DuckDB parses the
+    * identical bits) — keeps the per-group work to one division.
+    */
+  private def hllAlphaM2(m: Int): Double =
+    0.7213 / (1.0 + 1.079 / m) * m * m
+
+  private val cmsDepth = 4
+  private val cmsLogW = 10
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -2915,6 +3015,95 @@ operations:
     "ev_scd2" ->
       """WITH m AS (SELECT user_id, event_type, ts, event_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM m WHERE prev IS NULL OR event_type <> prev), v AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to, row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version FROM c) SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current, CAST(version AS BIGINT) AS version FROM v""",
     "ta_decontam" ->
-      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)"""
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)""",
+    "sk_hll" -> hllOracleSql,
+    "sk_cms" -> cmsOracleSql,
+    "q_ols" -> olsOracleSql
   )
+
+  // --- sketch replays -------------------------------------------------
+  // HLL registers and CMS counters are deterministic integer state (FNV
+  // maxima / bucket sums), so DuckDB rebuilds them exactly; the only
+  // doubles are the fixed-order HLL dyadic fold and one division, both
+  // bit-identical across engines (same IEEE ops, same order).
+
+  /** sk_hll: replay idx = h >>> (64-p), rho = first-1-bit position of the
+    * remaining bits, per-(flag, idx) max, then the ordered 2^-rho fold.
+    */
+  private lazy val hllOracleSql: String = {
+    val p = hllP
+    val m = 1 << p
+    val pow64mp = BigInt(1) << (64 - p) // 2^(64-p) for idx/payload split
+    val amm = hllAlphaM2(m)
+    // fmix64 replay: >>>33 is unsigned // 2^33; the two 64x64 multiplies
+    // split as lo/hi 32-bit halves so products stay below 2^96 (HUGEINT)
+    def mul64(c: BigInt): String =
+      s"($c::HUGEINT * (u % 4294967296::HUGEINT) + (($c::HUGEINT * (u // 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64"
+    val c1 = BigInt("ff51afd7ed558ccd", 16)
+    val c2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""WITH keys AS (SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS g FROM lineitem),
+       |dk AS MATERIALIZED (SELECT DISTINCT flag, g FROM keys),
+       |hh AS (SELECT flag, $fnvSql AS u FROM dk),
+       |f1 AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS u FROM hh),
+       |f2 AS (SELECT flag, ${mul64(c1)} AS u FROM f1),
+       |f3 AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS u FROM f2),
+       |f4 AS (SELECT flag, ${mul64(c2)} AS u FROM f3),
+       |fm AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS h FROM f4),
+       |ir AS (SELECT flag, CAST(h // $pow64mp::HUGEINT AS BIGINT) AS idx, CAST(h % $pow64mp::HUGEINT AS BIGINT) AS payload FROM fm),
+       |rr AS (SELECT flag, idx, coalesce(list_min(list_filter(list_transform(range(1, ${64 - p + 1}), r -> CASE WHEN (payload // CAST(power(2, ${64 - p} - CAST(r AS INTEGER)) AS BIGINT)) % 2 = 1 THEN CAST(r AS INTEGER) ELSE NULL END), x -> x IS NOT NULL)), ${64 - p + 1}) AS rho FROM ir),
+       |mx AS (SELECT flag, idx, max(rho) AS mr FROM rr GROUP BY 1, 2),
+       |grid AS (SELECT flag, CAST(i AS BIGINT) AS idx FROM (SELECT DISTINCT flag FROM keys) f, unnest(range($m)) t(i)),
+       |reg AS (SELECT grid.flag, grid.idx, coalesce(mx.mr, 0) AS r FROM grid LEFT JOIN mx ON grid.flag = mx.flag AND grid.idx = mx.idx),
+       |vec AS (SELECT flag, list(r ORDER BY idx) AS regs FROM reg GROUP BY flag),
+       |ex AS (SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS exact_nd FROM lineitem GROUP BY 1)
+       |SELECT vec.flag AS l_returnflag,
+       |  CAST(len(list_filter(regs, x -> x = 0)) AS BIGINT) AS zeros,
+       |  CAST('$amm' AS DOUBLE) / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(regs, x -> power(2.0, -x))), (acc, x) -> acc + x) AS hll_est,
+       |  exact_nd
+       |FROM vec JOIN ex ON vec.flag = ex.flag""".stripMargin
+  }
+
+  /** sk_cms: per-row counters are bucket-collision counts; the estimate
+    * joins each heavy key's 4 buckets back to those counts.
+    */
+  private lazy val cmsOracleSql: String = {
+    val (cas, cbs) = graft.functions.Hashing.permConsts(cmsDepth)
+    val mask = (BigInt(1) << 64) - 1
+    val shift = BigInt(1) << (64 - cmsLogW)
+    def bucket(j: Int): String = {
+      val a = BigInt(cas(j)) & mask
+      val b = BigInt(cbs(j)) & mask
+      s"CAST(((($a::HUGEINT * hlo) % $U64 + (($a::HUGEINT * hhi) % 4294967296::HUGEINT) * 4294967296::HUGEINT + $b::HUGEINT) % $U64) // $shift::HUGEINT AS BIGINT) AS b$j"
+    }
+    val buckets = (0 until cmsDepth).map(bucket).mkString(", ")
+    val counterCtes = (0 until cmsDepth).map(j =>
+      s"ci$j AS (SELECT b$j AS b, CAST(sum(c) AS BIGINT) AS cc FROM bk JOIN cnt USING (g) GROUP BY 1)").mkString(",\n")
+    val counterJoins = (0 until cmsDepth).map(j =>
+      s"JOIN ci$j ON bk.b$j = ci$j.b").mkString(" ")
+    val leastArgs = (0 until cmsDepth).map(j => s"ci$j.cc").mkString(", ")
+    s"""WITH keys AS (SELECT CAST(l_partkey AS VARCHAR) AS g FROM lineitem),
+       |dk AS MATERIALIZED (SELECT DISTINCT g FROM keys),
+       |hh AS (SELECT g, $fnvSql AS h FROM dk),
+       |hs AS (SELECT g, h % 4294967296::HUGEINT AS hlo, h // 4294967296::HUGEINT AS hhi FROM hh),
+       |bk AS MATERIALIZED (SELECT g, $buckets FROM hs),
+       |cnt AS MATERIALIZED (SELECT g, CAST(count(*) AS BIGINT) AS c FROM keys GROUP BY g),
+       |$counterCtes,
+       |heavy AS (SELECT g, c AS true_cnt FROM cnt WHERE c >= 45)
+       |SELECT CAST(heavy.g AS BIGINT) AS l_partkey, true_cnt, least($leastArgs) AS cms_est
+       |FROM heavy JOIN bk USING (g) $counterJoins""".stripMargin
+  }
+
+  /** q_ols: identical integer Gram sums, then the IDENTICAL double Cramer
+    * expression tree (each *, -, + in the same order as the driver code).
+    */
+  private lazy val olsOracleSql: String =
+    """WITH q AS (SELECT CAST(1 AS BIGINT) AS c0, CAST(l_quantity AS BIGINT) AS c1, CAST(round(l_discount * 100) AS BIGINT) AS c2, CAST(round(l_extendedprice) AS BIGINT) AS c3 FROM lineitem),
+      |g AS (SELECT CAST(sum(c0*c0) AS BIGINT) AS g0, CAST(sum(c0*c1) AS BIGINT) AS g1, CAST(sum(c0*c2) AS BIGINT) AS g2, CAST(sum(c0*c3) AS BIGINT) AS g3, CAST(sum(c1*c1) AS BIGINT) AS g4, CAST(sum(c1*c2) AS BIGINT) AS g5, CAST(sum(c1*c3) AS BIGINT) AS g6, CAST(sum(c2*c2) AS BIGINT) AS g7, CAST(sum(c2*c3) AS BIGINT) AS g8, count(*) AS n FROM q),
+      |d AS (SELECT CAST(g0 AS DOUBLE) AS a00, CAST(g1 AS DOUBLE) AS a01, CAST(g2 AS DOUBLE) AS a02, CAST(g3 AS DOUBLE) AS b0, CAST(g4 AS DOUBLE) AS a11, CAST(g5 AS DOUBLE) AS a12, CAST(g6 AS DOUBLE) AS b1, CAST(g7 AS DOUBLE) AS a22, CAST(g8 AS DOUBLE) AS b2, n FROM g),
+      |s AS (SELECT *, a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det FROM d)
+      |SELECT
+      |  (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det AS beta0,
+      |  (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det AS beta1,
+      |  (a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det AS beta2,
+      |  n FROM s""".stripMargin
 }

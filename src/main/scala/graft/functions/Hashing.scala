@@ -36,6 +36,22 @@ object Hashing {
     fnv1a64(b, 0, b.length)
   }
 
+  /** MurmurHash3 fmix64 finalizer (Appleby, public domain): full-avalanche
+    * mixing of all 64 bits. FNV-1a alone under-disperses its HIGH bits for
+    * short keys — fatal for sketches that index by the top bits (HLL
+    * registers) — so sketch hashing is fnv1a64 ∘ fmix64. Shift/xor/multiply
+    * only: exactly replayable mod 2^64 in the DuckDB oracles.
+    */
+  def fmix64(h0: Long): Long = {
+    var h = h0
+    h ^= h >>> 33
+    h *= 0xff51afd7ed558ccdL
+    h ^= h >>> 33
+    h *= 0xc4ceb9fe1a85ec53L
+    h ^= h >>> 33
+    h
+  }
+
   /** 64-bit SimHash over whitespace tokens: each token hashed with FNV-1a;
     * bit b of the result is the sign of the sum over tokens of ±1 per
     * token-hash bit b. Near-duplicate texts differ in few bits (compare by

@@ -1,0 +1,220 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Mergeable cardinality / frequency sketches — the aggregation-side
+  * counterpart of the LSH family: fixed-size buffers that merge
+  * associatively, so a 100 TB scan reduces to one map-side combine plus a
+  * shuffle of kilobyte payloads per group (never the raw keys).
+  *
+  * Both sketches hash with the repo-wide deterministic primitives
+  * (FNV-1a 64 + fixed multiply-add permutations, Hashing.scala) — no seed,
+  * no object identity — which makes the register/counter arrays
+  * bit-reproducible under any partitioning AND exactly replayable in a
+  * DuckDB oracle (HUGEINT arithmetic mod 2^64), the same trick that
+  * verified MinHash/SimHash/IVF/PQ.
+  *
+  * Reference behavioral anchor: the reference engine exposes only exact
+  * aggregation (app/operations/fold.py); sketches are part of the
+  * beyond-reference scale surface (SURVEY.md §2 "LLM-data-pipeline ops").
+  *
+  * HyperLogLog: Flajolet, Fusy, Gandouet, Meunier, "HyperLogLog: the
+  * analysis of a near-optimal cardinality estimation algorithm", AofA 2007.
+  * Count-Min: Cormode, Muthukrishnan, "An improved data stream summary:
+  * the count-min sketch and its applications", J. Algorithms 2005. Both
+  * public algorithms.
+  */
+object SketchAgg {
+  import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
+
+  /** HyperLogLog register vector (array<int> of 2^p registers) for a
+    * string key column. Registers only — the estimate is computed
+    * downstream with codegen'd array expressions (ordered fold), keeping
+    * the aggregate itself pure integer max-merge.
+    */
+  def hllRegisters(key: Column, p: Int): Column =
+    toCol(HllRegistersAgg(toExpr(key), p).toAggregateExpression())
+
+  /** Count-Min counter matrix (array<long>, row-major depth × 2^logW) for
+    * a string key column.
+    */
+  def cmsCounters(key: Column, depth: Int, logW: Int): Column =
+    toCol(CmsAgg(toExpr(key), depth, logW).toAggregateExpression())
+
+  /** Register index (top p bits) and rank (position of the first 1-bit in
+    * the remaining 64-p bits, 64-p+1 if none) of a hashed key — the
+    * per-row HLL update, shared with tests.
+    */
+  def hllIdxRho(h: Long, p: Int): (Int, Int) = {
+    val idx = (h >>> (64 - p)).toInt
+    val w = h << p
+    val rho = if (w == 0L) 64 - p + 1 else java.lang.Long.numberOfLeadingZeros(w) + 1
+    (idx, rho)
+  }
+
+  /** Point estimate min_i counters[i·w + bucket_i(key)] for a key against
+    * a Count-Min counter array. A native expression (not Column
+    * arithmetic) because the bucket derivation multiplies mod 2^64 —
+    * wrapping that ANSI-mode Column math would reject.
+    */
+  def cmsEstimate(cms: Column, key: Column, depth: Int, logW: Int): Column =
+    toCol(CmsEstExpr(toExpr(cms), toExpr(key), depth, logW))
+}
+
+/** (counters array<long>, key string) → min over the depth rows of the
+  * key's bucket counter. Uses the same fixed permutation constants as
+  * CmsAgg — the probe must hash exactly as the build did.
+  */
+case class CmsEstExpr(cmsE: Expression, keyE: Expression, depth: Int, logW: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def left: Expression = cmsE
+  override def right: Expression = keyE
+  private val w = 1 << logW
+  @transient private lazy val (as, bs) = Hashing.permConsts(depth)
+  override def dataType: DataType = LongType
+  override def nullSafeEval(cms: Any, key: Any): Any = {
+    val arr = cms.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val b = key.asInstanceOf[UTF8String].getBytes
+    val h = Hashing.fnv1a64(b, 0, b.length)
+    var est = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val bucket = ((as(i) * h + bs(i)) >>> (64 - logW)).toInt
+      val c = arr.getLong(i * w + bucket)
+      if (c < est) est = c
+      i += 1
+    }
+    est
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(cmsE = l, keyE = r)
+  override def prettyName: String = "graft_cms_est"
+}
+
+/** One HLL register array per group. Buffer: 2^p bytes (rho ≤ 64-p+1 < 128
+  * fits a byte); merge = elementwise max — order-free, so the result is
+  * identical under any partitioning/combine schedule.
+  */
+case class HllRegistersAgg(keyE: Expression, p: Int,
+                           mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 4 && p <= 16, "hll: p must be in [4,16]")
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(keyE)
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = keyE.eval(input)
+    if (v != null) {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val h = Hashing.fmix64(Hashing.fnv1a64(b, 0, b.length))
+      val (idx, rho) = SketchAgg.hllIdxRho(h, p)
+      if (rho > buf(idx)) buf(idx) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < m) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    val out = new Array[Int](m)
+    var i = 0
+    while (i < m) { out(i) = buf(i).toInt; i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegistersAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegistersAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): HllRegistersAgg =
+    copy(keyE = c(0))
+  override def prettyName: String = "graft_hll"
+}
+
+/** Count-Min counter matrix. Row i uses the repo's fixed multiply-add
+  * permutation i over the key's FNV hash, taking the top logW bits as the
+  * bucket — depth independent hash rows, width-2^logW counters each.
+  * Buffer: depth·2^logW longs; merge = elementwise sum (order-free).
+  * Point estimate (downstream expression): min over rows of the bucket
+  * counter — a one-sided overestimate with the classic (ε=e/w, δ=e^-d)
+  * guarantee.
+  */
+case class CmsAgg(keyE: Expression, depth: Int, logW: Int,
+                  mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 16, "cms: depth in [1,16]")
+  require(logW >= 4 && logW <= 20, "cms: logW in [4,20]")
+  private val w = 1 << logW
+  private val size = depth * w
+  @transient private lazy val (as, bs) = Hashing.permConsts(depth)
+
+  override def children: Seq[Expression] = Seq(keyE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): Array[Long] = new Array[Long](size)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = keyE.eval(input)
+    if (v != null) {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val h = Hashing.fnv1a64(b, 0, b.length)
+      var i = 0
+      while (i < depth) {
+        val bucket = ((as(i) * h + bs(i)) >>> (64 - logW)).toInt
+        buf(i * w + bucket) += 1L
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < size) { a(i) += b(i); i += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bytes = new Array[Byte](size * 8)
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    buf.foreach(bb.putLong)
+    bytes
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(size)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsAgg =
+    copy(keyE = c(0))
+  override def prettyName: String = "graft_cms"
+}
