@@ -2147,6 +2147,90 @@ operations:
         b0 * (a01 * a12 - a11 * a02)) / det
       import s.implicits._
       Seq((beta0, beta1, beta2, n)).toDF("beta0", "beta1", "beta2", "n")
+    }),
+
+    "stream_hll" -> ((s, dir) => {
+      // STREAMING cardinality sketch: the same mergeable HLL registers
+      // aggregated over a file stream (complete mode). Because the merge
+      // is an order-free elementwise max, the streamed state is EQUAL to
+      // the batch registers no matter how the source is sliced into
+      // micro-batches — the property that lets one sketch pipeline serve
+      // both the backfill scan and the live stream. Same oracle as
+      // sk_hll.
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[l]ineitem.parquet")
+      val regsS = stream.groupBy("l_returnflag").agg(
+        graft.functions.SketchAgg.hllRegisters(
+          col("l_orderkey").cast("string"), hllP).as("regs"))
+      s.catalog.dropTempView("graft_stream_hll")
+      val q = regsS.writeStream.format("memory").queryName("graft_stream_hll")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val m = 1 << hllP
+      val amm = hllAlphaM2(m)
+      val exact = T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(count_distinct(col("l_orderkey")).as("exact_nd"))
+      s.table("graft_stream_hll").join(exact, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          size(filter(col("regs"), x => x === 0)).cast("long").as("zeros"),
+          (lit(amm) / aggregate(col("regs"), lit(0.0),
+            (acc, x) => acc + pow(lit(2.0), -x.cast("double")))).as("hll_est"),
+          col("exact_nd"))
+    }),
+
+    "srch_invindex" -> ((s, dir) => {
+      // inverted-index build (the write path behind BM25/boolean search):
+      // token → document-frequency, collection-frequency and a doc_id-
+      // ordered posting list with term frequencies. One (tok, doc) hash
+      // agg then one token agg — both map-side combinable; posting lists
+      // are rendered as canonical strings (sort_array on structs orders
+      // by doc_id) so the artifact is byte-comparable across engines. At
+      // 100 TB the token agg shards by token hash and each posting list
+      // streams through a single reducer — no global sort anywhere.
+      val toks = T(s, dir, "documents").select(col("doc_id"),
+        explode(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).as("tok"))
+      val tf = toks.groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+      tf.groupBy("tok").agg(
+        count(lit(1)).as("df"),
+        sum(col("tf")).as("cf"),
+        array_join(transform(
+          sort_array(collect_list(struct(col("doc_id"), col("tf")))),
+          p => concat(p("doc_id").cast("string"), lit(":"), p("tf").cast("string"))),
+          ",").as("postings"))
+    }),
+
+    "q_nth" -> ((s, dir) => {
+      // null-aware navigation windows: first/last/nth_value with IGNORE
+      // NULLS over a running frame — the "carry last known value"
+      // primitive (gap fill, last-good-reading). Nulls planted on a
+      // deterministic key pattern; picked values scaled to cents AFTER
+      // selection, so both engines pick from identical doubles.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T(s, dir, "orders")
+        .withColumn("v",
+          when(col("o_orderkey") % 7 === 0, lit(null)).otherwise(col("o_totalprice")))
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(first(col("v"), ignoreNulls = true).over(w) * 100).cast("long").as("first_c"),
+          round(last(col("v"), ignoreNulls = true).over(w) * 100).cast("long").as("last_c"),
+          round(nth_value(col("v"), 3, ignoreNulls = true).over(w) * 100).cast("long").as("third_c"))
+    }),
+
+    "q_except" -> ((s, dir) => {
+      // bag semantics: EXCEPT ALL / INTERSECT ALL multiset difference and
+      // intersection (multiplicity-aware, unlike the DISTINCT set ops) —
+      // e.g. "customer order slots not yet finalized". Both are one
+      // count-per-key agg + generate in Spark's rewrite: no sort, no
+      // distinct, shuffle only on the key.
+      val a = T(s, dir, "orders").select(col("o_custkey").as("k"))
+      val b = T(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.exceptAll(b).withColumn("op", lit("except_all"))
+        .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
     })
   )
 
@@ -3018,7 +3102,15 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)""",
     "sk_hll" -> hllOracleSql,
     "sk_cms" -> cmsOracleSql,
-    "q_ols" -> olsOracleSql
+    "q_ols" -> olsOracleSql,
+    // stream_hll: order-free max-merge ⇒ streamed registers equal batch
+    "stream_hll" -> hllOracleSql,
+    "srch_invindex" ->
+      """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents), tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2) SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf, array_to_string(list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY doc_id), ',') AS postings FROM tf GROUP BY tok""",
+    "q_nth" ->
+      """SELECT o_orderkey, o_orderpriority, CAST(round(first_value(v IGNORE NULLS) OVER w * 100) AS BIGINT) AS first_c, CAST(round(last_value(v IGNORE NULLS) OVER w * 100) AS BIGINT) AS last_c, CAST(round(nth_value(v, 3 IGNORE NULLS) OVER w * 100) AS BIGINT) AS third_c FROM (SELECT o_orderkey, o_orderpriority, o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v FROM orders) WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "q_except" ->
+      """SELECT k, 'except_all' AS op FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') UNION ALL SELECT k, 'intersect_all' AS op FROM (SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
   )
 
   // --- sketch replays -------------------------------------------------
