@@ -2231,6 +2231,89 @@ operations:
         .select(col("o_custkey").as("k"))
       a.exceptAll(b).withColumn("op", lit("except_all"))
         .unionByName(a.intersectAll(b).withColumn("op", lit("intersect_all")))
+    }),
+
+    "sk_hll_union" -> ((s, dir) => {
+      // sketch ALGEBRA: |A ∪ B| from two groups' registers via elementwise
+      // max — no rescan, no exact distinct-union shuffle. This is why
+      // sketches beat exact counts at 100 TB: per-segment sketches roll up
+      // to any union of segments as kilobyte-sized merges. Both sides are
+      // in the raw-estimator regime (nd >= 2.5m; see sk_hll).
+      val li = T(s, dir, "lineitem")
+      val regs = li.groupBy("l_linestatus").agg(
+        graft.functions.SketchAgg.hllRegisters(
+          col("l_orderkey").cast("string"), hllP).as("regs"))
+      val wide = regs.agg(
+        first(when(col("l_linestatus") === "O", col("regs")), ignoreNulls = true).as("ro"),
+        first(when(col("l_linestatus") === "F", col("regs")), ignoreNulls = true).as("rf"))
+      val exact = li.agg(count_distinct(col("l_orderkey")).as("exact_union"))
+      wide.crossJoin(exact).select(
+        hllEstCol(col("ro")).as("hll_o"),
+        hllEstCol(col("rf")).as("hll_f"),
+        hllEstCol(zip_with(col("ro"), col("rf"), (a, b) => greatest(a, b))).as("hll_union"),
+        col("exact_union"))
+    }),
+
+    "q_ratio" -> ((s, dir) => {
+      // ratio-to-report window: each line's share of its return-flag
+      // revenue. Numerator and denominator are EXACT integer cents; the
+      // share is one IEEE division of the same two longs on both engines.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("l_returnflag")
+      T(s, dir, "lineitem")
+        .withColumn("rev_c", round(col("l_extendedprice") * 100).cast("long"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          col("rev_c"), sum(col("rev_c")).over(w).as("flag_rev_c"),
+          (col("rev_c").cast("double") / sum(col("rev_c")).over(w).cast("double"))
+            .as("rev_share"))
+    }),
+
+    "ev_rfm" -> ((s, dir) => {
+      // RFM segmentation (recency / frequency / monetary quintiles) — the
+      // classic customer scoring pass. Metrics are exact integers (days
+      // since last order vs the corpus max date, order count, spend in
+      // cents); quintiles are ntile(5) with the customer key as the tie
+      // break, so the assignment is a deterministic function of the data
+      // on both engines. One groupBy(custkey) then 3 windows over the
+      // AGGREGATED frame — they sort customers, not orders (|customers|
+      // ≪ |orders|). If even the customer frame outgrows one partition,
+      // exact global quantile ranks need a range-partitioned sort with
+      // partition-count offsets (the ta_shuffle pattern) — ntile kept
+      // here because it is the exact, oracle-matched form.
+      import org.apache.spark.sql.expressions.Window
+      val o = T(s, dir, "orders")
+      val mx = o.agg(max(col("o_orderdate").cast("date")).as("mxd"))
+      val per = o.groupBy("o_custkey").agg(
+        max(col("o_orderdate").cast("date")).as("last_d"),
+        count(lit(1)).as("frequency"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_c"))
+        .crossJoin(broadcast(mx))
+        .select(col("o_custkey"), datediff(col("mxd"), col("last_d")).cast("long").as("recency_d"),
+          col("frequency"), col("monetary_c"))
+      per.select(col("o_custkey"), col("recency_d"), col("frequency"), col("monetary_c"),
+        ntile(5).over(Window.orderBy(col("recency_d").asc, col("o_custkey").asc)).cast("long").as("r_score"),
+        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc)).cast("long").as("f_score"),
+        ntile(5).over(Window.orderBy(col("monetary_c").desc, col("o_custkey").asc)).cast("long").as("m_score"))
+    }),
+
+    "q_mv_delta" -> ((s, dir) => {
+      // incremental aggregate maintenance (materialized-view delta merge):
+      // a base aggregate (orders before the cutover) merged with the
+      // delta's partial aggregate via full-outer coalesce — count and sum
+      // are ALGEBRAIC, so base + delta equals the full rescan EXACTLY,
+      // which is precisely what the oracle asserts (it aggregates the
+      // whole table). At 100 TB this is the difference between touching
+      // one day and touching five years.
+      val o = T(s, dir, "orders")
+      def aggOf(df: DataFrame) = df.groupBy("o_custkey").agg(
+        count(lit(1)).as("n_orders"),
+        sum(round(col("o_totalprice") * 100).cast("long")).as("spend_c"))
+      val base = aggOf(o.filter(col("o_orderdate") < lit("2000-01-01")))
+      val delta = aggOf(o.filter(col("o_orderdate") >= lit("2000-01-01")))
+      base.as("b").join(delta.as("d"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("b.n_orders"), lit(0L)) + coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
+          (coalesce(col("b.spend_c"), lit(0L)) + coalesce(col("d.spend_c"), lit(0L))).as("spend_c"))
     })
   )
 
@@ -2246,6 +2329,14 @@ operations:
 
   private val cmsDepth = 4
   private val cmsLogW = 10
+
+  /** Raw HLL estimate from a register array Column: α·m² divided by the
+    * fixed-order dyadic fold Σ 2^-rho (bit-identical to the oracle's
+    * list_reduce — same IEEE additions in the same order).
+    */
+  private def hllEstCol(regs: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    lit(hllAlphaM2(1 << hllP)) / aggregate(regs, lit(0.0),
+      (acc, x) => acc + pow(lit(2.0), -x.cast("double")))
 
   // ---------------------------------------------------------- oracle SQL
 
@@ -3109,6 +3200,13 @@ operations:
       """WITH toks AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok FROM documents), tf AS (SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2) SELECT tok, CAST(count(*) AS BIGINT) AS df, CAST(sum(tf) AS BIGINT) AS cf, array_to_string(list(CAST(doc_id AS VARCHAR) || ':' || CAST(tf AS VARCHAR) ORDER BY doc_id), ',') AS postings FROM tf GROUP BY tok""",
     "q_nth" ->
       """SELECT o_orderkey, o_orderpriority, CAST(round(first_value(v IGNORE NULLS) OVER w * 100) AS BIGINT) AS first_c, CAST(round(last_value(v IGNORE NULLS) OVER w * 100) AS BIGINT) AS last_c, CAST(round(nth_value(v, 3 IGNORE NULLS) OVER w * 100) AS BIGINT) AS third_c FROM (SELECT o_orderkey, o_orderpriority, o_totalprice, CASE WHEN o_orderkey % 7 = 0 THEN NULL ELSE o_totalprice END AS v FROM orders) WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    "sk_hll_union" -> hllUnionOracleSql,
+    "q_ratio" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, rev_c, CAST(sum(rev_c) OVER w AS BIGINT) AS flag_rev_c, CAST(rev_c AS DOUBLE) / CAST(CAST(sum(rev_c) OVER w AS BIGINT) AS DOUBLE) AS rev_share FROM (SELECT l_orderkey, l_linenumber, l_returnflag, CAST(round(l_extendedprice * 100) AS BIGINT) AS rev_c FROM lineitem) WINDOW w AS (PARTITION BY l_returnflag)""",
+    "ev_rfm" ->
+      """WITH mx AS (SELECT max(CAST(o_orderdate AS DATE)) AS mxd FROM orders), per AS (SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d, CAST(count(*) AS BIGINT) AS frequency, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c FROM orders GROUP BY 1), r AS (SELECT o_custkey, CAST(date_diff('day', last_d, (SELECT mxd FROM mx)) AS BIGINT) AS recency_d, frequency, monetary_c FROM per) SELECT o_custkey, recency_d, frequency, monetary_c, CAST(ntile(5) OVER (ORDER BY recency_d ASC, o_custkey ASC) AS BIGINT) AS r_score, CAST(ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) AS BIGINT) AS f_score, CAST(ntile(5) OVER (ORDER BY monetary_c DESC, o_custkey ASC) AS BIGINT) AS m_score FROM r""",
+    "q_mv_delta" ->
+      """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c FROM orders GROUP BY 1""",
     "q_except" ->
       """SELECT k, 'except_all' AS op FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') UNION ALL SELECT k, 'intersect_all' AS op FROM (SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
   )
@@ -3119,21 +3217,21 @@ operations:
   // doubles are the fixed-order HLL dyadic fold and one division, both
   // bit-identical across engines (same IEEE ops, same order).
 
-  /** sk_hll: replay idx = h >>> (64-p), rho = first-1-bit position of the
-    * remaining bits, per-(flag, idx) max, then the ordered 2^-rho fold.
+  /** CTE chain replaying HLL registers for a `keys(flag, g)` relation:
+    * fnv1a64∘fmix64, idx = h >>> (64-p), rho = first-1-bit position of
+    * the remaining bits, per-(flag, idx) max → `vec(flag, regs)`.
     */
-  private lazy val hllOracleSql: String = {
+  private def hllVecCtes(keysSql: String): String = {
     val p = hllP
     val m = 1 << p
     val pow64mp = BigInt(1) << (64 - p) // 2^(64-p) for idx/payload split
-    val amm = hllAlphaM2(m)
     // fmix64 replay: >>>33 is unsigned // 2^33; the two 64x64 multiplies
     // split as lo/hi 32-bit halves so products stay below 2^96 (HUGEINT)
     def mul64(c: BigInt): String =
       s"($c::HUGEINT * (u % 4294967296::HUGEINT) + (($c::HUGEINT * (u // 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64"
     val c1 = BigInt("ff51afd7ed558ccd", 16)
     val c2 = BigInt("c4ceb9fe1a85ec53", 16)
-    s"""WITH keys AS (SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS g FROM lineitem),
+    s"""keys AS ($keysSql),
        |dk AS MATERIALIZED (SELECT DISTINCT flag, g FROM keys),
        |hh AS (SELECT flag, $fnvSql AS u FROM dk),
        |f1 AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS u FROM hh),
@@ -3146,13 +3244,33 @@ operations:
        |mx AS (SELECT flag, idx, max(rho) AS mr FROM rr GROUP BY 1, 2),
        |grid AS (SELECT flag, CAST(i AS BIGINT) AS idx FROM (SELECT DISTINCT flag FROM keys) f, unnest(range($m)) t(i)),
        |reg AS (SELECT grid.flag, grid.idx, coalesce(mx.mr, 0) AS r FROM grid LEFT JOIN mx ON grid.flag = mx.flag AND grid.idx = mx.idx),
-       |vec AS (SELECT flag, list(r ORDER BY idx) AS regs FROM reg GROUP BY flag),
+       |vec AS (SELECT flag, list(r ORDER BY idx) AS regs FROM reg GROUP BY flag)""".stripMargin
+  }
+
+  /** Raw-estimator SQL over a register list: the same fixed-order dyadic
+    * fold as the Spark `aggregate` HOF, divided into the α·m² literal.
+    */
+  private def hllEstSql(regs: String): String =
+    s"CAST('${hllAlphaM2(1 << hllP)}' AS DOUBLE) / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform($regs, x -> power(2.0, -x))), (acc, x) -> acc + x)"
+
+  private lazy val hllOracleSql: String =
+    s"""WITH ${hllVecCtes("SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS g FROM lineitem")},
        |ex AS (SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS exact_nd FROM lineitem GROUP BY 1)
        |SELECT vec.flag AS l_returnflag,
        |  CAST(len(list_filter(regs, x -> x = 0)) AS BIGINT) AS zeros,
-       |  CAST('$amm' AS DOUBLE) / list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(regs, x -> power(2.0, -x))), (acc, x) -> acc + x) AS hll_est,
+       |  ${hllEstSql("regs")} AS hll_est,
        |  exact_nd
        |FROM vec JOIN ex ON vec.flag = ex.flag""".stripMargin
+
+  /** sk_hll_union: |A ∪ B| from the elementwise register max. */
+  private lazy val hllUnionOracleSql: String = {
+    val m = 1 << hllP
+    s"""WITH ${hllVecCtes("SELECT l_linestatus AS flag, CAST(l_orderkey AS VARCHAR) AS g FROM lineitem")},
+       |o AS (SELECT regs AS ro FROM vec WHERE flag = 'O'),
+       |f AS (SELECT regs AS rf FROM vec WHERE flag = 'F'),
+       |u AS (SELECT ro, rf, list_transform(range($m), i -> greatest(ro[CAST(i AS INTEGER) + 1], rf[CAST(i AS INTEGER) + 1])) AS ru FROM o, f),
+       |ex AS (SELECT count(DISTINCT l_orderkey) AS exact_union FROM lineitem)
+       |SELECT ${hllEstSql("ro")} AS hll_o, ${hllEstSql("rf")} AS hll_f, ${hllEstSql("ru")} AS hll_union, exact_union FROM u, ex""".stripMargin
   }
 
   /** sk_cms: per-row counters are bucket-collision counts; the estimate
