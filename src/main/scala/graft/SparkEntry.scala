@@ -2314,6 +2314,108 @@ operations:
         .select(col("o_custkey"),
           (coalesce(col("b.n_orders"), lit(0L)) + coalesce(col("d.n_orders"), lit(0L))).as("n_orders"),
           (coalesce(col("b.spend_c"), lit(0L)) + coalesce(col("d.spend_c"), lit(0L))).as("spend_c"))
+    }),
+
+    "q_mask" -> ((s, dir) => {
+      // PII masking with REFERENTIAL CONSISTENCY: keys are replaced by a
+      // salted-hash surrogate token on BOTH sides of the FK, so the
+      // masked tables still join — the property pseudonymized exports
+      // must keep. Stateless expression (no lookup table to secure or
+      // shuffle); the aggregate proves the join survives masking.
+      def token(c: org.apache.spark.sql.Column) =
+        substring(md5(concat(lit("mask:"), c.cast("string"))), 1, 16)
+      val cust = T(s, dir, "customer")
+        .select(token(col("c_custkey")).as("cust_token"), col("c_mktsegment"))
+      val ord = T(s, dir, "orders")
+        .select(token(col("o_custkey")).as("cust_token"),
+          round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      cust.join(ord, Seq("cust_token"))
+        .groupBy("cust_token", "c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"), sum(col("price_c")).as("spend_c"))
+    }),
+
+    "q_forget" -> ((s, dir) => {
+      // deletion-propagation audit (right-to-be-forgotten): a subject
+      // cohort cascades through the FK graph customer→orders→lineitem;
+      // per table, rows to delete vs retain. Semi-joins only — subject
+      // ids are the only thing shuffled, and at 100 TB the cohort is
+      // broadcast.
+      val subj = T(s, dir, "customer").filter(col("c_custkey") % 97 === 0)
+        .select(col("c_custkey"))
+      val ords = T(s, dir, "orders")
+      val delOrd = ords.join(broadcast(subj),
+        col("o_custkey") === col("c_custkey"), "left_semi")
+      val li = T(s, dir, "lineitem")
+      val delLi = li.join(broadcast(delOrd.select(col("o_orderkey").as("k"))),
+        col("l_orderkey") === col("k"), "left_semi")
+      import s.implicits._
+      val counts = Seq(
+        ("customer", subj.count(), T(s, dir, "customer").count()),
+        ("orders", delOrd.count(), ords.count()),
+        ("lineitem", delLi.count(), li.count()))
+      counts.map { case (t, d, n) => (t, d, n - d) }
+        .toDF("tbl", "rows_to_delete", "rows_retained")
+    }),
+
+    "q_joinsize" -> ((s, dir) => {
+      // join-cardinality planning stat: |A ⋈ B| on a key decomposes as
+      // Σ_k cntA(k)·cntB(k); the per-key contributions ARE the skew map
+      // (the keys AQE would split). Two count aggregates + a join of the
+      // count tables — the fact tables themselves never join. Output:
+      // top-10 contributing keys plus the exact total each row carries.
+      val a = T(s, dir, "orders").groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_a"))
+      val b = T(s, dir, "lineitem").groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("n_b"))
+      val contrib = a.join(b, Seq("k"))
+        .select(col("k"), col("n_a"), col("n_b"), (col("n_a") * col("n_b")).as("contrib"))
+      val total = contrib.agg(sum(col("contrib")).as("join_rows"))
+      contrib.orderBy(col("contrib").desc, col("k").asc).limit(10)
+        .crossJoin(broadcast(total))
+    }),
+
+    "ev_transitions" -> ((s, dir) => {
+      // behavioral Markov transitions: per-user event sequences (ts then
+      // event_id tie-break) → (from, to) counts and row-conditional
+      // probabilities (one IEEE division of exact longs). One keyed
+      // window + one hash agg over 25 type-pairs.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = events(s, dir)
+      val pairs = ev.select(col("user_id"), col("event_type").as("from_type"),
+        lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("from_type").agg(count(lit(1)).as("n_from"))
+      cnt.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"),
+          (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+    }),
+
+    "q_checksum" -> ((s, dir) => {
+      // order-free table fingerprints (anti-entropy / replication audit):
+      // per-row canonical rendering → 60-bit md5 slice → bit_xor fold.
+      // XOR is commutative+associative, so the checksum is partitioning-
+      // invariant and two replicas compare by exchanging ONE row per
+      // table. Doubles ride as exact cents; dates as ISO strings.
+      def fp(c: org.apache.spark.sql.Column) =
+        expr(s"CAST(conv(substring(md5(${c.expr.sql}), 1, 15), 16, 10) AS BIGINT)")
+      val ord = T(s, dir, "orders").select(concat_ws("|",
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"),
+        col("o_orderdate").cast("date").cast("string")).as("r"))
+      val cust = T(s, dir, "customer").select(concat_ws("|",
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        round(col("c_acctbal") * 100).cast("long"), col("c_mktsegment")).as("r"))
+      val li = T(s, dir, "lineitem").select(concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+        col("l_quantity").cast("long"),
+        round(col("l_extendedprice") * 100).cast("long")).as("r"))
+      def sums(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(r), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
+      sums("orders", ord).unionByName(sums("customer", cust)).unionByName(sums("lineitem", li))
     })
   )
 
