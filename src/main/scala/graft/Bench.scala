@@ -111,7 +111,10 @@ object Bench {
     // also persist to a file: stdout tail-capture truncated the (long)
     // JSON line in round 3 — the file copy is always complete/parseable
     try {
-      val out = java.nio.file.Paths.get("target", "bench.json")
+      // filename carries the sf tag so back-to-back runs at different
+      // scale factors don't clobber each other's results
+      val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+      val out = java.nio.file.Paths.get("target", s"bench-$sfTag.json")
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
       System.err.println(s"[bench] json written to ${out.toAbsolutePath}")

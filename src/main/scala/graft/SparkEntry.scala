@@ -953,13 +953,19 @@ operations:
       // k-core (k=80) of the part co-purchase graph: iterative peel to
       // fixpoint (6 rounds at sf0.01); the oracle is a 10-round unrolled
       // replay — peeling is monotone, so rounds past the fixpoint are
-      // identity and the bounded unroll is exact
-      val lp = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val e = lp.as("x").join(lp.as("y"),
-          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-        .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
-      ext.Graph.kCore(e, k = 80).withColumnRenamed("id", "part_id")
+      // identity and the bounded unroll is exact (kCore fail-fasts if
+      // the fixpoint ever needs more rounds than the unroll covers).
+      // The per-order pair fan-out is quadratic in parts-per-order, so
+      // orders above a fixed width cap are EXCLUDED before the self-
+      // join (the LSH bucket star-cap pattern) — the cap is part of the
+      // operator's definition and the oracle applies the identical
+      // QUALIFY, so the hash stays exact at any fixture; at sf0.01 the
+      // widest order has 7 parts and nothing is dropped.
+      val e = ext.Graph.coOccurrencePairs(
+        T(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey")),
+        "l_orderkey", "l_partkey", maxGroupSize = kcoreOrderCap)
+      ext.Graph.kCore(e, k = 80, assertFixpointWithin = Some(10))
+        .withColumnRenamed("id", "part_id")
     }),
 
     "g_labelprop" -> ((s, dir) => {
@@ -1887,7 +1893,19 @@ operations:
       // side, so streamed members pair with the center (the batch star
       // edges) instead of all-pairs exploding on boilerplate clusters
       val bw = org.apache.spark.sql.expressions.Window.partitionBy("band", "bhash")
-      val static = bandedOf(s.read.parquet(s"$dir/documents.parquet"))
+      val staticBanded = bandedOf(s.read.parquet(s"$dir/documents.parquet"))
+      // fail fast if the star cap would actually trigger: the cap-free
+      // dd_minhash oracle replays this result only while every bucket
+      // stays under the cap (true at all test fixtures — 500 docs at
+      // sf0.01); a silent hash mismatch at a bigger fixture would read
+      // as an engine bug when it's an oracle-assumption break
+      val maxBucket = staticBanded.groupBy("band", "bhash")
+        .agg(count(lit(1)).as("n")).agg(max(col("n"))).head.getLong(0)
+      require(maxBucket <= 2000,
+        s"stream_neardup: widest static LSH bucket has $maxBucket rows > " +
+          "2000-row star cap — capped pairs would diverge from the " +
+          "cap-free dd_minhash oracle; add the cap to the oracle or raise it")
+      val static = staticBanded
         .withColumn("__bsize__", count(lit(1)).over(bw))
         .withColumn("__bmin__", min(col("doc_id")).over(bw))
         .filter(col("__bsize__") <= 2000 || col("doc_id") === col("__bmin__"))
@@ -2272,15 +2290,17 @@ operations:
       // RFM segmentation (recency / frequency / monetary quintiles) — the
       // classic customer scoring pass. Metrics are exact integers (days
       // since last order vs the corpus max date, order count, spend in
-      // cents); quintiles are ntile(5) with the customer key as the tie
-      // break, so the assignment is a deterministic function of the data
-      // on both engines. One groupBy(custkey) then 3 windows over the
-      // AGGREGATED frame — they sort customers, not orders (|customers|
-      // ≪ |orders|). If even the customer frame outgrows one partition,
-      // exact global quantile ranks need a range-partitioned sort with
-      // partition-count offsets (the ta_shuffle pattern) — ntile kept
-      // here because it is the exact, oracle-matched form.
+      // cents). Quintile assignment EQUALS ntile(5) over the total order
+      // (metric, custkey) — which the oracle asserts — but is computed
+      // WITHOUT a single-partition sort: each metric ordering is range-
+      // partitioned, ranked within partitions, and ≤32 per-partition
+      // counts (driver scalars, like ta_curriculum's band offsets) lift
+      // local ranks to exact global ranks; the closed-form ntile formula
+      // (first n%5 tiles get ⌈n/5⌉ rows) maps ranks to tiles. This is
+      // the ta_shuffle / SCALE.md §8b pattern — no unpartitioned Window
+      // sort remains anywhere in the plan.
       import org.apache.spark.sql.expressions.Window
+      import s.implicits._
       val o = T(s, dir, "orders")
       val mx = o.agg(max(col("o_orderdate").cast("date")).as("mxd"))
       val per = o.groupBy("o_custkey").agg(
@@ -2290,10 +2310,35 @@ operations:
         .crossJoin(broadcast(mx))
         .select(col("o_custkey"), datediff(col("mxd"), col("last_d")).cast("long").as("recency_d"),
           col("frequency"), col("monetary_c"))
-      per.select(col("o_custkey"), col("recency_d"), col("frequency"), col("monetary_c"),
-        ntile(5).over(Window.orderBy(col("recency_d").asc, col("o_custkey").asc)).cast("long").as("r_score"),
-        ntile(5).over(Window.orderBy(col("frequency").desc, col("o_custkey").asc)).cast("long").as("f_score"),
-        ntile(5).over(Window.orderBy(col("monetary_c").desc, col("o_custkey").asc)).cast("long").as("m_score"))
+        .localCheckpoint(true)
+      val n = per.count()
+      val q = n / 5
+      val r = n % 5
+      def quintile(sort: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+        val ranged = per.repartitionByRange(32, sort: _*)
+          .withColumn("_pid", spark_partition_id().cast("long"))
+        val local = ranged.withColumn("_rn",
+          row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)).cast("long"))
+        var acc = 0L
+        val offRows = ranged.groupBy("_pid").agg(count(lit(1)).as("c"))
+          .collect().map(x => (x.getLong(0), x.getLong(1))).sortBy(_._1)
+          .map { case (p, c) => val o0 = acc; acc += c; (p, o0) }.toSeq
+        val g = local.join(broadcast(offRows.toDF("_pid", "_off")), Seq("_pid"))
+          .withColumn("_g", col("_rn") + col("_off"))
+        // ntile(5) closed form: ranks 1..r(q+1) → ⌈rank/(q+1)⌉, rest →
+        // r + ⌈(rank - r(q+1))/q⌉ (q=0 ⇒ first branch covers all rows)
+        g.select(col("o_custkey"),
+          when(col("_g") <= lit(r * (q + 1)),
+            expr(s"CAST((_g + $q) div ${q + 1} AS BIGINT)"))
+          .otherwise(lit(r) + expr(s"CAST((_g - ${r * (q + 1)} + ${q - 1}) div ${math.max(q, 1L)} AS BIGINT)"))
+          .as(out))
+      }
+      val rs = quintile(Seq(col("recency_d").asc, col("o_custkey").asc), "r_score")
+      val fs = quintile(Seq(col("frequency").desc, col("o_custkey").asc), "f_score")
+      val ms = quintile(Seq(col("monetary_c").desc, col("o_custkey").asc), "m_score")
+      per.join(rs, "o_custkey").join(fs, "o_custkey").join(ms, "o_custkey")
+        .select(col("o_custkey"), col("recency_d"), col("frequency"),
+          col("monetary_c"), col("r_score"), col("f_score"), col("m_score"))
     }),
 
     "q_mv_delta" -> ((s, dir) => {
@@ -2336,24 +2381,31 @@ operations:
 
     "q_forget" -> ((s, dir) => {
       // deletion-propagation audit (right-to-be-forgotten): a subject
-      // cohort cascades through the FK graph customer→orders→lineitem;
-      // per table, rows to delete vs retain. Semi-joins only — subject
-      // ids are the only thing shuffled, and at 100 TB the cohort is
-      // broadcast.
+      // cohort cascades through the FK graph customer→orders→lineitem.
+      // Single pass per big table: customer gets one conditional
+      // aggregate; the deleted order keys are materialized ONCE
+      // (ids-only localCheckpoint, cohort-sized) and lineitem's
+      // delete/retain counts come from one broadcast-probe scan with
+      // count + count(when) — round 4 ran six independent count jobs
+      // and recomputed the order cohort inside the lineitem probe.
+      val custAgg = T(s, dir, "customer").agg(
+        count(lit(1)).as("n"),
+        count(when(col("c_custkey") % 97 === 0, lit(1))).as("d")).head()
       val subj = T(s, dir, "customer").filter(col("c_custkey") % 97 === 0)
         .select(col("c_custkey"))
-      val ords = T(s, dir, "orders")
-      val delOrd = ords.join(broadcast(subj),
-        col("o_custkey") === col("c_custkey"), "left_semi")
-      val li = T(s, dir, "lineitem")
-      val delLi = li.join(broadcast(delOrd.select(col("o_orderkey").as("k"))),
-        col("l_orderkey") === col("k"), "left_semi")
+      val delKeys = T(s, dir, "orders").join(broadcast(subj),
+          col("o_custkey") === col("c_custkey"), "left_semi")
+        .select(col("o_orderkey").as("k")).localCheckpoint(true)
+      val ordN = T(s, dir, "orders").count()
+      val ordD = delKeys.count()
+      val liAgg = T(s, dir, "lineitem").join(broadcast(delKeys),
+          col("l_orderkey") === col("k"), "left")
+        .agg(count(lit(1)).as("n"), count(col("k")).as("d")).head()
       import s.implicits._
-      val counts = Seq(
-        ("customer", subj.count(), T(s, dir, "customer").count()),
-        ("orders", delOrd.count(), ords.count()),
-        ("lineitem", delLi.count(), li.count()))
-      counts.map { case (t, d, n) => (t, d, n - d) }
+      val (cn, cd) = (custAgg.getLong(0), custAgg.getLong(1))
+      val (ln2, ld) = (liAgg.getLong(0), liAgg.getLong(1))
+      Seq(("customer", cd, cn - cd), ("orders", ordD, ordN - ordD),
+          ("lineitem", ld, ln2 - ld))
         .toDF("tbl", "rows_to_delete", "rows_retained")
     }),
 
@@ -2398,8 +2450,6 @@ operations:
       // XOR is commutative+associative, so the checksum is partitioning-
       // invariant and two replicas compare by exchanging ONE row per
       // table. Doubles ride as exact cents; dates as ISO strings.
-      def fp(c: org.apache.spark.sql.Column) =
-        expr(s"CAST(conv(substring(md5(${c.expr.sql}), 1, 15), 16, 10) AS BIGINT)")
       val ord = T(s, dir, "orders").select(concat_ws("|",
         col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
         round(col("o_totalprice") * 100).cast("long"),
@@ -2421,6 +2471,14 @@ operations:
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
   private val hllP = 10
+
+  /** g_kcore's parts-per-order width cap, shared by query + oracle: the
+    * co-purchase pair build is quadratic in order width, so pathological
+    * giant orders are excluded by definition (TPC-H max width is 7 —
+    * nothing drops at test fixtures; at 100 TB this bounds the fan-out
+    * at 64²/2 pairs per order the way the LSH bucket caps bound stars).
+    */
+  private val kcoreOrderCap = 64
 
   /** α_m·m² computed ONCE in driver doubles and embedded as a literal in
     * both engines (Double.toString round-trips, so DuckDB parses the
@@ -2477,7 +2535,8 @@ operations:
     */
   private lazy val kcoreOracleSql: String = {
     val parts = scala.collection.mutable.ArrayBuffer(
-      "lp AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+      "lp0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)",
+      s"lp AS MATERIALIZED (SELECT o, p FROM lp0 QUALIFY count(*) OVER (PARTITION BY o) <= $kcoreOrderCap)",
       "e0 AS MATERIALIZED (SELECT DISTINCT x.p AS src, y.p AS dst FROM lp x JOIN lp y ON x.o = y.o AND x.p <> y.p)")
     for (r <- 1 to 10) {
       parts += s"k$r AS MATERIALIZED (SELECT src FROM e${r - 1} GROUP BY src HAVING count(*) >= 80)"
@@ -3310,7 +3369,25 @@ operations:
     "q_mv_delta" ->
       """SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_c FROM orders GROUP BY 1""",
     "q_except" ->
-      """SELECT k, 'except_all' AS op FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') UNION ALL SELECT k, 'intersect_all' AS op FROM (SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')"""
+      """SELECT k, 'except_all' AS op FROM (SELECT o_custkey AS k FROM orders EXCEPT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F') UNION ALL SELECT k, 'intersect_all' AS op FROM (SELECT o_custkey AS k FROM orders INTERSECT ALL SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')""",
+    // mask: both engines MD5 the identical "mask:<key>" UTF-8 string, so
+    // the 16-hex-char surrogate tokens agree byte-for-byte and the
+    // masked FK join is replayed exactly
+    "q_mask" ->
+      """WITH cust AS (SELECT substr(md5('mask:' || CAST(c_custkey AS VARCHAR)), 1, 16) AS cust_token, c_mktsegment FROM customer), ord AS (SELECT substr(md5('mask:' || CAST(o_custkey AS VARCHAR)), 1, 16) AS cust_token, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders) SELECT cust_token, c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(price_c) AS BIGINT) AS spend_c FROM cust JOIN ord USING (cust_token) GROUP BY 1, 2""",
+    "q_forget" ->
+      """WITH subj AS (SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0), co AS (SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(*) FILTER (WHERE c_custkey % 97 = 0) AS BIGINT) AS del FROM customer), oo AS (SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(*) FILTER (WHERE o_custkey IN (SELECT c_custkey FROM subj)) AS BIGINT) AS del FROM orders), delord AS (SELECT o_orderkey FROM orders WHERE o_custkey IN (SELECT c_custkey FROM subj)), ll AS (SELECT CAST(count(*) AS BIGINT) AS total, CAST(count(*) FILTER (WHERE l_orderkey IN (SELECT o_orderkey FROM delord)) AS BIGINT) AS del FROM lineitem) SELECT 'customer' AS tbl, del AS rows_to_delete, total - del AS rows_retained FROM co UNION ALL SELECT 'orders', del, total - del FROM oo UNION ALL SELECT 'lineitem', del, total - del FROM ll""",
+    "q_joinsize" ->
+      """WITH a AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_a FROM orders GROUP BY 1), b AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_b FROM lineitem GROUP BY 1), c AS (SELECT k, n_a, n_b, n_a * n_b AS contrib FROM a JOIN b USING (k)), t AS (SELECT CAST(sum(contrib) AS BIGINT) AS join_rows FROM c) SELECT k, n_a, n_b, contrib, join_rows FROM (SELECT * FROM c ORDER BY contrib DESC, k ASC LIMIT 10), t""",
+    // ev_transitions: p is ONE IEEE division of the same two exact longs
+    // on both engines — bit-identical
+    "ev_transitions" ->
+      """WITH pr AS (SELECT user_id, event_type AS from_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events), f AS (SELECT from_type, to_type FROM pr WHERE to_type IS NOT NULL), cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2), tot AS (SELECT from_type, CAST(count(*) AS BIGINT) AS n_from FROM f GROUP BY 1) SELECT cnt.from_type, to_type, n, n_from, CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p FROM cnt JOIN tot USING (from_type)""",
+    // checksum: identical '|'-joined canonical render → same md5 → same
+    // 60-bit slice ('0x'||hex cast replays Spark's conv(…,16,10)); XOR
+    // is order-free so the fold agrees under any partitioning
+    "q_checksum" ->
+      """WITH ord AS (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r FROM orders), cust AS (SELECT concat_ws('|', c_custkey, c_name, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment) AS r FROM customer), li AS (SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)) AS r FROM lineitem) SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum FROM ord UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM cust UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM li"""
   )
 
   // --- sketch replays -------------------------------------------------

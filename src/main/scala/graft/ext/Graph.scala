@@ -288,6 +288,26 @@ object Graph {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr("1000000 div dist")).as("harmonic_micro"))
 
+  /** Distinct co-occurrence edges (src < dst) from (group, item) rows,
+    * EXCLUDING groups wider than `maxGroupSize` items: the pair build is
+    * quadratic in group width, so a single pathological giant group (a
+    * mega-order, a boilerplate cluster) would otherwise own the whole
+    * stage — the same reasoning as the LSH bucket star cap. The cap is
+    * part of the operator's definition (not a best-effort heuristic), so
+    * bounded-replay oracles can apply the identical cap and stay exact.
+    */
+  def coOccurrencePairs(rows: DataFrame, group: String, item: String,
+                        maxGroupSize: Int): DataFrame = {
+    require(maxGroupSize >= 2, "coOccurrencePairs: cap must be >= 2")
+    val gi = rows.select(col(group).as("o"), col(item).as("p")).distinct()
+    val keep = gi.groupBy("o").agg(count(lit(1)).as("np"))
+      .filter(col("np") <= maxGroupSize).select("o")
+    val capped = gi.join(keep, Seq("o"), "left_semi")
+    capped.as("x").join(capped.as("y"),
+        col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("src"), col("y.p").as("dst")).distinct()
+  }
+
   /** k-core membership (Seidman 1983): iteratively peel vertices whose
     * degree among the remaining vertices is < k, until fixpoint. Returns
     * surviving vertices with their in-core degree — the standard graph
@@ -303,7 +323,8 @@ object Graph {
     * exactly.
     */
   def kCore(edges: DataFrame, src: String = "src", dst: String = "dst",
-            k: Int = 3, maxRounds: Int = 100): DataFrame = {
+            k: Int = 3, maxRounds: Int = 100,
+            assertFixpointWithin: Option[Int] = None): DataFrame = {
     require(k >= 1, "kCore: k must be >= 1")
     val d0 = edges.select(col(src).cast(LongType).as("src"),
       col(dst).cast(LongType).as("dst")).filter(col("src") =!= col("dst"))
@@ -322,6 +343,15 @@ object Graph {
       val n2 = e2.count()
       done = n2 == n || n2 == 0
       e = e2; n = n2; round += 1
+    }
+    // A bounded-unroll SQL replay is exact only if the fixpoint landed
+    // within the unroll depth — fail fast (with the observed depth)
+    // rather than let a larger fixture silently diverge from its oracle.
+    assertFixpointWithin.foreach { lim =>
+      require(done && round <= lim,
+        s"kCore: fixpoint not reached within $lim rounds (ran $round, " +
+          s"converged=$done) — a $lim-round unrolled oracle would be stale; " +
+          "raise the unroll depth to match")
     }
     e.groupBy(col("src").as("id")).agg(count(lit(1)).as("core_deg"))
   }

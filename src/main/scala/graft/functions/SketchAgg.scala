@@ -139,8 +139,11 @@ case class HllRegistersAgg(keyE: Expression, p: Int,
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: Array[Byte]): Array[Byte] = buf
-  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+  // defensive copies (1 KiB each — negligible): Spark currently copies on
+  // UnsafeRow write/getBinary read, but returning the live buffer would
+  // alias mutable state if that contract ever changed
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf.clone()
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes.clone()
 
   override def withNewMutableAggBufferOffset(newOffset: Int): HllRegistersAgg =
     copy(mutableAggBufferOffset = newOffset)

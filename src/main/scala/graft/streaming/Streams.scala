@@ -222,7 +222,12 @@ object Streams {
     val leftovers = Option(parent.listFiles()).getOrElse(Array.empty)
       .filter(f => f.getName.startsWith(name + ".tmp-") || f.getName.startsWith(name + ".old-"))
     if (!table.exists()) {
-      val byBatch = leftovers.groupBy(_.getName.split("-").last)
+      // a stray non-numeric suffix (editor droppings, partial copies) must
+      // not wedge every subsequent batch with NumberFormatException —
+      // ignore it; only parseable batch ids participate in recovery
+      val byBatch = leftovers
+        .filter(f => scala.util.Try(f.getName.split("-").last.toLong).isSuccess)
+        .groupBy(_.getName.split("-").last)
       // prefer the highest batch id that left a complete artifact behind
       byBatch.toSeq.sortBy(-_._1.toLong).headOption.foreach { case (_, fs) =>
         val tmp = fs.find(_.getName.contains(".tmp-"))

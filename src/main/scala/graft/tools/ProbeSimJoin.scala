@@ -34,7 +34,10 @@ object ProbeSimJoin {
     }
 
     (1 to 2).foreach { pass =>
-      println(s"--- pass $pass (threshold $threshold)")
+      println(s"--- pass $pass (threshold $threshold); NOTE: nothing is " +
+        "cached, so each stage count() re-executes the whole upstream " +
+        "pipeline — printed times are CUMULATIVE, not per-stage (diff " +
+        "successive rows for per-stage cost)")
       val st = graft.ext.SimJoin.build(docs, "doc_id", "text", threshold)
       val nToks = time("tokenize")(st.toks.count())
       val nPref = time("prefix build")(st.prefixes.count())

@@ -155,6 +155,39 @@ class GraphSpec extends SparkSpec {
     }
   }
 
+  test("coOccurrencePairs: a planted giant group is excluded by the width cap") {
+    // groups: 100 → items {1,2,3} (width 3, under cap); 200 → items
+    // 10..29 (width 20, OVER a cap of 10 — the pathological hot order)
+    val rows = (Seq((100L, 1L), (100L, 2L), (100L, 3L)) ++
+      (10L until 30L).map(p => (200L, p))).toDF("g", "i")
+    val capped = Graph.coOccurrencePairs(rows, "g", "i", maxGroupSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // only the small group's C(3,2)=3 ordered pairs survive; none of the
+    // giant group's C(20,2)=190 pairs are built
+    assert(capped == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // with the cap above every width the result is the full pair set
+    val uncapped = Graph.coOccurrencePairs(rows, "g", "i", maxGroupSize = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.size == 3 + 190)
+    assert(uncapped.filter(p => p._1 < 10L) == Set((1L, 2L), (1L, 3L), (2L, 3L)))
+  }
+
+  test("kCore: assertFixpointWithin fails fast when the unroll is too shallow") {
+    // a 4-clique peels to fixpoint immediately at k=2 (nothing drops) —
+    // within 2 rounds; but a path graph at k=2 peels one endpoint layer
+    // per round, so a 1-round budget must throw with a clear message
+    val clique = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("src", "dst")
+    // converges well within budget: no throw
+    Graph.kCore(clique, k = 2, assertFixpointWithin = Some(5)).collect()
+    val path = (1L until 8L).map(i => (i, i + 1)).toDF("src", "dst")
+    val ex = intercept[IllegalArgumentException] {
+      Graph.kCore(path, k = 2, maxRounds = 1, assertFixpointWithin = Some(1))
+        .collect()
+    }
+    assert(ex.getMessage.contains("fixpoint not reached"))
+  }
+
   test("labelPropagation: two cliques joined by a bridge keep separate labels") {
     // cliques {1,2,3} and {10,11,12}, bridge 3-10; 3 sync rounds with
     // min-label tie-break: each clique converges to its min id
