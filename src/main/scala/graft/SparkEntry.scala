@@ -2466,7 +2466,81 @@ operations:
           expr("bit_xor(CAST(conv(substring(md5(r), 1, 15), 16, 10) AS BIGINT))").as("checksum"))
           .select(lit(name).as("tbl"), col("n_rows"), col("checksum"))
       sums("orders", ord).unionByName(sums("customer", cust)).unionByName(sums("lineitem", li))
-    })
+    }),
+
+    "q_ridge" -> ((s, dir) => {
+      // ridge regression (L2-regularized least squares) from the SAME
+      // one-pass integer Gram aggregate as q_ols: λ is added to the
+      // non-intercept diagonal of the normal equations on the driver —
+      // zero extra distributed work, d² driver arithmetic. λ = 10⁶
+      // (exactly representable) shrinks β₁/β₂ visibly vs q_ols. The
+      // oracle repeats the identical double expression tree, so the
+      // coefficients are bit-identical.
+      val li = T(s, dir, "lineitem")
+      val vec = array(lit(1L), col("l_quantity").cast("long"),
+        round(col("l_discount") * 100).cast("long"),
+        round(col("l_extendedprice")).cast("long"))
+      val g = li.agg(graft.functions.GramAgg.gram(vec, 4).as("g"))
+        .head().getSeq[Long](0)
+      val lam = 1e6
+      val a00 = g(0).toDouble; val a01 = g(1).toDouble; val a02 = g(2).toDouble
+      val b0 = g(3).toDouble
+      val a11 = g(4).toDouble + lam; val a12 = g(5).toDouble; val b1 = g(6).toDouble
+      val a22 = g(7).toDouble + lam; val b2 = g(8).toDouble
+      val n = g(14)
+      val det = a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * a12 - a11 * a02)
+      val beta0 = (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) +
+        a02 * (b1 * a12 - a11 * b2)) / det
+      val beta1 = (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) +
+        a02 * (a01 * b2 - b1 * a02)) / det
+      val beta2 = (a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) +
+        b0 * (a01 * a12 - a11 * a02)) / det
+      import s.implicits._
+      Seq((beta0, beta1, beta2, n)).toDF("beta0", "beta1", "beta2", "n")
+    }),
+
+    "sk_hll_intersect" -> ((s, dir) => {
+      // sketch set algebra, part 2: |A ∩ B| by inclusion-exclusion over
+      // the raw estimates — est(A) + est(B) − est(A ∪ B), with the union
+      // estimate from the elementwise register max (sk_hll_union). Same
+      // 100 TB story: per-segment kilobyte sketches answer any overlap
+      // question without rescanning; the exact column is the test-time
+      // truth (one aggregate over the conditional flags).
+      val li = T(s, dir, "lineitem")
+      val regs = li.groupBy("l_linestatus").agg(
+        graft.functions.SketchAgg.hllRegisters(
+          col("l_orderkey").cast("string"), hllP).as("regs"))
+      val wide = regs.agg(
+        first(when(col("l_linestatus") === "O", col("regs")), ignoreNulls = true).as("ro"),
+        first(when(col("l_linestatus") === "F", col("regs")), ignoreNulls = true).as("rf"))
+      val exact = li.groupBy("l_orderkey").agg(
+          max(when(col("l_linestatus") === "O", lit(1)).otherwise(lit(0))).as("has_o"),
+          max(when(col("l_linestatus") === "F", lit(1)).otherwise(lit(0))).as("has_f"))
+        .filter(col("has_o") === 1 && col("has_f") === 1)
+        .agg(count(lit(1)).as("exact_intersect"))
+      val ru = zip_with(col("ro"), col("rf"), (a, b) => greatest(a, b))
+      wide.crossJoin(exact).select(
+        hllEstCol(col("ro")).as("hll_o"),
+        hllEstCol(col("rf")).as("hll_f"),
+        hllEstCol(ru).as("hll_union"),
+        (hllEstCol(col("ro")) + hllEstCol(col("rf")) - hllEstCol(ru)).as("hll_intersect"),
+        col("exact_intersect"))
+    }),
+
+    "sim_hardneg" -> ((s, dir) => {
+      // contrastive hard-negative mining: per anchor, the 10 most
+      // cosine-similar vectors with a DIFFERENT label (ext.Similarity
+      // .hardNegatives — broadcast anchors, bounded-heap top-k)
+      val emb = T(s, dir, "embeddings")
+      ext.Similarity.hardNegatives(emb, emb.filter(col("vec_id") % 10 === 0),
+        "vec_id", "embedding", "label", 10)
+    }),
+
+    "ta_nbc" -> ((s, dir) =>
+      // Naive Bayes source classifier in integer micro-nats — the corpus
+      // quality/domain-classifier pass (ext.LangModel.naiveBayes)
+      ext.LangModel.naiveBayes(T(s, dir, "documents"), "doc_id", "text", "source"))
   )
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
@@ -3387,7 +3461,25 @@ operations:
     // 60-bit slice ('0x'||hex cast replays Spark's conv(…,16,10)); XOR
     // is order-free so the fold agrees under any partitioning
     "q_checksum" ->
-      """WITH ord AS (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r FROM orders), cust AS (SELECT concat_ws('|', c_custkey, c_name, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment) AS r FROM customer), li AS (SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)) AS r FROM lineitem) SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum FROM ord UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM cust UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM li"""
+      """WITH ord AS (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r FROM orders), cust AS (SELECT concat_ws('|', c_custkey, c_name, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment) AS r FROM customer), li AS (SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)) AS r FROM lineitem) SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum FROM ord UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM cust UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM li""",
+    "q_ridge" -> ridgeOracleSql,
+    "sk_hll_intersect" -> hllIntersectOracleSql,
+    // sim_hardneg: same fixed-order dot-product parity as sim_topk; the
+    // label inequality is an exact predicate on both engines
+    "sim_hardneg" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                  list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score
+           FROM e d, e q WHERE q.vec_id % 10 = 0 AND d.label <> q.label)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+         WHERE rn <= 10""",
+    // ta_nbc: identical -ln micro-nat fixed point as ta_perplexity (same
+    // boundary-margin argument, NbcSpec); priors/likelihoods are exact
+    // integer counts so both engines feed ln the same doubles
+    "ta_nbc" ->
+      """WITH toks AS (SELECT doc_id, source AS cls, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), train AS (SELECT * FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'), pri AS (SELECT cls, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1), tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri), pr AS (SELECT cls, CAST(round(-ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM pri, tot), tw AS (SELECT cls, unnest(t) AS w FROM train), cw AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS cwc FROM tw GROUP BY 1, 2), tc AS (SELECT cls, CAST(count(*) AS BIGINT) AS totc FROM tw GROUP BY 1), v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz FROM tw), dt AS (SELECT doc_id, unnest(t) AS w FROM toks), dc AS (SELECT doc_id, w, cls FROM dt, (SELECT cls FROM pri)), terms AS (SELECT doc_id, dc.cls, CAST(round(-ln((CAST(coalesce(cwc, 0) AS DOUBLE) + 1.0) / (CAST(totc AS DOUBLE) + vsz)) * 1000000) AS BIGINT) AS m FROM dc LEFT JOIN cw ON dc.cls = cw.cls AND dc.w = cw.w JOIN tc ON dc.cls = tc.cls CROSS JOIN v), ds AS (SELECT doc_id, cls, CAST(sum(m) AS BIGINT) AS ts FROM terms GROUP BY 1, 2), base AS (SELECT d.doc_id, d.cls AS cls_truth, p.cls, p.prior_micro + coalesce(ds.ts, 0) AS score FROM (SELECT doc_id, cls FROM toks) d CROSS JOIN pr p LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.cls = p.cls) SELECT doc_id, cls_truth, cls AS pred_cls, CAST(score AS BIGINT) AS nll_micro FROM base QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, cls ASC) = 1"""
   )
 
   // --- sketch replays -------------------------------------------------
@@ -3481,6 +3573,33 @@ operations:
        |SELECT CAST(heavy.g AS BIGINT) AS l_partkey, true_cnt, least($leastArgs) AS cms_est
        |FROM heavy JOIN bk USING (g) $counterJoins""".stripMargin
   }
+
+  /** sk_hll_intersect: inclusion-exclusion over the same three raw
+    * estimates as sk_hll_union, in the identical left-associated order.
+    */
+  private lazy val hllIntersectOracleSql: String = {
+    val m = 1 << hllP
+    s"""WITH ${hllVecCtes("SELECT l_linestatus AS flag, CAST(l_orderkey AS VARCHAR) AS g FROM lineitem")},
+       |o AS (SELECT regs AS ro FROM vec WHERE flag = 'O'),
+       |f AS (SELECT regs AS rf FROM vec WHERE flag = 'F'),
+       |u AS (SELECT ro, rf, list_transform(range($m), i -> greatest(ro[CAST(i AS INTEGER) + 1], rf[CAST(i AS INTEGER) + 1])) AS ru FROM o, f),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O' INTERSECT SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'))
+       |SELECT ${hllEstSql("ro")} AS hll_o, ${hllEstSql("rf")} AS hll_f, ${hllEstSql("ru")} AS hll_union, ${hllEstSql("ro")} + ${hllEstSql("rf")} - ${hllEstSql("ru")} AS hll_intersect, exact_intersect FROM u, ex""".stripMargin
+  }
+
+  /** q_ridge: q_ols's Gram replay with λ=10⁶ added to the non-intercept
+    * diagonal in the same (double + double) order as the driver.
+    */
+  private lazy val ridgeOracleSql: String =
+    """WITH q AS (SELECT CAST(1 AS BIGINT) AS c0, CAST(l_quantity AS BIGINT) AS c1, CAST(round(l_discount * 100) AS BIGINT) AS c2, CAST(round(l_extendedprice) AS BIGINT) AS c3 FROM lineitem),
+      |g AS (SELECT CAST(sum(c0*c0) AS BIGINT) AS g0, CAST(sum(c0*c1) AS BIGINT) AS g1, CAST(sum(c0*c2) AS BIGINT) AS g2, CAST(sum(c0*c3) AS BIGINT) AS g3, CAST(sum(c1*c1) AS BIGINT) AS g4, CAST(sum(c1*c2) AS BIGINT) AS g5, CAST(sum(c1*c3) AS BIGINT) AS g6, CAST(sum(c2*c2) AS BIGINT) AS g7, CAST(sum(c2*c3) AS BIGINT) AS g8, count(*) AS n FROM q),
+      |d AS (SELECT CAST(g0 AS DOUBLE) AS a00, CAST(g1 AS DOUBLE) AS a01, CAST(g2 AS DOUBLE) AS a02, CAST(g3 AS DOUBLE) AS b0, CAST(g4 AS DOUBLE) + 1000000.0 AS a11, CAST(g5 AS DOUBLE) AS a12, CAST(g6 AS DOUBLE) AS b1, CAST(g7 AS DOUBLE) + 1000000.0 AS a22, CAST(g8 AS DOUBLE) AS b2, n FROM g),
+      |s AS (SELECT *, a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det FROM d)
+      |SELECT
+      |  (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det AS beta0,
+      |  (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det AS beta1,
+      |  (a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det AS beta2,
+      |  n FROM s""".stripMargin
 
   /** q_ols: identical integer Gram sums, then the IDENTICAL double Cramer
     * expression tree (each *, -, + in the same order as the driver code).

@@ -77,6 +77,60 @@ object LangModel {
         coalesce(col("nll_micro"), lit(0L)).as("nll_micro"))
   }
 
+  /** Multinomial Naive Bayes domain/source classifier — the "quality
+    * classifier" shape of a training-data pipeline (fastText-style
+    * corpus filtering): class priors and add-one token likelihoods are
+    * trained on a deterministic hash-half of the corpus, and every doc
+    * is scored with the summed negative log-likelihood per class in
+    * integer MICRO-NATS (round(-ln p · 10⁶) per term), so per-doc sums
+    * are order-free and engine-exact; the prediction is the argmin-NLL
+    * class with a lexicographic tie-break — a pure function of the data.
+    *
+    * Scale shape: model state is (vocab × classes) counts — a keyed
+    * (w, cls) join the optimizer broadcasts when small; per-doc scoring
+    * work is tokens × |classes| with the tiny class/prior/vocab frames
+    * broadcast; the argmin window partitions by doc (|classes| rows
+    * each), never globally.
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 classCol: String, trainFraction: Double = 0.5): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
+      Dedup.tokens(col(textCol)).as("toks"))
+    val train = toks.join(
+      Sampling.hashSample(docs.select(col(idCol).as("id")), col("id"), trainFraction),
+      "id")
+    val pri0 = train.groupBy("cls").agg(count(lit(1)).as("nd"))
+    val tot = pri0.agg(sum(col("nd")).as("n"))
+    val pr = pri0.crossJoin(broadcast(tot))
+      .select(col("cls"),
+        round(-log(col("nd").cast(DoubleType) / col("n").cast(DoubleType)) * 1e6)
+          .cast(LongType).as("prior_micro"))
+    val tw = train.select(col("cls"), explode(col("toks")).as("w"))
+    val cw = tw.groupBy("cls", "w").agg(count(lit(1)).as("cwc"))
+    val tc = tw.groupBy("cls").agg(count(lit(1)).as("totc"))
+    val vocab = tw.agg(countDistinct(col("w")).cast(DoubleType).as("vsz"))
+    val dt = toks.select(col("id"), explode(col("toks")).as("w"))
+    val terms = dt.crossJoin(broadcast(pr.select(col("cls"))))
+      .join(cw, Seq("cls", "w"), "left")
+      .join(broadcast(tc), Seq("cls"))
+      .crossJoin(broadcast(vocab))
+      .select(col("id"), col("cls"),
+        round(-log((coalesce(col("cwc"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+          (col("totc").cast(DoubleType) + col("vsz"))) * 1e6)
+          .cast(LongType).as("m"))
+    val ds = terms.groupBy("id", "cls").agg(sum(col("m")).as("ts"))
+    val base = toks.select(col("id"), col("cls").as("cls_truth"))
+      .crossJoin(broadcast(pr))
+      .join(ds, Seq("id", "cls"), "left")
+      .select(col("id"), col("cls_truth"), col("cls"),
+        (col("prior_micro") + coalesce(col("ts"), lit(0L))).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("score").asc, col("cls").asc)
+    base.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1)
+      .select(col("id").as(idCol), col("cls_truth"), col("cls").as("pred_cls"),
+        col("score").as("nll_micro"))
+  }
+
   /** Collocation extraction by pointwise mutual information:
     * PMI(w1,w2) = ln(c12·N / (c1·c2)) over corpus bigrams, where c1/c2
     * are positional (w1-as-first / w2-as-second) counts and N the total

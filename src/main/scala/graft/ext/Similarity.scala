@@ -77,6 +77,30 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
 
+  /** Contrastive hard-negative mining: for each anchor, the top-k most
+    * similar vectors carrying a DIFFERENT label — the pairs that teach an
+    * embedding model the most (highest-loss negatives), mined the way
+    * contrastive training data is actually built. Same broadcast-anchors
+    * + bounded-heap shape as bruteForceTopK (the label inequality rides
+    * the broadcast probe, so it costs nothing extra); at scale the
+    * anchor set shards and the scan parallelism is the data's.
+    */
+  def hardNegatives(data: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(data.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql__"), col(vecCol).as("__qv__"),
+      Vectors.norm(col(vecCol)).as("__qn__")))
+    val scored = Par.fanOut(data)
+      .select(col(idCol).as("neighbor_id"), col(labelCol).as("__nl__"),
+        col(vecCol).as("__v__"), Vectors.norm(col(vecCol)).as("__n__"))
+      .crossJoin(q)
+      .filter(col("__nl__") =!= col("__ql__"))
+      .withColumn("score",
+        Vectors.dot(col("__v__"), col("__qv__")) / (col("__n__") * col("__qn__")))
+    topKPerQuery(scored, k)
+  }
+
   /** Approximate top-k, IVF-flavored: `tables` independent LSH tables of
     * `nbits` hyperplane bits each (OR-construction) — candidates are rows
     * sharing ANY table bucket with the query, deduplicated, then re-ranked

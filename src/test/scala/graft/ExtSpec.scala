@@ -117,6 +117,38 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("hard negatives: top-k nearest with a different label, exact vs local mirror") {
+    val anchors = emb.filter(col("vec_id") % 10 === 0)
+    val hn = Similarity.hardNegatives(emb, anchors, "vec_id", "embedding", "label", 5)
+    val rows = emb.select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray, r.getInt(2)))
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble; nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = rows.filter(_._1 % 10 == 0).map { case (qid, qv, ql) =>
+      qid -> rows.filter(r => r._3 != ql)
+        .map(r => (r._1, cos(r._2, qv)))
+        .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1).toSeq
+    }.toMap
+    val got = hn.collect().groupBy(_.getLong(0)).map { case (q, rs) =>
+      q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    }
+    assert(got === want)
+    // no returned neighbor ever shares its anchor's label (and never self)
+    val labelOf = rows.map(r => r._1 -> r._3).toMap
+    hn.collect().foreach { r =>
+      assert(labelOf(r.getLong(2)) != labelOf(r.getLong(0)))
+      assert(r.getLong(2) != r.getLong(0))
+    }
+  }
+
   test("winnowing rolling-hash fingerprints detect shared substrings") {
     // identical text → identical fingerprint sets
     val t1 = "the quick brown fox jumps over the lazy dog again and again"
