@@ -2540,7 +2540,14 @@ operations:
     "ta_nbc" -> ((s, dir) =>
       // Naive Bayes source classifier in integer micro-nats — the corpus
       // quality/domain-classifier pass (ext.LangModel.naiveBayes)
-      ext.LangModel.naiveBayes(T(s, dir, "documents"), "doc_id", "text", "source"))
+      ext.LangModel.naiveBayes(T(s, dir, "documents"), "doc_id", "text", "source")),
+
+    "ta_dsir" -> ((s, dir) =>
+      // DSIR data selection: hashed-n-gram importance log-ratios between
+      // the target domain (source = src1) and the raw corpus, top-100 by
+      // integer micro-nat weight (ext.Sampling.dsirSelect)
+      ext.Sampling.dsirSelect(T(s, dir, "documents"), "doc_id", "text",
+        col("source") === "src1", buckets = 4096, k = 100))
   )
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
@@ -3479,7 +3486,12 @@ operations:
     // boundary-margin argument, NbcSpec); priors/likelihoods are exact
     // integer counts so both engines feed ln the same doubles
     "ta_nbc" ->
-      """WITH toks AS (SELECT doc_id, source AS cls, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), train AS (SELECT * FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'), pri AS (SELECT cls, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1), tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri), pr AS (SELECT cls, CAST(round(-ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM pri, tot), tw AS (SELECT cls, unnest(t) AS w FROM train), cw AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS cwc FROM tw GROUP BY 1, 2), tc AS (SELECT cls, CAST(count(*) AS BIGINT) AS totc FROM tw GROUP BY 1), v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz FROM tw), dt AS (SELECT doc_id, unnest(t) AS w FROM toks), dc AS (SELECT doc_id, w, cls FROM dt, (SELECT cls FROM pri)), terms AS (SELECT doc_id, dc.cls, CAST(round(-ln((CAST(coalesce(cwc, 0) AS DOUBLE) + 1.0) / (CAST(totc AS DOUBLE) + vsz)) * 1000000) AS BIGINT) AS m FROM dc LEFT JOIN cw ON dc.cls = cw.cls AND dc.w = cw.w JOIN tc ON dc.cls = tc.cls CROSS JOIN v), ds AS (SELECT doc_id, cls, CAST(sum(m) AS BIGINT) AS ts FROM terms GROUP BY 1, 2), base AS (SELECT d.doc_id, d.cls AS cls_truth, p.cls, p.prior_micro + coalesce(ds.ts, 0) AS score FROM (SELECT doc_id, cls FROM toks) d CROSS JOIN pr p LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.cls = p.cls) SELECT doc_id, cls_truth, cls AS pred_cls, CAST(score AS BIGINT) AS nll_micro FROM base QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, cls ASC) = 1"""
+      """WITH toks AS (SELECT doc_id, source AS cls, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), train AS (SELECT * FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'), pri AS (SELECT cls, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1), tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri), pr AS (SELECT cls, CAST(round(-ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM pri, tot), tw AS (SELECT cls, unnest(t) AS w FROM train), cw AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS cwc FROM tw GROUP BY 1, 2), tc AS (SELECT cls, CAST(count(*) AS BIGINT) AS totc FROM tw GROUP BY 1), v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz FROM tw), dt AS (SELECT doc_id, unnest(t) AS w FROM toks), dc AS (SELECT doc_id, w, cls FROM dt, (SELECT cls FROM pri)), terms AS (SELECT doc_id, dc.cls, CAST(round(-ln((CAST(coalesce(cwc, 0) AS DOUBLE) + 1.0) / (CAST(totc AS DOUBLE) + vsz)) * 1000000) AS BIGINT) AS m FROM dc LEFT JOIN cw ON dc.cls = cw.cls AND dc.w = cw.w JOIN tc ON dc.cls = tc.cls CROSS JOIN v), ds AS (SELECT doc_id, cls, CAST(sum(m) AS BIGINT) AS ts FROM terms GROUP BY 1, 2), base AS (SELECT d.doc_id, d.cls AS cls_truth, p.cls, p.prior_micro + coalesce(ds.ts, 0) AS score FROM (SELECT doc_id, cls FROM toks) d CROSS JOIN pr p LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.cls = p.cls) SELECT doc_id, cls_truth, cls AS pred_cls, CAST(score AS BIGINT) AS nll_micro FROM base QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, cls ASC) = 1""",
+    // ta_dsir: md5 buckets replay as '0x'||hex; the log-ratio is ONE ln
+    // of the same double ratio on both engines (micro-nat margin as in
+    // ta_nbc/ta_perplexity); tf·lr sums are exact integers
+    "ta_dsir" ->
+      """WITH toks AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), gr AS (SELECT doc_id, source = 'src1' AS is_t, unnest(t || CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END) AS g FROM toks), gb AS (SELECT doc_id, is_t, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS b FROM gr), c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr, CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct FROM gb GROUP BY 1), tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c), lr AS (SELECT b, CAST(round(ln(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 4096.0)) / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 4096.0))) * 1000000) AS BIGINT) AS lr FROM c, tot), dg AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM gb GROUP BY 1, 2), w AS (SELECT doc_id, CAST(sum(tf * lr) AS BIGINT) AS weight_micro FROM dg JOIN lr USING (b) GROUP BY 1) SELECT CAST(rn AS BIGINT) AS rank, doc_id, weight_micro FROM (SELECT doc_id, weight_micro, row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rn FROM w) WHERE rn <= 100"""
   )
 
   // --- sketch replays -------------------------------------------------

@@ -109,15 +109,32 @@ object LangModel {
     val cw = tw.groupBy("cls", "w").agg(count(lit(1)).as("cwc"))
     val tc = tw.groupBy("cls").agg(count(lit(1)).as("totc"))
     val vocab = tw.agg(countDistinct(col("w")).cast(DoubleType).as("vsz"))
-    val dt = toks.select(col("id"), explode(col("toks")).as("w"))
-    val terms = dt.crossJoin(broadcast(pr.select(col("cls"))))
-      .join(cw, Seq("cls", "w"), "left")
-      .join(broadcast(tc), Seq("cls"))
-      .crossJoin(broadcast(vocab))
-      .select(col("id"), col("cls"),
-        round(-log((coalesce(col("cwc"), lit(0L)).cast(DoubleType) + lit(1.0)) /
+    // the fixed-point likelihood term is a function of (cls, w) only, so
+    // it is materialized ONCE on the model table (ln runs |vocab|·|cls|
+    // times, never per corpus token), with a per-class default for
+    // unseen words (cwc=0 ⇒ the numerator is exactly 1.0 — same IEEE
+    // value as the inline coalesce form)
+    val mt = cw.join(broadcast(tc), "cls").crossJoin(broadcast(vocab))
+      .select(col("cls"), col("w"),
+        round(-log((col("cwc").cast(DoubleType) + lit(1.0)) /
           (col("totc").cast(DoubleType) + col("vsz"))) * 1e6)
-          .cast(LongType).as("m"))
+          .cast(LongType).as("mw"))
+    val m0 = tc.crossJoin(broadcast(vocab))
+      .select(col("cls"),
+        round(-log(lit(1.0) /
+          (col("totc").cast(DoubleType) + col("vsz"))) * 1e6)
+          .cast(LongType).as("m0"))
+    // score DISTINCT (doc, token) pairs weighted by tf — Σ_occurrences
+    // round(term) == Σ_distinct tf·round(term) exactly (the rounding is
+    // per-(cls, w)), and the narrow dedup happens BEFORE the ×|classes|
+    // fan-out and the model join (dedup the narrow representation)
+    val dt = toks.select(col("id"), explode(col("toks")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+    val terms = dt.crossJoin(broadcast(pr.select(col("cls"))))
+      .join(mt, Seq("cls", "w"), "left")
+      .join(broadcast(m0), Seq("cls"))
+      .select(col("id"), col("cls"),
+        (col("tf") * coalesce(col("mw"), col("m0"))).as("m"))
     val ds = terms.groupBy("id", "cls").agg(sum(col("m")).as("ts"))
     val base = toks.select(col("id"), col("cls").as("cls_truth"))
       .crossJoin(broadcast(pr))

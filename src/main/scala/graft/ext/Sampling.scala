@@ -229,4 +229,49 @@ object Sampling {
         col("__base__") + when(col("__rk__") <= col("__left__"), 1L).otherwise(0L))
       .select(col(keyCol), col("n"), col("quota"))
   }
+
+  /** DSIR-style data selection (Xie et al., "Data Selection for Language
+    * Models via Importance Resampling", NeurIPS 2023 — public method):
+    * documents are scored by hashed-n-gram importance log-ratios between
+    * a TARGET domain and the RAW corpus, and the top-k by weight are
+    * selected. Features are word uni+bigrams hashed into `buckets` md5
+    * buckets (deterministic, replayable in any engine); both
+    * distributions are add-one smoothed; a doc's weight is the
+    * tf-weighted integer micro-nat sum of per-bucket log ratios —
+    * order-free and engine-exact (this is the deterministic
+    * rank-by-weight variant of the paper's Gumbel-top-k sampling).
+    *
+    * Scale shape: the model is ≤`buckets` counters with their log-ratio
+    * table (broadcast-sized); scoring is one explode + a keyed (bucket)
+    * join + a per-doc sum; selection is the bounded-heap TopKAgg — no
+    * global sort anywhere.
+    */
+  def dsirSelect(docs: DataFrame, idCol: String, textCol: String,
+                 targetPred: Column, buckets: Int = 4096,
+                 k: Int = 100): DataFrame = {
+    require(buckets >= 2 && k >= 1, "dsirSelect: buckets >= 2, k >= 1")
+    val grams = docs.select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(concat(Dedup.tokens(col(textCol)),
+          Dedup.wordNgrams(col(textCol), 2))).as("g"))
+      .select(col("id"), col("is_t"),
+        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+    val c = grams.groupBy("b").agg(count(lit(1)).as("cr"),
+      count(when(col("is_t"), lit(1))).as("ct"))
+    val tot = c.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
+    val bD = lit(buckets.toDouble)
+    val lr = c.crossJoin(broadcast(tot)).select(col("b"),
+      round(log(((col("ct").cast("double") + lit(1.0)) / (col("tt").cast("double") + bD)) /
+        ((col("cr").cast("double") + lit(1.0)) / (col("tr").cast("double") + bD))) * 1e6)
+        .cast("long").as("lr"))
+    val dg = grams.groupBy("id", "b").agg(count(lit(1)).as("tf"))
+    val w = dg.join(lr, "b").groupBy("id")
+      .agg(sum(col("tf") * col("lr")).as("weight_micro"))
+    // weights stay far below 2^53 (|lr| ≤ ln(buckets·smoothing)·10⁶ ≈ 10⁷
+    // per gram), so the double-keyed heap compares them exactly
+    w.agg(graft.functions.TopKAgg.topK(k, col("weight_micro").cast("double"),
+        col("id").cast("double"), struct(col("id"), col("weight_micro"))).as("__top__"))
+      .select(posexplode(col("__top__")))
+      .select((col("pos") + 1).cast("long").as("rank"),
+        col("col.id").as(idCol), col("col.weight_micro").as("weight_micro"))
+  }
 }
