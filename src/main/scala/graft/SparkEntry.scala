@@ -2315,8 +2315,13 @@ operations:
       val q = n / 5
       val r = n % 5
       def quintile(sort: Seq[org.apache.spark.sql.Column], out: String): DataFrame = {
+        // checkpoint AFTER the range exchange: the offsets collect and
+        // the final ranked run must read the SAME partitioning — range
+        // boundaries are sample-based (rdd-id-seeded), so two separate
+        // executions could split differently and break the offsets
         val ranged = per.repartitionByRange(32, sort: _*)
           .withColumn("_pid", spark_partition_id().cast("long"))
+          .localCheckpoint(true)
         val local = ranged.withColumn("_rn",
           row_number().over(Window.partitionBy("_pid").orderBy(sort: _*)).cast("long"))
         var acc = 0L
@@ -2547,7 +2552,47 @@ operations:
       // the target domain (source = src1) and the raw corpus, top-100 by
       // integer micro-nat weight (ext.Sampling.dsirSelect)
       ext.Sampling.dsirSelect(T(s, dir, "documents"), "doc_id", "text",
-        col("source") === "src1", buckets = 4096, k = 100))
+        col("source") === "src1", buckets = 4096, k = 100)),
+
+    "q_skyline" -> ((s, dir) => {
+      // Pareto frontier of customers on (total spend, order count) via
+      // the range-partitioned prefix-max sweep (ext.Skyline) — the
+      // oracle is the INDEPENDENT quadratic NOT-EXISTS dominance check,
+      // so engine and oracle agree by theorem, not by construction
+      val per = T(s, dir, "orders").groupBy("o_custkey").agg(
+        sum(round(col("o_totalprice") * 100).cast("long")).as("monetary_c"),
+        count(lit(1)).as("frequency"))
+      ext.Skyline.skyline2D(per, "o_custkey", "monetary_c", "frequency")
+    }),
+
+    "q_cusum" -> ((s, dir) => {
+      // CUSUM changepoint statistics over the daily revenue series in
+      // exact integer cents. The textbook recursion S_t = max(0,
+      // S_{t-1} + dev_t) is replaced by the prefix identity S_t = P_t −
+      // min(0, min_{j≤t} P_j) (P = cumulative deviation), so the whole
+      // statistic is two cumulative windows — no sequential recursion.
+      // The windows order the DAILY aggregate, a frame bounded by the
+      // calendar (grows with time span, not data volume), the same
+      // bounded-small-frame argument as ta_curriculum's band offsets.
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      val tot = daily.agg(sum(col("rev_c")).as("tr"), count(lit(1)).as("nd"))
+      val base = daily.crossJoin(broadcast(tot))
+        .withColumn("mu_c", expr("tr div nd"))
+        .withColumn("k_c", expr("(tr div nd) div 20"))
+      val w = Window.orderBy(col("d").asc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      base
+        .withColumn("p", sum(col("rev_c") - col("mu_c") - col("k_c")).over(w))
+        .withColumn("pn", sum(col("mu_c") - col("k_c") - col("rev_c")).over(w))
+        .select(col("d"), col("rev_c"),
+          (col("p") - least(lit(0L), min(col("p")).over(w))).as("s_up"),
+          (col("pn") - least(lit(0L), min(col("pn")).over(w))).as("s_dn"),
+          ((col("p") - least(lit(0L), min(col("p")).over(w))) > col("mu_c")).as("alarm_up"),
+          ((col("pn") - least(lit(0L), min(col("pn")).over(w))) > col("mu_c")).as("alarm_dn"))
+    })
   )
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
@@ -3491,7 +3536,14 @@ operations:
     // of the same double ratio on both engines (micro-nat margin as in
     // ta_nbc/ta_perplexity); tf·lr sums are exact integers
     "ta_dsir" ->
-      """WITH toks AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), gr AS (SELECT doc_id, source = 'src1' AS is_t, unnest(t || CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END) AS g FROM toks), gb AS (SELECT doc_id, is_t, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS b FROM gr), c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr, CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct FROM gb GROUP BY 1), tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c), lr AS (SELECT b, CAST(round(ln(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 4096.0)) / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 4096.0))) * 1000000) AS BIGINT) AS lr FROM c, tot), dg AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM gb GROUP BY 1, 2), w AS (SELECT doc_id, CAST(sum(tf * lr) AS BIGINT) AS weight_micro FROM dg JOIN lr USING (b) GROUP BY 1) SELECT CAST(rn AS BIGINT) AS rank, doc_id, weight_micro FROM (SELECT doc_id, weight_micro, row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rn FROM w) WHERE rn <= 100"""
+      """WITH toks AS (SELECT doc_id, source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), gr AS (SELECT doc_id, source = 'src1' AS is_t, unnest(t || CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1), i -> array_to_string(t[(i+1):(i+2)], ' ')) ELSE [] END) AS g FROM toks), gb AS (SELECT doc_id, is_t, CAST('0x' || substr(md5(g), 1, 8) AS BIGINT) % 4096 AS b FROM gr), c AS (SELECT b, CAST(count(*) AS BIGINT) AS cr, CAST(count(*) FILTER (WHERE is_t) AS BIGINT) AS ct FROM gb GROUP BY 1), tot AS (SELECT CAST(sum(cr) AS BIGINT) AS tr, CAST(sum(ct) AS BIGINT) AS tt FROM c), lr AS (SELECT b, CAST(round(ln(((CAST(ct AS DOUBLE) + 1.0) / (CAST(tt AS DOUBLE) + 4096.0)) / ((CAST(cr AS DOUBLE) + 1.0) / (CAST(tr AS DOUBLE) + 4096.0))) * 1000000) AS BIGINT) AS lr FROM c, tot), dg AS (SELECT doc_id, b, CAST(count(*) AS BIGINT) AS tf FROM gb GROUP BY 1, 2), w AS (SELECT doc_id, CAST(sum(tf * lr) AS BIGINT) AS weight_micro FROM dg JOIN lr USING (b) GROUP BY 1) SELECT CAST(rn AS BIGINT) AS rank, doc_id, weight_micro FROM (SELECT doc_id, weight_micro, row_number() OVER (ORDER BY weight_micro DESC, doc_id ASC) AS rn FROM w) WHERE rn <= 100""",
+    // q_skyline: the oracle is a DIFFERENT algorithm (quadratic
+    // dominance NOT EXISTS) — agreement is a theorem about the sweep,
+    // not a replay
+    "q_skyline" ->
+      """WITH per AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c, CAST(count(*) AS BIGINT) AS frequency FROM orders GROUP BY 1) SELECT o_custkey, monetary_c, frequency FROM per a WHERE NOT EXISTS (SELECT 1 FROM per b WHERE b.monetary_c >= a.monetary_c AND b.frequency >= a.frequency AND (b.monetary_c > a.monetary_c OR b.frequency > a.frequency))""",
+    "q_cusum" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS nd FROM daily), base AS (SELECT d, rev_c, tr // nd AS mu_c, (tr // nd) // 20 AS k_c FROM daily, tot), pp AS (SELECT *, CAST(sum(rev_c - mu_c - k_c) OVER w AS BIGINT) AS p, CAST(sum(mu_c - k_c - rev_c) OVER w AS BIGINT) AS pn FROM base WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT d, rev_c, CAST(p - least(0, min(p) OVER w) AS BIGINT) AS s_up, CAST(pn - least(0, min(pn) OVER w) AS BIGINT) AS s_dn, (p - least(0, min(p) OVER w)) > mu_c AS alarm_up, (pn - least(0, min(pn) OVER w)) > mu_c AS alarm_dn FROM pp WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
   )
 
   // --- sketch replays -------------------------------------------------
