@@ -1152,13 +1152,17 @@ operations:
     }),
 
     "q_ntile" -> ((s, dir) => {
-      // ntile quartiles per group (deterministic order incl. tiebreak)
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-        .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-      T(s, dir, "lineitem")
+      // ntile quartiles per returnflag — but NOT as a 3-partition window
+      // (each flag would single-partition-sort a third of the table):
+      // exact closed-form ntile over range-partitioned ranks with offset
+      // scalars (ext.Ranks.groupedNtile, the ev_rfm pattern generalized)
+      val li = T(s, dir, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber"), col("l_returnflag"), col("l_extendedprice"))
+      ext.Ranks.groupedNtile(li, "l_returnflag",
+          Seq(col("l_extendedprice").asc, col("l_orderkey").asc,
+            col("l_linenumber").asc), 4, "quartile")
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          ntile(4).over(w).as("quartile"))
+          col("quartile").cast("int").as("quartile"))
     }),
 
     "q_winsor" -> ((s, dir) => {
@@ -1653,9 +1657,9 @@ operations:
       // ∝ √n in integer micro fixed point (IEEE sqrt is correctly
       // rounded, so both engines derive identical quotas), then a
       // deterministic hash-ordered selection fills each quota exactly.
-      // Scale note: the per-source rank would become a two-pass hash-
-      // threshold cutoff at 100 TB; quota arithmetic is unchanged.
-      import org.apache.spark.sql.expressions.Window
+      // The per-source selection rank is ext.Ranks.groupedRank (range-
+      // partitioned ranks + offset scalars), so a giant source never
+      // single-partition-sorts — the scale note round 4 left as a TODO.
       val d = T(s, dir, "documents")
       val weights = d.groupBy("source").agg(count(lit(1)).as("n"))
         .withColumn("w_micro",
@@ -1663,9 +1667,10 @@ operations:
       val tot = weights.agg(sum(col("w_micro")).as("tw"))
       val quota = weights.crossJoin(tot)
         .select(col("source"), expr("(250 * w_micro) div tw").as("quota"))
-      val ranked = d.select(col("doc_id"), col("source"))
-        .withColumn("rn", row_number().over(Window.partitionBy("source")
-          .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)))
+      val ranked = ext.Ranks.groupedRank(
+        d.select(col("doc_id"), col("source"),
+          md5(col("doc_id").cast("string")).as("__h__")),
+        "source", Seq(col("__h__").asc, col("doc_id").asc), "rn")
       ranked.join(quota, "source").filter(col("rn") <= col("quota"))
         .select(col("doc_id"), col("source"))
     }),
