@@ -625,15 +625,16 @@ operations:
       // composition of ta_apportion and md5-ordered selection. The
       // per-source sort is the price of exact quotas (the md5-threshold
       // ta_sample is the constant-time approximate alternative).
-      import org.apache.spark.sql.expressions.Window
       val d = T(s, dir, "documents")
       val quotas = ext.Sampling.apportion(d, "source", 1000L)
         .select(col("source"), col("quota"))
-      d.withColumn("rk", row_number().over(Window.partitionBy("source")
-          .orderBy(md5(concat(lit("qs:"), col("doc_id").cast("string"))), col("doc_id"))))
+      ext.Ranks.groupedRank(
+          d.select(col("doc_id"), col("source"),
+            md5(concat(lit("qs:"), col("doc_id").cast("string"))).as("__h__")),
+          "source", Seq(col("__h__").asc, col("doc_id").asc), "rk")
         .join(quotas, Seq("source"))
         .filter(col("rk") <= col("quota"))
-        .select(col("doc_id"), col("source"), col("rk").cast("long").as("pick_rank"))
+        .select(col("doc_id"), col("source"), col("rk").as("pick_rank"))
     }),
 
     "ta_mix" -> ((s, dir) => {
@@ -1617,20 +1618,19 @@ operations:
     }),
 
     "q_wmedian" -> ((s, dir) => {
-      // weighted median (lower) per group from a value HISTOGRAM — the
-      // fully-parallel shape q_winsor documented (no per-group sort of
-      // the data, only a cumsum over the small distinct-value frame);
-      // quantity-weighted, all-integer, engine-exact
-      import org.apache.spark.sql.expressions.Window
+      // weighted median (lower) per group from a value HISTOGRAM — no
+      // per-group sort of the data; the histogram cumsum itself is now
+      // ext.Ranks.groupedRunningSum (range-partitioned running sums +
+      // carry scalars), so even a high-cardinality value domain never
+      // single-partition-sorts; quantity-weighted, all-integer, exact
       val li = T(s, dir, "lineitem").select(col("l_returnflag"),
         round(col("l_extendedprice") * 100).cast("long").as("price_c"),
         col("l_quantity").cast("long").as("wt"))
       val h = li.groupBy("l_returnflag", "price_c").agg(sum(col("wt")).as("w"))
-      val ord = Window.partitionBy("l_returnflag").orderBy(col("price_c").asc)
-      h.withColumn("cum",
-          sum(col("w")).over(ord.rowsBetween(Window.unboundedPreceding, 0)))
-        .withColumn("total",
-          sum(col("w")).over(Window.partitionBy("l_returnflag")))
+      val totals = h.groupBy("l_returnflag").agg(sum(col("w")).as("total"))
+      ext.Ranks.groupedRunningSum(h, "l_returnflag",
+          Seq(col("price_c").asc), "w", "cum")
+        .join(broadcast(totals), Seq("l_returnflag"))
         .filter(col("cum") * 2 >= col("total"))
         .groupBy("l_returnflag")
         .agg(min(col("price_c")).as("wmedian_c"), max(col("total")).as("total_wt"))
@@ -2278,16 +2278,21 @@ operations:
     }),
 
     "q_ratio" -> ((s, dir) => {
-      // ratio-to-report window: each line's share of its return-flag
-      // revenue. Numerator and denominator are EXACT integer cents; the
-      // share is one IEEE division of the same two longs on both engines.
-      import org.apache.spark.sql.expressions.Window
-      val w = Window.partitionBy("l_returnflag")
-      T(s, dir, "lineitem")
+      // ratio-to-report: each line's share of its return-flag revenue.
+      // Numerator and denominator are EXACT integer cents; the share is
+      // one IEEE division of the same two longs on both engines. The
+      // per-flag total comes from a PARALLEL partial aggregate broadcast
+      // back — a `sum OVER (PARTITION BY flag)` window would instead
+      // shuffle every row of the table into 3 partitions (full-partition
+      // windows over low-cardinality keys are the q_winsor trap).
+      val li = T(s, dir, "lineitem")
         .withColumn("rev_c", round(col("l_extendedprice") * 100).cast("long"))
+      val totals = li.groupBy("l_returnflag")
+        .agg(sum(col("rev_c")).as("flag_rev_c"))
+      li.join(broadcast(totals), Seq("l_returnflag"))
         .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
-          col("rev_c"), sum(col("rev_c")).over(w).as("flag_rev_c"),
-          (col("rev_c").cast("double") / sum(col("rev_c")).over(w).cast("double"))
+          col("rev_c"), col("flag_rev_c"),
+          (col("rev_c").cast("double") / col("flag_rev_c").cast("double"))
             .as("rev_share"))
     }),
 

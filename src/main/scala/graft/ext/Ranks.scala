@@ -66,6 +66,51 @@ object Ranks {
       .drop("__g__", "__pid__", "__rn__", "__off__")
   }
 
+  /** Exact per-group cumulative sum of `valueCol` over a total order,
+    * with the same decomposition as groupedRank: partition-local running
+    * sums plus per-(group, partition) carry scalars (the prefix sums of
+    * earlier partitions' totals). A cumulative window partitioned by a
+    * low-cardinality key would otherwise sort each group's whole extent
+    * on one core. Same contract as groupedRank.
+    */
+  def groupedRunningSum(df: DataFrame, groupCol: String, sortCols: Seq[Column],
+                        valueCol: String, out: String,
+                        partitions: Int = 32): DataFrame = {
+    val rangeCols = col(groupCol) +: sortCols
+    val ranged = df.repartitionByRange(partitions, rangeCols: _*)
+      .withColumn("__pid__", spark_partition_id().cast("long"))
+      .localCheckpoint(true)
+    val w = Window.partitionBy(col(groupCol), col("__pid__")).orderBy(sortCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val local = ranged.withColumn("__ls__", sum(col(valueCol)).over(w))
+    val sums = ranged.groupBy(col(groupCol).as("__g__"), col("__pid__"))
+      .agg(sum(col(valueCol)).as("__s__"))
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val carryRows = sums.toSeq.flatMap { case (g, rows) =>
+      var acc = 0L
+      rows.sortBy(_._2).map { case (_, pid, s) =>
+        val c = acc; acc += s; (g, pid, c)
+      }
+    }
+    val sess = df.sparkSession
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("__g__",
+        df.schema(groupCol).dataType),
+      org.apache.spark.sql.types.StructField("__pid__",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("__carry__",
+        org.apache.spark.sql.types.LongType)))
+    val carryDf = sess.createDataFrame(
+      sess.sparkContext.parallelize(carryRows.map(t =>
+        org.apache.spark.sql.Row(t._1, t._2, t._3)), 1), schema)
+    local
+      .join(broadcast(carryDf),
+        col(groupCol) <=> col("__g__") && local("__pid__") === carryDf("__pid__"))
+      .withColumn(out, col("__ls__") + col("__carry__"))
+      .drop("__g__", "__pid__", "__ls__", "__carry__")
+  }
+
   /** Exact `ntile(tiles)` per group on top of groupedRank: global ranks
     * mapped through the closed-form ntile formula (the first n%tiles
     * tiles get ⌈n/tiles⌉ rows). Same contract as groupedRank.
