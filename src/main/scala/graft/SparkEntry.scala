@@ -2575,6 +2575,62 @@ operations:
       ext.Skyline.skyline2D(per, "o_custkey", "monetary_c", "frequency")
     }),
 
+    "er_entities" -> ((s, dir) => {
+      // entity resolution end-to-end: SymSpell-blocked edit-distance-1
+      // name linkage (ext.FuzzyJoin — provably equal to the cross join)
+      // → distributed connected components over the match pairs →
+      // canonical entity id (min member key) + entity size. The dedup
+      // pass identity data actually needs: near-identical records chain
+      // transitively into one entity. Oracle: independent recursive-CTE
+      // transitive closure over the same quadratic pair set.
+      val cust = T(s, dir, "customer")
+      val pairs = ext.FuzzyJoin.editDistanceSelfJoin(
+        cust, "c_custkey", "c_name", maxDist = 1)
+      val comp = ext.Graph.componentsFor(cust.select("c_custkey"), "c_custkey",
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val sizes = comp.groupBy("component").agg(count(lit(1)).as("entity_size"))
+      comp.join(sizes, Seq("component"))
+        .select(col("c_custkey"), col("component").as("entity_id"),
+          col("entity_size"))
+    }),
+
+    "q_mv_retract" -> ((s, dir) => {
+      // materialized-view maintenance with RETRACTION: the per-customer
+      // (n_orders, spend_c) view is maintained through q_cdc's changelog
+      // (updates ×1.1 on %5 keys, deletes on %7 keys, inserts on %11
+      // keys) WITHOUT rescanning the final state — deletes retract the
+      // key's pre-delete contribution (updated price if the key was
+      // also updated, else base), updates retract old and apply new,
+      // inserts apply new. count/sum are groups under addition, so
+      // base + Σ deltas EQUALS the independent rescan of the CDC final
+      // state, which is exactly what the oracle computes. At 100 TB the
+      // deltas touch changed keys only; the rescan touches five years.
+      val o = T(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice") * 100).cast("long").as("base_c"),
+        round(col("o_totalprice") * lit(1.1) * 100).cast("long").as("upd_c"))
+      def aggOf(df: DataFrame, n: org.apache.spark.sql.Column,
+                s2: org.apache.spark.sql.Column) =
+        df.groupBy("o_custkey").agg(sum(n).as("dn"), sum(s2).as("ds"))
+      val base = aggOf(o, lit(1L), col("base_c"))
+      // update delta on %5 keys (minus old, plus new); delete retracts
+      // the key's CURRENT price (updated if %5 too); insert adds a new
+      // row under a shifted key but the SAME customer
+      val upd = aggOf(o.filter(col("o_orderkey") % 5 === 0),
+        lit(0L), col("upd_c") - col("base_c"))
+      val del = aggOf(o.filter(col("o_orderkey") % 7 === 0),
+        lit(-1L), -when(col("o_orderkey") % 5 === 0, col("upd_c"))
+          .otherwise(col("base_c")))
+      val ins = aggOf(o.filter(col("o_orderkey") % 11 === 0),
+        lit(1L), col("base_c"))
+      val deltas = upd.unionByName(del).unionByName(ins)
+        .groupBy("o_custkey").agg(sum(col("dn")).as("dn"), sum(col("ds")).as("ds"))
+      base.as("b").join(deltas.as("d"), Seq("o_custkey"), "full_outer")
+        .select(col("o_custkey"),
+          (coalesce(col("b.dn"), lit(0L)) + coalesce(col("d.dn"), lit(0L))).as("n_orders"),
+          (coalesce(col("b.ds"), lit(0L)) + coalesce(col("d.ds"), lit(0L))).as("spend_c"))
+        .filter(col("n_orders") > 0)
+    }),
+
     "q_cusum" -> ((s, dir) => {
       // CUSUM changepoint statistics over the daily revenue series in
       // exact integer cents. The textbook recursion S_t = max(0,
@@ -3553,7 +3609,16 @@ operations:
     "q_skyline" ->
       """WITH per AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c, CAST(count(*) AS BIGINT) AS frequency FROM orders GROUP BY 1) SELECT o_custkey, monetary_c, frequency FROM per a WHERE NOT EXISTS (SELECT 1 FROM per b WHERE b.monetary_c >= a.monetary_c AND b.frequency >= a.frequency AND (b.monetary_c > a.monetary_c OR b.frequency > a.frequency))""",
     "q_cusum" ->
-      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS nd FROM daily), base AS (SELECT d, rev_c, tr // nd AS mu_c, (tr // nd) // 20 AS k_c FROM daily, tot), pp AS (SELECT *, CAST(sum(rev_c - mu_c - k_c) OVER w AS BIGINT) AS p, CAST(sum(mu_c - k_c - rev_c) OVER w AS BIGINT) AS pn FROM base WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT d, rev_c, CAST(p - least(0, min(p) OVER w) AS BIGINT) AS s_up, CAST(pn - least(0, min(pn) OVER w) AS BIGINT) AS s_dn, (p - least(0, min(p) OVER w)) > mu_c AS alarm_up, (pn - least(0, min(pn) OVER w)) > mu_c AS alarm_dn FROM pp WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"""
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS nd FROM daily), base AS (SELECT d, rev_c, tr // nd AS mu_c, (tr // nd) // 20 AS k_c FROM daily, tot), pp AS (SELECT *, CAST(sum(rev_c - mu_c - k_c) OVER w AS BIGINT) AS p, CAST(sum(mu_c - k_c - rev_c) OVER w AS BIGINT) AS pn FROM base WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT d, rev_c, CAST(p - least(0, min(p) OVER w) AS BIGINT) AS s_up, CAST(pn - least(0, min(pn) OVER w) AS BIGINT) AS s_dn, (p - least(0, min(p) OVER w)) > mu_c AS alarm_up, (pn - least(0, min(pn) OVER w)) > mu_c AS alarm_dn FROM pp WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // er_entities: independent recursive-CTE transitive closure over the
+    // quadratic levenshtein pair set — a different algorithm from the
+    // engine's large-star/small-star components
+    "er_entities" ->
+      """WITH pairs AS (SELECT a.c_custkey AS s, b.c_custkey AS d FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1), edges AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs), reach AS (WITH RECURSIVE rr(id, rid) AS (SELECT c_custkey, c_custkey FROM customer UNION SELECT rr.id, e.d FROM rr JOIN edges e ON rr.rid = e.s) SELECT id, min(rid) AS ent FROM rr GROUP BY 1) SELECT CAST(r.id AS BIGINT) AS c_custkey, CAST(r.ent AS BIGINT) AS entity_id, CAST(cnt.n AS BIGINT) AS entity_size FROM reach r JOIN (SELECT ent, count(*) AS n FROM reach GROUP BY 1) cnt ON r.ent = cnt.ent""",
+    // q_mv_retract: the oracle is the INDEPENDENT full rescan of the CDC
+    // final state — base + retraction deltas must equal it algebraically
+    "q_mv_retract" ->
+      """WITH log AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p, 0 AS seq, 'B' AS op FROM orders UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 1.1, 1, 'U' FROM orders WHERE o_orderkey % 5 = 0 UNION ALL SELECT o_orderkey + 30000000, o_custkey, o_totalprice, 1, 'I' FROM orders WHERE o_orderkey % 11 = 0 UNION ALL SELECT o_orderkey, o_custkey, 0.0, 2, 'D' FROM orders WHERE o_orderkey % 7 = 0), r AS (SELECT k, c, p, op, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log), fin AS (SELECT k, c, CAST(round(p * 100) AS BIGINT) AS price_c FROM r WHERE rn = 1 AND op <> 'D') SELECT c AS o_custkey, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(price_c) AS BIGINT) AS spend_c FROM fin GROUP BY 1"""
   )
 
   // --- sketch replays -------------------------------------------------
