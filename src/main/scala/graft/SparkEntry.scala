@@ -1439,13 +1439,24 @@ operations:
     "ta_overlap" -> ((s, dir) => {
       // cross-source contamination matrix: pairwise shared-8-gram counts
       // between sources — the "how much did crawl A leak into crawl B"
-      // report; distinct'ed (source, gram) keeps the join ids-and-grams
+      // report. No gram self-join: one groupBy(gram) collects each
+      // gram's sorted source set (≤|sources|) and emits its ordered
+      // pairs inline — pair fan-out bounded by |sources|² per gram, not
+      // by join machinery (round 4 shipped a string self-join here).
+      // Grams ride as 60-bit md5 fingerprints so the distinct + groupBy
+      // shuffle 8-byte longs instead of ~50-byte strings (the oracle
+      // replays the identical slice; distinct grams collide only at
+      // ~2⁻⁶⁰ — the xxhash64-band-key tradeoff, applied to shuffle IO)
       val g = T(s, dir, "documents")
-        .select(col("source"), explode(ext.Dedup.wordNgrams(col("text"), 8)).as("g"))
+        .select(col("source"), explode(ext.Dedup.wordNgrams(col("text"), 8)).as("gs"))
+        .select(col("source"),
+          expr("CAST(conv(substring(md5(gs), 1, 15), 16, 10) AS BIGINT)").as("g"))
         .distinct()
-      g.as("a").join(g.as("b"),
-          col("a.g") === col("b.g") && col("a.source") < col("b.source"))
-        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      g.groupBy("g").agg(array_sort(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          "flatten(transform(ss, (x, i) -> transform(slice(ss, i + 2, size(ss)), y -> struct(x AS src_a, y AS src_b))))")).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
         .agg(count(lit(1)).as("shared_grams"))
     }),
 
@@ -3318,8 +3329,10 @@ operations:
       """WITH neu AS (SELECT o_orderkey, CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2 ELSE o_totalprice END AS o_totalprice FROM orders WHERE o_orderkey % 7 <> 0 UNION ALL SELECT o_orderkey + 10000000, o_totalprice FROM orders WHERE o_orderkey % 13 = 0) SELECT COALESCE(o.o_orderkey, n.o_orderkey) AS o_orderkey, CASE WHEN n.o_orderkey IS NULL THEN 'removed' WHEN o.o_orderkey IS NULL THEN 'added' ELSE 'changed' END AS status FROM orders o FULL OUTER JOIN neu n ON o.o_orderkey = n.o_orderkey WHERE n.o_orderkey IS NULL OR o.o_orderkey IS NULL OR o.o_totalprice <> n.o_totalprice""",
     "ta_sample_n" ->
       """SELECT doc_id, lang FROM (SELECT doc_id, lang, row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn FROM documents) WHERE rn <= 5""",
+    // ta_overlap: grams compare as the same 60-bit md5 slice in both
+    // engines ('0x'||hex replays Spark's conv)
     "ta_overlap" ->
-      """WITH toks AS (SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), g AS (SELECT DISTINCT source, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks) SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_grams FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2""",
+      """WITH toks AS (SELECT source, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), gs AS (SELECT source, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS gm FROM toks), g AS (SELECT DISTINCT source, CAST('0x' || substr(md5(gm), 1, 15) AS BIGINT) AS g FROM gs) SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS shared_grams FROM g a JOIN g b ON a.g = b.g AND a.source < b.source GROUP BY 1, 2""",
     "ta_source_stats" ->
       """WITH base AS (SELECT source, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), comp AS (SELECT source, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base), scored AS (SELECT source, n_tokens, CAST(floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) AS BIGINT) AS quality_bp FROM comp) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens, CAST(sum(quality_bp) AS BIGINT) AS quality_bp_sum, CAST(min(quality_bp) AS BIGINT) AS quality_bp_min, CAST(max(quality_bp) AS BIGINT) AS quality_bp_max FROM scored GROUP BY 1""",
     "ta_curate" ->
