@@ -2568,6 +2568,28 @@ operations:
       // quality/domain-classifier pass (ext.LangModel.naiveBayes)
       ext.LangModel.naiveBayes(T(s, dir, "documents"), "doc_id", "text", "source")),
 
+    "stream_nbc" -> ((s, dir) => {
+      // STREAMING model serving: the NBC model trains ONCE on the static
+      // corpus, and incoming docs are scored by stream-static joins into
+      // the ONE fused stateful aggregate (functions.ArgminAgg) the plan
+      // is allowed — "train offline, classify the firehose". Streamed
+      // scores equal batch ta_nbc exactly (Σ per occurrence == tf-
+      // weighted Σ), so it shares ta_nbc's oracle.
+      val static = s.read.parquet(s"$dir/documents.parquet")
+      val model = ext.LangModel.naiveBayesModel(static, "doc_id", "text", "source")
+      val stream = s.readStream.schema(static.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+      val scored = ext.LangModel.naiveBayesScore(stream, "doc_id", "text",
+        "source", model, dedupTf = false)
+      s.catalog.dropTempView("graft_stream_nbc")
+      val q = scored.writeStream.format("memory").queryName("graft_stream_nbc")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_nbc")
+    }),
+
     "ta_dsir" -> ((s, dir) =>
       // DSIR data selection: hashed-n-gram importance log-ratios between
       // the target domain (source = src1) and the raw corpus, top-100 by
@@ -3609,8 +3631,9 @@ operations:
     // ta_nbc: identical -ln micro-nat fixed point as ta_perplexity (same
     // boundary-margin argument, NbcSpec); priors/likelihoods are exact
     // integer counts so both engines feed ln the same doubles
-    "ta_nbc" ->
-      """WITH toks AS (SELECT doc_id, source AS cls, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), train AS (SELECT * FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'), pri AS (SELECT cls, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1), tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri), pr AS (SELECT cls, CAST(round(-ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM pri, tot), tw AS (SELECT cls, unnest(t) AS w FROM train), cw AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS cwc FROM tw GROUP BY 1, 2), tc AS (SELECT cls, CAST(count(*) AS BIGINT) AS totc FROM tw GROUP BY 1), v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz FROM tw), dt AS (SELECT doc_id, unnest(t) AS w FROM toks), dc AS (SELECT doc_id, w, cls FROM dt, (SELECT cls FROM pri)), terms AS (SELECT doc_id, dc.cls, CAST(round(-ln((CAST(coalesce(cwc, 0) AS DOUBLE) + 1.0) / (CAST(totc AS DOUBLE) + vsz)) * 1000000) AS BIGINT) AS m FROM dc LEFT JOIN cw ON dc.cls = cw.cls AND dc.w = cw.w JOIN tc ON dc.cls = tc.cls CROSS JOIN v), ds AS (SELECT doc_id, cls, CAST(sum(m) AS BIGINT) AS ts FROM terms GROUP BY 1, 2), base AS (SELECT d.doc_id, d.cls AS cls_truth, p.cls, p.prior_micro + coalesce(ds.ts, 0) AS score FROM (SELECT doc_id, cls FROM toks) d CROSS JOIN pr p LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.cls = p.cls) SELECT doc_id, cls_truth, cls AS pred_cls, CAST(score AS BIGINT) AS nll_micro FROM base QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, cls ASC) = 1""",
+    "ta_nbc" -> nbcOracleSql,
+    // stream_nbc: streamed scoring ≡ batch (order-free integer sums)
+    "stream_nbc" -> nbcOracleSql,
     // ta_dsir: md5 buckets replay as '0x'||hex; the log-ratio is ONE ln
     // of the same double ratio on both engines (micro-nat margin as in
     // ta_nbc/ta_perplexity); tf·lr sums are exact integers
@@ -3738,6 +3761,12 @@ operations:
        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O' INTERSECT SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'))
        |SELECT ${hllEstSql("ro")} AS hll_o, ${hllEstSql("rf")} AS hll_f, ${hllEstSql("ru")} AS hll_union, ${hllEstSql("ro")} + ${hllEstSql("rf")} - ${hllEstSql("ru")} AS hll_intersect, exact_intersect FROM u, ex""".stripMargin
   }
+
+  /** ta_nbc / stream_nbc shared replay: full NBC train + score
+    * (priors, add-one likelihoods, micro-nat terms, argmin QUALIFY).
+    */
+  private lazy val nbcOracleSql: String =
+    """WITH toks AS (SELECT doc_id, source AS cls, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), train AS (SELECT * FROM toks WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '80000000'), pri AS (SELECT cls, CAST(count(*) AS BIGINT) AS nd FROM train GROUP BY 1), tot AS (SELECT CAST(sum(nd) AS BIGINT) AS n FROM pri), pr AS (SELECT cls, CAST(round(-ln(CAST(nd AS DOUBLE) / CAST(n AS DOUBLE)) * 1000000) AS BIGINT) AS prior_micro FROM pri, tot), tw AS (SELECT cls, unnest(t) AS w FROM train), cw AS (SELECT cls, w, CAST(count(*) AS BIGINT) AS cwc FROM tw GROUP BY 1, 2), tc AS (SELECT cls, CAST(count(*) AS BIGINT) AS totc FROM tw GROUP BY 1), v AS (SELECT CAST(count(DISTINCT w) AS DOUBLE) AS vsz FROM tw), dt AS (SELECT doc_id, unnest(t) AS w FROM toks), dc AS (SELECT doc_id, w, cls FROM dt, (SELECT cls FROM pri)), terms AS (SELECT doc_id, dc.cls, CAST(round(-ln((CAST(coalesce(cwc, 0) AS DOUBLE) + 1.0) / (CAST(totc AS DOUBLE) + vsz)) * 1000000) AS BIGINT) AS m FROM dc LEFT JOIN cw ON dc.cls = cw.cls AND dc.w = cw.w JOIN tc ON dc.cls = tc.cls CROSS JOIN v), ds AS (SELECT doc_id, cls, CAST(sum(m) AS BIGINT) AS ts FROM terms GROUP BY 1, 2), base AS (SELECT d.doc_id, d.cls AS cls_truth, p.cls, p.prior_micro + coalesce(ds.ts, 0) AS score FROM (SELECT doc_id, cls FROM toks) d CROSS JOIN pr p LEFT JOIN ds ON ds.doc_id = d.doc_id AND ds.cls = p.cls) SELECT doc_id, cls_truth, cls AS pred_cls, CAST(score AS BIGINT) AS nll_micro FROM base QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score ASC, cls ASC) = 1"""
 
   /** q_ridge: q_ols's Gram replay with λ=10⁶ added to the non-intercept
     * diagonal in the same (double + double) order as the driver.

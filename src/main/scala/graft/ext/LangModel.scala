@@ -92,8 +92,17 @@ object LangModel {
     * broadcast; the argmin window partitions by doc (|classes| rows
     * each), never globally.
     */
-  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
-                 classCol: String, trainFraction: Double = 0.5): DataFrame = {
+  /** Trained NBC model state: per-class priors, the (cls, w) likelihood
+    * term table, and the per-class unseen-word default — each in integer
+    * micro-nats and localCheckpoint-materialized, so a long-running
+    * consumer (a streaming scorer's micro-batches) reads fixed state
+    * instead of re-deriving the model per action.
+    */
+  final case class NbModel(pr: DataFrame, mt: DataFrame, m0: DataFrame)
+
+  def naiveBayesModel(docs: DataFrame, idCol: String, textCol: String,
+                      classCol: String,
+                      trainFraction: Double = 0.5): NbModel = {
     val toks = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
       Dedup.tokens(col(textCol)).as("toks"))
     val train = toks.join(
@@ -124,29 +133,54 @@ object LangModel {
         round(-log(lit(1.0) /
           (col("totc").cast(DoubleType) + col("vsz"))) * 1e6)
           .cast(LongType).as("m0"))
-    // score DISTINCT (doc, token) pairs weighted by tf — Σ_occurrences
-    // round(term) == Σ_distinct tf·round(term) exactly (the rounding is
-    // per-(cls, w)), and the narrow dedup happens BEFORE the ×|classes|
-    // fan-out and the model join (dedup the narrow representation)
-    val dt = toks.select(col("id"), explode(col("toks")).as("w"))
-      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
-    val terms = dt.crossJoin(broadcast(pr.select(col("cls"))))
-      .join(mt, Seq("cls", "w"), "left")
-      .join(broadcast(m0), Seq("cls"))
-      .select(col("id"), col("cls"),
-        (col("tf") * coalesce(col("mw"), col("m0"))).as("m"))
-    val ds = terms.groupBy("id", "cls").agg(sum(col("m")).as("ts"))
-    val base = toks.select(col("id"), col("cls").as("cls_truth"))
-      .crossJoin(broadcast(pr))
-      .join(ds, Seq("id", "cls"), "left")
-      .select(col("id"), col("cls_truth"), col("cls"),
-        (col("prior_micro") + coalesce(col("ts"), lit(0L))).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("score").asc, col("cls").asc)
-    base.withColumn("__rn__", row_number().over(w)).filter(col("__rn__") === 1)
-      .select(col("id").as(idCol), col("cls_truth"), col("cls").as("pred_cls"),
-        col("score").as("nll_micro"))
+    NbModel(pr.localCheckpoint(true), mt.localCheckpoint(true),
+      m0.localCheckpoint(true))
   }
+
+  /** Score `docs` (batch OR stream) against a trained model. The plan is
+    * stream-legal by construction: token rows and per-doc prior rows
+    * union into ONE fused aggregate (functions.ArgminAgg — per-class
+    * sums + argmin in a single shuffle / single stateful operator).
+    * `dedupTf` pre-aggregates distinct (doc, token) pairs weighted by tf
+    * (Σ_occurrences term == Σ_distinct tf·term exactly, the rounding is
+    * per-(cls, w)) — an extra aggregation, so batch-only.
+    */
+  def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
+                      classCol: String, model: NbModel,
+                      dedupTf: Boolean = true): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
+      Dedup.tokens(col(textCol)).as("toks"))
+    val exploded = toks.select(col("id"), col("cls").as("cls_truth"),
+      explode(col("toks")).as("w"))
+    val dt =
+      if (dedupTf)
+        exploded.groupBy("id", "cls_truth", "w").agg(count(lit(1)).as("tf"))
+      else exploded.withColumn("tf", lit(1L))
+    val tokRows = dt.crossJoin(broadcast(model.pr.select(col("cls"))))
+      .join(model.mt, Seq("cls", "w"), "left")
+      .join(broadcast(model.m0), Seq("cls"))
+      .select(col("id"), col("cls_truth"), col("cls"),
+        (col("tf") * coalesce(col("mw"), col("m0"))).as("m"))
+    val priorRows = toks.select(col("id"), col("cls").as("cls_truth"))
+      .crossJoin(broadcast(model.pr))
+      .select(col("id"), col("cls_truth"), col("cls"),
+        col("prior_micro").as("m"))
+    tokRows.unionByName(priorRows)
+      .groupBy("id")
+      .agg(min(col("cls_truth")).as("cls_truth"),
+        graft.functions.ArgminAgg.argminSum(col("cls"), col("m")).as("__best__"))
+      .select(col("id").as(idCol), col("cls_truth"),
+        col("__best__.pred_cls").as("pred_cls"),
+        col("__best__.nll_micro").as("nll_micro"))
+  }
+
+  /** Multinomial Naive Bayes train + score over one corpus — see
+    * naiveBayesModel / naiveBayesScore.
+    */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 classCol: String, trainFraction: Double = 0.5): DataFrame =
+    naiveBayesScore(docs, idCol, textCol, classCol,
+      naiveBayesModel(docs, idCol, textCol, classCol, trainFraction))
 
   /** Collocation extraction by pointwise mutual information:
     * PMI(w1,w2) = ln(c12·N / (c1·c2)) over corpus bigrams, where c1/c2
