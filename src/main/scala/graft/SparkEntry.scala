@@ -2608,6 +2608,18 @@ operations:
       ext.Skyline.skyline2D(per, "o_custkey", "monetary_c", "frequency")
     }),
 
+    "dd_containment" -> ((s, dir) =>
+      // asymmetric containment join at t = 4/5: directed "a's tokens
+      // are ≥80% inside b" pairs — the quote/boilerplate-inclusion
+      // detector Jaccard misses (ext.SimJoin.containmentJoin; exact,
+      // provably equal to the quadratic oracle). Probe side is the
+      // doc_id % 10 audit cohort (the sim_topk anchor convention): this
+      // template corpus is containment-DENSE (~58 % of all directed
+      // pairs clear t=0.8), so the full matrix is output-bound by
+      // definition, not by the algorithm
+      ext.SimJoin.containmentJoin(T(s, dir, "documents"), "doc_id", "text",
+        4, 5, probePred = col("id") % 10 === 0)),
+
     "er_entities" -> ((s, dir) => {
       // entity resolution end-to-end: SymSpell-blocked edit-distance-1
       // name linkage (ext.FuzzyJoin — provably equal to the cross join)
@@ -3646,6 +3658,11 @@ operations:
       """WITH per AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS monetary_c, CAST(count(*) AS BIGINT) AS frequency FROM orders GROUP BY 1) SELECT o_custkey, monetary_c, frequency FROM per a WHERE NOT EXISTS (SELECT 1 FROM per b WHERE b.monetary_c >= a.monetary_c AND b.frequency >= a.frequency AND (b.monetary_c > a.monetary_c OR b.frequency > a.frequency))""",
     "q_cusum" ->
       """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tr, CAST(count(*) AS BIGINT) AS nd FROM daily), base AS (SELECT d, rev_c, tr // nd AS mu_c, (tr // nd) // 20 AS k_c FROM daily, tot), pp AS (SELECT *, CAST(sum(rev_c - mu_c - k_c) OVER w AS BIGINT) AS p, CAST(sum(mu_c - k_c - rev_c) OVER w AS BIGINT) AS pn FROM base WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT d, rev_c, CAST(p - least(0, min(p) OVER w) AS BIGINT) AS s_up, CAST(pn - least(0, min(pn) OVER w) AS BIGINT) AS s_dn, (p - least(0, min(p) OVER w)) > mu_c AS alarm_up, (pn - least(0, min(pn) OVER w)) > mu_c AS alarm_dn FROM pp WINDOW w AS (ORDER BY d ASC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)""",
+    // dd_containment: the quadratic all-pairs oracle — prefix filtering
+    // must lose nothing, and the integer predicate inter·5 ≥ n_a·4 is
+    // division-free on both engines
+    "dd_containment" ->
+      """WITH t AS (SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents), s AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0), p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter FROM s a JOIN s b ON a.id <> b.id AND a.id % 10 = 0) SELECT id_a, id_b, n_a, n_b, inter, CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM p WHERE inter * 5 >= n_a * 4""",
     // er_entities: independent recursive-CTE transitive closure over the
     // quadratic levenshtein pair set — a different algorithm from the
     // engine's large-star/small-star components

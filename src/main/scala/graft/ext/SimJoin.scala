@@ -57,6 +57,66 @@ object SimJoin {
                   threshold: Double): DataFrame =
     build(df, idCol, textCol, threshold).result
 
+  /** Exact asymmetric CONTAINMENT join: all DIRECTED pairs (a, b), a≠b,
+    * with |A∩B| ≥ (num/den)·|A| — "document a's token set is mostly
+    * inside b's": the quote/subset/boilerplate-inclusion detector that
+    * symmetric Jaccard misses (a 50-token quote inside a 5000-token doc
+    * has Jaccard ≈ 0.01 but containment 1.0).
+    *
+    * Prefix principle, containment form: |A∩B| ≥ c_a := ⌈t·|A|⌉ means
+    * A's first |A|−c_a+1 tokens in the global rarest-first order share
+    * at least one token with B (pigeonhole on A's tail) — so candidates
+    * join A-PREFIX tokens against B's FULL ordered token list (the
+    * containing side takes no prefix: its own size does not bound the
+    * overlap). Rarest-first keeps the indexed postings of A-prefix
+    * tokens short. Both classic prunes apply with conservative fp
+    * nudges: the weak length filter |B| ≥ t·|A| and the positional
+    * bound 1 + min(n_a−p_a−1, n_b−p_b−1) ≥ t·|A| on the FIRST common
+    * token. The verify predicate is the division-free integer
+    * inter·den ≥ n_a·num — engine-exact; the emitted containment score
+    * is one IEEE division of two small ints.
+    */
+  def containmentJoin(df: DataFrame, idCol: String, textCol: String,
+                      num: Int, den: Int,
+                      probePred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, "containmentJoin: 0 < num/den <= 1")
+    val threshold = num.toDouble / den.toDouble
+    val toks = df.select(col(idCol).as("id"),
+      array_distinct(Dedup.tokens(col(textCol))).as("toks"))
+      .withColumn("n", size(col("toks")).cast(LongType))
+      .filter(col("n") > 0)
+    val freq = toks.select(explode(col("toks")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("tf"))
+    val byRank = toks.select(col("id"), col("n"), explode(col("toks")).as("token"))
+      .join(freq, "token")
+      .groupBy("id", "n")
+      .agg(sort_array(collect_list(struct(col("tf"), col("token")))).as("keys"))
+      .withColumn("plen", (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast(IntegerType))
+    // probe side: A's prefix only, optionally restricted to an audit
+    // cohort via probePred (over columns `id`/`n`) — the contained-side
+    // index stays the full corpus; index side: B's FULL ordered list
+    val probe = byRank.filter(probePred).select(col("id"), col("n"),
+      posexplode(slice(col("keys"), lit(1), col("plen"))).as(Seq("pos", "k")))
+    val index = byRank.select(col("id"), col("n"),
+      posexplode(col("keys")).as(Seq("pos", "k")))
+    val overlapUb = lit(1) +
+      least(col("a.n") - col("a.pos") - 1, col("b.n") - col("b.pos") - 1)
+    val candsRaw = probe.as("a").join(index.as("b"),
+        col("a.k") === col("b.k") && col("a.id") =!= col("b.id") &&
+        col("b.n").cast(DoubleType) >= col("a.n").cast(DoubleType) * threshold - 1e-9 &&
+        overlapUb.cast(DoubleType) >= col("a.n").cast(DoubleType) * threshold - 1e-9)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val cands = candsRaw.distinct()
+    val withSets = cands
+      .join(toks.select(col("id").as("id_a"), col("toks").as("t_a"), col("n").as("n_a")), "id_a")
+      .join(toks.select(col("id").as("id_b"), col("toks").as("t_b"), col("n").as("n_b")), "id_b")
+    withSets
+      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast(LongType))
+      .filter(col("inter") * den >= col("n_a") * num)
+      .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("inter"),
+        (col("inter").cast(DoubleType) / col("n_a").cast(DoubleType)).as("containment"))
+  }
+
   private[graft] def build(df: DataFrame, idCol: String, textCol: String,
                            threshold: Double): Stages = {
     require(threshold > 0 && threshold <= 1, "jaccardJoin: threshold in (0, 1]")
