@@ -2676,6 +2676,39 @@ operations:
         .filter(col("n_orders") > 0)
     }),
 
+    "q_holt" -> ((s, dir) => {
+      // Holt linear double-exponential smoothing (α=β=1/2) over the
+      // daily revenue series — level + trend per day. The recurrence is
+      // inherently sequential, so the distributed part is the daily
+      // aggregate (the data-volume work); the fold itself runs on the
+      // driver over the CALENDAR-bounded series (≤ #days scalars — the
+      // q_ols Cramer-solve argument: driver work bounded by model size,
+      // never data size). α=β=1/2 keeps every op an exact IEEE halving
+      // and the oracle replays the identical op order in a recursive
+      // CTE, so level/trend doubles are bit-identical.
+      import s.implicits._
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .orderBy("d")
+        .collect().map(r => (r.getDate(0), r.getLong(1)))
+      require(daily.length >= 2, "q_holt: need at least 2 days")
+      val out = Array.newBuilder[(java.sql.Date, Long, Double, Double)]
+      var sPrev = daily(0)._2.toDouble
+      var bPrev = daily(1)._2.toDouble - daily(0)._2.toDouble
+      out += ((daily(0)._1, daily(0)._2, sPrev, bPrev))
+      var i = 1
+      while (i < daily.length) {
+        val x = daily(i)._2.toDouble
+        val sCur = 0.5 * x + 0.5 * (sPrev + bPrev)
+        val bCur = 0.5 * (sCur - sPrev) + 0.5 * bPrev
+        out += ((daily(i)._1, daily(i)._2, sCur, bCur))
+        sPrev = sCur; bPrev = bCur
+        i += 1
+      }
+      out.result().toSeq.toDF("d", "rev_c", "level", "trend")
+    }),
+
     "q_cusum" -> ((s, dir) => {
       // CUSUM changepoint statistics over the daily revenue series in
       // exact integer cents. The textbook recursion S_t = max(0,
@@ -3663,6 +3696,11 @@ operations:
     // division-free on both engines
     "dd_containment" ->
       """WITH t AS (SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents), s AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0), p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter FROM s a JOIN s b ON a.id <> b.id AND a.id % 10 = 0) SELECT id_a, id_b, n_a, n_b, inter, CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM p WHERE inter * 5 >= n_a * 4""",
+    // q_holt: recursive CTE replays the identical IEEE op order (all
+    // halvings at α=β=1/2) over the same exact daily integers — level
+    // and trend doubles are bit-identical
+    "q_holt" ->
+      """WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), idx AS (SELECT d, rev_c, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily), init AS (SELECT (SELECT CAST(rev_c AS DOUBLE) FROM idx WHERE i = 1) AS x1, (SELECT CAST(rev_c AS DOUBLE) FROM idx WHERE i = 2) AS x2), h(i, s, b) AS (SELECT CAST(1 AS BIGINT), x1, x2 - x1 FROM init UNION ALL SELECT h.i + 1, 0.5 * CAST(idx.rev_c AS DOUBLE) + 0.5 * (h.s + h.b), 0.5 * ((0.5 * CAST(idx.rev_c AS DOUBLE) + 0.5 * (h.s + h.b)) - h.s) + 0.5 * h.b FROM h JOIN idx ON idx.i = h.i + 1) SELECT idx.d, idx.rev_c, h.s AS level, h.b AS trend FROM h JOIN idx ON idx.i = h.i""",
     // er_entities: independent recursive-CTE transitive closure over the
     // quadratic levenshtein pair set — a different algorithm from the
     // engine's large-star/small-star components
