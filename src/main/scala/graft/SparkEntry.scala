@@ -2676,6 +2676,42 @@ operations:
         .filter(col("n_orders") > 0)
     }),
 
+    "ta_bootstrap" -> ((s, dir) => {
+      // deterministic Poisson bootstrap (Chamandy et al., "Estimating
+      // uncertainty for massive data streams", Google TR 2012 — the
+      // distributed bootstrap): row i's multiplicity in replicate j is
+      // the Poisson(1) inverse CDF applied to the 32-bit md5 fraction
+      // of (j, id) — NO RNG, so replicas are reproducible under any
+      // partitioning and replayable in the oracle. 40 replicates of the
+      // per-priority mean price; 95% CI from nearest-rank replicate
+      // order statistics (exact small-array ops, no window). Replicate
+      // means are one IEEE division of exact longs; the ×B fan-out is
+      // map-side (no pre-shuffle), and the CI frames are B rows/group.
+      val B = 40
+      val r = T(s, dir, "orders").select(
+        col("o_orderpriority").as("pri"),
+        round(col("o_totalprice") * 100).cast("long").as("x"),
+        col("o_orderkey").as("id"))
+      val js = s.range(B).select(col("id").as("j"))
+      val u = r.crossJoin(broadcast(js))
+        .withColumn("u32", conv(substring(md5(
+          concat(col("j").cast("string"), lit(":"), col("id").cast("string"))),
+          1, 8), 16, 10).cast("long"))
+      val m = u.withColumn("m", bootPoissonCdf(col("u32")))
+      val rm = m.groupBy("pri", "j")
+        .agg(sum(col("m") * col("x")).as("sx"), sum(col("m")).as("sm"))
+        .filter(col("sm") > 0)
+        .select(col("pri"), (col("sx").cast("double") / col("sm").cast("double")).as("mean"))
+      val ci = rm.groupBy("pri").agg(sort_array(collect_list(col("mean"))).as("ms"))
+        .select(col("pri"), element_at(col("ms"), 1).as("boot_lo"),
+          element_at(col("ms"), B - 1).as("boot_hi"))
+      val point = r.groupBy("pri").agg(count(lit(1)).as("n"),
+        (sum(col("x")).cast("double") / count(lit(1)).cast("double")).as("point_mean"))
+      point.join(ci, Seq("pri"))
+        .select(col("pri").as("o_orderpriority"), col("n"), col("point_mean"),
+          col("boot_lo"), col("boot_hi"))
+    }),
+
     "q_holt" -> ((s, dir) => {
       // Holt linear double-exponential smoothing (α=β=1/2) over the
       // daily revenue series — level + trend per day. The recurrence is
@@ -2741,6 +2777,20 @@ operations:
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
   private val hllP = 10
+
+  /** Poisson(1) inverse-CDF thresholds on the 32-bit hash fraction,
+    * floor(cdf·2³²) for k = 0..8 — the deterministic Poisson bootstrap's
+    * multiplicity table, shared verbatim between engine and oracle.
+    */
+  private val bootThresholds: Seq[Long] = Seq(1580030168L, 3160060337L,
+    3950075421L, 4213413783L, 4279248373L, 4292415291L, 4294609777L,
+    4294923276L, 4294962463L)
+
+  private def bootPoissonCdf(u32: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    bootThresholds.zipWithIndex.foldRight(
+      lit(9L): org.apache.spark.sql.Column) { case ((t, k), acc) =>
+      when(u32 < t, lit(k.toLong)).otherwise(acc)
+    }
 
   /** g_kcore's parts-per-order width cap, shared by query + oracle: the
     * co-purchase pair build is quadratic in order width, so pathological
@@ -3696,6 +3746,9 @@ operations:
     // division-free on both engines
     "dd_containment" ->
       """WITH t AS (SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents), s AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0), p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter FROM s a JOIN s b ON a.id <> b.id AND a.id % 10 = 0) SELECT id_a, id_b, n_a, n_b, inter, CAST(inter AS DOUBLE) / CAST(n_a AS DOUBLE) AS containment FROM p WHERE inter * 5 >= n_a * 4""",
+    // ta_bootstrap: multiplicities are integer threshold compares on
+    // the same md5; replicate means are divisions of exact longs
+    "ta_bootstrap" -> bootstrapOracleSql,
     // q_holt: recursive CTE replays the identical IEEE op order (all
     // halvings at α=β=1/2) over the same exact daily integers — level
     // and trend doubles are bit-identical
@@ -3815,6 +3868,15 @@ operations:
        |u AS (SELECT ro, rf, list_transform(range($m), i -> greatest(ro[CAST(i AS INTEGER) + 1], rf[CAST(i AS INTEGER) + 1])) AS ru FROM o, f),
        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O' INTERSECT SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'))
        |SELECT ${hllEstSql("ro")} AS hll_o, ${hllEstSql("rf")} AS hll_f, ${hllEstSql("ru")} AS hll_union, ${hllEstSql("ro")} + ${hllEstSql("rf")} - ${hllEstSql("ru")} AS hll_intersect, exact_intersect FROM u, ex""".stripMargin
+  }
+
+  /** ta_bootstrap replay: identical multiplicity table, identical exact
+    * sums, nearest-rank CI from the sorted replicate-mean list.
+    */
+  private lazy val bootstrapOracleSql: String = {
+    val cases = bootThresholds.zipWithIndex
+      .map { case (t, k) => s"WHEN u32 < $t THEN $k" }.mkString(" ")
+    s"""WITH jj AS (SELECT unnest(range(40)) AS j), r AS (SELECT o_orderpriority AS pri, CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_orderkey AS id FROM orders), u AS (SELECT pri, x, j, CAST('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || CAST(id AS VARCHAR)), 1, 8) AS BIGINT) AS u32 FROM r, jj), m AS (SELECT pri, j, x, CASE $cases ELSE 9 END AS m FROM u), rm AS (SELECT pri, j, CAST(sum(m * x) AS BIGINT) AS sx, CAST(sum(m) AS BIGINT) AS sm FROM m GROUP BY 1, 2), means AS (SELECT pri, CAST(sx AS DOUBLE) / CAST(sm AS DOUBLE) AS mean FROM rm WHERE sm > 0), ci AS (SELECT pri, (list_sort(list(mean)))[1] AS boot_lo, (list_sort(list(mean)))[39] AS boot_hi FROM means GROUP BY 1), pt AS (SELECT pri, CAST(count(*) AS BIGINT) AS n, CAST(CAST(sum(x) AS BIGINT) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS point_mean FROM r GROUP BY 1) SELECT pt.pri AS o_orderpriority, n, point_mean, boot_lo, boot_hi FROM pt JOIN ci ON pt.pri = ci.pri"""
   }
 
   /** ta_nbc / stream_nbc shared replay: full NBC train + score
