@@ -2676,6 +2676,19 @@ operations:
         .filter(col("n_orders") > 0)
     }),
 
+    "ta_nbc_eval" -> ((s, dir) => {
+      // the classifier eval loop: confusion matrix of the NBC source
+      // classifier on the HELD-OUT hash-half (the docs the model never
+      // saw) — the accuracy gate a production quality-classifier
+      // pipeline runs before trusting a model to filter a corpus
+      val scored = ext.LangModel.naiveBayes(
+        T(s, dir, "documents"), "doc_id", "text", "source")
+      scored
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 8) >= lit("80000000"))
+        .groupBy("cls_truth", "pred_cls")
+        .agg(count(lit(1)).as("n"))
+    }),
+
     "ta_bootstrap" -> ((s, dir) => {
       // deterministic Poisson bootstrap (Chamandy et al., "Estimating
       // uncertainty for massive data streams", Google TR 2012 — the
@@ -3749,6 +3762,8 @@ operations:
     // ta_bootstrap: multiplicities are integer threshold compares on
     // the same md5; replicate means are divisions of exact longs
     "ta_bootstrap" -> bootstrapOracleSql,
+    "ta_nbc_eval" ->
+      s"""SELECT cls_truth, pred_cls, CAST(count(*) AS BIGINT) AS n FROM ($nbcOracleSql) WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '80000000' GROUP BY 1, 2""",
     // q_holt: recursive CTE replays the identical IEEE op order (all
     // halvings at α=β=1/2) over the same exact daily integers — level
     // and trend doubles are bit-identical
