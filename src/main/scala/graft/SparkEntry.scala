@@ -2676,6 +2676,43 @@ operations:
         .filter(col("n_orders") > 0)
     }),
 
+    "ev_seasonality" -> ((s, dir) => {
+      // day-of-week seasonal profile + seasonally-adjusted daily series:
+      // per-dow revenue means in exact cents (integer div), each day's
+      // seasonal index as one IEEE division of exact longs. Two
+      // aggregates + a 7-row broadcast back onto the calendar-bounded
+      // daily frame — the decomposition pass ahead of q_holt's trend.
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .withColumn("dow", dayofweek(col("d")).cast("long"))
+      val prof = daily.groupBy("dow").agg(
+        count(lit(1)).as("n_days"),
+        sum(col("rev_c")).as("dow_rev_c"))
+        .withColumn("dow_mean_c", expr("dow_rev_c div n_days"))
+      daily.join(broadcast(prof.select(col("dow"), col("dow_mean_c"))), Seq("dow"))
+        .select(col("d"), col("dow"), col("rev_c"), col("dow_mean_c"),
+          (col("rev_c").cast("double") / col("dow_mean_c").cast("double"))
+            .as("seasonal_idx"))
+    }),
+
+    "q_yoy" -> ((s, dir) => {
+      // year-over-year growth per month: monthly revenue in exact cents,
+      // joined to the same month one year earlier (an equi-join on the
+      // month key — no window, no sort; the monthly frame is calendar-
+      // bounded). Growth in basis points as an exact integer floor.
+      val monthly = T(s, dir, "orders")
+        .groupBy(year(col("o_orderdate").cast("date")).as("y"),
+          month(col("o_orderdate").cast("date")).as("m"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      val prev = monthly.select((col("y") + 1).as("y"), col("m"),
+        col("rev_c").as("prev_rev_c"))
+      monthly.join(prev, Seq("y", "m"))
+        .select(col("y").cast("long").as("y"), col("m").cast("long").as("m"),
+          col("rev_c"), col("prev_rev_c"),
+          expr("((rev_c - prev_rev_c) * 10000) div prev_rev_c").as("yoy_bp"))
+    }),
+
     "ta_nbc_eval" -> ((s, dir) => {
       // the classifier eval loop: confusion matrix of the NBC source
       // classifier on the HELD-OUT hash-half (the docs the model never
@@ -3764,6 +3801,14 @@ operations:
     "ta_bootstrap" -> bootstrapOracleSql,
     "ta_nbc_eval" ->
       s"""SELECT cls_truth, pred_cls, CAST(count(*) AS BIGINT) AS n FROM ($nbcOracleSql) WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '80000000' GROUP BY 1, 2""",
+    // ev_seasonality: DuckDB dayofweek is Sunday=0, Spark's Sunday=1 —
+    // the +1 aligns them; integer div and the index division are exact
+    "ev_seasonality" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), dd AS (SELECT d, rev_c, CAST(dayofweek(d) + 1 AS BIGINT) AS dow FROM daily), prof AS (SELECT dow, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(rev_c) AS BIGINT) AS dow_rev_c FROM dd GROUP BY 1), p2 AS (SELECT dow, dow_rev_c // n_days AS dow_mean_c FROM prof) SELECT d, dd.dow, rev_c, dow_mean_c, CAST(rev_c AS DOUBLE) / CAST(dow_mean_c AS DOUBLE) AS seasonal_idx FROM dd JOIN p2 ON dd.dow = p2.dow""",
+    // q_yoy: DuckDB // truncates toward zero exactly like Spark's div
+    // (verified: -7 // 2 = -3), so negative growth agrees
+    "q_yoy" ->
+      """WITH monthly AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1, 2) SELECT a.y, a.m, a.rev_c, b.rev_c AS prev_rev_c, ((a.rev_c - b.rev_c) * 10000) // b.rev_c AS yoy_bp FROM monthly a JOIN monthly b ON a.y = b.y + 1 AND a.m = b.m""",
     // q_holt: recursive CTE replays the identical IEEE op order (all
     // halvings at α=β=1/2) over the same exact daily integers — level
     // and trend doubles are bit-identical
