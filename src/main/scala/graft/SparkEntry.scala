@@ -2676,6 +2676,44 @@ operations:
         .filter(col("n_orders") > 0)
     }),
 
+    "ev_growth" -> ((s, dir) => {
+      // weekly growth accounting (new / retained / resurrected /
+      // churned) — the product-analytics identity DAU dashboards are
+      // built on: per (user, week) activity, each week classified
+      // against the user's previous active week via ONE keyed lag
+      // window (user-partitioned — fully parallel), then a calendar-
+      // bounded per-week rollup. churned(w) = users active in w-1 but
+      // not w, counted by shifting each active week forward and
+      // anti-classifying — all exact integers.
+      // weeks are EPOCH-WEEK integers (days since Monday 1970-01-05,
+      // div 7) — no ISO week-of-year arithmetic, so "consecutive week"
+      // is exactly wk−1 even across year boundaries
+      import org.apache.spark.sql.expressions.Window
+      val uw = events(s, dir).select(col("user_id"),
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7 AS BIGINT)").as("wk"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy(col("wk").asc)
+      val classified = uw.withColumn("prev_wk", lag(col("wk"), 1).over(w))
+        .withColumn("status",
+          when(col("prev_wk").isNull, lit("new"))
+            .when(col("prev_wk") === col("wk") - 1, lit("retained"))
+            .otherwise(lit("resurrected")))
+      val active = classified.groupBy("wk").pivot("status",
+          Seq("new", "retained", "resurrected"))
+        .agg(count(lit(1)))
+        .na.fill(0L, Seq("new", "retained", "resurrected"))
+      // churned in week w = active in w-1 minus retained in w: per-week
+      // active counts shifted one week forward
+      val counts = uw.groupBy("wk").agg(count(lit(1)).as("n_active"))
+      val churn = counts.select((col("wk") + 1).as("wk"),
+        col("n_active").as("prev_active"))
+      active.join(counts, Seq("wk"))
+        .join(churn, Seq("wk"), "left")
+        .select(col("wk"), col("n_active"), col("new"), col("retained"),
+          col("resurrected"),
+          (coalesce(col("prev_active"), lit(0L)) - col("retained")).as("churned"))
+    }),
+
     "ev_seasonality" -> ((s, dir) => {
       // day-of-week seasonal profile + seasonally-adjusted daily series:
       // per-dow revenue means in exact cents (integer div), each day's
@@ -3801,6 +3839,9 @@ operations:
     "ta_bootstrap" -> bootstrapOracleSql,
     "ta_nbc_eval" ->
       s"""SELECT cls_truth, pred_cls, CAST(count(*) AS BIGINT) AS n FROM ($nbcOracleSql) WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) >= '80000000' GROUP BY 1, 2""",
+    // ev_growth: epoch-week integers on both engines; all counts exact
+    "ev_growth" ->
+      """WITH uw AS (SELECT DISTINCT user_id, date_diff('day', DATE '1970-01-05', CAST(ts AS DATE)) // 7 AS wk FROM events), cls AS (SELECT user_id, wk, lag(wk) OVER (PARTITION BY user_id ORDER BY wk) AS prev_wk FROM uw), st AS (SELECT wk, CASE WHEN prev_wk IS NULL THEN 'new' WHEN prev_wk = wk - 1 THEN 'retained' ELSE 'resurrected' END AS status FROM cls), act AS (SELECT wk, CAST(count(*) FILTER (WHERE status = 'new') AS BIGINT) AS "new", CAST(count(*) FILTER (WHERE status = 'retained') AS BIGINT) AS retained, CAST(count(*) FILTER (WHERE status = 'resurrected') AS BIGINT) AS resurrected FROM st GROUP BY 1), cnt AS (SELECT wk, CAST(count(*) AS BIGINT) AS n_active FROM uw GROUP BY 1), ch AS (SELECT wk + 1 AS wk, n_active AS prev_active FROM cnt) SELECT act.wk, n_active, "new", retained, resurrected, CAST(coalesce(prev_active, 0) - retained AS BIGINT) AS churned FROM act JOIN cnt ON act.wk = cnt.wk LEFT JOIN ch ON act.wk = ch.wk""",
     // ev_seasonality: DuckDB dayofweek is Sunday=0, Spark's Sunday=1 —
     // the +1 aligns them; integer div and the index division are exact
     "ev_seasonality" ->
