@@ -437,6 +437,28 @@ operations:
       ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
     }),
 
+    "sim_recall" -> ((s, dir) => {
+      // ANN index eval loop: recall@10 of multi-probe LSH vs the exact
+      // brute force per anchor — the accept/reject gate before trusting
+      // an approximate index (the ta_nbc_eval of the ANN family).
+      // recall is one IEEE division of an exact count by 10.
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val bf = ext.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val lsh = ext.Similarity.lshTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+      val hits = bf.join(lsh,
+          col("query_id") === col("lq") && col("neighbor_id") === col("ln"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
     "sim_topk_ivfpq" -> ((s, dir) => {
       // the composed FAISS IVFPQ tier: coarse cells bound the rows
       // scanned (nProbe), PQ codes bound the bytes per row, exact refine
@@ -3443,6 +3465,9 @@ operations:
          |SELECT d.doc_id, coalesce(a.n_chars, 0) AS n_chars, coalesce(a.clnc_micro, 0) AS clnc_micro FROM documents d LEFT JOIN a ON d.doc_id = a.doc_id""".stripMargin,
     "dd_embed" -> embedOracleSql,
     "sim_topk_lsh" -> lshTopKOracleSql,
+    // sim_recall: nests the exact brute-force and the full LSH replay,
+    // intersects neighbor sets per anchor
+    "sim_recall" -> simRecallOracleSql,
     "g_kcore" -> kcoreOracleSql,
     "g_labelprop" -> labelpropOracleSql,
     "dd_minhash" -> minhashOracleSql,
@@ -3970,6 +3995,16 @@ operations:
        |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_intersect FROM (SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'O' INTERSECT SELECT l_orderkey FROM lineitem WHERE l_linestatus = 'F'))
        |SELECT ${hllEstSql("ro")} AS hll_o, ${hllEstSql("rf")} AS hll_f, ${hllEstSql("ru")} AS hll_union, ${hllEstSql("ro")} + ${hllEstSql("rf")} - ${hllEstSql("ru")} AS hll_intersect, exact_intersect FROM u, ex""".stripMargin
   }
+
+  /** sim_recall replay: exact brute-force top-10 ∩ the full LSH replay
+    * per anchor, counted and divided by 10.
+    */
+  private lazy val simRecallOracleSql: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored) WHERE rn <= 10)),
+       |lsh AS (SELECT query_id, neighbor_id FROM ($lshTopKOracleSql)),
+       |h AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id GROUP BY 1),
+       |qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8)
+       |SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10 FROM qq LEFT JOIN h ON qq.query_id = h.query_id""".stripMargin
 
   /** ta_bootstrap replay: identical multiplicity table, identical exact
     * sums, nearest-rank CI from the sorted replicate-mean list.
