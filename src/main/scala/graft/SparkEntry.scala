@@ -2855,6 +2855,44 @@ operations:
       out.result().toSeq.toDF("d", "rev_c", "level", "trend")
     }),
 
+    "q_holt_winters" -> ((s, dir) => {
+      // additive Holt-Winters (α=β=γ=1/2, weekly period 7) over the
+      // daily revenue series — level + trend + seasonal per day. Same
+      // contract as q_holt: the distributed work is the daily
+      // aggregate; the sequential smoothing folds on the driver over
+      // the calendar-bounded series, and the oracle's recursive CTE
+      // carries the 7 seasonal states and replays the identical IEEE
+      // op order (all halvings + one exact /7.0 in the init), so every
+      // double is bit-identical.
+      import s.implicits._
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .orderBy("d")
+        .collect().map(r => (r.getDate(0), r.getLong(1)))
+      require(daily.length >= 15, "q_holt_winters: need at least 15 days")
+      val m1 = daily.take(7).map(_._2).sum.toDouble / 7.0
+      val m2 = daily.slice(7, 14).map(_._2).sum.toDouble / 7.0
+      var sPrev = m1
+      var bPrev = (m2 - m1) / 7.0
+      val c = Array.tabulate(7)(k => daily(k)._2.toDouble - m1)
+      val out = Array.newBuilder[(java.sql.Date, Long, Double, Double, Double)]
+      var i = 0
+      while (i < daily.length) {
+        val slot = i % 7
+        val x = daily(i)._2.toDouble
+        val cp = c(slot)
+        val sNew = 0.5 * (x - cp) + 0.5 * (sPrev + bPrev)
+        val bNew = 0.5 * (sNew - sPrev) + 0.5 * bPrev
+        val cNew = 0.5 * (x - sNew) + 0.5 * cp
+        c(slot) = cNew
+        out += ((daily(i)._1, daily(i)._2, sNew, bNew, cNew))
+        sPrev = sNew; bPrev = bNew
+        i += 1
+      }
+      out.result().toSeq.toDF("d", "rev_c", "level", "trend", "seasonal")
+    }),
+
     "q_cusum" -> ((s, dir) => {
       // CUSUM changepoint statistics over the daily revenue series in
       // exact integer cents. The textbook recursion S_t = max(0,
@@ -3875,6 +3913,7 @@ operations:
     // (verified: -7 // 2 = -3), so negative growth agrees
     "q_yoy" ->
       """WITH monthly AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1, 2) SELECT a.y, a.m, a.rev_c, b.rev_c AS prev_rev_c, ((a.rev_c - b.rev_c) * 10000) // b.rev_c AS yoy_bp FROM monthly a JOIN monthly b ON a.y = b.y + 1 AND a.m = b.m""",
+    "q_holt_winters" -> holtWintersOracleSql,
     // q_holt: recursive CTE replays the identical IEEE op order (all
     // halvings at α=β=1/2) over the same exact daily integers — level
     // and trend doubles are bit-identical
@@ -4005,6 +4044,30 @@ operations:
        |h AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id GROUP BY 1),
        |qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8)
        |SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10 FROM qq LEFT JOIN h ON qq.query_id = h.query_id""".stripMargin
+
+  /** q_holt_winters replay: recursive CTE carrying the 7 seasonal
+    * states; every arithmetic op written in the driver fold's order.
+    */
+  private lazy val holtWintersOracleSql: String = {
+    val cp = "(CASE (h.i % 7) + 1 " +
+      (1 to 7).map(k => s"WHEN $k THEN h.c$k").mkString(" ") + " END)"
+    val x = "CAST(idx.rev_c AS DOUBLE)"
+    val sNew = s"0.5 * ($x - $cp) + 0.5 * (h.s + h.b)"
+    val bNew = s"0.5 * (($sNew) - h.s) + 0.5 * h.b"
+    val cNew = s"0.5 * ($x - ($sNew)) + 0.5 * $cp"
+    val cCols = (1 to 7).map(k =>
+      s"CASE WHEN (h.i % 7) + 1 = $k THEN ($cNew) ELSE h.c$k END").mkString(", ")
+    val cInit = (1 to 7).map(k =>
+      s"(SELECT CAST(rev_c AS DOUBLE) FROM idx WHERE i = $k) - m1").mkString(", ")
+    s"""WITH RECURSIVE daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1),
+       |idx AS (SELECT d, rev_c, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i FROM daily),
+       |init AS (SELECT CAST((SELECT sum(rev_c) FROM idx WHERE i <= 7) AS DOUBLE) / 7.0 AS m1, CAST((SELECT sum(rev_c) FROM idx WHERE i > 7 AND i <= 14) AS DOUBLE) / 7.0 AS m2),
+       |h(i, s, b, cs, c1, c2, c3, c4, c5, c6, c7) AS (
+       |  SELECT CAST(0 AS BIGINT), m1, (m2 - m1) / 7.0, CAST(0 AS DOUBLE), $cInit FROM init
+       |  UNION ALL
+       |  SELECT h.i + 1, $sNew, $bNew, $cNew, $cCols FROM h JOIN idx ON idx.i = h.i + 1)
+       |SELECT idx.d, idx.rev_c, h.s AS level, h.b AS trend, h.cs AS seasonal FROM h JOIN idx ON idx.i = h.i WHERE h.i >= 1""".stripMargin
+  }
 
   /** ta_bootstrap replay: identical multiplicity table, identical exact
     * sums, nearest-rank CI from the sorted replicate-mean list.
