@@ -2492,6 +2492,52 @@ operations:
           (col("n").cast("double") / col("n_from").cast("double")).as("p"))
     }),
 
+    "ev_markov_steady" -> ((s, dir) => {
+      // steady-state of the ev_transitions Markov chain: 20 power
+      // iterations of v·P from the uniform start. The transition matrix
+      // is MODEL-sized (|event types|² ≤ 25 rows), so the distributed
+      // work is the pair counting; the iteration runs on the driver and
+      // the oracle replays it with list_reduce folds in the identical
+      // ascending-state order (every + and × in the same sequence —
+      // doubles bit-identical). States with no outgoing transitions
+      // self-loop (deterministic convention, applied in both engines).
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val pairs = events(s, dir).select(col("user_id"),
+          col("event_type").as("from_type"),
+          lead(col("event_type"), 1).over(w).as("to_type"))
+        .filter(col("to_type").isNotNull)
+      val cnt = pairs.groupBy("from_type", "to_type").agg(count(lit(1)).as("n"))
+      val tot = pairs.groupBy("from_type").agg(count(lit(1)).as("n_from"))
+      val rows = cnt.join(tot, Seq("from_type"))
+        .select(col("from_type"), col("to_type"), col("n"), col("n_from"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      val states = rows.flatMap(r => Seq(r._1, r._2)).distinct.sorted
+      val ns = states.length
+      val idx = states.zipWithIndex.toMap
+      val p = Array.ofDim[Double](ns, ns)
+      val hasOut = Array.fill(ns)(false)
+      rows.foreach { case (f, t, n, nf) =>
+        p(idx(f))(idx(t)) = n.toDouble / nf.toDouble
+        hasOut(idx(f)) = true
+      }
+      (0 until ns).foreach(i => if (!hasOut(i)) p(i)(i) = 1.0)
+      var v = Array.fill(ns)(1.0 / ns.toDouble)
+      var it = 0
+      while (it < 20) {
+        v = Array.tabulate(ns) { j =>
+          var acc = 0.0
+          var i = 0
+          while (i < ns) { acc = acc + v(i) * p(i)(j); i += 1 }
+          acc
+        }
+        it += 1
+      }
+      states.zipWithIndex.map { case (st, i) => (st, v(i)) }.toSeq
+        .toDF("event_type", "steady_p")
+    }),
+
     "q_checksum" -> ((s, dir) => {
       // order-free table fingerprints (anti-entropy / replication audit):
       // per-row canonical rendering → 60-bit md5 slice → bit_xor fold.
@@ -3914,6 +3960,7 @@ operations:
     "q_yoy" ->
       """WITH monthly AS (SELECT CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS y, CAST(month(CAST(o_orderdate AS DATE)) AS BIGINT) AS m, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1, 2) SELECT a.y, a.m, a.rev_c, b.rev_c AS prev_rev_c, ((a.rev_c - b.rev_c) * 10000) // b.rev_c AS yoy_bp FROM monthly a JOIN monthly b ON a.y = b.y + 1 AND a.m = b.m""",
     "q_holt_winters" -> holtWintersOracleSql,
+    "ev_markov_steady" -> markovSteadyOracleSql,
     // q_holt: recursive CTE replays the identical IEEE op order (all
     // halvings at α=β=1/2) over the same exact daily integers — level
     // and trend doubles are bit-identical
@@ -4044,6 +4091,28 @@ operations:
        |h AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM bf JOIN lsh ON bf.query_id = lsh.query_id AND bf.neighbor_id = lsh.neighbor_id GROUP BY 1),
        |qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8)
        |SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10 FROM qq LEFT JOIN h ON qq.query_id = h.query_id""".stripMargin
+
+  /** ev_markov_steady replay: the matrix as ordered list-of-lists, the
+    * power iteration as a recursive CTE whose inner products are
+    * list_reduce folds in ascending state order — the driver loop's
+    * exact op sequence.
+    */
+  private lazy val markovSteadyOracleSql: String =
+    """WITH RECURSIVE pr AS (SELECT user_id, event_type AS from_type, lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type FROM events),
+      |f AS (SELECT from_type, to_type FROM pr WHERE to_type IS NOT NULL),
+      |cnt AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(count(*) AS BIGINT) AS n_from FROM f GROUP BY 1),
+      |st AS (SELECT list_sort(list(DISTINCT s)) AS sts FROM (SELECT from_type AS s FROM f UNION SELECT to_type FROM f)),
+      |grid AS (SELECT fi.i AS fi, tj.i AS tj, sts[fi.i + 1] AS fs, sts[tj.i + 1] AS ts2 FROM st, unnest(range(len(sts))) fi(i), unnest(range(len(sts))) tj(i)),
+      |pm0 AS (SELECT g.fi, g.tj, CASE WHEN tot.n_from IS NULL THEN (CASE WHEN g.fi = g.tj THEN 1.0 ELSE 0.0 END) ELSE coalesce(CAST(cnt.n AS DOUBLE) / CAST(tot.n_from AS DOUBLE), 0.0) END AS p FROM grid g LEFT JOIN tot ON g.fs = tot.from_type LEFT JOIN cnt ON g.fs = cnt.from_type AND g.ts2 = cnt.to_type),
+      |pm AS (SELECT fi, list(p ORDER BY tj) AS prow FROM pm0 GROUP BY 1),
+      |mat AS (SELECT list(prow ORDER BY fi) AS m FROM pm),
+      |ns AS (SELECT len(sts) AS n FROM st),
+      |iter(k, v) AS (
+      |  SELECT 0, list_transform(range(n), x -> 1.0 / CAST(n AS DOUBLE)) FROM ns
+      |  UNION ALL
+      |  SELECT k + 1, list_transform(range(n), j -> list_reduce(list_prepend(CAST(0.0 AS DOUBLE), list_transform(range(n), i -> v[CAST(i AS INTEGER) + 1] * m[CAST(i AS INTEGER) + 1][CAST(j AS INTEGER) + 1])), (a, b) -> a + b)) FROM iter, mat, ns WHERE k < 20)
+      |SELECT sts[CAST(i AS INTEGER) + 1] AS event_type, v[CAST(i AS INTEGER) + 1] AS steady_p FROM (SELECT v FROM iter WHERE k = 20), st, unnest(range(len(sts))) t(i)""".stripMargin
 
   /** q_holt_winters replay: recursive CTE carrying the 7 seasonal
     * states; every arithmetic op written in the driver fold's order.
