@@ -22,15 +22,23 @@ object SparkEntry {
   private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's parquet reader
-    * rejects; read nanos as long (legacy conf) and convert to a regular
-    * microsecond timestamp (integer division — same truncation DuckDB
-    * applies when it narrows ns→µs).
+  /** Normalize the events `ts` column to a session-UTC TIMESTAMP whatever
+    * the fixture's physical type (the driver has shipped both): a
+    * TIMESTAMP(NANOS) parquet is read as a nanosecond long (legacy conf)
+    * and narrowed ns→µs by integer division — the same truncation DuckDB
+    * applies; TIMESTAMP_NTZ / TIMESTAMP pass through a cast that is
+    * value-preserving because the session zone is pinned to UTC.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   private[graft] def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    T(s, dir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    normalizeTs(T(s, dir, "events"))
   }
 
   private val tableNames = Seq("region", "nation", "customer", "supplier", "part",
@@ -1861,8 +1869,7 @@ operations:
       // can't affect the result — equals batch DISTINCT on the keys
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet"))
       val deduped = graft.streaming.Streams
         .dedupWithinWatermark(stream, Seq("user_id", "event_type"), "1 hour")
         .select("user_id", "event_type")
@@ -1974,8 +1981,7 @@ operations:
       // file streaming sources take a directory or glob, not a plain file —
       // the [e] character-class glob matches only events.parquet but keeps
       // the path a glob so basePath resolves to the directory
-      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet"))
       val agg = stream
         .withWatermark("ts", "1 hour")
         .groupBy(window(col("ts"), "1 hour"), col("event_type"))
@@ -1999,8 +2005,7 @@ operations:
       // join ran inside the stream — result equals the batch join oracle
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet"))
       val dim = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
       val joined = stream.join(broadcast(dim), Seq("user_id"), "inner")
@@ -2038,8 +2043,7 @@ operations:
       // (strictly-greater starts a session) — pinned by StreamingSpec.
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val stream = normalizeTs(s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet"))
         .select("user_id", "ts", "value")
       val agg = streaming.Streams.sessionWindowAgg(stream)
       s.catalog.dropTempView("graft_stream_sessions")
@@ -2097,8 +2101,7 @@ operations:
       // batch self-join oracle exactly
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
-      def src = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = normalizeTs(s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet"))
       val views = src.filter(col("event_type") === "view")
         .select(col("user_id"), col("event_id").as("view_id"), col("ts").as("view_ts"))
       val purchases = src.filter(col("event_type") === "purchase")
@@ -2966,11 +2969,105 @@ operations:
           (col("pn") - least(lit(0L), min(col("pn")).over(w))).as("s_dn"),
           ((col("p") - least(lit(0L), min(col("p")).over(w))) > col("mu_c")).as("alarm_up"),
           ((col("pn") - least(lit(0L), min(col("pn")).over(w))) > col("mu_c")).as("alarm_dn"))
+    }),
+
+    "q_logreg" -> ((s, dir) => {
+      // distributed logistic regression: 8 unrolled full-batch gradient
+      // steps predicting order status 'F' from (order year, price).
+      // The sigmoid is the rational "fast sigmoid" 0.5 + z/(2(1+|z|)) —
+      // only +,×,÷,|·| — so every per-row double is an identical IEEE
+      // operation tree in both engines (no libm exp to diverge by an
+      // ulp), and each step's gradient is accumulated as EXACT micro-
+      // scaled integers (order-free sum). Per step: ONE mergeable
+      // aggregate over the data; the 3-weight update runs on the driver
+      // (work bounded by model size, the ev_markov/k-means pattern).
+      val base = T(s, dir, "orders").select(
+          when(col("o_orderstatus") === "F", lit(1.0d)).otherwise(lit(0.0d)).as("y"),
+          (year(col("o_orderdate").cast("date")) - lit(1995)).cast("double").as("x1"),
+          (round(col("o_totalprice") * 100).cast("long").cast("double") / lit(1.0e7)).as("x2"))
+        .localCheckpoint(true)
+      val n = base.count()
+      val nD = n.toDouble
+      var w = Array(0.0, 0.0, 0.0)
+      def z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2")
+      def sig = lit(0.5) + z / (lit(2.0) * (lit(1.0) + abs(z)))
+      var step = 0
+      while (step < 8) {
+        val err = sig - col("y")
+        val r = base.agg(
+          sum(round(err * lit(1.0e6)).cast("long")).as("g0"),
+          sum(round(err * col("x1") * lit(1.0e6)).cast("long")).as("g1"),
+          sum(round(err * col("x2") * lit(1.0e6)).cast("long")).as("g2")).collect()(0)
+        w = Array(
+          w(0) - 0.5 * ((r.getLong(0).toDouble / 1.0e6) / nD),
+          w(1) - 0.5 * ((r.getLong(1).toDouble / 1.0e6) / nD),
+          w(2) - 0.5 * ((r.getLong(2).toDouble / 1.0e6) / nD))
+        step += 1
+      }
+      base.agg(count(lit(1)).as("n"),
+          sum(when((sig >= lit(0.5)) === (col("y") === lit(1.0)), lit(1L))
+            .otherwise(lit(0L))).as("n_correct"))
+        .select(lit(w(0)).as("w0"), lit(w(1)).as("w1"), lit(w(2)).as("w2"),
+          col("n"), col("n_correct"))
+    }),
+
+    "ev_assoc" -> ((s, dir) => {
+      // market-basket association rules (Agrawal–Srikant support/
+      // confidence/lift) over order baskets with part BRANDS as items.
+      // Item domain is 25 brands so per-basket pair fan-out is bounded
+      // by C(25,2); the same giant-basket cap as g_kcore guards the
+      // pathological case at scale (a basket wider than the cap would
+      // be dropped with an observed-drop count — never binds here).
+      // All statistics are exact integer counts; support/confidence/
+      // lift are single divisions of those integers with the identical
+      // operation tree in the oracle, so the doubles are bit-identical.
+      val items = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
+        .distinct()
+      val widths = items.groupBy("o").agg(count(lit(1)).as("w"))
+      val dropped = widths.filter(col("w") > assocBasketCap)
+      val nDropped = dropped.count()
+      if (nDropped > 0)
+        System.err.println(s"[ev_assoc] dropped $nDropped baskets wider than $assocBasketCap")
+      val capped = items.join(
+        widths.filter(col("w") <= assocBasketCap).select("o"), Seq("o"), "left_semi")
+      val nOrders = capped.select("o").distinct().count()
+      val itemCnt = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
+      val pairCnt = capped.as("a")
+        .join(capped.as("b"), col("a.o") === col("b.o") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("ia"), col("b.item").as("ib"))
+        .agg(count(lit(1)).as("n_both"))
+        .filter(col("n_both") >= 50)
+      // directed rules both ways from the undirected pair counts
+      val rules = pairCnt
+        .select(col("ia").as("antecedent"), col("ib").as("consequent"), col("n_both"))
+        .union(pairCnt
+          .select(col("ib").as("antecedent"), col("ia").as("consequent"), col("n_both")))
+      rules
+        .join(broadcast(itemCnt.withColumnRenamed("item", "antecedent")
+          .withColumnRenamed("n_item", "n_ante")), Seq("antecedent"))
+        .join(broadcast(itemCnt.withColumnRenamed("item", "consequent")
+          .withColumnRenamed("n_item", "n_cons")), Seq("consequent"))
+        .select(col("antecedent"), col("consequent"),
+          col("n_both"), col("n_ante"), col("n_cons"), lit(nOrders).as("n_orders"),
+          (col("n_both").cast("double") / lit(nOrders).cast("double")).as("support"),
+          (col("n_both").cast("double") / col("n_ante").cast("double")).as("confidence"),
+          ((col("n_both").cast("double") / col("n_ante").cast("double")) /
+            (col("n_cons").cast("double") / lit(nOrders).cast("double"))).as("lift"))
     })
   )
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
   private val hllP = 10
+
+  /** ev_assoc giant-basket guard: baskets with more distinct items than
+    * this are dropped (with an observed-drop count) before the pair
+    * expansion — C(cap,2) bounds the per-basket fan-out at scale. The
+    * brand domain is 25, so the cap never binds on the test fixtures;
+    * the oracle applies the same cap.
+    */
+  private val assocBasketCap = 32
 
   /** Poisson(1) inverse-CDF thresholds on the 32-bit hash fraction,
     * floor(cdf·2³²) for k = 0..8 — the deterministic Poisson bootstrap's
@@ -3766,6 +3863,30 @@ operations:
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n_events, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS value_c FROM events GROUP BY 1, 2""",
     "stream_dedup" ->
       "SELECT DISTINCT user_id, event_type FROM events",
+    // ev_assoc: exact integer counts; support/confidence/lift divisions
+    // mirror the Spark operation tree term for term (bit-identical doubles)
+    "ev_assoc" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS o, p_brand AS item
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         capped AS (SELECT * FROM items
+           WHERE o IN (SELECT o FROM items GROUP BY o HAVING count(*) <= 32)),
+         n_ord AS (SELECT count(DISTINCT o) AS n_orders FROM capped),
+         ic AS (SELECT item, count(*) AS n_item FROM capped GROUP BY item),
+         pc AS (SELECT a.item AS ia, b.item AS ib, count(*) AS n_both
+           FROM capped a JOIN capped b ON a.o = b.o AND a.item < b.item
+           GROUP BY 1, 2 HAVING count(*) >= 50),
+         rules AS (SELECT ia AS antecedent, ib AS consequent, n_both FROM pc
+           UNION ALL SELECT ib, ia, n_both FROM pc)
+         SELECT antecedent, consequent, n_both,
+                na.n_item AS n_ante, nc.n_item AS n_cons, n_orders,
+                CAST(n_both AS DOUBLE) / CAST(n_orders AS DOUBLE) AS support,
+                CAST(n_both AS DOUBLE) / CAST(na.n_item AS DOUBLE) AS confidence,
+                (CAST(n_both AS DOUBLE) / CAST(na.n_item AS DOUBLE)) /
+                  (CAST(nc.n_item AS DOUBLE) / CAST(n_orders AS DOUBLE)) AS lift
+         FROM rules JOIN ic na ON rules.antecedent = na.item
+                    JOIN ic nc ON rules.consequent = nc.item
+                    CROSS JOIN n_ord""",
+    "q_logreg" -> logregOracleSql,
     "stream_recovery" ->
       """WITH r AS (SELECT user_id, event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_c, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) SELECT user_id, event_id, event_type, value_c FROM r WHERE rn = 1""",
     "stream_enrich" ->
@@ -4166,6 +4287,48 @@ operations:
       |  (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det AS beta1,
       |  (a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det AS beta2,
       |  n FROM s""".stripMargin
+
+  /** q_logreg replay: 8 unrolled gradient steps. The rational fast
+    * sigmoid keeps every per-row double an identical IEEE operation
+    * tree, and each step's gradient is an exact micro-scaled integer
+    * sum (order-free), so the weight trajectory — and therefore the
+    * final weights and accuracy count — is bit-identical to the
+    * driver loop's.
+    */
+  private lazy val logregOracleSql: String = {
+    def errExpr(w: String) =
+      s"((0.5 + ($w.w0 + $w.w1 * b.x1 + $w.w2 * b.x2) / " +
+        s"(2.0 * (1.0 + abs($w.w0 + $w.w1 * b.x1 + $w.w2 * b.x2)))) - b.y)"
+    val steps = (1 to 8).map { k =>
+      val p = s"w${k - 1}"
+      val e = errExpr(p)
+      s"""g$k AS (SELECT sum(CAST(round($e * 1000000.0) AS BIGINT)) AS g0,
+         |  sum(CAST(round($e * b.x1 * 1000000.0) AS BIGINT)) AS g1,
+         |  sum(CAST(round($e * b.x2 * 1000000.0) AS BIGINT)) AS g2
+         |  FROM base b CROSS JOIN $p),
+         |w$k AS (SELECT
+         |  $p.w0 - 0.5 * ((CAST(g$k.g0 AS DOUBLE) / 1000000.0) / nr.nd) AS w0,
+         |  $p.w1 - 0.5 * ((CAST(g$k.g1 AS DOUBLE) / 1000000.0) / nr.nd) AS w1,
+         |  $p.w2 - 0.5 * ((CAST(g$k.g2 AS DOUBLE) / 1000000.0) / nr.nd) AS w2
+         |  FROM $p, g$k, nr)""".stripMargin
+    }.mkString(",\n")
+    val sigF = "(0.5 + (w8.w0 + w8.w1 * b.x1 + w8.w2 * b.x2) / " +
+      "(2.0 * (1.0 + abs(w8.w0 + w8.w1 * b.x1 + w8.w2 * b.x2))))"
+    s"""WITH base AS (SELECT
+       |    CASE WHEN o_orderstatus = 'F' THEN 1.0 ELSE 0.0 END AS y,
+       |    CAST(year(CAST(o_orderdate AS DATE)) - 1995 AS DOUBLE) AS x1,
+       |    CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE) / 10000000.0 AS x2
+       |  FROM orders),
+       |nr AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM base),
+       |w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2),
+       |$steps,
+       |fin AS (SELECT $sigF AS sig, b.y FROM base b CROSS JOIN w8)
+       |SELECT w8.w0 AS w0, w8.w1 AS w1, w8.w2 AS w2,
+       |  (SELECT count(*) FROM base) AS n,
+       |  CAST((SELECT sum(CASE WHEN (sig >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+       |        FROM fin) AS BIGINT) AS n_correct
+       |FROM w8""".stripMargin
+  }
 
   /** q_ols: identical integer Gram sums, then the IDENTICAL double Cramer
     * expression tree (each *, -, + in the same order as the driver code).

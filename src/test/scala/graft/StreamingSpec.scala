@@ -10,11 +10,7 @@ import org.apache.spark.sql.functions._
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
-  private def batchEvents = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sf0001/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
+  private def batchEvents = SparkEntry.events(spark, sf0001)
 
   test("streaming windowed agg over the events table matches the batch result") {
     // stage the events as a stream source dir with a µs-timestamp copy
