@@ -428,6 +428,14 @@ operations:
       ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
     }),
 
+    "sim_mips" -> ((s, dir) => {
+      // maximum-inner-product top-k (dot-product retrieval scoring —
+      // magnitude-aware, distinct from sim_topk's cosine); brute
+      // baseline with the same broadcast + bounded-heap shuffle shape
+      val emb = T(s, dir, "embeddings")
+      ext.Similarity.mipsTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+    }),
+
     "sim_topk_ivf" -> ((s, dir) => {
       // trained-centroid IVF: k-means cells + nProbe probing (FAISS
       // IVF-Flat shape as DataFrame ops); fixed-point Lloyd training +
@@ -617,6 +625,36 @@ operations:
       // deterministic hash-based train/val/test assignment (80/10/10)
       ext.Sampling.hashSplit(T(s, dir, "documents"), col("doc_id"))
         .select("doc_id", "split")
+    }),
+
+    "ta_group_split" -> ((s, dir) => {
+      // leakage-PROOF splitting (vs ta_leakage's after-the-fact audit):
+      // the split unit is the near-duplicate CLUSTER, not the document —
+      // hash the cluster representative (min-id component label from the
+      // minhash pair graph), so every near-dup family lands in ONE split
+      // by construction. Composes minhashPairs + componentsFor +
+      // hashSplit; ids-only shuffles throughout.
+      val docs = T(s, dir, "documents")
+      val comp = ext.Graph.componentsFor(docs.select(col("doc_id")), "doc_id",
+        ext.Dedup.minhashPairs(docs, "doc_id", "text"), "id_a", "id_b")
+      ext.Sampling.hashSplit(
+          comp.select(col("doc_id"), col("component").as("cluster_rep")),
+          col("cluster_rep"))
+        .select("doc_id", "cluster_rep", "split")
+    }),
+
+    "q_ldiv" -> ((s, dir) => {
+      // l-diversity audit (privacy governance beyond q_kanon's group
+      // sizes): per quasi-identifier group of the published join, the
+      // number of DISTINCT sensitive values — a k-anonymous group with
+      // one sensitive value still leaks it (homogeneity attack).
+      // One hash aggregate; count_distinct is exact per group.
+      T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count_distinct(col("o_orderpriority")).as("l_distinct"))
+        .withColumn("ok", col("l_distinct") >= 3)
     }),
 
     "ta_leakage" -> ((s, dir) => {
@@ -2971,6 +3009,142 @@ operations:
           ((col("pn") - least(lit(0L), min(col("pn")).over(w))) > col("mu_c")).as("alarm_dn"))
     }),
 
+    "dd_spans" -> ((s, dir) => {
+      // exact duplicated-SPAN extraction across documents (the substring-
+      // dedup shape of Lee et al. "Deduplicating Training Data Makes
+      // Language Models Better", at word-gram granularity): positional
+      // 8-gram fingerprints; boilerplate grams dropped by a posting-list
+      // cap (the LSH bucket-cap pattern — a gram seen everywhere would
+      // go quadratic in the match join, and carries no span signal);
+      // cross-doc matches at constant offset merged into MAXIMAL runs
+      // with the islands trick (pos − rank is constant exactly on a
+      // contiguous shared span). Every shuffle is keyed (gram, then
+      // doc-pair+offset) — no global sort, no all-pairs join.
+      import org.apache.spark.sql.expressions.Window
+      val posts = T(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(ext.Dedup.wordNgrams(col("text"), 8)).as(Seq("p", "gs")))
+        .select(col("doc_id"), col("p").cast("long").as("pos"),
+          expr("CAST(conv(substring(md5(gs), 1, 15), 16, 10) AS BIGINT)").as("g"))
+      val busy = posts.groupBy("g").agg(count(lit(1)).as("nf"))
+        .filter(col("nf") > spanPostingCap)
+      val nBusy = busy.count()
+      if (nBusy > 0)
+        System.err.println(s"[dd_spans] dropped $nBusy grams with > $spanPostingCap postings")
+      val kept = posts.join(busy.select("g"), Seq("g"), "left_anti")
+      val m = kept.as("a").join(kept.as("b"),
+          col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.pos").as("pa"), col("b.pos").as("pb"),
+          (col("a.pos") - col("b.pos")).as("delta"))
+      val w = Window.partitionBy("doc_a", "doc_b", "delta").orderBy(col("pa"))
+      m.withColumn("grp", col("pa") - row_number().over(w))
+        .groupBy("doc_a", "doc_b", "delta", "grp")
+        .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+          count(lit(1)).as("n_grams"))
+        .filter(col("n_grams") >= 3)
+        .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+          col("n_grams"), (col("n_grams") + lit(7L)).as("span_tokens"))
+    }),
+
+    "stream_cms" -> ((s, dir) => {
+      // STREAMING heavy-hitter sketch: the same mergeable Count-Min
+      // counter matrix aggregated over a file stream (complete mode).
+      // The merge is an elementwise sum — order- and slicing-free — so
+      // the streamed sketch EQUALS the batch one however the source is
+      // micro-batched, and sk_cms's exact collided-counter oracle
+      // replays it unchanged.
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[l]ineitem.parquet")
+      val skS = stream.select(col("l_partkey").cast("string").as("g"))
+        .agg(graft.functions.SketchAgg.cmsCounters(col("g"), cmsDepth, cmsLogW).as("cms"))
+      s.catalog.dropTempView("graft_stream_cms")
+      val q = skS.writeStream.format("memory").queryName("graft_stream_cms")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val keys = T(s, dir, "lineitem").select(col("l_partkey").cast("string").as("g"))
+      val heavy = keys.groupBy("g").agg(count(lit(1)).as("true_cnt"))
+        .filter(col("true_cnt") >= 45)
+      heavy.join(broadcast(s.table("graft_stream_cms")))
+        .select(col("g").cast("long").as("l_partkey"), col("true_cnt"),
+          graft.functions.SketchAgg.cmsEstimate(
+            col("cms"), col("g"), cmsDepth, cmsLogW).as("cms_est"))
+    }),
+
+    "q_theilsen" -> ((s, dir) => {
+      // Theil–Sen robust trend of the daily revenue series: the median
+      // of pairwise slopes, restricted to pairs ≤ 365 days apart so the
+      // pair count grows LINEARLY in the calendar (unwindowed Theil–Sen
+      // is quadratic in days). The date-range pairing is an explode of
+      // bounded integer offsets + an EQUI-join (never an inequality
+      // join's nested loop); slopes are exact micro-cents/day via
+      // integral division (truncation toward zero — verified identical
+      // in both engines, negatives included); the median is picked by
+      // EXACT distributed rank (Ranks.groupedRank — range-partitioned
+      // ranks + offset scalars, no single-partition sort). Slope
+      // numerators are 10⁶·Δcents — bigint-safe through ~10¹² daily
+      // cents; beyond that, downscale the unit (ANSI overflow throws
+      // loudly rather than corrupting).
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .localCheckpoint(true)
+      val pairs = daily
+        .withColumn("off", explode(sequence(lit(1), lit(365))))
+        .withColumn("d2", date_add(col("d"), col("off")))
+        .as("a")
+        .join(daily.as("b"), col("b.d") === col("a.d2"))
+        .select(col("a.d").as("da"), col("a.off").as("off"),
+          expr("(1000000 * (b.rev_c - a.rev_c)) div a.off").as("slope_micro"))
+      val ranked = ext.Ranks.groupedRank(
+        pairs.withColumn("__grp__", lit(0)), "__grp__",
+        Seq(col("slope_micro"), col("da"), col("off")), "rn")
+      ranked.filter(expr("rn = (rn_n + 1) div 2"))
+        .select(col("slope_micro").as("median_slope_micro"),
+          col("rn_n").as("n_pairs"))
+    }),
+
+    "q_acf" -> ((s, dir) => {
+      // autocorrelation of the daily revenue series at lags 1..7, the
+      // ENGINE-EXACT way (q_moments' doctrine): deviations are taken
+      // against the integer-truncated mean, the per-lag numerator and
+      // the denominator are EXACT decimal sums (order-free), and the
+      // correlation is presented as a micro-scaled integer via
+      // sign-split integral division (truncation toward zero matches
+      // in both engines on nonnegative operands). The only window is a
+      // row_number over the DAILY aggregate — a calendar-bounded frame
+      // (q_cusum's argument), everything else is keyed shuffles.
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      val tot = daily.agg(sum(col("rev_c")).as("tr"), count(lit(1)).as("nd"))
+      val mu = tot.select(expr("tr div nd").as("mu_c"), col("nd"))
+      val dev = daily.crossJoin(broadcast(mu))
+        .select(col("d"), (col("rev_c") - col("mu_c")).as("dv"),
+          col("mu_c"), col("nd"))
+        .withColumn("i", row_number().over(Window.orderBy(col("d"))))
+        .localCheckpoint(true)
+      val den = dev.agg(
+        sum(col("dv").cast("decimal(18,0)") * col("dv").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("den"))
+      val pairs = (1 to 7).map { k =>
+        dev.as("a").join(dev.as("b"), col("b.i") === col("a.i") + k)
+          .select(lit(k).as("lag_k"), col("a.dv").as("da"), col("b.dv").as("db"))
+      }.reduce(_ union _)
+      val num = pairs.groupBy("lag_k").agg(
+        sum(col("da").cast("decimal(18,0)") * col("db").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as("num"),
+        count(lit(1)).as("n_pairs"))
+      num.crossJoin(broadcast(den)).crossJoin(broadcast(mu))
+        .select(col("lag_k"), col("nd").as("n_days"), col("n_pairs"), col("mu_c"),
+          col("num").cast("string").as("num"), col("den").cast("string").as("den"),
+          expr("CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT)" +
+            " * (CAST(abs(num) * 1000000 AS DECIMAL(38,0)) div den)").as("r_micro"))
+    }),
+
     "q_logreg" -> ((s, dir) => {
       // distributed logistic regression: 8 unrolled full-batch gradient
       // steps predicting order status 'F' from (order year, price).
@@ -3060,6 +3234,14 @@ operations:
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
   private val hllP = 10
+
+  /** dd_spans boilerplate guard: grams whose corpus-wide posting list
+    * exceeds this are dropped before the positional match join (their
+    * pair fan-out is quadratic in the posting count and they carry no
+    * span signal — same rationale as the LSH bucket caps). The oracle
+    * applies the identical cap.
+    */
+  private val spanPostingCap = 50
 
   /** ev_assoc giant-basket guard: baskets with more distinct items than
     * this are dropped (with an observed-drop count) before the pair
@@ -3247,6 +3429,18 @@ operations:
   private lazy val minhashDedupOracleSql: String =
     s"""WITH RECURSIVE $minhashCompCtes
        |SELECT d.doc_id, d.lang, d.source FROM documents d JOIN comp c ON d.doc_id = c.id WHERE c.root = c.id""".stripMargin
+
+  /** ta_group_split: the minhash component replay labels each doc with
+    * its min-id cluster root; the split thresholds are ta_split's,
+    * applied to the ROOT's hash.
+    */
+  private lazy val groupSplitOracleSql: String =
+    s"""WITH RECURSIVE $minhashCompCtes
+       |SELECT c.id AS doc_id, c.root AS cluster_rep,
+       |  CASE WHEN substr(md5(CAST(c.root AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train'
+       |       WHEN substr(md5(CAST(c.root AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM comp c""".stripMargin
 
   /** dd_report: per-source dedup impact — how many docs the transitive
     * minhash dedup removes from each source.
@@ -3673,6 +3867,13 @@ operations:
          |f AS (SELECT d.doc_id, md5(d.text) AS fp, qs.quality_bp FROM documents d JOIN qs ON d.doc_id = qs.doc_id)
          |SELECT DISTINCT fp, quality_bp FROM f WHERE quality_bp >= 5000 AND fp NOT IN (SELECT fp FROM cfp)""".stripMargin,
     "dd_minhash_dedup" -> minhashDedupOracleSql,
+    "ta_group_split" -> groupSplitOracleSql,
+    "q_ldiv" ->
+      """SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n_rows,
+                CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS l_distinct,
+                count(DISTINCT o_orderpriority) >= 3 AS ok
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         GROUP BY 1, 2""",
     "dd_report" -> dedupReportOracleSql,
     // ta_leakage: minhash pair replay × the md5-threshold split replay
     "ta_leakage" ->
@@ -3848,6 +4049,16 @@ operations:
          SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
          WHERE rn <= 10""",
+    // sim_mips: same replay as sim_topk minus the norm division
+    "sim_mips" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+                  list_dot_product(d.v, q.v) AS score
+           FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id)
+         SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+         FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+         WHERE rn <= 10""",
     "ta_quality_score" -> qualityScoreOracleSql,
     "ta_langid" ->
       """WITH base AS (SELECT doc_id, lang AS lang_truth, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), scores AS (SELECT doc_id, lang_truth, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, lang_truth, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base) SELECT doc_id, lang_truth, lang_guess FROM (SELECT doc_id, lang_truth, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1""",
@@ -3887,6 +4098,64 @@ operations:
                     JOIN ic nc ON rules.consequent = nc.item
                     CROSS JOIN n_ord""",
     "q_logreg" -> logregOracleSql,
+    // dd_spans: identical positional fingerprints, identical posting cap,
+    // identical islands grouping — exact replay
+    "dd_spans" ->
+      """WITH toks AS (SELECT doc_id,
+           list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t
+           FROM documents),
+         posts AS (SELECT doc_id, CAST(u.i AS BIGINT) AS pos,
+           CAST('0x' || substr(md5(array_to_string(t[(u.i+1):(u.i+8)], ' ')), 1, 15) AS BIGINT) AS g
+           FROM toks, unnest(CASE WHEN len(t) >= 8 THEN range(len(t)-7) ELSE [] END) u(i)),
+         busy AS (SELECT g FROM posts GROUP BY g HAVING count(*) > 50),
+         kept AS (SELECT * FROM posts WHERE g NOT IN (SELECT g FROM busy)),
+         m AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb,
+                 a.pos - b.pos AS delta
+           FROM kept a JOIN kept b ON a.g = b.g AND a.doc_id < b.doc_id),
+         runs AS (SELECT doc_a, doc_b, delta, pa, pb,
+                 pa - row_number() OVER (PARTITION BY doc_a, doc_b, delta ORDER BY pa) AS grp
+           FROM m)
+         SELECT doc_a, doc_b, CAST(min(pa) AS BIGINT) AS start_a,
+                CAST(min(pb) AS BIGINT) AS start_b,
+                CAST(count(*) AS BIGINT) AS n_grams,
+                CAST(count(*) + 7 AS BIGINT) AS span_tokens
+         FROM runs GROUP BY doc_a, doc_b, delta, grp HAVING count(*) >= 3""",
+    // q_theilsen: identical integral-division slopes (truncation toward
+    // zero verified identical in both engines), lower median by exact rank
+    "q_theilsen" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1),
+         pairs AS (SELECT a.d AS da, date_diff('day', a.d, b.d) AS off,
+             (1000000 * (b.rev_c - a.rev_c)) // date_diff('day', a.d, b.d) AS slope_micro
+           FROM daily a JOIN daily b ON b.d > a.d AND b.d <= a.d + INTERVAL 365 DAY),
+         n AS (SELECT count(*) AS n_pairs FROM pairs)
+         SELECT slope_micro AS median_slope_micro, n_pairs
+         FROM (SELECT slope_micro, row_number() OVER (ORDER BY slope_micro, da, off) AS rn
+               FROM pairs), n
+         WHERE rn = (n_pairs + 1) // 2""",
+    // q_acf: exact decimal/HUGEINT sufficient statistics; r_micro via
+    // sign-split integral division (nonnegative operands truncate the
+    // same way in both engines)
+    "q_acf" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c
+           FROM orders GROUP BY 1),
+         tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS tr, count(*) AS nd FROM daily),
+         mu AS (SELECT tr // nd AS mu_c, nd FROM tot),
+         dev AS (SELECT d, rev_c - mu_c AS dv, row_number() OVER (ORDER BY d) AS i
+           FROM daily, mu),
+         den AS (SELECT sum(CAST(dv AS HUGEINT) * dv) AS den FROM dev),
+         lags AS (SELECT CAST(unnest(range(1, 8)) AS INTEGER) AS lag_k),
+         pairs AS (SELECT l.lag_k, a.dv AS da, b.dv AS db
+           FROM lags l CROSS JOIN dev a JOIN dev b ON b.i = a.i + l.lag_k),
+         num AS (SELECT lag_k, sum(CAST(da AS HUGEINT) * db) AS num,
+           count(*) AS n_pairs FROM pairs GROUP BY 1)
+         SELECT lag_k, mu.nd AS n_days, n_pairs, mu.mu_c,
+           CAST(num AS VARCHAR) AS num, CAST(den.den AS VARCHAR) AS den,
+           CAST(CASE WHEN num < 0 THEN -1 WHEN num > 0 THEN 1 ELSE 0 END AS BIGINT) *
+             CAST((abs(num) * 1000000) // den.den AS BIGINT) AS r_micro
+         FROM num, den, mu""",
     "stream_recovery" ->
       """WITH r AS (SELECT user_id, event_id, event_type, CAST(round(value * 100) AS BIGINT) AS value_c, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn FROM events) SELECT user_id, event_id, event_type, value_c FROM r WHERE rn = 1""",
     "stream_enrich" ->
@@ -3994,6 +4263,8 @@ operations:
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), grams AS (SELECT doc_id, unnest(CASE WHEN len(t) >= 8 THEN list_transform(range(len(t)-7), i -> array_to_string(t[(i+1):(i+8)], ' ')) ELSE [] END) AS g FROM toks), bench AS (SELECT DISTINCT g FROM grams WHERE doc_id IN (SELECT doc_id FROM documents WHERE substr(md5(CAST(doc_id AS VARCHAR)),1,8) < '0ccccccd')), hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits FROM grams WHERE g IN (SELECT g FROM bench) GROUP BY doc_id) SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits, coalesce(h.n_hits, 0) > 0 AS contaminated FROM documents d LEFT JOIN hits h USING (doc_id)""",
     "sk_hll" -> hllOracleSql,
     "sk_cms" -> cmsOracleSql,
+    // stream_cms: elementwise-sum merge makes streamed ≡ batch — same oracle
+    "stream_cms" -> cmsOracleSql,
     "q_ols" -> olsOracleSql,
     // stream_hll: order-free max-merge ⇒ streamed registers equal batch
     "stream_hll" -> hllOracleSql,

@@ -77,6 +77,26 @@ object Similarity {
       .select(col("query_id"), (col("pos") + 1).as("rank"),
         col("col.neighbor_id").as("neighbor_id"), col("col.score").as("score"))
 
+  /** Maximum-inner-product search — the scoring of dot-product retrieval
+    * / recommender models, where magnitude matters and cosine is wrong.
+    * Same broadcast-queries + bounded-heap shape as bruteForceTopK with
+    * score = ⟨v, q⟩; this is the exactness baseline, and the classic
+    * norm-augmentation reduction (append sqrt(M² − ‖v‖²) to each data
+    * vector, 0 to each query — Shrivastava & Li 2014) turns MIPS into
+    * cosine so the LSH/IVF tiers serve it unchanged at scale.
+    */
+  def mipsTopK(data: DataFrame, queries: DataFrame,
+               idCol: String, vecCol: String, k: Int): DataFrame = {
+    graft.functions.VectorExprs.register(data.sparkSession)
+    val q = broadcast(queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv__")))
+    val scored = Par.fanOut(data)
+      .select(col(idCol).as("neighbor_id"), col(vecCol).as("__v__"))
+      .crossJoin(q)
+      .filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("score", Vectors.dot(col("__v__"), col("__qv__")))
+    topKPerQuery(scored, k)
+  }
+
   /** Contrastive hard-negative mining: for each anchor, the top-k most
     * similar vectors carrying a DIFFERENT label — the pairs that teach an
     * embedding model the most (highest-loss negatives), mined the way
