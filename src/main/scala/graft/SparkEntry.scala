@@ -3234,6 +3234,310 @@ operations:
           (col("n_both").cast("double") / col("n_ante").cast("double")).as("confidence"),
           ((col("n_both").cast("double") / col("n_ante").cast("double")) /
             (col("n_cons").cast("double") / lit(nOrders).cast("double"))).as("lift"))
+    }),
+
+    "q_chisq" -> ((s, dir) => {
+      // chi-squared independence test over the market-segment × order-
+      // status contingency table. Observed cells, margins, and the grand
+      // total are exact integer counts from ONE joined hash aggregate
+      // over a bounded 5×3 cell domain; expected counts and per-cell χ²
+      // terms are micro-scaled integers via integral division of
+      // NONNEGATIVE products ((O·N − R·C)² is a square; truncation
+      // toward zero matches in both engines). decimal(38,0) keeps the
+      // squared cross-products exact through ~10¹⁸ rows — past that,
+      // downscale the unit (ANSI overflow throws loudly, never corrupts).
+      val joined = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderstatus").as("status"))
+      val obs = joined.groupBy("seg", "status").agg(count(lit(1)).as("observed"))
+      val rowT = obs.groupBy("seg").agg(sum("observed").as("n_seg"))
+      val colT = obs.groupBy("status").agg(sum("observed").as("n_status"))
+      val tot = obs.agg(sum("observed").as("n_total"))
+      obs.join(broadcast(rowT), Seq("seg"))
+        .join(broadcast(colT), Seq("status"))
+        .crossJoin(broadcast(tot))
+        .select(col("seg"), col("status"), col("observed"),
+          col("n_seg"), col("n_status"), col("n_total"),
+          expr("CAST((CAST(n_seg AS DECIMAL(18,0)) * n_status * 1000000) div n_total AS BIGINT)")
+            .as("expected_micro"),
+          expr("""CAST((
+                    CAST(CAST(observed AS DECIMAL(18,0)) * n_total
+                         - CAST(n_seg AS DECIMAL(18,0)) * n_status AS DECIMAL(18,0))
+                    * CAST(CAST(observed AS DECIMAL(18,0)) * n_total
+                           - CAST(n_seg AS DECIMAL(18,0)) * n_status AS DECIMAL(18,0))
+                    * 1000000)
+                  div (CAST(n_seg AS DECIMAL(18,0)) * n_status * n_total) AS BIGINT)""")
+            .as("term_micro"))
+    }),
+
+    "ev_backtest" -> ((s, dir) => {
+      // rolling-origin forecast backtest over the daily revenue series:
+      // three forecasters (naive d−1, seasonal-naive d−7, trailing
+      // 7-day mean) scored on every day whose full 7-day history
+      // exists. The history pairing is q_theilsen's bounded-offset
+      // explode + EQUI-join (7 offsets — linear in the calendar, never
+      // an inequality join's nested loop); errors are exact cents, the
+      // MA7 forecast an integral div 7, MAE micro-scaled. No windows —
+      // keyed shuffles only, so the backtest shards like any aggregate.
+      val daily = T(s, dir, "orders")
+        .groupBy(col("o_orderdate").cast("date").as("d"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+        .localCheckpoint(true)
+      val hist = daily.withColumn("off", explode(sequence(lit(1), lit(7))))
+        .select(date_add(col("d"), col("off")).as("dt"), col("off"),
+          col("rev_c").as("past_c"))
+        .join(daily.withColumnRenamed("rev_c", "actual_c"), col("dt") === col("d"))
+      val byDay = hist.groupBy(col("dt"), col("actual_c"))
+        .agg(count(lit(1)).as("n_hist"),
+          max(when(col("off") === 1, col("past_c"))).as("naive_c"),
+          max(when(col("off") === 7, col("past_c"))).as("snaive_c"),
+          sum(col("past_c")).as("sum7_c"))
+        .filter(col("n_hist") === 7) // full window ⇒ all three forecasts defined
+        .withColumn("ma7_c", expr("sum7_c div 7"))
+      val scored = byDay
+        .select(lit("naive").as("model"), abs(col("actual_c") - col("naive_c")).as("ae"))
+        .union(byDay.select(lit("snaive").as("model"),
+          abs(col("actual_c") - col("snaive_c")).as("ae")))
+        .union(byDay.select(lit("ma7").as("model"),
+          abs(col("actual_c") - col("ma7_c")).as("ae")))
+      scored.groupBy("model").agg(count(lit(1)).as("n_days"), sum("ae").as("sae_c"))
+        .withColumn("mae_micro",
+          expr("CAST((CAST(sae_c AS DECIMAL(38,0)) * 1000000) div n_days AS BIGINT)"))
+    }),
+
+    "ta_zipf" -> ((s, dir) => {
+      // Zipf's-law fit over the corpus vocabulary: OLS slope of ln(freq)
+      // on ln(rank) for the top-200 tokens (freq desc, token asc — a
+      // k-bounded TakeOrdered after the map-side-combined token count,
+      // no full sort). Both ln's are micro-nat fixed point on EXACT
+      // integer inputs (ta_entropy's doctrine — the rounding margin of
+      // ln(integer)·10⁶ is proven there), the Gram sums are exact
+      // decimals, and the slope is a sign-split nonnegative integral
+      // division. The only window is a row_number over the 200 retained
+      // rows (srch_hybrid's bounded-pool argument).
+      import org.apache.spark.sql.expressions.Window
+      val top = ext.TextAnalysis.topTokens(T(s, dir, "documents"), col("text"), 200)
+        .withColumn("r",
+          row_number().over(Window.orderBy(col("n").desc, col("token").asc)).cast("long"))
+        .withColumn("x", round(log(col("r").cast("double")) * 1e6).cast("long"))
+        .withColumn("y", round(log(col("n").cast("double")) * 1e6).cast("long"))
+      top.agg(count(lit(1)).as("n_pts"),
+          sum(col("x").cast("decimal(18,0)")).cast("decimal(38,0)").as("sx"),
+          sum(col("y").cast("decimal(18,0)")).cast("decimal(38,0)").as("sy"),
+          sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as("sxx"),
+          sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as("sxy"))
+        .select(col("n_pts"),
+          col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
+          col("sxx").cast("string").as("sxx"), col("sxy").cast("string").as("sxy"),
+          expr("""CAST(CASE WHEN n_pts * sxy - sx * sy < 0 THEN -1
+                            WHEN n_pts * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS BIGINT)
+                  * CAST((abs(n_pts * sxy - sx * sy) * 1000000)
+                         div (n_pts * sxx - sx * sx) AS BIGINT)""").as("slope_micro"))
+    }),
+
+    "q_stump" -> ((s, dir) => {
+      // histogram decision stump — the split-search kernel of
+      // distributed tree ensembles (XGBoost/LightGBM hist mode):
+      // binned features → ONE bounded (feature × bin) count aggregate
+      // → exact integer Gini scan over cumulative bins. y =
+      // (o_orderstatus = 'F'); features: order year and a 20-bin
+      // fixed-width price binning. Weighted Gini × N reduces to
+      // 2·posL·negL/nL + 2·posR·negR/nR — presented micro-scaled via
+      // nonnegative integral division; the argmin tie-break
+      // (g, feature, threshold) is one broadcast 1-row struct-min.
+      // After the scan everything operates on ≤ ~27 histogram cells;
+      // the windows partition by feature over ≤ 20-row frames.
+      import org.apache.spark.sql.expressions.Window
+      val base = T(s, dir, "orders").select(
+        when(col("o_orderstatus") === "F", lit(1L)).otherwise(lit(0L)).as("y"),
+        year(col("o_orderdate").cast("date")).cast("long").as("bin_year"),
+        expr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 3000000, 19)")
+          .as("bin_price"))
+      val hist = base.select(explode(array(
+          struct(lit("year").as("feature"), col("bin_year").as("bin"), col("y")),
+          struct(lit("price").as("feature"), col("bin_price").as("bin"), col("y")))).as("e"))
+        .select(col("e.feature"), col("e.bin"), col("e.y"))
+        .groupBy("feature", "bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val w = Window.partitionBy("feature").orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = hist.groupBy("feature").agg(sum("n").as("n_tot"), sum("pos").as("pos_tot"))
+      val cand = hist
+        .withColumn("n_left", sum("n").over(w))
+        .withColumn("pos_left", sum("pos").over(w))
+        .join(broadcast(tot), Seq("feature"))
+        .filter(col("n_left") < col("n_tot")) // a split must leave a right side
+        .select(col("feature"), col("bin").as("threshold"),
+          col("n_left"), col("pos_left"),
+          (col("n_tot") - col("n_left")).as("n_right"),
+          (col("pos_tot") - col("pos_left")).as("pos_right"))
+        .withColumn("g_micro",
+          expr("""CAST((2 * CAST(pos_left AS DECIMAL(18,0)) * (n_left - pos_left) * 1000000)
+                      div n_left AS BIGINT)
+                  + CAST((2 * CAST(pos_right AS DECIMAL(18,0)) * (n_right - pos_right) * 1000000)
+                      div n_right AS BIGINT)"""))
+      val best = cand.agg(min(struct(col("g_micro"), col("feature"), col("threshold"))).as("b"))
+      cand.crossJoin(broadcast(best))
+        .withColumn("is_best", col("g_micro") === col("b.g_micro") &&
+          col("feature") === col("b.feature") && col("threshold") === col("b.threshold"))
+        .drop("b")
+    }),
+
+    "q_tcloseness" -> ((s, dir) => {
+      // t-closeness audit (Li–Li–Venkatasubramanian, ICDE 2007) —
+      // completes the k-anonymity / l-diversity governance trio: per
+      // quasi-identifier class (segment, nation), the Earth Mover's
+      // Distance between the class distribution of an ORDERED sensitive
+      // attribute (10 fixed-width account-balance bands) and the global
+      // distribution. For ordered values with unit ground distance,
+      // EMD = Σ_prefix |cumc/n_c − cumg/N| / (m−1); cross-multiplying
+      // turns every term into the exact integer |cumc·N − cumg·n_c|.
+      // One bounded (class × 10-band) grid; windows only over ≤ 10-row
+      // frames; the global cums ride a 10-row broadcast.
+      import org.apache.spark.sql.expressions.Window
+      val m = 10
+      val bands = T(s, dir, "customer").select(
+        col("c_mktsegment").as("seg"), col("c_nationkey").as("nation"),
+        expr(s"least(greatest((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) div 120000, 0), ${m - 1})")
+          .as("b"))
+      val byClass = bands.groupBy("seg", "nation", "b").agg(count(lit(1)).as("cnt"))
+      val classes = byClass.select("seg", "nation").distinct()
+      val wc = Window.partitionBy("seg", "nation").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cumC = classes
+        .withColumn("b", explode(sequence(lit(0L), lit(m - 1L))))
+        .join(byClass, Seq("seg", "nation", "b"), "left")
+        .na.fill(0L, Seq("cnt"))
+        .withColumn("cumc", sum("cnt").over(wc))
+      val cumG = s.range(m).select(col("id").as("b"))
+        .join(bands.groupBy("b").agg(count(lit(1)).as("gcnt")), Seq("b"), "left")
+        .na.fill(0L, Seq("gcnt"))
+        .withColumn("cumg", sum("gcnt").over(
+          Window.orderBy("b").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select("b", "cumg")
+      val nC = bands.groupBy("seg", "nation").agg(count(lit(1)).as("n_c"))
+      val tot = bands.agg(count(lit(1)).as("n_total"))
+      cumC.filter(col("b") < m - 1) // prefixes 0..m-2
+        .join(broadcast(cumG), Seq("b"))
+        .join(broadcast(nC), Seq("seg", "nation"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("seg"), col("nation"), col("n_c"), col("n_total"))
+        .agg(sum(abs(col("cumc").cast("decimal(18,0)") * col("n_total")
+          - col("cumg").cast("decimal(18,0)") * col("n_c")))
+          .cast("decimal(38,0)").as("emd_num"))
+        .select(col("seg"), col("nation"), col("n_c"),
+          col("emd_num").cast("long").as("emd_num"),
+          expr(s"""CAST((CAST(emd_num AS DECIMAL(38,0)) * 1000000)
+                   div (CAST(n_c AS DECIMAL(18,0)) * n_total * ${m - 1}) AS BIGINT)""")
+            .as("emd_micro"))
+        .withColumn("tclose", col("emd_micro") <= 200000L)
+    }),
+
+    "sk_theta" -> ((s, dir) => {
+      // KMV / theta sketch (Beyer et al., SIGMOD 2007): bottom-k of the
+      // fnv1a64∘fmix64 key hashes, the mergeable distinct sketch whose
+      // SET ALGEBRA covers what HLL registers cannot — intersection AND
+      // difference estimates from one union sketch. A = order-placing
+      // customers, B = positive-balance customers. Convention shared
+      // with the oracle: if a sketch is not full, θ = 2⁶⁴ and every
+      // hash is retained; if full, θ = the k-th smallest and retained
+      // means strictly below θ. est(X) = |retained ∩ X| · 2⁶⁴ div θ —
+      // all DECIMAL(38,0) integer arithmetic. 100 TB shape: the hash
+      // set is distinct-reduced map-side, the bottom-k is a k-bounded
+      // TakeOrdered, and every later join touches ≤ k rows. Exact
+      // counts ride along as the ground truth (affordable here; at
+      // 100 TB you would publish only the sketch estimates).
+      val k = 256
+      val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+      def hashes(keys: DataFrame): DataFrame = keys.distinct()
+        .select(graft.functions.Hashing.fnvFmix64(col("g").cast("string")).as("h"))
+        .distinct()
+        .withColumn("u", expr(
+          s"CAST(h AS DECIMAL(38,0)) + CASE WHEN h < 0 THEN $two64 ELSE CAST(0 AS DECIMAL(38,0)) END"))
+      val hA = hashes(T(s, dir, "orders").select(col("o_custkey").as("g")))
+        .localCheckpoint(true)
+      val hB = hashes(T(s, dir, "customer").filter(col("c_acctbal") > 0)
+        .select(col("c_custkey").as("g"))).localCheckpoint(true)
+      def theta(sk: DataFrame, n: Long): org.apache.spark.sql.Column =
+        if (n < k) expr(two64) else expr("max(u)")
+      def sketch(hs: DataFrame): DataFrame = hs.orderBy(col("u")).limit(k)
+      val skA = sketch(hA).localCheckpoint(true)
+      val skB = sketch(hB).localCheckpoint(true)
+      val skU = sketch(hA.union(hB).distinct()).localCheckpoint(true)
+      val nA = skA.count(); val nB = skB.count(); val nU = skU.count()
+      val thA = skA.agg(theta(skA, nA).as("th"))
+      val thB = skB.agg(theta(skB, nB).as("th"))
+      val thU = skU.agg(theta(skU, nU).as("th"))
+      val flagged = skU
+        .join(hA.select(col("h"), lit(1L).as("in_a")), Seq("h"), "left")
+        .join(hB.select(col("h"), lit(1L).as("in_b")), Seq("h"), "left")
+        .na.fill(0L, Seq("in_a", "in_b"))
+      // per-set estimates from each set's own sketch
+      def setEst(sk: DataFrame, th: DataFrame): DataFrame =
+        sk.crossJoin(broadcast(th)).filter(col("u") < col("th"))
+          .agg(count(lit(1)).as("c"), first(col("th")).as("th"))
+          .select(expr(s"CAST((CAST(c AS DECIMAL(38,0)) * $two64) div th AS BIGINT)").as("e"))
+      val eA = setEst(skA, thA).withColumnRenamed("e", "est_a")
+      val eB = setEst(skB, thB).withColumnRenamed("e", "est_b")
+      val eSets = flagged.crossJoin(broadcast(thU)).filter(col("u") < col("th"))
+        .agg(count(lit(1)).as("cu"),
+          sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L)).as("ci"),
+          sum(when(col("in_a") === 1L && col("in_b") === 0L, 1L).otherwise(0L)).as("cd"),
+          first(col("th")).as("th"))
+        .select(
+          expr(s"CAST((CAST(cu AS DECIMAL(38,0)) * $two64) div th AS BIGINT)").as("est_union"),
+          expr(s"CAST((CAST(ci AS DECIMAL(38,0)) * $two64) div th AS BIGINT)").as("est_inter"),
+          expr(s"CAST((CAST(cd AS DECIMAL(38,0)) * $two64) div th AS BIGINT)").as("est_diff_ab"))
+      val exact = hA.select(col("h"), lit(1L).as("a"))
+        .join(hB.select(col("h"), lit(1L).as("b")), Seq("h"), "full")
+        .na.fill(0L, Seq("a", "b"))
+        .agg(count(lit(1)).as("exact_union"),
+          sum(when(col("a") === 1L && col("b") === 1L, 1L).otherwise(0L)).as("exact_inter"),
+          sum(when(col("a") === 1L && col("b") === 0L, 1L).otherwise(0L)).as("exact_diff_ab"))
+      eA.crossJoin(eB).crossJoin(eSets).crossJoin(exact)
+        .select(lit(k.toLong).as("k"), lit(nA).as("n_sk_a"), lit(nB).as("n_sk_b"),
+          col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+          col("est_diff_ab"), col("exact_union"), col("exact_inter"), col("exact_diff_ab"))
+    }),
+
+    "g_linkpred" -> ((s, dir) => {
+      // link prediction (Liben-Nowell–Kleinberg 2003): common-neighbor
+      // and Jaccard scores for ANCHOR vertices of the part co-purchase
+      // graph — the "recommend links for these nodes" shape, which is
+      // what bounds the wedge expansion: only anchor adjacency rows
+      // (deg(a) each) fan through shared middles, so the candidate set
+      // is Σ_b∈N(a) deg(b), not the full quadratic wedge set. Middles
+      // wider than linkpredHubCap are dropped by definition (hubs carry
+      // no signal — the LSH star-cap argument; never binds at the
+      // fixtures, the oracle applies the identical cap). Scores are
+      // exact integers; Jaccard is micro-scaled nonnegative integral
+      // division.
+      val edges = ext.Graph.coOccurrencePairs(
+        T(s, dir, "lineitem"), "l_orderkey", "l_partkey", kcoreOrderCap)
+        .localCheckpoint(true)
+      val sym = edges.select(col("src").as("a"), col("dst").as("b"))
+        .union(edges.select(col("dst").as("a"), col("src").as("b")))
+      val deg = sym.groupBy("a").agg(count(lit(1)).as("d"))
+      val mids = deg.filter(col("d") <= linkpredHubCap)
+        .select(col("a").as("b"), col("d").as("db"))
+      val anchors = sym.filter(col("a") % 199 === 0)
+        .join(mids, Seq("b"), "left_semi")
+      val wedges = anchors.as("x")
+        .join(sym.as("y"), col("x.b") === col("y.b") && col("y.a") =!= col("x.a"))
+        .groupBy(col("x.a").as("u"), col("y.a").as("v"))
+        .agg(count(lit(1)).as("cn"))
+        .filter(col("cn") >= 2)
+      val nonAdj = wedges
+        .join(edges.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"), "left_anti")
+        .join(edges.select(col("dst").as("u"), col("src").as("v")), Seq("u", "v"), "left_anti")
+      nonAdj
+        .join(deg.select(col("a").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("a").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
+          expr("CAST((CAST(cn AS DECIMAL(18,0)) * 1000000) div (du + dv - cn) AS BIGINT)")
+            .as("jaccard_micro"))
     })
   )
 
@@ -3277,6 +3581,15 @@ operations:
     * at 64²/2 pairs per order the way the LSH bucket caps bound stars).
     */
   private val kcoreOrderCap = 64
+
+  /** g_linkpred's shared-middle degree cap: wedge expansion fans each
+    * anchor adjacency row through its middle vertex's adjacency, so a
+    * hub middle makes the candidate set explode while carrying no link
+    * signal (everything co-occurs with a hub). Middles above the cap
+    * are excluded by definition — shared with the oracle; observed
+    * degrees at the fixtures are ~300, so it never binds there.
+    */
+  private val linkpredHubCap = 1024
 
   /** α_m·m² computed ONCE in driver doubles and embedded as a literal in
     * both engines (Double.toString round-trips, so DuckDB parses the
@@ -4371,7 +4684,114 @@ operations:
     // q_mv_retract: the oracle is the INDEPENDENT full rescan of the CDC
     // final state — base + retraction deltas must equal it algebraically
     "q_mv_retract" ->
-      """WITH log AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p, 0 AS seq, 'B' AS op FROM orders UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 1.1, 1, 'U' FROM orders WHERE o_orderkey % 5 = 0 UNION ALL SELECT o_orderkey + 30000000, o_custkey, o_totalprice, 1, 'I' FROM orders WHERE o_orderkey % 11 = 0 UNION ALL SELECT o_orderkey, o_custkey, 0.0, 2, 'D' FROM orders WHERE o_orderkey % 7 = 0), r AS (SELECT k, c, p, op, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log), fin AS (SELECT k, c, CAST(round(p * 100) AS BIGINT) AS price_c FROM r WHERE rn = 1 AND op <> 'D') SELECT c AS o_custkey, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(price_c) AS BIGINT) AS spend_c FROM fin GROUP BY 1"""
+      """WITH log AS (SELECT o_orderkey AS k, o_custkey AS c, o_totalprice AS p, 0 AS seq, 'B' AS op FROM orders UNION ALL SELECT o_orderkey, o_custkey, o_totalprice * 1.1, 1, 'U' FROM orders WHERE o_orderkey % 5 = 0 UNION ALL SELECT o_orderkey + 30000000, o_custkey, o_totalprice, 1, 'I' FROM orders WHERE o_orderkey % 11 = 0 UNION ALL SELECT o_orderkey, o_custkey, 0.0, 2, 'D' FROM orders WHERE o_orderkey % 7 = 0), r AS (SELECT k, c, p, op, row_number() OVER (PARTITION BY k ORDER BY seq DESC) AS rn FROM log), fin AS (SELECT k, c, CAST(round(p * 100) AS BIGINT) AS price_c FROM r WHERE rn = 1 AND op <> 'D') SELECT c AS o_custkey, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(price_c) AS BIGINT) AS spend_c FROM fin GROUP BY 1""",
+    // q_chisq: exact integer contingency table; every division is a
+    // truncating // of nonnegative HUGEINT products — same values as
+    // Spark's decimal div
+    "q_chisq" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderstatus AS status FROM orders JOIN customer ON o_custkey = c_custkey),
+         obs AS (SELECT seg, status, CAST(count(*) AS BIGINT) AS observed FROM j GROUP BY 1, 2),
+         rt AS (SELECT seg, CAST(sum(observed) AS BIGINT) AS n_seg FROM obs GROUP BY 1),
+         ct AS (SELECT status, CAST(sum(observed) AS BIGINT) AS n_status FROM obs GROUP BY 1),
+         tt AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs)
+         SELECT obs.seg, obs.status, observed, n_seg, n_status, n_total,
+           CAST((n_seg::HUGEINT * n_status * 1000000) // n_total AS BIGINT) AS expected_micro,
+           CAST(((observed::HUGEINT * n_total - n_seg::HUGEINT * n_status)
+                 * (observed::HUGEINT * n_total - n_seg::HUGEINT * n_status) * 1000000)
+                // (n_seg::HUGEINT * n_status * n_total) AS BIGINT) AS term_micro
+         FROM obs JOIN rt ON obs.seg = rt.seg JOIN ct ON obs.status = ct.status CROSS JOIN tt""",
+    // ev_backtest: same bounded-offset history pairing; DATE + INTEGER
+    // is day addition in DuckDB like Spark's date_add
+    "ev_backtest" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS d, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1),
+         hist AS (SELECT a.d + CAST(t.off AS INTEGER) AS dt, CAST(t.off AS BIGINT) AS off, a.rev_c AS past_c
+                  FROM daily a, (SELECT unnest(range(1, 8)) AS off) t),
+         hj AS (SELECT hist.dt, hist.off, hist.past_c, b.rev_c AS actual_c FROM hist JOIN daily b ON hist.dt = b.d),
+         byday AS (SELECT dt, actual_c, count(*) AS n_hist,
+                     max(CASE WHEN off = 1 THEN past_c END) AS naive_c,
+                     max(CASE WHEN off = 7 THEN past_c END) AS snaive_c,
+                     CAST(sum(past_c) AS BIGINT) // 7 AS ma7_c
+                   FROM hj GROUP BY 1, 2 HAVING count(*) = 7),
+         scored AS (SELECT 'naive' AS model, abs(actual_c - naive_c) AS ae FROM byday
+                    UNION ALL SELECT 'snaive', abs(actual_c - snaive_c) FROM byday
+                    UNION ALL SELECT 'ma7', abs(actual_c - ma7_c) FROM byday)
+         SELECT model, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(ae) AS BIGINT) AS sae_c,
+           CAST((sum(ae)::HUGEINT * 1000000) // count(*) AS BIGINT) AS mae_micro
+         FROM scored GROUP BY 1""",
+    // ta_zipf: identical tokenization + top-200 order as ta_vocab, the
+    // same round(ln(int)·1e6) micro-nats, HUGEINT Gram sums, sign-split
+    // truncating division
+    "ta_zipf" ->
+      """WITH cnt AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token FROM documents) GROUP BY token ORDER BY n DESC, token LIMIT 200),
+         rk AS (SELECT n, CAST(row_number() OVER (ORDER BY n DESC, token) AS BIGINT) AS r FROM cnt),
+         pt AS (SELECT CAST(round(ln(CAST(r AS DOUBLE)) * 1e6) AS BIGINT) AS x,
+                       CAST(round(ln(CAST(n AS DOUBLE)) * 1e6) AS BIGINT) AS y FROM rk),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n_pts,
+                 sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy FROM pt)
+         SELECT n_pts, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
+           CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
+           CAST(CASE WHEN n_pts * sxy - sx * sy < 0 THEN -1
+                     WHEN n_pts * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS BIGINT)
+             * CAST((abs(n_pts * sxy - sx * sy) * 1000000) // (n_pts * sxx - sx * sx) AS BIGINT)
+             AS slope_micro
+         FROM g""",
+    // q_stump: the same histogram → cumulative Gini scan in SQL; the
+    // best flag replays the (g, feature, threshold) struct-min as a
+    // row_number over the ≤ ~27 candidates
+    "q_stump" ->
+      """WITH base AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+                  CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS bin_year,
+                  least(CAST(round(o_totalprice * 100) AS BIGINT) // 3000000, 19) AS bin_price
+                FROM orders),
+         f AS (SELECT 'year' AS feature, bin_year AS bin, y FROM base
+               UNION ALL SELECT 'price', bin_price, y FROM base),
+         hist AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos FROM f GROUP BY 1, 2),
+         cum AS (SELECT feature, bin,
+                   CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS n_left,
+                   CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS pos_left
+                 FROM hist),
+         tot AS (SELECT feature, CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(pos) AS BIGINT) AS pos_tot FROM hist GROUP BY 1),
+         cand AS (SELECT cum.feature, bin AS threshold, n_left, pos_left,
+                    n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right
+                  FROM cum JOIN tot ON cum.feature = tot.feature WHERE n_left < n_tot),
+         sc AS (SELECT *,
+                  CAST((2::HUGEINT * pos_left * (n_left - pos_left) * 1000000) // n_left AS BIGINT)
+                  + CAST((2::HUGEINT * pos_right * (n_right - pos_right) * 1000000) // n_right AS BIGINT)
+                  AS g_micro FROM cand)
+         SELECT feature, threshold, n_left, pos_left, n_right, pos_right, g_micro,
+           row_number() OVER (ORDER BY g_micro, feature, threshold) = 1 AS is_best
+         FROM sc""",
+    // q_tcloseness: identical fixed-width banding, dense 10-band grid
+    // via range(), cross-multiplied integer EMD prefix terms
+    "q_tcloseness" ->
+      """WITH bands AS (SELECT c_mktsegment AS seg, c_nationkey AS nation,
+                  least(greatest((CAST(round(c_acctbal * 100) AS BIGINT) + 100000) // 120000, 0), 9) AS b
+                FROM customer),
+         byclass AS (SELECT seg, nation, b, CAST(count(*) AS BIGINT) AS cnt FROM bands GROUP BY 1, 2, 3),
+         classes AS (SELECT DISTINCT seg, nation FROM bands),
+         grid AS (SELECT seg, nation, CAST(gb.b AS BIGINT) AS b FROM classes, (SELECT unnest(range(10)) AS b) gb),
+         cumc AS (SELECT grid.seg, grid.nation, grid.b,
+                    CAST(sum(coalesce(cnt, 0)) OVER (PARTITION BY grid.seg, grid.nation ORDER BY grid.b) AS BIGINT) AS cumc
+                  FROM grid LEFT JOIN byclass ON grid.seg = byclass.seg AND grid.nation = byclass.nation AND grid.b = byclass.b),
+         gcnt AS (SELECT b, CAST(count(*) AS BIGINT) AS gcnt FROM bands GROUP BY 1),
+         cumg AS (SELECT CAST(gg.b AS BIGINT) AS b,
+                    CAST(sum(coalesce(gcnt, 0)) OVER (ORDER BY gg.b) AS BIGINT) AS cumg
+                  FROM (SELECT unnest(range(10)) AS b) gg LEFT JOIN gcnt ON gg.b = gcnt.b),
+         nc AS (SELECT seg, nation, CAST(count(*) AS BIGINT) AS n_c FROM bands GROUP BY 1, 2),
+         tt AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM bands),
+         emd AS (SELECT cumc.seg, cumc.nation, n_c,
+                   CAST(sum(abs(cumc::HUGEINT * n_total - cumg::HUGEINT * n_c)) AS BIGINT) AS emd_num,
+                   CAST((sum(abs(cumc::HUGEINT * n_total - cumg::HUGEINT * n_c)) * 1000000)
+                        // (n_c::HUGEINT * n_total * 9) AS BIGINT) AS emd_micro
+                 FROM cumc JOIN cumg ON cumc.b = cumg.b
+                   JOIN nc ON cumc.seg = nc.seg AND cumc.nation = nc.nation
+                   CROSS JOIN tt
+                 WHERE cumc.b < 9
+                 GROUP BY 1, 2, 3, n_total)
+         SELECT seg, nation, n_c, emd_num, emd_micro, emd_micro <= 200000 AS tclose FROM emd""",
+    "sk_theta" -> thetaOracleSql,
+    "g_linkpred" -> linkpredOracleSql
   )
 
   // --- sketch replays -------------------------------------------------
@@ -4605,6 +5025,72 @@ operations:
        |        FROM fin) AS BIGINT) AS n_correct
        |FROM w8""".stripMargin
   }
+
+  /** sk_theta: the full KMV replay — fnv1a64∘fmix64 in HUGEINT (the
+    * hllVecCtes finalizer chain), unsigned bottom-256 per set and for
+    * the union, the shared θ convention (2⁶⁴ when not full, else the
+    * k-th smallest; retained = strictly below θ), and HUGEINT
+    * truncating division for every estimate.
+    */
+  private lazy val thetaOracleSql: String = {
+    def mul64(c: BigInt): String =
+      s"($c::HUGEINT * (u % 4294967296::HUGEINT) + (($c::HUGEINT * (u // 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64"
+    val c1 = BigInt("ff51afd7ed558ccd", 16)
+    val c2 = BigInt("c4ceb9fe1a85ec53", 16)
+    s"""WITH keys AS (SELECT 'A' AS flag, CAST(o_custkey AS VARCHAR) AS g FROM orders
+       |              UNION ALL SELECT 'B', CAST(c_custkey AS VARCHAR) FROM customer WHERE c_acctbal > 0),
+       |dk AS MATERIALIZED (SELECT DISTINCT flag, g FROM keys),
+       |hh AS (SELECT flag, $fnvSql AS u FROM dk),
+       |f1 AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS u FROM hh),
+       |f2 AS (SELECT flag, ${mul64(c1)} AS u FROM f1),
+       |f3 AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS u FROM f2),
+       |f4 AS (SELECT flag, ${mul64(c2)} AS u FROM f3),
+       |fm AS MATERIALIZED (SELECT DISTINCT flag, xor(u, u // 8589934592::HUGEINT) AS h FROM f4),
+       |ha AS MATERIALIZED (SELECT h FROM fm WHERE flag = 'A'),
+       |hb AS MATERIALIZED (SELECT h FROM fm WHERE flag = 'B'),
+       |ska AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 256),
+       |skb AS MATERIALIZED (SELECT h FROM hb ORDER BY h LIMIT 256),
+       |sku AS MATERIALIZED (SELECT h FROM (SELECT h FROM ha UNION SELECT h FROM hb) ORDER BY h LIMIT 256),
+       |tha AS (SELECT CASE WHEN count(*) < 256 THEN $U64 ELSE max(h) END AS th, count(*) AS n_sk FROM ska),
+       |thb AS (SELECT CASE WHEN count(*) < 256 THEN $U64 ELSE max(h) END AS th, count(*) AS n_sk FROM skb),
+       |thu AS (SELECT CASE WHEN count(*) < 256 THEN $U64 ELSE max(h) END AS th FROM sku),
+       |ea AS (SELECT CAST((count(*)::HUGEINT * $U64) // th AS BIGINT) AS est_a FROM ska, tha WHERE h < th GROUP BY th),
+       |eb AS (SELECT CAST((count(*)::HUGEINT * $U64) // th AS BIGINT) AS est_b FROM skb, thb WHERE h < th GROUP BY th),
+       |fl AS (SELECT sku.h, (a.h IS NOT NULL) AS in_a, (b.h IS NOT NULL) AS in_b
+       |       FROM sku LEFT JOIN ha a ON sku.h = a.h LEFT JOIN hb b ON sku.h = b.h),
+       |eu AS (SELECT CAST((count(*)::HUGEINT * $U64) // th AS BIGINT) AS est_union,
+       |              CAST((count(*) FILTER (WHERE in_a AND in_b)::HUGEINT * $U64) // th AS BIGINT) AS est_inter,
+       |              CAST((count(*) FILTER (WHERE in_a AND NOT in_b)::HUGEINT * $U64) // th AS BIGINT) AS est_diff_ab
+       |       FROM fl, thu WHERE h < th GROUP BY th),
+       |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+       |              CAST(count(*) FILTER (WHERE a.h IS NOT NULL AND b.h IS NOT NULL) AS BIGINT) AS exact_inter,
+       |              CAST(count(*) FILTER (WHERE a.h IS NOT NULL AND b.h IS NULL) AS BIGINT) AS exact_diff_ab
+       |       FROM ha a FULL JOIN hb b ON a.h = b.h)
+       |SELECT CAST(256 AS BIGINT) AS k, CAST(tha.n_sk AS BIGINT) AS n_sk_a, CAST(thb.n_sk AS BIGINT) AS n_sk_b,
+       |       est_a, est_b, est_union, est_inter, est_diff_ab,
+       |       exact_union, exact_inter, exact_diff_ab
+       |FROM ea, eb, eu, ex, tha, thb""".stripMargin
+  }
+
+  /** g_linkpred: identical capped co-purchase edges, the same anchor +
+    * hub-cap wedge expansion, NOT-EXISTS adjacency exclusion, HUGEINT
+    * truncating Jaccard.
+    */
+  private lazy val linkpredOracleSql: String =
+    s"""WITH lp0 AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       |lp AS MATERIALIZED (SELECT o, p FROM lp0 QUALIFY count(*) OVER (PARTITION BY o) <= $kcoreOrderCap),
+       |e AS MATERIALIZED (SELECT DISTINCT x.p AS src, y.p AS dst FROM lp x JOIN lp y ON x.o = y.o AND x.p < y.p),
+       |sym AS MATERIALIZED (SELECT src AS a, dst AS b FROM e UNION ALL SELECT dst, src FROM e),
+       |deg AS MATERIALIZED (SELECT a, CAST(count(*) AS BIGINT) AS d FROM sym GROUP BY 1),
+       |mids AS (SELECT a AS b FROM deg WHERE d <= $linkpredHubCap),
+       |anc AS (SELECT sym.a, sym.b FROM sym JOIN mids USING (b) WHERE sym.a % 199 = 0),
+       |w AS (SELECT x.a AS u, y.a AS v, CAST(count(*) AS BIGINT) AS cn
+       |      FROM anc x JOIN sym y ON x.b = y.b AND y.a <> x.a GROUP BY 1, 2 HAVING count(*) >= 2),
+       |na AS (SELECT w.* FROM w WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.u AND e.dst = w.v)
+       |                           AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = w.v AND e.dst = w.u))
+       |SELECT u, v, cn, du.d AS du, dv.d AS dv,
+       |  CAST((cn::HUGEINT * 1000000) // (du.d + dv.d - cn) AS BIGINT) AS jaccard_micro
+       |FROM na JOIN deg du ON na.u = du.a JOIN deg dv ON na.v = dv.a""".stripMargin
 
   /** q_ols: identical integer Gram sums, then the IDENTICAL double Cramer
     * expression tree (each *, -, + in the same order as the driver code).

@@ -102,6 +102,7 @@ object Hashing {
   import org.apache.spark.sql.graftbridge.Bridge.{column => toCol, expression => toExpr}
 
   def simhash64(c: Column): Column = toCol(SimHash64Expr(toExpr(c)))
+  def fnvFmix64(c: Column): Column = toCol(FnvFmix64Expr(toExpr(c)))
   def hamming64(a: Column, b: Column): Column = toCol(Hamming64Expr(toExpr(a), toExpr(b)))
   def minhashSig(shingles: Column, k: Int): Column =
     toCol(MinHashSigExpr(toExpr(shingles),
@@ -206,6 +207,23 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
     copy(child = newChild)
   override def prettyName: String = "graft_simhash64"
+}
+
+/** string → fnv1a64∘fmix64 — the avalanche-finalized key hash shared by
+  * the HLL registers and the KMV/theta bottom-k sketch. Returned as the
+  * SIGNED long holding the unsigned 64-bit value; unsigned order is
+  * recovered downstream by re-biasing into DECIMAL(38,0) (sk_theta) so
+  * the oracle's HUGEINT replay compares identically.
+  */
+case class FnvFmix64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[UTF8String].getBytes
+    Hashing.fmix64(Hashing.fnv1a64(b, 0, b.length))
+  }
+  override protected def withNewChildInternal(newChild: Expression): FnvFmix64Expr =
+    copy(child = newChild)
+  override def prettyName: String = "graft_fnvfmix64"
 }
 
 /** array<string> shingles → array<long> of k MinHash values. A custom
