@@ -3538,6 +3538,93 @@ operations:
         .select(col("u"), col("v"), col("cn"), col("du"), col("dv"),
           expr("CAST((CAST(cn AS DECIMAL(18,0)) * 1000000) div (du + dv - cn) AS BIGINT)")
             .as("jaccard_micro"))
+    }),
+
+    "sk_theta_grouped" -> ((s, dir) => {
+      // per-group KMV distinct estimates via the MERGEABLE bottom-k
+      // aggregate (functions.KmvAgg) — the aggregation-shaped theta
+      // sketch: one map-side-combined pass, ≤ k·8 bytes of shuffle per
+      // group, estimates from plain array expressions downstream. Same
+      // domain as sk_hll (distinct orderkeys per returnflag) so the two
+      // sketches' accuracy is directly comparable; exact counts ride
+      // along as fixture ground truth.
+      val sk = T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(graft.functions.SketchAgg.kmvBottomK(
+          col("l_orderkey").cast("string"), 256).as("arr"))
+        .select(col("l_returnflag"), size(col("arr")).cast("long").as("n_sk"),
+          expr(kmvEstSql("arr", 256)).as("kmv_est"))
+      val exact = T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+      sk.join(exact, Seq("l_returnflag"))
+    }),
+
+    "stream_theta" -> ((s, dir) => {
+      // STREAMING KMV: the same bottom-k aggregate over a file stream
+      // (complete mode). Set-union + trim is order-free and idempotent,
+      // so the streamed sketch equals the batch sketch under any
+      // micro-batch slicing — same oracle as sk_theta_grouped (the
+      // stream_hll argument, now for the theta family).
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[l]ineitem.parquet")
+      val skS = stream.groupBy("l_returnflag").agg(
+        graft.functions.SketchAgg.kmvBottomK(
+          col("l_orderkey").cast("string"), 256).as("arr"))
+      s.catalog.dropTempView("graft_stream_theta")
+      val q = skS.writeStream.format("memory").queryName("graft_stream_theta")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val exact = T(s, dir, "lineitem").groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("exact_nd"))
+      s.table("graft_stream_theta")
+        .select(col("l_returnflag"), size(col("arr")).cast("long").as("n_sk"),
+          expr(kmvEstSql("arr", 256)).as("kmv_est"))
+        .join(exact, Seq("l_returnflag"))
+    }),
+
+    "q_dp" -> ((s, dir) => {
+      // ε-differentially-private count release via the geometric
+      // mechanism (Ghosh–Roughgarden–Sundararajan, STOC 2009 — the
+      // discrete Laplace, utility-optimal for counts): noise is the
+      // EXACT inverse CDF of the two-sided geometric(α=½) (ε = ln 2)
+      // applied to the 32-bit md5 fraction of the group key —
+      // derandomized exactly like ta_bootstrap's Poisson multiplicities
+      // (threshold literals computed once in exact BigInt), so the
+      // release is reproducible under any partitioning and replayable
+      // in the oracle. True counts ride along at fixture scale; a real
+      // release would drop them (and the ±8 tail cap adds at most
+      // 2^-8-mass truncation, stated here as part of the mechanism).
+      val cnt = T(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("pri")).agg(count(lit(1)).as("n"))
+      cnt.withColumn("u32", conv(substring(md5(concat(lit("dp:"), col("pri"))), 1, 8),
+          16, 10).cast("long"))
+        .withColumn("noise", dpGeomNoise(col("u32")))
+        .select(col("pri"), col("n"), col("noise"), (col("n") + col("noise")).as("dp_n"))
+    }),
+
+    "sim_knn" -> ((s, dir) => {
+      // k-NN classification probe over the embedding space: anchors
+      // (vec_id < 8) classified by majority label of their 10 nearest
+      // pool neighbors (vec_id ≥ 8, cosine) — the standard cheap
+      // embedding-quality eval. Reuses the bounded-heap brute-force
+      // top-k (TopKAgg: the shuffle ships ≤ k rows per partition per
+      // anchor, never the full scored cross product); the vote is a
+      // ≤ 10-row-per-anchor aggregate decided by one struct-min with
+      // (votes desc, label asc) tie-break.
+      val emb = T(s, dir, "embeddings")
+      val top = ext.Similarity.bruteForceTopK(emb.filter(col("vec_id") >= 8),
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      val votes = top
+        .join(emb.select(col("vec_id").as("neighbor_id"), col("label").as("nl")),
+          Seq("neighbor_id"))
+        .groupBy(col("query_id"), col("nl")).agg(count(lit(1)).as("votes"))
+      val pred = votes.groupBy("query_id")
+        .agg(min(struct((-col("votes")).as("nv"), col("nl").as("lbl"))).as("b"))
+        .select(col("query_id"), col("b.lbl").as("pred_label"), (-col("b.nv")).as("n_votes"))
+      pred.join(emb.select(col("vec_id").as("query_id"), col("label").as("truth_label")),
+          Seq("query_id"))
+        .select("query_id", "truth_label", "pred_label", "n_votes")
     })
   )
 
@@ -3590,6 +3677,43 @@ operations:
     * degrees at the fixtures are ~300, so it never binds there.
     */
   private val linkpredHubCap = 1024
+
+  /** KMV estimate from a bottom-k array column, as a SQL expression shared
+    * verbatim in spirit with the oracle: θ = 2⁶⁴ when the sketch is not
+    * full (estimate degrades to the exact count), else the unsigned value
+    * of the largest retained hash; retained = strictly below θ. All
+    * DECIMAL(38,0) integer arithmetic, truncating division.
+    */
+  private def kmvEstSql(arr: String, k: Int): String = {
+    val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+    val last = s"element_at($arr, -1)"
+    val lastU = s"(CAST($last AS DECIMAL(38,0)) + CASE WHEN $last < 0 THEN $two64 ELSE CAST(0 AS DECIMAL(38,0)) END)"
+    s"""CAST((CAST(CASE WHEN size($arr) < $k THEN size($arr) ELSE size($arr) - 1 END AS DECIMAL(38,0))
+       | * $two64) div (CASE WHEN size($arr) < $k THEN $two64 ELSE $lastU END) AS BIGINT)""".stripMargin
+  }
+
+  /** Two-sided geometric(α=½) noise order and exact inverse-CDF
+    * thresholds on the 32-bit hash fraction (floor(cdf·2³²), BigInt-exact
+    * rationals with denominator 3·2⁸) — q_dp's derandomized discrete
+    * Laplace, shared verbatim between engine and oracle. Checked in
+    * order 0, +1, −1, …, +8, −8; the untaken tail (mass 2/768) caps at
+    * +9.
+    */
+  private val dpNoiseSeq: Seq[Long] = 0L +: (1 to 8).flatMap(k => Seq(k.toLong, -k.toLong))
+  private val dpThresholds: Seq[Long] = {
+    val den = BigInt(3) * BigInt(256) // 3·2^8
+    var num = BigInt(0)
+    dpNoiseSeq.map { n =>
+      val p = if (n == 0L) BigInt(256) else BigInt(1) << (8 - math.abs(n).toInt)
+      num += p
+      ((BigInt(2).pow(32) * num) / den).toLong
+    }
+  }
+
+  private def dpGeomNoise(u32: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    dpThresholds.zip(dpNoiseSeq).foldRight(lit(9L): org.apache.spark.sql.Column) {
+      case ((t, n), acc) => when(u32 < t, lit(n)).otherwise(acc)
+    }
 
   /** α_m·m² computed ONCE in driver doubles and embedded as a literal in
     * both engines (Double.toString round-trips, so DuckDB parses the
@@ -4791,7 +4915,11 @@ operations:
                  GROUP BY 1, 2, 3, n_total)
          SELECT seg, nation, n_c, emd_num, emd_micro, emd_micro <= 200000 AS tclose FROM emd""",
     "sk_theta" -> thetaOracleSql,
-    "g_linkpred" -> linkpredOracleSql
+    "g_linkpred" -> linkpredOracleSql,
+    "sk_theta_grouped" -> kmvGroupedOracleSql,
+    "stream_theta" -> kmvGroupedOracleSql,
+    "q_dp" -> dpOracleSql,
+    "sim_knn" -> knnOracleSql
   )
 
   // --- sketch replays -------------------------------------------------
@@ -5032,20 +5160,30 @@ operations:
     * k-th smallest; retained = strictly below θ), and HUGEINT
     * truncating division for every estimate.
     */
-  private lazy val thetaOracleSql: String = {
+  /** CTE chain `keys → … → fm(flag, h)` replaying fnv1a64∘fmix64 over a
+    * `keys(flag, g)` relation to the DISTINCT unsigned HUGEINT hash —
+    * the hllVecCtes finalizer without the register split, shared by the
+    * theta/KMV oracles.
+    */
+  private def fmixChainCtes(keysSql: String): String = {
     def mul64(c: BigInt): String =
       s"($c::HUGEINT * (u % 4294967296::HUGEINT) + (($c::HUGEINT * (u // 4294967296::HUGEINT)) % 4294967296::HUGEINT) * 4294967296::HUGEINT) % $U64"
     val c1 = BigInt("ff51afd7ed558ccd", 16)
     val c2 = BigInt("c4ceb9fe1a85ec53", 16)
-    s"""WITH keys AS (SELECT 'A' AS flag, CAST(o_custkey AS VARCHAR) AS g FROM orders
-       |              UNION ALL SELECT 'B', CAST(c_custkey AS VARCHAR) FROM customer WHERE c_acctbal > 0),
+    s"""keys AS ($keysSql),
        |dk AS MATERIALIZED (SELECT DISTINCT flag, g FROM keys),
        |hh AS (SELECT flag, $fnvSql AS u FROM dk),
        |f1 AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS u FROM hh),
        |f2 AS (SELECT flag, ${mul64(c1)} AS u FROM f1),
        |f3 AS (SELECT flag, xor(u, u // 8589934592::HUGEINT) AS u FROM f2),
        |f4 AS (SELECT flag, ${mul64(c2)} AS u FROM f3),
-       |fm AS MATERIALIZED (SELECT DISTINCT flag, xor(u, u // 8589934592::HUGEINT) AS h FROM f4),
+       |fm AS MATERIALIZED (SELECT DISTINCT flag, xor(u, u // 8589934592::HUGEINT) AS h FROM f4)""".stripMargin
+  }
+
+  private lazy val thetaOracleSql: String = {
+    s"""WITH ${fmixChainCtes(
+        """SELECT 'A' AS flag, CAST(o_custkey AS VARCHAR) AS g FROM orders
+          |              UNION ALL SELECT 'B', CAST(c_custkey AS VARCHAR) FROM customer WHERE c_acctbal > 0""".stripMargin)},
        |ha AS MATERIALIZED (SELECT h FROM fm WHERE flag = 'A'),
        |hb AS MATERIALIZED (SELECT h FROM fm WHERE flag = 'B'),
        |ska AS MATERIALIZED (SELECT h FROM ha ORDER BY h LIMIT 256),
@@ -5071,6 +5209,49 @@ operations:
        |       exact_union, exact_inter, exact_diff_ab
        |FROM ea, eb, eu, ex, tha, thb""".stripMargin
   }
+
+  /** sk_theta_grouped / stream_theta: per-flag fmix replay → unsigned
+    * bottom-256 via QUALIFY → the same θ convention and truncating
+    * division as kmvEstSql (not-full sketches degrade to exact counts).
+    */
+  private lazy val kmvGroupedOracleSql: String =
+    s"""WITH ${fmixChainCtes("SELECT l_returnflag AS flag, CAST(l_orderkey AS VARCHAR) AS g FROM lineitem")},
+       |sk AS MATERIALIZED (SELECT flag, h FROM fm QUALIFY row_number() OVER (PARTITION BY flag ORDER BY h) <= 256),
+       |st AS (SELECT flag, CAST(count(*) AS BIGINT) AS n_sk, max(h) AS mx FROM sk GROUP BY 1),
+       |est AS (SELECT flag, n_sk,
+       |          CASE WHEN n_sk < 256 THEN n_sk
+       |               ELSE CAST(((n_sk - 1)::HUGEINT * $U64) // mx AS BIGINT) END AS kmv_est
+       |        FROM st),
+       |ex AS (SELECT l_returnflag AS flag, count(DISTINCT l_orderkey) AS exact_nd FROM lineitem GROUP BY 1)
+       |SELECT est.flag AS l_returnflag, n_sk, CAST(kmv_est AS BIGINT) AS kmv_est, exact_nd
+       |FROM est JOIN ex ON est.flag = ex.flag""".stripMargin
+
+  /** q_dp: identical md5 fraction + the identical literal threshold chain
+    * (exact BigInt CDF of the two-sided geometric, computed once).
+    */
+  private lazy val dpOracleSql: String = {
+    val cases = dpThresholds.zip(dpNoiseSeq)
+      .map { case (t, n) => s"WHEN u32 < $t THEN $n" }.mkString(" ")
+    s"""WITH c AS (SELECT o_orderpriority AS pri, CAST(count(*) AS BIGINT) AS n FROM orders GROUP BY 1),
+       |u AS (SELECT pri, n, CAST('0x' || substr(md5('dp:' || pri), 1, 8) AS BIGINT) AS u32 FROM c)
+       |SELECT pri, n, CAST(CASE $cases ELSE 9 END AS BIGINT) AS noise,
+       |  n + CAST(CASE $cases ELSE 9 END AS BIGINT) AS dp_n FROM u""".stripMargin
+  }
+
+  /** sim_knn: the sim_topk cosine replay restricted to the disjoint
+    * anchor/pool split, then the (votes desc, label asc) majority vote.
+    */
+  private lazy val knnOracleSql: String =
+    """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+      |scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+      |    list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score
+      |  FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id >= 8),
+      |top AS (SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored) WHERE rn <= 10),
+      |votes AS (SELECT query_id, l.label AS nl, CAST(count(*) AS BIGINT) AS votes
+      |  FROM top JOIN embeddings l ON top.neighbor_id = l.vec_id GROUP BY 1, 2),
+      |pred AS (SELECT query_id, nl, votes FROM votes QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl ASC) = 1)
+      |SELECT p.query_id, t.label AS truth_label, p.nl AS pred_label, p.votes AS n_votes
+      |FROM pred p JOIN embeddings t ON p.query_id = t.vec_id""".stripMargin
 
   /** g_linkpred: identical capped co-purchase edges, the same anchor +
     * hub-cap wedge expansion, NOT-EXISTS adjacency exclusion, HUGEINT

@@ -65,6 +65,16 @@ object SketchAgg {
     */
   def cmsEstimate(cms: Column, key: Column, depth: Int, logW: Int): Column =
     toCol(CmsEstExpr(toExpr(cms), toExpr(key), depth, logW))
+
+  /** KMV / theta bottom-k sketch (Beyer et al., SIGMOD 2007): the k
+    * smallest DISTINCT fnv1a64∘fmix64 key hashes in unsigned order, as
+    * array<long> (unsigned-ascending, signed longs carrying the unsigned
+    * bits). Merge = set union + trim — order-free, so streamed state
+    * equals batch state. Downstream (plain array expressions): θ = the
+    * k-th smallest (2⁶⁴ when not full), estimate = retained · 2⁶⁴ div θ.
+    */
+  def kmvBottomK(key: Column, k: Int): Column =
+    toCol(KmvAgg(toExpr(key), k).toAggregateExpression())
 }
 
 /** (counters array<long>, key string) → min over the depth rows of the
@@ -220,4 +230,87 @@ case class CmsAgg(keyE: Expression, depth: Int, logW: Int,
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): CmsAgg =
     copy(keyE = c(0))
   override def prettyName: String = "graft_cms"
+}
+
+/** Bottom-k distinct unsigned key hashes per group. Buffer: a TreeSet in
+  * unsigned order, ≤ k longs (k·8 bytes serialized) — set-union merge is
+  * associative, commutative, and idempotent, so the sketch is identical
+  * under any partitioning, combine schedule, or micro-batch slicing
+  * (stream ≡ batch, the stream_hll property). TreeSet membership gives
+  * the DISTINCT semantics; eviction from the top keeps updates O(log k).
+  */
+case class KmvAgg(keyE: Expression, k: Int,
+                  mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]] {
+
+  require(k >= 16 && k <= 65536, "kmv: k must be in [16, 65536]")
+
+  private def newBuf(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long](new java.util.Comparator[java.lang.Long] {
+      override def compare(a: java.lang.Long, b: java.lang.Long): Int =
+        java.lang.Long.compareUnsigned(a, b)
+    })
+
+  override def children: Seq[Expression] = Seq(keyE)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] = newBuf()
+
+  override def update(buf: java.util.TreeSet[java.lang.Long],
+                      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = keyE.eval(input)
+    if (v != null) {
+      val b = v.asInstanceOf[UTF8String].getBytes
+      val h = Hashing.fmix64(Hashing.fnv1a64(b, 0, b.length))
+      if (buf.size < k) buf.add(h)
+      else if (java.lang.Long.compareUnsigned(h, buf.last()) < 0) {
+        if (buf.add(h)) buf.pollLast()
+      }
+    }
+    buf
+  }
+
+  override def merge(a: java.util.TreeSet[java.lang.Long],
+                     b: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = b.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (a.size < k) a.add(h)
+      else if (java.lang.Long.compareUnsigned(h, a.last()) < 0) {
+        if (a.add(h)) a.pollLast()
+      } else return a // b is sorted ascending: the rest only gets larger
+    }
+    a
+  }
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+    val out = new Array[Long](buf.size)
+    val it = buf.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.size * 8)
+    val it = buf.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = newBuf()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) buf.add(bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvAgg =
+    copy(keyE = c(0))
+  override def prettyName: String = "graft_kmv"
 }
