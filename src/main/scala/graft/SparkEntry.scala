@@ -3625,6 +3625,123 @@ operations:
       pred.join(emb.select(col("vec_id").as("query_id"), col("label").as("truth_label")),
           Seq("query_id"))
         .select("query_id", "truth_label", "pred_label", "n_votes")
+    }),
+
+    "q_drift" -> ((s, dir) => {
+      // snapshot drift report — the data-quality gate a daily ingest
+      // runs before publishing: per-column profile metrics of the base
+      // orders snapshot vs the post-CDC state (q_mv_retract's
+      // deterministic update/insert/delete log), joined metric-by-
+      // metric. ONE full-width aggregate per snapshot computes every
+      // metric (count, nulls, distincts over the two bounded enums,
+      // scaled-integer sum and extrema of the price), then a stack()
+      // unpivot to (metric, value) rows — so drift over any column set
+      // costs two scans total, never a scan per metric.
+      def cdcState(base: DataFrame): DataFrame = {
+        val upd = base.filter(col("o_orderkey") % 5 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 1.1)
+          .withColumn("__seq__", lit(1)).withColumn("__op__", lit("U"))
+        val ins = base.filter(col("o_orderkey") % 11 === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + 30000000L)
+          .withColumn("__seq__", lit(1)).withColumn("__op__", lit("I"))
+        val del = base.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", lit(0.0))
+          .withColumn("__seq__", lit(2)).withColumn("__op__", lit("D"))
+        val log = base.withColumn("__seq__", lit(0)).withColumn("__op__", lit("B"))
+          .unionByName(upd).unionByName(ins).unionByName(del)
+        import org.apache.spark.sql.expressions.Window
+        log.withColumn("__rn__", row_number().over(
+            Window.partitionBy("o_orderkey").orderBy(col("__seq__").desc)))
+          .filter(col("__rn__") === 1 && col("__op__") =!= "D")
+          .drop("__rn__", "__seq__", "__op__")
+      }
+      def profile(df: DataFrame): DataFrame =
+        df.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L)).as("null_status"),
+          countDistinct(col("o_orderstatus")).as("nd_status"),
+          countDistinct(col("o_orderpriority")).as("nd_priority"),
+          sum(round(col("o_totalprice") * 100).cast("long")).as("sum_price_c"),
+          min(round(col("o_totalprice") * 100).cast("long")).as("min_price_c"),
+          max(round(col("o_totalprice") * 100).cast("long")).as("max_price_c"))
+        .select(expr(
+          """stack(7, 'n_rows', n_rows, 'null_status', null_status,
+             |'nd_status', nd_status, 'nd_priority', nd_priority,
+             |'sum_price_c', sum_price_c, 'min_price_c', min_price_c,
+             |'max_price_c', max_price_c) AS (metric, value)""".stripMargin))
+      val base = T(s, dir, "orders")
+      profile(base).select(col("metric"), col("value").as("value_base"))
+        .join(profile(cdcState(base))
+          .select(col("metric"), col("value").as("value_new")), Seq("metric"))
+        .select(col("metric"), col("value_base"), col("value_new"),
+          (col("value_new") - col("value_base")).as("delta"))
+    }),
+
+    "q_declist" -> ((s, dir) => {
+      // two-stage decision list: the q_stump histogram split-search,
+      // then a SECOND stump trained only on the first stage's
+      // misclassified rows — the residual-refit kernel of boosting.
+      // Each stage is one bounded histogram aggregate; the learned
+      // 1-row model crosses stages via a driver collect (work bounded
+      // by model size — the k-means/ev_markov pattern). Per-side
+      // predictions are integer majorities; every accuracy count is
+      // exact and derived from the same histogram.
+      val base = T(s, dir, "orders").select(
+        when(col("o_orderstatus") === "F", lit(1L)).otherwise(lit(0L)).as("y"),
+        year(col("o_orderdate").cast("date")).cast("long").as("bin_year"),
+        expr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 3000000, 19)")
+          .as("bin_price")).localCheckpoint(true)
+      def bestStump(df: DataFrame): Option[org.apache.spark.sql.Row] = {
+        import org.apache.spark.sql.expressions.Window
+        val hist = df.select(explode(array(
+            struct(lit("year").as("feature"), col("bin_year").as("bin"), col("y")),
+            struct(lit("price").as("feature"), col("bin_price").as("bin"), col("y")))).as("e"))
+          .select(col("e.feature"), col("e.bin"), col("e.y"))
+          .groupBy("feature", "bin")
+          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+        val w = Window.partitionBy("feature").orderBy("bin")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = hist.groupBy("feature").agg(sum("n").as("n_tot"), sum("pos").as("pos_tot"))
+        val cand = hist
+          .withColumn("n_left", sum("n").over(w))
+          .withColumn("pos_left", sum("pos").over(w))
+          .join(broadcast(tot), Seq("feature"))
+          .filter(col("n_left") < col("n_tot"))
+          .select(col("feature"), col("bin").as("threshold"),
+            col("n_left"), col("pos_left"),
+            (col("n_tot") - col("n_left")).as("n_right"),
+            (col("pos_tot") - col("pos_left")).as("pos_right"))
+          .withColumn("g_micro",
+            expr("""CAST((2 * CAST(pos_left AS DECIMAL(18,0)) * (n_left - pos_left) * 1000000)
+                        div n_left AS BIGINT)
+                    + CAST((2 * CAST(pos_right AS DECIMAL(18,0)) * (n_right - pos_right) * 1000000)
+                        div n_right AS BIGINT)"""))
+        cand.orderBy(col("g_micro"), col("feature"), col("threshold")).limit(1)
+          .collect().headOption
+      }
+      def stageRow(r: org.apache.spark.sql.Row, stage: Int): DataFrame = {
+        val (nl, pl) = (r.getAs[Long]("n_left"), r.getAs[Long]("pos_left"))
+        val (nr, pr) = (r.getAs[Long]("n_right"), r.getAs[Long]("pos_right"))
+        val predL = if (2 * pl > nl) 1L else 0L
+        val predR = if (2 * pr > nr) 1L else 0L
+        val correct = (if (predL == 1L) pl else nl - pl) + (if (predR == 1L) pr else nr - pr)
+        s.range(1).select(lit(stage.toLong).as("stage"),
+          lit(r.getAs[String]("feature")).as("feature"),
+          lit(r.getAs[Long]("threshold")).as("threshold"),
+          lit(predL).as("pred_left"), lit(predR).as("pred_right"),
+          lit(nl + nr).as("n_train"), lit(correct).as("n_correct"))
+      }
+      val s1 = bestStump(base).get
+      val feat1 = col(if (s1.getAs[String]("feature") == "year") "bin_year" else "bin_price")
+      val predL1 = if (2 * s1.getAs[Long]("pos_left") > s1.getAs[Long]("n_left")) 1L else 0L
+      val predR1 = if (2 * s1.getAs[Long]("pos_right") > s1.getAs[Long]("n_right")) 1L else 0L
+      val pred1 = when(feat1 <= s1.getAs[Long]("threshold"), lit(predL1)).otherwise(lit(predR1))
+      val errors = base.filter(col("y") =!= pred1)
+      val out1 = stageRow(s1, 1)
+      bestStump(errors) match {
+        case Some(s2) => out1.unionByName(stageRow(s2, 2))
+        case None => out1
+      }
     })
   )
 
@@ -4919,7 +5036,9 @@ operations:
     "sk_theta_grouped" -> kmvGroupedOracleSql,
     "stream_theta" -> kmvGroupedOracleSql,
     "q_dp" -> dpOracleSql,
-    "sim_knn" -> knnOracleSql
+    "sim_knn" -> knnOracleSql,
+    "q_drift" -> driftOracleSql,
+    "q_declist" -> declistOracleSql
   )
 
   // --- sketch replays -------------------------------------------------
@@ -5252,6 +5371,69 @@ operations:
       |pred AS (SELECT query_id, nl, votes FROM votes QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl ASC) = 1)
       |SELECT p.query_id, t.label AS truth_label, p.nl AS pred_label, p.votes AS n_votes
       |FROM pred p JOIN embeddings t ON p.query_id = t.vec_id""".stripMargin
+
+  /** q_drift: the q_mv_retract CDC log carried through with all profiled
+    * columns, then the identical 7-metric profile of each snapshot.
+    */
+  private lazy val driftOracleSql: String = {
+    def prof(src: String): String =
+      s"""SELECT 'n_rows' AS metric, CAST(count(*) AS BIGINT) AS value FROM $src
+         | UNION ALL SELECT 'null_status', CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) FROM $src
+         | UNION ALL SELECT 'nd_status', CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM $src
+         | UNION ALL SELECT 'nd_priority', CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM $src
+         | UNION ALL SELECT 'sum_price_c', CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM $src
+         | UNION ALL SELECT 'min_price_c', CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM $src
+         | UNION ALL SELECT 'max_price_c', CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) FROM $src""".stripMargin
+    s"""WITH log AS (
+       |  SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice, 0 AS seq, 'B' AS op FROM orders
+       |  UNION ALL SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice * 1.1, 1, 'U' FROM orders WHERE o_orderkey % 5 = 0
+       |  UNION ALL SELECT o_orderkey + 30000000, o_orderstatus, o_orderpriority, o_totalprice, 1, 'I' FROM orders WHERE o_orderkey % 11 = 0
+       |  UNION ALL SELECT o_orderkey, o_orderstatus, o_orderpriority, 0.0, 2, 'D' FROM orders WHERE o_orderkey % 7 = 0),
+       |fin AS (SELECT o_orderkey, o_orderstatus, o_orderpriority, o_totalprice FROM
+       |  (SELECT *, row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM log)
+       |  WHERE rn = 1 AND op <> 'D'),
+       |pb AS (${prof("orders")}),
+       |pn AS (${prof("fin")})
+       |SELECT pb.metric, pb.value AS value_base, pn.value AS value_new,
+       |  pn.value - pb.value AS delta
+       |FROM pb JOIN pn ON pb.metric = pn.metric""".stripMargin
+  }
+
+  /** q_declist: the q_stump candidate scan replayed twice — stage 2 over
+    * the rows stage 1's best stump misclassifies (scalar-joined model).
+    */
+  private lazy val declistOracleSql: String = {
+    def stump(src: String, p: String): String =
+      s"""${p}f AS (SELECT 'year' AS feature, bin_year AS bin, y FROM $src
+         |       UNION ALL SELECT 'price', bin_price, y FROM $src),
+         |${p}hist AS (SELECT feature, bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS pos FROM ${p}f GROUP BY 1, 2),
+         |${p}cum AS (SELECT feature, bin, CAST(sum(n) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS n_left, CAST(sum(pos) OVER (PARTITION BY feature ORDER BY bin) AS BIGINT) AS pos_left FROM ${p}hist),
+         |${p}tot AS (SELECT feature, CAST(sum(n) AS BIGINT) AS n_tot, CAST(sum(pos) AS BIGINT) AS pos_tot FROM ${p}hist GROUP BY 1),
+         |${p}cand AS (SELECT c.feature, bin AS threshold, n_left, pos_left, n_tot - n_left AS n_right, pos_tot - pos_left AS pos_right
+         |  FROM ${p}cum c JOIN ${p}tot t ON c.feature = t.feature WHERE n_left < n_tot),
+         |${p}sc AS (SELECT *,
+         |  CAST((2::HUGEINT * pos_left * (n_left - pos_left) * 1000000) // n_left AS BIGINT)
+         |  + CAST((2::HUGEINT * pos_right * (n_right - pos_right) * 1000000) // n_right AS BIGINT) AS g_micro FROM ${p}cand),
+         |${p}best AS (SELECT * FROM ${p}sc QUALIFY row_number() OVER (ORDER BY g_micro, feature, threshold) = 1),
+         |${p}row AS (SELECT feature, threshold,
+         |  CAST(CASE WHEN 2 * pos_left > n_left THEN 1 ELSE 0 END AS BIGINT) AS pred_left,
+         |  CAST(CASE WHEN 2 * pos_right > n_right THEN 1 ELSE 0 END AS BIGINT) AS pred_right,
+         |  n_left + n_right AS n_train,
+         |  (CASE WHEN 2 * pos_left > n_left THEN pos_left ELSE n_left - pos_left END)
+         |  + (CASE WHEN 2 * pos_right > n_right THEN pos_right ELSE n_right - pos_right END) AS n_correct
+         |  FROM ${p}best)""".stripMargin
+    s"""WITH base AS (SELECT CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y,
+       |    CAST(year(CAST(o_orderdate AS DATE)) AS BIGINT) AS bin_year,
+       |    least(CAST(round(o_totalprice * 100) AS BIGINT) // 3000000, 19) AS bin_price FROM orders),
+       |${stump("base", "s1")},
+       |err AS (SELECT b.* FROM base b, s1row r
+       |  WHERE b.y <> CASE WHEN (CASE WHEN r.feature = 'year' THEN b.bin_year ELSE b.bin_price END) <= r.threshold
+       |               THEN r.pred_left ELSE r.pred_right END),
+       |${stump("err", "s2")}
+       |SELECT CAST(1 AS BIGINT) AS stage, feature, threshold, pred_left, pred_right, n_train, n_correct FROM s1row
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), feature, threshold, pred_left, pred_right, n_train, n_correct FROM s2row""".stripMargin
+  }
 
   /** g_linkpred: identical capped co-purchase edges, the same anchor +
     * hub-cap wedge expansion, NOT-EXISTS adjacency exclusion, HUGEINT

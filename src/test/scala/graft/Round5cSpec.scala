@@ -91,6 +91,66 @@ class Round5cSpec extends SparkSpec {
     assert(out("1-URGENT").getAs[Long]("n") == 7L)
   }
 
+  test("q_drift: CDC snapshot with known update/insert/delete arithmetic") {
+    // keys 1..11, $10 'O'/'P' rows: %5 → 5,10 updated ×1.1; %7 → 7
+    // deleted; %11 → 11 re-inserted at key+30000000. New state: 11 rows
+    // (8×1000c + 2×1100c + 1×1000c) → sum 11200c, max 1100c
+    val orders = (1 to 11).map(i => (i.toLong, "O", "P", 10.0))
+      .toDF("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice")
+    val dir = plant("/tmp/graft-test/drift", "orders" -> orders)
+    val out = SparkEntry.queries("q_drift")(spark, dir)
+      .collect().map(r => r.getAs[String]("metric") -> r).toMap
+    assert(out.size == 7)
+    def check(m: String, base: Long, now: Long): Unit = {
+      assert(out(m).getAs[Long]("value_base") == base, s"$m base")
+      assert(out(m).getAs[Long]("value_new") == now, s"$m new")
+      assert(out(m).getAs[Long]("delta") == now - base, s"$m delta")
+    }
+    check("n_rows", 11L, 11L)
+    check("sum_price_c", 11000L, 11200L)
+    check("min_price_c", 1000L, 1000L)
+    check("max_price_c", 1000L, 1100L)
+    check("nd_status", 1L, 1L)
+    check("null_status", 0L, 0L)
+  }
+
+  test("q_declist: perfect first stump emits a single stage") {
+    val orders = ((1 to 10).map(_ => (java.sql.Date.valueOf("1995-06-01"), "O", 30.0)) ++
+      (1 to 10).map(_ => (java.sql.Date.valueOf("1996-06-01"), "F", 30.0)))
+      .toDF("o_orderdate", "o_orderstatus", "o_totalprice")
+    val dir = plant("/tmp/graft-test/declist1", "orders" -> orders)
+    val out = SparkEntry.queries("q_declist")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("stage") == 1L && r.getAs[String]("feature") == "year")
+    assert(r.getAs[Long]("n_train") == 20L && r.getAs[Long]("n_correct") == 20L)
+  }
+
+  test("q_declist: residual stump separates stage-1's errors exactly") {
+    // bin0 ($10): 5×1995 'F' + 5×1996 'F'; bin1 ($30000): 1995 4'O'+2'F',
+    // 1996 3'O'+1'F'. Stage 1: price@0 (g 4.2e6 beats year's 9.09e6),
+    // predicts 1|0 → 17/20 correct; errors = the three bin-1 'F' rows →
+    // stage 2 splits them perfectly on year@1995 (g = 0)
+    val d95 = java.sql.Date.valueOf("1995-06-01")
+    val d96 = java.sql.Date.valueOf("1996-06-01")
+    val rows =
+      (1 to 5).map(_ => (d95, "F", 10.0)) ++ (1 to 5).map(_ => (d96, "F", 10.0)) ++
+        (1 to 4).map(_ => (d95, "O", 30000.0)) ++ (1 to 2).map(_ => (d95, "F", 30000.0)) ++
+        (1 to 3).map(_ => (d96, "O", 30000.0)) ++ Seq((d96, "F", 30000.0))
+    val orders = rows.toDF("o_orderdate", "o_orderstatus", "o_totalprice")
+    val dir = plant("/tmp/graft-test/declist2", "orders" -> orders)
+    val out = SparkEntry.queries("q_declist")(spark, dir)
+      .collect().map(r => r.getAs[Long]("stage") -> r).toMap
+    assert(out.size == 2)
+    val s1 = out(1L)
+    assert(s1.getAs[String]("feature") == "price" && s1.getAs[Long]("threshold") == 0L)
+    assert(s1.getAs[Long]("pred_left") == 1L && s1.getAs[Long]("pred_right") == 0L)
+    assert(s1.getAs[Long]("n_train") == 20L && s1.getAs[Long]("n_correct") == 17L)
+    val s2 = out(2L)
+    assert(s2.getAs[String]("feature") == "year" && s2.getAs[Long]("threshold") == 1995L)
+    assert(s2.getAs[Long]("n_train") == 3L && s2.getAs[Long]("n_correct") == 3L)
+  }
+
   test("sim_knn: two-cluster space — majority label wins, 6 votes each") {
     // pool: 6 vecs near [1,0] labeled 1, 6 near [-1,0] labeled 2; each
     // anchor's top-10 keeps all 6 of its cluster + 4 of the other
