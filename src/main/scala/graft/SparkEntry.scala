@@ -3742,6 +3742,121 @@ operations:
         case Some(s2) => out1.unionByName(stageRow(s2, 2))
         case None => out1
       }
+    }),
+
+    "q_xcorr" -> ((s, dir) => {
+      // lead-lag cross-correlation between daily event VOLUME and daily
+      // event VALUE at lags −3..+3 — the "does activity lead value?"
+      // probe. Per lag: exact integer moment sums (n, Σx, Σy, Σxy, Σx²,
+      // Σy²) over the date-aligned pairs via q_theilsen's bounded-offset
+      // EQUI-join; Pearson r is ONE double expression over those exact
+      // integers — identical tree in the oracle, and IEEE sqrt is
+      // correctly rounded, so the doubles are bit-identical (the
+      // sim_topk argument). No windows; keyed shuffles only.
+      val daily = events(s, dir)
+        .groupBy(col("ts").cast("date").as("d"))
+        .agg(count(lit(1)).as("x"),
+          sum(round(col("value") * 10000).cast("long")).as("y"))
+        .localCheckpoint(true)
+      val pairs = daily.select(col("d"), col("x"))
+        .withColumn("lag_k", explode(sequence(lit(-3), lit(3))))
+        .select(col("lag_k"), col("x"), date_add(col("d"), col("lag_k")).as("d2"))
+        .join(daily.select(col("d"), col("y")), col("d2") === col("d"))
+      pairs.groupBy("lag_k").agg(
+          count(lit(1)).as("n_pairs"),
+          sum(col("x").cast("decimal(18,0)")).cast("decimal(38,0)").as("sx"),
+          sum(col("y").cast("decimal(18,0)")).cast("decimal(38,0)").as("sy"),
+          sum(col("x").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as("sxy"),
+          sum(col("x").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as("sxx"),
+          sum(col("y").cast("decimal(18,0)") * col("y").cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as("syy"))
+        .select(col("lag_k"), col("n_pairs"),
+          col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
+          col("sxy").cast("string").as("sxy"),
+          expr("""CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxy - sx * sy AS DOUBLE)
+                  / (sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+                     * sqrt(CAST(CAST(n_pairs AS DECIMAL(38,0)) * syy - sy * sy AS DOUBLE)))""")
+            .as("r"))
+    }),
+
+    "ta_novelty" -> ((s, dir) => {
+      // per-document n-gram novelty against the EARLIER corpus (doc_id
+      // order): the share of a doc's distinct token 3-grams whose first
+      // corpus appearance is the doc itself — the streaming-ingest
+      // freshness signal (near-1 docs are new material, near-0 docs are
+      // recombinations). One distinct (gram, doc) aggregate → min-doc
+      // per gram → per-doc ratio; grams join back as strings here for
+      // oracle byte-parity (a 100 TB run would fingerprint them to
+      // 64-bit ids first — dd_spans does exactly that).
+      val toks = T(s, dir, "documents").select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
+      val grams = toks
+        .filter(size(col("t")) >= 3) // sequence(0, n) descends for n < 0
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0, size(t) - 3),
+             |i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))""".stripMargin)).as("gram"))
+        .distinct()
+      val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
+      grams.join(first, Seq("gram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty_micro",
+          expr("CAST((CAST(n_novel AS DECIMAL(18,0)) * 1000000) div n_grams AS BIGINT)"))
+    }),
+
+    "er_golden" -> ((s, dir) => {
+      // survivorship / golden-record construction — the step AFTER the
+      // transitive match: one canonical row per entity with
+      // deterministic survivorship rules (representative = min member
+      // key, name from the representative, newest balance = max cents,
+      // membership stats). Matching is NATION-BLOCKED (links only
+      // within a nation — the standard ER blocking key, and what keeps
+      // TPC-H's sequential names from chaining the whole table into one
+      // entity); survivorship is one struct-min/max aggregate per
+      // entity — shards by entity id.
+      val cust = T(s, dir, "customer")
+      val nat = cust.select(col("c_custkey"), col("c_nationkey"))
+      val pairs = ext.FuzzyJoin.editDistanceSelfJoin(
+        cust, "c_custkey", "c_name", maxDist = 1)
+        .join(nat.select(col("c_custkey").as("id_a"), col("c_nationkey").as("__na__")), Seq("id_a"))
+        .join(nat.select(col("c_custkey").as("id_b"), col("c_nationkey").as("__nb__")), Seq("id_b"))
+        .filter(col("__na__") === col("__nb__"))
+      val comp = ext.Graph.componentsFor(cust.select("c_custkey"), "c_custkey",
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      comp.join(cust, Seq("c_custkey"))
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          min(struct(col("c_custkey"), col("c_name"))).as("rep"),
+          max(round(col("c_acctbal") * 100).cast("long")).as("max_acctbal_c"),
+          countDistinct(col("c_mktsegment")).as("n_segments"))
+        .select(col("entity_id"), col("n_members"),
+          col("rep.c_custkey").as("rep_custkey"), col("rep.c_name").as("rep_name"),
+          col("max_acctbal_c"), col("n_segments"))
+    }),
+
+    "srch_phrase" -> ((s, dir) => {
+      // exact-phrase retrieval over positional postings: the corpus's
+      // most frequent token bigram (count desc, bigram asc — a 1-row
+      // TakeOrdered, the deterministic "query") matched back to every
+      // document with occurrence count and first position. This is the
+      // read path the srch_invindex postings exist for; both stages are
+      // map-side-combinable aggregates and the probe join broadcasts
+      // the single phrase row.
+      val bi = T(s, dir, "documents").select(col("doc_id"),
+          filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
+        .filter(size(col("t")) >= 2)
+        .select(col("doc_id"), posexplode(expr(
+          "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")))
+        .withColumnRenamed("pos", "p").withColumnRenamed("col", "bigram")
+      val top = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc).limit(1)
+        .select(col("bigram").as("phrase"))
+      bi.join(broadcast(top), col("bigram") === col("phrase"))
+        .groupBy("doc_id", "phrase")
+        .agg(count(lit(1)).as("n_occ"), min(col("p")).cast("long").as("first_pos"))
     })
   )
 
@@ -5038,7 +5153,53 @@ operations:
     "q_dp" -> dpOracleSql,
     "sim_knn" -> knnOracleSql,
     "q_drift" -> driftOracleSql,
-    "q_declist" -> declistOracleSql
+    "q_declist" -> declistOracleSql,
+    // q_xcorr: exact HUGEINT moment sums per lag; the final Pearson r is
+    // one double tree over them (IEEE sqrt is correctly rounded)
+    "q_xcorr" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x, CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS BIGINT) AS y FROM events GROUP BY 1),
+         pairs AS (SELECT CAST(t.k AS INTEGER) AS lag_k, a.x, b.y
+                   FROM daily a, (SELECT unnest(range(-3, 4)) AS k) t, daily b
+                   WHERE a.d + CAST(t.k AS INTEGER) = b.d),
+         g AS (SELECT lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+                 sum(x::HUGEINT) AS sx, sum(y::HUGEINT) AS sy,
+                 sum(x::HUGEINT * y) AS sxy, sum(x::HUGEINT * x) AS sxx, sum(y::HUGEINT * y) AS syy
+               FROM pairs GROUP BY 1)
+         SELECT lag_k, n_pairs, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy, CAST(sxy AS VARCHAR) AS sxy,
+           CAST(n_pairs::HUGEINT * sxy - sx * sy AS DOUBLE)
+           / (sqrt(CAST(n_pairs::HUGEINT * sxx - sx * sx AS DOUBLE))
+              * sqrt(CAST(n_pairs::HUGEINT * syy - sy * sy AS DOUBLE))) AS r
+         FROM g""",
+    // ta_novelty: identical tokenization and 3-gram windows (1-based
+    // list indexing vs Spark's 0-based element_at offsets)
+    "ta_novelty" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+         g0 AS (SELECT doc_id, unnest(list_transform(range(len(t) - 2), i -> t[CAST(i AS INTEGER) + 1] || ' ' || t[CAST(i AS INTEGER) + 2] || ' ' || t[CAST(i AS INTEGER) + 3])) AS gram FROM toks WHERE len(t) >= 3),
+         grams AS (SELECT DISTINCT doc_id, gram FROM g0),
+         fst AS (SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY 1)
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+           CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::HUGEINT * 1000000) // count(*) AS BIGINT) AS novelty_micro
+         FROM grams JOIN fst USING (gram) GROUP BY 1""",
+    // er_golden: the er_entities recursive closure + arg_min survivorship
+    "er_golden" ->
+      """WITH pairs AS (SELECT a.c_custkey AS s, b.c_custkey AS d FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey AND levenshtein(a.c_name, b.c_name) <= 1),
+         edges AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs),
+         reach AS (WITH RECURSIVE rr(id, rid) AS (SELECT c_custkey, c_custkey FROM customer UNION SELECT rr.id, e.d FROM rr JOIN edges e ON rr.rid = e.s) SELECT id, min(rid) AS ent FROM rr GROUP BY 1)
+         SELECT CAST(r.ent AS BIGINT) AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+           CAST(min(c.c_custkey) AS BIGINT) AS rep_custkey,
+           arg_min(c.c_name, c.c_custkey) AS rep_name,
+           CAST(max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_acctbal_c,
+           CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments
+         FROM reach r JOIN customer c ON r.id = c.c_custkey GROUP BY 1""",
+    // srch_phrase: same bigram windows, same (count desc, bigram) top-1
+    "srch_phrase" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
+         bi0 AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> {'p': i, 'b': t[CAST(i AS INTEGER) + 1] || ' ' || t[CAST(i AS INTEGER) + 2]})) AS e FROM toks WHERE len(t) >= 2),
+         bi AS (SELECT doc_id, CAST(e.p AS INTEGER) AS p, e.b AS bigram FROM bi0),
+         top AS (SELECT bigram AS phrase FROM (SELECT bigram, count(*) AS n FROM bi GROUP BY 1 ORDER BY n DESC, bigram LIMIT 1))
+         SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_occ, CAST(min(p) AS BIGINT) AS first_pos
+         FROM bi JOIN top ON bi.bigram = top.phrase GROUP BY 1, 2"""
   )
 
   // --- sketch replays -------------------------------------------------
