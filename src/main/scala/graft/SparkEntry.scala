@@ -3243,9 +3243,11 @@ operations:
       // over a bounded 5×3 cell domain; expected counts and per-cell χ²
       // terms are micro-scaled integers via integral division of
       // NONNEGATIVE products ((O·N − R·C)² is a square; truncation
-      // toward zero matches in both engines). decimal(38,0) keeps the
-      // squared cross-products exact through ~10¹⁸ rows — past that,
-      // downscale the unit (ANSI overflow throws loudly, never corrupts).
+      // toward zero matches in both engines). Envelope: the cross-
+      // product difference is held in DECIMAL(18,0) and its square
+      // ×10⁶ in DECIMAL(38,0), exact through ~10⁸–10⁹ rows; past that
+      // downscale the unit (ANSI overflow throws loudly, never
+      // corrupts).
       val joined = T(s, dir, "orders")
         .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"), col("o_orderstatus").as("status"))
@@ -3331,10 +3333,11 @@ operations:
         .select(col("n_pts"),
           col("sx").cast("string").as("sx"), col("sy").cast("string").as("sy"),
           col("sxx").cast("string").as("sxx"), col("sxy").cast("string").as("sxy"),
-          expr("""CAST(CASE WHEN n_pts * sxy - sx * sy < 0 THEN -1
+          expr("""CASE WHEN n_pts * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(CASE WHEN n_pts * sxy - sx * sy < 0 THEN -1
                             WHEN n_pts * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS BIGINT)
                   * CAST((abs(n_pts * sxy - sx * sy) * 1000000)
-                         div (n_pts * sxx - sx * sx) AS BIGINT)""").as("slope_micro"))
+                         div (n_pts * sxx - sx * sx) AS BIGINT) END""").as("slope_micro"))
     }),
 
     "q_stump" -> ((s, dir) => {
@@ -3349,35 +3352,13 @@ operations:
       // (g, feature, threshold) is one broadcast 1-row struct-min.
       // After the scan everything operates on ≤ ~27 histogram cells;
       // the windows partition by feature over ≤ 20-row frames.
-      import org.apache.spark.sql.expressions.Window
+      // Candidate generation is the shared stumpCandidates kernel.
       val base = T(s, dir, "orders").select(
         when(col("o_orderstatus") === "F", lit(1L)).otherwise(lit(0L)).as("y"),
         year(col("o_orderdate").cast("date")).cast("long").as("bin_year"),
         expr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 3000000, 19)")
           .as("bin_price"))
-      val hist = base.select(explode(array(
-          struct(lit("year").as("feature"), col("bin_year").as("bin"), col("y")),
-          struct(lit("price").as("feature"), col("bin_price").as("bin"), col("y")))).as("e"))
-        .select(col("e.feature"), col("e.bin"), col("e.y"))
-        .groupBy("feature", "bin")
-        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
-      val w = Window.partitionBy("feature").orderBy("bin")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val tot = hist.groupBy("feature").agg(sum("n").as("n_tot"), sum("pos").as("pos_tot"))
-      val cand = hist
-        .withColumn("n_left", sum("n").over(w))
-        .withColumn("pos_left", sum("pos").over(w))
-        .join(broadcast(tot), Seq("feature"))
-        .filter(col("n_left") < col("n_tot")) // a split must leave a right side
-        .select(col("feature"), col("bin").as("threshold"),
-          col("n_left"), col("pos_left"),
-          (col("n_tot") - col("n_left")).as("n_right"),
-          (col("pos_tot") - col("pos_left")).as("pos_right"))
-        .withColumn("g_micro",
-          expr("""CAST((2 * CAST(pos_left AS DECIMAL(18,0)) * (n_left - pos_left) * 1000000)
-                      div n_left AS BIGINT)
-                  + CAST((2 * CAST(pos_right AS DECIMAL(18,0)) * (n_right - pos_right) * 1000000)
-                      div n_right AS BIGINT)"""))
+      val cand = stumpCandidates(base)
       val best = cand.agg(min(struct(col("g_micro"), col("feature"), col("threshold"))).as("b"))
       cand.crossJoin(broadcast(best))
         .withColumn("is_best", col("g_micro") === col("b.g_micro") &&
@@ -3460,16 +3441,16 @@ operations:
         .localCheckpoint(true)
       val hB = hashes(T(s, dir, "customer").filter(col("c_acctbal") > 0)
         .select(col("c_custkey").as("g"))).localCheckpoint(true)
-      def theta(sk: DataFrame, n: Long): org.apache.spark.sql.Column =
+      def theta(n: Long): org.apache.spark.sql.Column =
         if (n < k) expr(two64) else expr("max(u)")
       def sketch(hs: DataFrame): DataFrame = hs.orderBy(col("u")).limit(k)
       val skA = sketch(hA).localCheckpoint(true)
       val skB = sketch(hB).localCheckpoint(true)
       val skU = sketch(hA.union(hB).distinct()).localCheckpoint(true)
       val nA = skA.count(); val nB = skB.count(); val nU = skU.count()
-      val thA = skA.agg(theta(skA, nA).as("th"))
-      val thB = skB.agg(theta(skB, nB).as("th"))
-      val thU = skU.agg(theta(skU, nU).as("th"))
+      val thA = skA.agg(theta(nA).as("th"))
+      val thB = skB.agg(theta(nB).as("th"))
+      val thU = skU.agg(theta(nU).as("th"))
       val flagged = skU
         .join(hA.select(col("h"), lit(1L).as("in_a")), Seq("h"), "left")
         .join(hB.select(col("h"), lit(1L).as("in_b")), Seq("h"), "left")
@@ -3691,34 +3672,10 @@ operations:
         year(col("o_orderdate").cast("date")).cast("long").as("bin_year"),
         expr("least(CAST(round(o_totalprice * 100) AS BIGINT) div 3000000, 19)")
           .as("bin_price")).localCheckpoint(true)
-      def bestStump(df: DataFrame): Option[org.apache.spark.sql.Row] = {
-        import org.apache.spark.sql.expressions.Window
-        val hist = df.select(explode(array(
-            struct(lit("year").as("feature"), col("bin_year").as("bin"), col("y")),
-            struct(lit("price").as("feature"), col("bin_price").as("bin"), col("y")))).as("e"))
-          .select(col("e.feature"), col("e.bin"), col("e.y"))
-          .groupBy("feature", "bin")
-          .agg(count(lit(1)).as("n"), sum("y").as("pos"))
-        val w = Window.partitionBy("feature").orderBy("bin")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = hist.groupBy("feature").agg(sum("n").as("n_tot"), sum("pos").as("pos_tot"))
-        val cand = hist
-          .withColumn("n_left", sum("n").over(w))
-          .withColumn("pos_left", sum("pos").over(w))
-          .join(broadcast(tot), Seq("feature"))
-          .filter(col("n_left") < col("n_tot"))
-          .select(col("feature"), col("bin").as("threshold"),
-            col("n_left"), col("pos_left"),
-            (col("n_tot") - col("n_left")).as("n_right"),
-            (col("pos_tot") - col("pos_left")).as("pos_right"))
-          .withColumn("g_micro",
-            expr("""CAST((2 * CAST(pos_left AS DECIMAL(18,0)) * (n_left - pos_left) * 1000000)
-                        div n_left AS BIGINT)
-                    + CAST((2 * CAST(pos_right AS DECIMAL(18,0)) * (n_right - pos_right) * 1000000)
-                        div n_right AS BIGINT)"""))
-        cand.orderBy(col("g_micro"), col("feature"), col("threshold")).limit(1)
+      def bestStump(df: DataFrame): Option[org.apache.spark.sql.Row] =
+        stumpCandidates(df)
+          .orderBy(col("g_micro"), col("feature"), col("threshold")).limit(1)
           .collect().headOption
-      }
       def stageRow(r: org.apache.spark.sql.Row, stage: Int): DataFrame = {
         val (nl, pl) = (r.getAs[Long]("n_left"), r.getAs[Long]("pos_left"))
         val (nr, pr) = (r.getAs[Long]("n_right"), r.getAs[Long]("pos_right"))
@@ -3798,6 +3755,7 @@ operations:
           """transform(sequence(0, size(t) - 3),
              |i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))""".stripMargin)).as("gram"))
         .distinct()
+        .localCheckpoint(true) // consumed by min-doc agg AND the join back
       val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
       grams.join(first, Seq("gram"))
         .groupBy("doc_id")
@@ -3818,12 +3776,8 @@ operations:
       // entity); survivorship is one struct-min/max aggregate per
       // entity — shards by entity id.
       val cust = T(s, dir, "customer")
-      val nat = cust.select(col("c_custkey"), col("c_nationkey"))
       val pairs = ext.FuzzyJoin.editDistanceSelfJoin(
-        cust, "c_custkey", "c_name", maxDist = 1)
-        .join(nat.select(col("c_custkey").as("id_a"), col("c_nationkey").as("__na__")), Seq("id_a"))
-        .join(nat.select(col("c_custkey").as("id_b"), col("c_nationkey").as("__nb__")), Seq("id_b"))
-        .filter(col("__na__") === col("__nb__"))
+        cust, "c_custkey", "c_name", maxDist = 1, blockCol = Some("c_nationkey"))
       val comp = ext.Graph.componentsFor(cust.select("c_custkey"), "c_custkey",
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       comp.join(cust, Seq("c_custkey"))
@@ -3851,6 +3805,7 @@ operations:
         .select(col("doc_id"), posexplode(expr(
           "transform(sequence(0, size(t) - 2), i -> concat(t[i], ' ', t[i + 1]))")))
         .withColumnRenamed("pos", "p").withColumnRenamed("col", "bigram")
+        .localCheckpoint(true) // consumed by the top-1 agg AND the probe join
       val top = bi.groupBy("bigram").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc).limit(1)
         .select(col("bigram").as("phrase"))
@@ -3910,6 +3865,40 @@ operations:
     */
   private val linkpredHubCap = 1024
 
+  /** Histogram Gini split candidates over a (y, bin_year, bin_price)
+    * frame — the shared kernel of q_stump / q_declist: one bounded
+    * (feature × bin) count aggregate, cumulative windows over ≤ 20-row
+    * per-feature frames, and the exact integer weighted-Gini score
+    * (2·posL·negL/nL + 2·posR·negR/nR, micro-scaled nonnegative
+    * integral division).
+    */
+  private def stumpCandidates(base: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val hist = base.select(explode(array(
+        struct(lit("year").as("feature"), col("bin_year").as("bin"), col("y")),
+        struct(lit("price").as("feature"), col("bin_price").as("bin"), col("y")))).as("e"))
+      .select(col("e.feature"), col("e.bin"), col("e.y"))
+      .groupBy("feature", "bin")
+      .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+    val w = Window.partitionBy("feature").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.groupBy("feature").agg(sum("n").as("n_tot"), sum("pos").as("pos_tot"))
+    hist
+      .withColumn("n_left", sum("n").over(w))
+      .withColumn("pos_left", sum("pos").over(w))
+      .join(broadcast(tot), Seq("feature"))
+      .filter(col("n_left") < col("n_tot")) // a split must leave a right side
+      .select(col("feature"), col("bin").as("threshold"),
+        col("n_left"), col("pos_left"),
+        (col("n_tot") - col("n_left")).as("n_right"),
+        (col("pos_tot") - col("pos_left")).as("pos_right"))
+      .withColumn("g_micro",
+        expr("""CAST((2 * CAST(pos_left AS DECIMAL(18,0)) * (n_left - pos_left) * 1000000)
+                    div n_left AS BIGINT)
+                + CAST((2 * CAST(pos_right AS DECIMAL(18,0)) * (n_right - pos_right) * 1000000)
+                    div n_right AS BIGINT)"""))
+  }
+
   /** KMV estimate from a bottom-k array column, as a SQL expression shared
     * verbatim in spirit with the oracle: θ = 2⁶⁴ when the sketch is not
     * full (estimate degrades to the exact count), else the unsigned value
@@ -3925,11 +3914,14 @@ operations:
   }
 
   /** Two-sided geometric(α=½) noise order and exact inverse-CDF
-    * thresholds on the 32-bit hash fraction (floor(cdf·2³²), BigInt-exact
-    * rationals with denominator 3·2⁸) — q_dp's derandomized discrete
-    * Laplace, shared verbatim between engine and oracle. Checked in
-    * order 0, +1, −1, …, +8, −8; the untaken tail (mass 2/768) caps at
-    * +9.
+    * thresholds on the 32-bit hash fraction (BigInt-exact rationals with
+    * denominator 3·2⁸) — q_dp's derandomized discrete Laplace, shared
+    * verbatim between engine and oracle. The exact draw condition is
+    * u32/2³² < cdf, i.e. u32 < ⌈cdf·2³²⌉ — CEILING, not floor: at the
+    * 11 non-divisible boundaries a floored literal would push the
+    * boundary u32 into the next noise bucket, off by one vs the exact
+    * fraction replay in Round5cSpec. Checked in order 0, +1, −1, …,
+    * +8, −8; the untaken tail (mass 2/768) caps at +9.
     */
   private val dpNoiseSeq: Seq[Long] = 0L +: (1 to 8).flatMap(k => Seq(k.toLong, -k.toLong))
   private val dpThresholds: Seq[Long] = {
@@ -3938,7 +3930,7 @@ operations:
     dpNoiseSeq.map { n =>
       val p = if (n == 0L) BigInt(256) else BigInt(1) << (8 - math.abs(n).toInt)
       num += p
-      ((BigInt(2).pow(32) * num) / den).toLong
+      ((BigInt(2).pow(32) * num + den - 1) / den).toLong // ⌈·⌉
     }
   }
 
@@ -5087,9 +5079,10 @@ operations:
                  sum(x::HUGEINT * x) AS sxx, sum(x::HUGEINT * y) AS sxy FROM pt)
          SELECT n_pts, CAST(sx AS VARCHAR) AS sx, CAST(sy AS VARCHAR) AS sy,
            CAST(sxx AS VARCHAR) AS sxx, CAST(sxy AS VARCHAR) AS sxy,
-           CAST(CASE WHEN n_pts * sxy - sx * sy < 0 THEN -1
+           CASE WHEN n_pts * sxx - sx * sx = 0 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(CASE WHEN n_pts * sxy - sx * sy < 0 THEN -1
                      WHEN n_pts * sxy - sx * sy > 0 THEN 1 ELSE 0 END AS BIGINT)
-             * CAST((abs(n_pts * sxy - sx * sy) * 1000000) // (n_pts * sxx - sx * sx) AS BIGINT)
+             * CAST((abs(n_pts * sxy - sx * sy) * 1000000) // (n_pts * sxx - sx * sx) AS BIGINT) END
              AS slope_micro
          FROM g""",
     // q_stump: the same histogram → cumulative Gini scan in SQL; the

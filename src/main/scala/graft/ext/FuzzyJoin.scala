@@ -48,20 +48,29 @@ object FuzzyJoin {
     * Output: (id_a, id_b, str_a, str_b, dist).
     */
   def editDistanceSelfJoin(df: DataFrame, idCol: String, strCol: String,
-                           maxDist: Int): DataFrame = {
-    val base = df.select(col(idCol).as("id"), col(strCol).as("s"))
-      .filter(col("s").isNotNull)
-    // ids-only blocking: hash each neighborhood variant
-    val blocks = base.select(col("id"),
+                           maxDist: Int, blockCol: Option[String] = None): DataFrame = {
+    // optional blocking key: folded into the candidate hash (so the
+    // quadratic levenshtein stage is bounded PER BLOCK, not globally)
+    // and re-checked exactly in the verify stage (a cross-block hash
+    // collision can only ADD candidates, never pairs)
+    val base = (blockCol match {
+      case Some(c) => df.select(col(idCol).as("id"), col(strCol).as("s"),
+        col(c).cast("string").as("blk"))
+      case None => df.select(col(idCol).as("id"), col(strCol).as("s"),
+        lit("").as("blk"))
+    }).filter(col("s").isNotNull)
+    // ids-only blocking: hash each neighborhood variant (+ block key)
+    val blocks = base.select(col("id"), col("blk"),
       explode(neighborhood(col("s"), maxDist)).as("variant"))
-      .select(col("id"), xxhash64(col("variant")).as("h"))
+      .select(col("id"), xxhash64(col("variant"), col("blk")).as("h"))
     val cands = blocks.as("a").join(blocks.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     cands
-      .join(base.select(col("id").as("id_a"), col("s").as("str_a")), "id_a")
-      .join(base.select(col("id").as("id_b"), col("s").as("str_b")), "id_b")
+      .join(base.select(col("id").as("id_a"), col("s").as("str_a"), col("blk").as("__blka__")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("s").as("str_b"), col("blk").as("__blkb__")), "id_b")
+      .filter(col("__blka__") === col("__blkb__"))
       .withColumn("dist", levenshtein(col("str_a"), col("str_b")).cast(LongType))
       .filter(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("str_a"), col("str_b"), col("dist"))

@@ -14,12 +14,6 @@ class Round5OpsSpec extends SparkSpec {
   private lazy val sqlImplicits = spark.implicits
   import sqlImplicits._
 
-  private def plant(dir: String, tables: (String, DataFrame)*): String = {
-    tables.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
-    }
-    dir
-  }
 
   test("dd_spans: one maximal shared run, correct offsets and length") {
     val span = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"

@@ -17,12 +17,6 @@ class Round5bSpec extends SparkSpec {
   private lazy val sqlImplicits = spark.implicits
   import sqlImplicits._
 
-  private def plant(dir: String, tables: (String, DataFrame)*): String = {
-    tables.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
-    }
-    dir
-  }
 
   test("q_chisq: independent table → every cell term is exactly zero") {
     val cust = Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment")

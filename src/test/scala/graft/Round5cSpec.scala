@@ -16,12 +16,6 @@ class Round5cSpec extends SparkSpec {
   private lazy val sqlImplicits = spark.implicits
   import sqlImplicits._
 
-  private def plant(dir: String, tables: (String, DataFrame)*): String = {
-    tables.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
-    }
-    dir
-  }
 
   test("KmvAgg: bottom-16 equals the locally computed unsigned sort; merges across partitions") {
     val keys = (1 to 300).map(i => s"key-$i")

@@ -14,12 +14,6 @@ class Round5dSpec extends SparkSpec {
   private lazy val sqlImplicits = spark.implicits
   import sqlImplicits._
 
-  private def plant(dir: String, tables: (String, DataFrame)*): String = {
-    tables.foreach { case (n, df) =>
-      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
-    }
-    dir
-  }
 
   test("q_xcorr: value = 10^6 × volume → r ≈ 1 at every lag; exact pair counts") {
     // day i (i = 1..8) has i events of value $100 → y(d) = 10^6·x(d)

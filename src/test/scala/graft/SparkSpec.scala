@@ -9,6 +9,17 @@ import org.scalatest.funsuite.AnyFunSuite
 trait SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = SparkSpec.session
   lazy val sf0001 = "/root/testdata/sf0.001"
+
+  /** Write planted tables as parquet fixtures under `dir` and return it —
+    * shared by the planted-ground-truth suites.
+    */
+  protected def plant(dir: String,
+                      tables: (String, org.apache.spark.sql.DataFrame)*): String = {
+    tables.foreach { case (n, df) =>
+      df.write.mode("overwrite").parquet(s"$dir/$n.parquet")
+    }
+    dir
+  }
 }
 
 object SparkSpec {
