@@ -3812,6 +3812,70 @@ operations:
       bi.join(broadcast(top), col("bigram") === col("phrase"))
         .groupBy("doc_id", "phrase")
         .agg(count(lit(1)).as("n_occ"), min(col("p")).cast("long").as("first_pos"))
+    }),
+
+    "dd_lsh_planner" -> ((s, dir) => {
+      // LSH banding planner: the collision S-curves P(candidate | s) =
+      // 1 − (1 − s^r)^b for the SHIPPED MinHash config (k=64: b=16,r=4)
+      // and the tighter alternative (b=8,r=8), tabulated at Jaccard
+      // similarities 5%..95% — the table an operator reads to pick
+      // banding before a 100 TB dedup pass. The powers are generated as
+      // the SAME literal multiply tree in both engines (squaring chains,
+      // no libm pow), so the doubles are bit-identical. Pure literal
+      // compute — the only input is the similarity grid.
+      s.range(1).select(explode(sequence(lit(5), lit(95), lit(5))).as("s_pct"))
+        .select(col("s_pct"),
+          expr(lshCurveSql(4, 16)).as("p_b16_r4"),
+          expr(lshCurveSql(8, 8)).as("p_b8_r8"))
+    }),
+
+    "q_ks" -> ((s, dir) => {
+      // Kolmogorov–Smirnov goodness-of-fit of order prices against the
+      // uniform law on [min, max] — the distribution-drift test to pair
+      // with q_chisq's independence test. ECDF ranks come from the
+      // range-partitioned exact rank (ext.Ranks — no single-partition
+      // sort); the model CDF and both one-sided statistics are micro-
+      // scaled integral divisions of nonnegative cents. Output is the
+      // 1-row (n, D+, D−, D) summary.
+      val base = T(s, dir, "orders").select(
+        round(col("o_totalprice") * 100).cast("long").as("x"),
+        col("o_orderkey").as("id"))
+      val mm = base.agg(min("x").as("mn"), max("x").as("mx"))
+      val ranked = ext.Ranks.groupedRank(
+        base.withColumn("__grp__", lit(0)), "__grp__",
+        Seq(col("x"), col("id")), "rn")
+      ranked.crossJoin(broadcast(mm))
+        .select(col("rn"), col("rn_n").as("n"),
+          expr("""CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+                  ELSE CAST(((x - mn) * 1000000) div (mx - mn) AS BIGINT) END""").as("f_micro"))
+        .select(col("n"),
+          (expr("CAST(rn * 1000000 div n AS BIGINT)") - col("f_micro")).as("dp"),
+          (col("f_micro") - expr("CAST((rn - 1) * 1000000 div n AS BIGINT)")).as("dm"))
+        .groupBy("n")
+        .agg(max("dp").as("d_plus_micro"), max("dm").as("d_minus_micro"))
+        .withColumn("d_micro", greatest(col("d_plus_micro"), col("d_minus_micro")))
+    }),
+
+    "q_gini" -> ((s, dir) => {
+      // Gini coefficient of customer spend concentration (Lorenz-curve
+      // inequality): G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over per-
+      // customer spend ranked ascending — exact decimal sums over exact
+      // ranks (ext.Ranks again), one nonnegative micro-scaled integral
+      // division. The whale-detection statistic for spend, tokens, or
+      // storage per tenant.
+      val spend = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+      val ranked = ext.Ranks.groupedRank(
+        spend.withColumn("__grp__", lit(0)), "__grp__",
+        Seq(col("x"), col("o_custkey")), "rn")
+      ranked.agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(18,0)")).cast("decimal(38,0)").as("sx"),
+          sum(col("rn").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as("srx"))
+        .select(col("n"), col("sx").cast("long").as("sum_spend_c"),
+          expr("""CAST(((2 * srx - (CAST(n AS DECIMAL(18,0)) + 1) * sx) * 1000000)
+                  div (CAST(n AS DECIMAL(18,0)) * sx) AS BIGINT)""").as("gini_micro"))
     })
   )
 
@@ -3897,6 +3961,21 @@ operations:
                     div n_left AS BIGINT)
                 + CAST((2 * CAST(pos_right AS DECIMAL(18,0)) * (n_right - pos_right) * 1000000)
                     div n_right AS BIGINT)"""))
+  }
+
+  /** The LSH collision curve 1 − (1 − s^r)^b as ONE literal expression
+    * string shared verbatim by Spark and DuckDB: s^r as a left-fold
+    * multiply chain, (·)^b as a squaring chain (b a power of two) —
+    * identical rounded-double sequences in both engines, no libm pow.
+    */
+  private def lshCurveSql(r: Int, b: Int): String = {
+    require(b > 0 && (b & (b - 1)) == 0, "lshCurveSql: b must be a power of two")
+    val sD = "(CAST(s_pct AS DOUBLE) / 100.0)"
+    val sr = (2 to r).foldLeft(sD)((acc, _) => s"($acc * $sD)")
+    val q = s"(1.0 - $sr)"
+    val qb = Iterator.iterate(q)(e => s"($e * $e)")
+      .drop(Integer.numberOfTrailingZeros(b)).next()
+    s"(1.0 - $qb)"
   }
 
   /** KMV estimate from a bottom-k array column, as a SQL expression shared
@@ -5192,7 +5271,31 @@ operations:
          bi AS (SELECT doc_id, CAST(e.p AS INTEGER) AS p, e.b AS bigram FROM bi0),
          top AS (SELECT bigram AS phrase FROM (SELECT bigram, count(*) AS n FROM bi GROUP BY 1 ORDER BY n DESC, bigram LIMIT 1))
          SELECT doc_id, phrase, CAST(count(*) AS BIGINT) AS n_occ, CAST(min(p) AS BIGINT) AS first_pos
-         FROM bi JOIN top ON bi.bigram = top.phrase GROUP BY 1, 2"""
+         FROM bi JOIN top ON bi.bigram = top.phrase GROUP BY 1, 2""",
+    // dd_lsh_planner: the identical literal multiply trees (lshCurveSql)
+    "dd_lsh_planner" ->
+      s"""SELECT CAST(s_pct AS INTEGER) AS s_pct,
+         |  ${lshCurveSql(4, 16)} AS p_b16_r4,
+         |  ${lshCurveSql(8, 8)} AS p_b8_r8
+         |FROM (SELECT unnest(range(5, 100, 5)) AS s_pct)""".stripMargin,
+    // q_ks: row_number replays the exact rank; same truncating micro math
+    "q_ks" ->
+      """WITH base AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS x, o_orderkey AS id FROM orders),
+         mm AS (SELECT min(x) AS mn, max(x) AS mx FROM base),
+         rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x, id) AS BIGINT) AS rn, CAST(count(*) OVER () AS BIGINT) AS n FROM base),
+         f AS (SELECT rn, n, CASE WHEN mx = mn THEN 0 ELSE CAST(((x - mn) * 1000000) // (mx - mn) AS BIGINT) END AS f_micro FROM rk, mm),
+         d AS (SELECT n, CAST(rn * 1000000 // n AS BIGINT) - f_micro AS dp, f_micro - CAST((rn - 1) * 1000000 // n AS BIGINT) AS dm FROM f)
+         SELECT n, CAST(max(dp) AS BIGINT) AS d_plus_micro, CAST(max(dm) AS BIGINT) AS d_minus_micro,
+           CAST(greatest(max(dp), max(dm)) AS BIGINT) AS d_micro
+         FROM d GROUP BY n""",
+    // q_gini: same exact ranks and HUGEINT Lorenz sums
+    "q_gini" ->
+      """WITH spend AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1),
+         rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rn FROM spend),
+         g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x::HUGEINT) AS sx, sum(rn::HUGEINT * x) AS srx FROM rk)
+         SELECT n, CAST(sx AS BIGINT) AS sum_spend_c,
+           CAST(((2::HUGEINT * srx - (n::HUGEINT + 1) * sx) * 1000000) // (n::HUGEINT * sx) AS BIGINT) AS gini_micro
+         FROM g"""
   )
 
   // --- sketch replays -------------------------------------------------

@@ -65,6 +65,53 @@ class Round5dSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("n_members") == 1L)
   }
 
+  test("dd_lsh_planner: S-curve values, monotonicity, and band-tightness ordering") {
+    val dir = plant("/tmp/graft-test/lshplan",
+      "documents" -> Seq((1L, "unused")).toDF("doc_id", "text"))
+    val out = SparkEntry.queries("dd_lsh_planner")(spark, dir)
+      .collect().map(r => r.getAs[Int]("s_pct") -> r).toMap
+    assert(out.size == 19)
+    // exact value at s = 0.5 for (b=16, r=4), replayed with scalar doubles
+    val s4 = ((0.5 * 0.5) * 0.5) * 0.5
+    var q = 1.0 - s4
+    for (_ <- 1 to 4) q = q * q
+    assert(out(50).getAs[Double]("p_b16_r4") == 1.0 - q)
+    // monotone in s; (b=8, r=8) is the tighter curve at low similarity
+    val ps = (5 to 95 by 5).map(s => out(s).getAs[Double]("p_b16_r4"))
+    assert(ps == ps.sorted)
+    assert(out(5).getAs[Double]("p_b16_r4") < 0.001 && out(95).getAs[Double]("p_b16_r4") > 0.999)
+    assert(out(30).getAs[Double]("p_b8_r8") < out(30).getAs[Double]("p_b16_r4"))
+  }
+
+  test("q_ks: exact-uniform prices give D+ = D− = 1/n at the truncated grid") {
+    // prices $1..$10 → F jumps lag the ECDF by exactly one rank step
+    val orders = (1 to 10).map(i => (i.toLong, i.toDouble))
+      .toDF("o_orderkey", "o_totalprice")
+    val dir = plant("/tmp/graft-test/ks", "orders" -> orders)
+    val out = SparkEntry.queries("q_ks")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n") == 10L)
+    assert(r.getAs[Long]("d_plus_micro") == 100000L)
+    assert(r.getAs[Long]("d_minus_micro") == 100000L)
+    assert(r.getAs[Long]("d_micro") == 100000L)
+  }
+
+  test("q_gini: perfect equality → 0; 25/75 two-customer split → 250000") {
+    val eq = (1 to 4).map(i => (i.toLong, i.toLong, 50.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val d1 = plant("/tmp/graft-test/gini1", "orders" -> eq)
+    val g1 = SparkEntry.queries("q_gini")(spark, d1).collect().head
+    assert(g1.getAs[Long]("n") == 4L && g1.getAs[Long]("gini_micro") == 0L)
+
+    val uneq = Seq((1L, 1L, 100.0), (2L, 2L, 300.0))
+      .toDF("o_orderkey", "o_custkey", "o_totalprice")
+    val d2 = plant("/tmp/graft-test/gini2", "orders" -> uneq)
+    val g2 = SparkEntry.queries("q_gini")(spark, d2).collect().head
+    // ranks (1,2)·(10000,30000): G = (2·70000 − 3·40000)/(2·40000) = 0.25
+    assert(g2.getAs[Long]("n") == 2L && g2.getAs[Long]("gini_micro") == 250000L)
+  }
+
   test("srch_phrase: top bigram found with counts and first positions") {
     val docs = Seq(
       (1L, "x y x y"), // "x y" at 0 and 2
