@@ -3840,6 +3840,7 @@ operations:
       val base = T(s, dir, "orders").select(
         round(col("o_totalprice") * 100).cast("long").as("x"),
         col("o_orderkey").as("id"))
+        .localCheckpoint(true) // consumed by the min/max agg AND the rank
       val mm = base.agg(min("x").as("mn"), max("x").as("mx"))
       val ranked = ext.Ranks.groupedRank(
         base.withColumn("__grp__", lit(0)), "__grp__",

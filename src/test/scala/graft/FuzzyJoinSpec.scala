@@ -40,6 +40,19 @@ class FuzzyJoinSpec extends SparkSpec {
       assert(run(rows, d) === bruteForce(rows, d), s"maxDist $d")
   }
 
+  test("blockCol: pairs only within a block; NULL is its own block") {
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    val df = Seq(
+      (1L, "alice", Option(10L)), (2L, "alicf", Option(10L)), // same block → pair
+      (3L, "alice", Option(20L)),                             // other block → no pair
+      (4L, "alice", None: Option[Long]), (5L, "alicf", None)  // null block pairs with null
+    ).toDF("id", "s", "blk")
+    val got = ext.FuzzyJoin.editDistanceSelfJoin(df, "id", "s", 1, Some("blk"))
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (4L, 5L)))
+  }
+
   test("equals brute force on sf0.001 customer names at d=1 and d=2") {
     val rows = spark.read.parquet(s"$sf0001/customer.parquet")
       .select("c_custkey", "c_name").collect()
