@@ -3857,6 +3857,53 @@ operations:
         .withColumn("d_micro", greatest(col("d_plus_micro"), col("d_minus_micro")))
     }),
 
+    "dd_eval" -> ((s, dir) => {
+      // LSH quality audit — precision/recall of the SHIPPED MinHash
+      // banding (k=64, b=16, est ≥ 0.5) against EXACT 3-gram-set
+      // Jaccard ≥ 0.5, ground-truthed on an anchor cohort (doc_id %
+      // 37) so the exact side stays anchors × corpus via gram postings
+      // (the sim_recall pattern — never all-pairs). The threshold
+      // compare is division-free (J ≥ ½ ⇔ 3·|∩| ≥ |A|+|B|); P/R are
+      // micro-scaled integral divisions. This is the audit that says
+      // whether dd_lsh_planner's chosen banding is actually delivering.
+      val toks = T(s, dir, "documents").select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
+      val gset = toks.filter(size(col("t")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))")).as("g"))
+        .distinct()
+        .localCheckpoint(true) // feeds sizes AND both sides of the gram join
+      val gsz = gset.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = gset.filter(col("doc_id") % 37 === 0).as("a")
+        .join(gset.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("i"))
+      val exact = inter
+        .join(gsz.select(col("doc_id").as("ia"), col("sz").as("sa")), Seq("ia"))
+        .join(gsz.select(col("doc_id").as("ib"), col("sz").as("sb")), Seq("ib"))
+        .filter(col("i") * 3 >= col("sa") + col("sb"))
+        .select(least(col("ia"), col("ib")).as("pa"), greatest(col("ia"), col("ib")).as("pb"))
+        .distinct()
+      val lsh = ext.Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text")
+        .filter(col("id_a") % 37 === 0 || col("id_b") % 37 === 0)
+        .select(col("id_a").as("pa"), col("id_b").as("pb"))
+      val joined = exact.withColumn("e", lit(1L))
+        .join(lsh.withColumn("l", lit(1L)), Seq("pa", "pb"), "full")
+        .na.fill(0L, Seq("e", "l"))
+      val nAnch = T(s, dir, "documents").filter(col("doc_id") % 37 === 0).count()
+      joined.agg(
+          sum(when(col("e") === 1L && col("l") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("e") === 0L && col("l") === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("e") === 1L && col("l") === 0L, 1L).otherwise(0L)).as("fn"))
+        .select(lit(nAnch).as("n_anchors"),
+          (col("tp") + col("fn")).as("n_exact"), (col("tp") + col("fp")).as("n_lsh"),
+          col("tp"), col("fp"), col("fn"),
+          expr("""CASE WHEN tp + fp = 0 THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST((tp * 1000000) div (tp + fp) AS BIGINT) END""").as("precision_micro"),
+          expr("""CASE WHEN tp + fn = 0 THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST((tp * 1000000) div (tp + fn) AS BIGINT) END""").as("recall_micro"))
+    }),
+
     "q_gini" -> ((s, dir) => {
       // Gini coefficient of customer spend concentration (Lorenz-curve
       // inequality): G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over per-
@@ -5289,6 +5336,30 @@ operations:
          SELECT n, CAST(max(dp) AS BIGINT) AS d_plus_micro, CAST(max(dm) AS BIGINT) AS d_minus_micro,
            CAST(greatest(max(dp), max(dm)) AS BIGINT) AS d_micro
          FROM d GROUP BY n""",
+    // dd_eval: the minhash pipeline replay (sig + band CTEs) joined
+    // against the anchored exact gram-set side; identical division-free
+    // threshold and micro P/R
+    "dd_eval" ->
+      s"""WITH ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)},
+         |gset AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams),
+         |gsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM gset GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS i
+         |          FROM gset a JOIN gset b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |          WHERE a.doc_id % 37 = 0 GROUP BY 1, 2),
+         |ex AS (SELECT DISTINCT least(ia, ib) AS pa, greatest(ia, ib) AS pb
+         |       FROM inter JOIN gsz sa ON inter.ia = sa.doc_id JOIN gsz sb ON inter.ib = sb.doc_id
+         |       WHERE i * 3 >= sa.sz + sb.sz),
+         |lsh AS (SELECT id_a AS pa, id_b AS pb FROM mh_pairs WHERE id_a % 37 = 0 OR id_b % 37 = 0),
+         |j AS (SELECT e.pa IS NOT NULL AS ine, l.pa IS NOT NULL AS inl
+         |      FROM ex e FULL JOIN lsh l ON e.pa = l.pa AND e.pb = l.pb),
+         |c AS (SELECT CAST(count(*) FILTER (WHERE ine AND inl) AS BIGINT) AS tp,
+         |             CAST(count(*) FILTER (WHERE NOT ine AND inl) AS BIGINT) AS fp,
+         |             CAST(count(*) FILTER (WHERE ine AND NOT inl) AS BIGINT) AS fn FROM j),
+         |na AS (SELECT CAST(count(*) AS BIGINT) AS n_anchors FROM documents WHERE doc_id % 37 = 0)
+         |SELECT n_anchors, tp + fn AS n_exact, tp + fp AS n_lsh, tp, fp, fn,
+         |  CAST(CASE WHEN tp + fp = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fp) AS BIGINT) END AS BIGINT) AS precision_micro,
+         |  CAST(CASE WHEN tp + fn = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fn) AS BIGINT) END AS BIGINT) AS recall_micro
+         |FROM c, na""".stripMargin,
     // q_gini: same exact ranks and HUGEINT Lorenz sums
     "q_gini" ->
       """WITH spend AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1),

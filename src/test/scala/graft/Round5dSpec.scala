@@ -112,6 +112,24 @@ class Round5dSpec extends SparkSpec {
     assert(g2.getAs[Long]("n") == 2L && g2.getAs[Long]("gini_micro") == 250000L)
   }
 
+  test("dd_eval: identical anchor/pool doc is found by both sides → perfect P/R") {
+    // doc 37 is the anchor (37 % 37 = 0); doc 1 is its exact duplicate
+    // (gram Jaccard 1, identical minhash sig); doc 3 overlaps 1/5 grams
+    // (below both thresholds); doc 2 is unrelated
+    val docs = Seq(
+      (37L, "a b c d e"), (1L, "a b c d e"),
+      (3L, "a b c q r"), (2L, "z y x w v")
+    ).toDF("doc_id", "text")
+    val dir = plant("/tmp/graft-test/ddeval", "documents" -> docs)
+    val out = SparkEntry.queries("dd_eval")(spark, dir).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("n_anchors") == 1L)
+    assert(r.getAs[Long]("tp") == 1L && r.getAs[Long]("fp") == 0L && r.getAs[Long]("fn") == 0L)
+    assert(r.getAs[Long]("precision_micro") == 1000000L)
+    assert(r.getAs[Long]("recall_micro") == 1000000L)
+  }
+
   test("srch_phrase: top bigram found with counts and first positions") {
     val docs = Seq(
       (1L, "x y x y"), // "x y" at 0 and 2
