@@ -3904,6 +3904,38 @@ operations:
                   ELSE CAST((tp * 1000000) div (tp + fn) AS BIGINT) END""").as("recall_micro"))
     }),
 
+    "sk_incremental" -> ((s, dir) => {
+      // incremental distinct-ledger update: yesterday's per-source KMV
+      // sketch merged with today's batch sketch WITHOUT rescanning
+      // history — set-union + bottom-k at the ARRAY level (pure codegen
+      // expressions, no re-aggregation), and the merge is proven
+      // in-row equal to the full-corpus sketch (`equal_full`): the
+      // mergeability that makes the daily 100 TB ingest update O(today)
+      // instead of O(history). Sketches ride as unsigned DECIMAL(38,0)
+      // arrays so array_sort gives unsigned hash order.
+      val k = 256
+      val two64 = "CAST('18446744073709551616' AS DECIMAL(38,0))"
+      val docs = T(s, dir, "documents")
+      def sk(part: DataFrame): DataFrame = part.groupBy("source")
+        .agg(graft.functions.SketchAgg.kmvBottomK(col("doc_id").cast("string"), k).as("arr"))
+      def toU(c: String) = expr(
+        s"""transform($c, h -> CAST(h AS DECIMAL(38,0))
+           | + CASE WHEN h < 0 THEN $two64 ELSE CAST(0 AS DECIMAL(38,0)) END)""".stripMargin)
+      val empty = s"CAST(array() AS ARRAY<DECIMAL(38,0)>)"
+      val yday = sk(docs.filter(col("doc_id") < 250)).select(col("source"), toU("arr").as("ua"))
+      val today = sk(docs.filter(col("doc_id") >= 250)).select(col("source"), toU("arr").as("ub"))
+      val full = sk(docs).select(col("source"), toU("arr").as("uf"))
+      yday.join(today, Seq("source"), "full")
+        .withColumn("m", expr(
+          s"slice(array_sort(array_union(coalesce(ua, $empty), coalesce(ub, $empty))), 1, $k)"))
+        .join(full, Seq("source"))
+        .select(col("source"), size(col("m")).cast("long").as("n_merged"),
+          expr(s"""CAST((CAST(CASE WHEN size(m) < $k THEN size(m) ELSE size(m) - 1 END AS DECIMAL(38,0))
+                   | * $two64) div (CASE WHEN size(m) < $k THEN $two64 ELSE element_at(m, -1) END) AS BIGINT)""".stripMargin)
+            .as("kmv_est_merged"),
+          (col("m") === col("uf")).as("equal_full"))
+    }),
+
     "q_gini" -> ((s, dir) => {
       // Gini coefficient of customer spend concentration (Lorenz-curve
       // inequality): G = (2·Σ rn·x − (n+1)·Σx) / (n·Σx) over per-
@@ -5360,6 +5392,26 @@ operations:
          |  CAST(CASE WHEN tp + fp = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fp) AS BIGINT) END AS BIGINT) AS precision_micro,
          |  CAST(CASE WHEN tp + fn = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fn) AS BIGINT) END AS BIGINT) AS recall_micro
          |FROM c, na""".stripMargin,
+    // sk_incremental: per-(source, half) fmix bottom-256 via QUALIFY,
+    // list-level union + sort + slice, equality against the full sketch
+    "sk_incremental" ->
+      s"""WITH ${fmixChainCtes(
+           """SELECT source || '|' || CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS flag,
+             |              CAST(doc_id AS VARCHAR) AS g FROM documents""".stripMargin)},
+         |sk AS MATERIALIZED (SELECT flag, h FROM fm QUALIFY row_number() OVER (PARTITION BY flag ORDER BY h) <= 256),
+         |sks AS (SELECT string_split(flag, '|')[1] AS source, string_split(flag, '|')[2] AS half, list(h ORDER BY h) AS arr FROM sk GROUP BY 1, 2),
+         |merged AS (SELECT source,
+         |    list_sort(list_distinct(flatten(list(arr))))[1:256] AS m
+         |  FROM sks GROUP BY 1),
+         |fullk AS (SELECT string_split(flag, '|')[1] AS source, h FROM fm),
+         |fsk AS (SELECT source, list(h ORDER BY h) AS uf FROM
+         |  (SELECT source, h FROM (SELECT DISTINCT source, h FROM fullk)
+         |   QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256) GROUP BY 1)
+         |SELECT merged.source, CAST(len(m) AS BIGINT) AS n_merged,
+         |  CAST((CASE WHEN len(m) < 256 THEN len(m) ELSE len(m) - 1 END::HUGEINT * $U64)
+         |       // (CASE WHEN len(m) < 256 THEN $U64 ELSE m[-1] END) AS BIGINT) AS kmv_est_merged,
+         |  m = uf AS equal_full
+         |FROM merged JOIN fsk ON merged.source = fsk.source""".stripMargin,
     // q_gini: same exact ranks and HUGEINT Lorenz sums
     "q_gini" ->
       """WITH spend AS (SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1),

@@ -112,6 +112,25 @@ class Round5dSpec extends SparkSpec {
     assert(g2.getAs[Long]("n") == 2L && g2.getAs[Long]("gini_micro") == 250000L)
   }
 
+  test("sk_incremental: trimmed merge equals the full sketch past k; exact below k") {
+    // source "big": 400 docs split 250/150 → both halves contribute,
+    // merged bottom-256 must equal the full-corpus bottom-256;
+    // source "small": 30 docs → not-full path, estimate exact
+    val docs = ((0 until 400).map(i => (i.toLong, "big")) ++
+      (1000 until 1030).map(i => (i.toLong, "small"))).toDF("doc_id", "source")
+    val dir = plant("/tmp/graft-test/skinc", "documents" -> docs)
+    val out = SparkEntry.queries("sk_incremental")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.size == 2)
+    assert(out("big").getAs[Long]("n_merged") == 256L)
+    assert(out("big").getAs[Boolean]("equal_full"))
+    val est = out("big").getAs[Long]("kmv_est_merged")
+    assert(est > 300L && est < 520L, s"est $est outside band")
+    assert(out("small").getAs[Long]("n_merged") == 30L)
+    assert(out("small").getAs[Long]("kmv_est_merged") == 30L)
+    assert(out("small").getAs[Boolean]("equal_full"))
+  }
+
   test("dd_eval: identical anchor/pool doc is found by both sides → perfect P/R") {
     // doc 37 is the anchor (37 % 37 = 0); doc 1 is its exact duplicate
     // (gram Jaccard 1, identical minhash sig); doc 3 overlaps 1/5 grams
