@@ -3904,6 +3904,57 @@ operations:
                   ELSE CAST((tp * 1000000) div (tp + fn) AS BIGINT) END""").as("recall_micro"))
     }),
 
+    "q_mi" -> ((s, dir) => {
+      // mutual information of the segment × status table in micro-nats —
+      // the dependence measure to pair with q_chisq: MI = Σ O/N ·
+      // (ln(O·N) − ln(R·C)). Both logs take EXACT INTEGER arguments
+      // (ta_pmi's micro-nat doctrine — the rounding margin of
+      // ln(integer)·10⁶ holds), so each cell contributes the exact
+      // integer O·(ln_micro(O·N) − ln_micro(R·C)) and the total is one
+      // order-free sum presented div N. Same bounded contingency
+      // pipeline as q_chisq.
+      val joined = T(s, dir, "orders")
+        .join(T(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderstatus").as("status"))
+      val obs = joined.groupBy("seg", "status").agg(count(lit(1)).as("observed"))
+      val rowT = obs.groupBy("seg").agg(sum("observed").as("n_seg"))
+      val colT = obs.groupBy("status").agg(sum("observed").as("n_status"))
+      val tot = obs.agg(sum("observed").as("n_total"))
+      val cells = obs.join(broadcast(rowT), Seq("seg"))
+        .join(broadcast(colT), Seq("status"))
+        .crossJoin(broadcast(tot))
+        .select(col("seg"), col("status"), col("observed"), col("n_total"),
+          (col("observed") * (
+            round(log(col("observed").cast("double") * col("n_total").cast("double")) * 1e6).cast("long")
+            - round(log(col("n_seg").cast("double") * col("n_status").cast("double")) * 1e6).cast("long")
+          )).as("cell_micro_n"))
+      cells.groupBy("n_total")
+        .agg(count(lit(1)).as("n_cells"), sum("cell_micro_n").as("sum_cell"))
+        .select(col("n_total").as("n"), col("n_cells"),
+          expr("""CAST(CASE WHEN sum_cell < 0 THEN -1 WHEN sum_cell > 0 THEN 1 ELSE 0 END AS BIGINT)
+                  * CAST(abs(CAST(sum_cell AS DECIMAL(38,0))) div n_total AS BIGINT)""")
+            .as("mi_micro"))
+    }),
+
+    "ta_readability" -> ((s, dir) => {
+      // readability scoring (Flesch-style, integer form): words,
+      // sentences (terminal punctuation runs), and syllables (vowel
+      // groups — the standard heuristic) are exact regexp counts, and
+      // the score is presented as the micro-scaled pair of rates the
+      // Flesch formula combines (words/sentence, syllables/word) —
+      // integral divisions, no float blend. Pure codegen'd expressions,
+      // one pass, the cheap quality feature every corpus filter stacks.
+      val d = T(s, dir, "documents")
+      d.select(col("doc_id"),
+          size(filter(split(lower(col("text")), "\\s+"), x => x =!= "")).cast("long").as("n_words"),
+          greatest(regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L)).as("n_sentences"),
+          greatest(regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"), lit(1L)).as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .select(col("doc_id"), col("n_words"), col("n_sentences"), col("n_syllables"),
+          expr("CAST((n_words * 1000000) div n_sentences AS BIGINT)").as("words_per_sentence_micro"),
+          expr("CAST((n_syllables * 1000000) div n_words AS BIGINT)").as("syllables_per_word_micro"))
+    }),
+
     "sk_incremental" -> ((s, dir) => {
       // incremental distinct-ledger update: yesterday's per-source KMV
       // sketch merged with today's batch sketch WITHOUT rescanning
@@ -5392,6 +5443,33 @@ operations:
          |  CAST(CASE WHEN tp + fp = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fp) AS BIGINT) END AS BIGINT) AS precision_micro,
          |  CAST(CASE WHEN tp + fn = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fn) AS BIGINT) END AS BIGINT) AS recall_micro
          |FROM c, na""".stripMargin,
+    // q_mi: same micro-nat ln(integer) replay, order-free integer sum
+    "q_mi" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderstatus AS status FROM orders JOIN customer ON o_custkey = c_custkey),
+         obs AS (SELECT seg, status, CAST(count(*) AS BIGINT) AS observed FROM j GROUP BY 1, 2),
+         rt AS (SELECT seg, CAST(sum(observed) AS BIGINT) AS n_seg FROM obs GROUP BY 1),
+         ct AS (SELECT status, CAST(sum(observed) AS BIGINT) AS n_status FROM obs GROUP BY 1),
+         tt AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs),
+         cells AS (SELECT observed, n_total,
+             observed * (CAST(round(ln(CAST(observed AS DOUBLE) * n_total) * 1e6) AS BIGINT)
+                         - CAST(round(ln(CAST(n_seg AS DOUBLE) * n_status) * 1e6) AS BIGINT)) AS cell_micro_n
+           FROM obs JOIN rt ON obs.seg = rt.seg JOIN ct ON obs.status = ct.status CROSS JOIN tt)
+         SELECT n_total AS n, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(CASE WHEN sum(cell_micro_n) < 0 THEN -1 WHEN sum(cell_micro_n) > 0 THEN 1 ELSE 0 END AS BIGINT)
+           * CAST(abs(sum(cell_micro_n)::HUGEINT) // n_total AS BIGINT) AS mi_micro
+         FROM cells GROUP BY n_total""",
+    // ta_readability: identical regexp counts (RE2-safe character
+    // classes) and integral rate divisions
+    "ta_readability" ->
+      """WITH c AS (SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS n_words,
+           greatest(CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS n_sentences,
+           greatest(CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT), 1) AS n_syllables
+         FROM documents)
+         SELECT doc_id, n_words, n_sentences, n_syllables,
+           CAST((n_words * 1000000) // n_sentences AS BIGINT) AS words_per_sentence_micro,
+           CAST((n_syllables * 1000000) // n_words AS BIGINT) AS syllables_per_word_micro
+         FROM c WHERE n_words > 0""",
     // sk_incremental: per-(source, half) fmix bottom-256 via QUALIFY,
     // list-level union + sort + slice, equality against the full sketch
     "sk_incremental" ->

@@ -112,6 +112,33 @@ class Round5dSpec extends SparkSpec {
     assert(g2.getAs[Long]("n") == 2L && g2.getAs[Long]("gini_micro") == 250000L)
   }
 
+  test("q_mi: zero for the independent table, ln 2 micro-nats for perfect dependence") {
+    val cust = Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment")
+    val indep = Seq(
+      (1L, "F"), (1L, "F"), (1L, "O"), (1L, "O"),
+      (2L, "F"), (2L, "F"), (2L, "O"), (2L, "O")).toDF("o_custkey", "o_orderstatus")
+    val d1 = plant("/tmp/graft-test/mi1", "customer" -> cust, "orders" -> indep)
+    assert(SparkEntry.queries("q_mi")(spark, d1).collect().head.getAs[Long]("mi_micro") == 0L)
+
+    // X only 'F', Y only 'O' → MI = ln 2: each cell O·N/R·C = 2, and
+    // round(ln 32·10⁶) − round(ln 16·10⁶) = 693147 survives the div
+    val dep = Seq((1L, "F"), (1L, "F"), (1L, "F"), (1L, "F"),
+      (2L, "O"), (2L, "O"), (2L, "O"), (2L, "O")).toDF("o_custkey", "o_orderstatus")
+    val d2 = plant("/tmp/graft-test/mi2", "customer" -> cust, "orders" -> dep)
+    assert(SparkEntry.queries("q_mi")(spark, d2).collect().head.getAs[Long]("mi_micro") == 693147L)
+  }
+
+  test("ta_readability: hand-counted words, sentence runs, vowel groups") {
+    val docs = Seq((1L, "Hello world. Nice day!")).toDF("doc_id", "text")
+    val dir = plant("/tmp/graft-test/read", "documents" -> docs)
+    val r = SparkEntry.queries("ta_readability")(spark, dir).collect().head
+    assert(r.getAs[Long]("n_words") == 4L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(r.getAs[Long]("n_syllables") == 6L) // e,o | o | i,e | ay
+    assert(r.getAs[Long]("words_per_sentence_micro") == 2000000L)
+    assert(r.getAs[Long]("syllables_per_word_micro") == 1500000L)
+  }
+
   test("sk_incremental: trimmed merge equals the full sketch past k; exact below k") {
     // source "big": 400 docs split 250/150 → both halves contribute,
     // merged bottom-256 must equal the full-corpus bottom-256;
