@@ -3904,6 +3904,62 @@ operations:
                   ELSE CAST((tp * 1000000) div (tp + fn) AS BIGINT) END""").as("recall_micro"))
     }),
 
+    "q_corr" -> ((s, dir) => {
+      // one-pass correlation MATRIX over the lineitem numerics
+      // (quantity, price-cents, discount-bp, tax-bp): ALL moment sums
+      // (4 sums, 4 sum-of-squares, 6 cross-products) ride ONE
+      // map-side-combined aggregate over exact integers; each pairwise
+      // Pearson r is then a single shared-tree double (IEEE sqrt) —
+      // the feature-screening pass that decides what a model even
+      // sees, at one scan regardless of the pair count.
+      val base = T(s, dir, "lineitem").select(
+        col("l_quantity").cast("long").as("v0"),
+        round(col("l_extendedprice") * 100).cast("long").as("v1"),
+        round(col("l_discount") * 10000).cast("long").as("v2"),
+        round(col("l_tax") * 10000).cast("long").as("v3"))
+      val names = Seq("quantity", "price_c", "discount_bp", "tax_bp")
+      val aggs =
+        (0 to 3).map(i => sum(col(s"v$i").cast("decimal(18,0)")).cast("decimal(38,0)").as(s"s$i")) ++
+        (0 to 3).map(i => sum(col(s"v$i").cast("decimal(18,0)") * col(s"v$i").cast("decimal(18,0)"))
+          .cast("decimal(38,0)").as(s"q$i")) ++
+        (for { i <- 0 to 3; j <- i + 1 to 3 } yield
+          sum(col(s"v$i").cast("decimal(18,0)") * col(s"v$j").cast("decimal(18,0)"))
+            .cast("decimal(38,0)").as(s"p${i}_$j"))
+      val g = base.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint(true)
+      val pairs = for { i <- 0 to 3; j <- i + 1 to 3 } yield
+        g.select(lit(names(i)).as("var_a"), lit(names(j)).as("var_b"), col("n"),
+          expr(s"""CAST(CAST(n AS DECIMAL(38,0)) * p${i}_$j - s$i * s$j AS DOUBLE)
+                   / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q$i - s$i * s$i AS DOUBLE))
+                      * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q$j - s$j * s$j AS DOUBLE)))""").as("r"))
+      pairs.reduce(_ unionByName _)
+    }),
+
+    "sim_medoid" -> ((s, dir) => {
+      // per-cluster exemplar selection (1-medoid): for each label, the
+      // vector maximizing the summed dot product to its cluster-mates —
+      // the representative-document pick after clustering. Per-pair
+      // scores are rounded to micro INTEGERS so the per-candidate sum
+      // is order-free (bit-exact under any partitioning); the argmax is
+      // a per-label struct-min. Pairing is label-blocked (quadratic per
+      // LABEL, never corpus-wide) — at larger clusters the coreset/cap
+      // machinery bounds it the usual way.
+      val emb = T(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), col("embedding"))
+      graft.functions.VectorExprs.register(s)
+      val pairs = emb.as("a")
+        .join(emb.as("b"), col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.label").as("label"), col("a.vec_id").as("cand"),
+          round(ext.Vectors.dot(col("a.embedding"), col("b.embedding")) * 1e6)
+            .cast("long").as("dot_micro"))
+      val scored = pairs.groupBy("label", "cand")
+        .agg(sum("dot_micro").as("score_micro"), count(lit(1)).as("n_mates"))
+      scored.groupBy("label")
+        .agg(min(struct((-col("score_micro")).as("ns"), col("cand").as("id"),
+          col("score_micro").as("sc"), col("n_mates").as("nm"))).as("b"))
+        .select(col("label"), col("b.id").as("medoid_id"),
+          col("b.sc").as("score_micro"), col("b.nm").as("n_mates"))
+    }),
+
     "q_mi" -> ((s, dir) => {
       // mutual information of the segment × status table in micro-nats —
       // the dependence measure to pair with q_chisq: MI = Σ O/N ·
@@ -5443,6 +5499,17 @@ operations:
          |  CAST(CASE WHEN tp + fp = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fp) AS BIGINT) END AS BIGINT) AS precision_micro,
          |  CAST(CASE WHEN tp + fn = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fn) AS BIGINT) END AS BIGINT) AS recall_micro
          |FROM c, na""".stripMargin,
+    // q_corr: one HUGEINT moment CTE, the same shared-tree Pearson per pair
+    "q_corr" -> corrOracleSql,
+    // sim_medoid: same double dot products rounded to micro ints,
+    // order-free HUGEINT sums, (score desc, cand) argmax replay
+    "sim_medoid" ->
+      """WITH e AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         p AS (SELECT a.label, a.vec_id AS cand, CAST(round(list_dot_product(a.v, b.v) * 1e6) AS BIGINT) AS dot_micro
+               FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id),
+         sc AS (SELECT label, cand, CAST(sum(dot_micro) AS BIGINT) AS score_micro, CAST(count(*) AS BIGINT) AS n_mates FROM p GROUP BY 1, 2)
+         SELECT label, cand AS medoid_id, score_micro, n_mates FROM sc
+         QUALIFY row_number() OVER (PARTITION BY label ORDER BY score_micro DESC, cand) = 1""",
     // q_mi: same micro-nat ln(integer) replay, order-free integer sum
     "q_mi" ->
       """WITH j AS (SELECT c_mktsegment AS seg, o_orderstatus AS status FROM orders JOIN customer ON o_custkey = c_custkey),
@@ -5830,6 +5897,29 @@ operations:
       |pred AS (SELECT query_id, nl, votes FROM votes QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY votes DESC, nl ASC) = 1)
       |SELECT p.query_id, t.label AS truth_label, p.nl AS pred_label, p.votes AS n_votes
       |FROM pred p JOIN embeddings t ON p.query_id = t.vec_id""".stripMargin
+
+  /** q_corr: the one-pass moment CTE (HUGEINT sums of the same exact
+    * integers) and the identical per-pair Pearson double tree.
+    */
+  private lazy val corrOracleSql: String = {
+    val names = Seq("quantity", "price_c", "discount_bp", "tax_bp")
+    val moments =
+      (0 to 3).map(i => s"sum(v$i::HUGEINT) AS s$i") ++
+      (0 to 3).map(i => s"sum(v$i::HUGEINT * v$i) AS q$i") ++
+      (for { i <- 0 to 3; j <- i + 1 to 3 } yield s"sum(v$i::HUGEINT * v$j) AS p${i}_$j")
+    val sel = (for { i <- 0 to 3; j <- i + 1 to 3 } yield
+      s"""SELECT '${names(i)}' AS var_a, '${names(j)}' AS var_b, n,
+         |  CAST(n::HUGEINT * p${i}_$j - s$i * s$j AS DOUBLE)
+         |  / (sqrt(CAST(n::HUGEINT * q$i - s$i * s$i AS DOUBLE))
+         |     * sqrt(CAST(n::HUGEINT * q$j - s$j * s$j AS DOUBLE))) AS r
+         |FROM g""".stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS v0,
+       |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v1,
+       |    CAST(round(l_discount * 10000) AS BIGINT) AS v2,
+       |    CAST(round(l_tax * 10000) AS BIGINT) AS v3 FROM lineitem),
+       |g AS (SELECT CAST(count(*) AS BIGINT) AS n, ${moments.mkString(", ")} FROM b)
+       |$sel""".stripMargin
+  }
 
   /** q_drift: the q_mv_retract CDC log carried through with all profiled
     * columns, then the identical 7-metric profile of each snapshot.

@@ -112,6 +112,36 @@ class Round5dSpec extends SparkSpec {
     assert(g2.getAs[Long]("n") == 2L && g2.getAs[Long]("gini_micro") == 250000L)
   }
 
+  test("q_corr: perfectly correlated / anti-correlated planted columns") {
+    // quantity = i, price = i dollars (r = +1), discount = (5−i) bp
+    // (r = −1 vs quantity), tax varies non-monotonically
+    val li = (1 to 4).map(i =>
+      (i.toDouble, i.toDouble, 0.0001 * (5 - i), 0.0001 * (i % 2 + 1)))
+      .toDF("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val dir = plant("/tmp/graft-test/corr", "lineitem" -> li)
+    val out = SparkEntry.queries("q_corr")(spark, dir)
+      .collect().map(r => (r.getAs[String]("var_a"), r.getAs[String]("var_b")) -> r).toMap
+    assert(out.size == 6)
+    assert(math.abs(out(("quantity", "price_c")).getAs[Double]("r") - 1.0) < 1e-12)
+    assert(math.abs(out(("quantity", "discount_bp")).getAs[Double]("r") + 1.0) < 1e-12)
+  }
+
+  test("sim_medoid: the central vector wins; ties break to the lower id") {
+    val emb = Seq(
+      (10L, Seq(2f, 0f), 1), (11L, Seq(1f, 0f), 1), (12L, Seq(1f, 0f), 1),
+      (20L, Seq(0f, 1f), 2), (21L, Seq(0f, 1f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val dir = plant("/tmp/graft-test/medoid", "embeddings" -> emb)
+    val out = SparkEntry.queries("sim_medoid")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(out.size == 2)
+    // label 1: id 10 scores 2+2 = 4e6 vs 3e6 for the unit vectors
+    assert(out(1).getAs[Long]("medoid_id") == 10L)
+    assert(out(1).getAs[Long]("score_micro") == 4000000L && out(1).getAs[Long]("n_mates") == 2L)
+    // label 2: identical scores → lower id wins
+    assert(out(2).getAs[Long]("medoid_id") == 20L)
+  }
+
   test("q_mi: zero for the independent table, ln 2 micro-nats for perfect dependence") {
     val cust = Seq((1L, "X"), (2L, "Y")).toDF("c_custkey", "c_mktsegment")
     val indep = Seq(
