@@ -3746,16 +3746,9 @@ operations:
       // recombinations). One distinct (gram, doc) aggregate → min-doc
       // per gram → per-doc ratio; grams join back as strings here for
       // oracle byte-parity (a 100 TB run would fingerprint them to
-      // 64-bit ids first — dd_spans does exactly that).
-      val toks = T(s, dir, "documents").select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
-      val grams = toks
-        .filter(size(col("t")) >= 3) // sequence(0, n) descends for n < 0
-        .select(col("doc_id"), explode(expr(
-          """transform(sequence(0, size(t) - 3),
-             |i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))""".stripMargin)).as("gram"))
-        .distinct()
-        .localCheckpoint(true) // consumed by min-doc agg AND the join back
+      // 64-bit ids first — dd_spans does exactly that). The gram frame
+      // is the shared wordGramSet kernel.
+      val grams = wordGramSet(T(s, dir, "documents"), 3)
       val first = grams.groupBy("gram").agg(min(col("doc_id")).as("first_doc"))
       grams.join(first, Seq("gram"))
         .groupBy("doc_id")
@@ -3866,13 +3859,8 @@ operations:
       // compare is division-free (J ≥ ½ ⇔ 3·|∩| ≥ |A|+|B|); P/R are
       // micro-scaled integral divisions. This is the audit that says
       // whether dd_lsh_planner's chosen banding is actually delivering.
-      val toks = T(s, dir, "documents").select(col("doc_id"),
-        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
-      val gset = toks.filter(size(col("t")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(t) - 3), i -> concat(t[i], ' ', t[i + 1], ' ', t[i + 2]))")).as("g"))
-        .distinct()
-        .localCheckpoint(true) // feeds sizes AND both sides of the gram join
+      val gset = wordGramSet(T(s, dir, "documents"), 3)
+        .withColumnRenamed("gram", "g") // shared kernel (already checkpointed)
       val gsz = gset.groupBy("doc_id").agg(count(lit(1)).as("sz"))
       val inter = gset.filter(col("doc_id") % 37 === 0).as("a")
         .join(gset.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
@@ -3890,7 +3878,9 @@ operations:
       val joined = exact.withColumn("e", lit(1L))
         .join(lsh.withColumn("l", lit(1L)), Seq("pa", "pb"), "full")
         .na.fill(0L, Seq("e", "l"))
-      val nAnch = T(s, dir, "documents").filter(col("doc_id") % 37 === 0).count()
+      // pruned scan: only the doc_id column is read for the anchor count
+      val nAnch = T(s, dir, "documents").select("doc_id")
+        .filter(col("doc_id") % 37 === 0).count()
       joined.agg(
           sum(when(col("e") === 1L && col("l") === 1L, 1L).otherwise(0L)).as("tp"),
           sum(when(col("e") === 0L && col("l") === 1L, 1L).otherwise(0L)).as("fp"),
@@ -3926,11 +3916,17 @@ operations:
           sum(col(s"v$i").cast("decimal(18,0)") * col(s"v$j").cast("decimal(18,0)"))
             .cast("decimal(38,0)").as(s"p${i}_$j"))
       val g = base.agg(count(lit(1)).as("n"), aggs: _*).localCheckpoint(true)
+      // constant column ⇒ zero variance ⇒ r undefined: emit NULL rather
+      // than an engine-dependent NaN/Inf (the replay contract covers
+      // finite doubles only)
       val pairs = for { i <- 0 to 3; j <- i + 1 to 3 } yield
         g.select(lit(names(i)).as("var_a"), lit(names(j)).as("var_b"), col("n"),
-          expr(s"""CAST(CAST(n AS DECIMAL(38,0)) * p${i}_$j - s$i * s$j AS DOUBLE)
+          expr(s"""CASE WHEN CAST(n AS DECIMAL(38,0)) * q$i - s$i * s$i = 0
+                        OR CAST(n AS DECIMAL(38,0)) * q$j - s$j * s$j = 0
+                   THEN CAST(NULL AS DOUBLE)
+                   ELSE CAST(CAST(n AS DECIMAL(38,0)) * p${i}_$j - s$i * s$j AS DOUBLE)
                    / (sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q$i - s$i * s$i AS DOUBLE))
-                      * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q$j - s$j * s$j AS DOUBLE)))""").as("r"))
+                      * sqrt(CAST(CAST(n AS DECIMAL(38,0)) * q$j - s$j * s$j AS DOUBLE))) END""").as("r"))
       pairs.reduce(_ unionByName _)
     }),
 
@@ -3945,7 +3941,6 @@ operations:
       // machinery bounds it the usual way.
       val emb = T(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), col("embedding"))
-      graft.functions.VectorExprs.register(s)
       val pairs = emb.as("a")
         .join(emb.as("b"), col("a.label") === col("b.label") && col("a.vec_id") =!= col("b.vec_id"))
         .select(col("a.label").as("label"), col("a.vec_id").as("cand"),
@@ -4061,8 +4056,9 @@ operations:
           sum(col("rn").cast("decimal(18,0)") * col("x").cast("decimal(18,0)"))
             .cast("decimal(38,0)").as("srx"))
         .select(col("n"), col("sx").cast("long").as("sum_spend_c"),
-          expr("""CAST(((2 * srx - (CAST(n AS DECIMAL(18,0)) + 1) * sx) * 1000000)
-                  div (CAST(n AS DECIMAL(18,0)) * sx) AS BIGINT)""").as("gini_micro"))
+          expr("""CASE WHEN sx = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(((2 * srx - (CAST(n AS DECIMAL(18,0)) + 1) * sx) * 1000000)
+                  div (CAST(n AS DECIMAL(18,0)) * sx) AS BIGINT) END""").as("gini_micro"))
     })
   )
 
@@ -4163,6 +4159,23 @@ operations:
     val qb = Iterator.iterate(q)(e => s"($e * $e)")
       .drop(Integer.numberOfTrailingZeros(b)).next()
     s"(1.0 - $qb)"
+  }
+
+  /** Distinct lowercase-token n-gram set per document — the shared gram
+    * frame of ta_novelty / dd_eval (space-joined word n-grams; docs with
+    * fewer than n tokens emit nothing — the size filter must precede the
+    * explode because sequence(0, m) DESCENDS for m < 0). Checkpointed:
+    * every consumer reads it at least twice.
+    */
+  private def wordGramSet(docs: DataFrame, n: Int): DataFrame = {
+    val gramExpr = (0 until n).map(k => s"t[i + $k]").mkString("concat(", ", ' ', ", ")")
+    docs.select(col("doc_id"),
+        filter(split(lower(col("text")), "\\s+"), x => x =!= "").as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(t) - $n), i -> $gramExpr)")).as("gram"))
+      .distinct()
+      .localCheckpoint(true)
   }
 
   /** KMV estimate from a bottom-k array column, as a SQL expression shared
@@ -5541,14 +5554,14 @@ operations:
     // list-level union + sort + slice, equality against the full sketch
     "sk_incremental" ->
       s"""WITH ${fmixChainCtes(
-           """SELECT source || '|' || CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS flag,
+           """SELECT source || chr(1) || CASE WHEN doc_id < 250 THEN 'a' ELSE 'b' END AS flag,
              |              CAST(doc_id AS VARCHAR) AS g FROM documents""".stripMargin)},
          |sk AS MATERIALIZED (SELECT flag, h FROM fm QUALIFY row_number() OVER (PARTITION BY flag ORDER BY h) <= 256),
-         |sks AS (SELECT string_split(flag, '|')[1] AS source, string_split(flag, '|')[2] AS half, list(h ORDER BY h) AS arr FROM sk GROUP BY 1, 2),
+         |sks AS (SELECT string_split(flag, chr(1))[1] AS source, string_split(flag, chr(1))[2] AS half, list(h ORDER BY h) AS arr FROM sk GROUP BY 1, 2),
          |merged AS (SELECT source,
          |    list_sort(list_distinct(flatten(list(arr))))[1:256] AS m
          |  FROM sks GROUP BY 1),
-         |fullk AS (SELECT string_split(flag, '|')[1] AS source, h FROM fm),
+         |fullk AS (SELECT string_split(flag, chr(1))[1] AS source, h FROM fm),
          |fsk AS (SELECT source, list(h ORDER BY h) AS uf FROM
          |  (SELECT source, h FROM (SELECT DISTINCT source, h FROM fullk)
          |   QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 256) GROUP BY 1)
@@ -5563,7 +5576,8 @@ operations:
          rk AS (SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS rn FROM spend),
          g AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(x::HUGEINT) AS sx, sum(rn::HUGEINT * x) AS srx FROM rk)
          SELECT n, CAST(sx AS BIGINT) AS sum_spend_c,
-           CAST(((2::HUGEINT * srx - (n::HUGEINT + 1) * sx) * 1000000) // (n::HUGEINT * sx) AS BIGINT) AS gini_micro
+           CASE WHEN sx = 0 THEN CAST(NULL AS BIGINT)
+           ELSE CAST(((2::HUGEINT * srx - (n::HUGEINT + 1) * sx) * 1000000) // (n::HUGEINT * sx) AS BIGINT) END AS gini_micro
          FROM g"""
   )
 
@@ -5909,9 +5923,11 @@ operations:
       (for { i <- 0 to 3; j <- i + 1 to 3 } yield s"sum(v$i::HUGEINT * v$j) AS p${i}_$j")
     val sel = (for { i <- 0 to 3; j <- i + 1 to 3 } yield
       s"""SELECT '${names(i)}' AS var_a, '${names(j)}' AS var_b, n,
-         |  CAST(n::HUGEINT * p${i}_$j - s$i * s$j AS DOUBLE)
+         |  CASE WHEN n::HUGEINT * q$i - s$i * s$i = 0 OR n::HUGEINT * q$j - s$j * s$j = 0
+         |  THEN CAST(NULL AS DOUBLE)
+         |  ELSE CAST(n::HUGEINT * p${i}_$j - s$i * s$j AS DOUBLE)
          |  / (sqrt(CAST(n::HUGEINT * q$i - s$i * s$i AS DOUBLE))
-         |     * sqrt(CAST(n::HUGEINT * q$j - s$j * s$j AS DOUBLE))) AS r
+         |     * sqrt(CAST(n::HUGEINT * q$j - s$j * s$j AS DOUBLE))) END AS r
          |FROM g""".stripMargin).mkString("\nUNION ALL\n")
     s"""WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS v0,
        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS v1,
