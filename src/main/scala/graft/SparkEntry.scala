@@ -3894,6 +3894,41 @@ operations:
                   ELSE CAST((tp * 1000000) div (tp + fn) AS BIGINT) END""").as("recall_micro"))
     }),
 
+    "ta_langid_eval" -> ((s, dir) => {
+      // language-ID confusion matrix — the eval loop for the n-gram
+      // heuristic (mirrors ta_nbc_eval for the Bayes classifier): truth
+      // × guess counts plus per-cell share of the truth row, all exact
+      // integers over one classification pass.
+      val scored = T(s, dir, "documents")
+        .select(col("lang").as("lang_truth"),
+          ext.TextAnalysis.langId(col("text")).as("lang_guess"))
+      val conf = scored.groupBy("lang_truth", "lang_guess").agg(count(lit(1)).as("n"))
+      val tot = conf.groupBy("lang_truth").agg(sum("n").as("n_truth"))
+      conf.join(broadcast(tot), Seq("lang_truth"))
+        .withColumn("share_micro",
+          expr("CAST((n * 1000000) div n_truth AS BIGINT)"))
+    }),
+
+    "ev_dau_mau" -> ((s, dir) => {
+      // DAU/MAU stickiness: daily actives over trailing-30-day actives.
+      // The rolling DISTINCT is exact via the bounded-offset explode —
+      // each (user, day) fact feeds the 30 window-days it belongs to,
+      // then one distinct + count per window-day (no window function,
+      // no approximate distinct); the ratio is a micro-scaled integral
+      // division. The engagement metric every product pipeline ships.
+      val ud = events(s, dir)
+        .select(col("user_id"), col("ts").cast("date").as("d")).distinct()
+        .localCheckpoint(true) // feeds DAU and the MAU fan-out
+      val dau = ud.groupBy("d").agg(count(lit(1)).as("dau"))
+      val mau = ud.withColumn("off", explode(sequence(lit(0), lit(29))))
+        .select(col("user_id"), date_add(col("d"), col("off")).as("wd"))
+        .distinct()
+        .groupBy("wd").agg(count(lit(1)).as("mau"))
+      dau.join(mau, col("d") === col("wd"))
+        .select(col("d"), col("dau"), col("mau"),
+          expr("CAST((dau * 1000000) div mau AS BIGINT)").as("stickiness_micro"))
+    }),
+
     "q_corr" -> ((s, dir) => {
       // one-pass correlation MATRIX over the lineitem numerics
       // (quantity, price-cents, discount-bp, tax-bp): ALL moment sums
@@ -4351,6 +4386,10 @@ operations:
        |est AS MATERIALIZED (SELECT id_a, id_b, CAST(len(list_filter(range($k), i -> sa.sig[CAST(i AS INTEGER)+1] = sb.sig[CAST(i AS INTEGER)+1])) AS DOUBLE) / $k AS est_jaccard FROM cand JOIN sigs sa ON cand.id_a = sa.doc_id JOIN sigs sb ON cand.id_b = sb.doc_id),
        |mh_pairs AS MATERIALIZED (SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= $threshold)""".stripMargin
   }
+
+  /** ta_langid / ta_langid_eval shared classification replay. */
+  private lazy val langidOracleSql: String =
+    """WITH base AS (SELECT doc_id, lang AS lang_truth, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), scores AS (SELECT doc_id, lang_truth, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, lang_truth, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base) SELECT doc_id, lang_truth, lang_guess FROM (SELECT doc_id, lang_truth, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1"""
 
   private lazy val minhashOracleSql: String =
     s"WITH ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)} SELECT id_a, id_b, est_jaccard FROM mh_pairs"
@@ -5005,8 +5044,7 @@ operations:
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
          WHERE rn <= 10""",
     "ta_quality_score" -> qualityScoreOracleSql,
-    "ta_langid" ->
-      """WITH base AS (SELECT doc_id, lang AS lang_truth, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), scores AS (SELECT doc_id, lang_truth, 'en' AS lang_guess, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS score FROM base UNION ALL SELECT doc_id, lang_truth, 'fr', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['le','la','les','de','des','un','une','et','ou','dans','est','que','pour','sur','avec','au','du','il','elle','ce'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'de', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','oder','von','zu','in','ist','es','dass','für','auf','mit','als','war','bei','sein','ein','eine'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'es', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','de','un','una','y','o','en','es','que','para','sobre','con','al','del','se','por','este'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base UNION ALL SELECT doc_id, lang_truth, 'it', CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['il','la','le','di','dei','un','una','e','o','in','è','che','per','su','con','al','del','si','da','questo'], t))) AS DOUBLE) / len(toks) ELSE 0 END FROM base) SELECT doc_id, lang_truth, lang_guess FROM (SELECT doc_id, lang_truth, lang_guess, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, lang_guess DESC) AS rn FROM scores) WHERE rn = 1""",
+    "ta_langid" -> langidOracleSql,
     "ta_split" ->
       """SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' ELSE 'test' END AS split FROM documents""",
     "ta_sample" ->
@@ -5512,6 +5550,23 @@ operations:
          |  CAST(CASE WHEN tp + fp = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fp) AS BIGINT) END AS BIGINT) AS precision_micro,
          |  CAST(CASE WHEN tp + fn = 0 THEN 1000000 ELSE CAST((tp::HUGEINT * 1000000) // (tp + fn) AS BIGINT) END AS BIGINT) AS recall_micro
          |FROM c, na""".stripMargin,
+    // ta_langid_eval: the shared classification replay grouped to the
+    // confusion matrix with integral row shares
+    "ta_langid_eval" ->
+      s"""WITH scored AS ($langidOracleSql),
+         |conf AS (SELECT lang_truth, lang_guess, CAST(count(*) AS BIGINT) AS n FROM scored GROUP BY 1, 2),
+         |tot AS (SELECT lang_truth, CAST(sum(n) AS BIGINT) AS n_truth FROM conf GROUP BY 1)
+         |SELECT conf.lang_truth, lang_guess, n, n_truth,
+         |  CAST((n::HUGEINT * 1000000) // n_truth AS BIGINT) AS share_micro
+         |FROM conf JOIN tot ON conf.lang_truth = tot.lang_truth""".stripMargin,
+    // ev_dau_mau: same bounded-offset fan-out, exact distinct per window-day
+    "ev_dau_mau" ->
+      """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+         dau AS (SELECT d, CAST(count(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+         mau AS (SELECT wd, CAST(count(*) AS BIGINT) AS mau FROM
+           (SELECT DISTINCT user_id, d + CAST(t.off AS INTEGER) AS wd FROM ud, (SELECT unnest(range(30)) AS off) t) GROUP BY 1)
+         SELECT d, dau, mau, CAST((dau::HUGEINT * 1000000) // mau AS BIGINT) AS stickiness_micro
+         FROM dau JOIN mau ON d = wd""",
     // q_corr: one HUGEINT moment CTE, the same shared-tree Pearson per pair
     "q_corr" -> corrOracleSql,
     // sim_medoid: same double dot products rounded to micro ints,

@@ -112,6 +112,36 @@ class Round5dSpec extends SparkSpec {
     assert(g2.getAs[Long]("n") == 2L && g2.getAs[Long]("gini_micro") == 250000L)
   }
 
+  test("ta_langid_eval: confusion counts and row shares on planted bilingual docs") {
+    val docs = Seq(
+      (1L, "the cat and the dog is on the mat", "en"),
+      (2L, "this is the best of all the things", "en"),
+      (3L, "le chat et la vache est dans le jardin", "fr")
+    ).toDF("doc_id", "text", "lang")
+    val dir = plant("/tmp/graft-test/lideval", "documents" -> docs)
+    val out = SparkEntry.queries("ta_langid_eval")(spark, dir)
+      .collect().map(r => (r.getAs[String]("lang_truth"), r.getAs[String]("lang_guess")) -> r).toMap
+    assert(out.size == 2)
+    assert(out(("en", "en")).getAs[Long]("n") == 2L)
+    assert(out(("en", "en")).getAs[Long]("share_micro") == 1000000L)
+    assert(out(("fr", "fr")).getAs[Long]("n") == 1L)
+    assert(out(("fr", "fr")).getAs[Long]("share_micro") == 1000000L)
+  }
+
+  test("ev_dau_mau: hand-computed trailing-30 stickiness") {
+    // day 1: {1,2}, day 2: {2}, day 3: {3} → MAU windows accumulate:
+    // d1: 2/2 = 1e6, d2: 1/2 = 500000, d3: 1/3 = 333333
+    val rows = Seq((1L, "2024-03-01"), (2L, "2024-03-01"), (2L, "2024-03-02"), (3L, "2024-03-03"))
+      .map { case (u, d) => (u, java.sql.Timestamp.valueOf(s"$d 10:00:00")) }
+    val dir = plant("/tmp/graft-test/daumau", "events" -> rows.toDF("user_id", "ts"))
+    val out = SparkEntry.queries("ev_dau_mau")(spark, dir)
+      .collect().map(r => r.getAs[java.sql.Date]("d").toString -> r).toMap
+    assert(out.size == 3)
+    assert(out("2024-03-01").getAs[Long]("dau") == 2L && out("2024-03-01").getAs[Long]("stickiness_micro") == 1000000L)
+    assert(out("2024-03-02").getAs[Long]("mau") == 2L && out("2024-03-02").getAs[Long]("stickiness_micro") == 500000L)
+    assert(out("2024-03-03").getAs[Long]("mau") == 3L && out("2024-03-03").getAs[Long]("stickiness_micro") == 333333L)
+  }
+
   test("q_corr: perfectly correlated / anti-correlated planted columns") {
     // quantity = i, price = i dollars (r = +1), discount = (5−i) bp
     // (r = −1 vs quantity), tax varies non-monotonically
