@@ -4094,6 +4094,92 @@ operations:
           expr("""CASE WHEN sx = 0 THEN CAST(NULL AS BIGINT)
                   ELSE CAST(((2 * srx - (CAST(n AS DECIMAL(18,0)) + 1) * sx) * 1000000)
                   div (CAST(n AS DECIMAL(18,0)) * sx) AS BIGINT) END""").as("gini_micro"))
+    }),
+
+    "q_auc" -> ((s, dir) => {
+      // ROC AUC as the tie-aware Mann–Whitney rank-sum — the distributed
+      // classifier-eval primitive (does same-day engagement rank
+      // purchase propensity? units are user-days, so both classes exist
+      // at every fixture): AUC·2PN = Σ_scores (2·negBelow·pos + pos·neg),
+      // computed from per-score COUNTS, never a global row sort — the
+      // score domain (events per user-day) is a BOUNDED integer, so the one
+      // cumulative window runs over the ≤O(max_score) distinct-score
+      // table, not the user frame (the q_chisq bounded-contingency
+      // doctrine). Doubling the numerator keeps tie credit (pos·neg/2)
+      // integral; auc_micro is one integral division with the identical
+      // tree in the oracle.
+      val perUnit = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(
+          sum(when(col("event_type").isin("view", "click"), 1L).otherwise(0L)).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      val byScore = perUnit.groupBy("score").agg(
+        sum(col("label")).as("pos"),
+        sum(lit(1L) - col("label")).as("neg"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cum = byScore.withColumn("neg_below", coalesce(sum("neg").over(w), lit(0L)))
+      cum.agg(sum(col("pos")).as("p"), sum(col("neg")).as("n"),
+          sum(col("neg_below") * col("pos") * 2 + col("pos") * col("neg")).as("u2"))
+        .select(col("p").as("n_pos"), col("n").as("n_neg"), col("u2").as("u_doubled"),
+          expr("""CASE WHEN p = 0 OR n = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST((u2 * 1000000) div (2 * p * n) AS BIGINT) END""").as("auc_micro"))
+    }),
+
+    "q_benford" -> ((s, dir) => {
+      // Benford first-digit audit of order totals (the fraud/data-entry
+      // anomaly screen): observed first-digit counts of the cents
+      // integer vs the Benford expectation, per-digit χ² contributions
+      // in micro units. Expected probabilities log10(1+1/d) ride as
+      // HARDCODED micro-integer literals (the same nine literals in the
+      // oracle — no float log at query time), and the (O·1e6 − E_micro)²
+      // numerator is exact DECIMAL(38,0). One groupBy over a 9-row
+      // domain: trivially map-side combined at any scale.
+      val obs = T(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast("long").cast("string"), 1, 1)
+          .cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("observed"))
+      val tot = obs.agg(sum("observed").as("n_total"))
+      obs.crossJoin(broadcast(tot))
+        .withColumn("p_micro", expr(
+          "element_at(array(301030L,176091L,124939L,96910L,79181L,66947L,57992L,51153L,45757L), digit)"))
+        .withColumn("expected_micro", col("n_total") * col("p_micro"))
+        .withColumn("d_micro", col("observed") * lit(1000000L) - col("expected_micro"))
+        .select(col("digit").cast("long").as("digit"), col("observed"), col("expected_micro"),
+          expr("CAST((CAST(d_micro AS DECIMAL(38,0)) * d_micro) div expected_micro AS BIGINT)")
+            .as("chi2_cell_micro"))
+    }),
+
+    "rec_itemitem" -> ((s, dir) => {
+      // item-item collaborative filtering (the co-purchase recommender):
+      // top-3 neighbors per part ranked by cosine² — (cooc²·1e6) div
+      // (n_i·n_j) — which preserves the cosine ORDER for positive counts
+      // while staying all-integer (no sqrt). Same giant-basket width cap
+      // as g_kcore bounds the per-order pair fan-out; min support 2
+      // prunes the noise tail BEFORE the per-item ranking, which is a
+      // window partitioned by the HIGH-cardinality item key (already
+      // parallel — Ranks would be wrong here).
+      val items = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val widths = items.groupBy("o").agg(count(lit(1)).as("w"))
+      val capped = items.join(
+        widths.filter(col("w") <= kcoreOrderCap).select("o"), Seq("o"), "left_semi")
+      val freq = capped.groupBy("p").agg(count(lit(1)).as("n"))
+      val pairs = capped.as("a")
+        .join(capped.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("i"), col("b.p").as("j")).agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      val directed = pairs.select(col("i"), col("j"), col("cooc"))
+        .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cooc")))
+      val scored = directed
+        .join(freq.select(col("p").as("i"), col("n").as("ni")), Seq("i"))
+        .join(freq.select(col("p").as("j"), col("n").as("nj")), Seq("j"))
+        .withColumn("score_micro",
+          expr("CAST((cooc * cooc * 1000000) div (ni * nj) AS BIGINT)"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("i")
+        .orderBy(col("score_micro").desc, col("j").asc)
+      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+        .select(col("i").as("part_id"), col("rnk").cast("long").as("rnk"),
+          col("j").as("rec_part_id"), col("cooc"), col("score_micro"))
     })
   )
 
@@ -5633,7 +5719,54 @@ operations:
          SELECT n, CAST(sx AS BIGINT) AS sum_spend_c,
            CASE WHEN sx = 0 THEN CAST(NULL AS BIGINT)
            ELSE CAST(((2::HUGEINT * srx - (n::HUGEINT + 1) * sx) * 1000000) // (n::HUGEINT * sx) AS BIGINT) END AS gini_micro
-         FROM g"""
+         FROM g""",
+    // q_auc: identical per-score counts, exclusive cumulative, doubled
+    // Mann–Whitney numerator, one integral division
+    "q_auc" ->
+      """WITH pu AS (SELECT user_id, CAST(ts AS DATE) AS day,
+           CAST(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS BIGINT) AS score,
+           CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS label
+         FROM events GROUP BY 1, 2),
+         bs AS (SELECT score, CAST(sum(label) AS BIGINT) AS pos, CAST(sum(1 - label) AS BIGINT) AS neg FROM pu GROUP BY 1),
+         c AS (SELECT pos, neg, coalesce(sum(neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below FROM bs),
+         a AS (SELECT CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS n,
+                      CAST(sum(neg_below * pos * 2 + pos * neg) AS BIGINT) AS u2 FROM c)
+         SELECT p AS n_pos, n AS n_neg, u2 AS u_doubled,
+           CASE WHEN p = 0 OR n = 0 THEN CAST(NULL AS BIGINT)
+           ELSE CAST((u2 * 1000000) // (2 * p * n) AS BIGINT) END AS auc_micro
+         FROM a""",
+    // q_benford: the same nine micro-log10 literals, HUGEINT squared
+    // deviation, integral division
+    "q_benford" ->
+      """WITH d AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS digit FROM orders),
+         obs AS (SELECT digit, CAST(count(*) AS BIGINT) AS observed FROM d GROUP BY 1),
+         t AS (SELECT CAST(sum(observed) AS BIGINT) AS n_total FROM obs),
+         c AS (SELECT digit, observed,
+                 n_total * ([301030,176091,124939,96910,79181,66947,57992,51153,45757])[digit] AS expected_micro
+               FROM obs, t)
+         SELECT CAST(digit AS BIGINT) AS digit, observed, CAST(expected_micro AS BIGINT) AS expected_micro,
+           CAST(((observed * 1000000 - expected_micro)::HUGEINT * (observed * 1000000 - expected_micro))
+                // expected_micro AS BIGINT) AS chi2_cell_micro
+         FROM c""",
+    // rec_itemitem: same width cap, support floor, cosine² integer
+    // score, QUALIFY top-3 per item
+    "rec_itemitem" ->
+      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         capped AS (SELECT o, p FROM items
+           QUALIFY count(*) OVER (PARTITION BY o) <= $kcoreOrderCap),
+         freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+         pairs AS (SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS cooc
+           FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+           GROUP BY 1, 2 HAVING count(*) >= 2),
+         directed AS (SELECT i, j, cooc FROM pairs UNION ALL SELECT j, i, cooc FROM pairs),
+         scored AS (SELECT d.i, d.j, d.cooc,
+             CAST((d.cooc * d.cooc * 1000000) // (fi.n * fj.n) AS BIGINT) AS score_micro
+           FROM directed d JOIN freq fi ON d.i = fi.p JOIN freq fj ON d.j = fj.p)
+         SELECT i AS part_id,
+           CAST(row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) AS BIGINT) AS rnk,
+           j AS rec_part_id, cooc, score_micro
+         FROM scored
+         QUALIFY row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) <= 3"""
   )
 
   // --- sketch replays -------------------------------------------------
