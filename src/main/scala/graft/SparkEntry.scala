@@ -4180,6 +4180,93 @@ operations:
       scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
         .select(col("i").as("part_id"), col("rnk").cast("long").as("rnk"),
           col("j").as("rec_part_id"), col("cooc"), col("score_micro"))
+    }),
+
+    "q_bitmap" -> ((s, dir) => {
+      // bitmap-index membership: per event type, user ids packed into
+      // 32-bit words (word = id div 32, bit = id % 32) with ONE bit_or
+      // aggregate — the roaring-style segment-membership structure:
+      // exact distinct counts become Σ bit_count(word) with NO
+      // count(DISTINCT) re-shuffle of raw ids, and audience overlap
+      // (view ∩ purchase) is a word-aligned AND over the two bitmaps —
+      // |users|/32 rows instead of |events|. 32-bit words keep every
+      // packed value positive so bit-63 sign semantics never differ
+      // between engines.
+      val bm = events(s, dir)
+        .select(col("event_type"), expr("user_id div 32").as("word_id"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bit"))
+        .groupBy("event_type", "word_id").agg(expr("bit_or(bit)").as("bits"))
+      val perType = bm.groupBy("event_type").agg(
+        count(lit(1)).as("n_words"),
+        sum(expr("bit_count(bits)")).cast("long").as("n_users"))
+      val a = bm.filter(col("event_type") === "view")
+        .select(col("word_id"), col("bits").as("a_bits"))
+      val b = bm.filter(col("event_type") === "purchase")
+        .select(col("word_id"), col("bits").as("b_bits"))
+      val overlap = a.join(b, Seq("word_id"))
+        .agg(count(lit(1)).as("n_words"),
+          sum(expr("bit_count(a_bits & b_bits)")).cast("long").as("n_users"))
+        .select(lit("view&purchase").as("event_type"), col("n_words"), col("n_users"))
+      perType.unionByName(overlap)
+    }),
+
+    "ev_seqmine" -> ((s, dir) => {
+      // frequent contiguous behavior trigrams (the contiguous special
+      // case of sequential-pattern mining): per-user streams ordered by
+      // (ts, event_id), trigrams via two leads — windows keyed by the
+      // HIGH-cardinality user key, so the sort is per-user and parallel.
+      // The trigram domain is |event types|³, so the aggregate output is
+      // bounded regardless of data scale; support floor 2 on distinct
+      // users prunes the singleton tail.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      events(s, dir).select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead("event_type", 1).over(w))
+        .withColumn("t3", lead("event_type", 2).over(w))
+        .filter(col("t3").isNotNull)
+        .select(col("user_id"),
+          concat_ws(">", col("event_type"), col("t2"), col("t3")).as("trigram"))
+        .groupBy("trigram")
+        .agg(countDistinct("user_id").as("n_users"), count(lit(1)).as("n_occurrences"))
+        .filter(col("n_users") >= 2)
+    }),
+
+    "ev_survival" -> ((s, dir) => {
+      // Kaplan–Meier time-to-conversion: per user, days from first event
+      // to first purchase (censored at the corpus horizon when none).
+      // The survival curve is a SEQUENTIAL product, so it rides the
+      // ev_markov_steady doctrine: the distributed part reduces the data
+      // to a per-DAY (deaths, censored) table — bounded by the
+      // observation window, asserted — and the driver folds S_k =
+      // ⌊S_{k-1}·(n_k−d_k)/n_k⌋ in exact BigInt pico units, replayed by
+      // the oracle's recursive CTE with the identical floor division.
+      val sq = s; import sq.implicits._
+      val ev = events(s, dir)
+      val horizon = ev.agg(max(col("ts")).as("tmax"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      val byDay = perUser.crossJoin(broadcast(horizon))
+        .select(
+          expr("""CAST((unix_micros(coalesce(tp, tmax)) - unix_micros(t0))
+                  div 86400000000 AS BIGINT)""").as("dur"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("obs"))
+        .groupBy("dur").agg(sum("obs").as("d"), sum(lit(1L) - col("obs")).as("c"))
+      val days = byDay.collect().map(r =>
+        (r.getAs[Long]("dur"), r.getAs[Long]("d"), r.getAs[Long]("c"))).sortBy(_._1)
+      require(days.length <= 100000,
+        s"ev_survival: ${days.length} distinct days exceed the bounded-collect guard")
+      var atRisk = days.map(t => t._2 + t._3).sum
+      var sPico = BigInt(1000000000000L)
+      val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long, Long)]()
+      days.foreach { case (day, d, c) =>
+        if (d > 0) {
+          sPico = sPico * BigInt(atRisk - d) / BigInt(atRisk)
+          out += ((day, atRisk, d, c, sPico.toLong))
+        }
+        atRisk -= (d + c)
+      }
+      out.toSeq.toDF("day", "n_risk", "n_events", "n_censored", "surv_pico")
     })
   )
 
@@ -5766,7 +5853,57 @@ operations:
            CAST(row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) AS BIGINT) AS rnk,
            j AS rec_part_id, cooc, score_micro
          FROM scored
-         QUALIFY row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) <= 3"""
+         QUALIFY row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) <= 3""",
+    // q_bitmap: same 32-bit word packing, bit_or bitmaps, bit_count
+    // popcounts, word-aligned AND for the overlap row
+    "q_bitmap" ->
+      """WITH bm AS (SELECT event_type, user_id // 32 AS word_id,
+           bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+         FROM events GROUP BY 1, 2),
+         per_type AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_users FROM bm GROUP BY 1),
+         ov AS (SELECT 'view&purchase' AS event_type, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(a.bits & b.bits)) AS BIGINT) AS n_users
+         FROM bm a JOIN bm b ON a.word_id = b.word_id
+         WHERE a.event_type = 'view' AND b.event_type = 'purchase')
+         SELECT * FROM per_type UNION ALL SELECT * FROM ov""",
+    // ev_seqmine: identical per-user double-lead trigrams and support floor
+    "ev_seqmine" ->
+      """WITH t AS (SELECT user_id, event_type,
+           lead(event_type, 1) OVER w AS t2, lead(event_type, 2) OVER w AS t3
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         tri AS (SELECT user_id, event_type || '>' || t2 || '>' || t3 AS trigram
+           FROM t WHERE t3 IS NOT NULL)
+         SELECT trigram, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM tri GROUP BY 1 HAVING count(DISTINCT user_id) >= 2""",
+    // ev_survival: per-day risk table, then the recursive CTE replays the
+    // driver fold's exact HUGEINT floor division day by day
+    "ev_survival" ->
+      """WITH RECURSIVE pu AS (SELECT user_id, min(ts) AS t0,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp
+         FROM events GROUP BY 1),
+         mx AS (SELECT max(ts) AS tmax FROM events),
+         du AS (SELECT (epoch_us(coalesce(tp, tmax)) - epoch_us(t0)) // 86400000000 AS dur,
+                       CASE WHEN tp IS NULL THEN 0 ELSE 1 END AS obs FROM pu, mx),
+         byday AS (SELECT dur, CAST(sum(obs) AS BIGINT) AS d,
+                          CAST(sum(1 - obs) AS BIGINT) AS c FROM du GROUP BY 1),
+         tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM byday),
+         ev AS (SELECT dur, d, c, row_number() OVER (ORDER BY dur) AS rn,
+                  n - coalesce(sum(d + c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS at_risk
+                FROM byday, tot),
+         km AS (
+           SELECT rn, dur, d, c, at_risk,
+             CASE WHEN d > 0 THEN (1000000000000::HUGEINT * (at_risk - d)) // at_risk
+                  ELSE 1000000000000::HUGEINT END AS s
+           FROM ev WHERE rn = 1
+           UNION ALL
+           SELECT e.rn, e.dur, e.d, e.c, e.at_risk,
+             CASE WHEN e.d > 0 THEN (k.s * (e.at_risk - e.d)) // e.at_risk ELSE k.s END
+           FROM km k JOIN ev e ON e.rn = k.rn + 1)
+         SELECT dur AS day, at_risk AS n_risk, d AS n_events, c AS n_censored,
+           CAST(s AS BIGINT) AS surv_pico
+         FROM km WHERE d > 0"""
   )
 
   // --- sketch replays -------------------------------------------------

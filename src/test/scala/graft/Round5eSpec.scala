@@ -94,4 +94,63 @@ class Round5eSpec extends SparkSpec {
     assert(byKey((3L, 1L)).getAs[Long]("rec_part_id") == 1L)
     assert(out.forall(_.getAs[Long]("cooc") == 2L))
   }
+
+  test("q_bitmap: hand-packed words, popcounts, and the overlap AND") {
+    // view: users 1, 2 (word 0) and 33 (word 1); purchase: 1 (word 0)
+    // and 40 (word 1). Overlap: word 0 shares user 1; word 1 shares none.
+    val rows = Seq(
+      (1L, "view"), (2L, "view"), (33L, "view"),
+      (1L, "purchase"), (40L, "purchase")
+    ).map { case (u, t) => (u, t, ts0) }
+    val dir = plant("/tmp/graft-test/bitmap",
+      "events" -> rows.toDF("user_id", "event_type", "ts"))
+    val out = SparkEntry.queries("q_bitmap")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.size == 3)
+    assert(out("view").getAs[Long]("n_words") == 2L)
+    assert(out("view").getAs[Long]("n_users") == 3L)
+    assert(out("purchase").getAs[Long]("n_words") == 2L)
+    assert(out("purchase").getAs[Long]("n_users") == 2L)
+    assert(out("view&purchase").getAs[Long]("n_words") == 2L)
+    assert(out("view&purchase").getAs[Long]("n_users") == 1L)
+  }
+
+  test("ev_seqmine: only the trigram two users share survives the floor") {
+    def ev(id: Long, u: Long, day: Int, t: String) =
+      (id, u, java.sql.Timestamp.valueOf(f"2024-02-$day%02d 12:00:00"), t)
+    val rows = Seq(
+      ev(1, 1, 1, "view"), ev(2, 1, 2, "click"), ev(3, 1, 3, "purchase"), ev(4, 1, 4, "view"),
+      ev(5, 2, 1, "view"), ev(6, 2, 2, "click"), ev(7, 2, 3, "purchase"),
+      ev(8, 3, 1, "click"), ev(9, 3, 2, "view"))
+    val dir = plant("/tmp/graft-test/seqmine",
+      "events" -> rows.toDF("event_id", "user_id", "ts", "event_type"))
+    val out = SparkEntry.queries("ev_seqmine")(spark, dir).collect()
+    assert(out.length == 1)
+    assert(out.head.getAs[String]("trigram") == "view>click>purchase")
+    assert(out.head.getAs[Long]("n_users") == 2L)
+    assert(out.head.getAs[Long]("n_occurrences") == 2L)
+  }
+
+  test("ev_survival: hand-folded two-step curve with an exact censoring") {
+    // all four users start day 1; u1, u2 convert day 3 (dur 2), u4
+    // converts day 6 (dur 5), u3 never converts → censored at the
+    // horizon (u4's purchase) with dur 5 exactly
+    def ev(id: Long, u: Long, day: Int, t: String) =
+      (id, u, java.sql.Timestamp.valueOf(f"2024-02-$day%02d 12:00:00"), t)
+    val rows = Seq(
+      ev(1, 1, 1, "view"), ev(2, 1, 3, "purchase"),
+      ev(3, 2, 1, "view"), ev(4, 2, 3, "purchase"),
+      ev(5, 3, 1, "view"),
+      ev(6, 4, 1, "view"), ev(7, 4, 6, "purchase"))
+    val dir = plant("/tmp/graft-test/survival",
+      "events" -> rows.toDF("event_id", "user_id", "ts", "event_type"))
+    val out = SparkEntry.queries("ev_survival")(spark, dir)
+      .collect().map(r => r.getAs[Long]("day") -> r).toMap
+    assert(out.size == 2)
+    assert(out(2L).getAs[Long]("n_risk") == 4L && out(2L).getAs[Long]("n_events") == 2L)
+    assert(out(2L).getAs[Long]("surv_pico") == 500000000000L)
+    assert(out(5L).getAs[Long]("n_risk") == 2L && out(5L).getAs[Long]("n_events") == 1L)
+    assert(out(5L).getAs[Long]("n_censored") == 1L)
+    assert(out(5L).getAs[Long]("surv_pico") == 250000000000L)
+  }
 }
