@@ -4267,6 +4267,92 @@ operations:
         atRisk -= (d + c)
       }
       out.toSeq.toDF("day", "n_risk", "n_events", "n_censored", "surv_pico")
+    }),
+
+    "ta_rake" -> ((s, dir) => {
+      // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+      // maximal runs between stopwords/punctuation; word score =
+      // degree/freq over phrase co-membership; phrase score = Σ member
+      // word scores — all integer counts and micro-divisions, global
+      // top-15 via TakeOrdered (never a full sort). The whole pipeline is
+      // codegen'd string/array expressions: two regexp passes (delimiter
+      // marking), one split, two explodes, three hash aggregates.
+      val stop = "the|of|and|a|to|in|is|on|for|with|as|by|at|an|be|are|was|it|that|this|from|or"
+      val occ = T(s, dir, "documents").select(explode(expr(
+        s"""filter(transform(split(regexp_replace(regexp_replace(lower(text),
+           |  '[^a-z ]+', '|'), '\\\\b($stop)\\\\b', '|'), '[|]'),
+           |  x -> regexp_replace(trim(x), ' +', ' ')), x -> x != '')""".stripMargin))
+        .as("phrase"))
+        .filter(size(split(col("phrase"), " ")) <= 4)
+      val words = occ.select(col("phrase"),
+          size(split(col("phrase"), " ")).cast("long").as("plen"))
+        .select(col("plen"), explode(split(col("phrase"), " ")).as("word"))
+      val ws = words.groupBy("word").agg(
+        count(lit(1)).as("freq"), sum("plen").as("degree"))
+      val phraseWords = occ.select("phrase").distinct()
+        .select(col("phrase"), explode(split(col("phrase"), " ")).as("word"))
+      val psc = phraseWords.join(ws, Seq("word"))
+        .groupBy("phrase")
+        .agg(sum(expr("(degree * 1000000) div freq")).as("score_micro"))
+      val nOcc = occ.groupBy("phrase").agg(count(lit(1)).as("n_occurrences"))
+      psc.join(nOcc, Seq("phrase"))
+        .select(col("phrase"), size(split(col("phrase"), " ")).cast("long").as("n_words"),
+          col("n_occurrences"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("phrase").asc)
+        .limit(15)
+    }),
+
+    "q_abc" -> ((s, dir) => {
+      // ABC / Pareto revenue classification (the 80/15/5 inventory
+      // doctrine): parts ranked by revenue descending, classed by exact
+      // integer cumulative-share thresholds (cum·100 ≤ total·80 → A,
+      // ≤ 95 → B, else C). The cumulative sum is ext.Ranks'
+      // range-partitioned running sum — never a single-partition sort —
+      // and the output is the 3-row class summary.
+      val rev = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("rev_c"))
+      val cum = ext.Ranks.groupedRunningSum(
+        rev.withColumn("__grp__", lit(0)), "__grp__",
+        Seq(col("rev_c").desc, col("l_partkey").asc), "rev_c", "cum_c")
+      val tot = rev.agg(sum("rev_c").as("total_c"))
+      cum.crossJoin(broadcast(tot))
+        .withColumn("abc_class",
+          when(col("cum_c") * 100 <= col("total_c") * 80, "A")
+            .when(col("cum_c") * 100 <= col("total_c") * 95, "B")
+            .otherwise("C"))
+        .groupBy("abc_class")
+        .agg(count(lit(1)).as("n_parts"), sum("rev_c").as("revenue_c"),
+          max("total_c").as("total_c"))
+        .select(col("abc_class"), col("n_parts"), col("revenue_c"),
+          expr("CAST((CAST(revenue_c AS DECIMAL(38,0)) * 1000000) div total_c AS BIGINT)")
+            .as("share_micro"))
+    }),
+
+    "stream_bitmap" -> ((s, dir) => {
+      // STREAMING bitmap-index distinct: the same 32-bit word packing
+      // aggregated over a file stream (complete mode). bit_or is
+      // order-free and mergeable, so the streamed words are EQUAL to the
+      // batch bitmap however the source is micro-batched — exact
+      // streaming distinct-user counts with |users|/32 state rows per
+      // group, the exact-count sibling of stream_hll. Oracle = the batch
+      // per-type section of q_bitmap.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .select(col("event_type"), expr("user_id div 32").as("word_id"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(user_id % 32 AS INT))").as("bit"))
+      val bm = stream.groupBy("event_type", "word_id").agg(expr("bit_or(bit)").as("bits"))
+      s.catalog.dropTempView("graft_stream_bitmap")
+      val q = bm.writeStream.format("memory").queryName("graft_stream_bitmap")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_bitmap")
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_words"),
+          sum(expr("bit_count(bits)")).cast("long").as("n_users"))
     })
   )
 
@@ -5903,7 +5989,50 @@ operations:
            FROM km k JOIN ev e ON e.rn = k.rn + 1)
          SELECT dur AS day, at_risk AS n_risk, d AS n_events, c AS n_censored,
            CAST(s AS BIGINT) AS surv_pico
-         FROM km WHERE d > 0"""
+         FROM km WHERE d > 0""",
+    // ta_rake: identical delimiter-marking regexes (global flag), degree/
+    // freq word scores, phrase-sum scores, deterministic top-15
+    "ta_rake" ->
+      """WITH ph0 AS (SELECT unnest(string_split(
+           regexp_replace(regexp_replace(lower(text), '[^a-z ]+', '|', 'g'),
+             '\b(the|of|and|a|to|in|is|on|for|with|as|by|at|an|be|are|was|it|that|this|from|or)\b', '|', 'g'),
+           '|')) AS rawp FROM documents),
+         ph AS (SELECT regexp_replace(trim(rawp), ' +', ' ', 'g') AS phrase FROM ph0),
+         occ AS (SELECT phrase FROM ph WHERE phrase <> '' AND len(string_split(phrase, ' ')) <= 4),
+         w AS (SELECT CAST(len(string_split(phrase, ' ')) AS BIGINT) AS plen,
+                      unnest(string_split(phrase, ' ')) AS word FROM occ),
+         ws AS (SELECT word, CAST(count(*) AS BIGINT) AS freq,
+                       CAST(sum(plen) AS BIGINT) AS degree FROM w GROUP BY 1),
+         pd AS (SELECT DISTINCT phrase FROM occ),
+         pw AS (SELECT phrase, unnest(string_split(phrase, ' ')) AS word FROM pd),
+         psc AS (SELECT pw.phrase, CAST(sum((ws.degree * 1000000) // ws.freq) AS BIGINT) AS score_micro
+                 FROM pw JOIN ws USING (word) GROUP BY 1),
+         oc AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences FROM occ GROUP BY 1)
+         SELECT psc.phrase, CAST(len(string_split(psc.phrase, ' ')) AS BIGINT) AS n_words,
+           oc.n_occurrences, psc.score_micro
+         FROM psc JOIN oc USING (phrase)
+         ORDER BY score_micro DESC, phrase LIMIT 15""",
+    // q_abc: same exact cumulative thresholds over the descending
+    // revenue order
+    "q_abc" ->
+      """WITH rev AS (SELECT l_partkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM lineitem GROUP BY 1),
+         tot AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM rev),
+         cum AS (SELECT l_partkey, rev_c, sum(rev_c) OVER (ORDER BY rev_c DESC, l_partkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_c FROM rev),
+         cls AS (SELECT CASE WHEN cum_c * 100 <= total_c * 80 THEN 'A'
+                             WHEN cum_c * 100 <= total_c * 95 THEN 'B'
+                             ELSE 'C' END AS abc_class, rev_c, total_c FROM cum, tot)
+         SELECT abc_class, CAST(count(*) AS BIGINT) AS n_parts,
+           CAST(sum(rev_c) AS BIGINT) AS revenue_c,
+           CAST((sum(rev_c)::HUGEINT * 1000000) // max(total_c) AS BIGINT) AS share_micro
+         FROM cls GROUP BY 1""",
+    // stream_bitmap: the batch per-type bitmap section (streamed bit_or
+    // must equal it exactly)
+    "stream_bitmap" ->
+      """WITH bm AS (SELECT event_type, user_id // 32 AS word_id,
+           bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
+         FROM events GROUP BY 1, 2)
+         SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_users FROM bm GROUP BY 1"""
   )
 
   // --- sketch replays -------------------------------------------------

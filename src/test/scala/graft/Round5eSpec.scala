@@ -153,4 +153,50 @@ class Round5eSpec extends SparkSpec {
     assert(out(5L).getAs[Long]("n_censored") == 1L)
     assert(out(5L).getAs[Long]("surv_pico") == 250000000000L)
   }
+
+  test("ta_rake: hand-scored degree/freq phrases") {
+    // doc 1 phrases: {deep learning} ×2, {neural networks}; doc 2: the
+    // lone {networks} drags networks' score to 3/2 while deep/learning
+    // stay at degree/freq = 2
+    val docs = Seq(
+      (1L, "Deep learning of the neural networks. Deep learning!"),
+      (2L, "networks")
+    ).toDF("doc_id", "text")
+    val dir = plant("/tmp/graft-test/rake", "documents" -> docs)
+    val out = SparkEntry.queries("ta_rake")(spark, dir)
+      .collect().map(r => r.getAs[String]("phrase") -> r).toMap
+    assert(out.size == 3)
+    assert(out("deep learning").getAs[Long]("score_micro") == 4000000L)
+    assert(out("deep learning").getAs[Long]("n_occurrences") == 2L)
+    assert(out("deep learning").getAs[Long]("n_words") == 2L)
+    assert(out("neural networks").getAs[Long]("score_micro") == 3500000L)
+    assert(out("networks").getAs[Long]("score_micro") == 1500000L)
+  }
+
+  test("q_abc: 80/15/5 revenue lands exactly on the A/B boundaries") {
+    val li = Seq((1L, 80.00), (2L, 15.00), (3L, 5.00))
+      .toDF("l_partkey", "l_extendedprice")
+    val dir = plant("/tmp/graft-test/abc", "lineitem" -> li)
+    val out = SparkEntry.queries("q_abc")(spark, dir)
+      .collect().map(r => r.getAs[String]("abc_class") -> r).toMap
+    assert(out.size == 3)
+    assert(out("A").getAs[Long]("n_parts") == 1L && out("A").getAs[Long]("revenue_c") == 8000L)
+    assert(out("A").getAs[Long]("share_micro") == 800000L)
+    assert(out("B").getAs[Long]("revenue_c") == 1500L)
+    assert(out("C").getAs[Long]("revenue_c") == 500L)
+  }
+
+  test("stream_bitmap: streamed bit_or equals the hand-packed batch words") {
+    val rows = Seq(
+      (1L, "view"), (2L, "view"), (33L, "view"),
+      (1L, "purchase"), (40L, "purchase")
+    ).map { case (u, t) => (u, t, ts0) }
+    val dir = plant("/tmp/graft-test/streambitmap",
+      "events" -> rows.toDF("user_id", "event_type", "ts"))
+    val out = SparkEntry.queries("stream_bitmap")(spark, dir)
+      .collect().map(r => r.getAs[String]("event_type") -> r).toMap
+    assert(out.size == 2)
+    assert(out("view").getAs[Long]("n_words") == 2L && out("view").getAs[Long]("n_users") == 3L)
+    assert(out("purchase").getAs[Long]("n_users") == 2L)
+  }
 }
