@@ -4353,6 +4353,20 @@ operations:
         .groupBy("event_type").agg(
           count(lit(1)).as("n_words"),
           sum(expr("bit_count(bits)")).cast("long").as("n_users"))
+    }),
+
+    "mm_phash" -> ((s, dir) => {
+      // DCT perceptual hash (pHash) with a REAL decode: planted 32×32
+      // sawtooth PNGs (luma a closed form of doc_id), JDK ImageIO decode,
+      // separable integer DCT over the shared fixed-point cosine basis,
+      // bits against the lower AC median. The oracle recomputes the FULL
+      // 8×8 spectrum from doc_id alone with the SAME 256 cosine integers
+      // (interpolated literals), so a fake decoder, a float DCT, or a
+      // wrong median rank all hash-mismatch. Per-partition decode; one
+      // pass; no shuffle at all until the (tiny) result.
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.phashMedia(T(s, dir, "documents"))
+      ext.Multimodal.dctPhash(media).toDF()
     })
   )
 
@@ -6032,8 +6046,48 @@ operations:
            bit_or(1::BIGINT << CAST(user_id % 32 AS INTEGER)) AS bits
          FROM events GROUP BY 1, 2)
          SELECT event_type, CAST(count(*) AS BIGINT) AS n_words,
-           CAST(sum(bit_count(bits)) AS BIGINT) AS n_users FROM bm GROUP BY 1"""
+           CAST(sum(bit_count(bits)) AS BIGINT) AS n_users FROM bm GROUP BY 1""",
+    // mm_phash: full 8×8 DCT spectrum recomputed from doc_id alone with
+    // the identical fixed-point cosine integers (interpolated below)
+    "mm_phash" -> mmPhashOracle
   )
+
+  /** The mm_phash replay: pixel grid from the planted closed form, the
+    * SAME 8×32 cosine table as ext.Multimodal.dctCos (interpolated as
+    * literals, so there is exactly one basis), per-(u,v) integer sums,
+    * lower-median AC threshold, and the 64-bit assembly through HUGEINT
+    * with an explicit two's-complement wrap.
+    */
+  private def mmPhashOracle: String = {
+    val cos = ext.Multimodal.dctCos.map(_.mkString("[", ",", "]"))
+      .mkString("[", ",", "]")
+    val pow2 = (0 to 63).map(k => s"${BigInt(1) << k}::HUGEINT")
+      .mkString("[", ",", "]")
+    s"""WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y,
+       |    ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma
+       |  FROM documents d, range(32) x, range(32) y),
+       |co AS (SELECT u.range AS u, x.range AS x,
+       |    ($cos)[CAST(u.range AS INTEGER) + 1][CAST(x.range AS INTEGER) + 1] AS c
+       |  FROM range(8) u, range(32) x),
+       |f AS (SELECT p.doc_id, cu.u AS u, cv.u AS v,
+       |    CAST(sum(cu.c * cv.c * p.luma) AS BIGINT) AS coeff
+       |  FROM px p JOIN co cu ON cu.x = p.x JOIN co cv ON cv.x = p.y
+       |  GROUP BY 1, 2, 3),
+       |med AS (SELECT doc_id, coeff AS med FROM
+       |  (SELECT doc_id, coeff, row_number() OVER (PARTITION BY doc_id ORDER BY coeff, u * 8 + v) AS rn
+       |   FROM f WHERE NOT (u = 0 AND v = 0)) WHERE rn = 32),
+       |bits AS (SELECT f.doc_id, CAST(f.u * 8 + f.v AS INTEGER) AS k,
+       |    CASE WHEN f.coeff > med.med THEN 1 ELSE 0 END AS b
+       |  FROM f JOIN med USING (doc_id)),
+       |hu AS (SELECT doc_id, sum(CASE WHEN b = 1 THEN ($pow2)[k + 1] ELSE 0::HUGEINT END) AS h
+       |  FROM bits GROUP BY 1),
+       |dc AS (SELECT doc_id, coeff AS dc_coeff FROM f WHERE u = 0 AND v = 0)
+       |SELECT hu.doc_id AS media_id,
+       |  CAST(CASE WHEN hu.h >= 9223372036854775808::HUGEINT
+       |            THEN hu.h - 18446744073709551616::HUGEINT ELSE hu.h END AS BIGINT) AS phash64,
+       |  dc.dc_coeff, med.med AS median_ac
+       |FROM hu JOIN dc USING (doc_id) JOIN med USING (doc_id)""".stripMargin
+  }
 
   // --- sketch replays -------------------------------------------------
   // HLL registers and CMS counters are deterministic integer state (FNV

@@ -515,6 +515,132 @@ object Multimodal {
       }
   }
 
+  // ---- DCT perceptual hash (pHash) ----
+
+  /** Integer DCT-II cosine basis: C(u)(x) = round(cos((2x+1)·u·π/64) ·
+    * 32768) for u < 8, x < 32 — StrictMath, so the 256 integers are
+    * identical on every platform; the SAME literals are interpolated
+    * into the DuckDB oracle, giving both engines one shared fixed-point
+    * basis (no float cosine at query time anywhere).
+    */
+  private[graft] val dctCos: Array[Array[Long]] =
+    Array.tabulate(8, 32) { (u, x) =>
+      Math.round(StrictMath.cos((2 * x + 1) * u * StrictMath.PI / 64) * 32768.0)
+    }
+
+  case class DctHash(media_id: Long, phash64: Long, dc_coeff: Long, median_ac: Long)
+
+  /** 32×32 grayscale PNGs whose luma grid is the closed form
+    * luma(x,y) = ((1 + id%7)·x + (1 + id%5)·y + id%256) mod 256 — a 2-D
+    * sawtooth with a non-trivial DCT spectrum that an external oracle
+    * recomputes from doc_id alone. (The mod-256 wrap means the id%256
+    * term moves wrap boundaries, not just brightness — each id gets a
+    * genuinely distinct spectrum; brightness-shift invariance is proven
+    * in the spec on wrap-free images instead.)
+    */
+  def phashMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { case (id, source) =>
+          val a = 1 + (id % 7).toInt; val b = 1 + (id % 5).toInt
+          val c = (id % 256).toInt
+          val img = new java.awt.image.BufferedImage(32, 32,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < 32) {
+            var x = 0
+            while (x < 32) {
+              val v = (a * x + b * y + c) % 256
+              img.setRGB(x, y, (v << 16) | (v << 8) | v)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          require(javax.imageio.ImageIO.write(img, "png", bos), "no png writer")
+          MediaRecord(id, "image", source, bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  /** DCT-II perceptual hash (pHash, the dHash upgrade that survives
+    * rescaling/blur): REAL decode → 32×32 luma → separable integer DCT
+    * keeping the 8×8 low-frequency block — T(u)(y) = Σ_x C(u)(x)·L(x)(y)
+    * then F(u)(v) = Σ_y C(v)(y)·T(u)(y), 8·32·32 + 8·8·32 multiplies per
+    * image instead of the naive 64·1024 — and bit (u·8+v) set when
+    * F(u)(v) exceeds the lower median of the 63 AC coefficients.
+    * All-Long arithmetic (|F| ≤ 32768²·255·1024 < 2⁶³); per-partition
+    * decode like every codec step here. Non-32×32/undecodable payloads
+    * are dropped (the hash is defined on the normalized grid).
+    */
+  def dctPhash(media: DataFrame)(implicit spark: SparkSession): Dataset[DctHash] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth != 32 || img.getHeight != 32) None
+          else {
+            val lum = Array.ofDim[Long](32, 32) // lum(x)(y)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                lum(x)(y) = (img.getRGB(x, y) >> 16) & 0xff
+                x += 1
+              }
+              y += 1
+            }
+            val t = Array.ofDim[Long](8, 32) // T(u)(y)
+            var u = 0
+            while (u < 8) {
+              y = 0
+              while (y < 32) {
+                var s = 0L; var x = 0
+                while (x < 32) { s += dctCos(u)(x) * lum(x)(y); x += 1 }
+                t(u)(y) = s
+                y += 1
+              }
+              u += 1
+            }
+            val f = Array.ofDim[Long](8, 8)
+            u = 0
+            while (u < 8) {
+              var v = 0
+              while (v < 8) {
+                var s = 0L; y = 0
+                while (y < 32) { s += dctCos(v)(y) * t(u)(y); y += 1 }
+                f(u)(v) = s
+                v += 1
+              }
+              u += 1
+            }
+            val ac = new Array[Long](63)
+            var k = 0; var i = 0
+            while (i < 64) {
+              if (i != 0) { ac(k) = f(i / 8)(i % 8); k += 1 }
+              i += 1
+            }
+            java.util.Arrays.sort(ac)
+            val med = ac(31)
+            var h = 0L
+            i = 0
+            while (i < 64) {
+              if (f(i / 8)(i % 8) > med) h |= 1L << i
+              i += 1
+            }
+            Some(DctHash(rec.media_id, h, f(0)(0), med))
+          }
+        }
+      }
+  }
+
   /** Image near-dup pairs by dHash Hamming distance ≤ `maxHamming`,
     * found via 4×16-bit banding (pigeonhole: ≤3 differing bits leave at
     * least one band intact), candidate-capped through the shared

@@ -97,4 +97,53 @@ class PerceptualHashSpec extends SparkSpec {
     val reachable = pairs.flatMap(p => Seq(p._1, p._2)).toSet
     assert(reachable == (1L to 500L).toSet, "cap must not orphan any member")
   }
+
+  test("dctPhash: separable fast path equals a naive 4-loop DCT; planted luma round-trips") {
+    val docs = Seq((3L, "s"), (17L, "s")).toDF("doc_id", "source")
+    val media = Multimodal.phashMedia(docs).collect()
+      .map(r => r.getAs[Long]("media_id") -> r.getAs[Array[Byte]]("content")).toMap
+    for (id <- Seq(3L, 17L)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media(id)))
+      val a = 1 + (id % 7).toInt; val b = 1 + (id % 5).toInt; val c = (id % 256).toInt
+      // planted closed form survives the PNG round-trip pixel-exactly
+      for (x <- 0 until 32; y <- 0 until 32)
+        assert(((img.getRGB(x, y) >> 16) & 0xff) == (a * x + b * y + c) % 256, s"id $id ($x,$y)")
+    }
+    val out = Multimodal.dctPhash(Multimodal.phashMedia(docs)).collect()
+      .map(h => h.media_id -> h).toMap
+    // independent naive DCT for id 3: direct quadruple sum + median + bits
+    val id = 3L
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(media(id)))
+    def lum(x: Int, y: Int): Long = (img.getRGB(x, y) >> 16) & 0xff
+    val f = Array.tabulate(8, 8) { (u, v) =>
+      (for (x <- 0 until 32; y <- 0 until 32)
+        yield Multimodal.dctCos(u)(x) * Multimodal.dctCos(v)(y) * lum(x, y)).sum
+    }
+    val ac = (for (u <- 0 until 8; v <- 0 until 8 if (u, v) != ((0, 0))) yield f(u)(v)).sorted
+    val med = ac(31)
+    var want = 0L
+    for (u <- 0 until 8; v <- 0 until 8) if (f(u)(v) > med) want |= 1L << (u * 8 + v)
+    assert(out(id).phash64 == want)
+    assert(out(id).dc_coeff == f(0)(0) && out(id).median_ac == med)
+  }
+
+  test("dctPhash: wrap-free brightness offset flips at most the DC bit; odd sizes drop") {
+    // two 32×32 images whose lumas differ by EXACTLY +40 everywhere
+    // (no mod wrap): every AC coefficient is identical, so only the DC
+    // bit may differ — the invariance that makes pHash a perceptual
+    // (not exact) fingerprint
+    def grid(off: Int) = Array.tabulate(32, 32) { (y, x) =>
+      val v = (3 * x + 2 * y) % 200 + off
+      (v << 16) | (v << 8) | v
+    }
+    val out = Multimodal.dctPhash(mediaDf(Seq(
+      1L -> encode("png", grid(0)), 2L -> encode("png", grid(40))))).collect()
+      .map(h => h.media_id -> h).toMap
+    assert(((out(1L).phash64 ^ out(2L).phash64) & ~1L) == 0L)
+    assert(out(1L).median_ac == out(2L).median_ac)
+    assert(out(1L).dc_coeff < out(2L).dc_coeff)
+    // a non-32×32 image is dropped, not mis-hashed
+    val odd = mediaDf(Seq(9L -> encode("png", Array.tabulate(8, 8)((_, _) => 0x404040))))
+    assert(Multimodal.dctPhash(odd).collect().isEmpty)
+  }
 }
