@@ -4367,8 +4367,219 @@ operations:
       implicit val sp: SparkSession = s
       val media = ext.Multimodal.phashMedia(T(s, dir, "documents"))
       ext.Multimodal.dctPhash(media).toDF()
+    }),
+
+    "ev_ltv" -> ((s, dir) => {
+      // discounted customer lifetime value: each order's cents credited
+      // at 0.9^(years since the customer's first order), the decay table
+      // a BROADCAST literal of exact micro integers (floor(0.9^dy·1e6))
+      // shared verbatim with the oracle — no libm pow anywhere. One hash
+      // agg for first-year, one broadcast join, one hash agg: the
+      // billions-of-customers shape with no window at all.
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val firstYr = o.groupBy("o_custkey").agg(min("yr").as("yr0"))
+      val decay = s.createDataFrame(ltvDecayMicro).toDF("dy", "decay_micro")
+      o.join(firstYr, "o_custkey")
+        .withColumn("dy", (col("yr") - col("yr0")).cast("long"))
+        .join(broadcast(decay), "dy")
+        .groupBy(col("o_custkey").as("custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum("price_c").as("raw_c"),
+          sum(expr("(price_c * decay_micro) div 1000000")).as("ltv_c"))
+    }),
+
+    "ev_gapfill" -> ((s, dir) => {
+      // LOCF daily gap-fill: per-user daily max gauge, a generated date
+      // spine from first to last active day, missing days carried forward
+      // with last(ignoreNulls). The spine explode is bounded by the day
+      // span and the window partitions on user_id (high cardinality) —
+      // every stage is per-user parallel; nothing global.
+      import org.apache.spark.sql.expressions.Window
+      val daily = events(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("d"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .groupBy("user_id", "d").agg(max("v_c").as("v_c"))
+      val spine = daily.groupBy("user_id")
+        .agg(min("d").as("d0"), max("d").as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("d"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"),
+          last(col("v_c"), ignoreNulls = true).over(w).as("v_filled"),
+          col("v_c").isNull.as("is_gap"))
+    }),
+
+    "ev_churn" -> ((s, dir) => {
+      // month-over-month engagement ledger: per month the active-user
+      // count, how many return next month, how many churn, how many are
+      // brand new (first-ever month). Distinct (user, month) then three
+      // keyed self-joins — hash shuffles on high-cardinality keys only.
+      val um = events(s, dir)
+        .select(col("user_id"), to_date(date_trunc("month", col("ts"))).as("m"))
+        .distinct()
+        .localCheckpoint(true) // probed three times below
+      val nxt = um.select(col("user_id"), add_months(col("m"), -1).as("m"))
+        .withColumn("has_next", lit(true))
+      val first = um.groupBy("user_id").agg(min("m").as("first_m"))
+      um.join(nxt, Seq("user_id", "m"), "left")
+        .join(first, "user_id")
+        .groupBy(col("m").as("month"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("has_next"), 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("has_next").isNull, 1L).otherwise(0L)).as("n_churned"),
+          sum(when(col("first_m") === col("m"), 1L).otherwise(0L)).as("n_new"))
+    }),
+
+    "q_grouped_ols" -> ((s, dir) => {
+      // per-group least squares — the billions-of-groups regression: one
+      // hash aggregation of DECIMAL(38) Gram sums per brand, slope and
+      // intercept as exact integral divisions (micro units). No window,
+      // no driver solve, no per-group iteration: the massively-grouped
+      // sibling of q_ols (whose single global model collects d² sums).
+      val li = T(s, dir, "lineitem").join(
+        T(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+        col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          col("l_quantity").cast("decimal(38,0)").as("x"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("y"))
+      li.groupBy("p_brand")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .select(col("p_brand"), col("n").cast("long").as("n"),
+          col("sx").cast("long").as("sx"), col("sy").cast("long").as("sy"),
+          expr("CAST(((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx) AS BIGINT)")
+            .as("slope_micro"),
+          expr("""CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000)
+                 div (n * sxx - sx * sx) * sx) div n AS BIGINT)""").as("icept_micro"))
+    }),
+
+    "q_pr_curve" -> ((s, dir) => {
+      // precision–recall curve: quantity as the score ranking, returnflag
+      // 'R' as the positive class. Raw rows collapse to ≤50 per-score
+      // counts FIRST (map-side combined hash agg); the cumulative TP/FP
+      // window then runs over the bounded score domain only — the curve
+      // is never a sort of the raw frame.
+      import org.apache.spark.sql.expressions.Window
+      val perScore = T(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("threshold"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy("threshold")
+        .agg(count(lit(1)).as("n"), sum("pos").as("p"))
+      val w = Window.orderBy(col("threshold").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perScore
+        .select(col("threshold"),
+          sum("p").over(w).as("tp"),
+          (sum("n").over(w) - sum("p").over(w)).as("fp"),
+          sum("p").over(Window.partitionBy()).as("p_tot"))
+        .select(col("threshold"), col("tp"), col("fp"),
+          expr("(tp * 1000000) div (tp + fp)").as("precision_micro"),
+          expr("(tp * 1000000) div p_tot").as("recall_micro"))
+    }),
+
+    "q_spatial_join" -> ((s, dir) => {
+      // grid-bucketed spatial self-join — the LSH-bucket pattern in 2-D:
+      // customers get deterministic integer coordinates (Knuth
+      // multiplicative residues of the key), are bucketed into cells of
+      // side = radius, and one side explodes its 3×3 neighborhood so the
+      // candidate step is a pure EQUI-join on cell ids (shuffle-keyed,
+      // broadcast-free, skew-cappable). radius ≤ cell side guarantees no
+      // missed pair; the exact integer distance² filter prunes after.
+      val pts = T(s, dir, "customer").select(col("c_custkey").as("id"),
+          expr("(c_custkey * 2654435761) % 1000").as("x"),
+          expr("(c_custkey * 2246822519) % 1000").as("y"))
+        .withColumn("cx", expr("x div 50")).withColumn("cy", expr("y div 50"))
+      val probe = pts.select(col("id").as("b_id"), col("x").as("bx"),
+        col("y").as("by"), col("cx").as("bcx"), col("cy").as("bcy"))
+      val off = explode(expr("array(-1,0,1)"))
+      val build = pts.withColumn("dx", off).withColumn("dy", off)
+        .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+          (col("cx") + col("dx")).as("jcx"), (col("cy") + col("dy")).as("jcy"))
+      build.join(probe, col("jcx") === col("bcx") && col("jcy") === col("bcy"))
+        .filter(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          expr("(ax - bx) * (ax - bx) + (ay - by) * (ay - by)").as("dist2"))
+        .filter(col("dist2") <= 2500)
+    }),
+
+    "g_assortativity" -> ((s, dir) => {
+      // degree assortativity of the customer–supplier trade graph: the
+      // Pearson correlation between endpoint degrees over the distinct
+      // edge set, in DECIMAL(38) Gram sums. The final r uses only
+      // correctly-rounded IEEE ops (÷, ×, sqrt — never libm ln/pow), so
+      // the micro rounding is engine-exact. Two hash aggs + two joins.
+      val e = T(s, dir, "lineitem")
+        .join(T(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_suppkey").as("sp"))
+        .distinct()
+        .localCheckpoint(true) // degree agg + edge probe read one frame
+      val degC = e.groupBy("c").agg(count(lit(1)).as("dc"))
+      val degS = e.groupBy("sp").agg(count(lit(1)).as("ds"))
+      e.join(degC, "c").join(degS, "sp")
+        .select(col("dc").cast("decimal(38,0)").as("x"),
+          col("ds").cast("decimal(38,0)").as("y"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"), sum(expr("x * y")).as("sxy"))
+        .select(col("n").cast("long").as("n_edges"),
+          expr("""CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000)
+                 AS BIGINT)""").as("r_micro"))
+    }),
+
+    "sk_bloom_planner" -> ((s, dir) => {
+      // Bloom-filter sizing planner: for each source's distinct-doc count
+      // and each target fpp, the optimal bit count m = ceil(n·ln(1/p)/ln²2)
+      // and hash count k = round(m/n·ln2) — the table a 100 TB ingest
+      // reads before building join-pruning filters (q_bloom_join). The
+      // ln constants are pico-scaled INTEGER literals shared with the
+      // oracle; DECIMAL(38) keeps n·1e12 exact at any corpus size.
+      val n = T(s, dir, "documents").groupBy("source")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"))
+      val targets = s.createDataFrame(Seq((100L, 4605170185988L), (10L, 6907755278982L)))
+        .toDF("fpp_bp", "ln_inv_p_pico") // ln(1/0.01), ln(1/0.001) ·1e12
+      n.crossJoin(broadcast(targets))
+        .select(col("source"), col("n").cast("long").as("n_items"), col("fpp_bp"),
+          expr("CAST((n * ln_inv_p_pico + 480453013917) div 480453013918 AS BIGINT)")
+            .as("m_bits"), // ceil-div of positives as (a+b−1) div b; ln²2·1e12
+          col("n"), col("ln_inv_p_pico"))
+        .select(col("source"), col("n_items"), col("fpp_bp"), col("m_bits"),
+          expr("""CAST((CAST(m_bits AS DECIMAL(38,0)) * 693147180560
+                 + n * 500000000000) div (n * 1000000000000) AS BIGINT)""")
+            .as("k_hashes"),
+          expr("CAST((CAST(m_bits AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
+            .as("bits_per_item_micro"))
+    }),
+
+    "ta_hapax" -> ((s, dir) => {
+      // lexical-richness profile per source: token count, vocabulary,
+      // hapax legomena (frequency-1 words), type–token ratio and hapax
+      // share in micro units. Two cascaded hash aggs over (source, token)
+      // — the same shape however many sources or tokens there are.
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+      tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
+          expr("(n_vocab * 1000000) div n_tokens").as("ttr_micro"),
+          expr("(n_hapax * 1000000) div n_vocab").as("hapax_micro"))
     })
   )
+
+  /** Exact floor(0.9^dy · 1e6) for dy 0..10 — shared with the ev_ltv
+    * oracle as the same literal table (no libm pow in either engine). */
+  private val ltvDecayMicro: Seq[(Long, Long)] = Seq(
+    0L -> 1000000L, 1L -> 900000L, 2L -> 810000L, 3L -> 729000L,
+    4L -> 656100L, 5L -> 590490L, 6L -> 531441L, 7L -> 478296L,
+    8L -> 430467L, 9L -> 387420L, 10L -> 348678L)
 
   /** HLL precision (2^10 registers ≈ 3.2 % σ) shared by query + oracle. */
   private val hllP = 10
@@ -6049,7 +6260,26 @@ operations:
            CAST(sum(bit_count(bits)) AS BIGINT) AS n_users FROM bm GROUP BY 1""",
     // mm_phash: full 8×8 DCT spectrum recomputed from doc_id alone with
     // the identical fixed-point cosine integers (interpolated below)
-    "mm_phash" -> mmPhashOracle
+    "mm_phash" -> mmPhashOracle,
+    // ev_ltv: the same floor(0.9^dy·1e6) literal decay table, all-integer
+    "ev_ltv" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders), f AS (SELECT o_custkey, min(yr) AS yr0 FROM o GROUP BY 1), d(dy, decay_micro) AS (VALUES (0, 1000000), (1, 900000), (2, 810000), (3, 729000), (4, 656100), (5, 590490), (6, 531441), (7, 478296), (8, 430467), (9, 387420), (10, 348678)) SELECT o.o_custkey AS custkey, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(price_c) AS BIGINT) AS raw_c, CAST(sum((price_c * decay_micro) // 1000000) AS BIGINT) AS ltv_c FROM o JOIN f USING (o_custkey) JOIN d ON d.dy = o.yr - f.yr0 GROUP BY 1""",
+    "ev_gapfill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d, max(CAST(round(value * 100) AS BIGINT)) AS v_c FROM events GROUP BY 1, 2), sp AS (SELECT user_id, min(d) AS d0, max(d) AS d1 FROM daily GROUP BY 1), spine AS (SELECT user_id, CAST(unnest(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d FROM sp) SELECT s.user_id, s.d, last_value(daily.v_c IGNORE NULLS) OVER (PARTITION BY s.user_id ORDER BY s.d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled, daily.v_c IS NULL AS is_gap FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.d = s.d""",
+    "ev_churn" ->
+      """WITH um AS (SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS m FROM events), f AS (SELECT user_id, min(m) AS first_m FROM um GROUP BY 1), nx AS (SELECT user_id, CAST(m - INTERVAL 1 MONTH AS DATE) AS m, TRUE AS has_next FROM um) SELECT um.m AS month, CAST(count(*) AS BIGINT) AS n_active, CAST(sum(CASE WHEN nx.has_next THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, CAST(sum(CASE WHEN nx.has_next IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_churned, CAST(sum(CASE WHEN f.first_m = um.m THEN 1 ELSE 0 END) AS BIGINT) AS n_new FROM um LEFT JOIN nx ON nx.user_id = um.user_id AND nx.m = um.m JOIN f ON f.user_id = um.user_id GROUP BY 1""",
+    "q_grouped_ols" ->
+      """WITH li AS (SELECT p_brand, CAST(l_quantity AS HUGEINT) AS x, CAST(round(l_extendedprice * 100) AS HUGEINT) AS y FROM lineitem JOIN part ON l_partkey = p_partkey), g AS (SELECT p_brand, CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(x * y) AS sxy FROM li GROUP BY 1) SELECT p_brand, CAST(n AS BIGINT) AS n, CAST(sx AS BIGINT) AS sx, CAST(sy AS BIGINT) AS sy, CAST(((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS BIGINT) AS slope_micro, CAST((sy * 1000000 - ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) * sx) // n AS BIGINT) AS icept_micro FROM g""",
+    "q_pr_curve" ->
+      """WITH ps AS (SELECT CAST(l_quantity AS BIGINT) AS threshold, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS p FROM lineitem GROUP BY 1), c AS (SELECT threshold, sum(p) OVER w AS tp, sum(n) OVER w - sum(p) OVER w AS fp, sum(p) OVER () AS p_tot FROM ps WINDOW w AS (ORDER BY threshold DESC ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT threshold, CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp, CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro, CAST((tp * 1000000) // p_tot AS BIGINT) AS recall_micro FROM c""",
+    "q_spatial_join" ->
+      """WITH pts AS (SELECT c_custkey AS id, (c_custkey * 2654435761) % 1000 AS x, (c_custkey * 2246822519) % 1000 AS y FROM customer), g AS (SELECT id, x, y, x // 50 AS cx, y // 50 AS cy FROM pts) SELECT a.id AS a_id, b.id AS b_id, CAST((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS BIGINT) AS dist2 FROM g a JOIN g b ON a.id < b.id AND abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1 WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 2500""",
+    "g_assortativity" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), dc AS (SELECT c, CAST(count(*) AS HUGEINT) AS dc FROM e GROUP BY 1), ds AS (SELECT sp, CAST(count(*) AS HUGEINT) AS ds FROM e GROUP BY 1), j AS (SELECT dc.dc AS x, ds.ds AS y FROM e JOIN dc USING (c) JOIN ds USING (sp)), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM j) SELECT CAST(n AS BIGINT) AS n_edges, CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) AS r_micro FROM g""",
+    "sk_bloom_planner" ->
+      """WITH n AS (SELECT source, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1), t(fpp_bp, lnp) AS (VALUES (100, 4605170185988), (10, 6907755278982)), m AS (SELECT source, n, fpp_bp, CAST(lnp AS HUGEINT) AS lnp, (n * lnp + 480453013917) // 480453013918 AS m_bits FROM n, t) SELECT source, CAST(n AS BIGINT) AS n_items, CAST(fpp_bp AS BIGINT) AS fpp_bp, CAST(m_bits AS BIGINT) AS m_bits, CAST((m_bits * 693147180560 + n * 500000000000) // (n * 1000000000000) AS BIGINT) AS k_hashes, CAST((m_bits * 1000000) // n AS BIGINT) AS bits_per_item_micro FROM m""",
+    "ta_hapax" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2) SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micro, CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_micro FROM c GROUP BY 1"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
