@@ -4571,6 +4571,115 @@ operations:
         .select(col("source"), col("n_tokens"), col("n_vocab"), col("n_hapax"),
           expr("(n_vocab * 1000000) div n_tokens").as("ttr_micro"),
           expr("(n_hapax * 1000000) div n_vocab").as("hapax_micro"))
+    }),
+
+    "dd_url" -> ((s, dir) => {
+      // URL canonicalization dedup (the CommonCrawl ingest step): four
+      // planted surface variants per target (case, default port,
+      // /index.html, trailing slash, fragment, utm_* params, param
+      // order) normalize to one canonical URL via pure string
+      // expressions, then a hash-group keeps the smallest doc as
+      // canonical. Whole-stage-codegen scalar work + ONE keyed agg.
+      val url = expr(s"""CASE CAST(doc_id % 4 AS INT)
+        WHEN 0 THEN concat('HTTP://Example.COM:80/Shop/', doc_id div 4, '/?utm_source=news&b=2&a=1#frag')
+        WHEN 1 THEN concat('http://example.com/Shop/', doc_id div 4, '?a=1&b=2')
+        WHEN 2 THEN concat('HTTPS://EXAMPLE.com/Shop/', doc_id div 4, '/index.html?b=2&a=1&utm_campaign=sale')
+        ELSE concat('https://example.com:443/Shop/', doc_id div 4, '/index.html?b=2&a=1#top') END""")
+      T(s, dir, "documents").select(col("doc_id"), url.as("url"))
+        .withColumn("u1", regexp_replace(col("url"), "#.*$", ""))
+        .select(col("doc_id"),
+          lower(regexp_extract(col("u1"), "^([A-Za-z]+)://", 1)).as("scheme"),
+          lower(regexp_replace(
+            regexp_extract(col("u1"), "^[A-Za-z]+://([^/?#]+)", 1), ":[0-9]+$", ""))
+            .as("host"),
+          regexp_replace(regexp_replace(
+            regexp_extract(col("u1"), "^[A-Za-z]+://[^/?#]+([^?#]*)", 1),
+            "/index\\.html$", "/"), "/$", "").as("path"),
+          expr("""array_join(array_sort(filter(split(
+            regexp_extract(u1, '\\?([^#]*)', 1), '&'),
+            x -> x != '' AND NOT x RLIKE '^utm_')), '&')""").as("q"))
+        .select(col("doc_id"), concat(col("scheme"), lit("://"), col("host"),
+          col("path"),
+          when(col("q") === "", "").otherwise(concat(lit("?"), col("q")))).as("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(count(lit(1)).as("n_variants"), min("doc_id").as("keeper_doc"))
+    }),
+
+    "ta_boilerplate" -> ((s, dir) => {
+      // cross-document boilerplate line removal (the jusText/trafilatura
+      // step): planted nav/footer lines shared by every page are detected
+      // as lines present in ≥25 % of docs, then stripped; body and
+      // doc-unique lines survive. Line→doc-count is one exact keyed agg;
+      // the boiler SET is tiny by construction (≤ 4/threshold lines per
+      // corpus line budget) and broadcast back; docs reassemble with an
+      // order-preserving sorted collect per doc.
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        concat(lit("home | products | about | contact\n"), col("text"),
+          lit("\nsubscribe to our newsletter\ndoc "), col("doc_id"),
+          lit(" extras\n© 2024 example corp")).as("page"))
+      val lines = docs.select(col("doc_id"),
+          posexplode(split(col("page"), "\n")).as(Seq("pos", "line")))
+        .localCheckpoint(true) // feeds the boiler agg AND the rebuild
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val boiler = lines.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .crossJoin(broadcast(nDocs))
+        .filter(col("nd") * 4 >= col("n_docs"))
+        .select(col("line"), lit(true).as("is_boiler"))
+      lines.join(broadcast(boiler), Seq("line"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("is_boiler"), 1L).otherwise(0L)).as("n_boiler"),
+          expr("""array_join(transform(array_sort(collect_list(
+            CASE WHEN is_boiler IS NULL THEN struct(pos, line) END)),
+            x -> x.line), '\n')""").as("clean_text"))
+    }),
+
+    "ta_code_detect" -> ((s, dir) => {
+      // code-vs-prose routing (an LLM-corpus must separate them): symbol
+      // density ({};()=[]) and keyword hits score each doc in micro
+      // units; planted code snippets on every 5th doc must flag, pure
+      // prose scores 0. Scalar expressions only — no shuffle before the
+      // (tiny) result projection.
+      val planted = expr("""CASE WHEN doc_id % 5 = 0
+        THEN concat(text, ' function add(a, b) { return a + b; } var x = []; import os;')
+        ELSE text END""")
+      T(s, dir, "documents").select(col("doc_id"), planted.as("t"))
+        .select(col("doc_id"),
+          length(regexp_replace(col("t"), "[^{};()=<>\\[\\]]", "")).cast("long").as("n_sym"),
+          expr("CAST(size(regexp_extract_all(t, '(function|return|var|import|def)', 1)) AS BIGINT)")
+            .as("n_kw"),
+          length(col("t")).cast("long").as("n_len"))
+        .select(col("doc_id"), col("n_sym"), col("n_kw"),
+          expr("((n_sym + 3 * n_kw) * 1000000) div n_len").as("score_micro"))
+        .withColumn("is_code", col("n_sym") > 0L && col("score_micro") >= 1000L)
+    }),
+
+    "q_mode" -> ((s, dir) => {
+      // per-group mode with a deterministic tie-break (highest count,
+      // then smallest value): two cascaded hash aggs — the value-domain
+      // collapse then a max on (count, −value) structs. Never a sort.
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity").cast("long").as("qty"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("c"), (-col("qty")).as("nq"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"),
+          col("m.c").as("mode_n"))
+    }),
+
+    "ev_heatmap" -> ((s, dir) => {
+      // day-of-week × hour activity heatmap with exact integral shares:
+      // one hash agg to the bounded 7×24 domain, total as a broadcast
+      // scalar. dow is 0=Sunday in both engines (Spark's dayofweek−1).
+      val cells = events(s, dir)
+        .groupBy((dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("dow"), col("hr"), col("n"),
+          expr("(n * 1000000) div total").as("share_micro"))
     })
   )
 
@@ -6279,7 +6388,19 @@ operations:
     "sk_bloom_planner" ->
       """WITH n AS (SELECT source, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1), t(fpp_bp, lnp) AS (VALUES (100, 4605170185988), (10, 6907755278982)), m AS (SELECT source, n, fpp_bp, CAST(lnp AS HUGEINT) AS lnp, (n * lnp + 480453013917) // 480453013918 AS m_bits FROM n, t) SELECT source, CAST(n AS BIGINT) AS n_items, CAST(fpp_bp AS BIGINT) AS fpp_bp, CAST(m_bits AS BIGINT) AS m_bits, CAST((m_bits * 693147180560 + n * 500000000000) // (n * 1000000000000) AS BIGINT) AS k_hashes, CAST((m_bits * 1000000) // n AS BIGINT) AS bits_per_item_micro FROM m""",
     "ta_hapax" ->
-      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2) SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micro, CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_micro FROM c GROUP BY 1"""
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2) SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micro, CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_micro FROM c GROUP BY 1""",
+    // dd_url: the same planted variants and the same canonicalization
+    // regex chain, replayed step for step
+    "dd_url" ->
+      """WITH u0 AS (SELECT doc_id, CASE CAST(doc_id % 4 AS INTEGER) WHEN 0 THEN 'HTTP://Example.COM:80/Shop/' || CAST(doc_id // 4 AS VARCHAR) || '/?utm_source=news&b=2&a=1#frag' WHEN 1 THEN 'http://example.com/Shop/' || CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2' WHEN 2 THEN 'HTTPS://EXAMPLE.com/Shop/' || CAST(doc_id // 4 AS VARCHAR) || '/index.html?b=2&a=1&utm_campaign=sale' ELSE 'https://example.com:443/Shop/' || CAST(doc_id // 4 AS VARCHAR) || '/index.html?b=2&a=1#top' END AS url FROM documents), u1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u1 FROM u0), p AS (SELECT doc_id, lower(regexp_extract(u1, '^([A-Za-z]+)://', 1)) AS scheme, lower(regexp_replace(regexp_extract(u1, '^[A-Za-z]+://([^/?#]+)', 1), ':[0-9]+$', '')) AS host, regexp_replace(regexp_replace(regexp_extract(u1, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1), '/index\.html$', '/'), '/$', '') AS path, array_to_string(list_sort(list_filter(string_split(regexp_extract(u1, '\?([^#]*)', 1), '&'), x -> x <> '' AND NOT regexp_matches(x, '^utm_'))), '&') AS q FROM u1), c AS (SELECT doc_id, scheme || '://' || host || path || CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url FROM p) SELECT canonical_url, CAST(count(*) AS BIGINT) AS n_variants, CAST(min(doc_id) AS BIGINT) AS keeper_doc FROM c GROUP BY 1""",
+    "ta_boilerplate" ->
+      """WITH docs AS (SELECT doc_id, 'home | products | about | contact' || chr(10) || text || chr(10) || 'subscribe to our newsletter' || chr(10) || 'doc ' || CAST(doc_id AS VARCHAR) || ' extras' || chr(10) || '© 2024 example corp' AS page FROM documents), lines AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i+1] AS line FROM (SELECT doc_id, l, unnest(range(len(l))) AS i FROM (SELECT doc_id, string_split(page, chr(10)) AS l FROM docs))), nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM docs), b AS (SELECT line FROM (SELECT line, CAST(count(DISTINCT doc_id) AS BIGINT) AS ndd FROM lines GROUP BY 1), nd WHERE ndd * 4 >= n_docs) SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines, CAST(sum(CASE WHEN line IN (SELECT line FROM b) THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler, coalesce(string_agg(CASE WHEN line NOT IN (SELECT line FROM b) THEN line END, chr(10) ORDER BY pos), '') AS clean_text FROM lines GROUP BY 1""",
+    "ta_code_detect" ->
+      """WITH t AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0 THEN text || ' function add(a, b) { return a + b; } var x = []; import os;' ELSE text END AS t FROM documents), s AS (SELECT doc_id, CAST(length(regexp_replace(t, '[^{};()=<>\[\]]', '', 'g')) AS BIGINT) AS n_sym, CAST(len(regexp_extract_all(t, '(function|return|var|import|def)', 1)) AS BIGINT) AS n_kw, CAST(length(t) AS BIGINT) AS n_len FROM t) SELECT doc_id, n_sym, n_kw, ((n_sym + 3 * n_kw) * 1000000) // n_len AS score_micro, n_sym > 0 AND ((n_sym + 3 * n_kw) * 1000000) // n_len >= 1000 AS is_code FROM s""",
+    "q_mode" ->
+      """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, qty AS mode_qty, c AS mode_n FROM c QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, qty ASC) = 1""",
+    "ev_heatmap" ->
+      """WITH cells AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells) SELECT dow, hr, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM cells, t"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
