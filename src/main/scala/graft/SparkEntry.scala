@@ -4680,6 +4680,107 @@ operations:
       cells.crossJoin(broadcast(tot))
         .select(col("dow"), col("hr"), col("n"),
           expr("(n * 1000000) div total").as("share_micro"))
+    }),
+
+    "q_treeagg" -> ((s, dir) => {
+      // hierarchical subtree rollup WITHOUT iteration: the customer-key
+      // decimal hierarchy (parent = key div 10) is rolled up by
+      // exploding each leaf's ≤8 distinct ancestors and running ONE
+      // keyed agg — the scale-correct replacement for a recursive CTE
+      // (depth joins) on a fixed-depth hierarchy. Contribution is
+      // per-leaf revenue; every node reports subtree leaf count + sum.
+      val rev = T(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      rev.select(explode(expr(
+          """array_distinct(array(c, c div 10, c div 100, c div 1000,
+             c div 10000, c div 100000, c div 1000000, c div 10000000))"""))
+          .as("node"), col("rev_c"))
+        .groupBy("node")
+        .agg(count(lit(1)).as("n_desc"), sum("rev_c").as("subtree_rev_c"))
+    }),
+
+    "ev_concurrency" -> ((s, dir) => {
+      // daily peak concurrency by sweep-line, shuffle-bounded: each
+      // event opens a 1 h half-open interval; intervals are clamped to
+      // epoch-day segments (≤2), reduced to ±1 deltas, AGGREGATED to
+      // the ≤86 400-second day grid FIRST, and only then prefix-summed —
+      // the running-sum window is per-day over the bounded grid, never
+      // over raw events. Ends sort before starts at the same second
+      // (half-open semantics) via the (sec, delta) order.
+      import org.apache.spark.sql.expressions.Window
+      val seg = events(s, dir)
+        .select(unix_timestamp(col("ts")).as("es"))
+        .select(expr("es div 86400").as("day"),
+          expr("""CASE WHEN es % 86400 + 3600 <= 86400
+                  THEN array(named_struct('d', CAST(0 AS BIGINT), 'a', es % 86400,
+                                          'b', es % 86400 + 3600))
+                  ELSE array(named_struct('d', CAST(0 AS BIGINT), 'a', es % 86400,
+                                          'b', CAST(86400 AS BIGINT)),
+                             named_struct('d', CAST(1 AS BIGINT), 'a', CAST(0 AS BIGINT),
+                                          'b', es % 86400 + 3600 - 86400))
+                  END""").as("parts"))
+        .select(explode(col("parts")).as("p"), col("day"))
+        .select((col("day") + col("p.d")).as("day"), col("p.a").as("a"), col("p.b").as("b"))
+      val deltas = seg.select(col("day"), col("a").as("sec"), lit(1L).as("delta"))
+        .union(seg.select(col("day"), col("b").as("sec"), lit(-1L).as("delta")))
+        .groupBy("day", "sec", "delta").agg(sum("delta").as("d"))
+      val w = Window.partitionBy("day").orderBy(col("sec"), col("delta"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      deltas.withColumn("run", sum("d").over(w))
+        .groupBy("day").agg(max("run").as("peak"))
+    }),
+
+    "ev_cuped" -> ((s, dir) => {
+      // CUPED variance reduction (the experimentation-platform
+      // adjustment): pre-period value predicts post-period value;
+      // θ = cov(x,y)/var(x) from one global DECIMAL(38) Gram agg
+      // (broadcast scalars), each user's adjusted outcome an exact
+      // integral expression scaled by n to stay in integers:
+      // y_adj = (n·y·1e6 − θµ·(n·x − Σx)) div n.
+      val cut = "2024-01-15 00:00:00"
+      val ux = events(s, dir)
+        .select(col("user_id"), round(col("value") * 100).cast("long").as("v_c"),
+          (col("ts") < lit(cut).cast("timestamp")).as("pre"))
+        .groupBy("user_id")
+        .agg(sum(when(col("pre"), col("v_c")).otherwise(0L)).as("x_c"),
+          sum(when(!col("pre"), col("v_c")).otherwise(0L)).as("y_c"))
+        .localCheckpoint(true) // scalars AND per-user adjustment read it
+      val g = ux.select(col("x_c").cast("decimal(38,0)").as("x"),
+          col("y_c").cast("decimal(38,0)").as("y"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("x * y")).as("sxy"))
+        .select(col("n"), col("sx"),
+          expr("((n * sxy - sx * sy) * 1000000) div (n * sxx - sx * sx)")
+            .as("theta_micro"))
+      ux.crossJoin(broadcast(g))
+        .select(col("user_id"), col("x_c"), col("y_c"),
+          col("theta_micro").cast("long").as("theta_micro"),
+          expr("""CAST((n * y_c * 1000000 - theta_micro * (n * x_c - sx))
+                 div n AS BIGINT)""").as("y_adj_micro"))
+    }),
+
+    "ev_gaps" -> ((s, dir) => {
+      // inter-event gap distribution: per-user lag (high-cardinality
+      // partitioned window), then an exact CASE ladder into 7 literal
+      // buckets and a bounded-domain share table — the think-time
+      // histogram behind session-timeout tuning (ev_sessions' 30 min).
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_s").isNotNull)
+        .select(expr("""CASE WHEN gap_s < 1 THEN '0_sub_second'
+          WHEN gap_s < 10 THEN '1_under_10s' WHEN gap_s < 60 THEN '2_under_1m'
+          WHEN gap_s < 600 THEN '3_under_10m' WHEN gap_s < 3600 THEN '4_under_1h'
+          WHEN gap_s < 86400 THEN '5_under_1d' ELSE '6_over_1d' END""").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n"))
+      val tot = gaps.agg(sum("n").as("total"))
+      gaps.crossJoin(broadcast(tot))
+        .select(col("bucket"), col("n"), expr("(n * 1000000) div total").as("share_micro"))
     })
   )
 
@@ -6400,7 +6501,15 @@ operations:
     "q_mode" ->
       """WITH c AS (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS c FROM lineitem GROUP BY 1, 2) SELECT l_returnflag, qty AS mode_qty, c AS mode_n FROM c QUALIFY row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, qty ASC) = 1""",
     "ev_heatmap" ->
-      """WITH cells AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells) SELECT dow, hr, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM cells, t"""
+      """WITH cells AS (SELECT CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells) SELECT dow, hr, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM cells, t""",
+    "q_treeagg" ->
+      """WITH rev AS (SELECT o_custkey AS c, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), a AS (SELECT unnest(list_distinct([c, c // 10, c // 100, c // 1000, c // 10000, c // 100000, c // 1000000, c // 10000000])) AS node, rev_c FROM rev) SELECT CAST(node AS BIGINT) AS node, CAST(count(*) AS BIGINT) AS n_desc, CAST(sum(rev_c) AS BIGINT) AS subtree_rev_c FROM a GROUP BY 1""",
+    "ev_concurrency" ->
+      """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events), seg AS (SELECT es // 86400 AS day, es % 86400 AS a, es % 86400 + 3600 AS b FROM e WHERE es % 86400 + 3600 <= 86400 UNION ALL SELECT es // 86400, es % 86400, 86400 FROM e WHERE es % 86400 + 3600 > 86400 UNION ALL SELECT es // 86400 + 1, 0, es % 86400 + 3600 - 86400 FROM e WHERE es % 86400 + 3600 > 86400), del AS (SELECT day, a AS sec, CAST(1 AS BIGINT) AS delta FROM seg UNION ALL SELECT day, b, CAST(-1 AS BIGINT) FROM seg), g AS (SELECT day, sec, delta, CAST(sum(delta) AS BIGINT) AS d FROM del GROUP BY 1, 2, 3), r AS (SELECT day, sum(d) OVER (PARTITION BY day ORDER BY sec, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM g) SELECT CAST(day AS BIGINT) AS day, CAST(max(run) AS BIGINT) AS peak FROM r GROUP BY 1""",
+    "ev_cuped" ->
+      """WITH ux AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x_c, CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_c FROM events GROUP BY 1), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x_c) AS HUGEINT) AS sx, CAST(sum(y_c) AS HUGEINT) AS sy, CAST(sum(CAST(x_c AS HUGEINT) * x_c) AS HUGEINT) AS sxx, CAST(sum(CAST(x_c AS HUGEINT) * y_c) AS HUGEINT) AS sxy FROM ux), t AS (SELECT n, sx, ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS theta_micro FROM g) SELECT user_id, x_c, y_c, CAST(theta_micro AS BIGINT) AS theta_micro, CAST((n * y_c * 1000000 - theta_micro * (n * x_c - sx)) // n AS BIGINT) AS y_adj_micro FROM ux, t""",
+    "ev_gaps" ->
+      """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), b AS (SELECT CASE WHEN gap_s < 1 THEN '0_sub_second' WHEN gap_s < 10 THEN '1_under_10s' WHEN gap_s < 60 THEN '2_under_1m' WHEN gap_s < 600 THEN '3_under_10m' WHEN gap_s < 3600 THEN '4_under_1h' WHEN gap_s < 86400 THEN '5_under_1d' ELSE '6_over_1d' END AS bucket FROM g WHERE gap_s IS NOT NULL), c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) SELECT bucket, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM c, t"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
