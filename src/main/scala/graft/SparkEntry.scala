@@ -4781,6 +4781,136 @@ operations:
       val tot = gaps.agg(sum("n").as("total"))
       gaps.crossJoin(broadcast(tot))
         .select(col("bucket"), col("n"), expr("(n * 1000000) div total").as("share_micro"))
+    }),
+
+    "q_cohend" -> ((s, dir) => {
+      // Cohen's d effect size between returned and kept line items: one
+      // conditional-aggregation pass collapses both groups' exact
+      // integer (n, Σ, Σ²) into a single row; the pooled-sd formula
+      // then uses only correctly-rounded IEEE ops (+ − × ÷ sqrt) over
+      // those integers, so the micro rounding is engine-exact. No
+      // second scan, no join, no window.
+      T(s, dir, "lineitem")
+        .select((col("l_returnflag") === "R").as("r"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("v"))
+        .agg(
+          sum(when(col("r"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n1"),
+          sum(when(col("r"), col("v"))).as("s1"),
+          sum(when(col("r"), expr("v * v"))).as("ss1"),
+          sum(when(!col("r"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n2"),
+          sum(when(!col("r"), col("v"))).as("s2"),
+          sum(when(!col("r"), expr("v * v"))).as("ss2"))
+        .select(col("n1").cast("long").as("n_returned"),
+          col("n2").cast("long").as("n_kept"),
+          expr("""CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                 / sqrt(((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE)))
+                      / CAST(n1 + n2 - 2 AS DOUBLE))
+                 * 1000000) AS BIGINT)""").as("cohen_d_micro"))
+    }),
+
+    "q_rolling_corr" -> ((s, dir) => {
+      // 30-day rolling correlation between daily revenue and daily
+      // quantity: raw rows collapse to the bounded DAY domain first
+      // (one hash agg), then a RANGE window over epoch-day indices
+      // accumulates exact DECIMAL Gram sums — the window runs over
+      // ~2.5k aggregated rows, never the raw frame. Zero-variance
+      // windows yield NULL via the exact integer guard.
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_quantity").cast("decimal(38,0)")).as("x"),
+          sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")).as("y"))
+        .withColumn("dk", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.orderBy("dk").rangeBetween(-29, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w).cast("decimal(38,0)"))
+        .withColumn("sx", sum("x").over(w)).withColumn("sy", sum("y").over(w))
+        .withColumn("sxx", sum(expr("x * x")).over(w))
+        .withColumn("syy", sum(expr("y * y")).over(w))
+        .withColumn("sxy", sum(expr("x * y")).over(w))
+        .select(col("d"), col("n").cast("long").as("n_days"),
+          expr("""CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                 THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                      / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                         * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT)
+                 END""").as("corr_micro"))
+    }),
+
+    "ev_entry_exit" -> ((s, dir) => {
+      // session entry→exit path table: 30-minute-gap sessionization
+      // (per-user windows only), first/last event type per session, then
+      // the bounded (entry, exit) transition counts with exact shares —
+      // the landing/bounce analysis over product events.
+      import org.apache.spark.sql.expressions.Window
+      val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val ev = events(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wUser)))
+        .withColumn("new_sess",
+          when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
+        .withColumn("sess", sum("new_sess").over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val wSess = Window.partitionBy("user_id", "sess")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val paths = ev
+        .withColumn("entry", first("event_type").over(wSess))
+        .withColumn("exit", last("event_type").over(wSess))
+        .groupBy("user_id", "sess").agg(first("entry").as("entry"), first("exit").as("exit"))
+        .groupBy("entry", "exit").agg(count(lit(1)).as("n"))
+      val tot = paths.agg(sum("n").as("total"))
+      paths.crossJoin(broadcast(tot))
+        .select(col("entry"), col("exit"), col("n"),
+          expr("(n * 1000000) div total").as("share_micro"))
+    }),
+
+    "ev_baseline_anomaly" -> ((s, dir) => {
+      // seasonal-baseline anomaly audit: each (date, dow, hour) cell is
+      // compared against the all-history (dow, hour) baseline — exact
+      // integral ratio n·n_obs·1e6 div Σn, spike when the ratio predicate
+      // 3·Σn < n·n_obs holds in integers. The baseline is 168 rows,
+      // broadcast; the cell table is one hash agg.
+      val cells = events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"),
+          (dayofweek(col("ts")) - 1).cast("long").as("dow"),
+          hour(col("ts")).cast("long").as("hr"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // cells feed the baseline AND the compare
+      val base = cells.groupBy("dow", "hr")
+        .agg(sum("n").as("sum_n"), count(lit(1)).as("n_obs"))
+      cells.join(broadcast(base), Seq("dow", "hr"))
+        .select(col("d"), col("dow"), col("hr"), col("n"), col("sum_n"), col("n_obs"),
+          expr("(n * n_obs * 1000000) div sum_n").as("ratio_micro"),
+          (col("n") * col("n_obs") > col("sum_n") * 3L).as("is_spike"))
+    }),
+
+    "ev_did" -> ((s, dir) => {
+      // difference-in-differences: treatment = odd user ids, period
+      // split at the cutoff; the four cell aggregates collapse in ONE
+      // conditional-aggregation pass and the DID estimate is a pure
+      // integral-micro expression of the four cell means. The
+      // experimentation readout that pairs with ev_cuped.
+      val cut = "2024-01-15 00:00:00"
+      events(s, dir)
+        .select((col("user_id") % 2 === 1).as("treat"),
+          (col("ts") >= lit(cut).cast("timestamp")).as("post"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .agg(
+          sum(when(col("treat") && col("post"), col("v_c")).otherwise(0L)).as("s_tp"),
+          sum(when(col("treat") && col("post"), 1L).otherwise(0L)).as("n_tp"),
+          sum(when(col("treat") && !col("post"), col("v_c")).otherwise(0L)).as("s_tb"),
+          sum(when(col("treat") && !col("post"), 1L).otherwise(0L)).as("n_tb"),
+          sum(when(!col("treat") && col("post"), col("v_c")).otherwise(0L)).as("s_cp"),
+          sum(when(!col("treat") && col("post"), 1L).otherwise(0L)).as("n_cp"),
+          sum(when(!col("treat") && !col("post"), col("v_c")).otherwise(0L)).as("s_cb"),
+          sum(when(!col("treat") && !col("post"), 1L).otherwise(0L)).as("n_cb"))
+        .select(col("n_tp"), col("n_tb"), col("n_cp"), col("n_cb"),
+          expr("""(s_tp * 1000000) div n_tp - (s_tb * 1000000) div n_tb
+                 - ((s_cp * 1000000) div n_cp - (s_cb * 1000000) div n_cb)""")
+            .as("did_micro"))
     })
   )
 
@@ -6509,7 +6639,19 @@ operations:
     "ev_cuped" ->
       """WITH ux AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x_c, CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_c FROM events GROUP BY 1), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x_c) AS HUGEINT) AS sx, CAST(sum(y_c) AS HUGEINT) AS sy, CAST(sum(CAST(x_c AS HUGEINT) * x_c) AS HUGEINT) AS sxx, CAST(sum(CAST(x_c AS HUGEINT) * y_c) AS HUGEINT) AS sxy FROM ux), t AS (SELECT n, sx, ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS theta_micro FROM g) SELECT user_id, x_c, y_c, CAST(theta_micro AS BIGINT) AS theta_micro, CAST((n * y_c * 1000000 - theta_micro * (n * x_c - sx)) // n AS BIGINT) AS y_adj_micro FROM ux, t""",
     "ev_gaps" ->
-      """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), b AS (SELECT CASE WHEN gap_s < 1 THEN '0_sub_second' WHEN gap_s < 10 THEN '1_under_10s' WHEN gap_s < 60 THEN '2_under_1m' WHEN gap_s < 600 THEN '3_under_10m' WHEN gap_s < 3600 THEN '4_under_1h' WHEN gap_s < 86400 THEN '5_under_1d' ELSE '6_over_1d' END AS bucket FROM g WHERE gap_s IS NOT NULL), c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) SELECT bucket, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM c, t"""
+      """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), b AS (SELECT CASE WHEN gap_s < 1 THEN '0_sub_second' WHEN gap_s < 10 THEN '1_under_10s' WHEN gap_s < 60 THEN '2_under_1m' WHEN gap_s < 600 THEN '3_under_10m' WHEN gap_s < 3600 THEN '4_under_1h' WHEN gap_s < 86400 THEN '5_under_1d' ELSE '6_over_1d' END AS bucket FROM g WHERE gap_s IS NOT NULL), c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) SELECT bucket, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM c, t""",
+    // q_cohend / q_rolling_corr: the double expressions are mirrored
+    // term for term — only correctly-rounded IEEE ops touch the floats
+    "q_cohend" ->
+      """WITH v AS (SELECT l_returnflag = 'R' AS r, CAST(round(l_extendedprice * 100) AS HUGEINT) AS v FROM lineitem), g AS (SELECT CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS HUGEINT) AS n1, sum(CASE WHEN r THEN v END) AS s1, sum(CASE WHEN r THEN v * v END) AS ss1, CAST(sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS HUGEINT) AS n2, sum(CASE WHEN NOT r THEN v END) AS s2, sum(CASE WHEN NOT r THEN v * v END) AS ss2 FROM v) SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n2 AS BIGINT) AS n_kept, CAST(round((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / sqrt(((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / CAST(n1 AS DOUBLE)) + (CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / CAST(n2 AS DOUBLE))) / CAST(n1 + n2 - 2 AS DOUBLE)) * 1000000) AS BIGINT) AS cohen_d_micro FROM g""",
+    "q_rolling_corr" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(l_quantity AS HUGEINT)) AS HUGEINT) AS x, CAST(sum(CAST(round(l_extendedprice * 100) AS HUGEINT)) AS HUGEINT) AS y FROM lineitem GROUP BY 1), dk AS (SELECT d, x, y, CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dk FROM daily), w AS (SELECT d, CAST(count(*) OVER win AS HUGEINT) AS n, sum(x) OVER win AS sx, sum(y) OVER win AS sy, sum(x * x) OVER win AS sxx, sum(y * y) OVER win AS syy, sum(x * y) OVER win AS sxy FROM dk WINDOW win AS (ORDER BY dk RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)) SELECT d, CAST(n AS BIGINT) AS n_days, CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) END AS corr_micro FROM w""",
+    "ev_entry_exit" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, event_type, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), s AS (SELECT user_id, ts, event_id, event_type, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM ev), r AS (SELECT user_id, sess, event_type, row_number() OVER (PARTITION BY user_id, sess ORDER BY ts, event_id) AS rn_a, row_number() OVER (PARTITION BY user_id, sess ORDER BY ts DESC, event_id DESC) AS rn_d FROM s), p AS (SELECT user_id, sess, max(CASE WHEN rn_a = 1 THEN event_type END) AS entry, max(CASE WHEN rn_d = 1 THEN event_type END) AS "exit" FROM r GROUP BY 1, 2), c AS (SELECT entry, "exit", CAST(count(*) AS BIGINT) AS n FROM p GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) SELECT entry, "exit", n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM c, t""",
+    "ev_baseline_anomaly" ->
+      """WITH cells AS (SELECT CAST(ts AS DATE) AS d, CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2, 3), b AS (SELECT dow, hr, CAST(sum(n) AS BIGINT) AS sum_n, CAST(count(*) AS BIGINT) AS n_obs FROM cells GROUP BY 1, 2) SELECT d, dow, hr, n, sum_n, n_obs, CAST((n * n_obs * 1000000) // sum_n AS BIGINT) AS ratio_micro, n * n_obs > sum_n * 3 AS is_spike FROM cells JOIN b USING (dow, hr)""",
+    "ev_did" ->
+      """WITH e AS (SELECT user_id % 2 = 1 AS t, ts >= TIMESTAMP '2024-01-15 00:00:00' AS p, CAST(round(value * 100) AS BIGINT) AS v FROM events), g AS (SELECT CAST(sum(CASE WHEN t AND p THEN v ELSE 0 END) AS BIGINT) AS s_tp, CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tp, CAST(sum(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_tb, CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tb, CAST(sum(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS BIGINT) AS s_cp, CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cp, CAST(sum(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_cb, CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_cb FROM e) SELECT n_tp, n_tb, n_cp, n_cb, CAST((s_tp * 1000000) // n_tp - (s_tb * 1000000) // n_tb - ((s_cp * 1000000) // n_cp - (s_cb * 1000000) // n_cb) AS BIGINT) AS did_micro FROM g"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
