@@ -4911,6 +4911,95 @@ operations:
           expr("""(s_tp * 1000000) div n_tp - (s_tb * 1000000) div n_tb
                  - ((s_cp * 1000000) div n_cp - (s_cb * 1000000) div n_cb)""")
             .as("did_micro"))
+    }),
+
+    "ta_span_corrupt" -> ((s, dir) => {
+      // T5-style span corruption (the denoising-objective data prep):
+      // tokens fold into 3-token groups; a seeded md5 residue selects
+      // every 5th group on average; selected groups collapse to
+      // <extra_id_k> sentinels (k = per-doc rank of the selected group)
+      // in the masked text, and the targets string pairs each sentinel
+      // with the span it swallowed. All windows partition on doc_id
+      // (high cardinality); the hash replays bit-for-bit in the oracle.
+      import org.apache.spark.sql.expressions.Window
+      val toks = T(s, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos", "w")))
+        .withColumn("grp", expr("pos div 3"))
+      val grps = toks.select("doc_id", "grp").distinct()
+        .withColumn("sel",
+          conv(substring(md5(concat(col("doc_id"), lit(":"), col("grp"))), 1, 4),
+            16, 10).cast("long") % 5 === 0L)
+      val wSel = Window.partitionBy("doc_id").orderBy("grp")
+      val sids = grps.filter(col("sel"))
+        .withColumn("sid", row_number().over(wSel).cast("long") - 1L)
+      val tk = toks.join(sids.select("doc_id", "grp", "sid"), Seq("doc_id", "grp"), "left")
+        .localCheckpoint(true) // masked + targets read one frame
+      val maskedPieces = tk.filter(col("sid").isNull)
+          .select(col("doc_id"), col("pos"), col("w"))
+        .union(tk.filter(col("sid").isNotNull).groupBy("doc_id", "grp", "sid")
+          .agg(min("pos").as("pos"))
+          .select(col("doc_id"), col("pos"),
+            concat(lit("<extra_id_"), col("sid"), lit(">")).as("w")))
+      val masked = maskedPieces.groupBy("doc_id")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+          .as("masked_text"))
+      val targets = tk.filter(col("sid").isNotNull)
+        .groupBy("doc_id", "grp", "sid")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), x -> x.w), ' ')")
+          .as("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          expr("""array_join(transform(array_sort(collect_list(struct(grp,
+                 concat('<extra_id_', sid, '> ', span) AS piece))), x -> x.piece), ' ')""")
+            .as("targets"))
+      masked.join(targets, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          col("masked_text"), coalesce(col("targets"), lit("")).as("targets"))
+    }),
+
+    "q_qq" -> ((s, dir) => {
+      // Q–Q decile table comparing returned vs kept price distributions:
+      // exact per-group deciles from the range-partitioned global rank
+      // (ext.Ranks — no single-partition sort), the decile row picked by
+      // the integral predicate rn = ⌈k·n/10⌉, then a 9-row pivot. The
+      // distribution-compare companion to q_ks's uniform-law test.
+      val base = T(s, dir, "lineitem")
+        .filter(col("l_returnflag").isin("R", "N"))
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("price_c"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = ext.Ranks.groupedRank(base, "g",
+        Seq(col("price_c"), col("l_orderkey"), col("l_linenumber")), "rn")
+      ranked
+        .withColumn("decile", explode(expr(
+          "filter(sequence(1, 9), k -> rn = (k * rn_n + 9) div 10)")))
+        .groupBy(col("decile").cast("long").as("decile"))
+        .agg(max(when(col("g") === "R", col("price_c"))).as("r_price_c"),
+          max(when(col("g") === "N", col("price_c"))).as("n_price_c"))
+    }),
+
+    "q_power" -> ((s, dir) => {
+      // A/B sample-size planner: per-arm n for 80 % power at α = 5 %
+      // (two-sided) against minimum detectable effects of 1/5/10 dollars
+      // on per-customer spend. (z_{0.975}+z_{0.8})² is the literal
+      // 7 848 886 micro shared with the oracle; the variance enters as
+      // its exact integer numerator/denominator so the whole plan is one
+      // Gram aggregate and a 3-row literal cross join — the planning
+      // table read before launching an experiment (ev_did / ev_cuped).
+      val x = T(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x_c"))
+        .select(col("x_c").cast("decimal(38,0)").as("x"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("s"), sum(expr("x * x")).as("ss"))
+      val deltas = s.createDataFrame(Seq(Tuple1(100L), Tuple1(500L), Tuple1(1000L)))
+        .toDF("delta_c")
+      x.crossJoin(broadcast(deltas))
+        .select(col("delta_c"), col("n").cast("long").as("n_customers"),
+          expr("""CAST((2 * 7848886 * (n * ss - s * s)
+                 + (1000000 * delta_c * delta_c * n * (n - 1)) - 1)
+                 div (1000000 * delta_c * delta_c * n * (n - 1)) AS BIGINT)""")
+            .as("n_required"))
     })
   )
 
@@ -6651,7 +6740,15 @@ operations:
     "ev_baseline_anomaly" ->
       """WITH cells AS (SELECT CAST(ts AS DATE) AS d, CAST(dayofweek(ts) AS BIGINT) AS dow, CAST(hour(ts) AS BIGINT) AS hr, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1, 2, 3), b AS (SELECT dow, hr, CAST(sum(n) AS BIGINT) AS sum_n, CAST(count(*) AS BIGINT) AS n_obs FROM cells GROUP BY 1, 2) SELECT d, dow, hr, n, sum_n, n_obs, CAST((n * n_obs * 1000000) // sum_n AS BIGINT) AS ratio_micro, n * n_obs > sum_n * 3 AS is_spike FROM cells JOIN b USING (dow, hr)""",
     "ev_did" ->
-      """WITH e AS (SELECT user_id % 2 = 1 AS t, ts >= TIMESTAMP '2024-01-15 00:00:00' AS p, CAST(round(value * 100) AS BIGINT) AS v FROM events), g AS (SELECT CAST(sum(CASE WHEN t AND p THEN v ELSE 0 END) AS BIGINT) AS s_tp, CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tp, CAST(sum(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_tb, CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tb, CAST(sum(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS BIGINT) AS s_cp, CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cp, CAST(sum(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_cb, CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_cb FROM e) SELECT n_tp, n_tb, n_cp, n_cb, CAST((s_tp * 1000000) // n_tp - (s_tb * 1000000) // n_tb - ((s_cp * 1000000) // n_cp - (s_cb * 1000000) // n_cb) AS BIGINT) AS did_micro FROM g"""
+      """WITH e AS (SELECT user_id % 2 = 1 AS t, ts >= TIMESTAMP '2024-01-15 00:00:00' AS p, CAST(round(value * 100) AS BIGINT) AS v FROM events), g AS (SELECT CAST(sum(CASE WHEN t AND p THEN v ELSE 0 END) AS BIGINT) AS s_tp, CAST(sum(CASE WHEN t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_tp, CAST(sum(CASE WHEN t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_tb, CAST(sum(CASE WHEN t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_tb, CAST(sum(CASE WHEN NOT t AND p THEN v ELSE 0 END) AS BIGINT) AS s_cp, CAST(sum(CASE WHEN NOT t AND p THEN 1 ELSE 0 END) AS BIGINT) AS n_cp, CAST(sum(CASE WHEN NOT t AND NOT p THEN v ELSE 0 END) AS BIGINT) AS s_cb, CAST(sum(CASE WHEN NOT t AND NOT p THEN 1 ELSE 0 END) AS BIGINT) AS n_cb FROM e) SELECT n_tp, n_tb, n_cp, n_cb, CAST((s_tp * 1000000) // n_tp - (s_tb * 1000000) // n_tb - ((s_cp * 1000000) // n_cp - (s_cb * 1000000) // n_cb) AS BIGINT) AS did_micro FROM g""",
+    // ta_span_corrupt: the seeded md5 residue, sentinel ranks, and both
+    // reassembled strings replayed with ordered string_agg
+    "ta_span_corrupt" ->
+      """WITH toks AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, l[i+1] AS w, CAST(i // 3 AS BIGINT) AS grp FROM (SELECT doc_id, l, unnest(range(len(l))) AS i FROM (SELECT doc_id, string_split(text, ' ') AS l FROM documents))), g AS (SELECT DISTINCT doc_id, grp FROM toks), sel AS (SELECT doc_id, grp FROM g WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' || CAST(grp AS VARCHAR)), 1, 4) AS BIGINT) % 5 = 0), sids AS (SELECT doc_id, grp, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY grp) AS BIGINT) - 1 AS sid FROM sel), tk AS (SELECT t.doc_id, t.pos, t.w, t.grp, s.sid FROM toks t LEFT JOIN sids s ON s.doc_id = t.doc_id AND s.grp = t.grp), mp AS (SELECT doc_id, pos, w FROM tk WHERE sid IS NULL UNION ALL SELECT doc_id, min(pos), '<extra_id_' || CAST(sid AS VARCHAR) || '>' FROM tk WHERE sid IS NOT NULL GROUP BY doc_id, grp, sid), m AS (SELECT doc_id, string_agg(w, ' ' ORDER BY pos) AS masked_text FROM mp GROUP BY 1), sp AS (SELECT doc_id, grp, sid, string_agg(w, ' ' ORDER BY pos) AS span FROM tk WHERE sid IS NOT NULL GROUP BY 1, 2, 3), tg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans, string_agg('<extra_id_' || CAST(sid AS VARCHAR) || '> ' || span, ' ' ORDER BY grp) AS targets FROM sp GROUP BY 1) SELECT m.doc_id, coalesce(tg.n_spans, 0) AS n_spans, m.masked_text, coalesce(tg.targets, '') AS targets FROM m LEFT JOIN tg USING (doc_id)""",
+    "q_qq" ->
+      """WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag IN ('R', 'N')), r AS (SELECT g, price_c, CAST(row_number() OVER (PARTITION BY g ORDER BY price_c, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v), d AS (SELECT g, price_c, k FROM r, (SELECT unnest(range(1, 10)) AS k) WHERE rn = (k * n + 9) // 10) SELECT CAST(k AS BIGINT) AS decile, max(CASE WHEN g = 'R' THEN price_c END) AS r_price_c, max(CASE WHEN g = 'N' THEN price_c END) AS n_price_c FROM d GROUP BY 1""",
+    "q_power" ->
+      """WITH x AS (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS xs FROM orders GROUP BY o_custkey), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(xs) AS s, sum(xs * xs) AS ss FROM x), d(delta_c) AS (VALUES (100), (500), (1000)) SELECT CAST(delta_c AS BIGINT) AS delta_c, CAST(n AS BIGINT) AS n_customers, CAST((2 * 7848886 * (n * ss - s * s) + (1000000 * CAST(delta_c AS HUGEINT) * delta_c * n * (n - 1)) - 1) // (1000000 * CAST(delta_c AS HUGEINT) * delta_c * n * (n - 1)) AS BIGINT) AS n_required FROM g, d"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
