@@ -5000,6 +5000,80 @@ operations:
                  + (1000000 * delta_c * delta_c * n * (n - 1)) - 1)
                  div (1000000 * delta_c * delta_c * n * (n - 1)) AS BIGINT)""")
             .as("n_required"))
+    }),
+
+    "ta_tfidf" -> ((s, dir) => {
+      // TF-IDF top-5 terms per document — the classic vectorizer next
+      // to srch_bm25's retrieval scorer: term frequencies and document
+      // frequencies are two hash aggs, idf is the micro-rounded IEEE ln
+      // (the q_lift precedent), and the per-doc top-5 window partitions
+      // on doc_id (high cardinality). df reaches the doc join pruned to
+      // the distinct (doc, term) pairs — never the token stream twice.
+      import org.apache.spark.sql.expressions.Window
+      val tok = T(s, dir, "documents")
+        .select(col("doc_id"), explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("term"))
+      val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true) // df agg + scoring read one frame
+      val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nDocs = tf.select("doc_id").distinct().agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_micro").desc, col("term").asc)
+      tf.join(df, "term").crossJoin(broadcast(nDocs))
+        .withColumn("idf_micro", expr(
+          "CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .withColumn("score_micro", col("tf") * col("idf_micro"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 5)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+          col("idf_micro"), col("score_micro"))
+    }),
+
+    "sim_reciprocal" -> ((s, dir) => {
+      // mutual-kNN pairs (the contract for high-precision near-dup
+      // merging): vectors that appear in EACH OTHER's cosine top-5.
+      // Both directions come from ONE bounded-heap brute top-k over the
+      // anchor set (TopKAgg — ≤k rows per partition per query shuffle),
+      // then a self-join on the symmetrized pair key. At corpus scale
+      // the same contract runs over the IVF/LSH shortlists
+      // (sim_topk_ivf) — identical downstream shape.
+      val emb = T(s, dir, "embeddings").filter(col("vec_id") < 64)
+      val top = ext.Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .localCheckpoint(true) // probed from both directions
+      top.as("ab").join(top.as("ba"),
+          col("ab.query_id") === col("ba.neighbor_id") &&
+            col("ab.neighbor_id") === col("ba.query_id"))
+        .filter(col("ab.query_id") < col("ab.neighbor_id"))
+        .select(col("ab.query_id").as("a_id"), col("ab.neighbor_id").as("b_id"),
+          col("ab.rank").as("rank_ab"), col("ba.rank").as("rank_ba"))
+    }),
+
+    "q_bollinger" -> ((s, dir) => {
+      // Bollinger bands with an exact breakout test: daily revenue vs
+      // the trailing 20-day mean ± 2σ, where the band predicate is the
+      // division-free integer comparison (n·x − s)²·(n−1) > 4·n·(n·ss − s²)
+      // — no float σ ever materializes. Day-domain agg first; RANGE
+      // window over the bounded day grid only (the q_rolling_corr shape).
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")).as("x"))
+        .withColumn("dk", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.orderBy("dk").rangeBetween(-19, 0)
+      daily
+        .withColumn("n", count(lit(1)).over(w).cast("decimal(38,0)"))
+        .withColumn("s", sum("x").over(w))
+        .withColumn("ss", sum(expr("x * x")).over(w))
+        .select(col("d"), col("x").cast("long").as("rev_c"),
+          col("n").cast("long").as("n_days"),
+          expr("CAST((s * 1000000) div n AS BIGINT)").as("mean_micro"),
+          expr("""CASE WHEN n > 1 THEN
+                 (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s)
+                 AND n * x > s ELSE false END""").as("break_upper"),
+          expr("""CASE WHEN n > 1 THEN
+                 (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s)
+                 AND n * x < s ELSE false END""").as("break_lower"))
     })
   )
 
@@ -6748,7 +6822,15 @@ operations:
     "q_qq" ->
       """WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c, l_orderkey, l_linenumber FROM lineitem WHERE l_returnflag IN ('R', 'N')), r AS (SELECT g, price_c, CAST(row_number() OVER (PARTITION BY g ORDER BY price_c, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v), d AS (SELECT g, price_c, k FROM r, (SELECT unnest(range(1, 10)) AS k) WHERE rn = (k * n + 9) // 10) SELECT CAST(k AS BIGINT) AS decile, max(CASE WHEN g = 'R' THEN price_c END) AS r_price_c, max(CASE WHEN g = 'N' THEN price_c END) AS n_price_c FROM d GROUP BY 1""",
     "q_power" ->
-      """WITH x AS (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS xs FROM orders GROUP BY o_custkey), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(xs) AS s, sum(xs * xs) AS ss FROM x), d(delta_c) AS (VALUES (100), (500), (1000)) SELECT CAST(delta_c AS BIGINT) AS delta_c, CAST(n AS BIGINT) AS n_customers, CAST((2 * 7848886 * (n * ss - s * s) + (1000000 * CAST(delta_c AS HUGEINT) * delta_c * n * (n - 1)) - 1) // (1000000 * CAST(delta_c AS HUGEINT) * delta_c * n * (n - 1)) AS BIGINT) AS n_required FROM g, d"""
+      """WITH x AS (SELECT CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS HUGEINT) AS xs FROM orders GROUP BY o_custkey), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(xs) AS s, sum(xs * xs) AS ss FROM x), d(delta_c) AS (VALUES (100), (500), (1000)) SELECT CAST(delta_c AS BIGINT) AS delta_c, CAST(n AS BIGINT) AS n_customers, CAST((2 * 7848886 * (n * ss - s * s) + (1000000 * CAST(delta_c AS HUGEINT) * delta_c * n * (n - 1)) - 1) // (1000000 * CAST(delta_c AS HUGEINT) * delta_c * n * (n - 1)) AS BIGINT) AS n_required FROM g, d""",
+    "ta_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents), tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1, 2), df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), nd AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs FROM tf), sc AS (SELECT doc_id, term, tf, CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE)) * 1000000) AS BIGINT) AS idf_micro FROM tf JOIN df USING (term), nd), r AS (SELECT doc_id, term, tf, idf_micro, tf * idf_micro AS score_micro, CAST(row_number() OVER (PARTITION BY doc_id ORDER BY tf * idf_micro DESC, term) AS BIGINT) AS rank FROM sc) SELECT doc_id, rank, term, tf, idf_micro, score_micro FROM r WHERE rank <= 5""",
+    // sim_reciprocal: the sim_topk float replay restricted to the anchor
+    // set, then the same symmetrized self-join
+    "sim_reciprocal" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 64), scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score FROM e d, e q WHERE d.vec_id <> q.vec_id), top AS (SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored) WHERE rn <= 5) SELECT ab.query_id AS a_id, ab.neighbor_id AS b_id, ab.rank AS rank_ab, ba.rank AS rank_ba FROM top ab JOIN top ba ON ab.query_id = ba.neighbor_id AND ab.neighbor_id = ba.query_id WHERE ab.query_id < ab.neighbor_id""",
+    "q_bollinger" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS x FROM lineitem GROUP BY 1), dk AS (SELECT d, x, CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dk FROM daily), w AS (SELECT d, x, CAST(count(*) OVER win AS HUGEINT) AS n, sum(x) OVER win AS s, sum(x * x) OVER win AS ss FROM dk WINDOW win AS (ORDER BY dk RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)) SELECT d, CAST(x AS BIGINT) AS rev_c, CAST(n AS BIGINT) AS n_days, CAST((s * 1000000) // n AS BIGINT) AS mean_micro, CASE WHEN n > 1 THEN (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AND n * x > s ELSE false END AS break_upper, CASE WHEN n > 1 THEN (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AND n * x < s ELSE false END AS break_lower FROM w"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
