@@ -5074,6 +5074,73 @@ operations:
           expr("""CASE WHEN n > 1 THEN
                  (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s)
                  AND n * x < s ELSE false END""").as("break_lower"))
+    }),
+
+    "q_stl" -> ((s, dir) => {
+      // STL-lite seasonal decomposition of daily revenue: trend is the
+      // centered 7-day RANGE mean over the bounded day domain, seasonal
+      // is the per-weekday mean of the detrended series (7-row broadcast
+      // join back), residual closes the identity x·1e6 = trend +
+      // seasonal + resid exactly — every term an integral micro value,
+      // truncating division shared by both engines.
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")).as("x"))
+        .withColumn("dk", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("dow", (dayofweek(col("d")) - 1).cast("long"))
+      val w = Window.orderBy("dk").rangeBetween(-3, 3)
+      val detr = daily
+        .withColumn("n7", count(lit(1)).over(w).cast("decimal(38,0)"))
+        .withColumn("s7", sum("x").over(w))
+        .withColumn("trend_micro", expr("(s7 * 1000000) div n7"))
+        .withColumn("d_micro", expr("x * 1000000 - trend_micro"))
+        .localCheckpoint(true) // seasonal agg + final join read one frame
+      val seas = detr.groupBy("dow")
+        .agg(expr("sum(d_micro) div count(1)").as("seasonal_micro"))
+      detr.join(broadcast(seas), "dow")
+        .select(col("d"), col("x").cast("long").as("rev_c"),
+          col("trend_micro").cast("long").as("trend_micro"),
+          col("seasonal_micro").cast("long").as("seasonal_micro"),
+          expr("CAST(d_micro - seasonal_micro AS BIGINT)").as("resid_micro"))
+    }),
+
+    "ev_funnel_time" -> ((s, dir) => {
+      // time-to-convert quantiles: each user's first view → first
+      // purchase gap, exact median and p90 from the gap-value histogram
+      // (group to the value domain, running count, pick ⌈q·n⌉) — the
+      // q_mad selection pattern on a domain bounded by the number of
+      // converting users. One pass builds both quantiles.
+      import org.apache.spark.sql.expressions.Window
+      val firsts = events(s, dir)
+        .groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("v"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+        .filter(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+        .select((unix_timestamp(col("p")) - unix_timestamp(col("v"))).as("gap_s"))
+      val h = firsts.groupBy("gap_s").agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy("gap_s")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum("c").over(wc))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .agg(max("n").as("n_converted"),
+          min(when(col("cum") * 2 >= col("n"), col("gap_s"))).as("median_s"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("gap_s"))).as("p90_s"))
+    }),
+
+    "ev_slo_burn" -> ((s, dir) => {
+      // error-budget burn rate against a 99 % SLO: hourly error share
+      // over the budget (1 − SLO = 1 %), alert at the standard 14.4×
+      // fast-burn threshold — burn_micro = err·1e8 div n, every term an
+      // exact integer. One hash agg to the hour domain; nothing else.
+      events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .select(col("hour"), col("n"), col("n_err"),
+          expr("(n_err * 1000000) div n").as("err_share_micro"),
+          expr("(n_err * 100000000) div n").as("burn_micro"),
+          (expr("(n_err * 100000000) div n") > 14400000L).as("alert"))
     })
   )
 
@@ -6830,7 +6897,13 @@ operations:
     "sim_reciprocal" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings WHERE vec_id < 64), scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score FROM e d, e q WHERE d.vec_id <> q.vec_id), top AS (SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored) WHERE rn <= 5) SELECT ab.query_id AS a_id, ab.neighbor_id AS b_id, ab.rank AS rank_ab, ba.rank AS rank_ba FROM top ab JOIN top ba ON ab.query_id = ba.neighbor_id AND ab.neighbor_id = ba.query_id WHERE ab.query_id < ab.neighbor_id""",
     "q_bollinger" ->
-      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS x FROM lineitem GROUP BY 1), dk AS (SELECT d, x, CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dk FROM daily), w AS (SELECT d, x, CAST(count(*) OVER win AS HUGEINT) AS n, sum(x) OVER win AS s, sum(x * x) OVER win AS ss FROM dk WINDOW win AS (ORDER BY dk RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)) SELECT d, CAST(x AS BIGINT) AS rev_c, CAST(n AS BIGINT) AS n_days, CAST((s * 1000000) // n AS BIGINT) AS mean_micro, CASE WHEN n > 1 THEN (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AND n * x > s ELSE false END AS break_upper, CASE WHEN n > 1 THEN (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AND n * x < s ELSE false END AS break_lower FROM w"""
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS x FROM lineitem GROUP BY 1), dk AS (SELECT d, x, CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dk FROM daily), w AS (SELECT d, x, CAST(count(*) OVER win AS HUGEINT) AS n, sum(x) OVER win AS s, sum(x * x) OVER win AS ss FROM dk WINDOW win AS (ORDER BY dk RANGE BETWEEN 19 PRECEDING AND CURRENT ROW)) SELECT d, CAST(x AS BIGINT) AS rev_c, CAST(n AS BIGINT) AS n_days, CAST((s * 1000000) // n AS BIGINT) AS mean_micro, CASE WHEN n > 1 THEN (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AND n * x > s ELSE false END AS break_upper, CASE WHEN n > 1 THEN (n * x - s) * (n * x - s) * (n - 1) > 4 * n * (n * ss - s * s) AND n * x < s ELSE false END AS break_lower FROM w""",
+    "q_stl" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS x FROM lineitem GROUP BY 1), dk AS (SELECT d, x, CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dk, CAST(dayofweek(d) AS BIGINT) AS dow FROM daily), tr AS (SELECT d, x, dow, CAST(count(*) OVER win AS HUGEINT) AS n7, sum(x) OVER win AS s7 FROM dk WINDOW win AS (ORDER BY dk RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)), de AS (SELECT d, x, dow, (s7 * 1000000) // n7 AS trend_micro, x * 1000000 - (s7 * 1000000) // n7 AS d_micro FROM tr), se AS (SELECT dow, sum(d_micro) // count(*) AS seasonal_micro FROM de GROUP BY 1) SELECT de.d, CAST(de.x AS BIGINT) AS rev_c, CAST(trend_micro AS BIGINT) AS trend_micro, CAST(seasonal_micro AS BIGINT) AS seasonal_micro, CAST(d_micro - seasonal_micro AS BIGINT) AS resid_micro FROM de JOIN se USING (dow)""",
+    "ev_funnel_time" ->
+      """WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v, min(CASE WHEN event_type = 'purchase' THEN ts END) AS p FROM events GROUP BY 1), g AS (SELECT CAST(floor(epoch(p)) AS BIGINT) - CAST(floor(epoch(v)) AS BIGINT) AS gap_s FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v), h AS (SELECT gap_s, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1), cw AS (SELECT gap_s, sum(c) OVER (ORDER BY gap_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM h) SELECT CAST(max(n) AS BIGINT) AS n_converted, CAST(min(CASE WHEN cum * 2 >= n THEN gap_s END) AS BIGINT) AS median_s, CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS BIGINT) AS p90_s FROM cw""",
+    "ev_slo_burn" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err FROM events GROUP BY 1) SELECT hour, n, n_err, CAST((n_err * 1000000) // n AS BIGINT) AS err_share_micro, CAST((n_err * 100000000) // n AS BIGINT) AS burn_micro, (n_err * 100000000) // n > 14400000 AS alert FROM h"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
