@@ -5141,6 +5141,75 @@ operations:
           expr("(n_err * 1000000) div n").as("err_share_micro"),
           expr("(n_err * 100000000) div n").as("burn_micro"),
           (expr("(n_err * 100000000) div n") > 14400000L).as("alert"))
+    }),
+
+    "q_lorenz" -> ((s, dir) => {
+      // Lorenz concentration curve: customers ranked by revenue
+      // ascending into exact deciles via the range-partitioned global
+      // rank (never a single-partition sort), then the 10-row share /
+      // cumulative-share table — the curve q_gini's coefficient
+      // summarizes, and q_abc's 80/15/5 classes read off.
+      import org.apache.spark.sql.expressions.Window
+      val rev = T(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+      val ranked = ext.Ranks.groupedRank(
+        rev.withColumn("__grp__", lit(0)), "__grp__",
+        Seq(col("rev_c").asc, col("c").asc), "rn")
+      val dec = ranked
+        .withColumn("decile", expr("((rn - 1) * 10) div rn_n + 1"))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum("rev_c").as("rev_c"))
+      val tot = dec.agg(sum("rev_c").as("total_c"))
+      val wc = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.crossJoin(broadcast(tot))
+        .withColumn("share_micro", expr("(rev_c * 1000000) div total_c"))
+        .withColumn("cum_share_micro",
+          expr("sum((rev_c * 1000000) div total_c) OVER " +
+            "(ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"))
+        .select(col("decile"), col("n_customers"), col("rev_c"),
+          col("share_micro"), col("cum_share_micro"))
+    }),
+
+    "q_cohort_ltv" -> ((s, dir) => {
+      // cohort-level lifetime value: ev_ltv's per-order decayed credits
+      // (same literal decay table) rolled up by first-order-year cohort —
+      // the acquisition-quality readout. Two hash aggs + one broadcast
+      // join; no per-customer intermediate survives the plan.
+      val o = T(s, dir, "orders").select(col("o_custkey"),
+        year(col("o_orderdate")).as("yr"),
+        round(col("o_totalprice") * 100).cast("long").as("price_c"))
+      val firstYr = o.groupBy("o_custkey").agg(min("yr").as("yr0"))
+      val decay = s.createDataFrame(ltvDecayMicro).toDF("dy", "decay_micro")
+      o.join(firstYr, "o_custkey")
+        .withColumn("dy", (col("yr") - col("yr0")).cast("long"))
+        .join(broadcast(decay), "dy")
+        .groupBy(col("yr0").cast("long").as("cohort_year"))
+        .agg(countDistinct(col("o_custkey")).as("n_customers"),
+          sum(expr("(price_c * decay_micro) div 1000000")).as("ltv_c"))
+        .withColumn("avg_ltv_micro", expr("(ltv_c * 1000000) div n_customers"))
+    }),
+
+    "ev_srm" -> ((s, dir) => {
+      // sample-ratio-mismatch audit: the 50/50 A/B arms derived from the
+      // assignment key (k % 2) are chi-square tested against the equal
+      // split — χ² as an exact sum of integral micro terms
+      // Σ (o·v − t)²·1e6 div (t·v), flagged against the df=1 literal
+      // critical value 3 841 459. The guardrail read before trusting any
+      // ev_did / ev_cuped estimate.
+      val arms = events(s, dir)
+        .select((expr("CAST(get_json_object(props, '$.k') AS BIGINT)") % 2).as("arm"))
+        .groupBy("arm").agg(count(lit(1)).as("o"))
+      val tot = arms.agg(sum("o").as("t"), count(lit(1)).as("v"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("arm"), col("o"), col("t"), col("v"),
+          expr("((o * v - t) * (o * v - t) * 1000000) div (t * v)").as("term_micro"))
+        .groupBy()
+        .agg(max("v").as("n_variants"), max("t").as("n_total"),
+          sum("term_micro").as("chi2_micro"))
+        .withColumn("crit_micro", lit(3841459L))
+        .withColumn("srm_detected", col("chi2_micro") > col("crit_micro"))
     })
   )
 
@@ -6903,7 +6972,13 @@ operations:
     "ev_funnel_time" ->
       """WITH f AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS v, min(CASE WHEN event_type = 'purchase' THEN ts END) AS p FROM events GROUP BY 1), g AS (SELECT CAST(floor(epoch(p)) AS BIGINT) - CAST(floor(epoch(v)) AS BIGINT) AS gap_s FROM f WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v), h AS (SELECT gap_s, CAST(count(*) AS BIGINT) AS c FROM g GROUP BY 1), cw AS (SELECT gap_s, sum(c) OVER (ORDER BY gap_s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM h) SELECT CAST(max(n) AS BIGINT) AS n_converted, CAST(min(CASE WHEN cum * 2 >= n THEN gap_s END) AS BIGINT) AS median_s, CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap_s END) AS BIGINT) AS p90_s FROM cw""",
     "ev_slo_burn" ->
-      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err FROM events GROUP BY 1) SELECT hour, n, n_err, CAST((n_err * 1000000) // n AS BIGINT) AS err_share_micro, CAST((n_err * 100000000) // n AS BIGINT) AS burn_micro, (n_err * 100000000) // n > 14400000 AS alert FROM h"""
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err FROM events GROUP BY 1) SELECT hour, n, n_err, CAST((n_err * 1000000) // n AS BIGINT) AS err_share_micro, CAST((n_err * 100000000) // n AS BIGINT) AS burn_micro, (n_err * 100000000) // n > 14400000 AS alert FROM h""",
+    "q_lorenz" ->
+      """WITH rev AS (SELECT o_custkey AS c, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_c FROM orders GROUP BY 1), r AS (SELECT c, rev_c, CAST(row_number() OVER (ORDER BY rev_c ASC, c ASC) AS BIGINT) AS rn, CAST(count(*) OVER () AS BIGINT) AS n FROM rev), dec AS (SELECT ((rn - 1) * 10) // n + 1 AS decile, CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(rev_c) AS BIGINT) AS rev_c FROM r GROUP BY 1), t AS (SELECT CAST(sum(rev_c) AS BIGINT) AS total_c FROM dec) SELECT CAST(decile AS BIGINT) AS decile, n_customers, rev_c, CAST((rev_c * 1000000) // total_c AS BIGINT) AS share_micro, CAST(sum((rev_c * 1000000) // total_c) OVER (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_share_micro FROM dec, t""",
+    "q_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders), f AS (SELECT o_custkey, min(yr) AS yr0 FROM o GROUP BY 1), d(dy, decay_micro) AS (VALUES (0, 1000000), (1, 900000), (2, 810000), (3, 729000), (4, 656100), (5, 590490), (6, 531441), (7, 478296), (8, 430467), (9, 387420), (10, 348678)) SELECT CAST(f.yr0 AS BIGINT) AS cohort_year, CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers, CAST(sum((price_c * decay_micro) // 1000000) AS BIGINT) AS ltv_c, CAST((sum((price_c * decay_micro) // 1000000) * 1000000) // count(DISTINCT o.o_custkey) AS BIGINT) AS avg_ltv_micro FROM o JOIN f USING (o_custkey) JOIN d ON d.dy = o.yr - f.yr0 GROUP BY 1""",
+    "ev_srm" ->
+      """WITH arms AS (SELECT CAST(props->>'$.k' AS BIGINT) % 2 AS arm, CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1), tv AS (SELECT CAST(sum(o) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM arms), s AS (SELECT ((o * v - total) * (o * v - total) * 1000000) // (total * v) AS term, total, v FROM arms, tv) SELECT CAST(max(v) AS BIGINT) AS n_variants, CAST(max(total) AS BIGINT) AS n_total, CAST(sum(term) AS BIGINT) AS chi2_micro, CAST(3841459 AS BIGINT) AS crit_micro, sum(term) > 3841459 AS srm_detected FROM s"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
