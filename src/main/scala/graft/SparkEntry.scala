@@ -5210,8 +5210,72 @@ operations:
           sum("term_micro").as("chi2_micro"))
         .withColumn("crit_micro", lit(3841459L))
         .withColumn("srm_detected", col("chi2_micro") > col("crit_micro"))
+    }),
+
+    "q_ewma" -> ((s, dir) => {
+      // EWMA (α = 0.2) WITHOUT the sequential recurrence: the 20-term
+      // truncated kernel w_j = ⌊0.2·0.8^j·1e6⌋ is a literal table
+      // (shared with the oracle), so the moving average becomes a
+      // bounded-kernel convolution — day domain × 20 equi-join on the
+      // lag offset, one keyed agg, edge-normalized by the weights
+      // actually present. The ev_ltv decay-table pattern applied to
+      // smoothing: no window recurrence, no cross-partition state.
+      val daily = T(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("decimal(38,0)")).as("x"))
+        .withColumn("dk", datediff(col("d"), lit("1970-01-01").cast("date")).cast("long"))
+        .localCheckpoint(true) // anchor side AND lag side read one frame
+      val w = s.createDataFrame(ewmaKernelMicro).toDF("j", "w")
+      val lags = daily.select(col("dk").as("ldk"), col("x").as("lx"))
+      daily.crossJoin(broadcast(w))
+        .join(lags, col("ldk") === col("dk") - col("j"))
+        .groupBy("d")
+        .agg(sum(expr("w * lx")).as("swx"), sum("w").as("sw"),
+          count(lit(1)).as("n_terms"))
+        .select(col("d"), col("n_terms"),
+          expr("(swx * 1000000) div sw").as("ewma_micro"))
+    }),
+
+    "ta_keyness" -> ((s, dir) => {
+      // distinctive-term detection (keyness): a term is a key term of a
+      // source when its in-source share exceeds 1.25× its corpus-wide
+      // share — the exact integral predicate 4·tf_s·T_g > 5·tf_g·T_s —
+      // reported
+      // as the top-3 ratio-ranked terms per source (min in-source count
+      // 5). Two cascaded hash aggs + a per-source window whose partition
+      // extent is that source's vocabulary.
+      import org.apache.spark.sql.expressions.Window
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("term"))
+      val st = tok.groupBy("source", "term").agg(count(lit(1)).as("tf_s"))
+        .localCheckpoint(true) // per-source totals + global totals + probe
+      val srcTot = st.groupBy("source").agg(sum("tf_s").as("t_s"))
+      val gl = st.groupBy("term").agg(sum("tf_s").as("tf_g"))
+      val gTot = st.agg(sum("tf_s").as("t_g"))
+      val rated = st.join(srcTot, "source").join(gl, "term")
+        .crossJoin(broadcast(gTot))
+        .filter(col("tf_s") >= 5L)
+        .withColumn("ratio_micro",
+          expr("(tf_s * t_g * 1000000) div (tf_g * t_s)"))
+        .filter(expr("4 * tf_s * t_g > 5 * tf_g * t_s"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("ratio_micro").desc, col("term").asc)
+      rated.withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("term"), col("tf_s"),
+          col("ratio_micro"))
     })
   )
+
+  /** ⌊0.2·0.8^j·1e6⌋ for j 0..19 — the truncated EWMA kernel, shared
+    * with the q_ewma oracle as the same literal table. */
+  private val ewmaKernelMicro: Seq[(Long, Long)] = Seq(
+    0L -> 200000L, 1L -> 160000L, 2L -> 128000L, 3L -> 102400L,
+    4L -> 81920L, 5L -> 65536L, 6L -> 52428L, 7L -> 41943L,
+    8L -> 33554L, 9L -> 26843L, 10L -> 21474L, 11L -> 17179L,
+    12L -> 13743L, 13L -> 10995L, 14L -> 8796L, 15L -> 7036L,
+    16L -> 5629L, 17L -> 4503L, 18L -> 3602L, 19L -> 2882L)
 
   /** Exact floor(0.9^dy · 1e6) for dy 0..10 — shared with the ev_ltv
     * oracle as the same literal table (no libm pow in either engine). */
@@ -6978,7 +7042,12 @@ operations:
     "q_cohort_ltv" ->
       """WITH o AS (SELECT o_custkey, year(o_orderdate) AS yr, CAST(round(o_totalprice * 100) AS BIGINT) AS price_c FROM orders), f AS (SELECT o_custkey, min(yr) AS yr0 FROM o GROUP BY 1), d(dy, decay_micro) AS (VALUES (0, 1000000), (1, 900000), (2, 810000), (3, 729000), (4, 656100), (5, 590490), (6, 531441), (7, 478296), (8, 430467), (9, 387420), (10, 348678)) SELECT CAST(f.yr0 AS BIGINT) AS cohort_year, CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_customers, CAST(sum((price_c * decay_micro) // 1000000) AS BIGINT) AS ltv_c, CAST((sum((price_c * decay_micro) // 1000000) * 1000000) // count(DISTINCT o.o_custkey) AS BIGINT) AS avg_ltv_micro FROM o JOIN f USING (o_custkey) JOIN d ON d.dy = o.yr - f.yr0 GROUP BY 1""",
     "ev_srm" ->
-      """WITH arms AS (SELECT CAST(props->>'$.k' AS BIGINT) % 2 AS arm, CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1), tv AS (SELECT CAST(sum(o) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM arms), s AS (SELECT ((o * v - total) * (o * v - total) * 1000000) // (total * v) AS term, total, v FROM arms, tv) SELECT CAST(max(v) AS BIGINT) AS n_variants, CAST(max(total) AS BIGINT) AS n_total, CAST(sum(term) AS BIGINT) AS chi2_micro, CAST(3841459 AS BIGINT) AS crit_micro, sum(term) > 3841459 AS srm_detected FROM s"""
+      """WITH arms AS (SELECT CAST(props->>'$.k' AS BIGINT) % 2 AS arm, CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1), tv AS (SELECT CAST(sum(o) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM arms), s AS (SELECT ((o * v - total) * (o * v - total) * 1000000) // (total * v) AS term, total, v FROM arms, tv) SELECT CAST(max(v) AS BIGINT) AS n_variants, CAST(max(total) AS BIGINT) AS n_total, CAST(sum(term) AS BIGINT) AS chi2_micro, CAST(3841459 AS BIGINT) AS crit_micro, sum(term) > 3841459 AS srm_detected FROM s""",
+    // q_ewma: the same 20-term truncated kernel as literal VALUES
+    "q_ewma" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS x FROM lineitem GROUP BY 1), dk AS (SELECT d, x, CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dk FROM daily), w(j, w) AS (VALUES (0, 200000), (1, 160000), (2, 128000), (3, 102400), (4, 81920), (5, 65536), (6, 52428), (7, 41943), (8, 33554), (9, 26843), (10, 21474), (11, 17179), (12, 13743), (13, 10995), (14, 8796), (15, 7036), (16, 5629), (17, 4503), (18, 3602), (19, 2882)), conv AS (SELECT a.d, CAST(w.w AS HUGEINT) * b.x AS wx, CAST(w.w AS HUGEINT) AS wt FROM dk a CROSS JOIN w JOIN dk b ON b.dk = a.dk - w.j) SELECT d, CAST(count(*) AS BIGINT) AS n_terms, CAST((sum(wx) * 1000000) // sum(wt) AS BIGINT) AS ewma_micro FROM conv GROUP BY 1""",
+    "ta_keyness" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents), st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s FROM tok GROUP BY 1, 2), stot AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS t_s FROM st GROUP BY 1), gl AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_g FROM st GROUP BY 1), gt AS (SELECT CAST(sum(tf_s) AS BIGINT) AS t_g FROM st), rated AS (SELECT st.source, st.term, st.tf_s, (st.tf_s * t_g * 1000000) // (tf_g * t_s) AS ratio_micro FROM st JOIN stot USING (source) JOIN gl USING (term), gt WHERE st.tf_s >= 5 AND 4 * st.tf_s * t_g > 5 * tf_g * t_s), r AS (SELECT source, term, tf_s, ratio_micro, CAST(row_number() OVER (PARTITION BY source ORDER BY ratio_micro DESC, term) AS BIGINT) AS rank FROM rated) SELECT source, rank, term, tf_s, CAST(ratio_micro AS BIGINT) AS ratio_micro FROM r WHERE rank <= 3"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
