@@ -5265,6 +5265,101 @@ operations:
         .filter(col("rank") <= 3)
         .select(col("source"), col("rank"), col("term"), col("tf_s"),
           col("ratio_micro"))
+    }),
+
+    "q_percentile_cont" -> ((s, dir) => {
+      // exact interpolated quartiles (ANSI percentile_cont semantics)
+      // per group, all-integer: position (n−1)·k/4 splits into a rank
+      // and a /4 remainder, the two straddling rows are picked by an
+      // integral predicate off the range-partitioned exact rank, and
+      // the interpolation (v_lo·(4−rem) + v_hi·rem)·1e6 div 4 never
+      // touches a float. The exact companion to q_approx's sketch.
+      val base = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = ext.Ranks.groupedRank(base, "g",
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn")
+      val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L))).toDF("k")
+      ranked.crossJoin(broadcast(ks))
+        .withColumn("lo", expr("((rn_n - 1) * k) div 4 + 1"))
+        .withColumn("rem", expr("((rn_n - 1) * k) % 4"))
+        .filter(col("rn") === col("lo") || col("rn") === col("lo") + 1L)
+        .groupBy(col("g").as("l_returnflag"), col("k").as("quartile"))
+        .agg(max(when(col("rn") === col("lo"), col("v"))).as("v_lo"),
+          max(when(col("rn") === col("lo") + 1L, col("v"))).as("v_hi"),
+          max("rem").as("rem"))
+        .select(col("l_returnflag"), col("quartile"),
+          expr("(v_lo * (4 - rem) * 1000000 + coalesce(v_hi, 0) * rem * 1000000) div 4")
+            .as("pct_micro"))
+    }),
+
+    "q_cramers_v" -> ((s, dir) => {
+      // Cramér's V association between return flag and line status: the
+      // contingency χ² as an exact sum of integral micro terms
+      // Σ (o·n − r·c)²·1e6 div (n·r·c), then the only float step is the
+      // final correctly-rounded sqrt. Bounded 3×2 cell domain — one hash
+      // agg plus broadcast marginals.
+      val cells = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // marginals + terms read one frame
+      val rT = cells.groupBy("rf").agg(sum("o").as("r"))
+      val cT = cells.groupBy("ls").agg(sum("o").as("c"))
+      val nT = cells.agg(sum("o").as("n"),
+        countDistinct("rf").as("nr"), countDistinct("ls").as("nc"))
+      // FULL r×c grid — zero cells carry χ² mass (o=0 term = r·c/n)
+      rT.crossJoin(cT).join(cells, Seq("rf", "ls"), "left")
+        .withColumn("o", coalesce(col("o"), lit(0L)))
+        .crossJoin(broadcast(nT))
+        .select(col("n"), col("nr"), col("nc"),
+          expr("""((CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+                 * (CAST(o AS DECIMAL(38,0)) * n - CAST(r AS DECIMAL(38,0)) * c)
+                 * 1000000) div (CAST(n AS DECIMAL(38,0)) * r * c)""").as("term_micro"))
+        .groupBy()
+        .agg(max("n").as("n"), sum("term_micro").as("chi2_micro"),
+          max(expr("least(nr - 1, nc - 1)")).as("m"))
+        .select(col("n"), col("chi2_micro"),
+          expr("""CAST(round(sqrt(CAST(chi2_micro AS DOUBLE) / 1000000
+                 / CAST(n * m AS DOUBLE)) * 1000000) AS BIGINT)""").as("v_micro"))
+    }),
+
+    "ev_bounce" -> ((s, dir) => {
+      // daily bounce rate: 30-minute-gap sessions (per-user windows
+      // only), a session bounces when it holds exactly one event;
+      // shares are exact integral micro by session-start day.
+      import org.apache.spark.sql.expressions.Window
+      val wUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = events(s, dir).select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          unix_timestamp(col("ts")) - unix_timestamp(lag(col("ts"), 1).over(wUser)))
+        .withColumn("new_sess",
+          when(col("gap_s").isNull || col("gap_s") > 1800L, 1L).otherwise(0L))
+        .withColumn("sess", sum("new_sess").over(
+          wUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("t0"))
+      sess.groupBy(to_date(col("t0")).as("d"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("n_events") === 1L, 1L).otherwise(0L)).as("n_bounce"))
+        .withColumn("bounce_micro", expr("(n_bounce * 1000000) div n_sessions"))
+    }),
+
+    "q_movers" -> ((s, dir) => {
+      // top-20 revenue movers between 1997 and 1998: one conditional-
+      // aggregation pass per part, absolute-delta ranking via
+      // TakeOrderedAndProject (never a full sort). The YoY drill-down
+      // companion to q_yoy's aggregate view.
+      T(s, dir, "lineitem")
+        .filter(year(col("l_shipdate")).isin(1997, 1998))
+        .groupBy(col("l_partkey"))
+        .agg(sum(when(year(col("l_shipdate")) === 1997,
+            round(col("l_extendedprice") * 100).cast("long")).otherwise(0L)).as("rev97_c"),
+          sum(when(year(col("l_shipdate")) === 1998,
+            round(col("l_extendedprice") * 100).cast("long")).otherwise(0L)).as("rev98_c"))
+        .withColumn("delta_c", col("rev98_c") - col("rev97_c"))
+        .orderBy(abs(col("delta_c")).desc, col("l_partkey").asc)
+        .limit(20)
     })
   )
 
@@ -7047,7 +7142,15 @@ operations:
     "q_ewma" ->
       """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS HUGEINT) AS x FROM lineitem GROUP BY 1), dk AS (SELECT d, x, CAST(datediff('day', DATE '1970-01-01', d) AS BIGINT) AS dk FROM daily), w(j, w) AS (VALUES (0, 200000), (1, 160000), (2, 128000), (3, 102400), (4, 81920), (5, 65536), (6, 52428), (7, 41943), (8, 33554), (9, 26843), (10, 21474), (11, 17179), (12, 13743), (13, 10995), (14, 8796), (15, 7036), (16, 5629), (17, 4503), (18, 3602), (19, 2882)), conv AS (SELECT a.d, CAST(w.w AS HUGEINT) * b.x AS wx, CAST(w.w AS HUGEINT) AS wt FROM dk a CROSS JOIN w JOIN dk b ON b.dk = a.dk - w.j) SELECT d, CAST(count(*) AS BIGINT) AS n_terms, CAST((sum(wx) * 1000000) // sum(wt) AS BIGINT) AS ewma_micro FROM conv GROUP BY 1""",
     "ta_keyness" ->
-      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents), st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s FROM tok GROUP BY 1, 2), stot AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS t_s FROM st GROUP BY 1), gl AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_g FROM st GROUP BY 1), gt AS (SELECT CAST(sum(tf_s) AS BIGINT) AS t_g FROM st), rated AS (SELECT st.source, st.term, st.tf_s, (st.tf_s * t_g * 1000000) // (tf_g * t_s) AS ratio_micro FROM st JOIN stot USING (source) JOIN gl USING (term), gt WHERE st.tf_s >= 5 AND 4 * st.tf_s * t_g > 5 * tf_g * t_s), r AS (SELECT source, term, tf_s, ratio_micro, CAST(row_number() OVER (PARTITION BY source ORDER BY ratio_micro DESC, term) AS BIGINT) AS rank FROM rated) SELECT source, rank, term, tf_s, CAST(ratio_micro AS BIGINT) AS ratio_micro FROM r WHERE rank <= 3"""
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS term FROM documents), st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf_s FROM tok GROUP BY 1, 2), stot AS (SELECT source, CAST(sum(tf_s) AS BIGINT) AS t_s FROM st GROUP BY 1), gl AS (SELECT term, CAST(sum(tf_s) AS BIGINT) AS tf_g FROM st GROUP BY 1), gt AS (SELECT CAST(sum(tf_s) AS BIGINT) AS t_g FROM st), rated AS (SELECT st.source, st.term, st.tf_s, (st.tf_s * t_g * 1000000) // (tf_g * t_s) AS ratio_micro FROM st JOIN stot USING (source) JOIN gl USING (term), gt WHERE st.tf_s >= 5 AND 4 * st.tf_s * t_g > 5 * tf_g * t_s), r AS (SELECT source, term, tf_s, ratio_micro, CAST(row_number() OVER (PARTITION BY source ORDER BY ratio_micro DESC, term) AS BIGINT) AS rank FROM rated) SELECT source, rank, term, tf_s, CAST(ratio_micro AS BIGINT) AS ratio_micro FROM r WHERE rank <= 3""",
+    "q_percentile_cont" ->
+      """WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v), k(k) AS (VALUES (1), (2), (3)), p AS (SELECT g, CAST(k AS BIGINT) AS k, v, rn, ((n - 1) * k) // 4 + 1 AS lo, ((n - 1) * k) % 4 AS rem FROM r, k WHERE rn = ((n - 1) * k) // 4 + 1 OR rn = ((n - 1) * k) // 4 + 2) SELECT g AS l_returnflag, k AS quartile, CAST((max(CASE WHEN rn = lo THEN v END) * (4 - max(rem)) * 1000000 + coalesce(max(CASE WHEN rn = lo + 1 THEN v END), 0) * max(rem) * 1000000) // 4 AS BIGINT) AS pct_micro FROM p GROUP BY 1, 2""",
+    "q_cramers_v" ->
+      """WITH cells AS (SELECT l_returnflag AS rf, l_linestatus AS ls, CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2), rt AS (SELECT rf, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), ct AS (SELECT ls, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), nt AS (SELECT CAST(sum(o) AS BIGINT) AS n, CAST(count(DISTINCT rf) AS BIGINT) AS nr, CAST(count(DISTINCT ls) AS BIGINT) AS nc FROM cells), grid AS (SELECT rt.rf, ct.ls, rt.r, ct.c, coalesce(cells.o, 0) AS o FROM rt CROSS JOIN ct LEFT JOIN cells ON cells.rf = rt.rf AND cells.ls = ct.ls), terms AS (SELECT n, least(nr - 1, nc - 1) AS m, ((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c) * 1000000) // (CAST(n AS HUGEINT) * r * c) AS term FROM grid, nt) SELECT CAST(max(n) AS BIGINT) AS n, CAST(sum(term) AS BIGINT) AS chi2_micro, CAST(round(sqrt(CAST(sum(term) AS DOUBLE) / 1000000 / CAST(max(n) * max(m) AS DOUBLE)) * 1000000) AS BIGINT) AS v_micro FROM terms""",
+    "ev_bounce" ->
+      """WITH ev AS (SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), s AS (SELECT user_id, ts, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM ev), g AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events, min(ts) AS t0 FROM s GROUP BY 1, 2), d AS (SELECT CAST(t0 AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_sessions, CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce FROM g GROUP BY 1) SELECT d, n_sessions, n_bounce, CAST((n_bounce * 1000000) // n_sessions AS BIGINT) AS bounce_micro FROM d""",
+    "q_movers" ->
+      """WITH g AS (SELECT l_partkey, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev97_c, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev98_c FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1) SELECT l_partkey, rev97_c, rev98_c, rev98_c - rev97_c AS delta_c FROM g ORDER BY abs(rev98_c - rev97_c) DESC, l_partkey LIMIT 20"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
