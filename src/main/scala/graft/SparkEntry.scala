@@ -5360,6 +5360,75 @@ operations:
         .withColumn("delta_c", col("rev98_c") - col("rev97_c"))
         .orderBy(abs(col("delta_c")).desc, col("l_partkey").asc)
         .limit(20)
+    }),
+
+    "stream_srm" -> ((s, dir) => {
+      // STREAMING sample-ratio-mismatch guardrail: the per-arm counts
+      // accumulate over a file stream (complete mode; counts are
+      // order-free and mergeable so streamed ≡ batch however the source
+      // micro-batches), and the χ² readout runs on the tiny in-memory
+      // arm table after the stream drains. The continuous face of
+      // ev_srm — the monitor that halts an experiment mid-flight.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .select((expr("CAST(get_json_object(props, '$.k') AS BIGINT)") % 2).as("arm"))
+      val counts = stream.groupBy("arm").agg(count(lit(1)).as("o"))
+      s.catalog.dropTempView("graft_stream_srm")
+      val q = counts.writeStream.format("memory").queryName("graft_stream_srm")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val arms = s.table("graft_stream_srm")
+      val tot = arms.agg(sum("o").as("t"), count(lit(1)).as("v"))
+      arms.crossJoin(broadcast(tot))
+        .select(col("o"), col("t"), col("v"),
+          expr("((o * v - t) * (o * v - t) * 1000000) div (t * v)").as("term_micro"))
+        .groupBy()
+        .agg(max("v").as("n_variants"), max("t").as("n_total"),
+          sum("term_micro").as("chi2_micro"))
+        .withColumn("crit_micro", lit(3841459L))
+        .withColumn("srm_detected", col("chi2_micro") > col("crit_micro"))
+    }),
+
+    "q_calibration" -> ((s, dir) => {
+      // calibration / reliability table: quantity as a score whose
+      // implied probability is qty/50, compared to the observed 'R'
+      // share per score bucket — predicted and observed both exact
+      // integral micro, the gap signed. One hash agg to the ≤50-value
+      // domain; the companion to q_auc (discrimination) and q_pr_curve.
+      T(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy("qty")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+        .select(col("qty"), col("n"), col("n_pos"),
+          (col("qty") * 20000L).as("pred_micro"),
+          expr("(n_pos * 1000000) div n").as("obs_micro"),
+          (col("qty") * 20000L - expr("(n_pos * 1000000) div n")).as("gap_micro"))
+    }),
+
+    "q_theil" -> ((s, dir) => {
+      // Theil T inequality index over per-customer revenue: each
+      // customer's (x/μ)·ln(x/μ) term is micro-rounded PER ROW (the
+      // q_lift discipline — float work confined to one correctly-
+      // rounded expression per row, then order-free integer summation),
+      // so the aggregate is deterministic under any partitioning.
+      // Completes the inequality family with q_gini and q_lorenz.
+      val rev = T(s, dir, "orders")
+        .groupBy(col("o_custkey").as("c"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("x"))
+        .localCheckpoint(true) // totals + per-row terms read one frame
+      val tot = rev.agg(sum("x").as("xt"), count(lit(1)).as("n"))
+      rev.crossJoin(broadcast(tot))
+        .select(col("n"),
+          expr("""CAST(round(CAST(x AS DOUBLE) * n / xt
+                 * ln(CAST(x AS DOUBLE) * n / xt) * 1000000) AS BIGINT)""")
+            .as("term_micro"))
+        .groupBy()
+        .agg(max("n").as("n_customers"),
+          expr("CAST(sum(term_micro) div max(n) AS BIGINT)").as("theil_micro"))
     })
   )
 
@@ -7150,7 +7219,15 @@ operations:
     "ev_bounce" ->
       """WITH ev AS (SELECT user_id, ts, event_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), s AS (SELECT user_id, ts, sum(CASE WHEN gap_s IS NULL OR gap_s > 1800 THEN 1 ELSE 0 END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM ev), g AS (SELECT user_id, sess, CAST(count(*) AS BIGINT) AS n_events, min(ts) AS t0 FROM s GROUP BY 1, 2), d AS (SELECT CAST(t0 AS DATE) AS d, CAST(count(*) AS BIGINT) AS n_sessions, CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce FROM g GROUP BY 1) SELECT d, n_sessions, n_bounce, CAST((n_bounce * 1000000) // n_sessions AS BIGINT) AS bounce_micro FROM d""",
     "q_movers" ->
-      """WITH g AS (SELECT l_partkey, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev97_c, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev98_c FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1) SELECT l_partkey, rev97_c, rev98_c, rev98_c - rev97_c AS delta_c FROM g ORDER BY abs(rev98_c - rev97_c) DESC, l_partkey LIMIT 20"""
+      """WITH g AS (SELECT l_partkey, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev97_c, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev98_c FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1) SELECT l_partkey, rev97_c, rev98_c, rev98_c - rev97_c AS delta_c FROM g ORDER BY abs(rev98_c - rev97_c) DESC, l_partkey LIMIT 20""",
+    // stream_srm: streamed counts ≡ batch counts, so the batch SRM
+    // replay is the oracle verbatim
+    "stream_srm" ->
+      """WITH arms AS (SELECT CAST(props->>'$.k' AS BIGINT) % 2 AS arm, CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1), tv AS (SELECT CAST(sum(o) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM arms), s AS (SELECT ((o * v - total) * (o * v - total) * 1000000) // (total * v) AS term, total, v FROM arms, tv) SELECT CAST(max(v) AS BIGINT) AS n_variants, CAST(max(total) AS BIGINT) AS n_total, CAST(sum(term) AS BIGINT) AS chi2_micro, CAST(3841459 AS BIGINT) AS crit_micro, sum(term) > 3841459 AS srm_detected FROM s""",
+    "q_calibration" ->
+      """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos FROM lineitem GROUP BY 1) SELECT qty, n, n_pos, qty * 20000 AS pred_micro, CAST((n_pos * 1000000) // n AS BIGINT) AS obs_micro, CAST(qty * 20000 - (n_pos * 1000000) // n AS BIGINT) AS gap_micro FROM b""",
+    "q_theil" ->
+      """WITH rev AS (SELECT o_custkey AS c, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), t AS (SELECT CAST(sum(x) AS BIGINT) AS xt, CAST(count(*) AS BIGINT) AS n FROM rev), s AS (SELECT n, CAST(round(CAST(x AS DOUBLE) * n / xt * ln(CAST(x AS DOUBLE) * n / xt) * 1000000) AS BIGINT) AS term FROM rev, t) SELECT CAST(max(n) AS BIGINT) AS n_customers, CAST(sum(term) // max(n) AS BIGINT) AS theil_micro FROM s"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
