@@ -5429,6 +5429,90 @@ operations:
         .groupBy()
         .agg(max("n").as("n_customers"),
           expr("CAST(sum(term_micro) div max(n) AS BIGINT)").as("theil_micro"))
+    }),
+
+    "q_runs_test" -> ((s, dir) => {
+      // Wald–Wolfowitz runs test on the daily-revenue sign sequence:
+      // above/below the exact histogram median (ties at the median
+      // dropped, per the test's definition), runs counted by one lag
+      // window over the bounded day domain, then the z statistic from
+      // exact integer (n1, n2, R) through mirrored IEEE ops. The
+      // randomness audit that pairs with q_acf's autocorrelation view.
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("x"))
+        .localCheckpoint(true) // median histogram + sign sequence
+      val h = daily.groupBy("x").agg(count(lit(1)).as("c"))
+      val wch = Window.orderBy("x")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val med = h.withColumn("cum", sum("c").over(wch))
+        .withColumn("n", sum("c").over(Window.partitionBy()))
+        .agg(min(when(col("cum") * 2 >= col("n"), col("x"))).as("med"))
+      val signs = daily.crossJoin(broadcast(med))
+        .filter(col("x") =!= col("med"))
+        .select(col("d"), (col("x") > col("med")).as("up"))
+      val wd = Window.orderBy("d")
+      val runs = signs
+        .withColumn("chg", when(lag(col("up"), 1).over(wd).isNull ||
+          lag(col("up"), 1).over(wd) =!= col("up"), 1L).otherwise(0L))
+        .agg(sum(when(col("up"), 1L).otherwise(0L)).as("n1"),
+          sum(when(!col("up"), 1L).otherwise(0L)).as("n2"),
+          sum("chg").as("r"))
+      runs.select(col("n1"), col("n2"), col("r").as("runs"),
+        expr("""CAST(round((CAST(r AS DOUBLE)
+               - (1.0 + 2.0 * n1 * n2 / (n1 + n2)))
+               / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2))
+                      / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1)))
+               * 1000000) AS BIGINT)""").as("z_micro"))
+    }),
+
+    "ev_flap" -> ((s, dir) => {
+      // alert-flap audit over the hourly SLO-burn series: transition
+      // count and the share of alert episodes lasting exactly one hour
+      // (the ones a 2-hour suppression window would swallow). Lag/lead
+      // windows run over the bounded hour domain only.
+      import org.apache.spark.sql.expressions.Window
+      val hourly = events(s, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_err"))
+        .withColumn("alert", expr("(n_err * 100000000) div n") > 14400000L)
+      val w = Window.orderBy("hour")
+      hourly
+        .withColumn("p", lag(col("alert"), 1).over(w))
+        .withColumn("nx", lead(col("alert"), 1).over(w))
+        .agg(count(lit(1)).as("n_hours"),
+          sum(when(col("alert"), 1L).otherwise(0L)).as("n_alert_hours"),
+          sum(when(col("p").isNotNull && col("p") =!= col("alert"), 1L)
+            .otherwise(0L)).as("n_transitions"),
+          sum(when(col("alert") &&
+              (col("p").isNull || !col("p")) && (col("nx").isNull || !col("nx")), 1L)
+            .otherwise(0L)).as("n_one_hour_blips"))
+    }),
+
+    "q_trimmed" -> ((s, dir) => {
+      // 5 % trimmed and winsorized means per return flag, all-integer:
+      // k = ⌊0.05·n⌋ rows drop (trim) or clamp (winsorize) at each end,
+      // boundary values picked by rank equality off the range-
+      // partitioned exact rank, and the winsorized sum reassembled as
+      // inner + k·lo + k·hi without a second pass.
+      val base = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+      val ranked = ext.Ranks.groupedRank(base, "g",
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn")
+      ranked.withColumn("k", expr("(rn_n * 5) div 100"))
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(max("rn_n").as("n"), max("k").as("k"),
+          sum(when(col("rn") > col("k") && col("rn") <= col("rn_n") - col("k"),
+            col("v"))).as("inner_sum"),
+          max(when(col("rn") === col("k") + 1L, col("v"))).as("v_lo"),
+          max(when(col("rn") === col("rn_n") - col("k"), col("v"))).as("v_hi"))
+        .select(col("l_returnflag"), col("n"), col("k"),
+          expr("(inner_sum * 1000000) div (n - 2 * k)").as("trimmed_micro"),
+          expr("((inner_sum + k * v_lo + k * v_hi) * 1000000) div n").as("winsor_micro"))
     })
   )
 
@@ -7227,7 +7311,13 @@ operations:
     "q_calibration" ->
       """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos FROM lineitem GROUP BY 1) SELECT qty, n, n_pos, qty * 20000 AS pred_micro, CAST((n_pos * 1000000) // n AS BIGINT) AS obs_micro, CAST(qty * 20000 - (n_pos * 1000000) // n AS BIGINT) AS gap_micro FROM b""",
     "q_theil" ->
-      """WITH rev AS (SELECT o_custkey AS c, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), t AS (SELECT CAST(sum(x) AS BIGINT) AS xt, CAST(count(*) AS BIGINT) AS n FROM rev), s AS (SELECT n, CAST(round(CAST(x AS DOUBLE) * n / xt * ln(CAST(x AS DOUBLE) * n / xt) * 1000000) AS BIGINT) AS term FROM rev, t) SELECT CAST(max(n) AS BIGINT) AS n_customers, CAST(sum(term) // max(n) AS BIGINT) AS theil_micro FROM s"""
+      """WITH rev AS (SELECT o_custkey AS c, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), t AS (SELECT CAST(sum(x) AS BIGINT) AS xt, CAST(count(*) AS BIGINT) AS n FROM rev), s AS (SELECT n, CAST(round(CAST(x AS DOUBLE) * n / xt * ln(CAST(x AS DOUBLE) * n / xt) * 1000000) AS BIGINT) AS term FROM rev, t) SELECT CAST(max(n) AS BIGINT) AS n_customers, CAST(sum(term) // max(n) AS BIGINT) AS theil_micro FROM s""",
+    "q_runs_test" ->
+      """WITH daily AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), h AS (SELECT x, CAST(count(*) AS BIGINT) AS c FROM daily GROUP BY 1), cw AS (SELECT x, sum(c) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER () AS n FROM h), med AS (SELECT min(CASE WHEN cum * 2 >= n THEN x END) AS med FROM cw), sg AS (SELECT d, x > med AS up FROM daily, med WHERE x <> med), ch AS (SELECT up, CASE WHEN lag(up, 1) OVER (ORDER BY d) IS NULL OR lag(up, 1) OVER (ORDER BY d) <> up THEN 1 ELSE 0 END AS chg FROM sg), g AS (SELECT CAST(sum(CASE WHEN up THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN NOT up THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(chg) AS BIGINT) AS r FROM ch) SELECT n1, n2, r AS runs, CAST(round((CAST(r AS DOUBLE) - (1.0 + 2.0 * n1 * n2 / (n1 + n2))) / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - (n1 + n2)) / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1))) * 1000000) AS BIGINT) AS z_micro FROM g""",
+    "ev_flap" ->
+      """WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err FROM events GROUP BY 1), a AS (SELECT hour, (n_err * 100000000) // n > 14400000 AS alert FROM h), x AS (SELECT alert, lag(alert, 1) OVER (ORDER BY hour) AS p, lead(alert, 1) OVER (ORDER BY hour) AS nx FROM a) SELECT CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(CASE WHEN alert THEN 1 ELSE 0 END) AS BIGINT) AS n_alert_hours, CAST(sum(CASE WHEN p IS NOT NULL AND p <> alert THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions, CAST(sum(CASE WHEN alert AND (p IS NULL OR NOT p) AND (nx IS NULL OR NOT nx) THEN 1 ELSE 0 END) AS BIGINT) AS n_one_hour_blips FROM x""",
+    "q_trimmed" ->
+      """WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v), a AS (SELECT g, n, (n * 5) // 100 AS k, rn, v FROM r), gagg AS (SELECT g AS l_returnflag, max(n) AS n, max(k) AS k, sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS inner_sum, max(CASE WHEN rn = k + 1 THEN v END) AS v_lo, max(CASE WHEN rn = n - k THEN v END) AS v_hi FROM a GROUP BY 1) SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, CAST((inner_sum * 1000000) // (n - 2 * k) AS BIGINT) AS trimmed_micro, CAST(((inner_sum + k * v_lo + k * v_hi) * 1000000) // n AS BIGINT) AS winsor_micro FROM gagg"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
