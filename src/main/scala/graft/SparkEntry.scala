@@ -5513,6 +5513,88 @@ operations:
         .select(col("l_returnflag"), col("n"), col("k"),
           expr("(inner_sum * 1000000) div (n - 2 * k)").as("trimmed_micro"),
           expr("((inner_sum + k * v_lo + k * v_hi) * 1000000) div n").as("winsor_micro"))
+    }),
+
+    "q_ttest" -> ((s, dir) => {
+      // Welch's two-sample t between returned and kept prices: one
+      // conditional Gram pass (the q_cohend shape), then t and the
+      // Welch–Satterthwaite df from mirrored IEEE expressions over the
+      // exact integer sums — variances enter as their rational
+      // numerator/denominator pairs, never a float accumulation.
+      T(s, dir, "lineitem")
+        .select((col("l_returnflag") === "R").as("r"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("v"))
+        .agg(
+          sum(when(col("r"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n1"),
+          sum(when(col("r"), col("v"))).as("s1"),
+          sum(when(col("r"), expr("v * v"))).as("ss1"),
+          sum(when(!col("r"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n2"),
+          sum(when(!col("r"), col("v"))).as("s2"),
+          sum(when(!col("r"), expr("v * v"))).as("ss2"))
+        .select(col("n1"), col("n2"),
+          expr("""CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)""").as("dm"),
+          expr("""CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))""")
+            .as("a1"), // v1/n1 — the Welch per-arm variance share
+          expr("""CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))""")
+            .as("a2"))
+        .select(col("n1").cast("long").as("n_returned"),
+          col("n2").cast("long").as("n_kept"),
+          expr("CAST(round(dm / sqrt(a1 + a2) * 1000000) AS BIGINT)").as("t_micro"),
+          expr("""CAST(round((a1 + a2) * (a1 + a2)
+                 / (a1 * a1 / CAST(n1 - 1 AS DOUBLE)
+                    + a2 * a2 / CAST(n2 - 1 AS DOUBLE)) * 1000000) AS BIGINT)""")
+            .as("df_micro"))
+    }),
+
+    "q_spearman" -> ((s, dir) => {
+      // Spearman rank correlation between quantity and price with
+      // exact tie handling: average ranks enter as the INTEGER doubled
+      // rank 2·cum − c + 1 (midrank ×2 — Pearson is scale-invariant),
+      // built from per-value histograms + running counts over each
+      // value domain (the q_mad shape), then one DECIMAL Gram pass and
+      // the correctly-rounded final sqrt.
+      import org.apache.spark.sql.expressions.Window
+      val base = T(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("xv"),
+          round(col("l_extendedprice") * 100).cast("long").as("yv"))
+        .localCheckpoint(true) // feeds both histograms AND the probe
+      def dblRanks(col0: String): DataFrame = {
+        val h = base.groupBy(col0).agg(count(lit(1)).as("c"))
+        val wc = Window.orderBy(col0)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        h.withColumn("cum", sum("c").over(wc))
+          .select(col(col0), expr("2 * cum - c + 1").as(s"d_$col0"))
+      }
+      base.join(dblRanks("xv"), "xv").join(dblRanks("yv"), "yv")
+        .select(col("d_xv").cast("decimal(38,0)").as("x"),
+          col("d_yv").cast("decimal(38,0)").as("y"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum(expr("x * x")).as("sxx"),
+          sum(expr("y * y")).as("syy"), sum(expr("x * y")).as("sxy"))
+        .select(col("n").cast("long").as("n"),
+          expr("""CAST(round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000)
+                 AS BIGINT)""").as("rho_micro"))
+    }),
+
+    "ta_kfold" -> ((s, dir) => {
+      // exact stratified k-fold assignment: docs rank within their
+      // source by seeded md5 order (range-partitioned rank — source is
+      // a LOW-cardinality stratum key, so a plain partitioned window
+      // would serialize each stratum), fold = (rank−1) mod 5 — every
+      // stratum splits into folds whose sizes differ by at most one,
+      // reproducibly. The cross-validation face of ta_group_split.
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("fold0:"), col("doc_id").cast("string"))).as("h"))
+      val ranked = ext.Ranks.groupedRank(d, "source",
+        Seq(col("h").asc, col("doc_id").asc), "rn")
+      ranked.select(col("doc_id"), col("source"),
+        expr("(rn - 1) % 5").as("fold"))
     })
   )
 
@@ -7317,7 +7399,13 @@ operations:
     "ev_flap" ->
       """WITH h AS (SELECT date_trunc('hour', ts) AS hour, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_err FROM events GROUP BY 1), a AS (SELECT hour, (n_err * 100000000) // n > 14400000 AS alert FROM h), x AS (SELECT alert, lag(alert, 1) OVER (ORDER BY hour) AS p, lead(alert, 1) OVER (ORDER BY hour) AS nx FROM a) SELECT CAST(count(*) AS BIGINT) AS n_hours, CAST(sum(CASE WHEN alert THEN 1 ELSE 0 END) AS BIGINT) AS n_alert_hours, CAST(sum(CASE WHEN p IS NOT NULL AND p <> alert THEN 1 ELSE 0 END) AS BIGINT) AS n_transitions, CAST(sum(CASE WHEN alert AND (p IS NULL OR NOT p) AND (nx IS NULL OR NOT nx) THEN 1 ELSE 0 END) AS BIGINT) AS n_one_hour_blips FROM x""",
     "q_trimmed" ->
-      """WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v), a AS (SELECT g, n, (n * 5) // 100 AS k, rn, v FROM r), gagg AS (SELECT g AS l_returnflag, max(n) AS n, max(k) AS k, sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS inner_sum, max(CASE WHEN rn = k + 1 THEN v END) AS v_lo, max(CASE WHEN rn = n - k THEN v END) AS v_hi FROM a GROUP BY 1) SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, CAST((inner_sum * 1000000) // (n - 2 * k) AS BIGINT) AS trimmed_micro, CAST(((inner_sum + k * v_lo + k * v_hi) * 1000000) // n AS BIGINT) AS winsor_micro FROM gagg"""
+      """WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v), a AS (SELECT g, n, (n * 5) // 100 AS k, rn, v FROM r), gagg AS (SELECT g AS l_returnflag, max(n) AS n, max(k) AS k, sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS inner_sum, max(CASE WHEN rn = k + 1 THEN v END) AS v_lo, max(CASE WHEN rn = n - k THEN v END) AS v_hi FROM a GROUP BY 1) SELECT l_returnflag, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k, CAST((inner_sum * 1000000) // (n - 2 * k) AS BIGINT) AS trimmed_micro, CAST(((inner_sum + k * v_lo + k * v_hi) * 1000000) // n AS BIGINT) AS winsor_micro FROM gagg""",
+    "q_ttest" ->
+      """WITH v AS (SELECT l_returnflag = 'R' AS r, CAST(round(l_extendedprice * 100) AS HUGEINT) AS v FROM lineitem), g AS (SELECT CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS HUGEINT) AS n1, sum(CASE WHEN r THEN v END) AS s1, sum(CASE WHEN r THEN v * v END) AS ss1, CAST(sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS HUGEINT) AS n2, sum(CASE WHEN NOT r THEN v END) AS s2, sum(CASE WHEN NOT r THEN v * v END) AS ss2 FROM v), i AS (SELECT n1, n2, CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dm, CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS a1, CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS a2 FROM g) SELECT CAST(n1 AS BIGINT) AS n_returned, CAST(n2 AS BIGINT) AS n_kept, CAST(round(dm / sqrt(a1 + a2) * 1000000) AS BIGINT) AS t_micro, CAST(round((a1 + a2) * (a1 + a2) / (a1 * a1 / CAST(n1 - 1 AS DOUBLE) + a2 * a2 / CAST(n2 - 1 AS DOUBLE)) * 1000000) AS BIGINT) AS df_micro FROM i""",
+    "q_spearman" ->
+      """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS xv, CAST(round(l_extendedprice * 100) AS BIGINT) AS yv FROM lineitem), hx AS (SELECT xv, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1), dx AS (SELECT xv, 2 * sum(c) OVER (ORDER BY xv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS d_xv FROM hx), hy AS (SELECT yv, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1), dy AS (SELECT yv, 2 * sum(c) OVER (ORDER BY yv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS d_yv FROM hy), j AS (SELECT CAST(d_xv AS HUGEINT) AS x, CAST(d_yv AS HUGEINT) AS y FROM base JOIN dx USING (xv) JOIN dy USING (yv)), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM j) SELECT CAST(n AS BIGINT) AS n, CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) AS rho_micro FROM g""",
+    "ta_kfold" ->
+      """WITH d AS (SELECT doc_id, source, md5('fold0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn FROM d) SELECT doc_id, source, (rn - 1) % 5 AS fold FROM r"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
