@@ -5595,6 +5595,74 @@ operations:
         Seq(col("h").asc, col("doc_id").asc), "rn")
       ranked.select(col("doc_id"), col("source"),
         expr("(rn - 1) % 5").as("fold"))
+    }),
+
+    "q_anova" -> ((s, dir) => {
+      // one-way ANOVA F across the three return flags: per-group Gram
+      // sums (one hash agg), then between/within sums of squares as
+      // PER-GROUP micro-rounded integers (the q_lift discipline — the
+      // only float work is one correctly-rounded expression per group,
+      // summed order-free), and F from the integer SS totals. The
+      // k-group extension of q_ttest.
+      val g = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("v"))
+        .groupBy("grp")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
+          sum("v").as("sg"), sum(expr("v * v")).as("ssg"))
+        .localCheckpoint(true) // totals + per-group terms read one frame
+      val tot = g.agg(sum("ng").as("n"), sum("sg").as("st"),
+        count(lit(1)).cast("decimal(38,0)").as("k"))
+      g.crossJoin(broadcast(tot))
+        .select(col("n"), col("k"),
+          expr("""CAST(round(CAST(ng AS DOUBLE)
+                 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                    - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                    - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)""")
+            .as("ssb_c2"), // whole-c² granularity: ×1e6 would overflow
+          expr("""CAST(round(CAST(ssg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                 AS BIGINT)""").as("ssw_c2"))
+        .groupBy()
+        .agg(max(col("n").cast("long")).as("n"), max(col("k").cast("long")).as("k"),
+          sum("ssb_c2").as("ssb_c2"), sum("ssw_c2").as("ssw_c2"))
+        .select(col("n"), col("k"), col("ssb_c2"), col("ssw_c2"),
+          expr("""CAST(round(CAST(ssb_c2 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                 / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE))
+                 * 1000000) AS BIGINT)""").as("f_micro"))
+    }),
+
+    "q_partial_corr" -> ((s, dir) => {
+      // partial correlation of quantity and price controlling for
+      // discount: ONE Gram pass yields all three pairwise correlations
+      // (mirrored IEEE over exact DECIMAL sums), then
+      // r_xy·z = (r_xy − r_xz·r_yz)/√((1−r_xz²)(1−r_yz²)). The
+      // multivariate companion to q_corr's matrix.
+      T(s, dir, "lineitem")
+        .select(col("l_quantity").cast("decimal(38,0)").as("x"),
+          round(col("l_extendedprice") * 100).cast("decimal(38,0)").as("y"),
+          round(col("l_discount") * 100).cast("decimal(38,0)").as("z"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum("x").as("sx"), sum("y").as("sy"), sum("z").as("sz"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("z * z")).as("szz"), sum(expr("x * y")).as("sxy"),
+          sum(expr("x * z")).as("sxz"), sum(expr("y * z")).as("syz"))
+        .select(col("n").cast("long").as("n"),
+          expr("""CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))""").as("rxy"),
+          expr("""CAST(n * sxz - sx * sz AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * szz - sz * sz AS DOUBLE)))""").as("rxz"),
+          expr("""CAST(n * syz - sy * sz AS DOUBLE)
+                 / (sqrt(CAST(n * syy - sy * sy AS DOUBLE))
+                    * sqrt(CAST(n * szz - sz * sz AS DOUBLE)))""").as("ryz"))
+        .select(col("n"),
+          expr("CAST(round(rxy * 1000000) AS BIGINT)").as("rxy_micro"),
+          expr("""CAST(round((rxy - rxz * ryz)
+                 / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+                 * 1000000) AS BIGINT)""").as("rxy_given_z_micro"))
     })
   )
 
@@ -7405,7 +7473,11 @@ operations:
     "q_spearman" ->
       """WITH base AS (SELECT CAST(l_quantity AS BIGINT) AS xv, CAST(round(l_extendedprice * 100) AS BIGINT) AS yv FROM lineitem), hx AS (SELECT xv, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1), dx AS (SELECT xv, 2 * sum(c) OVER (ORDER BY xv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS d_xv FROM hx), hy AS (SELECT yv, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1), dy AS (SELECT yv, 2 * sum(c) OVER (ORDER BY yv ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS d_yv FROM hy), j AS (SELECT CAST(d_xv AS HUGEINT) AS x, CAST(d_yv AS HUGEINT) AS y FROM base JOIN dx USING (xv) JOIN dy USING (yv)), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM j) SELECT CAST(n AS BIGINT) AS n, CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) AS rho_micro FROM g""",
     "ta_kfold" ->
-      """WITH d AS (SELECT doc_id, source, md5('fold0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn FROM d) SELECT doc_id, source, (rn - 1) % 5 AS fold FROM r"""
+      """WITH d AS (SELECT doc_id, source, md5('fold0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn FROM d) SELECT doc_id, source, (rn - 1) % 5 AS fold FROM r""",
+    "q_anova" ->
+      """WITH v AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS HUGEINT) AS v FROM lineitem), g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng, sum(v) AS sg, sum(v * v) AS ssg FROM v GROUP BY 1), t AS (SELECT CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(sg) AS HUGEINT) AS st, CAST(count(*) AS HUGEINT) AS k FROM g), terms AS (SELECT n, k, CAST(round(CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS ssb, CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT) AS ssw FROM g, t), agg AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k, CAST(sum(ssb) AS BIGINT) AS ssb_c2, CAST(sum(ssw) AS BIGINT) AS ssw_c2 FROM terms) SELECT n, k, ssb_c2, ssw_c2, CAST(round(CAST(ssb_c2 AS DOUBLE) / CAST(k - 1 AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000) AS BIGINT) AS f_micro FROM agg""",
+    "q_partial_corr" ->
+      """WITH v AS (SELECT CAST(l_quantity AS HUGEINT) AS x, CAST(round(l_extendedprice * 100) AS HUGEINT) AS y, CAST(round(l_discount * 100) AS HUGEINT) AS z FROM lineitem), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz, sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz, sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz FROM v), r AS (SELECT CAST(n AS BIGINT) AS n, CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy, CAST(n * sxz - sx * sz AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz, CAST(n * syz - sy * sz AS DOUBLE) / (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz FROM g) SELECT n, CAST(round(rxy * 1000000) AS BIGINT) AS rxy_micro, CAST(round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1000000) AS BIGINT) AS rxy_given_z_micro FROM r"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
