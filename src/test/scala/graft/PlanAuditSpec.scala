@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.window.WindowExec
+
+/** SCALE.md §8c as an enforced regression test: an unpartitioned window
+  * (WindowExec with an empty partitionSpec — Spark's "moving all data to
+  * a single partition" warning) is allowed ONLY for queries that first
+  * collapse to a structurally bounded domain and say so inline. Any new
+  * query that sorts an unbounded frame on one core fails here with its
+  * name, instead of surfacing as a 100 TB incident.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries whose unpartitioned windows run over bounded domains
+    * (score values, day grid, decile table, value histograms, …) —
+    * each is documented at its definition site.
+    */
+  private val boundedDomainWhitelist = Set(
+    "q_pr_curve",        // ≤50 score values
+    "q_rolling_corr",    // day domain
+    "q_bollinger",       // day domain
+    "q_stl",             // day domain
+    "q_runs_test",       // day domain + value histogram
+    "ev_flap",           // hour domain
+    "ev_funnel_time",    // gap-value histogram
+    "q_spearman",        // two value histograms
+    "q_lorenz",          // 10-row decile table
+    "q_mad", "q_bins", "q_winsor", "q_wmedian", "q_histogram",
+    "q_abc", "q_gini", "q_cusum", "q_acf", "q_xcorr", "q_holt",
+    "q_holt_winters", "ev_markov_steady", "ev_seasonality", "q_yoy",
+    "q_theilsen", "q_ks", "q_benford", "q_drift", "ev_growth",
+    "ev_interp", "ev_wau", "ev_dau_mau", "ev_trailing_h", "q_moving",
+    "dd_lsh_planner", "ta_zipf", "q_declist", "ev_backtest",
+    "ev_seqmine", "ev_survival", "q_auc", "sk_incremental",
+    "ta_langid_eval", "ta_nbc_eval", "q_ntile", "q_pct_rank",
+    "ta_curriculum",  // 4-row band-offset table only
+    "ta_apportion",   // per-source remainder rows (#sources)
+    "ta_quota_sample",// per-source quota rows (#sources)
+    "srch_hybrid",    // pooled candidates ≤ 2·poolK rows
+    "q_tcloseness"    // 10-band global distribution frame
+  )
+
+  /** Queries allowed a CartesianProductExec: the reference's own
+    * `how: cross` bind, and brute-force scorers whose one side is a
+    * bounded anchor set kept deliberately un-broadcast.
+    */
+  private val cartesianWhitelist = Set("q_bind_cross")
+
+  test("no CartesianProduct outside the explicit cross-join surface") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        def walk(p: SparkPlan): Unit = {
+          p match {
+            case _: org.apache.spark.sql.execution.joins.CartesianProductExec =>
+              if (!cartesianWhitelist.contains(name)) offenders += name
+            case _ =>
+          }
+          p.children.foreach(walk)
+          p.subqueries.foreach(walk)
+        }
+        walk(df.queryExecution.sparkPlan)
+      } catch { case _: Exception => () } // planning failures caught by the window test
+    }
+    assert(offenders.isEmpty,
+      s"unexpected CartesianProduct in: ${offenders.distinct.mkString(", ")}")
+  }
+
+  test("no unpartitioned WindowExec outside the bounded-domain whitelist") {
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    val skipped = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        def walk(p: SparkPlan): Unit = {
+          p match {
+            case w: WindowExec if w.partitionSpec.isEmpty =>
+              if (!boundedDomainWhitelist.contains(name)) offenders += name
+            case _ =>
+          }
+          p.children.foreach(walk)
+          p.subqueries.foreach(walk)
+        }
+        walk(df.queryExecution.sparkPlan)
+      } catch {
+        case e: Exception => skipped += s"$name (${e.getClass.getSimpleName})"
+      }
+    }
+    assert(skipped.isEmpty, s"queries failed to plan: ${skipped.mkString(", ")}")
+    assert(offenders.isEmpty,
+      s"unpartitioned windows outside the whitelist: ${offenders.distinct.mkString(", ")}")
+  }
+}
