@@ -5663,6 +5663,57 @@ operations:
           expr("""CAST(round((rxy - rxz * ryz)
                  / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
                  * 1000000) AS BIGINT)""").as("rxy_given_z_micro"))
+    }),
+
+    "q_freshness" -> ((s, dir) => {
+      // data-freshness audit against a fixed as-of instant: per feed,
+      // newest event time, staleness, and a breach flag against the
+      // feed's SLA — the landing-zone monitor an orchestrator polls.
+      // One column-pruned max per table; the as-of is a LITERAL so the
+      // audit is replayable (a wall clock would never hash-match).
+      val asof = "1998-12-31 00:00:00"
+      def feed(name: String, df: DataFrame, tsCol: org.apache.spark.sql.Column,
+               slaHours: Long) =
+        df.agg(count(lit(1)).as("n_rows"), max(tsCol).as("max_ts"))
+          .select(lit(name).as("feed"), col("n_rows"), col("max_ts"),
+            (unix_timestamp(lit(asof).cast("timestamp"))
+              - unix_timestamp(col("max_ts"))).as("lag_s"),
+            lit(slaHours * 3600L).as("sla_s"))
+          .withColumn("breached", col("lag_s") > col("sla_s"))
+      feed("orders", T(s, dir, "orders"), col("o_orderdate"), 24L * 200)
+        .unionByName(feed("lineitem", T(s, dir, "lineitem"), col("l_shipdate"), 24L * 200))
+    }),
+
+    "q_checksum_parts" -> ((s, dir) => {
+      // partition-level reconciliation checksums: q_checksum's 60-bit
+      // xor fold keyed by order year, so two replicas locate a divergent
+      // PARTITION by exchanging one row per year instead of rescanning
+      // the table — the incremental face of the anti-entropy audit.
+      T(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast("long").as("part_year"),
+          concat_ws("|", col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+            round(col("o_totalprice") * 100).cast("long"),
+            col("o_orderdate").cast("date").cast("string")).as("r"))
+        .groupBy("part_year")
+        .agg(count(lit(1)).as("n_rows"),
+          expr("bit_xor(CAST(conv(substring(md5(r), 1, 15), 16, 10) AS BIGINT))")
+            .as("checksum"))
+    }),
+
+    "q_histogram2d" -> ((s, dir) => {
+      // 2-D density grid (quantity × price): fixed-width integer bins on
+      // both axes, exact cell shares — one hash agg to the bounded
+      // 10×10 domain, the joint-distribution view whose marginals are
+      // q_histogram. Fixed bin edges, no data-dependent quantiles.
+      val cells = T(s, dir, "lineitem")
+        .select(expr("least(CAST(l_quantity AS BIGINT) div 5, 9)").as("qty_bin"),
+          expr("least(CAST(round(l_extendedprice * 100) AS BIGINT) div 1000000, 9)")
+            .as("price_bin"))
+        .groupBy("qty_bin", "price_bin").agg(count(lit(1)).as("n"))
+      val tot = cells.agg(sum("n").as("total"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("qty_bin"), col("price_bin"), col("n"),
+          expr("(n * 1000000) div total").as("share_micro"))
     })
   )
 
@@ -7477,7 +7528,13 @@ operations:
     "q_anova" ->
       """WITH v AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS HUGEINT) AS v FROM lineitem), g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng, sum(v) AS sg, sum(v * v) AS ssg FROM v GROUP BY 1), t AS (SELECT CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(sg) AS HUGEINT) AS st, CAST(count(*) AS HUGEINT) AS k FROM g), terms AS (SELECT n, k, CAST(round(CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS ssb, CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT) AS ssw FROM g, t), agg AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k, CAST(sum(ssb) AS BIGINT) AS ssb_c2, CAST(sum(ssw) AS BIGINT) AS ssw_c2 FROM terms) SELECT n, k, ssb_c2, ssw_c2, CAST(round(CAST(ssb_c2 AS DOUBLE) / CAST(k - 1 AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000) AS BIGINT) AS f_micro FROM agg""",
     "q_partial_corr" ->
-      """WITH v AS (SELECT CAST(l_quantity AS HUGEINT) AS x, CAST(round(l_extendedprice * 100) AS HUGEINT) AS y, CAST(round(l_discount * 100) AS HUGEINT) AS z FROM lineitem), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz, sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz, sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz FROM v), r AS (SELECT CAST(n AS BIGINT) AS n, CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy, CAST(n * sxz - sx * sz AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz, CAST(n * syz - sy * sz AS DOUBLE) / (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz FROM g) SELECT n, CAST(round(rxy * 1000000) AS BIGINT) AS rxy_micro, CAST(round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1000000) AS BIGINT) AS rxy_given_z_micro FROM r"""
+      """WITH v AS (SELECT CAST(l_quantity AS HUGEINT) AS x, CAST(round(l_extendedprice * 100) AS HUGEINT) AS y, CAST(round(l_discount * 100) AS HUGEINT) AS z FROM lineitem), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz, sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz, sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz FROM v), r AS (SELECT CAST(n AS BIGINT) AS n, CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy, CAST(n * sxz - sx * sz AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz, CAST(n * syz - sy * sz AS DOUBLE) / (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz FROM g) SELECT n, CAST(round(rxy * 1000000) AS BIGINT) AS rxy_micro, CAST(round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1000000) AS BIGINT) AS rxy_given_z_micro FROM r""",
+    "q_freshness" ->
+      """WITH o AS (SELECT 'orders' AS feed, CAST(count(*) AS BIGINT) AS n_rows, max(o_orderdate) AS max_ts FROM orders), l AS (SELECT 'lineitem' AS feed, CAST(count(*) AS BIGINT) AS n_rows, max(l_shipdate) AS max_ts FROM lineitem), u AS (SELECT * FROM o UNION ALL SELECT * FROM l), f AS (SELECT feed, n_rows, max_ts, CAST(floor(epoch(TIMESTAMP '1998-12-31 00:00:00')) AS BIGINT) - CAST(floor(epoch(max_ts)) AS BIGINT) AS lag_s, CAST(CASE WHEN feed = 'orders' THEN 17280000 ELSE 17280000 END AS BIGINT) AS sla_s FROM u) SELECT feed, n_rows, max_ts, lag_s, sla_s, lag_s > sla_s AS breached FROM f""",
+    "q_checksum_parts" ->
+      """WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS part_year, concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r FROM orders) SELECT part_year, CAST(count(*) AS BIGINT) AS n_rows, CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum FROM r GROUP BY 1""",
+    "q_histogram2d" ->
+      """WITH cells AS (SELECT least(CAST(l_quantity AS BIGINT) // 5, 9) AS qty_bin, least(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000, 9) AS price_bin, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells) SELECT qty_bin, price_bin, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM cells, t"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
