@@ -5714,6 +5714,88 @@ operations:
       cells.crossJoin(broadcast(tot))
         .select(col("qty_bin"), col("price_bin"), col("n"),
           expr("(n * 1000000) div total").as("share_micro"))
+    }),
+
+    "q_tukey" -> ((s, dir) => {
+      // Tukey IQR fences per return flag: the exact interpolated
+      // quartiles (q_percentile_cont's machinery) become per-group
+      // fence scalars lo = q1 − 1.5·IQR, hi = q3 + 1.5·IQR in micro
+      // units (1.5 as the integral 3/2), broadcast back over the rows —
+      // the EDA outlier flag whose cutoffs a box plot draws. Output is
+      // the per-group audit summary, not the row stream.
+      val base = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        .localCheckpoint(true) // ranks + final flag scan share it
+      val ranked = ext.Ranks.groupedRank(base, "g",
+        Seq(col("v"), col("l_orderkey"), col("l_linenumber")), "rn")
+      val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(3L))).toDF("k")
+      val quart = ranked.crossJoin(broadcast(ks))
+        .withColumn("lo", expr("((rn_n - 1) * k) div 4 + 1"))
+        .withColumn("rem", expr("((rn_n - 1) * k) % 4"))
+        .filter(col("rn") === col("lo") || col("rn") === col("lo") + 1L)
+        .groupBy("g", "k")
+        .agg(max(when(col("rn") === col("lo"), col("v"))).as("v_lo"),
+          max(when(col("rn") === col("lo") + 1L, col("v"))).as("v_hi"),
+          max("rem").as("rem"))
+        .select(col("g"), col("k"),
+          expr("(v_lo * (4 - rem) * 1000000 + coalesce(v_hi, 0) * rem * 1000000) div 4")
+            .as("q_micro"))
+      val fences = quart.groupBy("g")
+        .agg(max(when(col("k") === 1L, col("q_micro"))).as("q1"),
+          max(when(col("k") === 3L, col("q_micro"))).as("q3"))
+        .select(col("g"), col("q1"), col("q3"),
+          expr("q1 - (3 * (q3 - q1)) div 2").as("lo_micro"),
+          expr("q3 + (3 * (q3 - q1)) div 2").as("hi_micro"))
+      base.join(broadcast(fences), "g")
+        .groupBy(col("g").as("l_returnflag"))
+        .agg(count(lit(1)).as("n"), max("lo_micro").as("lo_micro"),
+          max("hi_micro").as("hi_micro"),
+          sum(when(col("v") * 1000000L < col("lo_micro"), 1L).otherwise(0L))
+            .as("n_below"),
+          sum(when(col("v") * 1000000L > col("hi_micro"), 1L).otherwise(0L))
+            .as("n_above"))
+    }),
+
+    "ta_cdc_chunk" -> ((s, dir) => {
+      // content-defined chunking (the restic/borg/LBFS dedup primitive):
+      // an 8-char polynomial rolling hash (base 31, integer, no mod
+      // bias) cuts a chunk boundary wherever H % 64 == 0, so chunk
+      // edges survive insertions that shift byte offsets — then chunks
+      // dedup corpus-wide by md5. All boundary math is ONE scalar
+      // array expression per doc (codegen, no shuffle until the chunk
+      // agg); the oracle replays hash, cuts, and chunks list-for-list.
+      // Production note: per-position substring is O(len) for non-ASCII
+      // — a native Expression would stream the codepoints once.
+      val chunks = T(s, dir, "documents")
+        .withColumn("codes", expr(
+          "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+        .withColumn("bpos", expr(
+          """filter(sequence(8, greatest(8, size(codes))), i -> i <= size(codes) AND
+             (element_at(codes, i) + element_at(codes, i-1) * 31
+              + element_at(codes, i-2) * 961 + element_at(codes, i-3) * 29791
+              + element_at(codes, i-4) * 923521 + element_at(codes, i-5) * 28629151
+              + element_at(codes, i-6) * 887503681
+              + element_at(codes, i-7) * 27512614111) % 64 = 0)"""))
+        .withColumn("bounds", expr(
+          """array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)),
+             transform(bpos, x -> CAST(x AS BIGINT)),
+             array(CAST(size(codes) AS BIGINT)))))"""))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(bounds) >= 2 THEN
+               transform(sequence(1, size(bounds) - 1),
+                 j -> substring(text, CAST(element_at(bounds, j) AS INT) + 1,
+                      CAST(element_at(bounds, j + 1) - element_at(bounds, j) AS INT)))
+             ELSE array() END""")).as("chunk"))
+      chunks
+        .select(col("chunk"), length(col("chunk")).cast("long").as("len"))
+        .groupBy("chunk").agg(count(lit(1)).as("occ"), max("len").as("len"))
+        .agg(sum("occ").as("n_chunks_total"), count(lit(1)).as("n_chunks_distinct"),
+          sum(expr("occ * len")).as("bytes_total"), sum("len").as("bytes_distinct"))
+        .select(col("n_chunks_total"), col("n_chunks_distinct"),
+          col("bytes_total"), col("bytes_distinct"),
+          expr("(bytes_distinct * 1000000) div bytes_total").as("stored_share_micro"))
     })
   )
 
@@ -7534,7 +7616,13 @@ operations:
     "q_checksum_parts" ->
       """WITH r AS (SELECT CAST(year(o_orderdate) AS BIGINT) AS part_year, concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r FROM orders) SELECT part_year, CAST(count(*) AS BIGINT) AS n_rows, CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum FROM r GROUP BY 1""",
     "q_histogram2d" ->
-      """WITH cells AS (SELECT least(CAST(l_quantity AS BIGINT) // 5, 9) AS qty_bin, least(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000, 9) AS price_bin, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells) SELECT qty_bin, price_bin, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM cells, t"""
+      """WITH cells AS (SELECT least(CAST(l_quantity AS BIGINT) // 5, 9) AS qty_bin, least(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000, 9) AS price_bin, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM cells) SELECT qty_bin, price_bin, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM cells, t""",
+    "q_tukey" ->
+      """WITH v AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n FROM v), k(k) AS (VALUES (1), (3)), p AS (SELECT g, CAST(k AS BIGINT) AS k, v, rn, ((n - 1) * k) // 4 + 1 AS lo, ((n - 1) * k) % 4 AS rem FROM r, k WHERE rn = ((n - 1) * k) // 4 + 1 OR rn = ((n - 1) * k) // 4 + 2), q AS (SELECT g, k, (max(CASE WHEN rn = lo THEN v END) * (4 - max(rem)) * 1000000 + coalesce(max(CASE WHEN rn = lo + 1 THEN v END), 0) * max(rem) * 1000000) // 4 AS q_micro FROM p GROUP BY 1, 2), f AS (SELECT g, max(CASE WHEN k = 1 THEN q_micro END) AS q1, max(CASE WHEN k = 3 THEN q_micro END) AS q3 FROM q GROUP BY 1), fe AS (SELECT g, q1 - (3 * (q3 - q1)) // 2 AS lo_micro, q3 + (3 * (q3 - q1)) // 2 AS hi_micro FROM f) SELECT v.g AS l_returnflag, CAST(count(*) AS BIGINT) AS n, CAST(max(lo_micro) AS BIGINT) AS lo_micro, CAST(max(hi_micro) AS BIGINT) AS hi_micro, CAST(sum(CASE WHEN v.v * 1000000 < lo_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_below, CAST(sum(CASE WHEN v.v * 1000000 > hi_micro THEN 1 ELSE 0 END) AS BIGINT) AS n_above FROM v JOIN fe USING (g) GROUP BY 1""",
+    // ta_cdc_chunk: the rolling hash, boundary cuts, and chunk substrings
+    // replayed list-for-list with the same base-31 power literals
+    "ta_cdc_chunk" ->
+      """WITH c AS (SELECT doc_id, text, list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes FROM documents), b AS (SELECT doc_id, text, codes, list_filter(range(8, greatest(8, len(codes)) + 1), i -> i <= len(codes) AND (codes[i] + codes[i-1] * 31 + codes[i-2] * 961 + codes[i-3] * 29791 + codes[i-4] * 923521 + codes[i-5] * 28629151 + codes[i-6] * 887503681 + codes[i-7] * 27512614111) % 64 = 0) AS bpos FROM c), bd AS (SELECT doc_id, text, list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)], list_transform(bpos, x -> CAST(x AS BIGINT))), [CAST(length(text) AS BIGINT)]))) AS bounds FROM b), ch AS (SELECT doc_id, unnest(list_transform(range(1, len(bounds)), j -> substr(text, CAST(bounds[j] AS INTEGER) + 1, CAST(bounds[j+1] - bounds[j] AS INTEGER)))) AS chunk FROM bd), g AS (SELECT chunk, CAST(count(*) AS BIGINT) AS occ, CAST(max(length(chunk)) AS BIGINT) AS len FROM ch GROUP BY 1), t AS (SELECT CAST(sum(occ) AS BIGINT) AS n_chunks_total, CAST(count(*) AS BIGINT) AS n_chunks_distinct, CAST(sum(occ * len) AS BIGINT) AS bytes_total, CAST(sum(len) AS BIGINT) AS bytes_distinct FROM g) SELECT n_chunks_total, n_chunks_distinct, bytes_total, bytes_distinct, CAST((bytes_distinct * 1000000) // bytes_total AS BIGINT) AS stored_share_micro FROM t"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
