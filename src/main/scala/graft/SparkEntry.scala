@@ -5768,27 +5768,7 @@ operations:
       // agg); the oracle replays hash, cuts, and chunks list-for-list.
       // Production note: per-position substring is O(len) for non-ASCII
       // — a native Expression would stream the codepoints once.
-      val chunks = T(s, dir, "documents")
-        .withColumn("codes", expr(
-          "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
-        .withColumn("bpos", expr(
-          """filter(sequence(8, greatest(8, size(codes))), i -> i <= size(codes) AND
-             (element_at(codes, i) + element_at(codes, i-1) * 31
-              + element_at(codes, i-2) * 961 + element_at(codes, i-3) * 29791
-              + element_at(codes, i-4) * 923521 + element_at(codes, i-5) * 28629151
-              + element_at(codes, i-6) * 887503681
-              + element_at(codes, i-7) * 27512614111) % 64 = 0)"""))
-        .withColumn("bounds", expr(
-          """array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)),
-             transform(bpos, x -> CAST(x AS BIGINT)),
-             array(CAST(size(codes) AS BIGINT)))))"""))
-        .select(col("doc_id"), explode(expr(
-          """CASE WHEN size(bounds) >= 2 THEN
-               transform(sequence(1, size(bounds) - 1),
-                 j -> substring(text, CAST(element_at(bounds, j) AS INT) + 1,
-                      CAST(element_at(bounds, j + 1) - element_at(bounds, j) AS INT)))
-             ELSE array() END""")).as("chunk"))
-      chunks
+      cdcChunks(T(s, dir, "documents"))
         .select(col("chunk"), length(col("chunk")).cast("long").as("len"))
         .groupBy("chunk").agg(count(lit(1)).as("occ"), max("len").as("len"))
         .agg(sum("occ").as("n_chunks_total"), count(lit(1)).as("n_chunks_distinct"),
@@ -5796,8 +5776,102 @@ operations:
         .select(col("n_chunks_total"), col("n_chunks_distinct"),
           col("bytes_total"), col("bytes_distinct"),
           expr("(bytes_distinct * 1000000) div bytes_total").as("stored_share_micro"))
+    }),
+
+    "dd_chunk_overlap" -> ((s, dir) => {
+      // chunk-level near-dup pairs — the storage-level detector LSH
+      // doesn't need: docs sharing ≥ 2 content-defined chunks (length
+      // ≥ 12, so a shared boundary word can't alias two docs) pair via
+      // an equi-join on the chunk value with a per-chunk doc cap (the
+      // LSH star-cap; caught-in-100-docs boilerplate chunks would
+      // otherwise go quadratic). Candidates are ids-only.
+      val ch = cdcChunks(T(s, dir, "documents"))
+        .filter(length(col("chunk")) >= 12)
+        .distinct()
+        .localCheckpoint(true) // cap agg + both join sides
+      val cap = ch.groupBy("chunk").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") <= 100L).select("chunk")
+      val keyed = ch.join(cap, Seq("chunk"), "left_semi")
+      keyed.as("a").join(keyed.as("b"), Seq("chunk"))
+        .filter(col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 2L)
+    }),
+
+    "ta_neyman" -> ((s, dir) => {
+      // Neyman optimal stratified allocation: a 1000-doc sampling
+      // budget split ∝ N_h·σ_h of per-source doc lengths — per-stratum
+      // σ via the correctly-rounded sqrt of the exact integer variance,
+      // weights micro-rounded PER STRATUM (order-free), allocation by
+      // integral floor with the remainder reported (ta_apportion holds
+      // the largest-remainder machinery when seats must total exactly).
+      val g = T(s, dir, "documents")
+        .groupBy("source")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("nh"),
+          sum(col("n_chars").cast("decimal(38,0)")).as("sh"),
+          sum(expr("CAST(n_chars AS DECIMAL(38,0)) * n_chars")).as("ssh"))
+        .localCheckpoint(true) // weights + total read one frame
+      val w = g.select(col("source"), col("nh").cast("long").as("n_docs"),
+        expr("""CAST(round(CAST(nh AS DOUBLE)
+               * sqrt(CAST(nh * ssh - sh * sh AS DOUBLE)
+                      / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE)))
+               * 1000000) AS BIGINT)""").as("w_micro"))
+        .localCheckpoint(true)
+      val tot = w.agg(sum("w_micro").as("wt"))
+      w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("w_micro"),
+          expr("(1000 * w_micro) div wt").as("alloc"),
+          expr("(1000 * w_micro) % wt").as("remainder"))
+    }),
+
+    "ev_tier_migration" -> ((s, dir) => {
+      // customer value-tier migration between eras: per-customer
+      // revenue in 1995–97 vs 1998–2001 classed by FIXED literal
+      // thresholds (no quantile sort anywhere); inactive eras land in
+      // the 'none' tier — the transition matrix a CRM reads. ONE
+      // conditional-agg pass builds both eras; no self-join at all.
+      def tier(c: org.apache.spark.sql.Column) = when(c.isNull || c === 0L, "none")
+        .when(c >= 150000000L, "A").when(c >= 75000000L, "B").otherwise("C")
+      val rev = T(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(when(year(col("o_orderdate")) <= 1997,
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("r1"),
+          sum(when(year(col("o_orderdate")) >= 1998,
+            round(col("o_totalprice") * 100).cast("long")).otherwise(0L)).as("r2"))
+      val m = rev.select(tier(col("r1")).as("from_tier"), tier(col("r2")).as("to_tier"))
+        .groupBy("from_tier", "to_tier").agg(count(lit(1)).as("n"))
+      val tot = m.agg(sum("n").as("total"))
+      m.crossJoin(broadcast(tot))
+        .select(col("from_tier"), col("to_tier"), col("n"),
+          expr("(n * 1000000) div total").as("share_micro"))
     })
   )
+
+  /** Content-defined chunking (8-char base-31 rolling hash, boundary at
+    * H % 64 == 0) as pure array expressions — shared by ta_cdc_chunk
+    * and dd_chunk_overlap; the oracle replays the identical literals. */
+  private def cdcChunks(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("codes", expr(
+        "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
+      .withColumn("bpos", expr(
+        """filter(sequence(8, greatest(8, size(codes))), i -> i <= size(codes) AND
+           (element_at(codes, i) + element_at(codes, i-1) * 31
+            + element_at(codes, i-2) * 961 + element_at(codes, i-3) * 29791
+            + element_at(codes, i-4) * 923521 + element_at(codes, i-5) * 28629151
+            + element_at(codes, i-6) * 887503681
+            + element_at(codes, i-7) * 27512614111) % 64 = 0)"""))
+      .withColumn("bounds", expr(
+        """array_sort(array_distinct(concat(array(CAST(0 AS BIGINT)),
+           transform(bpos, x -> CAST(x AS BIGINT)),
+           array(CAST(size(codes) AS BIGINT)))))"""))
+      .select(col("doc_id"), explode(expr(
+        """CASE WHEN size(bounds) >= 2 THEN
+             transform(sequence(1, size(bounds) - 1),
+               j -> substring(text, CAST(element_at(bounds, j) AS INT) + 1,
+                    CAST(element_at(bounds, j + 1) - element_at(bounds, j) AS INT)))
+           ELSE array() END""")).as("chunk"))
 
   /** ⌊0.2·0.8^j·1e6⌋ for j 0..19 — the truncated EWMA kernel, shared
     * with the q_ewma oracle as the same literal table. */
@@ -7622,7 +7696,13 @@ operations:
     // ta_cdc_chunk: the rolling hash, boundary cuts, and chunk substrings
     // replayed list-for-list with the same base-31 power literals
     "ta_cdc_chunk" ->
-      """WITH c AS (SELECT doc_id, text, list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes FROM documents), b AS (SELECT doc_id, text, codes, list_filter(range(8, greatest(8, len(codes)) + 1), i -> i <= len(codes) AND (codes[i] + codes[i-1] * 31 + codes[i-2] * 961 + codes[i-3] * 29791 + codes[i-4] * 923521 + codes[i-5] * 28629151 + codes[i-6] * 887503681 + codes[i-7] * 27512614111) % 64 = 0) AS bpos FROM c), bd AS (SELECT doc_id, text, list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)], list_transform(bpos, x -> CAST(x AS BIGINT))), [CAST(length(text) AS BIGINT)]))) AS bounds FROM b), ch AS (SELECT doc_id, unnest(list_transform(range(1, len(bounds)), j -> substr(text, CAST(bounds[j] AS INTEGER) + 1, CAST(bounds[j+1] - bounds[j] AS INTEGER)))) AS chunk FROM bd), g AS (SELECT chunk, CAST(count(*) AS BIGINT) AS occ, CAST(max(length(chunk)) AS BIGINT) AS len FROM ch GROUP BY 1), t AS (SELECT CAST(sum(occ) AS BIGINT) AS n_chunks_total, CAST(count(*) AS BIGINT) AS n_chunks_distinct, CAST(sum(occ * len) AS BIGINT) AS bytes_total, CAST(sum(len) AS BIGINT) AS bytes_distinct FROM g) SELECT n_chunks_total, n_chunks_distinct, bytes_total, bytes_distinct, CAST((bytes_distinct * 1000000) // bytes_total AS BIGINT) AS stored_share_micro FROM t"""
+      """WITH c AS (SELECT doc_id, text, list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes FROM documents), b AS (SELECT doc_id, text, codes, list_filter(range(8, greatest(8, len(codes)) + 1), i -> i <= len(codes) AND (codes[i] + codes[i-1] * 31 + codes[i-2] * 961 + codes[i-3] * 29791 + codes[i-4] * 923521 + codes[i-5] * 28629151 + codes[i-6] * 887503681 + codes[i-7] * 27512614111) % 64 = 0) AS bpos FROM c), bd AS (SELECT doc_id, text, list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)], list_transform(bpos, x -> CAST(x AS BIGINT))), [CAST(length(text) AS BIGINT)]))) AS bounds FROM b), ch AS (SELECT doc_id, unnest(list_transform(range(1, len(bounds)), j -> substr(text, CAST(bounds[j] AS INTEGER) + 1, CAST(bounds[j+1] - bounds[j] AS INTEGER)))) AS chunk FROM bd), g AS (SELECT chunk, CAST(count(*) AS BIGINT) AS occ, CAST(max(length(chunk)) AS BIGINT) AS len FROM ch GROUP BY 1), t AS (SELECT CAST(sum(occ) AS BIGINT) AS n_chunks_total, CAST(count(*) AS BIGINT) AS n_chunks_distinct, CAST(sum(occ * len) AS BIGINT) AS bytes_total, CAST(sum(len) AS BIGINT) AS bytes_distinct FROM g) SELECT n_chunks_total, n_chunks_distinct, bytes_total, bytes_distinct, CAST((bytes_distinct * 1000000) // bytes_total AS BIGINT) AS stored_share_micro FROM t""",
+    "dd_chunk_overlap" ->
+      """WITH c AS (SELECT doc_id, text, list_transform(range(1, length(text) + 1), i -> CAST(ascii(substr(text, i, 1)) AS BIGINT)) AS codes FROM documents), b AS (SELECT doc_id, text, codes, list_filter(range(8, greatest(8, len(codes)) + 1), i -> i <= len(codes) AND (codes[i] + codes[i-1] * 31 + codes[i-2] * 961 + codes[i-3] * 29791 + codes[i-4] * 923521 + codes[i-5] * 28629151 + codes[i-6] * 887503681 + codes[i-7] * 27512614111) % 64 = 0) AS bpos FROM c), bd AS (SELECT doc_id, text, list_sort(list_distinct(list_concat(list_concat([CAST(0 AS BIGINT)], list_transform(bpos, x -> CAST(x AS BIGINT))), [CAST(length(text) AS BIGINT)]))) AS bounds FROM b), chx AS (SELECT doc_id, unnest(list_transform(range(1, len(bounds)), j -> substr(text, CAST(bounds[j] AS INTEGER) + 1, CAST(bounds[j+1] - bounds[j] AS INTEGER)))) AS chunk FROM bd), ch AS (SELECT DISTINCT doc_id, chunk FROM chx WHERE length(chunk) >= 12), cap AS (SELECT chunk FROM (SELECT chunk, count(*) AS nd FROM ch GROUP BY 1) WHERE nd <= 100), k AS (SELECT ch.doc_id, ch.chunk FROM ch JOIN cap USING (chunk)) SELECT a.doc_id AS a_id, b.doc_id AS b_id, CAST(count(*) AS BIGINT) AS n_shared FROM k a JOIN k b ON a.chunk = b.chunk AND a.doc_id < b.doc_id GROUP BY 1, 2 HAVING count(*) >= 2""",
+    "ta_neyman" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS HUGEINT) AS nh, CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sh, CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ssh FROM documents GROUP BY 1), w AS (SELECT source, CAST(nh AS BIGINT) AS n_docs, CAST(round(CAST(nh AS DOUBLE) * sqrt(CAST(nh * ssh - sh * sh AS DOUBLE) / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) * 1000000) AS BIGINT) AS w_micro FROM g), t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wt FROM w) SELECT source, n_docs, w_micro, CAST((1000 * w_micro) // wt AS BIGINT) AS alloc, CAST((1000 * w_micro) % wt AS BIGINT) AS remainder FROM w, t""",
+    "ev_tier_migration" ->
+      """WITH rev AS (SELECT o_custkey, CAST(sum(CASE WHEN year(o_orderdate) <= 1997 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r1, CAST(sum(CASE WHEN year(o_orderdate) >= 1998 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r2 FROM orders GROUP BY 1), m AS (SELECT CASE WHEN r1 IS NULL OR r1 = 0 THEN 'none' WHEN r1 >= 150000000 THEN 'A' WHEN r1 >= 75000000 THEN 'B' ELSE 'C' END AS from_tier, CASE WHEN r2 IS NULL OR r2 = 0 THEN 'none' WHEN r2 >= 150000000 THEN 'A' WHEN r2 >= 75000000 THEN 'B' ELSE 'C' END AS to_tier, CAST(count(*) AS BIGINT) AS n FROM rev GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM m) SELECT from_tier, to_tier, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM m, t"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
