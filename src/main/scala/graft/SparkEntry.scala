@@ -5845,6 +5845,50 @@ operations:
       m.crossJoin(broadcast(tot))
         .select(col("from_tier"), col("to_tier"), col("n"),
           expr("(n * 1000000) div total").as("share_micro"))
+    }),
+
+    "ev_streaks" -> ((s, dir) => {
+      // gaps-and-islands activity streaks: consecutive active days
+      // collapse to one island via the classic day_idx − row_number
+      // constant, then per-user streak stats — n_islands, longest and
+      // current streak drive retention features. Per-user windows over
+      // distinct active DAYS only (≤ span days per user, never raw
+      // events).
+      import org.apache.spark.sql.expressions.Window
+      val days = events(s, dir)
+        .select(col("user_id"),
+          expr("unix_timestamp(ts) div 86400").as("day_idx"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day_idx")
+      val islands = days
+        .withColumn("isl", col("day_idx") - row_number().over(w))
+        .groupBy("user_id", "isl").agg(count(lit(1)).as("len"))
+      islands.groupBy("user_id")
+        .agg(sum("len").as("n_active_days"), count(lit(1)).as("n_streaks"),
+          max("len").as("longest_streak"))
+    }),
+
+    "ev_abandon" -> ((s, dir) => {
+      // cart abandonment: a click with no purchase by the same user
+      // within the following hour — "next purchase at-or-after" is ONE
+      // forward-looking min window per user (no self-join, no range
+      // join), then a bounded daily rate table.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("next_purchase",
+          min(when(col("event_type") === "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "click")
+        .select(to_date(col("ts")).as("d"),
+          (col("next_purchase").isNull ||
+            unix_timestamp(col("next_purchase")) - unix_timestamp(col("ts")) > 3600L)
+            .as("abandoned"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_clicks"),
+          sum(when(col("abandoned"), 1L).otherwise(0L)).as("n_abandoned"))
+        .withColumn("abandon_micro", expr("(n_abandoned * 1000000) div n_clicks"))
     })
   )
 
@@ -7702,7 +7746,11 @@ operations:
     "ta_neyman" ->
       """WITH g AS (SELECT source, CAST(count(*) AS HUGEINT) AS nh, CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sh, CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS ssh FROM documents GROUP BY 1), w AS (SELECT source, CAST(nh AS BIGINT) AS n_docs, CAST(round(CAST(nh AS DOUBLE) * sqrt(CAST(nh * ssh - sh * sh AS DOUBLE) / (CAST(nh AS DOUBLE) * CAST(nh - 1 AS DOUBLE))) * 1000000) AS BIGINT) AS w_micro FROM g), t AS (SELECT CAST(sum(w_micro) AS BIGINT) AS wt FROM w) SELECT source, n_docs, w_micro, CAST((1000 * w_micro) // wt AS BIGINT) AS alloc, CAST((1000 * w_micro) % wt AS BIGINT) AS remainder FROM w, t""",
     "ev_tier_migration" ->
-      """WITH rev AS (SELECT o_custkey, CAST(sum(CASE WHEN year(o_orderdate) <= 1997 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r1, CAST(sum(CASE WHEN year(o_orderdate) >= 1998 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r2 FROM orders GROUP BY 1), m AS (SELECT CASE WHEN r1 IS NULL OR r1 = 0 THEN 'none' WHEN r1 >= 150000000 THEN 'A' WHEN r1 >= 75000000 THEN 'B' ELSE 'C' END AS from_tier, CASE WHEN r2 IS NULL OR r2 = 0 THEN 'none' WHEN r2 >= 150000000 THEN 'A' WHEN r2 >= 75000000 THEN 'B' ELSE 'C' END AS to_tier, CAST(count(*) AS BIGINT) AS n FROM rev GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM m) SELECT from_tier, to_tier, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM m, t"""
+      """WITH rev AS (SELECT o_custkey, CAST(sum(CASE WHEN year(o_orderdate) <= 1997 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r1, CAST(sum(CASE WHEN year(o_orderdate) >= 1998 THEN CAST(round(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS r2 FROM orders GROUP BY 1), m AS (SELECT CASE WHEN r1 IS NULL OR r1 = 0 THEN 'none' WHEN r1 >= 150000000 THEN 'A' WHEN r1 >= 75000000 THEN 'B' ELSE 'C' END AS from_tier, CASE WHEN r2 IS NULL OR r2 = 0 THEN 'none' WHEN r2 >= 150000000 THEN 'A' WHEN r2 >= 75000000 THEN 'B' ELSE 'C' END AS to_tier, CAST(count(*) AS BIGINT) AS n FROM rev GROUP BY 1, 2), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM m) SELECT from_tier, to_tier, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM m, t""",
+    "ev_streaks" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx FROM events), i AS (SELECT user_id, day_idx, day_idx - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS BIGINT) AS isl FROM days), g AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY 1, 2) SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, CAST(count(*) AS BIGINT) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak FROM g GROUP BY 1""",
+    "ev_abandon" ->
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np FROM events), c AS (SELECT CAST(ts AS DATE) AS d, (np IS NULL OR CAST(floor(epoch(np)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) > 3600) AS abandoned FROM e WHERE event_type = 'click'), g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_clicks, CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned FROM c GROUP BY 1) SELECT d, n_clicks, n_abandoned, CAST((n_abandoned * 1000000) // n_clicks AS BIGINT) AS abandon_micro FROM g"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
