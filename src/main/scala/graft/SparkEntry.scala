@@ -5889,6 +5889,102 @@ operations:
         .agg(count(lit(1)).as("n_clicks"),
           sum(when(col("abandoned"), 1L).otherwise(0L)).as("n_abandoned"))
         .withColumn("abandon_micro", expr("(n_abandoned * 1000000) div n_clicks"))
+    }),
+
+    "q_wilson" -> ((s, dir) => {
+      // Wilson 95% score interval for the daily purchase rate: the
+      // proportion CI that stays inside [0,1] at small n — closed-form
+      // center ± half-width with z=1.96 as the exact literals 1.9208 /
+      // 0.9604 / 3.8416, each bound rounded ONCE to micro (sqrt is
+      // IEEE-exact, so both engines agree bit-for-bit). ONE date-keyed
+      // hash agg; no window anywhere.
+      events(s, dir)
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("np"))
+        .withColumn("rate_micro", expr("(np * 1000000) div n"))
+        .withColumn("lo_micro", expr(
+          """CAST(round((CAST(np AS DOUBLE) / n + 1.9208 / n
+             | - 1.96 * sqrt((CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n) + 0.9604 / n) / n))
+             | / (1.0 + 3.8416 / n) * 1000000) AS BIGINT)""".stripMargin))
+        .withColumn("hi_micro", expr(
+          """CAST(round((CAST(np AS DOUBLE) / n + 1.9208 / n
+             | + 1.96 * sqrt((CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n) + 0.9604 / n) / n))
+             | / (1.0 + 3.8416 / n) * 1000000) AS BIGINT)""".stripMargin))
+    }),
+
+    "q_fdr" -> ((s, dir) => {
+      // Benjamini-Hochberg FDR over per-brand return-rate z-tests: the
+      // normal tail comes from the Abramowitz-Stegun 7.1.26 erf
+      // polynomial (pure literal arithmetic — no erf built-in in either
+      // engine), p-values round ONCE to micro, and the BH step-up
+      // (rank, m·p/i suffix-min, cap at 1) runs entirely in integer
+      // micro units over the ≤25-row brand frame (bounded domain —
+      // PlanAuditSpec whitelisted). The lineitem⋈part join is the only
+      // data-scale shuffle; everything after is a 25-row panel.
+      import org.apache.spark.sql.expressions.Window
+      val g = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+        .localCheckpoint(true) // pooled rate + per-brand tests share it
+      val pool = g.agg(sum("n").as("nt"), sum("x").as("xt"))
+      val z = g.crossJoin(broadcast(pool))
+        .withColumn("z", expr(
+          """(CAST(x AS DOUBLE) / n - CAST(xt AS DOUBLE) / nt)
+             | / sqrt(CAST(xt AS DOUBLE) / nt * (1.0 - CAST(xt AS DOUBLE) / nt) / n)""".stripMargin))
+        .withColumn("ax", expr("abs(z) * 0.7071067811865476"))
+        .withColumn("t", expr("1.0 / (1.0 + 0.3275911 * ax)"))
+        .withColumn("p_micro", expr(
+          """CAST(round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741
+             | + t * (-1.453152027 + t * 1.061405429)))) * exp(-ax * ax) * 1000000) AS BIGINT)"""
+            .stripMargin))
+        .withColumn("z_micro", expr("CAST(round(z * 1000000) AS BIGINT)"))
+      val wOrd = Window.orderBy(col("p_micro"), col("p_brand"))
+      val wSuf = wOrd.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      z.withColumn("rk", row_number().over(wOrd).cast("long"))
+        .withColumn("m", count(lit(1)).over(Window.partitionBy())) // 25-row frame
+        .withColumn("bh_micro",
+          least(lit(1000000L), min(expr("(p_micro * m) div rk")).over(wSuf)))
+        .select(col("p_brand"), col("n"), col("x"), col("z_micro"),
+          col("p_micro"), col("rk"), col("bh_micro"),
+          (col("bh_micro") <= 50000L).as("rejected"))
+    }),
+
+    "ev_sequential" -> ((s, dir) => {
+      // group-sequential A/B monitor: weekly interim looks at the
+      // hash-split two-arm experiment (stream_srm's arm rule), pooled
+      // two-proportion z at each look, against O'Brien-Fleming-shaped
+      // boundaries z_k = 2.04·sqrt(K/k) (K=5 literal looks, sqrt exact)
+      // — the early-stopping discipline that keeps peeking honest.
+      // Cumulative counts are per-arm windows over the ≤5-week frame;
+      // the look panel itself is bounded (PlanAuditSpec whitelisted).
+      import org.apache.spark.sql.expressions.Window
+      val wk = events(s, dir)
+        .select((expr("CAST(get_json_object(props, '$.k') AS BIGINT)") % 2).as("arm"),
+          expr("(dayofmonth(ts) - 1) div 7 + 1").as("look"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("conv"))
+        .groupBy("arm", "look")
+        .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+      val cum = wk
+        .withColumn("cn", sum("n").over(Window.partitionBy("arm").orderBy("look")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("cx", sum("x").over(Window.partitionBy("arm").orderBy("look")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.groupBy("look")
+        .agg(max(when(col("arm") === 0L, col("cn"))).as("n0"),
+          max(when(col("arm") === 0L, col("cx"))).as("x0"),
+          max(when(col("arm") === 1L, col("cn"))).as("n1"),
+          max(when(col("arm") === 1L, col("cx"))).as("x1"))
+        .withColumn("z_micro", expr(
+          """CAST(round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             | / sqrt(CAST(x0 + x1 AS DOUBLE) / (n0 + n1)
+             |        * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+             |        * (1.0 / n0 + 1.0 / n1)) * 1000000) AS BIGINT)""".stripMargin))
+        .withColumn("bound_micro",
+          expr("CAST(round(2040000.0 * sqrt(5.0 / look)) AS BIGINT)"))
+        .withColumn("crossed", abs(col("z_micro")) > col("bound_micro"))
     })
   )
 
@@ -7750,7 +7846,16 @@ operations:
     "ev_streaks" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx FROM events), i AS (SELECT user_id, day_idx, day_idx - CAST(row_number() OVER (PARTITION BY user_id ORDER BY day_idx) AS BIGINT) AS isl FROM days), g AS (SELECT user_id, isl, CAST(count(*) AS BIGINT) AS len FROM i GROUP BY 1, 2) SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, CAST(count(*) AS BIGINT) AS n_streaks, CAST(max(len) AS BIGINT) AS longest_streak FROM g GROUP BY 1""",
     "ev_abandon" ->
-      """WITH e AS (SELECT user_id, ts, event_id, event_type, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np FROM events), c AS (SELECT CAST(ts AS DATE) AS d, (np IS NULL OR CAST(floor(epoch(np)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) > 3600) AS abandoned FROM e WHERE event_type = 'click'), g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_clicks, CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned FROM c GROUP BY 1) SELECT d, n_clicks, n_abandoned, CAST((n_abandoned * 1000000) // n_clicks AS BIGINT) AS abandon_micro FROM g"""
+      """WITH e AS (SELECT user_id, ts, event_id, event_type, min(CASE WHEN event_type = 'purchase' THEN ts END) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np FROM events), c AS (SELECT CAST(ts AS DATE) AS d, (np IS NULL OR CAST(floor(epoch(np)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) > 3600) AS abandoned FROM e WHERE event_type = 'click'), g AS (SELECT d, CAST(count(*) AS BIGINT) AS n_clicks, CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned FROM c GROUP BY 1) SELECT d, n_clicks, n_abandoned, CAST((n_abandoned * 1000000) // n_clicks AS BIGINT) AS abandon_micro FROM g""",
+    "q_wilson" ->
+      """WITH g AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS np FROM events GROUP BY 1) SELECT d, n, np, CAST((np * 1000000) // n AS BIGINT) AS rate_micro, CAST(round((CAST(np AS DOUBLE) / n + 1.9208 / n - 1.96 * sqrt((CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n) + 0.9604 / n) / n)) / (1.0 + 3.8416 / n) * 1000000) AS BIGINT) AS lo_micro, CAST(round((CAST(np AS DOUBLE) / n + 1.9208 / n + 1.96 * sqrt((CAST(np AS DOUBLE) / n * (1.0 - CAST(np AS DOUBLE) / n) + 0.9604 / n) / n)) / (1.0 + 3.8416 / n) * 1000000) AS BIGINT) AS hi_micro FROM g""",
+    // q_fdr: the A&S 7.1.26 erf polynomial replayed literal-for-literal;
+    // BH step-up compares only integer micro values, so the one
+    // transcendental (exp) is rounded once before any ordering matters
+    "q_fdr" ->
+      """WITH g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt FROM g), z AS (SELECT p_brand, n, x, (CAST(x AS DOUBLE) / n - CAST(xt AS DOUBLE) / nt) / sqrt(CAST(xt AS DOUBLE) / nt * (1.0 - CAST(xt AS DOUBLE) / nt) / n) AS z FROM g, tot), e AS (SELECT p_brand, n, x, z, abs(z) * 0.7071067811865476 AS ax FROM z), e2 AS (SELECT p_brand, n, x, z, ax, 1.0 / (1.0 + 0.3275911 * ax) AS t FROM e), p AS (SELECT p_brand, n, x, CAST(round(z * 1000000) AS BIGINT) AS z_micro, CAST(round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) * exp(-ax * ax) * 1000000) AS BIGINT) AS p_micro FROM e2), r AS (SELECT p_brand, n, x, z_micro, p_micro, CAST(row_number() OVER (ORDER BY p_micro, p_brand) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS m FROM p), b AS (SELECT p_brand, n, x, z_micro, p_micro, rk, least(1000000, min((p_micro * m) // rk) OVER (ORDER BY p_micro, p_brand ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS bh_micro FROM r) SELECT p_brand, n, x, z_micro, p_micro, rk, CAST(bh_micro AS BIGINT) AS bh_micro, bh_micro <= 50000 AS rejected FROM b""",
+    "ev_sequential" ->
+      """WITH e AS (SELECT CAST(props->>'k' AS BIGINT) % 2 AS arm, (day(ts) - 1) // 7 + 1 AS look, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM events), wk AS (SELECT arm, look, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x FROM e GROUP BY 1, 2), c AS (SELECT arm, look, sum(n) OVER (PARTITION BY arm ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn, sum(x) OVER (PARTITION BY arm ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx FROM wk), l AS (SELECT look, max(CASE WHEN arm = 0 THEN cn END) AS n0, max(CASE WHEN arm = 0 THEN cx END) AS x0, max(CASE WHEN arm = 1 THEN cn END) AS n1, max(CASE WHEN arm = 1 THEN cx END) AS x1 FROM c GROUP BY 1), f AS (SELECT CAST(look AS BIGINT) AS look, CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0, CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1, CAST(round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) / sqrt(CAST(x0 + x1 AS DOUBLE) / (n0 + n1) * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)) * 1000000) AS BIGINT) AS z_micro, CAST(round(2040000.0 * sqrt(5.0 / look)) AS BIGINT) AS bound_micro FROM l) SELECT look, n0, x0, n1, x1, z_micro, bound_micro, abs(z_micro) > bound_micro AS crossed FROM f"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the

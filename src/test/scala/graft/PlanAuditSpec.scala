@@ -38,7 +38,8 @@ class PlanAuditSpec extends SparkSpec {
     "ta_apportion",   // per-source remainder rows (#sources)
     "ta_quota_sample",// per-source quota rows (#sources)
     "srch_hybrid",    // pooled candidates ≤ 2·poolK rows
-    "q_tcloseness"    // 10-band global distribution frame
+    "q_tcloseness",   // 10-band global distribution frame
+    "q_fdr"           // ≤25-row brand panel (BH rank + suffix-min)
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
