@@ -5985,8 +5985,126 @@ operations:
         .withColumn("bound_micro",
           expr("CAST(round(2040000.0 * sqrt(5.0 / look)) AS BIGINT)"))
         .withColumn("crossed", abs(col("z_micro")) > col("bound_micro"))
+    }),
+
+    "geo_geohash" -> ((s, dir) => {
+      // geohash spatial rollup: synthetic micro-degree coordinates
+      // (Knuth multiplicative hash of the key — pure integer, both
+      // engines replay it), quantized to 15+15 bits, bit-interleaved by
+      // 30 literal-unrolled div/mod terms (one codegen projection, no
+      // shuffle before the cell agg), base32-encoded to a precision-4
+      // cell. The canonical "index points into prefix-joinable cells"
+      // primitive — prefix truncation gives coarser zoom for free.
+      T(s, dir, "customer")
+        .select(col("c_custkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_c"),
+          expr(geoLatSql("c_custkey", custLatMul)).as("lat_micro"),
+          expr(geoLonSql("c_custkey", custLonMul)).as("lon_micro"))
+        .withColumn("lat_q", expr("(lat_micro + 90000000) * 32768 div 180000000"))
+        .withColumn("lon_q", expr("(lon_micro + 180000000) * 32768 div 360000000"))
+        .withColumn("v", expr(geoInterleaveSql("div")))
+        .withColumn("cell", expr(geohashCharsSql("v", "div", 4)))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_customers"), sum("bal_c").as("sum_bal_c"))
+    }),
+
+    "geo_knn" -> ((s, dir) => {
+      // haversine k-nearest suppliers for a bounded probe set: 20 probe
+      // customers broadcast against the supplier table (BroadcastNested-
+      // Loop — linear in suppliers, the brute tier exactly like
+      // sim_topk), distances rounded ONCE to integer meters, top-5 via
+      // a probe-partitioned rank. The 100 TB path replaces the probe
+      // broadcast with geo_geohash cell pruning (probe cell + ring
+      // neighbors) — same scorer, bucketed candidates.
+      import org.apache.spark.sql.expressions.Window
+      val cust = T(s, dir, "customer").filter(col("c_custkey") <= 20L)
+        .select(col("c_custkey"),
+          expr(geoLatSql("c_custkey", custLatMul)).as("clat"),
+          expr(geoLonSql("c_custkey", custLonMul)).as("clon"))
+      val supp = T(s, dir, "supplier")
+        .select(col("s_suppkey"),
+          expr(geoLatSql("s_suppkey", suppLatMul)).as("slat"),
+          expr(geoLonSql("s_suppkey", suppLonMul)).as("slon"))
+      supp.crossJoin(broadcast(cust))
+        .withColumn("dist_m", expr(haversineSql))
+        .withColumn("rk", row_number().over(Window.partitionBy("c_custkey")
+          .orderBy(col("dist_m"), col("s_suppkey"))).cast("long"))
+        .filter(col("rk") <= 5L)
+        .select(col("c_custkey"), col("s_suppkey"), col("dist_m"), col("rk"))
+    }),
+
+    "geo_cluster" -> ((s, dir) => {
+      // grid-density clustering (DBSCAN without the pairwise distance
+      // scan): occupied 10°-cells holding ≥3 points are core, adjacent
+      // core cells (8-neighborhood, via a broadcast offset table + semi
+      // join — never a spatial self-join) connect into clusters through
+      // the shared large-star/small-star components machinery. Date-line
+      // wrap is deliberately not stitched (cx 0 and 35 stay apart).
+      val cells = T(s, dir, "customer")
+        .select(expr(geoLatSql("c_custkey", custLatMul)).as("lat_micro"),
+          expr(geoLonSql("c_custkey", custLonMul)).as("lon_micro"))
+        .select(expr("(lat_micro + 90000000) div 10000000").as("cy"),
+          expr("(lon_micro + 180000000) div 10000000").as("cx"))
+        .groupBy("cy", "cx").agg(count(lit(1)).as("n"))
+      val core = cells.filter(col("n") >= 3L)
+        .withColumn("cell", expr("cy * 100 + cx"))
+        .localCheckpoint(true) // edge build reads it 3×, components more
+      val offs = s.createDataFrame(Seq((-1L, -1L), (-1L, 0L), (-1L, 1L),
+          (0L, -1L), (0L, 1L), (1L, -1L), (1L, 0L), (1L, 1L)))
+        .toDF("dy", "dx")
+      val nbr = core.crossJoin(broadcast(offs))
+        .select(col("cell").as("src"), expr("(cy + dy) * 100 + (cx + dx)").as("dst"))
+        .join(core.select(col("cell").as("dst")), Seq("dst"), "left_semi")
+      val comp = ext.Graph.componentsFor(core.select("cell"), "cell", nbr)
+      core.join(comp, "cell")
+        .groupBy(col("component").as("cluster"))
+        .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
     })
   )
+
+  // --- geo helpers ------------------------------------------------------
+  // Synthetic micro-degree coordinates: Knuth/Murmur multiplicative
+  // hashes of the integer key — pure BIGINT arithmetic both engines
+  // replay literal-for-literal (products stay ≤ ~4e17, far under 2^63).
+  private val custLatMul = 2654435761L
+  private val custLonMul = 2246822519L
+  private val suppLatMul = 1540483477L
+  private val suppLonMul = 1327217885L
+  private def geoLatSql(key: String, mul: Long): String =
+    s"(($key * $mul) % 180000000 - 90000000)"
+  private def geoLonSql(key: String, mul: Long): String =
+    s"(($key * $mul) % 360000000 - 180000000)"
+
+  /** 30-bit lon/lat interleave over pre-quantized `lon_q`/`lat_q`
+    * (15 bits each) as literal-unrolled div/mod terms; `idiv` is `div`
+    * (Spark) or `//` (DuckDB).
+    */
+  private def geoInterleaveSql(idiv: String): String =
+    (0 until 15).map { k =>
+      val p = 1 << (14 - k)
+      s"((lon_q $idiv $p) % 2) * ${1L << (29 - 2 * k)} + " +
+        s"((lat_q $idiv $p) % 2) * ${1L << (28 - 2 * k)}"
+    }.mkString(" + ")
+
+  /** First `n` base32 geohash characters of the 30-bit interleave `v`. */
+  private def geohashCharsSql(v: String, idiv: String, n: Int): String =
+    (0 until n).map { i =>
+      val p = 1L << (25 - 5 * i)
+      s"substr('0123456789bcdefghjkmnpqrstuvwxyz', CAST((($v $idiv $p) % 32) AS INT) + 1, 1)"
+    }.mkString("concat(", ", ", ")")
+
+  /** Haversine meters over micro-degree columns clat/clon/slat/slon —
+    * sin/cos/asin/sqrt/round spell identically in Spark SQL and DuckDB,
+    * so the SAME string is both the engine expression and the oracle
+    * fragment. 8.726646e-9 = π/360e6 (half-angle per micro-degree),
+    * 1.745329e-8 = π/180e6, 12742000 = 2·R_earth.
+    */
+  private val haversineSql: String =
+    """CAST(round(12742000.0 * asin(sqrt(
+      |  sin((slat - clat) * 8.726646259971648e-9) * sin((slat - clat) * 8.726646259971648e-9)
+      |  + cos(slat * 1.7453292519943295e-8) * cos(clat * 1.7453292519943295e-8)
+      |    * sin((slon - clon) * 8.726646259971648e-9) * sin((slon - clon) * 8.726646259971648e-9)
+      |))) AS BIGINT)""".stripMargin
 
   /** Content-defined chunking (8-char base-31 rolling hash, boundary at
     * H % 64 == 0) as pure array expressions — shared by ta_cdc_chunk
@@ -7855,7 +7973,15 @@ operations:
     "q_fdr" ->
       """WITH g AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt FROM g), z AS (SELECT p_brand, n, x, (CAST(x AS DOUBLE) / n - CAST(xt AS DOUBLE) / nt) / sqrt(CAST(xt AS DOUBLE) / nt * (1.0 - CAST(xt AS DOUBLE) / nt) / n) AS z FROM g, tot), e AS (SELECT p_brand, n, x, z, abs(z) * 0.7071067811865476 AS ax FROM z), e2 AS (SELECT p_brand, n, x, z, ax, 1.0 / (1.0 + 0.3275911 * ax) AS t FROM e), p AS (SELECT p_brand, n, x, CAST(round(z * 1000000) AS BIGINT) AS z_micro, CAST(round(t * (0.254829592 + t * (-0.284496736 + t * (1.421413741 + t * (-1.453152027 + t * 1.061405429)))) * exp(-ax * ax) * 1000000) AS BIGINT) AS p_micro FROM e2), r AS (SELECT p_brand, n, x, z_micro, p_micro, CAST(row_number() OVER (ORDER BY p_micro, p_brand) AS BIGINT) AS rk, CAST(count(*) OVER () AS BIGINT) AS m FROM p), b AS (SELECT p_brand, n, x, z_micro, p_micro, rk, least(1000000, min((p_micro * m) // rk) OVER (ORDER BY p_micro, p_brand ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)) AS bh_micro FROM r) SELECT p_brand, n, x, z_micro, p_micro, rk, CAST(bh_micro AS BIGINT) AS bh_micro, bh_micro <= 50000 AS rejected FROM b""",
     "ev_sequential" ->
-      """WITH e AS (SELECT CAST(props->>'k' AS BIGINT) % 2 AS arm, (day(ts) - 1) // 7 + 1 AS look, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM events), wk AS (SELECT arm, look, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x FROM e GROUP BY 1, 2), c AS (SELECT arm, look, sum(n) OVER (PARTITION BY arm ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn, sum(x) OVER (PARTITION BY arm ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx FROM wk), l AS (SELECT look, max(CASE WHEN arm = 0 THEN cn END) AS n0, max(CASE WHEN arm = 0 THEN cx END) AS x0, max(CASE WHEN arm = 1 THEN cn END) AS n1, max(CASE WHEN arm = 1 THEN cx END) AS x1 FROM c GROUP BY 1), f AS (SELECT CAST(look AS BIGINT) AS look, CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0, CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1, CAST(round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) / sqrt(CAST(x0 + x1 AS DOUBLE) / (n0 + n1) * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)) * 1000000) AS BIGINT) AS z_micro, CAST(round(2040000.0 * sqrt(5.0 / look)) AS BIGINT) AS bound_micro FROM l) SELECT look, n0, x0, n1, x1, z_micro, bound_micro, abs(z_micro) > bound_micro AS crossed FROM f"""
+      """WITH e AS (SELECT CAST(props->>'k' AS BIGINT) % 2 AS arm, (day(ts) - 1) // 7 + 1 AS look, CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv FROM events), wk AS (SELECT arm, look, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x FROM e GROUP BY 1, 2), c AS (SELECT arm, look, sum(n) OVER (PARTITION BY arm ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn, sum(x) OVER (PARTITION BY arm ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cx FROM wk), l AS (SELECT look, max(CASE WHEN arm = 0 THEN cn END) AS n0, max(CASE WHEN arm = 0 THEN cx END) AS x0, max(CASE WHEN arm = 1 THEN cn END) AS n1, max(CASE WHEN arm = 1 THEN cx END) AS x1 FROM c GROUP BY 1), f AS (SELECT CAST(look AS BIGINT) AS look, CAST(n0 AS BIGINT) AS n0, CAST(x0 AS BIGINT) AS x0, CAST(n1 AS BIGINT) AS n1, CAST(x1 AS BIGINT) AS x1, CAST(round((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) / sqrt(CAST(x0 + x1 AS DOUBLE) / (n0 + n1) * (1.0 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1)) * (1.0 / n0 + 1.0 / n1)) * 1000000) AS BIGINT) AS z_micro, CAST(round(2040000.0 * sqrt(5.0 / look)) AS BIGINT) AS bound_micro FROM l) SELECT look, n0, x0, n1, x1, z_micro, bound_micro, abs(z_micro) > bound_micro AS crossed FROM f""",
+    // geo_*: coordinates, quantization, bit interleave and haversine all
+    // come from the same Scala-generated literals as the engine side
+    "geo_geohash" ->
+      s"""WITH c AS (SELECT c_custkey, CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c, ${geoLatSql("c_custkey", custLatMul)} AS lat_micro, ${geoLonSql("c_custkey", custLonMul)} AS lon_micro FROM customer), q AS (SELECT bal_c, (lat_micro + 90000000) * 32768 // 180000000 AS lat_q, (lon_micro + 180000000) * 32768 // 360000000 AS lon_q FROM c), iv AS (SELECT bal_c, ${geoInterleaveSql("//")} AS v FROM q), g AS (SELECT bal_c, ${geohashCharsSql("v", "//", 4)} AS cell FROM iv) SELECT cell, CAST(count(*) AS BIGINT) AS n_customers, CAST(sum(bal_c) AS BIGINT) AS sum_bal_c FROM g GROUP BY 1""",
+    "geo_knn" ->
+      s"""WITH c AS (SELECT c_custkey, ${geoLatSql("c_custkey", custLatMul)} AS clat, ${geoLonSql("c_custkey", custLonMul)} AS clon FROM customer WHERE c_custkey <= 20), sp AS (SELECT s_suppkey, ${geoLatSql("s_suppkey", suppLatMul)} AS slat, ${geoLonSql("s_suppkey", suppLonMul)} AS slon FROM supplier), d AS (SELECT c_custkey, s_suppkey, $haversineSql AS dist_m FROM c, sp), r AS (SELECT c_custkey, s_suppkey, dist_m, CAST(row_number() OVER (PARTITION BY c_custkey ORDER BY dist_m, s_suppkey) AS BIGINT) AS rk FROM d) SELECT c_custkey, s_suppkey, dist_m, rk FROM r WHERE rk <= 5""",
+    "geo_cluster" ->
+      s"""WITH RECURSIVE pts AS (SELECT ${geoLatSql("c_custkey", custLatMul)} AS lat_micro, ${geoLonSql("c_custkey", custLonMul)} AS lon_micro FROM customer), cells AS (SELECT (lat_micro + 90000000) // 10000000 AS cy, (lon_micro + 180000000) // 10000000 AS cx, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2), core AS (SELECT cy, cx, n, cy * 100 + cx AS cell FROM cells WHERE n >= 3), offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)), e AS (SELECT a.cell AS src, b.cell AS dst FROM core a JOIN offs o ON TRUE JOIN core b ON b.cell = (a.cy + o.dy) * 100 + (a.cx + o.dx)), lbl(cell, comp) AS (SELECT cell, cell FROM core UNION SELECT e.src, l.comp FROM lbl l JOIN e ON e.dst = l.cell), r AS (SELECT cell, min(comp) AS component FROM lbl GROUP BY 1) SELECT CAST(r.component AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(core.n) AS BIGINT) AS n_points FROM core JOIN r USING (cell) GROUP BY 1"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the
