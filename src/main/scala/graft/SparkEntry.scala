@@ -6059,6 +6059,82 @@ operations:
       core.join(comp, "cell")
         .groupBy(col("component").as("cluster"))
         .agg(count(lit(1)).as("n_cells"), sum("n").as("n_points"))
+    }),
+
+    "q_fd_check" -> ((s, dir) => {
+      // functional-dependency audit (profiling for schema discovery /
+      // DQ rules): for each candidate A→B, the count of A-groups whose
+      // B is not single-valued. Written as the two-level (A,B) agg →
+      // A agg so the distinct is map-side combinable — NEVER
+      // countDistinct inside one wide row at 100 TB.
+      def fd(df: DataFrame, name: String, lhs: String, rhs: String) =
+        df.groupBy(col(lhs)).agg(count_distinct(col(rhs)).as("n_rhs"))
+          .agg(count(lit(1)).as("n_groups"),
+            sum(when(col("n_rhs") > 1L, 1L).otherwise(0L)).as("n_violating"),
+            max("n_rhs").as("max_rhs"))
+          .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+            col("max_rhs"))
+      fd(T(s, dir, "customer"), "c_custkey->c_name", "c_custkey", "c_name")
+        .unionByName(fd(T(s, dir, "orders"), "o_custkey->o_orderstatus",
+          "o_custkey", "o_orderstatus"))
+        .unionByName(fd(T(s, dir, "lineitem"), "l_orderkey->l_returnflag",
+          "l_orderkey", "l_returnflag"))
+        .unionByName(fd(T(s, dir, "lineitem"), "l_partkey->l_suppkey",
+          "l_partkey", "l_suppkey"))
+    }),
+
+    "q_inclusion" -> ((s, dir) => {
+      // inclusion-dependency audit (foreign-key discovery): for each
+      // candidate A ⊆ B, distinct A values minus B via distinct +
+      // anti-join — the orphan count q_refint tracks, generalized to a
+      // candidate panel with negative cases. Each check is one keyed
+      // shuffle pair; nothing is collected.
+      def incl(name: String, a: DataFrame, ac: String, b: DataFrame, bc: String) = {
+        val da = a.select(col(ac).as("v")).distinct().localCheckpoint(true)
+        val miss = da.join(b.select(col(bc).as("v")).distinct(), Seq("v"), "left_anti")
+        da.agg(count(lit(1)).as("n_distinct"))
+          .crossJoin(broadcast(miss.agg(count(lit(1)).as("n_missing"))))
+          .select(lit(name).as("candidate"), col("n_distinct"), col("n_missing"),
+            (col("n_missing") === 0L).as("holds"))
+      }
+      val li = T(s, dir, "lineitem"); val o = T(s, dir, "orders")
+      incl("l_orderkey<=o_orderkey", li, "l_orderkey", o, "o_orderkey")
+        .unionByName(incl("o_orderkey<=l_orderkey", o, "o_orderkey", li, "l_orderkey"))
+        .unionByName(incl("o_custkey<=c_custkey", o, "o_custkey",
+          T(s, dir, "customer"), "c_custkey"))
+        .unionByName(incl("p_partkey<=l_partkey", T(s, dir, "part"), "p_partkey",
+          li, "l_partkey"))
+    }),
+
+    "q_changepoint" -> ((s, dir) => {
+      // change-point detection (binary segmentation, one split): the
+      // split of the daily-revenue series maximizing the between-
+      // segment sum-of-squares gain (s₁(n−i) − s₂·i)² / (i(n−i)n) —
+      // exact integers end-to-end (DECIMAL(38,0) for the squared term,
+      // HUGEINT in the oracle), argmax by TakeOrdered(3). Windows run
+      // on the bounded day domain only (whitelisted).
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+      val w = Window.orderBy("d")
+      val cum = daily
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("s1", sum("x").over(w.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("st", sum("x").over(Window.partitionBy()))
+      cum.filter(col("i") < col("n"))
+        .withColumn("diff", expr(
+          "CAST(s1 AS DECIMAL(38,0)) * (n - i) - CAST(st - s1 AS DECIMAL(38,0)) * i"))
+        // gain in whole dollars² (÷10⁴ folded into the denominator so the
+        // single integral divide stays within BIGINT)
+        .withColumn("gain", expr(
+          "CAST((diff * diff) div (CAST(i * (n - i) * n AS DECIMAL(38,0)) * 10000) AS BIGINT)"))
+        .select(col("d").as("split_after"), col("i").as("n_left"),
+          (col("n") - col("i")).as("n_right"), col("gain"))
+        .orderBy(col("gain").desc, col("split_after"))
+        .limit(3)
     })
   )
 
@@ -7981,7 +8057,13 @@ operations:
     "geo_knn" ->
       s"""WITH c AS (SELECT c_custkey, ${geoLatSql("c_custkey", custLatMul)} AS clat, ${geoLonSql("c_custkey", custLonMul)} AS clon FROM customer WHERE c_custkey <= 20), sp AS (SELECT s_suppkey, ${geoLatSql("s_suppkey", suppLatMul)} AS slat, ${geoLonSql("s_suppkey", suppLonMul)} AS slon FROM supplier), d AS (SELECT c_custkey, s_suppkey, $haversineSql AS dist_m FROM c, sp), r AS (SELECT c_custkey, s_suppkey, dist_m, CAST(row_number() OVER (PARTITION BY c_custkey ORDER BY dist_m, s_suppkey) AS BIGINT) AS rk FROM d) SELECT c_custkey, s_suppkey, dist_m, rk FROM r WHERE rk <= 5""",
     "geo_cluster" ->
-      s"""WITH RECURSIVE pts AS (SELECT ${geoLatSql("c_custkey", custLatMul)} AS lat_micro, ${geoLonSql("c_custkey", custLonMul)} AS lon_micro FROM customer), cells AS (SELECT (lat_micro + 90000000) // 10000000 AS cy, (lon_micro + 180000000) // 10000000 AS cx, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2), core AS (SELECT cy, cx, n, cy * 100 + cx AS cell FROM cells WHERE n >= 3), offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)), e AS (SELECT a.cell AS src, b.cell AS dst FROM core a JOIN offs o ON TRUE JOIN core b ON b.cell = (a.cy + o.dy) * 100 + (a.cx + o.dx)), lbl(cell, comp) AS (SELECT cell, cell FROM core UNION SELECT e.src, l.comp FROM lbl l JOIN e ON e.dst = l.cell), r AS (SELECT cell, min(comp) AS component FROM lbl GROUP BY 1) SELECT CAST(r.component AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(core.n) AS BIGINT) AS n_points FROM core JOIN r USING (cell) GROUP BY 1"""
+      s"""WITH RECURSIVE pts AS (SELECT ${geoLatSql("c_custkey", custLatMul)} AS lat_micro, ${geoLonSql("c_custkey", custLonMul)} AS lon_micro FROM customer), cells AS (SELECT (lat_micro + 90000000) // 10000000 AS cy, (lon_micro + 180000000) // 10000000 AS cx, CAST(count(*) AS BIGINT) AS n FROM pts GROUP BY 1, 2), core AS (SELECT cy, cx, n, cy * 100 + cx AS cell FROM cells WHERE n >= 3), offs(dy, dx) AS (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),(0,1),(1,-1),(1,0),(1,1)), e AS (SELECT a.cell AS src, b.cell AS dst FROM core a JOIN offs o ON TRUE JOIN core b ON b.cell = (a.cy + o.dy) * 100 + (a.cx + o.dx)), lbl(cell, comp) AS (SELECT cell, cell FROM core UNION SELECT e.src, l.comp FROM lbl l JOIN e ON e.dst = l.cell), r AS (SELECT cell, min(comp) AS component FROM lbl GROUP BY 1) SELECT CAST(r.component AS BIGINT) AS cluster, CAST(count(*) AS BIGINT) AS n_cells, CAST(sum(core.n) AS BIGINT) AS n_points FROM core JOIN r USING (cell) GROUP BY 1""",
+    "q_fd_check" ->
+      """WITH f1 AS (SELECT c_custkey AS l, CAST(count(DISTINCT c_name) AS BIGINT) AS n_rhs FROM customer GROUP BY 1), f2 AS (SELECT o_custkey AS l, CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS n_rhs FROM orders GROUP BY 1), f3 AS (SELECT l_orderkey AS l, CAST(count(DISTINCT l_returnflag) AS BIGINT) AS n_rhs FROM lineitem GROUP BY 1), f4 AS (SELECT l_partkey AS l, CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_rhs FROM lineitem GROUP BY 1) SELECT 'c_custkey->c_name' AS fd, CAST(count(*) AS BIGINT) AS n_groups, CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating, CAST(max(n_rhs) AS BIGINT) AS max_rhs FROM f1 UNION ALL SELECT 'o_custkey->o_orderstatus', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(max(n_rhs) AS BIGINT) FROM f2 UNION ALL SELECT 'l_orderkey->l_returnflag', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(max(n_rhs) AS BIGINT) FROM f3 UNION ALL SELECT 'l_partkey->l_suppkey', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT), CAST(max(n_rhs) AS BIGINT) FROM f4""",
+    "q_inclusion" ->
+      """WITH c1 AS (SELECT 'l_orderkey<=o_orderkey' AS candidate, CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) AS n_missing FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem) x), c2 AS (SELECT 'o_orderkey<=l_orderkey', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem li WHERE li.l_orderkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) FROM (SELECT DISTINCT o_orderkey AS v FROM orders) x), c3 AS (SELECT 'o_custkey<=c_custkey', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) FROM (SELECT DISTINCT o_custkey AS v FROM orders) x), c4 AS (SELECT 'p_partkey<=l_partkey', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem li WHERE li.l_partkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) FROM (SELECT DISTINCT p_partkey AS v FROM part) x), u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) SELECT candidate, n_distinct, n_missing, n_missing = 0 AS holds FROM u""",
+    "q_changepoint" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), c AS (SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1, CAST(count(*) OVER () AS BIGINT) AS n, sum(x) OVER () AS st FROM daily), g AS (SELECT d, i, n, CAST(s1 AS HUGEINT) * (n - i) - CAST(st - s1 AS HUGEINT) * i AS diff FROM c WHERE i < n) SELECT d AS split_after, i AS n_left, n - i AS n_right, CAST((diff * diff) // (CAST(i * (n - i) * n AS HUGEINT) * 10000) AS BIGINT) AS gain FROM g ORDER BY gain DESC, split_after LIMIT 3"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the

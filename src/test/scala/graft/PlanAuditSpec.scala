@@ -39,7 +39,8 @@ class PlanAuditSpec extends SparkSpec {
     "ta_quota_sample",// per-source quota rows (#sources)
     "srch_hybrid",    // pooled candidates ≤ 2·poolK rows
     "q_tcloseness",   // 10-band global distribution frame
-    "q_fdr"           // ≤25-row brand panel (BH rank + suffix-min)
+    "q_fdr",          // ≤25-row brand panel (BH rank + suffix-min)
+    "q_changepoint"   // day-domain prefix sums
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
