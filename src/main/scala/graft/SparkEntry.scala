@@ -6135,8 +6135,110 @@ operations:
           (col("n") - col("i")).as("n_right"), col("gain"))
         .orderBy(col("gain").desc, col("split_after"))
         .limit(3)
+    }),
+
+    "q_croston" -> ((s, dir) => {
+      // Croston's intermittent-demand forecast: sparse daily demand (a
+      // 1-in-211 part slice) → nonzero occurrences indexed k; demand
+      // size AND inter-arrival gap smoothed with the SAME 20-term
+      // truncated EWMA kernel as q_ewma (convolution join on the
+      // occurrence index — no sequential recurrence), forecast ẑ/p̂ per
+      // occurrence in micro units. Occurrence indexing runs on the
+      // bounded day domain (whitelisted).
+      import org.apache.spark.sql.expressions.Window
+      val wd = Window.orderBy("d")
+      val occ = T(s, dir, "lineitem")
+        .filter(col("l_partkey") % 211 === 0)
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(col("l_quantity").cast("long")).as("z"))
+        .withColumn("k", row_number().over(wd).cast("long"))
+        .withColumn("gap", coalesce(
+          datediff(col("d"), lag(col("d"), 1).over(wd)).cast("long"), lit(1L)))
+        .localCheckpoint(true) // anchor + lag sides of the convolution
+      val w = s.createDataFrame(ewmaKernelMicro).toDF("j", "w")
+      val lagd = occ.select(col("k").as("lk"), col("z").as("lz"), col("gap").as("lgap"))
+      occ.crossJoin(broadcast(w))
+        .join(lagd, col("lk") === col("k") - col("j"))
+        .groupBy("d", "k", "z", "gap")
+        .agg(sum(expr("w * lz")).as("swz"), sum(expr("w * lgap")).as("swg"),
+          sum("w").as("sw"))
+        .select(col("d"), col("k"), col("z"), col("gap"),
+          expr("(swz * 1000000) div sw").as("z_hat_micro"),
+          expr("(swg * 1000000) div sw").as("p_hat_micro"),
+          expr("(((swz * 1000000) div sw) * 1000000) div ((swg * 1000000) div sw)")
+            .as("croston_micro"))
+    }),
+
+    "ta_blocklist" -> ((s, dir) => {
+      // wordlist content filter (the C4/Gopher "bad words" gate, with
+      // per-term weights): weighted whole-token hits per document,
+      // scored against token count in integer micro units. A pure
+      // projection — no shuffle at all; the list is a literal, so the
+      // 100 TB form is the same plan with a bigger CASE.
+      val occ = blocklistTerms.map { case (t, w) =>
+        size(expr(s"filter(split(lower(text), '\\\\s+'), x -> x = '$t')"))
+          .cast("long") * w
+      }.reduce(_ + _)
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          size(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .cast("long").as("n_tokens"),
+          occ.as("score"))
+        .withColumn("tox_micro", expr(
+          "CASE WHEN n_tokens > 0 THEN (score * 1000000) div n_tokens ELSE 0 END"))
+        .withColumn("flagged", col("tox_micro") > 40000L)
+    }),
+
+    "srch_ndcg" -> ((s, dir) => {
+      // retrieval quality eval: nDCG@10 of the BM25 ranking against
+      // hash-derived graded relevance (md5 → grade 0–3). DCG uses
+      // gain (2^rel − 1) × literal per-rank weights ⌊10⁶/log₂(r+1)⌉
+      // (generated once in Scala, replayed by the oracle), IDCG from
+      // the corpus-wide grade histogram — one single-row agg, a 10-row
+      // rank frame, everything else integer. Windows touch ≤10 rows
+      // (whitelisted).
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val top = ext.Search.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "dup", "vector"), 10)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score_bp").desc, col("doc_id"))).cast("long"))
+        .withColumn("rel", expr(relGradeSql))
+      val wtab = s.createDataFrame(ndcgWeights).toDF("r", "wr")
+      val dcg = top.join(broadcast(wtab), "r")
+        .agg(sum(expr(
+          "(CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * wr"))
+          .as("dcg_micro"))
+      val cnt = docs.select(expr(relGradeSql).as("rel"))
+        .agg(sum(when(col("rel") === 3L, 1L).otherwise(0L)).as("n3"),
+          sum(when(col("rel") === 2L, 1L).otherwise(0L)).as("n2"),
+          sum(when(col("rel") === 1L, 1L).otherwise(0L)).as("n1"))
+      val idcg = wtab.crossJoin(broadcast(cnt))
+        .select(expr("""(CASE WHEN r <= n3 THEN 7 WHEN r <= n3 + n2 THEN 3
+                       | WHEN r <= n3 + n2 + n1 THEN 1 ELSE 0 END) * wr""".stripMargin)
+          .as("t"))
+        .agg(sum("t").as("idcg_micro"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(lit(10L).as("k"), col("dcg_micro"), col("idcg_micro"),
+          expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_micro"))
     })
   )
+
+  /** Weighted blocklist for ta_blocklist — shared with its oracle. */
+  private val blocklistTerms: Seq[(String, Long)] =
+    Seq("slow" -> 3L, "crash" -> 5L, "fail" -> 4L, "big" -> 1L, "filter" -> 2L)
+
+  /** Graded relevance 0–3 from md5 — Spark spelling; the oracle uses the
+    * DuckDB hex-cast equivalent of the same 'rel:<id>' input.
+    */
+  private val relGradeSql: String =
+    "CAST(conv(substr(md5(concat('rel:', CAST(doc_id AS STRING))), 1, 2), 16, 10) AS BIGINT) % 4"
+
+  /** nDCG per-rank weights ⌊10⁶/log₂(r+1)⌉ for r = 1..10 — literal table
+    * shared by engine and oracle.
+    */
+  private val ndcgWeights: Seq[(Long, Long)] =
+    (1 to 10).map(r => (r.toLong, math.round(1e6 / (math.log(r + 1.0) / math.log(2.0)))))
 
   // --- geo helpers ------------------------------------------------------
   // Synthetic micro-degree coordinates: Knuth/Murmur multiplicative
@@ -8063,7 +8165,17 @@ operations:
     "q_inclusion" ->
       """WITH c1 AS (SELECT 'l_orderkey<=o_orderkey' AS candidate, CAST(count(*) AS BIGINT) AS n_distinct, CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) AS n_missing FROM (SELECT DISTINCT l_orderkey AS v FROM lineitem) x), c2 AS (SELECT 'o_orderkey<=l_orderkey', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem li WHERE li.l_orderkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) FROM (SELECT DISTINCT o_orderkey AS v FROM orders) x), c3 AS (SELECT 'o_custkey<=c_custkey', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) FROM (SELECT DISTINCT o_custkey AS v FROM orders) x), c4 AS (SELECT 'p_partkey<=l_partkey', CAST(count(*) AS BIGINT), CAST(sum(CASE WHEN NOT EXISTS (SELECT 1 FROM lineitem li WHERE li.l_partkey = x.v) THEN 1 ELSE 0 END) AS BIGINT) FROM (SELECT DISTINCT p_partkey AS v FROM part) x), u AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2 UNION ALL SELECT * FROM c3 UNION ALL SELECT * FROM c4) SELECT candidate, n_distinct, n_missing, n_missing = 0 AS holds FROM u""",
     "q_changepoint" ->
-      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), c AS (SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1, CAST(count(*) OVER () AS BIGINT) AS n, sum(x) OVER () AS st FROM daily), g AS (SELECT d, i, n, CAST(s1 AS HUGEINT) * (n - i) - CAST(st - s1 AS HUGEINT) * i AS diff FROM c WHERE i < n) SELECT d AS split_after, i AS n_left, n - i AS n_right, CAST((diff * diff) // (CAST(i * (n - i) * n AS HUGEINT) * 10000) AS BIGINT) AS gain FROM g ORDER BY gain DESC, split_after LIMIT 3"""
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), c AS (SELECT d, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS i, sum(x) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s1, CAST(count(*) OVER () AS BIGINT) AS n, sum(x) OVER () AS st FROM daily), g AS (SELECT d, i, n, CAST(s1 AS HUGEINT) * (n - i) - CAST(st - s1 AS HUGEINT) * i AS diff FROM c WHERE i < n) SELECT d AS split_after, i AS n_left, n - i AS n_right, CAST((diff * diff) // (CAST(i * (n - i) * n AS HUGEINT) * 10000) AS BIGINT) AS gain FROM g ORDER BY gain DESC, split_after LIMIT 3""",
+    // q_croston: the q_ewma kernel literals replayed over the occurrence
+    // index, for both the size and the inter-arrival series
+    "q_croston" ->
+      s"""WITH occ AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z FROM lineitem WHERE l_partkey % 211 = 0 GROUP BY 1), ix AS (SELECT d, z, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k, coalesce(CAST(datediff('day', lag(d, 1) OVER (ORDER BY d), d) AS BIGINT), 1) AS gap FROM occ), w(j, w) AS (VALUES ${ewmaKernelMicro.map { case (j, v) => s"($j, $v)" }.mkString(", ")}), conv AS (SELECT a.d, a.k, a.z, a.gap, CAST(w.w AS BIGINT) * b.z AS wz, CAST(w.w AS BIGINT) * b.gap AS wg, CAST(w.w AS BIGINT) AS wt FROM ix a CROSS JOIN w JOIN ix b ON b.k = a.k - w.j) SELECT d, k, z, gap, CAST((sum(wz) * 1000000) // sum(wt) AS BIGINT) AS z_hat_micro, CAST((sum(wg) * 1000000) // sum(wt) AS BIGINT) AS p_hat_micro, CAST((((sum(wz) * 1000000) // sum(wt)) * 1000000) // ((sum(wg) * 1000000) // sum(wt)) AS BIGINT) AS croston_micro FROM conv GROUP BY 1, 2, 3, 4""",
+    "ta_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(${blocklistTerms.map { case (t, w) => s"$w * len(list_filter(toks, x -> x = '$t'))" }.mkString(" + ")} AS BIGINT) AS score FROM t) SELECT doc_id, n_tokens, score, CAST(CASE WHEN n_tokens > 0 THEN (score * 1000000) // n_tokens ELSE 0 END AS BIGINT) AS tox_micro, (CASE WHEN n_tokens > 0 THEN (score * 1000000) // n_tokens ELSE 0 END) > 40000 AS flagged FROM s""",
+    // srch_ndcg: the full BM25 replay re-ranked to 10, the same md5
+    // grade rule, and the identical Scala-generated weight literals
+    "srch_ndcg" ->
+      s"""WITH top AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS r FROM ($bm25OracleSql)), g AS (SELECT r, CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM top WHERE r <= 10), w(r, wr) AS (VALUES ${ndcgWeights.map { case (r, v) => s"($r, $v)" }.mkString(", ")}), dcg AS (SELECT CAST(sum((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS dcg_micro FROM g JOIN w USING (r)), cnt AS (SELECT CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3, CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM (SELECT CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM documents)), idcg AS (SELECT CAST(sum((CASE WHEN r <= n3 THEN 7 WHEN r <= n3 + n2 THEN 3 WHEN r <= n3 + n2 + n1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS idcg_micro FROM w, cnt) SELECT CAST(10 AS BIGINT) AS k, dcg_micro, idcg_micro, CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro FROM dcg, idcg"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the

@@ -40,7 +40,9 @@ class PlanAuditSpec extends SparkSpec {
     "srch_hybrid",    // pooled candidates ≤ 2·poolK rows
     "q_tcloseness",   // 10-band global distribution frame
     "q_fdr",          // ≤25-row brand panel (BH rank + suffix-min)
-    "q_changepoint"   // day-domain prefix sums
+    "q_changepoint",  // day-domain prefix sums
+    "q_croston",      // day-domain occurrence indexing
+    "srch_ndcg"       // 10-row retrieved frame
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
