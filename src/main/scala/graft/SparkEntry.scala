@@ -6221,6 +6221,74 @@ operations:
       dcg.crossJoin(broadcast(idcg))
         .select(lit(10L).as("k"), col("dcg_micro"), col("idcg_micro"),
           expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_micro"))
+    }),
+
+    "q_mannkendall" -> ((s, dir) => {
+      // Mann-Kendall trend test on daily revenue: S = Σ_{i<j}
+      // sign(x_j − x_i) over the bounded day panel (one side broadcast,
+      // so the quadratic stays a BroadcastNestedLoop over ≤n_days²
+      // pairs — never a data-scale pattern), tie-corrected variance in
+      // exact integers, continuity-corrected z rounded once to micro.
+      val daily = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+        .localCheckpoint(true) // pair join (twice), ties, and n share it
+      val pairs = daily.select(col("d").as("d1"), col("x").as("x1"))
+        .join(broadcast(daily.select(col("d").as("d2"), col("x").as("x2"))),
+          col("d1") < col("d2"))
+        .agg(sum(signum(col("x2") - col("x1")).cast("long")).as("s"))
+      val ties = daily.groupBy("x").agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) * (2 * t + 5)")).as("tie_term"),
+          count(lit(1)).as("n_values"))
+      val n = daily.agg(count(lit(1)).as("n"))
+      pairs.crossJoin(broadcast(ties)).crossJoin(broadcast(n))
+        .select(col("n"), col("s"),
+          expr("(n * (n - 1) * (2 * n + 5) - tie_term) div 18").as("var_s"),
+          expr("""CAST(round((CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE))
+                 | / sqrt(CAST((n * (n - 1) * (2 * n + 5) - tie_term) div 18 AS DOUBLE))
+                 | * 1000000) AS BIGINT)""".stripMargin).as("z_micro"))
+    }),
+
+    "sk_quantile" -> ((s, dir) => {
+      // mergeable quantile sketch by uniform hash sampling: keep rows
+      // whose md5 nibble is 0 (an exact 1/16 Bernoulli that is
+      // order-free and union-mergeable — the sample of a union IS the
+      // union of samples), then nearest-rank quartiles of the sample
+      // per group. The 100 TB substitute for exact global quantiles:
+      // the full sort touches 1/16 of the data, and the sample itself
+      // shrinks with a smaller threshold. Per-group windows only.
+      import org.apache.spark.sql.expressions.Window
+      val sample = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("g"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("v"),
+          col("l_orderkey"), col("l_linenumber"))
+        .filter(expr(
+          "substr(md5(concat('qs:', CAST(l_orderkey AS STRING), ':', CAST(l_linenumber AS STRING))), 1, 1) = '0'"))
+      val w = Window.partitionBy("g").orderBy(col("v"), col("l_orderkey"), col("l_linenumber"))
+      val ranked = sample
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("g")))
+      val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L))).toDF("k")
+      ranked.join(broadcast(ks), col("rn") === expr("(ns * k + 3) div 4"))
+        .select(col("g").as("l_returnflag"), col("k").as("quartile"),
+          col("ns").as("n_sample"), col("v").as("est_c"))
+    }),
+
+    "q_burstiness" -> ((s, dir) => {
+      // burstiness (Fano factor / index of dispersion) per event type:
+      // variance-to-mean of daily counts in exact integer arithmetic —
+      // fano_micro = (n·Σc² − (Σc)²)·10⁶ div (n·Σc). Two cascaded hash
+      // aggs; >1 means bursty (clustered), <1 regular. Zero-event days
+      // are absent by construction (observed-day convention).
+      events(s, dir)
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("c").as("total"),
+          sum(expr("c * c")).as("ss"))
+        .select(col("event_type"), col("n_days"), col("total"),
+          expr("((n_days * ss - total * total) * 1000000) div (n_days * total)")
+            .as("fano_micro"))
     })
   )
 
@@ -8172,6 +8240,12 @@ operations:
       s"""WITH occ AS (SELECT CAST(l_shipdate AS DATE) AS d, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS z FROM lineitem WHERE l_partkey % 211 = 0 GROUP BY 1), ix AS (SELECT d, z, CAST(row_number() OVER (ORDER BY d) AS BIGINT) AS k, coalesce(CAST(datediff('day', lag(d, 1) OVER (ORDER BY d), d) AS BIGINT), 1) AS gap FROM occ), w(j, w) AS (VALUES ${ewmaKernelMicro.map { case (j, v) => s"($j, $v)" }.mkString(", ")}), conv AS (SELECT a.d, a.k, a.z, a.gap, CAST(w.w AS BIGINT) * b.z AS wz, CAST(w.w AS BIGINT) * b.gap AS wg, CAST(w.w AS BIGINT) AS wt FROM ix a CROSS JOIN w JOIN ix b ON b.k = a.k - w.j) SELECT d, k, z, gap, CAST((sum(wz) * 1000000) // sum(wt) AS BIGINT) AS z_hat_micro, CAST((sum(wg) * 1000000) // sum(wt) AS BIGINT) AS p_hat_micro, CAST((((sum(wz) * 1000000) // sum(wt)) * 1000000) // ((sum(wg) * 1000000) // sum(wt)) AS BIGINT) AS croston_micro FROM conv GROUP BY 1, 2, 3, 4""",
     "ta_blocklist" ->
       s"""WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '') AS toks FROM documents), s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, CAST(${blocklistTerms.map { case (t, w) => s"$w * len(list_filter(toks, x -> x = '$t'))" }.mkString(" + ")} AS BIGINT) AS score FROM t) SELECT doc_id, n_tokens, score, CAST(CASE WHEN n_tokens > 0 THEN (score * 1000000) // n_tokens ELSE 0 END AS BIGINT) AS tox_micro, (CASE WHEN n_tokens > 0 THEN (score * 1000000) // n_tokens ELSE 0 END) > 40000 AS flagged FROM s""",
+    "q_mannkendall" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), p AS (SELECT CAST(sum(CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END) AS BIGINT) AS s FROM daily a JOIN daily b ON a.d < b.d), ti AS (SELECT CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily) SELECT n, s, (n * (n - 1) * (2 * n + 5) - tie_term) // 18 AS var_s, CAST(round((CAST(s AS DOUBLE) - CAST(sign(s) AS DOUBLE)) / sqrt(CAST((n * (n - 1) * (2 * n + 5) - tie_term) // 18 AS DOUBLE)) * 1000000) AS BIGINT) AS z_micro FROM p, ti, nn""",
+    "sk_quantile" ->
+      """WITH sample AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem WHERE substr(md5('qs:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ns FROM sample), k(k) AS (VALUES (1), (2), (3)) SELECT g AS l_returnflag, CAST(k AS BIGINT) AS quartile, ns AS n_sample, v AS est_c FROM r JOIN k ON rn = (ns * k + 3) // 4""",
+    "q_burstiness" ->
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(c) AS BIGINT) AS total, CAST(sum(c * c) AS BIGINT) AS ss FROM dc GROUP BY 1) SELECT event_type, n_days, total, ((n_days * ss - total * total) * 1000000) // (n_days * total) AS fano_micro FROM g""",
     // srch_ndcg: the full BM25 replay re-ranked to 10, the same md5
     // grade rule, and the identical Scala-generated weight literals
     "srch_ndcg" ->
