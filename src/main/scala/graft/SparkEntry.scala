@@ -6289,6 +6289,57 @@ operations:
         .select(col("event_type"), col("n_days"), col("total"),
           expr("((n_days * ss - total * total) * 1000000) div (n_days * total)")
             .as("fano_micro"))
+    }),
+
+    "sim_radius" -> ((s, dir) => {
+      // radius (ε-ball) similarity search: every corpus vector with
+      // cosine ≥ 0.25 of the 8 probes — the range-query companion to
+      // sim_topk's k-NN. Probes broadcast, ONE codegen pass over the
+      // corpus (native fused dot/norm expressions), score rounded once
+      // to micro so the threshold compares integers. The 100 TB path
+      // swaps the broadcast for IVF cell routing with the same scorer.
+      graft.functions.VectorExprs.register(s)
+      val emb = T(s, dir, "embeddings")
+      val q = broadcast(emb.filter(col("vec_id") < 8L)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          ext.Vectors.norm(col("embedding")).as("qn")))
+      emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("v"),
+          ext.Vectors.norm(col("embedding")).as("nn"))
+        .crossJoin(q)
+        .filter(col("neighbor_id") =!= col("query_id"))
+        .withColumn("score_micro",
+          round(ext.Vectors.dot(col("v"), col("qv")) / (col("nn") * col("qn"))
+            * 1000000).cast("long"))
+        .filter(col("score_micro") >= 250000L)
+        .select(col("query_id"), col("neighbor_id"), col("score_micro"))
+    }),
+
+    "mm_histogram" -> ((s, dir) => {
+      // per-image luma histogram with a REAL decode (the planted 32×32
+      // PNGs behind mm_phash): 16 bins, all bins emitted (zeros
+      // included). Per-partition codec work, no shuffle at all; the
+      // oracle recomputes every bin count from doc_id's closed-form
+      // pixel grid, so a fake decode mismatches.
+      implicit val sp: SparkSession = s
+      ext.Multimodal.lumaHistogram(
+        ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
+    }),
+
+    "q_effective_n" -> ((s, dir) => {
+      // Kish effective sample size for length-weighted sampling: per
+      // source, eff_n = (Σw)²/Σw² and the design effect n·Σw²/(Σw)² —
+      // how much weighting (w = n_chars, the ta_wsample weights) costs
+      // in variance. Exact DECIMAL(38,0) sums (HUGEINT oracle), one
+      // hash agg.
+      T(s, dir, "documents")
+        .select(col("source"), col("n_chars").cast("long").as("w"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(w AS DECIMAL(38,0))")).as("sw"),
+          sum(expr("CAST(w AS DECIMAL(38,0)) * w")).as("sww"))
+        .select(col("source"), col("n"),
+          expr("CAST((sw * sw * 1000000) div sww AS BIGINT)").as("eff_n_micro"),
+          expr("CAST((n * sww * 1000000) div (sw * sw) AS BIGINT)").as("deff_micro"))
     })
   )
 
@@ -8246,6 +8297,14 @@ operations:
       """WITH sample AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem WHERE substr(md5('qs:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ns FROM sample), k(k) AS (VALUES (1), (2), (3)) SELECT g AS l_returnflag, CAST(k AS BIGINT) AS quartile, ns AS n_sample, v AS est_c FROM r JOIN k ON rn = (ns * k + 3) // 4""",
     "q_burstiness" ->
       """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(c) AS BIGINT) AS total, CAST(sum(c * c) AS BIGINT) AS ss FROM dc GROUP BY 1) SELECT event_type, n_days, total, ((n_days * ss - total * total) * 1000000) // (n_days * total) AS fano_micro FROM g""",
+    "sim_radius" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8), sc AS (SELECT q.query_id, e.vec_id AS neighbor_id, CAST(round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT) AS score_micro FROM e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, score_micro FROM sc WHERE score_micro >= 250000""",
+    // mm_histogram: every bin count recomputed from doc_id's planted
+    // closed-form pixel grid (zeros included via the bin grid)
+    "mm_histogram" ->
+      """WITH px AS (SELECT d.doc_id, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), c AS (SELECT doc_id, luma // 16 AS bin, CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY 1, 2), grid AS (SELECT doc_id, b.range AS bin FROM documents, range(16) b) SELECT grid.doc_id AS media_id, CAST(grid.bin AS BIGINT) AS bin, coalesce(c.n_px, CAST(0 AS BIGINT)) AS n_px FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id AND c.bin = grid.bin""",
+    "q_effective_n" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sw, CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sww FROM documents GROUP BY 1) SELECT source, n, CAST((sw * sw * 1000000) // sww AS BIGINT) AS eff_n_micro, CAST((n * sww * 1000000) // (sw * sw) AS BIGINT) AS deff_micro FROM g""",
     // srch_ndcg: the full BM25 replay re-ranked to 10, the same md5
     // grade rule, and the identical Scala-generated weight literals
     "srch_ndcg" ->

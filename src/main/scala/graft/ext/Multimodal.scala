@@ -641,6 +641,42 @@ object Multimodal {
       }
   }
 
+  case class LumaHist(media_id: Long, bin: Long, n_px: Long)
+
+  /** 16-bin luma histogram per image: REAL decode (the same planted
+    * 32×32 PNGs as [[dctPhash]]), bin = luma div 16, ALL 16 bins emitted
+    * (zeros included) so the output is schema-stable regardless of
+    * content. Per-partition codec work like every decode step here; no
+    * shuffle at all. Non-32×32/undecodable payloads are dropped.
+    */
+  def lumaHistogram(media: DataFrame)(implicit spark: SparkSession): Dataset[LumaHist] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth != 32 || img.getHeight != 32) Nil
+          else {
+            val counts = new Array[Long](16)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) {
+                counts(((img.getRGB(x, y) >> 16) & 0xff) / 16) += 1
+                x += 1
+              }
+              y += 1
+            }
+            (0 until 16).map(b => LumaHist(rec.media_id, b.toLong, counts(b)))
+          }
+        }
+      }
+  }
+
   /** Image near-dup pairs by dHash Hamming distance ≤ `maxHamming`,
     * found via 4×16-bit banding (pigeonhole: ≤3 differing bits leave at
     * least one band intact), candidate-capped through the shared
