@@ -6340,6 +6340,87 @@ operations:
         .select(col("source"), col("n"),
           expr("CAST((sw * sw * 1000000) div sww AS BIGINT)").as("eff_n_micro"),
           expr("CAST((n * sww * 1000000) div (sw * sw) AS BIGINT)").as("deff_micro"))
+    }),
+
+    "q_unpivot" -> ((s, dir) => {
+      // unpivot/melt (the wide→long reshape q_pivot_multi inverts):
+      // three measures per lineitem row become (metric, val) rows via
+      // the native stack() generator — a zero-shuffle projection
+      // fan-out — then one hash agg to the 3-row metric panel.
+      T(s, dir, "lineitem")
+        .select(expr(
+          """stack(3,
+            | 'quantity', CAST(l_quantity AS BIGINT),
+            | 'price_c', CAST(round(l_extendedprice * 100) AS BIGINT),
+            | 'discount_c', CAST(round(l_discount * 100) AS BIGINT)) AS (metric, val)"""
+            .stripMargin))
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"), sum("val").as("total"),
+          min("val").as("vmin"), max("val").as("vmax"))
+    }),
+
+    "stream_quantile" -> ((s, dir) => {
+      // STREAMING quantile sketch: sk_quantile's hash-sample rule over a
+      // file stream in APPEND mode — the Bernoulli filter is stateless
+      // and order-free, so the streamed sample EQUALS the batch sample
+      // however the source micro-batches; quartiles then read off the
+      // bounded sample. The streamed half is what runs forever at
+      // 100 TB; the rank step touches 1/16 of the data.
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .filter(expr("substr(md5(concat('sq:', CAST(event_id AS STRING))), 1, 1) = '0'"))
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"), col("event_id"))
+      s.catalog.dropTempView("graft_stream_quantile")
+      val q = stream.writeStream.format("memory").queryName("graft_stream_quantile")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val w = Window.partitionBy("event_type").orderBy(col("v"), col("event_id"))
+      val ranked = s.table("graft_stream_quantile")
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("ns", count(lit(1)).over(Window.partitionBy("event_type")))
+      val ks = s.createDataFrame(Seq(Tuple1(1L), Tuple1(2L), Tuple1(3L))).toDF("k")
+      ranked.join(broadcast(ks), col("rn") === expr("(ns * k + 3) div 4"))
+        .select(col("event_type"), col("k").as("quartile"),
+          col("ns").as("n_sample"), col("v").as("est_c"))
+    }),
+
+    "g_modularity" -> ((s, dir) => {
+      // partition quality of the g_labelprop communities: Newman
+      // modularity Q = Σ_c [m_c/m − (d_c/2m)²] over the same undirected
+      // customer↔supplier trade graph, in exact integer micro units
+      // (DECIMAL(38,0) for d_c², HUGEINT oracle). Edges and labels are
+      // each one keyed shuffle; the community panel is the only small
+      // frame.
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"), (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct().localCheckpoint(true) // m + internal + degrees
+      val lbl = ext.Graph.labelPropagation(pairs, iters = 3).localCheckpoint(true)
+      val m = pairs.agg(count(lit(1)).as("m"))
+      val internal = pairs
+        .join(lbl.select(col("id").as("src"), col("lbl").as("ls")), "src")
+        .join(lbl.select(col("id").as("dst"), col("lbl").as("ld")), "dst")
+        .filter(col("ls") === col("ld"))
+        .groupBy(col("ls").as("lbl")).agg(count(lit(1)).as("mc"))
+      val dc = pairs.select(col("src").as("id"))
+        .unionAll(pairs.select(col("dst").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .join(lbl, "id")
+        .groupBy("lbl").agg(sum("d").as("dcv"))
+      val terms = dc.join(internal, Seq("lbl"), "left").na.fill(0L, Seq("mc"))
+        .crossJoin(broadcast(m))
+        .select(col("m"), expr(
+          """(mc * 1000000) div m
+            | - CAST(CAST(dcv AS DECIMAL(38,0)) * dcv * 1000000 AS DECIMAL(38,0))
+            |   div (CAST(4 AS DECIMAL(38,0)) * m * m)""".stripMargin).as("term"))
+      terms.agg(max("m").as("m"), count(lit(1)).as("n_communities"),
+        sum("term").as("q_micro"))
     })
   )
 
@@ -6669,7 +6750,10 @@ operations:
   /** 3-round unrolled synchronous label propagation over the symmetrized
     * trade graph, min-label tie-break — mirrors Graph.labelPropagation.
     */
-  private lazy val labelpropOracleSql: String = {
+  /** The label-propagation replay CTE chain (base/e/l0..l3) — shared by
+    * g_labelprop and g_modularity.
+    */
+  private lazy val labelpropCtes: String = {
     val parts = scala.collection.mutable.ArrayBuffer(
       "base AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey)",
       "e AS MATERIALIZED (SELECT c AS src, s AS dst FROM base UNION SELECT s, c FROM base)",
@@ -6679,9 +6763,17 @@ operations:
       parts += s"p$r AS MATERIALIZED (SELECT id, lbl FROM f$r QUALIFY row_number() OVER (PARTITION BY id ORDER BY c DESC, lbl ASC) = 1)"
       parts += s"l$r AS MATERIALIZED (SELECT n.id, coalesce(p.lbl, n.lbl) AS lbl FROM l${r - 1} n LEFT JOIN p$r p USING (id))"
     }
-    "WITH " + parts.mkString(", ") +
-      " SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l3"
+    parts.mkString(", ")
   }
+
+  private lazy val labelpropOracleSql: String =
+    "WITH " + labelpropCtes + " SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l3"
+
+  /** g_modularity: the labelprop replay plus exact-integer Newman
+    * modularity terms per community (HUGEINT for d_c²·10⁶).
+    */
+  private lazy val modularityOracleSql: String =
+    "WITH " + labelpropCtes + """, deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1), mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM base), intr AS (SELECT a.lbl, CAST(count(*) AS BIGINT) AS mc FROM base JOIN l3 a ON a.id = base.c JOIN l3 b ON b.id = base.s WHERE a.lbl = b.lbl GROUP BY 1), dc AS (SELECT l3.lbl, CAST(sum(deg.d) AS BIGINT) AS dcv FROM deg JOIN l3 USING (id) GROUP BY 1), terms AS (SELECT m, (coalesce(mc, 0) * 1000000) // m - (CAST(dcv AS HUGEINT) * dcv * 1000000) // (4::HUGEINT * m * m) AS term FROM dc LEFT JOIN intr USING (lbl) CROSS JOIN mm) SELECT CAST(max(m) AS BIGINT) AS m, CAST(count(*) AS BIGINT) AS n_communities, CAST(sum(term) AS BIGINT) AS q_micro FROM terms"""
 
   // --- MinHash / SimHash DuckDB replays -------------------------------
   // The LSH *signatures* are deterministic integer hashing (FNV-1a and
@@ -8305,6 +8397,13 @@ operations:
       """WITH px AS (SELECT d.doc_id, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), c AS (SELECT doc_id, luma // 16 AS bin, CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY 1, 2), grid AS (SELECT doc_id, b.range AS bin FROM documents, range(16) b) SELECT grid.doc_id AS media_id, CAST(grid.bin AS BIGINT) AS bin, coalesce(c.n_px, CAST(0 AS BIGINT)) AS n_px FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id AND c.bin = grid.bin""",
     "q_effective_n" ->
       """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(n_chars AS HUGEINT)) AS HUGEINT) AS sw, CAST(sum(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sww FROM documents GROUP BY 1) SELECT source, n, CAST((sw * sw * 1000000) // sww AS BIGINT) AS eff_n_micro, CAST((n * sww * 1000000) // (sw * sw) AS BIGINT) AS deff_micro FROM g""",
+    "q_unpivot" ->
+      """WITH u AS (SELECT 'quantity' AS metric, CAST(l_quantity AS BIGINT) AS val FROM lineitem UNION ALL SELECT 'price_c', CAST(round(l_extendedprice * 100) AS BIGINT) FROM lineitem UNION ALL SELECT 'discount_c', CAST(round(l_discount * 100) AS BIGINT) FROM lineitem) SELECT metric, CAST(count(*) AS BIGINT) AS n, CAST(sum(val) AS BIGINT) AS total, CAST(min(val) AS BIGINT) AS vmin, CAST(max(val) AS BIGINT) AS vmax FROM u GROUP BY 1""",
+    // stream_quantile: streamed sample ≡ batch sample (stateless
+    // order-free filter), so the batch replay is the oracle verbatim
+    "stream_quantile" ->
+      """WITH sample AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, event_id FROM events WHERE substr(md5('sq:' || CAST(event_id AS VARCHAR)), 1, 1) = '0'), r AS (SELECT event_type, v, event_id, CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ns FROM sample), k(k) AS (VALUES (1), (2), (3)) SELECT event_type, CAST(k AS BIGINT) AS quartile, ns AS n_sample, v AS est_c FROM r JOIN k ON rn = (ns * k + 3) // 4""",
+    "g_modularity" -> modularityOracleSql,
     // srch_ndcg: the full BM25 replay re-ranked to 10, the same md5
     // grade rule, and the identical Scala-generated weight literals
     "srch_ndcg" ->
