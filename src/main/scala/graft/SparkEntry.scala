@@ -6421,6 +6421,71 @@ operations:
             |   div (CAST(4 AS DECIMAL(38,0)) * m * m)""".stripMargin).as("term"))
       terms.agg(max("m").as("m"), count(lit(1)).as("n_communities"),
         sum("term").as("q_micro"))
+    }),
+
+    "ev_balance" -> ((s, dir) => {
+      // covariate balance audit (did randomization balance?): the
+      // standardized mean difference (m₁−m₀)/√((v₁+v₀)/2) per covariate
+      // across the hash-split arms — |SMD| > 0.1 is the usual imbalance
+      // flag. Exact integer sums (cents / hours), ONE conditional-agg
+      // pass per covariate, double only at the final rounding.
+      def smd(df: DataFrame, name: String, v: org.apache.spark.sql.Column) =
+        df.select((expr("CAST(get_json_object(props, '$.k') AS BIGINT)") % 2).as("arm"),
+            v.cast("decimal(38,0)").as("v")) // s·s products exceed 2⁶³ at scale
+          .agg(
+            sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n0"),
+            sum(when(col("arm") === 0L, col("v"))).as("s0"),
+            sum(when(col("arm") === 0L, expr("v * v"))).as("ss0"),
+            sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n1"),
+            sum(when(col("arm") === 1L, col("v"))).as("s1"),
+            sum(when(col("arm") === 1L, expr("v * v"))).as("ss1"))
+          .withColumn("vp", expr( // pooled variance; 0 for constants
+            """((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1)))
+               | + (CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * (n0 - 1)))) / 2.0"""
+              .stripMargin))
+          .select(lit(name).as("covariate"), col("n0"), col("n1"),
+            expr("""CASE WHEN vp <= 0.0 THEN CAST(0 AS BIGINT)
+                   | ELSE CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0)
+                   |   / sqrt(vp) * 1000000) AS BIGINT) END""".stripMargin).as("smd_micro"))
+          .withColumn("imbalanced", abs(col("smd_micro")) > 100000L)
+      val ev = events(s, dir)
+      smd(ev, "value_c", expr("CAST(round(value * 100) AS BIGINT)"))
+        .unionByName(smd(ev, "hour", hour(col("ts")).cast("long")))
+        .unionByName(smd(ev, "is_purchase",
+          when(col("event_type") === "purchase", 1L).otherwise(0L)))
+    }),
+
+    "ev_its" -> ((s, dir) => {
+      // interrupted time series: daily purchase counts fit y = a + b·t
+      // per segment around the literal 2024-01-15 cutoff — closed-form
+      // 2-var OLS in exact integers (slope and intercept land in micro
+      // via ONE integral division each); the level/trend break between
+      // the two rows is the causal read. One day-keyed agg; the fit is
+      // a single-row conditional agg per segment.
+      val daily = events(s, dir)
+        .filter(col("event_type") === "purchase")
+        .groupBy(dayofmonth(col("ts")).cast("long").as("t"))
+        .agg(count(lit(1)).as("y"))
+        .withColumn("seg", when(col("t") < 15L, "pre").otherwise("post"))
+      daily.groupBy("seg")
+        .agg(count(lit(1)).as("n"), sum("t").as("st"), sum("y").as("sy"),
+          sum(expr("t * t")).as("stt"), sum(expr("t * y")).as("sty"))
+        .select(col("seg"), col("n"),
+          expr("((n * sty - st * sy) * 1000000) div (n * stt - st * st)")
+            .as("slope_micro"),
+          expr("(sy * 1000000 - ((n * sty - st * sy) * 1000000) div (n * stt - st * st) * st) div n")
+            .as("intercept_micro"))
+    }),
+
+    "mm_blockiness" -> ((s, dir) => {
+      // JPEG-artifact proxy with a REAL decode: mean |Δluma| across
+      // horizontal 8-px block boundaries vs interior columns — a ratio
+      // near 1 means no blocking. Exact integer diff sums per image
+      // (per-partition codec work, no shuffle); the oracle replays both
+      // sums from the planted closed-form grid.
+      implicit val sp: SparkSession = s
+      ext.Multimodal.blockiness(
+        ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
     })
   )
 
@@ -6768,6 +6833,20 @@ operations:
 
   private lazy val labelpropOracleSql: String =
     "WITH " + labelpropCtes + " SELECT id, CAST(lbl AS BIGINT) AS lbl FROM l3"
+
+  /** ev_balance: one SMD block per covariate, HUGEINT sums (s·s exceeds
+    * 2⁶³ at scale), the identical double formula as the engine side.
+    */
+  private lazy val evBalanceOracleSql: String = {
+    def block(name: String, vexpr: String): String =
+      s"""(WITH x AS (SELECT CAST(props->>'k' AS BIGINT) % 2 AS arm, CAST($vexpr AS HUGEINT) AS v FROM events), g AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, sum(CASE WHEN arm = 0 THEN v END) AS s0, sum(CASE WHEN arm = 0 THEN v * v END) AS ss0, CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, sum(CASE WHEN arm = 1 THEN v END) AS s1, sum(CASE WHEN arm = 1 THEN v * v END) AS ss1 FROM x), p AS (SELECT n0, n1, s0, s1, ((CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * (n1 - 1))) + (CAST(n0 * ss0 - s0 * s0 AS DOUBLE) / (CAST(n0 AS DOUBLE) * (n0 - 1)))) / 2.0 AS vp FROM g) SELECT '$name' AS covariate, n0, n1, CASE WHEN vp <= 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(round((CAST(s1 AS DOUBLE) / n1 - CAST(s0 AS DOUBLE) / n0) / sqrt(vp) * 1000000) AS BIGINT) END AS smd_micro FROM p)"""
+    val u = Seq(
+      block("value_c", "round(value * 100)"),
+      block("hour", "hour(ts)"),
+      block("is_purchase", "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
+      .mkString(" UNION ALL ")
+    s"SELECT covariate, n0, n1, smd_micro, abs(smd_micro) > 100000 AS imbalanced FROM ($u)"
+  }
 
   /** g_modularity: the labelprop replay plus exact-integer Newman
     * modularity terms per community (HUGEINT for d_c²·10⁶).
@@ -8404,6 +8483,12 @@ operations:
     "stream_quantile" ->
       """WITH sample AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, event_id FROM events WHERE substr(md5('sq:' || CAST(event_id AS VARCHAR)), 1, 1) = '0'), r AS (SELECT event_type, v, event_id, CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ns FROM sample), k(k) AS (VALUES (1), (2), (3)) SELECT event_type, CAST(k AS BIGINT) AS quartile, ns AS n_sample, v AS est_c FROM r JOIN k ON rn = (ns * k + 3) // 4""",
     "g_modularity" -> modularityOracleSql,
+    "ev_balance" -> evBalanceOracleSql,
+    "ev_its" ->
+      """WITH daily AS (SELECT CAST(day(ts) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS y FROM events WHERE event_type = 'purchase' GROUP BY 1), seg AS (SELECT CASE WHEN t < 15 THEN 'pre' ELSE 'post' END AS seg, t, y FROM daily), g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * y) AS BIGINT) AS sty FROM seg GROUP BY 1) SELECT seg, n, ((n * sty - st * sy) * 1000000) // (n * stt - st * st) AS slope_micro, (sy * 1000000 - ((n * sty - st * sy) * 1000000) // (n * stt - st * st) * st) // n AS intercept_micro FROM g""",
+    // mm_blockiness: both diff sums replayed from the planted grid
+    "mm_blockiness" ->
+      """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
     // srch_ndcg: the full BM25 replay re-ranked to 10, the same md5
     // grade rule, and the identical Scala-generated weight literals
     "srch_ndcg" ->

@@ -677,6 +677,45 @@ object Multimodal {
       }
   }
 
+  case class Blockiness(media_id: Long, bsum: Long, isum: Long, blockiness_micro: Long)
+
+  /** JPEG-blockiness proxy: sum of |Δluma| across horizontal 8-px block
+    * boundaries (x ≡ 7 mod 8, 3 boundary columns on a 32-wide image)
+    * vs the 28 interior columns, as the ratio of the two MEANS in micro
+    * — exact integer sums, real decode, per-partition work.
+    */
+  def blockiness(media: DataFrame)(implicit spark: SparkSession): Dataset[Blockiness] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth != 32 || img.getHeight != 32) None
+          else {
+            var bsum = 0L; var isum = 0L
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 31) {
+                val d = math.abs(((img.getRGB(x + 1, y) >> 16) & 0xff)
+                  - ((img.getRGB(x, y) >> 16) & 0xff)).toLong
+                if (x % 8 == 7) bsum += d else isum += d
+                x += 1
+              }
+              y += 1
+            }
+            // boundary columns: 3 of 31; interior: 28 of 31 (n per col = 32)
+            val ratio = if (isum == 0L) 0L else (bsum * 28L * 1000000L) / (isum * 3L)
+            Some(Blockiness(rec.media_id, bsum, isum, ratio))
+          }
+        }
+      }
+  }
+
   /** Image near-dup pairs by dHash Hamming distance ≤ `maxHamming`,
     * found via 4×16-bit banding (pigeonhole: ≤3 differing bits leave at
     * least one band intact), candidate-capped through the shared
