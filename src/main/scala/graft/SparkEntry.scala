@@ -6486,6 +6486,90 @@ operations:
       implicit val sp: SparkSession = s
       ext.Multimodal.blockiness(
         ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
+    }),
+
+    "ev_features_pit" -> ((s, dir) => {
+      // point-in-time-correct feature extraction (the feature-store
+      // primitive): per user, AS OF the literal 2024-01-20 cutoff —
+      // activity counts in the trailing 7/14-day windows, spend, days
+      // since last event. ONE conditional-agg pass over events strictly
+      // before the cutoff; no window function, no leakage by
+      // construction (nothing ≥ cutoff is read).
+      val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+      events(s, dir)
+        .filter(col("ts") < cutoff)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("ts") >= expr("timestamp'2024-01-13 00:00:00'"), 1L)
+            .otherwise(0L)).as("n_7d"),
+          sum(when(col("ts") >= expr("timestamp'2024-01-06 00:00:00'"), 1L)
+            .otherwise(0L)).as("n_14d"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("spend_c"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("n_purchases"),
+          max(col("ts")).as("last_ts"))
+        .select(col("user_id"), col("n_events"), col("n_7d"), col("n_14d"),
+          col("spend_c"), col("n_purchases"),
+          expr("unix_timestamp(timestamp'2024-01-20 00:00:00') - unix_timestamp(last_ts)")
+            .as("recency_s"))
+    }),
+
+    "ta_token_dropout" -> ((s, dir) => {
+      // deterministic token-dropout augmentation (EDA-style): token i of
+      // doc d drops when md5('do:<d>:<i>') starts with hex '0' — an
+      // exact 1/16 Bernoulli that is reproducible across runs AND
+      // engines (the property augmentation caches need). Pure array
+      // expressions, no shuffle; emits the augmented text + audit
+      // counts. Spark's transform index is 0-based; the oracle shifts
+      // DuckDB's 1-based lambda index to match.
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          expr("""filter(transform(toks, (x, i) ->
+                 |  CASE WHEN substr(md5(concat('do:', CAST(doc_id AS STRING), ':', CAST(i AS STRING))), 1, 1) = '0'
+                 |       THEN NULL ELSE x END), x -> x IS NOT NULL)""".stripMargin)
+            .as("kept"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).cast("long").as("n_kept"),
+          expr("array_join(kept, ' ')").as("aug_text"))
+    }),
+
+    "sk_bloom_fpr" -> ((s, dir) => {
+      // measured Bloom false-positive rate (the empirical check behind
+      // sk_bloom_planner's math): k=2 md5-derived positions in a 2²¹-bit
+      // filter built from distinct order keys (word/bit_or packing, the
+      // q_bitmap shape), probed with keys shifted +10⁸ (guaranteed
+      // absent). Build and probe are each one keyed shuffle; the filter
+      // is ~64K words.
+      def h(tag: String, c: String) =
+        s"CAST(conv(substr(md5(concat('$tag:', CAST($c AS STRING))), 1, 15), 16, 10) AS BIGINT) % 2097152"
+      val keys = T(s, dir, "orders").select(col("o_orderkey").as("x"))
+        .distinct().localCheckpoint(true) // build + probe sides
+      val words = keys
+        .select(explode(array(expr(h("b1", "x")), expr(h("b2", "x")))).as("pos"))
+        .select(expr("pos div 32").as("word"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))").as("bit"))
+        .groupBy("word").agg(expr("bit_or(bit)").as("bits"))
+        .localCheckpoint(true) // probed twice
+      val probes = keys.select((col("x") + 100000000L).as("p"))
+        .withColumn("h1", expr(h("b1", "p")))
+        .withColumn("h2", expr(h("b2", "p")))
+      val looked = probes
+        .join(words.select(col("word").as("w1"), col("bits").as("bb1")),
+          expr("h1 div 32") === col("w1"), "left")
+        .join(words.select(col("word").as("w2"), col("bits").as("bb2")),
+          expr("h2 div 32") === col("w2"), "left")
+        .withColumn("hit", expr(
+          """coalesce(bb1 & shiftleft(CAST(1 AS BIGINT), CAST(h1 % 32 AS INT)), 0) != 0
+            | AND coalesce(bb2 & shiftleft(CAST(1 AS BIGINT), CAST(h2 % 32 AS INT)), 0) != 0"""
+            .stripMargin))
+      looked.agg(count(lit(1)).as("n_probes"),
+          sum(when(col("hit"), 1L).otherwise(0L)).as("n_false_pos"))
+        .crossJoin(broadcast(keys.agg(count(lit(1)).as("n_keys"))))
+        .select(col("n_keys"), lit(2097152L).as("m_bits"), col("n_probes"),
+          col("n_false_pos"),
+          expr("(n_false_pos * 1000000) div n_probes").as("fpr_micro"))
     })
   )
 
@@ -8486,6 +8570,14 @@ operations:
     "ev_balance" -> evBalanceOracleSql,
     "ev_its" ->
       """WITH daily AS (SELECT CAST(day(ts) AS BIGINT) AS t, CAST(count(*) AS BIGINT) AS y FROM events WHERE event_type = 'purchase' GROUP BY 1), seg AS (SELECT CASE WHEN t < 15 THEN 'pre' ELSE 'post' END AS seg, t, y FROM daily), g AS (SELECT seg, CAST(count(*) AS BIGINT) AS n, CAST(sum(t) AS BIGINT) AS st, CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * t) AS BIGINT) AS stt, CAST(sum(t * y) AS BIGINT) AS sty FROM seg GROUP BY 1) SELECT seg, n, ((n * sty - st * sy) * 1000000) // (n * stt - st * st) AS slope_micro, (sy * 1000000 - ((n * sty - st * sy) * 1000000) // (n * stt - st * st) * st) // n AS intercept_micro FROM g""",
+    "ev_features_pit" ->
+      """WITH e AS (SELECT user_id, ts, event_type, value FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00') SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-13 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_7d, CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-06 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_14d, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS spend_c, CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases, CAST(floor(epoch(TIMESTAMP '2024-01-20 00:00:00')) AS BIGINT) - CAST(floor(epoch(max(ts))) AS BIGINT) AS recency_s FROM e GROUP BY 1""",
+    // ta_token_dropout: DuckDB's lambda index is 1-based — shifted to
+    // match Spark's 0-based transform index
+    "ta_token_dropout" ->
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, list_filter(list_transform(toks, (x, i) -> CASE WHEN substr(md5('do:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) = '0' THEN NULL ELSE x END), x -> x IS NOT NULL) AS kept FROM t) SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept, list_aggregate(kept, 'string_agg', ' ') AS aug_text FROM k""",
+    "sk_bloom_fpr" ->
+      """WITH keys AS (SELECT DISTINCT o_orderkey AS x FROM orders), pos AS (SELECT CAST(('0x' || substr(md5('b1:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS p FROM keys UNION ALL SELECT CAST(('0x' || substr(md5('b2:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 FROM keys), words AS (SELECT p // 32 AS word, CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits FROM pos GROUP BY 1), probes AS (SELECT x + 100000000 AS pr FROM keys), ph AS (SELECT pr, CAST(('0x' || substr(md5('b1:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h1, CAST(('0x' || substr(md5('b2:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h2 FROM probes), looked AS (SELECT pr, coalesce(w1.bits & (1::BIGINT << CAST(h1 % 32 AS INTEGER)), 0) <> 0 AND coalesce(w2.bits & (1::BIGINT << CAST(h2 % 32 AS INTEGER)), 0) <> 0 AS hit FROM ph LEFT JOIN words w1 ON w1.word = h1 // 32 LEFT JOIN words w2 ON w2.word = h2 // 32), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos FROM looked), nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys) SELECT n_keys, CAST(2097152 AS BIGINT) AS m_bits, n_probes, n_false_pos, (n_false_pos * 1000000) // n_probes AS fpr_micro FROM agg, nk""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
