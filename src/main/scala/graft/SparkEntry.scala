@@ -6570,6 +6570,84 @@ operations:
         .select(col("n_keys"), lit(2097152L).as("m_bits"), col("n_probes"),
           col("n_false_pos"),
           expr("(n_false_pos * 1000000) div n_probes").as("fpr_micro"))
+    }),
+
+    "q_mcnemar" -> ((s, dir) => {
+      // McNemar's paired test: did per-part return behavior CHANGE
+      // between 1997 and 1998? Only the discordant pairs b (returned in
+      // '97 only) and c ('98 only) matter: χ² = (b−c)²/(b+c), exact
+      // integers, the 5% critical value as the same literal micro as
+      // stream_srm. One conditional-agg pass builds both year flags.
+      val flags = T(s, dir, "lineitem")
+        .filter(expr("year(l_shipdate) IN (1997, 1998)"))
+        .groupBy("l_partkey")
+        .agg(max(when(expr("year(l_shipdate) = 1997 AND l_returnflag = 'R'"), 1L)
+            .otherwise(0L)).as("r97"),
+          max(when(expr("year(l_shipdate) = 1998 AND l_returnflag = 'R'"), 1L)
+            .otherwise(0L)).as("r98"),
+          max(when(expr("year(l_shipdate) = 1997"), 1L).otherwise(0L)).as("in97"),
+          max(when(expr("year(l_shipdate) = 1998"), 1L).otherwise(0L)).as("in98"))
+        .filter(col("in97") === 1L && col("in98") === 1L)
+      flags.agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("r97") === 1L && col("r98") === 0L, 1L).otherwise(0L)).as("b"),
+          sum(when(col("r97") === 0L && col("r98") === 1L, 1L).otherwise(0L)).as("c"))
+        .select(col("n_pairs"), col("b"), col("c"),
+          expr("CASE WHEN b + c = 0 THEN 0 ELSE ((b - c) * (b - c) * 1000000) div (b + c) END")
+            .as("chi2_micro"))
+        .withColumn("significant", col("chi2_micro") > 3841459L)
+    }),
+
+    "q_price_index" -> ((s, dir) => {
+      // Laspeyres / Paasche / unit-value price indices 1997→1998 over
+      // matched parts: per-part unit values are cents-rational, rounded
+      // by ONE integral divide per part (order-free), the index is one
+      // more divide over exact sums — the BI price-deflator read.
+      // DECIMAL(38,0) for the cross products.
+      val py = T(s, dir, "lineitem")
+        .filter(expr("year(l_shipdate) IN (1997, 1998)"))
+        .groupBy("l_partkey")
+        .agg(sum(when(expr("year(l_shipdate) = 1997"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).otherwise(0L)).as("rev0"),
+          sum(when(expr("year(l_shipdate) = 1997"),
+            expr("CAST(l_quantity AS BIGINT)")).otherwise(0L)).as("q0"),
+          sum(when(expr("year(l_shipdate) = 1998"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).otherwise(0L)).as("rev1"),
+          sum(when(expr("year(l_shipdate) = 1998"),
+            expr("CAST(l_quantity AS BIGINT)")).otherwise(0L)).as("q1"))
+        .filter(col("q0") > 0L && col("q1") > 0L)
+      py.agg(count(lit(1)).as("n_parts"),
+          sum(expr("(rev1 * q0) div q1")).as("l_num"), sum("rev0").as("l_den"),
+          sum("rev1").as("p_num"), sum(expr("(rev0 * q1) div q0")).as("p_den"),
+          sum(expr("CAST(rev1 AS DECIMAL(38,0))")).as("r1"),
+          sum(expr("CAST(q1 AS DECIMAL(38,0))")).as("tq1"),
+          sum(expr("CAST(rev0 AS DECIMAL(38,0))")).as("r0"),
+          sum(expr("CAST(q0 AS DECIMAL(38,0))")).as("tq0"))
+        .select(col("n_parts"),
+          expr("(l_num * 1000000) div l_den").as("laspeyres_micro"),
+          expr("(p_num * 1000000) div p_den").as("paasche_micro"),
+          expr("CAST((r1 * tq0 * 1000000) div (tq1 * r0) AS BIGINT)")
+            .as("unit_value_micro"))
+    }),
+
+    "q_key_discovery" -> ((s, dir) => {
+      // candidate-key discovery (the uniqueness half of q_fd_check):
+      // for each column set, distinct combinations vs rows — written as
+      // the two-level combo agg so the distinct is map-side combinable.
+      def kd(df: DataFrame, name: String, cols: Seq[String]) = {
+        val d = df.groupBy(cols.map(col): _*).agg(count(lit(1)).as("c"))
+          .agg(count(lit(1)).as("n_distinct"), sum("c").as("n_rows"),
+            max("c").as("max_dup"))
+        d.select(lit(name).as("candidate"), col("n_rows"), col("n_distinct"),
+          col("max_dup"), (col("n_rows") === col("n_distinct")).as("is_key"))
+      }
+      val o = T(s, dir, "orders"); val li = T(s, dir, "lineitem")
+      kd(o, "orders(o_orderkey)", Seq("o_orderkey"))
+        .unionByName(kd(o, "orders(o_custkey)", Seq("o_custkey")))
+        .unionByName(kd(o, "orders(o_custkey,o_orderdate)",
+          Seq("o_custkey", "o_orderdate")))
+        .unionByName(kd(li, "lineitem(l_orderkey)", Seq("l_orderkey")))
+        .unionByName(kd(li, "lineitem(l_orderkey,l_linenumber)",
+          Seq("l_orderkey", "l_linenumber")))
     })
   )
 
@@ -8578,6 +8656,12 @@ operations:
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, list_filter(list_transform(toks, (x, i) -> CASE WHEN substr(md5('do:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) = '0' THEN NULL ELSE x END), x -> x IS NOT NULL) AS kept FROM t) SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept, list_aggregate(kept, 'string_agg', ' ') AS aug_text FROM k""",
     "sk_bloom_fpr" ->
       """WITH keys AS (SELECT DISTINCT o_orderkey AS x FROM orders), pos AS (SELECT CAST(('0x' || substr(md5('b1:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS p FROM keys UNION ALL SELECT CAST(('0x' || substr(md5('b2:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 FROM keys), words AS (SELECT p // 32 AS word, CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits FROM pos GROUP BY 1), probes AS (SELECT x + 100000000 AS pr FROM keys), ph AS (SELECT pr, CAST(('0x' || substr(md5('b1:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h1, CAST(('0x' || substr(md5('b2:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h2 FROM probes), looked AS (SELECT pr, coalesce(w1.bits & (1::BIGINT << CAST(h1 % 32 AS INTEGER)), 0) <> 0 AND coalesce(w2.bits & (1::BIGINT << CAST(h2 % 32 AS INTEGER)), 0) <> 0 AS hit FROM ph LEFT JOIN words w1 ON w1.word = h1 // 32 LEFT JOIN words w2 ON w2.word = h2 // 32), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos FROM looked), nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys) SELECT n_keys, CAST(2097152 AS BIGINT) AS m_bits, n_probes, n_false_pos, (n_false_pos * 1000000) // n_probes AS fpr_micro FROM agg, nk""",
+    "q_mcnemar" ->
+      """WITH f AS (SELECT l_partkey, CAST(max(CASE WHEN year(l_shipdate) = 1997 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r97, CAST(max(CASE WHEN year(l_shipdate) = 1998 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r98, max(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) AS in97, max(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END) AS in98 FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1), p AS (SELECT * FROM f WHERE in97 = 1 AND in98 = 1), g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(CASE WHEN r97 = 1 AND r98 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(sum(CASE WHEN r97 = 0 AND r98 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c FROM p) SELECT n_pairs, b, c, CAST(CASE WHEN b + c = 0 THEN 0 ELSE ((b - c) * (b - c) * 1000000) // (b + c) END AS BIGINT) AS chi2_micro, (CASE WHEN b + c = 0 THEN 0 ELSE ((b - c) * (b - c) * 1000000) // (b + c) END) > 3841459 AS significant FROM g""",
+    "q_price_index" ->
+      """WITH py AS (SELECT l_partkey, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev0, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q0, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev1, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1 FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1 HAVING q0 > 0 AND q1 > 0), g AS (SELECT CAST(count(*) AS BIGINT) AS n_parts, CAST(sum((rev1 * q0) // q1) AS BIGINT) AS l_num, CAST(sum(rev0) AS BIGINT) AS l_den, CAST(sum(rev1) AS BIGINT) AS p_num, CAST(sum((rev0 * q1) // q0) AS BIGINT) AS p_den, CAST(sum(CAST(rev1 AS HUGEINT)) AS HUGEINT) AS r1, CAST(sum(CAST(q1 AS HUGEINT)) AS HUGEINT) AS tq1, CAST(sum(CAST(rev0 AS HUGEINT)) AS HUGEINT) AS r0, CAST(sum(CAST(q0 AS HUGEINT)) AS HUGEINT) AS tq0 FROM py) SELECT n_parts, (l_num * 1000000) // l_den AS laspeyres_micro, (p_num * 1000000) // p_den AS paasche_micro, CAST((r1 * tq0 * 1000000) // (tq1 * r0) AS BIGINT) AS unit_value_micro FROM g""",
+    "q_key_discovery" ->
+      """WITH k1 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)), k2 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)), k3 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey, o_orderdate)), k4 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)), k5 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)) SELECT 'orders(o_orderkey)' AS candidate, nr AS n_rows, nd AS n_distinct, md AS max_dup, nr = nd AS is_key FROM k1 UNION ALL SELECT 'orders(o_custkey)', nr, nd, md, nr = nd FROM k2 UNION ALL SELECT 'orders(o_custkey,o_orderdate)', nr, nd, md, nr = nd FROM k3 UNION ALL SELECT 'lineitem(l_orderkey)', nr, nd, md, nr = nd FROM k4 UNION ALL SELECT 'lineitem(l_orderkey,l_linenumber)', nr, nd, md, nr = nd FROM k5""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
