@@ -6648,6 +6648,85 @@ operations:
         .unionByName(kd(li, "lineitem(l_orderkey)", Seq("l_orderkey")))
         .unionByName(kd(li, "lineitem(l_orderkey,l_linenumber)",
           Seq("l_orderkey", "l_linenumber")))
+    }),
+
+    "q_paired_ttest" -> ((s, dir) => {
+      // paired t on the q_mcnemar panel's continuous outcome: per-part
+      // revenue difference 1998−1997 over matched parts, t = Σd /
+      // √(n(nΣd² − (Σd)²)/(n−1)) computed from exact DECIMAL(38,0)
+      // sums, rounded ONCE to micro. The pairing removes between-part
+      // variance — the right test when the same unit is observed twice.
+      val d = T(s, dir, "lineitem")
+        .filter(expr("year(l_shipdate) IN (1997, 1998)"))
+        .groupBy("l_partkey")
+        .agg(sum(when(expr("year(l_shipdate) = 1998"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).otherwise(0L)).as("rev1"),
+          sum(when(expr("year(l_shipdate) = 1997"),
+            expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).otherwise(0L)).as("rev0"),
+          max(when(expr("year(l_shipdate) = 1997"), 1L).otherwise(0L)).as("in97"),
+          max(when(expr("year(l_shipdate) = 1998"), 1L).otherwise(0L)).as("in98"))
+        .filter(col("in97") === 1L && col("in98") === 1L)
+        .select(expr("CAST(rev1 - rev0 AS DECIMAL(38,0))").as("d"))
+      d.agg(count(lit(1)).as("n"), sum("d").as("sd"),
+          sum(expr("d * d")).as("sdd"))
+        .select(col("n"), expr("CAST(sd AS BIGINT)").as("sum_d_c"),
+          expr("""CAST(round(CAST(sd AS DOUBLE)
+                 | / sqrt(CAST(n * sdd - sd * sd AS DOUBLE) / CAST(n - 1 AS DOUBLE))
+                 | * 1000000) AS BIGINT)""".stripMargin).as("t_micro"))
+    }),
+
+    "ev_ratio_delta" -> ((s, dir) => {
+      // ratio-metric inference (spend per event) with the DELTA METHOD:
+      // naive per-user averaging is biased and naive SEs ignore the
+      // denominator's variance — the correct read is R = Σx/Σy with
+      // Var(R) ≈ (s²_x + R²s²_y − 2R·s_xy)/(n·ȳ²). Per-user integer
+      // sums (user-consistent arms via user_id % 2), one double pass at
+      // the end, both micro-rounded once.
+      val per = events(s, dir)
+        .groupBy((col("user_id") % 2).as("arm"), col("user_id"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("x"),
+          count(lit(1)).as("y"))
+        .select(col("arm"), expr("CAST(x AS DECIMAL(38,0))").as("x"),
+          expr("CAST(y AS DECIMAL(38,0))").as("y"))
+      per.groupBy("arm")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(expr("x * x")).as("sxx"), sum(expr("y * y")).as("syy"),
+          sum(expr("x * y")).as("sxy"))
+        .select(col("arm"), col("n"),
+          expr("CAST((sx * 1000000) div sy AS BIGINT)").as("ratio_micro"),
+          expr("""CAST(round(sqrt((
+                 |   (CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+                 | + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                 |   * (CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+                 | - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE))
+                 |   * (CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))
+                 | ) / n) / (CAST(sy AS DOUBLE) / n) * 1000000) AS BIGINT)""".stripMargin)
+            .as("se_micro"))
+    }),
+
+    "q_iv" -> ((s, dir) => {
+      // information value / weight of evidence of the quantity feature
+      // against the returned flag — the credit-scoring feature screen.
+      // Laplace +1 smoothing (K = 10 literal bins) keeps every log
+      // argument positive and rational; ln is the only transcendental,
+      // rounded once per bin; the per-bin IV contribution sums
+      // order-free downstream.
+      val bins = T(s, dir, "lineitem")
+        .groupBy(expr("least(CAST(l_quantity AS BIGINT) div 10, 9)").as("bin"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"),
+          sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("neg"))
+        .localCheckpoint(true) // totals + per-bin read one frame
+      val tot = bins.agg(sum("pos").as("tp"), sum("neg").as("tn"))
+      bins.crossJoin(broadcast(tot))
+        .select(col("bin"), col("pos"), col("neg"),
+          expr("""CAST(round(ln((CAST(pos + 1 AS DOUBLE) * (tn + 10))
+                 | / (CAST(neg + 1 AS DOUBLE) * (tp + 10))) * 1000000) AS BIGINT)"""
+            .stripMargin).as("woe_micro"),
+          expr("""CAST(round((CAST(pos + 1 AS DOUBLE) / (tp + 10)
+                 | - CAST(neg + 1 AS DOUBLE) / (tn + 10))
+                 | * ln((CAST(pos + 1 AS DOUBLE) * (tn + 10))
+                 |      / (CAST(neg + 1 AS DOUBLE) * (tp + 10))) * 1000000) AS BIGINT)"""
+            .stripMargin).as("iv_micro"))
     })
   )
 
@@ -8662,6 +8741,12 @@ operations:
       """WITH py AS (SELECT l_partkey, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev0, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q0, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev1, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT) AS q1 FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1 HAVING q0 > 0 AND q1 > 0), g AS (SELECT CAST(count(*) AS BIGINT) AS n_parts, CAST(sum((rev1 * q0) // q1) AS BIGINT) AS l_num, CAST(sum(rev0) AS BIGINT) AS l_den, CAST(sum(rev1) AS BIGINT) AS p_num, CAST(sum((rev0 * q1) // q0) AS BIGINT) AS p_den, CAST(sum(CAST(rev1 AS HUGEINT)) AS HUGEINT) AS r1, CAST(sum(CAST(q1 AS HUGEINT)) AS HUGEINT) AS tq1, CAST(sum(CAST(rev0 AS HUGEINT)) AS HUGEINT) AS r0, CAST(sum(CAST(q0 AS HUGEINT)) AS HUGEINT) AS tq0 FROM py) SELECT n_parts, (l_num * 1000000) // l_den AS laspeyres_micro, (p_num * 1000000) // p_den AS paasche_micro, CAST((r1 * tq0 * 1000000) // (tq1 * r0) AS BIGINT) AS unit_value_micro FROM g""",
     "q_key_discovery" ->
       """WITH k1 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM orders GROUP BY o_orderkey)), k2 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey)), k3 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM orders GROUP BY o_custkey, o_orderdate)), k4 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey)), k5 AS (SELECT CAST(count(*) AS BIGINT) AS nd, CAST(sum(c) AS BIGINT) AS nr, CAST(max(c) AS BIGINT) AS md FROM (SELECT count(*) AS c FROM lineitem GROUP BY l_orderkey, l_linenumber)) SELECT 'orders(o_orderkey)' AS candidate, nr AS n_rows, nd AS n_distinct, md AS max_dup, nr = nd AS is_key FROM k1 UNION ALL SELECT 'orders(o_custkey)', nr, nd, md, nr = nd FROM k2 UNION ALL SELECT 'orders(o_custkey,o_orderdate)', nr, nd, md, nr = nd FROM k3 UNION ALL SELECT 'lineitem(l_orderkey)', nr, nd, md, nr = nd FROM k4 UNION ALL SELECT 'lineitem(l_orderkey,l_linenumber)', nr, nd, md, nr = nd FROM k5""",
+    "q_paired_ttest" ->
+      """WITH f AS (SELECT l_partkey, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev1, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN CAST(round(l_extendedprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev0, max(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) AS in97, max(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END) AS in98 FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1), d AS (SELECT CAST(rev1 - rev0 AS HUGEINT) AS d FROM f WHERE in97 = 1 AND in98 = 1), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(d) AS sd, sum(d * d) AS sdd FROM d) SELECT CAST(n AS BIGINT) AS n, CAST(sd AS BIGINT) AS sum_d_c, CAST(round(CAST(sd AS DOUBLE) / sqrt(CAST(n * sdd - sd * sd AS DOUBLE) / CAST(n - 1 AS DOUBLE)) * 1000000) AS BIGINT) AS t_micro FROM g""",
+    "ev_ratio_delta" ->
+      """WITH per AS (SELECT user_id % 2 AS arm, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x, CAST(count(*) AS HUGEINT) AS y FROM events GROUP BY arm, user_id), g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM per GROUP BY 1) SELECT arm, n, CAST((sx * 1000000) // sy AS BIGINT) AS ratio_micro, CAST(round(sqrt(((CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) / n) / (CAST(sy AS DOUBLE) / n) * 1000000) AS BIGINT) AS se_micro FROM g""",
+    "q_iv" ->
+      """WITH bins AS (SELECT least(CAST(l_quantity AS BIGINT) // 10, 9) AS bin, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos, CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS neg FROM lineitem GROUP BY 1), t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn FROM bins) SELECT bin, pos, neg, CAST(round(ln((CAST(pos + 1 AS DOUBLE) * (tn + 10)) / (CAST(neg + 1 AS DOUBLE) * (tp + 10))) * 1000000) AS BIGINT) AS woe_micro, CAST(round((CAST(pos + 1 AS DOUBLE) / (tp + 10) - CAST(neg + 1 AS DOUBLE) / (tn + 10)) * ln((CAST(pos + 1 AS DOUBLE) * (tn + 10)) / (CAST(neg + 1 AS DOUBLE) * (tp + 10))) * 1000000) AS BIGINT) AS iv_micro FROM bins, t""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
