@@ -6727,6 +6727,88 @@ operations:
                  | * ln((CAST(pos + 1 AS DOUBLE) * (tn + 10))
                  |      / (CAST(neg + 1 AS DOUBLE) * (tp + 10))) * 1000000) AS BIGINT)"""
             .stripMargin).as("iv_micro"))
+    }),
+
+    "ta_rouge" -> ((s, dir) => {
+      // set-ROUGE-1/2 between candidate near-dup pairs (consecutive
+      // same-language docs — the dd_components edge set, so the pair
+      // list is deterministic and bounded by the corpus, never
+      // quadratic): distinct-gram precision/recall/F in integer micro.
+      // The summarization-eval metric applied to dedup verification —
+      // LSH says "maybe dup", ROUGE quantifies how much actually
+      // overlaps.
+      val d = T(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          expr("filter(split(lower(text), '\\\\s+'), x -> x != '')").as("toks"))
+        .select(col("doc_id"), col("lang"),
+          expr("array_distinct(toks)").as("u1"),
+          expr("""array_distinct(transform(slice(toks, 1, greatest(size(toks) - 1, 0)),
+                 |  (x, i) -> concat(x, ' ', element_at(toks, i + 2))))""".stripMargin)
+            .as("u2"))
+        .localCheckpoint(true) // both sides of the consecutive-id join
+      val pairs = d.select((col("doc_id") + 1).as("doc_id"), col("doc_id").as("a_id"),
+          col("lang").as("lang_a"), col("u1").as("a1"), col("u2").as("a2"))
+        .join(d.select(col("doc_id"), col("doc_id").as("b_id"), col("lang").as("lang_b"),
+          col("u1").as("b1"), col("u2").as("b2")), Seq("doc_id"))
+        .filter(col("lang_a") === col("lang_b"))
+      pairs.select(col("a_id"), col("b_id"),
+          expr("size(filter(a1, x -> array_contains(b1, x)))").cast("long").as("o1"),
+          size(col("a1")).cast("long").as("na1"), size(col("b1")).cast("long").as("nb1"),
+          expr("size(filter(a2, x -> array_contains(b2, x)))").cast("long").as("o2"),
+          size(col("a2")).cast("long").as("na2"), size(col("b2")).cast("long").as("nb2"))
+        .select(col("a_id"), col("b_id"),
+          expr("CASE WHEN na1 = 0 THEN 0 ELSE (o1 * 1000000) div na1 END").as("r1_p_micro"),
+          expr("CASE WHEN nb1 = 0 THEN 0 ELSE (o1 * 1000000) div nb1 END").as("r1_r_micro"),
+          expr("CASE WHEN na1 + nb1 = 0 THEN 0 ELSE (2 * o1 * 1000000) div (na1 + nb1) END")
+            .as("r1_f_micro"),
+          expr("CASE WHEN na2 + nb2 = 0 THEN 0 ELSE (2 * o2 * 1000000) div (na2 + nb2) END")
+            .as("r2_f_micro"))
+    }),
+
+    "ev_retention" -> ((s, dir) => {
+      // classic N-day retention curve: each user's cohort is their
+      // first active day; the day-k rate is the share of the cohort
+      // active exactly k days later (k = 1, 3, 7). Distinct (user, day)
+      // first, then ONE join of cohorts to activity and a conditional
+      // agg — no per-user window, no k-way self-join.
+      val days = events(s, dir)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day_idx"))
+        .distinct().localCheckpoint(true) // cohort agg + activity probe
+      val cohort = days.groupBy("user_id").agg(min("day_idx").as("d0"))
+      cohort.join(days, Seq("user_id"))
+        .groupBy(col("d0"))
+        .agg(count_distinct(col("user_id")).as("n_cohort"),
+          sum(when(col("day_idx") === col("d0") + 1L, 1L).otherwise(0L)).as("n_d1"),
+          sum(when(col("day_idx") === col("d0") + 3L, 1L).otherwise(0L)).as("n_d3"),
+          sum(when(col("day_idx") === col("d0") + 7L, 1L).otherwise(0L)).as("n_d7"))
+        .select(col("d0").as("cohort_day"), col("n_cohort"),
+          expr("(n_d1 * 1000000) div n_cohort").as("d1_micro"),
+          expr("(n_d3 * 1000000) div n_cohort").as("d3_micro"),
+          expr("(n_d7 * 1000000) div n_cohort").as("d7_micro"))
+    }),
+
+    "dd_canonical" -> ((s, dir) => {
+      // canonical-record selection: within each duplicate cluster
+      // (dd_components' transitive islands), keep the HIGHEST-QUALITY
+      // copy (longest text, ties → smallest id) instead of the
+      // arbitrary min-id — the survivorship policy real dedup ships
+      // with. Components machinery + ONE per-cluster rank window.
+      import org.apache.spark.sql.expressions.Window
+      val d = T(s, dir, "documents")
+      val a = d.select((col("doc_id") + 1).as("nxt"),
+        col("doc_id").as("src"), col("lang").as("lang_a"))
+      val b = d.select(col("doc_id").as("nxt"),
+        col("doc_id").as("dst"), col("lang").as("lang_b"))
+      val edges = a.join(b, Seq("nxt"))
+        .where(col("lang_a") === col("lang_b")).select("src", "dst")
+      val comp = ext.Graph.componentsFor(d.select("doc_id"), "doc_id", edges)
+      val w = Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      d.select("doc_id", "n_chars").join(comp, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("component").as("cluster"), col("doc_id").as("canonical_id"),
+          col("n_chars"))
     })
   )
 
@@ -8747,6 +8829,15 @@ operations:
       """WITH per AS (SELECT user_id % 2 AS arm, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS HUGEINT) AS x, CAST(count(*) AS HUGEINT) AS y FROM events GROUP BY arm, user_id), g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM per GROUP BY 1) SELECT arm, n, CAST((sx * 1000000) // sy AS BIGINT) AS ratio_micro, CAST(round(sqrt(((CAST(n * sxx - sx * sx AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) + (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(n * syy - sy * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) - 2.0 * (CAST(sx AS DOUBLE) / CAST(sy AS DOUBLE)) * (CAST(n * sxy - sx * sy AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) / n) / (CAST(sy AS DOUBLE) / n) * 1000000) AS BIGINT) AS se_micro FROM g""",
     "q_iv" ->
       """WITH bins AS (SELECT least(CAST(l_quantity AS BIGINT) // 10, 9) AS bin, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos, CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS neg FROM lineitem GROUP BY 1), t AS (SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn FROM bins) SELECT bin, pos, neg, CAST(round(ln((CAST(pos + 1 AS DOUBLE) * (tn + 10)) / (CAST(neg + 1 AS DOUBLE) * (tp + 10))) * 1000000) AS BIGINT) AS woe_micro, CAST(round((CAST(pos + 1 AS DOUBLE) / (tp + 10) - CAST(neg + 1 AS DOUBLE) / (tn + 10)) * ln((CAST(pos + 1 AS DOUBLE) * (tn + 10)) / (CAST(neg + 1 AS DOUBLE) * (tp + 10))) * 1000000) AS BIGINT) AS iv_micro FROM bins, t""",
+    // ta_rouge: 1-based DuckDB lambda index pairs token j with toks[j+1],
+    // matching Spark's 0-based (x, i) -> element_at(toks, i + 2)
+    "ta_rouge" ->
+      """WITH t0 AS (SELECT doc_id, lang, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), d AS (SELECT doc_id, lang, list_distinct(toks) AS u1, list_distinct(list_transform(list_slice(toks, 1, greatest(len(toks) - 1, 0)), (x, i) -> concat(x, ' ', toks[i + 1]))) AS u2 FROM t0), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.u1 AS a1, a.u2 AS a2, b.u1 AS b1, b.u2 AS b2 FROM d a JOIN d b ON b.doc_id = a.doc_id + 1 AND a.lang = b.lang), o AS (SELECT a_id, b_id, CAST(len(list_filter(a1, x -> list_contains(b1, x))) AS BIGINT) AS o1, CAST(len(a1) AS BIGINT) AS na1, CAST(len(b1) AS BIGINT) AS nb1, CAST(len(list_filter(a2, x -> list_contains(b2, x))) AS BIGINT) AS o2, CAST(len(a2) AS BIGINT) AS na2, CAST(len(b2) AS BIGINT) AS nb2 FROM p) SELECT a_id, b_id, CAST(CASE WHEN na1 = 0 THEN 0 ELSE (o1 * 1000000) // na1 END AS BIGINT) AS r1_p_micro, CAST(CASE WHEN nb1 = 0 THEN 0 ELSE (o1 * 1000000) // nb1 END AS BIGINT) AS r1_r_micro, CAST(CASE WHEN na1 + nb1 = 0 THEN 0 ELSE (2 * o1 * 1000000) // (na1 + nb1) END AS BIGINT) AS r1_f_micro, CAST(CASE WHEN na2 + nb2 = 0 THEN 0 ELSE (2 * o2 * 1000000) // (na2 + nb2) END AS BIGINT) AS r2_f_micro FROM o""",
+    "ev_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx FROM events), c AS (SELECT user_id, min(day_idx) AS d0 FROM days GROUP BY 1), j AS (SELECT c.d0, c.user_id, days.day_idx FROM c JOIN days USING (user_id)), g AS (SELECT d0, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort, CAST(sum(CASE WHEN day_idx = d0 + 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_d1, CAST(sum(CASE WHEN day_idx = d0 + 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_d3, CAST(sum(CASE WHEN day_idx = d0 + 7 THEN 1 ELSE 0 END) AS BIGINT) AS n_d7 FROM j GROUP BY 1) SELECT d0 AS cohort_day, n_cohort, (n_d1 * 1000000) // n_cohort AS d1_micro, (n_d3 * 1000000) // n_cohort AS d3_micro, (n_d7 * 1000000) // n_cohort AS d7_micro FROM g""",
+    // dd_canonical: the dd_components islands + a quality-ranked pick
+    "dd_canonical" ->
+      """WITH runs AS (SELECT doc_id, n_chars, lang, doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS grp FROM documents), lbl AS (SELECT doc_id, n_chars, CAST(MIN(doc_id) OVER (PARTITION BY lang, grp) AS BIGINT) AS cluster FROM runs), r AS (SELECT cluster, doc_id, n_chars, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rk FROM lbl) SELECT cluster, doc_id AS canonical_id, CAST(n_chars AS BIGINT) AS n_chars FROM r WHERE rk = 1""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
