@@ -6809,6 +6809,70 @@ operations:
         .filter(col("rk") === 1)
         .select(col("component").as("cluster"), col("doc_id").as("canonical_id"),
           col("n_chars"))
+    }),
+
+    "q_xyz" -> ((s, dir) => {
+      // XYZ demand-variability classes (the q_abc companion): per part,
+      // the coefficient of variation of monthly demand — X (steady,
+      // cv < 0.5), Y (< 1.0), Z (erratic) by literal micro thresholds.
+      // Two cascaded hash aggs + one class panel; parts with a single
+      // observed month are excluded (cv undefined, documented).
+      val monthly = T(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), expr("date_trunc('month', l_shipdate)").as("m"))
+        .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("q"))
+      val cv = monthly.groupBy("l_partkey")
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"), sum(expr("q * q")).as("sqq"))
+        .filter(col("n") >= 2L)
+        .select(expr("""CAST(round(sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                       | / (CAST(n AS DOUBLE) * (n - 1)))
+                       | / (CAST(sq AS DOUBLE) / n) * 1000000) AS BIGINT)""".stripMargin)
+          .as("cv_micro"))
+      cv.select(when(col("cv_micro") < 500000L, "X")
+          .when(col("cv_micro") < 1000000L, "Y").otherwise("Z").as("xyz_class"),
+          col("cv_micro"))
+        .groupBy("xyz_class")
+        .agg(count(lit(1)).as("n_parts"),
+          expr("sum(cv_micro) div count(1)").as("avg_cv_micro"))
+    }),
+
+    "q_rolling_median" -> ((s, dir) => {
+      // 7-day rolling MEDIAN of daily revenue — the robust twin of
+      // q_moving's rolling mean: the bounded window materializes ≤7
+      // values per day (collect over the day domain — whitelisted),
+      // sorted in-row, lower median by integral rank. Integer cents
+      // end-to-end.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("d").rowsBetween(-6, Window.currentRow)
+      T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+        .withColumn("win", sort_array(collect_list(col("x")).over(w)))
+        .select(col("d"), col("x"),
+          size(col("win")).cast("long").as("n_win"),
+          expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))").as("med_c"))
+    }),
+
+    "ev_lifecycle" -> ((s, dir) => {
+      // daily growth accounting: each active user-day classified as new
+      // (first ever), retained (active yesterday), returning (gap 2–7
+      // days) or resurrected (gap > 7) — the DAU decomposition growth
+      // teams read. Distinct (user, day), ONE user-partitioned lag,
+      // one day panel agg.
+      import org.apache.spark.sql.expressions.Window
+      val days = events(s, dir)
+        .select(col("user_id"), expr("unix_timestamp(ts) div 86400").as("day_idx"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day_idx")
+      days.withColumn("gap", col("day_idx") - lag(col("day_idx"), 1).over(w))
+        .withColumn("cls", when(col("gap").isNull, "new")
+          .when(col("gap") === 1L, "retained")
+          .when(col("gap") <= 7L, "returning").otherwise("resurrected"))
+        .groupBy(col("day_idx"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("cls") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("cls") === "returning", 1L).otherwise(0L)).as("n_returning"),
+          sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
     })
   )
 
@@ -8838,6 +8902,12 @@ operations:
     // dd_canonical: the dd_components islands + a quality-ranked pick
     "dd_canonical" ->
       """WITH runs AS (SELECT doc_id, n_chars, lang, doc_id - ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS grp FROM documents), lbl AS (SELECT doc_id, n_chars, CAST(MIN(doc_id) OVER (PARTITION BY lang, grp) AS BIGINT) AS cluster FROM runs), r AS (SELECT cluster, doc_id, n_chars, row_number() OVER (PARTITION BY cluster ORDER BY n_chars DESC, doc_id ASC) AS rk FROM lbl) SELECT cluster, doc_id AS canonical_id, CAST(n_chars AS BIGINT) AS n_chars FROM r WHERE rk = 1""",
+    "q_xyz" ->
+      """WITH monthly AS (SELECT l_partkey, date_trunc('month', l_shipdate) AS m, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS q FROM lineitem GROUP BY 1, 2), agg AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n, CAST(sum(q) AS BIGINT) AS sq, CAST(sum(q * q) AS BIGINT) AS sqq FROM monthly GROUP BY 1), cv AS (SELECT CAST(round(sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1))) / (CAST(sq AS DOUBLE) / n) * 1000000) AS BIGINT) AS cv_micro FROM agg WHERE n >= 2), c AS (SELECT CASE WHEN cv_micro < 500000 THEN 'X' WHEN cv_micro < 1000000 THEN 'Y' ELSE 'Z' END AS xyz_class, cv_micro FROM cv) SELECT xyz_class, CAST(count(*) AS BIGINT) AS n_parts, CAST(sum(cv_micro) // count(*) AS BIGINT) AS avg_cv_micro FROM c GROUP BY 1""",
+    "q_rolling_median" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), w AS (SELECT d, x, list_sort(list(x) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win FROM daily) SELECT d, x, CAST(len(win) AS BIGINT) AS n_win, CAST(win[CAST((len(win) + 1) // 2 AS INTEGER)] AS BIGINT) AS med_c FROM w""",
+    "ev_lifecycle" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx FROM events), g AS (SELECT user_id, day_idx, day_idx - lag(day_idx, 1) OVER (PARTITION BY user_id ORDER BY day_idx) AS gap FROM days), c AS (SELECT day_idx, CASE WHEN gap IS NULL THEN 'new' WHEN gap = 1 THEN 'retained' WHEN gap <= 7 THEN 'returning' ELSE 'resurrected' END AS cls FROM g) SELECT day_idx, CAST(count(*) AS BIGINT) AS n_active, CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, CAST(sum(CASE WHEN cls = 'returning' THEN 1 ELSE 0 END) AS BIGINT) AS n_returning, CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected FROM c GROUP BY 1""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",

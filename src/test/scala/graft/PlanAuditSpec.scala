@@ -42,7 +42,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_fdr",          // ≤25-row brand panel (BH rank + suffix-min)
     "q_changepoint",  // day-domain prefix sums
     "q_croston",      // day-domain occurrence indexing
-    "srch_ndcg"       // 10-row retrieved frame
+    "srch_ndcg",      // 10-row retrieved frame
+    "q_rolling_median" // day-domain 7-value collect
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
