@@ -6873,8 +6873,136 @@ operations:
           sum(when(col("cls") === "retained", 1L).otherwise(0L)).as("n_retained"),
           sum(when(col("cls") === "returning", 1L).otherwise(0L)).as("n_returning"),
           sum(when(col("cls") === "resurrected", 1L).otherwise(0L)).as("n_resurrected"))
+    }),
+
+    "ev_shapley" -> ((s, dir) => {
+      // Shapley-value channel attribution over touch coalitions: v(S) =
+      // observed conversion rate of users whose touched-channel set is
+      // S (view/click/signup → purchase), φ_c = Σ_S |S|!(k−|S|−1)!/k! ·
+      // (v(S∪c) − v(S)) with the k=3 factorial weights as exact sixths
+      // (per-term integral div, order-free sum). ONE user agg → an
+      // 8-row coalition panel → a 12-row literal term table. The
+      // game-theoretic attribution ev_attribution's heuristics
+      // approximate.
+      val users = events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("hv"),
+          max(when(col("event_type") === "click", 2L).otherwise(0L)).as("hc"),
+          max(when(col("event_type") === "signup", 4L).otherwise(0L)).as("hs"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val panel = users
+        .groupBy((col("hv") + col("hc") + col("hs")).as("mask"))
+        .agg(count(lit(1)).as("n_users"), sum("conv").as("n_conv"))
+        .select(col("mask"), expr("(n_conv * 1000000) div n_users").as("v_micro"))
+        .localCheckpoint(true) // joined twice by the term table
+      val terms = s.createDataFrame(shapleyTerms)
+        .toDF("channel", "with_mask", "without_mask", "w_num")
+      terms
+        .join(broadcast(panel.select(col("mask").as("with_mask"),
+          col("v_micro").as("v_with"))), Seq("with_mask"), "left")
+        .join(broadcast(panel.select(col("mask").as("without_mask"),
+          col("v_micro").as("v_without"))), Seq("without_mask"), "left")
+        .select(col("channel"),
+          expr("(w_num * (coalesce(v_with, 0) - coalesce(v_without, 0))) div 6")
+            .as("term"))
+        .groupBy("channel").agg(sum("term").as("phi_micro"))
+    }),
+
+    "sim_rproj" -> ((s, dir) => {
+      // Johnson-Lindenstrauss random projection 64→8 with a FIXED ±1
+      // sign matrix (md5-derived at build time, embedded as literals in
+      // both engines): per vector, the projected squared norm /8 vs the
+      // original — the distortion audit that justifies projecting
+      // BEFORE the expensive ANN stages. Pure per-row codegen
+      // arithmetic in one fixed textual order; no shuffle at all.
+      graft.functions.VectorExprs.register(s)
+      val nn = ext.Vectors.dot(col("embedding"), col("embedding"))
+      val base = T(s, dir, "embeddings")
+        .select(col("vec_id") +: nn.as("nn") +:
+          (0 until 8).map(j =>
+            expr(rprojExprSql(j, "element_at(embedding, %d)")).as(s"p$j")): _*)
+      base
+        .withColumn("pn8", expr(
+          (0 until 8).map(j => s"p$j * p$j").mkString("(", " + ", ") / 8.0")))
+        .select(col("vec_id"),
+          expr("CAST(round(nn * 1000000) AS BIGINT)").as("nn_micro"),
+          expr("CAST(round(pn8 * 1000000) AS BIGINT)").as("pn8_micro"),
+          expr("CASE WHEN nn = 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(round(pn8 / nn * 1000000) AS BIGINT) END")
+            .as("ratio_micro"))
+    }),
+
+    "ta_fertility" -> ((s, dir) => {
+      // tokenizer fertility per language: chars per BPE-ish token and
+      // BPE-ish tokens per whitespace word — the standard tokenizer-
+      // efficiency read (high fertility → wasted context budget). One
+      // hash agg over ta_tokens' counting expressions.
+      T(s, dir, "documents")
+        .select(col("lang"),
+          ext.TextAnalysis.tokenCount(col("text")).as("nw"),
+          ext.TextAnalysis.bpeishTokenCount(col("text")).as("nb"),
+          length(col("text")).cast("long").as("nc"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("nc").as("chars"),
+          sum("nb").as("bpeish"), sum("nw").as("words"))
+        .select(col("lang"), col("n_docs"), col("chars"), col("bpeish"),
+          expr("(chars * 1000000) div bpeish").as("chars_per_tok_micro"),
+          expr("(bpeish * 1000000) div words").as("fertility_micro"))
     })
   )
+
+  /** Shapley factorial-weight term table for k = 3 channels: for channel
+    * bit c and each coalition S of the OTHER two bits, w = w_num/6 with
+    * w_num = 2, 1, 1, 2 for |S| = 0, 1, 1, 2.
+    */
+  private val shapleyTerms: Seq[(String, Long, Long, Long)] = {
+    val bits = Seq("view" -> 1L, "click" -> 2L, "signup" -> 4L)
+    for {
+      (name, b) <- bits
+      others = bits.map(_._2).filterNot(_ == b)
+      sub <- Seq(Seq.empty[Long], Seq(others.head), Seq(others(1)), others)
+    } yield {
+      val mask = sub.sum
+      val wNum = sub.size match { case 0 => 2L; case 1 => 1L; case _ => 2L }
+      (name, mask + b, mask, wNum)
+    }
+  }
+
+  /** ±1 JL sign matrix (8×64), fixed at build time from md5("rp:j:i") —
+    * the SAME literals serve the engine expression and the oracle.
+    */
+  private lazy val rprojSigns: Array[Array[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(8, 64) { (j, i) =>
+      val h = md.digest(s"rp:$j:$i".getBytes("UTF-8"))
+      md.reset()
+      if (((h(0) >> 4) & 0xf) < 8) 1 else -1
+    }
+  }
+
+  /** The projection sum for output dim `j` as a fixed-order textual
+    * chain; `elemFmt` renders element access (1-based index).
+    */
+  private def rprojExprSql(j: Int, elemFmt: String): String =
+    (0 until 64).map { i =>
+      val sg = if (rprojSigns(j)(i) == 1) "1.0" else "-1.0"
+      s"($sg * CAST(${elemFmt.format(i + 1)} AS DOUBLE))"
+    }.mkString(" + ")
+
+  /** sim_rproj: the same sign literals, the same left-assoc chains. */
+  private lazy val rprojOracleSql: String = {
+    val ps = (0 until 8).map(j => s"${rprojExprSql(j, "v[%d]")} AS p$j").mkString(", ")
+    val pn8 = (0 until 8).map(j => s"p$j * p$j").mkString("(", " + ", ") / 8.0")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), b AS (SELECT vec_id, list_dot_product(v, v) AS nn, $ps FROM e), p AS (SELECT vec_id, nn, $pn8 AS pn8 FROM b) SELECT vec_id, CAST(round(nn * 1000000) AS BIGINT) AS nn_micro, CAST(round(pn8 * 1000000) AS BIGINT) AS pn8_micro, CASE WHEN nn = 0.0 THEN CAST(0 AS BIGINT) ELSE CAST(round(pn8 / nn * 1000000) AS BIGINT) END AS ratio_micro FROM p"""
+  }
+
+  /** ev_shapley: coalition panel + the same 12-row factorial-weight term
+    * table rendered as literal VALUES.
+    */
+  private lazy val shapleyOracleSql: String = {
+    val values = shapleyTerms.map { case (c, w, wo, n) => s"('$c', $w, $wo, $n)" }
+      .mkString(", ")
+    s"""WITH users AS (SELECT user_id, CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS hv, CAST(max(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END) AS BIGINT) AS hc, CAST(max(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS BIGINT) AS hs, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY 1), panel AS (SELECT hv + hc + hs AS mask, (CAST(sum(conv) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS v_micro FROM users GROUP BY 1), t(channel, with_mask, without_mask, w_num) AS (VALUES $values), terms AS (SELECT channel, (w_num * (coalesce(pw.v_micro, 0) - coalesce(po.v_micro, 0))) // 6 AS term FROM t LEFT JOIN panel pw ON pw.mask = t.with_mask LEFT JOIN panel po ON po.mask = t.without_mask) SELECT channel, CAST(sum(term) AS BIGINT) AS phi_micro FROM terms GROUP BY 1"""
+  }
 
   /** Weighted blocklist for ta_blocklist — shared with its oracle. */
   private val blocklistTerms: Seq[(String, Long)] =
@@ -8908,6 +9036,10 @@ operations:
       """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), w AS (SELECT d, x, list_sort(list(x) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win FROM daily) SELECT d, x, CAST(len(win) AS BIGINT) AS n_win, CAST(win[CAST((len(win) + 1) // 2 AS INTEGER)] AS BIGINT) AS med_c FROM w""",
     "ev_lifecycle" ->
       """WITH days AS (SELECT DISTINCT user_id, CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day_idx FROM events), g AS (SELECT user_id, day_idx, day_idx - lag(day_idx, 1) OVER (PARTITION BY user_id ORDER BY day_idx) AS gap FROM days), c AS (SELECT day_idx, CASE WHEN gap IS NULL THEN 'new' WHEN gap = 1 THEN 'retained' WHEN gap <= 7 THEN 'returning' ELSE 'resurrected' END AS cls FROM g) SELECT day_idx, CAST(count(*) AS BIGINT) AS n_active, CAST(sum(CASE WHEN cls = 'new' THEN 1 ELSE 0 END) AS BIGINT) AS n_new, CAST(sum(CASE WHEN cls = 'retained' THEN 1 ELSE 0 END) AS BIGINT) AS n_retained, CAST(sum(CASE WHEN cls = 'returning' THEN 1 ELSE 0 END) AS BIGINT) AS n_returning, CAST(sum(CASE WHEN cls = 'resurrected' THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected FROM c GROUP BY 1""",
+    "ev_shapley" -> shapleyOracleSql,
+    "sim_rproj" -> rprojOracleSql,
+    "ta_fertility" ->
+      """WITH c AS (SELECT lang, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS nw, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS nb, CAST(length(text) AS BIGINT) AS nc FROM documents), g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nc) AS BIGINT) AS chars, CAST(sum(nb) AS BIGINT) AS bpeish, CAST(sum(nw) AS BIGINT) AS words FROM c GROUP BY 1) SELECT lang, n_docs, chars, bpeish, (chars * 1000000) // bpeish AS chars_per_tok_micro, (bpeish * 1000000) // words AS fertility_micro FROM g""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
