@@ -6947,6 +6947,79 @@ operations:
         .select(col("lang"), col("n_docs"), col("chars"), col("bpeish"),
           expr("(chars * 1000000) div bpeish").as("chars_per_tok_micro"),
           expr("(bpeish * 1000000) div words").as("fertility_micro"))
+    }),
+
+    "q_kendall" -> ((s, dir) => {
+      // Kendall τ-b between the daily revenue and daily quantity series:
+      // concordant−discordant over the bounded day panel (broadcast
+      // side, like q_mannkendall — never a data-scale pattern), tie
+      // corrections per axis in exact integers, ONE double sqrt at the
+      // end. The rank-correlation that tolerates ties better than
+      // Spearman.
+      val daily = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("y"))
+        .localCheckpoint(true) // pair join + tie panels + n
+      val cd = daily.select(col("d").as("d1"), col("x").as("x1"), col("y").as("y1"))
+        .join(broadcast(daily.select(col("d").as("d2"), col("x").as("x2"),
+          col("y").as("y2"))), col("d1") < col("d2"))
+        .agg(sum(expr("CAST(sign(x2 - x1) * sign(y2 - y1) AS BIGINT)")).as("s"))
+      val tx = daily.groupBy("x").agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("n1"))
+      val ty = daily.groupBy("y").agg(count(lit(1)).as("t"))
+        .agg(sum(expr("t * (t - 1) div 2")).as("n2"))
+      val n = daily.agg(count(lit(1)).as("n"))
+      cd.crossJoin(broadcast(tx)).crossJoin(broadcast(ty)).crossJoin(broadcast(n))
+        .select(col("n"), col("s"), col("n1"), col("n2"),
+          expr("""CAST(round(CAST(s AS DOUBLE)
+                 | / sqrt((CAST(n * (n - 1) div 2 - n1 AS DOUBLE))
+                 |        * (CAST(n * (n - 1) div 2 - n2 AS DOUBLE)))
+                 | * 1000000) AS BIGINT)""".stripMargin).as("tau_micro"))
+    }),
+
+    "ev_session_sensitivity" -> ((s, dir) => {
+      // session-timeout sensitivity sweep: sessions(τ) = users + gaps
+      // exceeding τ — so the τ ∈ {15, 30, 60} min panel needs ONE
+      // user-partitioned lag pass and a conditional agg, not three
+      // sessionizations. The parameter-sweep-as-conditional-agg pattern.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val gaps = events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("gap_s",
+          expr("unix_timestamp(ts)") - expr("unix_timestamp(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))"))
+      val agg = gaps.agg(
+        count_distinct(col("user_id")).as("n_users"),
+        sum(when(col("gap_s") > 900L, 1L).otherwise(0L)).as("g15"),
+        sum(when(col("gap_s") > 1800L, 1L).otherwise(0L)).as("g30"),
+        sum(when(col("gap_s") > 3600L, 1L).otherwise(0L)).as("g60"))
+      val taus = s.createDataFrame(Seq((900L, "g15"), (1800L, "g30"), (3600L, "g60")))
+        .toDF("tau_s", "gcol")
+      taus.crossJoin(broadcast(agg))
+        .select(col("tau_s"), col("n_users"),
+          (col("n_users") + expr(
+            "CASE gcol WHEN 'g15' THEN g15 WHEN 'g30' THEN g30 ELSE g60 END"))
+            .as("n_sessions"))
+        .withColumn("sessions_per_user_micro",
+          expr("(n_sessions * 1000000) div n_users"))
+    }),
+
+    "mm_entropy" -> ((s, dir) => {
+      // Shannon entropy of each decoded image's 16-bin luma histogram in
+      // micro-nats: per-bin terms −p·ln p are micro-rounded BEFORE the
+      // sum (order-free; ln is the only transcendental). Flat images
+      // score 0; the planted sawtooths land near ln 16. Decode is
+      // per-partition; the agg is 16 rows per image.
+      implicit val sp: SparkSession = s
+      ext.Multimodal.lumaHistogram(
+          ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
+        .filter(col("n_px") > 0L)
+        .withColumn("term", expr(
+          """CAST(round(-(CAST(n_px AS DOUBLE) / 1024.0)
+             | * ln(CAST(n_px AS DOUBLE) / 1024.0) * 1000000) AS BIGINT)""".stripMargin))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_occupied"), sum("term").as("entropy_micronats"))
     })
   )
 
@@ -9040,6 +9113,14 @@ operations:
     "sim_rproj" -> rprojOracleSql,
     "ta_fertility" ->
       """WITH c AS (SELECT lang, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS nw, CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS BIGINT) AS nb, CAST(length(text) AS BIGINT) AS nc FROM documents), g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nc) AS BIGINT) AS chars, CAST(sum(nb) AS BIGINT) AS bpeish, CAST(sum(nw) AS BIGINT) AS words FROM c GROUP BY 1) SELECT lang, n_docs, chars, bpeish, (chars * 1000000) // bpeish AS chars_per_tok_micro, (bpeish * 1000000) // words AS fertility_micro FROM g""",
+    "q_kendall" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS y FROM lineitem GROUP BY 1), cd AS (SELECT CAST(sum(CAST(sign(b.x - a.x) * sign(b.y - a.y) AS BIGINT)) AS BIGINT) AS s FROM daily a JOIN daily b ON a.d < b.d), tx AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1 FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY x)), ty AS (SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n2 FROM (SELECT CAST(count(*) AS BIGINT) AS t FROM daily GROUP BY y)), nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM daily) SELECT n, s, n1, n2, CAST(round(CAST(s AS DOUBLE) / sqrt((CAST(n * (n - 1) // 2 - n1 AS DOUBLE)) * (CAST(n * (n - 1) // 2 - n2 AS DOUBLE))) * 1000000) AS BIGINT) AS tau_micro FROM cd, tx, ty, nn""",
+    "ev_session_sensitivity" ->
+      """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), a AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users, CAST(sum(CASE WHEN gap_s > 900 THEN 1 ELSE 0 END) AS BIGINT) AS g15, CAST(sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS g30, CAST(sum(CASE WHEN gap_s > 3600 THEN 1 ELSE 0 END) AS BIGINT) AS g60 FROM g), t(tau_s, gcol) AS (VALUES (900, 'g15'), (1800, 'g30'), (3600, 'g60')) SELECT CAST(tau_s AS BIGINT) AS tau_s, n_users, n_users + (CASE gcol WHEN 'g15' THEN g15 WHEN 'g30' THEN g30 ELSE g60 END) AS n_sessions, ((n_users + (CASE gcol WHEN 'g15' THEN g15 WHEN 'g30' THEN g30 ELSE g60 END)) * 1000000) // n_users AS sessions_per_user_micro FROM t, a""",
+    // mm_entropy: the closed-form grid histogram + the same per-bin
+    // micro-rounded −p·ln p terms
+    "mm_entropy" ->
+      """WITH px AS (SELECT d.doc_id, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), c AS (SELECT doc_id, luma // 16 AS bin, CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY 1, 2), t AS (SELECT doc_id, CAST(round(-(CAST(n_px AS DOUBLE) / 1024.0) * ln(CAST(n_px AS DOUBLE) / 1024.0) * 1000000) AS BIGINT) AS term FROM c WHERE n_px > 0) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_occupied, CAST(sum(term) AS BIGINT) AS entropy_micronats FROM t GROUP BY 1""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
