@@ -7020,6 +7020,76 @@ operations:
              | * ln(CAST(n_px AS DOUBLE) / 1024.0) * 1000000) AS BIGINT)""".stripMargin))
         .groupBy("media_id")
         .agg(count(lit(1)).as("n_occupied"), sum("term").as("entropy_micronats"))
+    }),
+
+    "q_cpk" -> ((s, dir) => {
+      // process capability Cp / Cpk per return flag against literal
+      // quantity spec limits [5, 45] — the SPC read that complements
+      // q_cusum's drift alarm: exact integer sums, sample σ, ONE double
+      // formula micro-rounded. Cpk < 1 means the process breaches spec.
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("sq"),
+          sum(expr("CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)")).as("sqq"))
+        .select(col("l_returnflag"), col("n"),
+          expr("""CAST(round((45.0 - 5.0)
+                 | / (6.0 * sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                 |               / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000) AS BIGINT)"""
+            .stripMargin).as("cp_micro"),
+          expr("""CAST(round(least(45.0 - CAST(sq AS DOUBLE) / n,
+                 |                 CAST(sq AS DOUBLE) / n - 5.0)
+                 | / (3.0 * sqrt(CAST(n * sqq - sq * sq AS DOUBLE)
+                 |               / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000) AS BIGINT)"""
+            .stripMargin).as("cpk_micro"))
+    }),
+
+    "ev_late" -> ((s, dir) => {
+      // out-of-order arrival audit: with event_id as the arrival order,
+      // an event is LATE when its timestamp precedes the running max of
+      // everything that arrived before it (per user — the partitioned
+      // form of the watermark question streaming cares about). One
+      // user-keyed window; daily panel of late share + worst skew.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("prev_max", max(col("ts")).over(w))
+        .select(to_date(col("ts")).as("d"),
+          (col("prev_max").isNotNull && col("ts") < col("prev_max")).as("late"),
+          when(col("prev_max").isNotNull && col("ts") < col("prev_max"),
+            expr("unix_timestamp(prev_max) - unix_timestamp(ts)")).otherwise(0L)
+            .as("skew_s"))
+        .groupBy("d")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          max("skew_s").as("max_skew_s"))
+        .withColumn("late_micro", expr("(n_late * 1000000) div n_events"))
+    }),
+
+    "q_emd" -> ((s, dir) => {
+      // 1-D earth mover's distance between the returned and kept price
+      // histograms: EMD₁ = Σ_bins |ΔCDF| over the bounded 10-bin domain
+      // (per-bin micro shares first, cumulative over the bin panel —
+      // whitelisted), the drift metric that, unlike PSI/KS, weights HOW
+      // FAR mass moved.
+      import org.apache.spark.sql.expressions.Window
+      val bins = T(s, dir, "lineitem")
+        .groupBy(expr("least(CAST(round(l_extendedprice * 100) AS BIGINT) div 1000000, 9)")
+          .as("bin"))
+        .agg(sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("r"),
+          sum(when(col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("k"))
+        .localCheckpoint(true) // totals + panel
+      val tot = bins.agg(sum("r").as("tr"), sum("k").as("tk"))
+      val w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)
+      bins.crossJoin(broadcast(tot))
+        .withColumn("sr", expr("(r * 1000000) div tr"))
+        .withColumn("sk", expr("(k * 1000000) div tk"))
+        .withColumn("cum_diff", sum(col("sr") - col("sk")).over(w))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(abs(col("cum_diff"))).as("emd_micro"))
     })
   )
 
@@ -9121,6 +9191,12 @@ operations:
     // micro-rounded −p·ln p terms
     "mm_entropy" ->
       """WITH px AS (SELECT d.doc_id, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), c AS (SELECT doc_id, luma // 16 AS bin, CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY 1, 2), t AS (SELECT doc_id, CAST(round(-(CAST(n_px AS DOUBLE) / 1024.0) * ln(CAST(n_px AS DOUBLE) / 1024.0) * 1000000) AS BIGINT) AS term FROM c WHERE n_px > 0) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_occupied, CAST(sum(term) AS BIGINT) AS entropy_micronats FROM t GROUP BY 1""",
+    "q_cpk" ->
+      """WITH g AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sq, CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS sqq FROM lineitem GROUP BY 1) SELECT l_returnflag, n, CAST(round((45.0 - 5.0) / (6.0 * sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000) AS BIGINT) AS cp_micro, CAST(round(least(45.0 - CAST(sq AS DOUBLE) / n, CAST(sq AS DOUBLE) / n - 5.0) / (3.0 * sqrt(CAST(n * sqq - sq * sq AS DOUBLE) / (CAST(n AS DOUBLE) * (n - 1)))) * 1000000) AS BIGINT) AS cpk_micro FROM g""",
+    "ev_late" ->
+      """WITH p AS (SELECT user_id, event_id, ts, max(ts) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM events), c AS (SELECT CAST(ts AS DATE) AS d, (prev_max IS NOT NULL AND ts < prev_max) AS late, CASE WHEN prev_max IS NOT NULL AND ts < prev_max THEN CAST(floor(epoch(prev_max)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) ELSE 0 END AS skew_s FROM p) SELECT d, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late, CAST(max(skew_s) AS BIGINT) AS max_skew_s, (CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS late_micro FROM c GROUP BY 1""",
+    "q_emd" ->
+      """WITH bins AS (SELECT least(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000, 9) AS bin, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r, CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k FROM lineitem GROUP BY 1), t AS (SELECT CAST(sum(r) AS BIGINT) AS tr, CAST(sum(k) AS BIGINT) AS tk FROM bins), c AS (SELECT bin, (r * 1000000) // tr AS sr, (k * 1000000) // tk AS sk FROM bins, t), cc AS (SELECT bin, sum(sr - sk) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_diff FROM c) SELECT CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(abs(cum_diff)) AS BIGINT) AS emd_micro FROM cc""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
