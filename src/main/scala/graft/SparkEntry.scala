@@ -7090,6 +7090,68 @@ operations:
         .withColumn("cum_diff", sum(col("sr") - col("sk")).over(w))
         .agg(count(lit(1)).as("n_bins"),
           sum(abs(col("cum_diff"))).as("emd_micro"))
+    }),
+
+    "q_hhi" -> ((s, dir) => {
+      // Herfindahl-Hirschman supplier concentration per nation: shares
+      // micro-rounded per supplier (order-free), HHI = Σ share² — the
+      // antitrust metric next to q_gini/q_lorenz. Two cascaded keyed
+      // aggs; > 250000 micro (0.25) is the usual "concentrated" bar.
+      val rev = T(s, dir, "lineitem")
+        .join(T(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("rev"))
+        .localCheckpoint(true) // nation totals + shares
+      val nat = rev.groupBy("s_nationkey").agg(sum("rev").as("nrev"))
+      rev.join(nat, "s_nationkey")
+        .withColumn("share_micro", expr("(rev * 1000000) div nrev"))
+        .groupBy(col("s_nationkey").as("nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(expr("(share_micro * share_micro) div 1000000")).as("hhi_micro"),
+          max("share_micro").as("top_share_micro"))
+        .withColumn("concentrated", col("hhi_micro") > 250000L)
+    }),
+
+    "q_logloss" -> ((s, dir) => {
+      // log-loss of q_calibration's linear risk rule (p = qty·2%,
+      // clamped to [0.01, 0.99]): terms grouped by the BOUNDED
+      // (quantity, outcome) panel first — ≤100 cells — so each −ln term
+      // is computed once, micro-rounded once, and weighted by exact
+      // counts. The proper-scoring-rule companion to q_auc /
+      // q_calibration.
+      val cells = T(s, dir, "lineitem")
+        .groupBy(expr("CAST(l_quantity AS BIGINT)").as("qty"),
+          (col("l_returnflag") === "R").as("y"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p", expr(
+          "greatest(least(CAST(qty AS DOUBLE) * 0.02, 0.99), 0.01)"))
+        .withColumn("term_micro", expr(
+          """CAST(round(CASE WHEN y THEN -ln(p) ELSE -ln(1.0 - p) END * 1000000)
+             | AS BIGINT)""".stripMargin))
+      cells.agg(sum("n").as("n_rows"),
+          sum(expr("n * term_micro")).as("ll_sum"))
+        .select(col("n_rows"),
+          expr("ll_sum div n_rows").as("logloss_micro"))
+    }),
+
+    "q_volatility" -> ((s, dir) => {
+      // realized volatility per month: daily log-returns of revenue
+      // (micro-rounded once per day — the only ln), monthly vol =
+      // √(Σr²/n) in micro. Return indexing runs on the bounded day
+      // domain (whitelisted); the month panel is tiny.
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("d")
+      T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+        .withColumn("r_micro", expr(
+          "CAST(round(ln(CAST(x AS DOUBLE) / CAST(lag(x, 1) OVER (ORDER BY d) AS DOUBLE)) * 1000000) AS BIGINT)"))
+        .filter(col("r_micro").isNotNull)
+        .groupBy(expr("date_trunc('month', d)").cast("date").as("month"))
+        .agg(count(lit(1)).as("n_days"),
+          sum("r_micro").as("sum_r_micro"),
+          expr("CAST(round(sqrt(CAST(sum(r_micro * r_micro) AS DOUBLE) / count(1))) AS BIGINT)")
+            .as("vol_micro"))
     })
   )
 
@@ -9197,6 +9259,12 @@ operations:
       """WITH p AS (SELECT user_id, event_id, ts, max(ts) OVER (PARTITION BY user_id ORDER BY event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max FROM events), c AS (SELECT CAST(ts AS DATE) AS d, (prev_max IS NOT NULL AND ts < prev_max) AS late, CASE WHEN prev_max IS NOT NULL AND ts < prev_max THEN CAST(floor(epoch(prev_max)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) ELSE 0 END AS skew_s FROM p) SELECT d, CAST(count(*) AS BIGINT) AS n_events, CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) AS n_late, CAST(max(skew_s) AS BIGINT) AS max_skew_s, (CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS late_micro FROM c GROUP BY 1""",
     "q_emd" ->
       """WITH bins AS (SELECT least(CAST(round(l_extendedprice * 100) AS BIGINT) // 1000000, 9) AS bin, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r, CAST(sum(CASE WHEN l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS k FROM lineitem GROUP BY 1), t AS (SELECT CAST(sum(r) AS BIGINT) AS tr, CAST(sum(k) AS BIGINT) AS tk FROM bins), c AS (SELECT bin, (r * 1000000) // tr AS sr, (k * 1000000) // tk AS sk FROM bins, t), cc AS (SELECT bin, sum(sr - sk) OVER (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_diff FROM c) SELECT CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(abs(cum_diff)) AS BIGINT) AS emd_micro FROM cc""",
+    "q_hhi" ->
+      """WITH rev AS (SELECT s_nationkey, s_suppkey, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev FROM lineitem JOIN supplier ON l_suppkey = s_suppkey GROUP BY 1, 2), nat AS (SELECT s_nationkey, CAST(sum(rev) AS BIGINT) AS nrev FROM rev GROUP BY 1), sh AS (SELECT rev.s_nationkey, (rev.rev * 1000000) // nrev AS share_micro FROM rev JOIN nat USING (s_nationkey)), g AS (SELECT s_nationkey AS nationkey, CAST(count(*) AS BIGINT) AS n_suppliers, CAST(sum((share_micro * share_micro) // 1000000) AS BIGINT) AS hhi_micro, CAST(max(share_micro) AS BIGINT) AS top_share_micro FROM sh GROUP BY 1) SELECT nationkey, n_suppliers, hhi_micro, top_share_micro, hhi_micro > 250000 AS concentrated FROM g""",
+    "q_logloss" ->
+      """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag = 'R' AS y, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), t AS (SELECT n, CAST(round(CASE WHEN y THEN -ln(greatest(least(CAST(qty AS DOUBLE) * 0.02, 0.99), 0.01)) ELSE -ln(1.0 - greatest(least(CAST(qty AS DOUBLE) * 0.02, 0.99), 0.01)) END * 1000000) AS BIGINT) AS term_micro FROM cells) SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(sum(n * term_micro) AS BIGINT) // CAST(sum(n) AS BIGINT) AS logloss_micro FROM t""",
+    "q_volatility" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), r AS (SELECT d, CAST(round(ln(CAST(x AS DOUBLE) / CAST(lag(x, 1) OVER (ORDER BY d) AS DOUBLE)) * 1000000) AS BIGINT) AS r_micro FROM daily) SELECT CAST(date_trunc('month', d) AS DATE) AS month, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(r_micro) AS BIGINT) AS sum_r_micro, CAST(round(sqrt(CAST(sum(r_micro * r_micro) AS DOUBLE) / count(*))) AS BIGINT) AS vol_micro FROM r WHERE r_micro IS NOT NULL GROUP BY 1""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",

@@ -44,7 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_croston",      // day-domain occurrence indexing
     "srch_ndcg",      // 10-row retrieved frame
     "q_rolling_median", // day-domain 7-value collect
-    "q_emd"           // 10-bin histogram CDF
+    "q_emd",          // 10-bin histogram CDF
+    "q_volatility"    // day-domain log-returns
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
