@@ -7152,6 +7152,72 @@ operations:
           sum("r_micro").as("sum_r_micro"),
           expr("CAST(round(sqrt(CAST(sum(r_micro * r_micro) AS DOUBLE) / count(1))) AS BIGINT)")
             .as("vol_micro"))
+    }),
+
+    "q_dense_ids" -> ((s, dir) => {
+      // surrogate-key / dictionary-id assignment: every customer name
+      // gets a dense 0-based id in name order WITHOUT a single-partition
+      // sort — ext.Ranks' range-partitioned rank + offset scalars (the
+      // zipWithIndex replacement that survives 10⁹ keys). The oracle is
+      // the plain row_number the small fixture affords.
+      val base = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"))
+        .withColumn("__one__", lit(1L))
+      ext.Ranks.groupedRank(base, "__one__", Seq(col("c_name")), "rk")
+        .select(col("c_custkey"), col("c_name"), (col("rk") - 1L).as("dense_id"))
+    }),
+
+    "q_residuals" -> ((s, dir) => {
+      // standardized Pearson residuals of the returnflag × linestatus
+      // table — the cell-level diagnostic behind q_chisq's single
+      // statistic: r = (o − e)/√(e(1−rp)(1−cp)), exact integer margins,
+      // ONE double formula per cell micro-rounded. |r| > 2 marks the
+      // driving cells.
+      val cells = T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // margins + cells
+      val rt = cells.groupBy("l_returnflag").agg(sum("o").as("r"))
+      val ct = cells.groupBy("l_linestatus").agg(sum("o").as("c"))
+      val nt = cells.agg(sum("o").as("n"))
+      cells.join(rt, "l_returnflag").join(ct, "l_linestatus")
+        .crossJoin(broadcast(nt))
+        .select(col("l_returnflag"), col("l_linestatus"), col("o"),
+          expr("CAST((r * c * 1000000) div n AS BIGINT)").as("e_micro"),
+          expr("""CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
+                 | / sqrt(CAST(r AS DOUBLE) * c / n
+                 |        * (1.0 - CAST(r AS DOUBLE) / n)
+                 |        * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT)"""
+            .stripMargin).as("resid_micro"))
+        .withColumn("driving", abs(col("resid_micro")) > 2000000L)
+    }),
+
+    "q_dw" -> ((s, dir) => {
+      // Durbin-Watson autocorrelation diagnostic on daily revenue
+      // residuals (mean-detrended): DW = Σ(eₜ−eₜ₋₁)²/Σeₜ², made exact
+      // by scaling through n — numerator Σn²(xₜ−xₜ₋₁)², denominator
+      // Σ(n·xₜ−S)², both DECIMAL(38,0). DW ≈ 2 means independent
+      // residuals; < 1 strong positive autocorrelation. Day-domain lag
+      // (whitelisted).
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+        .localCheckpoint(true) // totals + lag pass
+      val tot = daily.agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      daily
+        .withColumn("xp", lag(col("x"), 1).over(Window.orderBy("d")))
+        .crossJoin(broadcast(tot))
+        .agg(max("n").as("n_days"),
+          sum(expr(
+            """CASE WHEN xp IS NULL THEN CAST(0 AS DECIMAL(38,0))
+               | ELSE CAST(n AS DECIMAL(38,0)) * n * (x - xp) * (x - xp) END"""
+              .stripMargin)).as("num"),
+          sum(expr(
+            "(CAST(n AS DECIMAL(38,0)) * x - sx) * (CAST(n AS DECIMAL(38,0)) * x - sx)"))
+            .as("den"))
+        .select(col("n_days"),
+          expr("CAST((num * 1000000) div den AS BIGINT)").as("dw_micro"))
     })
   )
 
@@ -9265,6 +9331,12 @@ operations:
       """WITH cells AS (SELECT CAST(l_quantity AS BIGINT) AS qty, l_returnflag = 'R' AS y, CAST(count(*) AS BIGINT) AS n FROM lineitem GROUP BY 1, 2), t AS (SELECT n, CAST(round(CASE WHEN y THEN -ln(greatest(least(CAST(qty AS DOUBLE) * 0.02, 0.99), 0.01)) ELSE -ln(1.0 - greatest(least(CAST(qty AS DOUBLE) * 0.02, 0.99), 0.01)) END * 1000000) AS BIGINT) AS term_micro FROM cells) SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(sum(n * term_micro) AS BIGINT) // CAST(sum(n) AS BIGINT) AS logloss_micro FROM t""",
     "q_volatility" ->
       """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), r AS (SELECT d, CAST(round(ln(CAST(x AS DOUBLE) / CAST(lag(x, 1) OVER (ORDER BY d) AS DOUBLE)) * 1000000) AS BIGINT) AS r_micro FROM daily) SELECT CAST(date_trunc('month', d) AS DATE) AS month, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(r_micro) AS BIGINT) AS sum_r_micro, CAST(round(sqrt(CAST(sum(r_micro * r_micro) AS DOUBLE) / count(*))) AS BIGINT) AS vol_micro FROM r WHERE r_micro IS NOT NULL GROUP BY 1""",
+    "q_dense_ids" ->
+      """SELECT c_custkey, c_name, CAST(row_number() OVER (ORDER BY c_name) - 1 AS BIGINT) AS dense_id FROM customer""",
+    "q_residuals" ->
+      """WITH cells AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2), rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), j AS (SELECT cells.l_returnflag, cells.l_linestatus, o, r, c, n FROM cells JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN nt) SELECT l_returnflag, l_linestatus, o, CAST((r * c * 1000000) // n AS BIGINT) AS e_micro, CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT) AS resid_micro, abs(CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT)) > 2000000 AS driving FROM j""",
+    "q_dw" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM daily), l AS (SELECT x, lag(x, 1) OVER (ORDER BY d) AS xp FROM daily), g AS (SELECT CAST(max(n) AS BIGINT) AS n_days, sum(CASE WHEN xp IS NULL THEN 0::HUGEINT ELSE CAST(n AS HUGEINT) * n * (x - xp) * (x - xp) END) AS num, sum((CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)) AS den FROM l, t) SELECT n_days, CAST((num * 1000000) // den AS BIGINT) AS dw_micro FROM g""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",

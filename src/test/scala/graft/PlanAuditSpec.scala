@@ -45,7 +45,8 @@ class PlanAuditSpec extends SparkSpec {
     "srch_ndcg",      // 10-row retrieved frame
     "q_rolling_median", // day-domain 7-value collect
     "q_emd",          // 10-bin histogram CDF
-    "q_volatility"    // day-domain log-returns
+    "q_volatility",   // day-domain log-returns
+    "q_dw"            // day-domain residual lag
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
