@@ -7218,6 +7218,86 @@ operations:
             .as("den"))
         .select(col("n_days"),
           expr("CAST((num * 1000000) div den AS BIGINT)").as("dw_micro"))
+    }),
+
+    "q_relative_risk" -> ((s, dir) => {
+      // relative risk + odds ratio with log-normal 95% CIs for the
+      // deep-discount → return 2×2: exact integer cells, the CI bounds
+      // exp(ln OR ± 1.96·√(1/a+1/b+1/c+1/d)) micro-rounded once — the
+      // epidemiology effect-size read next to q_chisq's significance.
+      val g = T(s, dir, "lineitem")
+        .agg(sum(when(expr("l_discount >= 0.05 AND l_returnflag = 'R'"), 1L)
+            .otherwise(0L)).as("a"),
+          sum(when(expr("l_discount >= 0.05 AND l_returnflag != 'R'"), 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(expr("l_discount < 0.05 AND l_returnflag = 'R'"), 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(expr("l_discount < 0.05 AND l_returnflag != 'R'"), 1L)
+            .otherwise(0L)).as("d"))
+      g.select(col("a"), col("b"), col("c"), col("d"),
+        expr("""CAST(round(CAST(a AS DOUBLE) / (a + b)
+               | / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT)""".stripMargin)
+          .as("rr_micro"),
+        expr("""CAST(round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+               | * 1000000) AS BIGINT)""".stripMargin).as("or_micro"),
+        expr("""CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+               | - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT)"""
+          .stripMargin).as("or_lo_micro"),
+        expr("""CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+               | + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT)"""
+          .stripMargin).as("or_hi_micro"))
+    }),
+
+    "ev_audience_overlap" -> ((s, dir) => {
+      // audience-overlap matrix: Jaccard between the user sets of each
+      // event-type pair — ONE per-user flag agg, then every pairwise
+      // intersection/union as conditional sums over the user frame (no
+      // self-join of users, no 5×5 scan repetition). The
+      // marketing-segment dedup read.
+      val flags = events(s, dir)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "view", 1L).otherwise(0L)).as("f_view"),
+          max(when(col("event_type") === "click", 1L).otherwise(0L)).as("f_click"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("f_purchase"),
+          max(when(col("event_type") === "signup", 1L).otherwise(0L)).as("f_signup"),
+          max(when(col("event_type") === "error", 1L).otherwise(0L)).as("f_error"))
+        .localCheckpoint(true) // one frame, ten pair sums
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      val pairs = for {
+        i <- types.indices; j <- types.indices if i < j
+      } yield (types(i), types(j))
+      pairs.map { case (t1, t2) =>
+        flags.agg(
+          sum(when(col(s"f_$t1") === 1L && col(s"f_$t2") === 1L, 1L).otherwise(0L))
+            .as("n_both"),
+          sum(when(col(s"f_$t1") === 1L || col(s"f_$t2") === 1L, 1L).otherwise(0L))
+            .as("n_either"))
+          .select(lit(t1).as("type_a"), lit(t2).as("type_b"), col("n_both"),
+            col("n_either"),
+            expr("CASE WHEN n_either = 0 THEN 0 ELSE (n_both * 1000000) div n_either END")
+              .as("jaccard_micro"))
+      }.reduce(_ unionByName _)
+    }),
+
+    "q_monotonicity" -> ((s, dir) => {
+      // calibration monotonicity audit: is the empirical return rate
+      // non-decreasing in quantity? Adjacent-bin violations over the
+      // bounded quantity panel (whitelisted lag), reporting the count
+      // and the worst inversion — the cheap isotonic check before
+      // anyone fits PAVA.
+      import org.apache.spark.sql.expressions.Window
+      val bins = T(s, dir, "lineitem")
+        .groupBy(expr("CAST(l_quantity AS BIGINT)").as("qty"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("pos"))
+        .withColumn("rate_micro", expr("(pos * 1000000) div n"))
+      bins
+        .withColumn("prev", lag(col("rate_micro"), 1).over(Window.orderBy("qty")))
+        .agg(count(lit(1)).as("n_bins"),
+          sum(when(col("prev").isNotNull && col("rate_micro") < col("prev"), 1L)
+            .otherwise(0L)).as("n_violations"),
+          max(when(col("prev").isNotNull && col("rate_micro") < col("prev"),
+            col("prev") - col("rate_micro")).otherwise(0L)).as("worst_drop_micro"))
     })
   )
 
@@ -7632,6 +7712,21 @@ operations:
       block("is_purchase", "CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END"))
       .mkString(" UNION ALL ")
     s"SELECT covariate, n0, n1, smd_micro, abs(smd_micro) > 100000 AS imbalanced FROM ($u)"
+  }
+
+  /** ev_audience_overlap: the same ten pair blocks over one flag CTE. */
+  private lazy val audienceOverlapOracleSql: String = {
+    val types = Seq("view", "click", "purchase", "signup", "error")
+    val flags = types.map(t =>
+      s"CAST(max(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS f_$t")
+      .mkString(", ")
+    val blocks = (for {
+      i <- types.indices; j <- types.indices if i < j
+    } yield {
+      val (t1, t2) = (types(i), types(j))
+      s"(SELECT '$t1' AS type_a, '$t2' AS type_b, CAST(sum(CASE WHEN f_$t1 = 1 AND f_$t2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_both, CAST(sum(CASE WHEN f_$t1 = 1 OR f_$t2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_either FROM flags)"
+    }).mkString(" UNION ALL ")
+    s"WITH flags AS (SELECT user_id, $flags FROM events GROUP BY 1) SELECT type_a, type_b, n_both, n_either, CAST(CASE WHEN n_either = 0 THEN 0 ELSE (n_both * 1000000) // n_either END AS BIGINT) AS jaccard_micro FROM ($blocks)"
   }
 
   /** g_modularity: the labelprop replay plus exact-integer Newman
@@ -9337,6 +9432,11 @@ operations:
       """WITH cells AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2), rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), j AS (SELECT cells.l_returnflag, cells.l_linestatus, o, r, c, n FROM cells JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN nt) SELECT l_returnflag, l_linestatus, o, CAST((r * c * 1000000) // n AS BIGINT) AS e_micro, CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT) AS resid_micro, abs(CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT)) > 2000000 AS driving FROM j""",
     "q_dw" ->
       """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM daily), l AS (SELECT x, lag(x, 1) OVER (ORDER BY d) AS xp FROM daily), g AS (SELECT CAST(max(n) AS BIGINT) AS n_days, sum(CASE WHEN xp IS NULL THEN 0::HUGEINT ELSE CAST(n AS HUGEINT) * n * (x - xp) * (x - xp) END) AS num, sum((CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)) AS den FROM l, t) SELECT n_days, CAST((num * 1000000) // den AS BIGINT) AS dw_micro FROM g""",
+    "q_relative_risk" ->
+      """WITH g AS (SELECT CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d FROM lineitem) SELECT a, b, c, d, CAST(round(CAST(a AS DOUBLE) / (a + b) / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT) AS rr_micro, CAST(round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) * 1000000) AS BIGINT) AS or_micro, CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) AS or_lo_micro, CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) AS or_hi_micro FROM g""",
+    "ev_audience_overlap" -> audienceOverlapOracleSql,
+    "q_monotonicity" ->
+      """WITH bins AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM lineitem GROUP BY 1), r AS (SELECT qty, (pos * 1000000) // n AS rate_micro FROM bins), l AS (SELECT rate_micro, lag(rate_micro, 1) OVER (ORDER BY qty) AS prev FROM r) SELECT CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(CASE WHEN prev IS NOT NULL AND rate_micro < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, CAST(max(CASE WHEN prev IS NOT NULL AND rate_micro < prev THEN prev - rate_micro ELSE 0 END) AS BIGINT) AS worst_drop_micro FROM l""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",

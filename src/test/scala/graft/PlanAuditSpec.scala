@@ -46,7 +46,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_rolling_median", // day-domain 7-value collect
     "q_emd",          // 10-bin histogram CDF
     "q_volatility",   // day-domain log-returns
-    "q_dw"            // day-domain residual lag
+    "q_dw",           // day-domain residual lag
+    "q_monotonicity"  // bounded quantity panel lag
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
