@@ -7298,6 +7298,77 @@ operations:
             .otherwise(0L)).as("n_violations"),
           max(when(col("prev").isNotNull && col("rate_micro") < col("prev"),
             col("prev") - col("rate_micro")).otherwise(0L)).as("worst_drop_micro"))
+    }),
+
+    "q_evt" -> ((s, dir) => {
+      // extreme-value (Gumbel) fit on monthly block maxima of daily
+      // revenue via method of moments: β = s√6/π, μ = m̄ − γβ (Euler γ
+      // as a literal), and the 12-block return level μ − β·ln(−ln(1 −
+      // 1/12)) — the tail-risk read behind capacity planning. Exact
+      // integer block maxima; ONE double formula, micro-rounded.
+      val maxima = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+        .groupBy(expr("date_trunc('month', d)").as("m"))
+        .agg(max("x").as("mx"))
+      maxima.agg(count(lit(1)).as("n_blocks"),
+          sum(expr("CAST(mx AS DECIMAL(38,0))")).as("sm"),
+          sum(expr("CAST(mx AS DECIMAL(38,0)) * mx")).as("smm"))
+        .withColumn("beta", expr(
+          """sqrt(CAST(n_blocks * smm - sm * sm AS DOUBLE)
+             | / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)))
+             | * 0.7796968012336761""".stripMargin)) // √6/π
+        .withColumn("mu", expr(
+          "CAST(sm AS DOUBLE) / n_blocks - 0.5772156649015329 * beta"))
+        .select(col("n_blocks"),
+          expr("CAST(round(mu) AS BIGINT)").as("mu_c"),
+          expr("CAST(round(beta) AS BIGINT)").as("beta_c"),
+          // −2.4417163988 = ln(−ln(11/12)) as a literal: Spark parses
+          // 1.0/12.0 as DECIMAL(·,6) division (0.083333), not double
+          expr("CAST(round(mu - beta * (-2.441716398881459)) AS BIGINT)")
+            .as("rl12_c"))
+    }),
+
+    "q_mix_shift" -> ((s, dir) => {
+      // mix/rate decomposition (Oaxaca-style) of the 1997→1998 return-
+      // rate change by brand: Δ = Σ(w₁−w₀)·r₀ (mix effect: volume moved
+      // toward different brands) + Σw₁·(r₁−r₀) (rate effect: brands
+      // themselves changed). Shares and rates micro-rounded per brand
+      // (order-free), per-term products ÷10⁶ — the "why did the metric
+      // move" decomposition every KPI review wants.
+      val b = T(s, dir, "lineitem")
+        .filter(expr("year(l_shipdate) IN (1997, 1998)"))
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(sum(when(expr("year(l_shipdate) = 1997"), 1L).otherwise(0L)).as("n0"),
+          sum(when(expr("year(l_shipdate) = 1997 AND l_returnflag = 'R'"), 1L)
+            .otherwise(0L)).as("x0"),
+          sum(when(expr("year(l_shipdate) = 1998"), 1L).otherwise(0L)).as("n1"),
+          sum(when(expr("year(l_shipdate) = 1998 AND l_returnflag = 'R'"), 1L)
+            .otherwise(0L)).as("x1"))
+        .localCheckpoint(true) // totals + panel
+      val tot = b.agg(sum("n0").as("t0"), sum("n1").as("t1"))
+      b.crossJoin(broadcast(tot))
+        .select(col("p_brand"),
+          expr("(n0 * 1000000) div t0").as("w0_micro"),
+          expr("(n1 * 1000000) div t1").as("w1_micro"),
+          expr("CASE WHEN n0 = 0 THEN 0 ELSE (x0 * 1000000) div n0 END").as("r0_micro"),
+          expr("CASE WHEN n1 = 0 THEN 0 ELSE (x1 * 1000000) div n1 END").as("r1_micro"))
+        .select(col("p_brand"), col("w0_micro"), col("w1_micro"),
+          col("r0_micro"), col("r1_micro"),
+          expr("((w1_micro - w0_micro) * r0_micro) div 1000000").as("mix_term_micro"),
+          expr("(w1_micro * (r1_micro - r0_micro)) div 1000000").as("rate_term_micro"))
+    }),
+
+    "mm_sharpness" -> ((s, dir) => {
+      // blur detection with a REAL decode: the variance of the 4-
+      // neighbor Laplacian over interior pixels — the classic OpenCV
+      // sharpness score, in exact integers ((nΣx²−(Σx)²) div n²).
+      // Per-partition codec work; the oracle replays both sums from the
+      // closed-form grid.
+      implicit val sp: SparkSession = s
+      ext.Multimodal.sharpness(
+        ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
     })
   )
 
@@ -9437,6 +9508,13 @@ operations:
     "ev_audience_overlap" -> audienceOverlapOracleSql,
     "q_monotonicity" ->
       """WITH bins AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM lineitem GROUP BY 1), r AS (SELECT qty, (pos * 1000000) // n AS rate_micro FROM bins), l AS (SELECT rate_micro, lag(rate_micro, 1) OVER (ORDER BY qty) AS prev FROM r) SELECT CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(CASE WHEN prev IS NOT NULL AND rate_micro < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, CAST(max(CASE WHEN prev IS NOT NULL AND rate_micro < prev THEN prev - rate_micro ELSE 0 END) AS BIGINT) AS worst_drop_micro FROM l""",
+    "q_evt" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), mx AS (SELECT date_trunc('month', d) AS m, CAST(max(x) AS HUGEINT) AS mx FROM daily GROUP BY 1), g AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks, sum(mx) AS sm, sum(mx * mx) AS smm FROM mx), f AS (SELECT n_blocks, sqrt(CAST(n_blocks * smm - sm * sm AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))) * 0.7796968012336761 AS beta, CAST(sm AS DOUBLE) / n_blocks AS mean FROM g) SELECT n_blocks, CAST(round(mean - 0.5772156649015329 * beta) AS BIGINT) AS mu_c, CAST(round(beta) AS BIGINT) AS beta_c, CAST(round((mean - 0.5772156649015329 * beta) - beta * (-2.441716398881459)) AS BIGINT) AS rl12_c FROM f""",
+    "q_mix_shift" ->
+      """WITH b AS (SELECT p_brand, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n0, CAST(sum(CASE WHEN year(l_shipdate) = 1997 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x0, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN year(l_shipdate) = 1998 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x1 FROM lineitem JOIN part ON l_partkey = p_partkey WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1), t AS (SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1 FROM b), sh AS (SELECT p_brand, (n0 * 1000000) // t0 AS w0_micro, (n1 * 1000000) // t1 AS w1_micro, CASE WHEN n0 = 0 THEN 0 ELSE (x0 * 1000000) // n0 END AS r0_micro, CASE WHEN n1 = 0 THEN 0 ELSE (x1 * 1000000) // n1 END AS r1_micro FROM b, t) SELECT p_brand, w0_micro, w1_micro, r0_micro, r1_micro, CAST(((w1_micro - w0_micro) * r0_micro) // 1000000 AS BIGINT) AS mix_term_micro, CAST((w1_micro * (r1_micro - r0_micro)) // 1000000 AS BIGINT) AS rate_term_micro FROM sh""",
+    // mm_sharpness: Laplacian sums replayed from the planted grid
+    "mm_sharpness" ->
+      """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), lap AS (SELECT c.doc_id, 4 * c.luma - lft.luma - rgt.luma - up.luma - dn.luma AS v FROM px c JOIN px lft ON lft.doc_id = c.doc_id AND lft.y = c.y AND lft.x = c.x - 1 JOIN px rgt ON rgt.doc_id = c.doc_id AND rgt.y = c.y AND rgt.x = c.x + 1 JOIN px up ON up.doc_id = c.doc_id AND up.x = c.x AND up.y = c.y - 1 JOIN px dn ON dn.doc_id = c.doc_id AND dn.x = c.x AND dn.y = c.y + 1 WHERE c.x BETWEEN 1 AND 30 AND c.y BETWEEN 1 AND 30) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_px, CAST((count(*) * sum(v * v) - sum(v) * sum(v)) // (count(*) * count(*)) AS BIGINT) AS lap_var FROM lap GROUP BY 1""",
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",

@@ -716,6 +716,41 @@ object Multimodal {
       }
   }
 
+  case class Sharpness(media_id: Long, n_px: Long, lap_var: Long)
+
+  /** Variance of the 4-neighbor Laplacian over the 30×30 interior —
+    * the OpenCV blur score, exact integers end-to-end.
+    */
+  def sharpness(media: DataFrame)(implicit spark: SparkSession): Dataset[Sharpness] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth != 32 || img.getHeight != 32) None
+          else {
+            def l(x: Int, y: Int): Long = ((img.getRGB(x, y) >> 16) & 0xff).toLong
+            var s = 0L; var ss = 0L; var n = 0L
+            var y = 1
+            while (y < 31) {
+              var x = 1
+              while (x < 31) {
+                val v = 4 * l(x, y) - l(x - 1, y) - l(x + 1, y) - l(x, y - 1) - l(x, y + 1)
+                s += v; ss += v * v; n += 1
+                x += 1
+              }
+              y += 1
+            }
+            Some(Sharpness(rec.media_id, n, (n * ss - s * s) / (n * n)))
+          }
+        }
+      }
+  }
+
   /** Image near-dup pairs by dHash Hamming distance ≤ `maxHamming`,
     * found via 4×16-bit banding (pigeonhole: ≤3 differing bits leave at
     * least one band intact), candidate-capped through the shared
