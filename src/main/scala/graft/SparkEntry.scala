@@ -7369,6 +7369,86 @@ operations:
       implicit val sp: SparkSession = s
       ext.Multimodal.sharpness(
         ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
+    }),
+
+    "ta_negsample" -> ((s, dir) => {
+      // word2vec-style negative-sampling table: the unigram distribution
+      // raised to 3/4 (Mikolov's smoothing — rare words get MORE noise
+      // mass), per-token weights micro-rounded before the share divide
+      // so the table is order-free. Two cascaded aggs over the vocab;
+      // at scale the vocab frame is ≪ the corpus.
+      val tf = T(s, dir, "documents")
+        .select(explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+          .as("token"))
+        .groupBy("token").agg(count(lit(1)).as("tf"))
+        .withColumn("w75_micro", expr(
+          "CAST(round(exp(0.75 * ln(CAST(tf AS DOUBLE))) * 1000000) AS BIGINT)"))
+        .localCheckpoint(true) // total + shares
+      val tot = tf.agg(sum("w75_micro").as("wt"))
+      tf.crossJoin(broadcast(tot))
+        .select(col("token"), col("tf"), col("w75_micro"),
+          expr("(w75_micro * 1000000) div wt").as("p_micro"))
+    }),
+
+    "q_eb_shrink" -> ((s, dir) => {
+      // empirical-Bayes rate shrinkage: per-brand return rates pulled
+      // toward the pooled rate with a method-of-moments Beta prior
+      // (α+β from the between-brand variance) — the James-Stein move
+      // that stops small brands from topping every ranking. Exact
+      // integer sufficient stats; the prior solves in ONE double pass
+      // broadcast back over the brand panel.
+      val b = T(s, dir, "lineitem")
+        .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("x"))
+        .withColumn("rate_micro", expr("(x * 1000000) div n"))
+        .localCheckpoint(true) // moments + panel
+      val mom = b.agg(count(lit(1)).as("k"), sum("rate_micro").as("sr"),
+          sum(expr("rate_micro * rate_micro")).as("srr"))
+        .select(expr("CAST(sr AS DOUBLE) / k / 1000000").as("m"),
+          expr("""CAST(k * srr - sr * sr AS DOUBLE)
+                 | / (CAST(k AS DOUBLE) * (k - 1)) / 1e12""".stripMargin).as("v"))
+        .select(col("m"), col("v"),
+          expr("CASE WHEN v <= 0.0 THEN 1000.0 ELSE m * (m * (1.0 - m) / v - 1.0) END")
+            .as("alpha"),
+          expr("CASE WHEN v <= 0.0 THEN 1000.0 ELSE (1.0 - m) * (m * (1.0 - m) / v - 1.0) END")
+            .as("beta"))
+      b.crossJoin(broadcast(mom))
+        .select(col("p_brand"), col("n"), col("x"), col("rate_micro"),
+          expr("""CAST(round((CAST(x AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta)
+                 | * 1000000) AS BIGINT)""".stripMargin).as("shrunk_micro"))
+    }),
+
+    "mm_ssim" -> ((s, dir) => {
+      // SSIM between consecutive decoded images (global window): exact
+      // integer pixel sums through the zip of the two REAL-decoded luma
+      // vectors, the standard C1/C2 stabilizers as literals, one double
+      // formula micro-rounded. The pairwise perceptual-similarity
+      // companion to mm_phash's per-image fingerprint.
+      implicit val sp: SparkSession = s
+      val v = ext.Multimodal.lumaVector(
+        ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
+        .localCheckpoint(true) // both sides of the consecutive join
+      val pairs = v.select((col("media_id") + 1).as("media_id"),
+          col("media_id").as("a_id"), col("luma").as("la"))
+        .join(v.select(col("media_id"), col("media_id").as("b_id"),
+          col("luma").as("lb")), Seq("media_id"))
+      pairs.select(col("a_id"), col("b_id"),
+          expr("aggregate(la, 0L, (acc, x) -> acc + x)").as("sx"),
+          expr("aggregate(lb, 0L, (acc, x) -> acc + x)").as("sy"),
+          expr("aggregate(la, 0L, (acc, x) -> acc + x * x)").as("sxx"),
+          expr("aggregate(lb, 0L, (acc, x) -> acc + x * x)").as("syy"),
+          expr("aggregate(zip_with(la, lb, (x, y) -> x * y), 0L, (acc, x) -> acc + x)")
+            .as("sxy"))
+        .select(col("a_id"), col("b_id"),
+          expr("""CAST(round(
+                 |  ((2.0 * (CAST(sx AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024) + 6.5025)
+                 |   * (2.0 * (CAST(sxy AS DOUBLE) / 1024 - (CAST(sx AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024)) + 58.5225))
+                 |  / (((CAST(sx AS DOUBLE) / 1024) * (CAST(sx AS DOUBLE) / 1024) + (CAST(sy AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024) + 6.5025)
+                 |     * ((CAST(sxx AS DOUBLE) / 1024 - (CAST(sx AS DOUBLE) / 1024) * (CAST(sx AS DOUBLE) / 1024))
+                 |        + (CAST(syy AS DOUBLE) / 1024 - (CAST(sy AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024)) + 58.5225))
+                 |  * 1000000) AS BIGINT)""".stripMargin).as("ssim_micro"))
     })
   )
 
@@ -9512,6 +9592,14 @@ operations:
       """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), mx AS (SELECT date_trunc('month', d) AS m, CAST(max(x) AS HUGEINT) AS mx FROM daily GROUP BY 1), g AS (SELECT CAST(count(*) AS BIGINT) AS n_blocks, sum(mx) AS sm, sum(mx * mx) AS smm FROM mx), f AS (SELECT n_blocks, sqrt(CAST(n_blocks * smm - sm * sm AS DOUBLE) / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1))) * 0.7796968012336761 AS beta, CAST(sm AS DOUBLE) / n_blocks AS mean FROM g) SELECT n_blocks, CAST(round(mean - 0.5772156649015329 * beta) AS BIGINT) AS mu_c, CAST(round(beta) AS BIGINT) AS beta_c, CAST(round((mean - 0.5772156649015329 * beta) - beta * (-2.441716398881459)) AS BIGINT) AS rl12_c FROM f""",
     "q_mix_shift" ->
       """WITH b AS (SELECT p_brand, CAST(sum(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) AS BIGINT) AS n0, CAST(sum(CASE WHEN year(l_shipdate) = 1997 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x0, CAST(sum(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END) AS BIGINT) AS n1, CAST(sum(CASE WHEN year(l_shipdate) = 1998 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x1 FROM lineitem JOIN part ON l_partkey = p_partkey WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1), t AS (SELECT CAST(sum(n0) AS BIGINT) AS t0, CAST(sum(n1) AS BIGINT) AS t1 FROM b), sh AS (SELECT p_brand, (n0 * 1000000) // t0 AS w0_micro, (n1 * 1000000) // t1 AS w1_micro, CASE WHEN n0 = 0 THEN 0 ELSE (x0 * 1000000) // n0 END AS r0_micro, CASE WHEN n1 = 0 THEN 0 ELSE (x1 * 1000000) // n1 END AS r1_micro FROM b, t) SELECT p_brand, w0_micro, w1_micro, r0_micro, r1_micro, CAST(((w1_micro - w0_micro) * r0_micro) // 1000000 AS BIGINT) AS mix_term_micro, CAST((w1_micro * (r1_micro - r0_micro)) // 1000000 AS BIGINT) AS rate_term_micro FROM sh""",
+    "ta_negsample" ->
+      """WITH tok AS (SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token FROM documents), tf AS (SELECT token, CAST(count(*) AS BIGINT) AS tf FROM tok GROUP BY 1), w AS (SELECT token, tf, CAST(round(exp(0.75 * ln(CAST(tf AS DOUBLE))) * 1000000) AS BIGINT) AS w75_micro FROM tf), t AS (SELECT CAST(sum(w75_micro) AS BIGINT) AS wt FROM w) SELECT token, tf, w75_micro, (w75_micro * 1000000) // wt AS p_micro FROM w, t""",
+    "q_eb_shrink" ->
+      """WITH b AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS x FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1), r AS (SELECT p_brand, n, x, (x * 1000000) // n AS rate_micro FROM b), mom AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(rate_micro) AS BIGINT) AS sr, CAST(sum(rate_micro * rate_micro) AS BIGINT) AS srr FROM r), pr AS (SELECT CAST(sr AS DOUBLE) / k / 1000000 AS m, CAST(k * srr - sr * sr AS DOUBLE) / (CAST(k AS DOUBLE) * (k - 1)) / 1e12 AS v FROM mom), ab AS (SELECT CASE WHEN v <= 0.0 THEN 1000.0 ELSE m * (m * (1.0 - m) / v - 1.0) END AS alpha, CASE WHEN v <= 0.0 THEN 1000.0 ELSE (1.0 - m) * (m * (1.0 - m) / v - 1.0) END AS beta FROM pr) SELECT p_brand, n, x, rate_micro, CAST(round((CAST(x AS DOUBLE) + alpha) / (CAST(n AS DOUBLE) + alpha + beta) * 1000000) AS BIGINT) AS shrunk_micro FROM r, ab""",
+    // mm_ssim: paired pixel sums replayed from the closed-form grids of
+    // consecutive doc ids; the SSIM formula text matches the engine's
+    "mm_ssim" ->
+      """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.luma AS xa, b.luma AS xb FROM px a JOIN px b ON b.doc_id = a.doc_id + 1 AND b.x = a.x AND b.y = a.y), g AS (SELECT a_id, b_id, CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy, CAST(sum(xa * xa) AS BIGINT) AS sxx, CAST(sum(xb * xb) AS BIGINT) AS syy, CAST(sum(xa * xb) AS BIGINT) AS sxy FROM p GROUP BY 1, 2) SELECT a_id, b_id, CAST(round(((2.0 * (CAST(sx AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024) + 6.5025) * (2.0 * (CAST(sxy AS DOUBLE) / 1024 - (CAST(sx AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024)) + 58.5225)) / (((CAST(sx AS DOUBLE) / 1024) * (CAST(sx AS DOUBLE) / 1024) + (CAST(sy AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024) + 6.5025) * ((CAST(sxx AS DOUBLE) / 1024 - (CAST(sx AS DOUBLE) / 1024) * (CAST(sx AS DOUBLE) / 1024)) + (CAST(syy AS DOUBLE) / 1024 - (CAST(sy AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024)) + 58.5225)) * 1000000) AS BIGINT) AS ssim_micro FROM g""",
     // mm_sharpness: Laplacian sums replayed from the planted grid
     "mm_sharpness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), lap AS (SELECT c.doc_id, 4 * c.luma - lft.luma - rgt.luma - up.luma - dn.luma AS v FROM px c JOIN px lft ON lft.doc_id = c.doc_id AND lft.y = c.y AND lft.x = c.x - 1 JOIN px rgt ON rgt.doc_id = c.doc_id AND rgt.y = c.y AND rgt.x = c.x + 1 JOIN px up ON up.doc_id = c.doc_id AND up.x = c.x AND up.y = c.y - 1 JOIN px dn ON dn.doc_id = c.doc_id AND dn.x = c.x AND dn.y = c.y + 1 WHERE c.x BETWEEN 1 AND 30 AND c.y BETWEEN 1 AND 30) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_px, CAST((count(*) * sum(v * v) - sum(v) * sum(v)) // (count(*) * count(*)) AS BIGINT) AS lap_var FROM lap GROUP BY 1""",

@@ -716,6 +716,36 @@ object Multimodal {
       }
   }
 
+  case class LumaVec(media_id: Long, luma: Array[Long])
+
+  /** The decoded 32×32 luma grid flattened row-major (y·32+x) — the
+    * pixel-level export downstream pairwise metrics (SSIM) join on.
+    */
+  def lumaVector(media: DataFrame)(implicit spark: SparkSession): Dataset[LumaVec] = {
+    import spark.implicits._
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth != 32 || img.getHeight != 32) None
+          else {
+            val a = new Array[Long](1024)
+            var y = 0
+            while (y < 32) {
+              var x = 0
+              while (x < 32) { a(y * 32 + x) = ((img.getRGB(x, y) >> 16) & 0xff).toLong; x += 1 }
+              y += 1
+            }
+            Some(LumaVec(rec.media_id, a))
+          }
+        }
+      }
+  }
+
   case class Sharpness(media_id: Long, n_px: Long, lap_var: Long)
 
   /** Variance of the 4-neighbor Laplacian over the 30×30 interior —
