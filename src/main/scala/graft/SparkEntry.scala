@@ -7449,6 +7449,77 @@ operations:
                  |     * ((CAST(sxx AS DOUBLE) / 1024 - (CAST(sx AS DOUBLE) / 1024) * (CAST(sx AS DOUBLE) / 1024))
                  |        + (CAST(syy AS DOUBLE) / 1024 - (CAST(sy AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024)) + 58.5225))
                  |  * 1000000) AS BIGINT)""".stripMargin).as("ssim_micro"))
+    }),
+
+    "ev_feature_drift" -> ((s, dir) => {
+      // training-serving skew audit: PSI of the per-user activity
+      // distribution between the Jan-15 and Jan-25 point-in-time
+      // snapshots (the ev_features_pit windows a model would train and
+      // serve on). Bounded activity bins, Laplace +1 smoothing so no
+      // log blows up, per-bin ln terms micro-rounded (order-free). PSI
+      // > 0.2 is the usual retrain trigger.
+      def snapshot(cutoff: String) = events(s, dir)
+        .filter(col("ts") < lit(cutoff).cast("timestamp"))
+        .groupBy("user_id").agg(count(lit(1)).as("n_events"))
+        .groupBy(expr("least(n_events div 20, 9)").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      val a = snapshot("2024-01-15 00:00:00").select(col("bin"), col("n").as("na"))
+      val b = snapshot("2024-01-25 00:00:00").select(col("bin"), col("n").as("nb"))
+      val j = a.join(b, Seq("bin"), "full")
+        .select(col("bin"), coalesce(col("na"), lit(0L)).as("na"),
+          coalesce(col("nb"), lit(0L)).as("nb"))
+        .localCheckpoint(true) // totals + terms
+      val tot = j.agg(sum("na").as("ta"), sum("nb").as("tb"), count(lit(1)).as("k"))
+      j.crossJoin(broadcast(tot))
+        .select(col("bin"), col("na"), col("nb"),
+          expr("""CAST(round((CAST(nb + 1 AS DOUBLE) / (tb + k) - CAST(na + 1 AS DOUBLE) / (ta + k))
+                 | * ln((CAST(nb + 1 AS DOUBLE) / (tb + k)) / (CAST(na + 1 AS DOUBLE) / (ta + k)))
+                 | * 1000000) AS BIGINT)""".stripMargin).as("psi_term_micro"))
+    }),
+
+    "q_rev_rec" -> ((s, dir) => {
+      // revenue recognition (calendarization): each order's cents spread
+      // over its 3 service months by exact integral allocation — equal
+      // thirds with the remainder cents credited to the earliest months
+      // (largest-remainder, deterministic) — then ONE month rollup. The
+      // finance close process as a projection fan-out; the allocation
+      // provably sums back to the order total.
+      T(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          col("o_orderdate"),
+          explode(expr("sequence(0, 2)")).as("i"))
+        .select(expr("date_trunc('month', add_months(o_orderdate, i))").cast("date")
+          .as("month"),
+          expr("cents div 3 + CASE WHEN i < cents % 3 THEN 1 ELSE 0 END")
+            .as("rec_c"))
+        .groupBy("month")
+        .agg(count(lit(1)).as("n_slices"), sum("rec_c").as("recognized_c"))
+    }),
+
+    "ev_dose" -> ((s, dir) => {
+      // dose-response: conversion rate by prior-view exposure bin with
+      // the Cochran-Armitage TREND test (scores 0..5) — the ordered
+      // alternative q_chisq can't see. Per-user agg → ≤6-row panel →
+      // exact integer sufficient statistics, one double z micro-rounded.
+      val users = events(s, dir)
+        .groupBy("user_id")
+        .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("views"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("conv"))
+      val panel = users
+        .groupBy(expr("least(views, 5)").as("dose"))
+        .agg(count(lit(1)).as("n"), sum("conv").as("x"))
+        .localCheckpoint(true) // totals + trend terms
+      val g = panel.agg(sum("n").as("nt"), sum("x").as("xt"),
+        sum(expr("dose * n")).as("sn"), sum(expr("dose * x")).as("sx"),
+        sum(expr("dose * dose * n")).as("snn"))
+      panel.crossJoin(broadcast(g))
+        .select(col("dose"), col("n"), col("x"),
+          expr("(x * 1000000) div n").as("rate_micro"),
+          expr("""CASE WHEN xt = 0 OR xt = nt THEN CAST(0 AS BIGINT)
+                 | ELSE CAST(round((CAST(sx AS DOUBLE) - CAST(sn AS DOUBLE) * xt / nt)
+                 |   / sqrt(CAST(xt AS DOUBLE) / nt * (1.0 - CAST(xt AS DOUBLE) / nt)
+                 |          * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nt))
+                 |   * 1000000) AS BIGINT) END""".stripMargin).as("trend_z_micro"))
     })
   )
 
@@ -9600,6 +9671,12 @@ operations:
     // consecutive doc ids; the SSIM formula text matches the engine's
     "mm_ssim" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id, a.luma AS xa, b.luma AS xb FROM px a JOIN px b ON b.doc_id = a.doc_id + 1 AND b.x = a.x AND b.y = a.y), g AS (SELECT a_id, b_id, CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy, CAST(sum(xa * xa) AS BIGINT) AS sxx, CAST(sum(xb * xb) AS BIGINT) AS syy, CAST(sum(xa * xb) AS BIGINT) AS sxy FROM p GROUP BY 1, 2) SELECT a_id, b_id, CAST(round(((2.0 * (CAST(sx AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024) + 6.5025) * (2.0 * (CAST(sxy AS DOUBLE) / 1024 - (CAST(sx AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024)) + 58.5225)) / (((CAST(sx AS DOUBLE) / 1024) * (CAST(sx AS DOUBLE) / 1024) + (CAST(sy AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024) + 6.5025) * ((CAST(sxx AS DOUBLE) / 1024 - (CAST(sx AS DOUBLE) / 1024) * (CAST(sx AS DOUBLE) / 1024)) + (CAST(syy AS DOUBLE) / 1024 - (CAST(sy AS DOUBLE) / 1024) * (CAST(sy AS DOUBLE) / 1024)) + 58.5225)) * 1000000) AS BIGINT) AS ssim_micro FROM g""",
+    "ev_feature_drift" ->
+      """WITH a AS (SELECT least(n_events // 20, 9) AS bin, CAST(count(*) AS BIGINT) AS na FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00' GROUP BY 1) GROUP BY 1), b AS (SELECT least(n_events // 20, 9) AS bin, CAST(count(*) AS BIGINT) AS nb FROM (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events FROM events WHERE ts < TIMESTAMP '2024-01-25 00:00:00' GROUP BY 1) GROUP BY 1), j AS (SELECT coalesce(a.bin, b.bin) AS bin, coalesce(na, 0) AS na, coalesce(nb, 0) AS nb FROM a FULL JOIN b ON a.bin = b.bin), t AS (SELECT CAST(sum(na) AS BIGINT) AS ta, CAST(sum(nb) AS BIGINT) AS tb, CAST(count(*) AS BIGINT) AS k FROM j) SELECT bin, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb, CAST(round((CAST(nb + 1 AS DOUBLE) / (tb + k) - CAST(na + 1 AS DOUBLE) / (ta + k)) * ln((CAST(nb + 1 AS DOUBLE) / (tb + k)) / (CAST(na + 1 AS DOUBLE) / (ta + k))) * 1000000) AS BIGINT) AS psi_term_micro FROM j, t""",
+    "q_rev_rec" ->
+      """WITH sl AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderdate, i.range AS i FROM orders, range(3) i), r AS (SELECT CAST(date_trunc('month', o_orderdate + to_months(CAST(i AS INTEGER))) AS DATE) AS month, cents // 3 + CASE WHEN i < cents % 3 THEN 1 ELSE 0 END AS rec_c FROM sl) SELECT month, CAST(count(*) AS BIGINT) AS n_slices, CAST(sum(rec_c) AS BIGINT) AS recognized_c FROM r GROUP BY 1""",
+    "ev_dose" ->
+      """WITH users AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY 1), panel AS (SELECT least(views, 5) AS dose, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x FROM users GROUP BY 1), g AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt, CAST(sum(dose * n) AS BIGINT) AS sn, CAST(sum(dose * x) AS BIGINT) AS sx, CAST(sum(dose * dose * n) AS BIGINT) AS snn FROM panel) SELECT dose, n, x, (x * 1000000) // n AS rate_micro, CAST(CASE WHEN xt = 0 OR xt = nt THEN 0 ELSE CAST(round((CAST(sx AS DOUBLE) - CAST(sn AS DOUBLE) * xt / nt) / sqrt(CAST(xt AS DOUBLE) / nt * (1.0 - CAST(xt AS DOUBLE) / nt) * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nt)) * 1000000) AS BIGINT) END AS BIGINT) AS trend_z_micro FROM panel, g""",
     // mm_sharpness: Laplacian sums replayed from the planted grid
     "mm_sharpness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), lap AS (SELECT c.doc_id, 4 * c.luma - lft.luma - rgt.luma - up.luma - dn.luma AS v FROM px c JOIN px lft ON lft.doc_id = c.doc_id AND lft.y = c.y AND lft.x = c.x - 1 JOIN px rgt ON rgt.doc_id = c.doc_id AND rgt.y = c.y AND rgt.x = c.x + 1 JOIN px up ON up.doc_id = c.doc_id AND up.x = c.x AND up.y = c.y - 1 JOIN px dn ON dn.doc_id = c.doc_id AND dn.x = c.x AND dn.y = c.y + 1 WHERE c.x BETWEEN 1 AND 30 AND c.y BETWEEN 1 AND 30) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_px, CAST((count(*) * sum(v * v) - sum(v) * sum(v)) // (count(*) * count(*)) AS BIGINT) AS lap_var FROM lap GROUP BY 1""",
