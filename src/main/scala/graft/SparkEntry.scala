@@ -7520,6 +7520,44 @@ operations:
                  |   / sqrt(CAST(xt AS DOUBLE) / nt * (1.0 - CAST(xt AS DOUBLE) / nt)
                  |          * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nt))
                  |   * 1000000) AS BIGINT) END""".stripMargin).as("trend_z_micro"))
+    }),
+
+    "ta_truncation" -> ((s, dir) => {
+      // context-budget truncation loss: per source, the share of
+      // whitespace tokens falling beyond a 64-token context window —
+      // what a fixed context limit actually throws away, the number
+      // that justifies (or kills) a chunking stage. Pure projection +
+      // one agg.
+      T(s, dir, "documents")
+        .select(col("source"),
+          expr("size(filter(split(lower(text), '\\\\s+'), x -> x != ''))")
+            .cast("long").as("nt"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("tokens"),
+          sum(expr("greatest(nt - 64, 0)")).as("beyond"),
+          sum(when(col("nt") > 64L, 1L).otherwise(0L)).as("n_truncated"))
+        .withColumn("loss_micro", expr("(beyond * 1000000) div tokens"))
+    }),
+
+    "ta_oov" -> ((s, dir) => {
+      // out-of-vocabulary rate against the corpus top-20 vocabulary:
+      // vocab via ONE bounded TakeOrdered (ties broken by token), OOV
+      // share per source through a broadcast membership probe — the
+      // closed-vocab coverage read that sizes <unk> damage. Two keyed
+      // aggs + a 20-row broadcast.
+      val tok = T(s, dir, "documents")
+        .select(col("source"),
+          explode(expr("filter(split(lower(text), '\\\\s+'), x -> x != '')"))
+            .as("token"))
+        .localCheckpoint(true) // vocab + probe
+      val vocab = tok.groupBy("token").agg(count(lit(1)).as("tf"))
+        .orderBy(col("tf").desc, col("token")).limit(20)
+        .select(col("token"), lit(1L).as("in_vocab"))
+      tok.join(broadcast(vocab), Seq("token"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("tokens"),
+          sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
+        .withColumn("oov_micro", expr("(oov * 1000000) div tokens"))
     })
   )
 
@@ -9677,6 +9715,10 @@ operations:
       """WITH sl AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS cents, o_orderdate, i.range AS i FROM orders, range(3) i), r AS (SELECT CAST(date_trunc('month', o_orderdate + to_months(CAST(i AS INTEGER))) AS DATE) AS month, cents // 3 + CASE WHEN i < cents % 3 THEN 1 ELSE 0 END AS rec_c FROM sl) SELECT month, CAST(count(*) AS BIGINT) AS n_slices, CAST(sum(rec_c) AS BIGINT) AS recognized_c FROM r GROUP BY 1""",
     "ev_dose" ->
       """WITH users AS (SELECT user_id, CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS views, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS conv FROM events GROUP BY 1), panel AS (SELECT least(views, 5) AS dose, CAST(count(*) AS BIGINT) AS n, CAST(sum(conv) AS BIGINT) AS x FROM users GROUP BY 1), g AS (SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(x) AS BIGINT) AS xt, CAST(sum(dose * n) AS BIGINT) AS sn, CAST(sum(dose * x) AS BIGINT) AS sx, CAST(sum(dose * dose * n) AS BIGINT) AS snn FROM panel) SELECT dose, n, x, (x * 1000000) // n AS rate_micro, CAST(CASE WHEN xt = 0 OR xt = nt THEN 0 ELSE CAST(round((CAST(sx AS DOUBLE) - CAST(sn AS DOUBLE) * xt / nt) / sqrt(CAST(xt AS DOUBLE) / nt * (1.0 - CAST(xt AS DOUBLE) / nt) * (CAST(snn AS DOUBLE) - CAST(sn AS DOUBLE) * sn / nt)) * 1000000) AS BIGINT) END AS BIGINT) AS trend_z_micro FROM panel, g""",
+    "ta_truncation" ->
+      """WITH d AS (SELECT source, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt FROM documents) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens, CAST(sum(greatest(nt - 64, 0)) AS BIGINT) AS beyond, CAST(sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated, (CAST(sum(greatest(nt - 64, 0)) AS BIGINT) * 1000000) // CAST(sum(nt) AS BIGINT) AS loss_micro FROM d GROUP BY 1""",
+    "ta_oov" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token FROM documents), vocab AS (SELECT token FROM (SELECT token, count(*) AS tf FROM tok GROUP BY 1) ORDER BY tf DESC, token LIMIT 20) SELECT source, CAST(count(*) AS BIGINT) AS tokens, CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov, (CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS oov_micro FROM tok LEFT JOIN vocab ON tok.token = vocab.token GROUP BY 1""",
     // mm_sharpness: Laplacian sums replayed from the planted grid
     "mm_sharpness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), lap AS (SELECT c.doc_id, 4 * c.luma - lft.luma - rgt.luma - up.luma - dn.luma AS v FROM px c JOIN px lft ON lft.doc_id = c.doc_id AND lft.y = c.y AND lft.x = c.x - 1 JOIN px rgt ON rgt.doc_id = c.doc_id AND rgt.y = c.y AND rgt.x = c.x + 1 JOIN px up ON up.doc_id = c.doc_id AND up.x = c.x AND up.y = c.y - 1 JOIN px dn ON dn.doc_id = c.doc_id AND dn.x = c.x AND dn.y = c.y + 1 WHERE c.x BETWEEN 1 AND 30 AND c.y BETWEEN 1 AND 30) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_px, CAST((count(*) * sum(v * v) - sum(v) * sum(v)) // (count(*) * count(*)) AS BIGINT) AS lap_var FROM lap GROUP BY 1""",
