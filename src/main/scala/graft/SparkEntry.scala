@@ -7558,6 +7558,66 @@ operations:
         .agg(count(lit(1)).as("tokens"),
           sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("oov"))
         .withColumn("oov_micro", expr("(oov * 1000000) div tokens"))
+    }),
+
+    "q_weekday" -> ((s, dir) => {
+      // calendar-effects audit: one-way ANOVA of daily revenue across
+      // the 7 weekdays (0 = Monday both engines: Spark weekday(),
+      // DuckDB isodow−1) — q_anova's machinery pointed at the day
+      // panel. A flat F says billing is weekday-independent.
+      val daily = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("x"))
+      val g = daily.groupBy(expr("weekday(d)").cast("long").as("wd"))
+        .agg(count(lit(1)).as("ng"),
+          sum(expr("CAST(x AS DECIMAL(38,0))")).as("sg"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("ssg"))
+        .localCheckpoint(true) // totals + terms
+      val t = g.agg(sum("ng").as("n"), sum("sg").as("st"), count(lit(1)).as("k"))
+      g.crossJoin(broadcast(t))
+        .select(col("wd"), col("ng"),
+          expr("CAST((sg * 1000000) div ng AS BIGINT)").as("mean_micro_c"),
+          expr("""CAST(round(CAST(ng AS DOUBLE)
+                 | * (CAST(sg AS DOUBLE) / ng - CAST(st AS DOUBLE) / n)
+                 | * (CAST(sg AS DOUBLE) / ng - CAST(st AS DOUBLE) / n)) AS BIGINT)"""
+            .stripMargin).as("ssb_part"),
+          expr("""CAST(round(CAST(ssg AS DOUBLE)
+                 | - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) AS BIGINT)"""
+            .stripMargin).as("ssw_part"))
+    }),
+
+    "q_ece" -> ((s, dir) => {
+      // expected calibration error of the q_calibration risk rule:
+      // 10 equal-width confidence bins, per-bin |accuracy − confidence|
+      // weighted by bin mass — INTEGER micro end-to-end (confidence is
+      // an exact integral mean, accuracy an integral rate). The
+      // one-number calibration read next to q_calibration's table.
+      val b = T(s, dir, "lineitem")
+        .select(expr("least(CAST(l_quantity AS BIGINT) * 20000, 1000000)").as("p"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+        .groupBy(expr("least(p div 100000, 9)").as("bin"))
+        .agg(count(lit(1)).as("n"), sum("p").as("sp"), sum("y").as("sy"))
+        .localCheckpoint(true) // total + terms
+      val t = b.agg(sum("n").as("nt"))
+      b.crossJoin(broadcast(t))
+        .select(col("bin"), col("n"),
+          expr("sp div n").as("conf_micro"),
+          expr("(sy * 1000000) div n").as("acc_micro"),
+          expr("(n * abs((sy * 1000000) div n - sp div n)) div nt")
+            .as("ece_term_micro"))
+    }),
+
+    "q_brier" -> ((s, dir) => {
+      // Brier score of the same rule: mean squared gap between the
+      // micro probability and the 0/10⁶ outcome — pure integer
+      // arithmetic, no transcendental at all (the quadratic proper
+      // scoring rule; q_logloss is the logarithmic one).
+      T(s, dir, "lineitem")
+        .select(expr("least(CAST(l_quantity AS BIGINT) * 20000, 1000000)").as("p"),
+          when(col("l_returnflag") === "R", 1000000L).otherwise(0L).as("y"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("((p - y) * (p - y)) div 1000000")).as("sq"))
+        .select(col("n_rows"), expr("sq div n_rows").as("brier_micro"))
     })
   )
 
@@ -9719,6 +9779,12 @@ operations:
       """WITH d AS (SELECT source, CAST(len(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS BIGINT) AS nt FROM documents) SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS tokens, CAST(sum(greatest(nt - 64, 0)) AS BIGINT) AS beyond, CAST(sum(CASE WHEN nt > 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_truncated, (CAST(sum(greatest(nt - 64, 0)) AS BIGINT) * 1000000) // CAST(sum(nt) AS BIGINT) AS loss_micro FROM d GROUP BY 1""",
     "ta_oov" ->
       """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS token FROM documents), vocab AS (SELECT token FROM (SELECT token, count(*) AS tf FROM tok GROUP BY 1) ORDER BY tf DESC, token LIMIT 20) SELECT source, CAST(count(*) AS BIGINT) AS tokens, CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov, (CAST(sum(CASE WHEN vocab.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS oov_micro FROM tok LEFT JOIN vocab ON tok.token = vocab.token GROUP BY 1""",
+    "q_weekday" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), g AS (SELECT CAST(isodow(d) - 1 AS BIGINT) AS wd, CAST(count(*) AS BIGINT) AS ng, CAST(sum(CAST(x AS HUGEINT)) AS HUGEINT) AS sg, CAST(sum(CAST(x AS HUGEINT) * x) AS HUGEINT) AS ssg FROM daily GROUP BY 1), t AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS HUGEINT) AS st, CAST(count(*) AS BIGINT) AS k FROM g) SELECT wd, ng, CAST((sg * 1000000) // ng AS BIGINT) AS mean_micro_c, CAST(round(CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / ng - CAST(st AS DOUBLE) / n) * (CAST(sg AS DOUBLE) / ng - CAST(st AS DOUBLE) / n)) AS BIGINT) AS ssb_part, CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / ng) AS BIGINT) AS ssw_part FROM g, t""",
+    "q_ece" ->
+      """WITH c AS (SELECT least(CAST(l_quantity AS BIGINT) * 20000, 1000000) AS p, CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y FROM lineitem), b AS (SELECT least(p // 100000, 9) AS bin, CAST(count(*) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS sp, CAST(sum(y) AS BIGINT) AS sy FROM c GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM b) SELECT bin, n, sp // n AS conf_micro, (sy * 1000000) // n AS acc_micro, (n * abs((sy * 1000000) // n - sp // n)) // nt AS ece_term_micro FROM b, t""",
+    "q_brier" ->
+      """WITH c AS (SELECT least(CAST(l_quantity AS BIGINT) * 20000, 1000000) AS p, CASE WHEN l_returnflag = 'R' THEN 1000000 ELSE 0 END AS y FROM lineitem), g AS (SELECT CAST(count(*) AS BIGINT) AS n_rows, CAST(sum(((p - y) * (p - y)) // 1000000) AS BIGINT) AS sq FROM c) SELECT n_rows, sq // n_rows AS brier_micro FROM g""",
     // mm_sharpness: Laplacian sums replayed from the planted grid
     "mm_sharpness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), lap AS (SELECT c.doc_id, 4 * c.luma - lft.luma - rgt.luma - up.luma - dn.luma AS v FROM px c JOIN px lft ON lft.doc_id = c.doc_id AND lft.y = c.y AND lft.x = c.x - 1 JOIN px rgt ON rgt.doc_id = c.doc_id AND rgt.y = c.y AND rgt.x = c.x + 1 JOIN px up ON up.doc_id = c.doc_id AND up.x = c.x AND up.y = c.y - 1 JOIN px dn ON dn.doc_id = c.doc_id AND dn.x = c.x AND dn.y = c.y + 1 WHERE c.x BETWEEN 1 AND 30 AND c.y BETWEEN 1 AND 30) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_px, CAST((count(*) * sum(v * v) - sum(v) * sum(v)) // (count(*) * count(*)) AS BIGINT) AS lap_var FROM lap GROUP BY 1""",
