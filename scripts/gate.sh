@@ -18,7 +18,10 @@ sbt -batch compile Test/compile
 
 if [ $# -eq 0 ]; then
   echo "[gate] sbt test"
-  sbt -batch test
+  # tee the summary so stamp_readme.py can pick up the real suite/test
+  # counts (round-4 and round-5 both shipped stale hand-edited numbers)
+  sbt -batch test | tee target/test-summary.txt
+  python3 scripts/stamp_readme.py
 else
   rm -rf "$OUT_DIR"
   if [ "$1" = "ALL" ]; then
@@ -39,5 +42,6 @@ else
       fi
     done
   fi
+  python3 scripts/stamp_readme.py
 fi
 echo "[gate] OK"

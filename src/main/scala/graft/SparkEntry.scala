@@ -2603,6 +2603,44 @@ operations:
       sums("orders", ord).unionByName(sums("customer", cust)).unionByName(sums("lineitem", li))
     }),
 
+    "q_sink_roundtrip" -> ((s, dir) => {
+      // sink/source round-trip under the DRIVER's oracle (the last spec-
+      // only surface): nation is written through graft's own Sink (single-
+      // file csv, distributed NDJSON — the at-scale JSON default; the
+      // collected pretty-array variant is byte-golden-tested in
+      // GoldenPipelineSpec — and single-file parquet), re-read through
+      // graft's Source (declared-type csv inference window, castDeclared
+      // json/parquet), and fingerprinted with the q_checksum order-free
+      // 60-bit md5 XOR. The oracle reads the SAME files with DuckDB's own
+      // readers, so any byte-level format defect (quoting, header, type
+      // rendering, dropped rows) breaks the hash. Deterministic: content
+      // is fixed and the fold is order-free, so rewrites are idempotent.
+      import graft.plans.{ColumnDef, FileDef, FileSchema, SchemaType}
+      val outDir = "/tmp/graft_sink_roundtrip"
+      val schema = FileSchema("nation_rt", Seq(
+        "n_nationkey" -> ColumnDef(SchemaType.Int64),
+        "n_name" -> ColumnDef(SchemaType.Str),
+        "n_regionkey" -> ColumnDef(SchemaType.Int64)))
+      val base = T(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"),
+        col("n_regionkey").cast("long").as("n_regionkey"))
+      val legs = Seq(
+        ("csv", s"$outDir/nation_rt.csv"),       // single-file (extension path)
+        ("json", s"$outDir/nation_rt_json"),     // distributed NDJSON dir
+        ("parquet", s"$outDir/nation_rt.parquet")) // single-file parquet
+      legs.map { case (fmt, path) =>
+        val fd = FileDef(path, fmt, schema)
+        sources.Sink.save(base, fd)
+        sources.Source.load(s, fd)
+          .select(concat_ws("|", col("n_nationkey"), col("n_name"),
+            col("n_regionkey")).as("r"))
+          .agg(count(lit(1)).as("n_rows"),
+            expr("bit_xor(CAST(conv(substring(md5(r), 1, 15), 16, 10) AS BIGINT))")
+              .as("checksum"))
+          .select(lit(fmt).as("fmt"), col("n_rows"), col("checksum"))
+      }.reduce(_ unionByName _)
+    }),
+
     "q_ridge" -> ((s, dir) => {
       // ridge regression (L2-regularized least squares) from the SAME
       // one-pass integer Gram aggregate as q_ols: λ is added to the
@@ -6279,15 +6317,20 @@ operations:
       // variance-to-mean of daily counts in exact integer arithmetic —
       // fano_micro = (n·Σc² − (Σc)²)·10⁶ div (n·Σc). Two cascaded hash
       // aggs; >1 means bursty (clustered), <1 regular. Zero-event days
-      // are absent by construction (observed-day convention).
+      // are absent by construction (observed-day convention). The
+      // Σc² / (Σc)²·10⁶ products run in DECIMAL(38,0) (HUGEINT on the
+      // oracle) so billion-row daily counts at 100 TB can't wrap int64;
+      // the ratio itself is small, so the BIGINT output is safe.
       events(s, dir)
         .groupBy(col("event_type"), to_date(col("ts")).as("d"))
         .agg(count(lit(1)).as("c"))
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_days"), sum("c").as("total"),
-          sum(expr("c * c")).as("ss"))
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ss"))
         .select(col("event_type"), col("n_days"), col("total"),
-          expr("((n_days * ss - total * total) * 1000000) div (n_days * total)")
+          expr("""CAST(((CAST(n_days AS DECIMAL(38,0)) * ss
+                 |  - CAST(total AS DECIMAL(38,0)) * total) * 1000000)
+                 | div (CAST(n_days AS DECIMAL(38,0)) * total) AS BIGINT)""".stripMargin)
             .as("fano_micro"))
     }),
 
@@ -7183,7 +7226,10 @@ operations:
       cells.join(rt, "l_returnflag").join(ct, "l_linestatus")
         .crossJoin(broadcast(nt))
         .select(col("l_returnflag"), col("l_linestatus"), col("o"),
-          expr("CAST((r * c * 1000000) div n AS BIGINT)").as("e_micro"),
+          // r·c·10⁶ in DECIMAL(38,0): margins in the billions at 100 TB
+          // would wrap the int64 product (e_micro ≤ n·10⁶ still fits BIGINT)
+          expr("CAST((CAST(r AS DECIMAL(38,0)) * c * 1000000) div n AS BIGINT)")
+            .as("e_micro"),
           expr("""CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n)
                  | / sqrt(CAST(r AS DOUBLE) * c / n
                  |        * (1.0 - CAST(r AS DOUBLE) / n)
@@ -7234,17 +7280,23 @@ operations:
             .otherwise(0L)).as("c"),
           sum(when(expr("l_discount < 0.05 AND l_returnflag != 'R'"), 1L)
             .otherwise(0L)).as("d"))
+      // zero-cell guard: any empty 2×2 cell makes RR/OR (and the log-CI)
+      // undefined — both engines emit NULL for the four derived columns
+      // instead of diverging (Spark NaN/NULL vs DuckDB inf/error)
+      val ok = "a > 0 AND b > 0 AND c > 0 AND d > 0"
       g.select(col("a"), col("b"), col("c"), col("d"),
-        expr("""CAST(round(CAST(a AS DOUBLE) / (a + b)
-               | / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT)""".stripMargin)
+        expr(s"""CASE WHEN $ok THEN CAST(round(CAST(a AS DOUBLE) / (a + b)
+               | / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT) END""".stripMargin)
           .as("rr_micro"),
-        expr("""CAST(round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
-               | * 1000000) AS BIGINT)""".stripMargin).as("or_micro"),
-        expr("""CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
-               | - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT)"""
+        expr(s"""CASE WHEN $ok THEN CAST(round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)
+               | * 1000000) AS BIGINT) END""".stripMargin).as("or_micro"),
+        expr(s"""CASE WHEN $ok THEN
+               | CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+               | - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) END"""
           .stripMargin).as("or_lo_micro"),
-        expr("""CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
-               | + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT)"""
+        expr(s"""CASE WHEN $ok THEN
+               | CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c))
+               | + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) END"""
           .stripMargin).as("or_hi_micro"))
     }),
 
@@ -9001,6 +9053,11 @@ operations:
     // is order-free so the fold agrees under any partitioning
     "q_checksum" ->
       """WITH ord AS (SELECT concat_ws('|', o_orderkey, o_custkey, o_orderstatus, CAST(round(o_totalprice * 100) AS BIGINT), CAST(CAST(o_orderdate AS DATE) AS VARCHAR)) AS r FROM orders), cust AS (SELECT concat_ws('|', c_custkey, c_name, c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT), c_mktsegment) AS r FROM customer), li AS (SELECT concat_ws('|', l_orderkey, l_linenumber, l_partkey, CAST(l_quantity AS BIGINT), CAST(round(l_extendedprice * 100) AS BIGINT)) AS r FROM lineitem) SELECT 'orders' AS tbl, CAST(count(*) AS BIGINT) AS n_rows, CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum FROM ord UNION ALL SELECT 'customer', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM cust UNION ALL SELECT 'lineitem', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM li""",
+    // q_sink_roundtrip: DuckDB's OWN readers over the files graft's Sink
+    // just wrote (Verify runs before the oracle, so the files exist) —
+    // independent parsers on both sides make this a real format check
+    "q_sink_roundtrip" ->
+      """WITH c AS (SELECT concat_ws('|', n_nationkey, n_name, n_regionkey) AS r FROM read_csv('/tmp/graft_sink_roundtrip/nation_rt.csv', header=true)), j AS (SELECT concat_ws('|', n_nationkey, n_name, n_regionkey) AS r FROM read_json('/tmp/graft_sink_roundtrip/nation_rt_json/*.json')), p AS (SELECT concat_ws('|', n_nationkey, n_name, n_regionkey) AS r FROM read_parquet('/tmp/graft_sink_roundtrip/nation_rt.parquet')) SELECT 'csv' AS fmt, CAST(count(*) AS BIGINT) AS n_rows, CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) AS checksum FROM c UNION ALL SELECT 'json', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM j UNION ALL SELECT 'parquet', CAST(count(*) AS BIGINT), CAST(bit_xor(CAST(('0x' || substr(md5(r), 1, 15)) AS BIGINT)) AS BIGINT) FROM p""",
     "q_ridge" -> ridgeOracleSql,
     "sk_hll_intersect" -> hllIntersectOracleSql,
     // sim_hardneg: same fixed-order dot-product parity as sim_topk; the
@@ -9447,7 +9504,7 @@ operations:
            SELECT e.rn, e.dur, e.d, e.c, e.at_risk,
              CASE WHEN e.d > 0 THEN (k.s * (e.at_risk - e.d)) // e.at_risk ELSE k.s END
            FROM km k JOIN ev e ON e.rn = k.rn + 1)
-         SELECT dur AS day, at_risk AS n_risk, d AS n_events, c AS n_censored,
+         SELECT dur AS day, CAST(at_risk AS BIGINT) AS n_risk, d AS n_events, c AS n_censored,
            CAST(s AS BIGINT) AS surv_pico
          FROM km WHERE d > 0""",
     // ta_rake: identical delimiter-marking regexes (global flag), degree/
@@ -9668,7 +9725,7 @@ operations:
     "sk_quantile" ->
       """WITH sample AS (SELECT l_returnflag AS g, CAST(round(l_extendedprice * 100) AS BIGINT) AS v, l_orderkey, l_linenumber FROM lineitem WHERE substr(md5('qs:' || CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)), 1, 1) = '0'), r AS (SELECT g, v, CAST(row_number() OVER (PARTITION BY g ORDER BY v, l_orderkey, l_linenumber) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS ns FROM sample), k(k) AS (VALUES (1), (2), (3)) SELECT g AS l_returnflag, CAST(k AS BIGINT) AS quartile, ns AS n_sample, v AS est_c FROM r JOIN k ON rn = (ns * k + 3) // 4""",
     "q_burstiness" ->
-      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(c) AS BIGINT) AS total, CAST(sum(c * c) AS BIGINT) AS ss FROM dc GROUP BY 1) SELECT event_type, n_days, total, ((n_days * ss - total * total) * 1000000) // (n_days * total) AS fano_micro FROM g""",
+      """WITH dc AS (SELECT event_type, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1, 2), g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days, CAST(sum(c) AS BIGINT) AS total, sum(CAST(c AS HUGEINT) * c) AS ss FROM dc GROUP BY 1) SELECT event_type, n_days, total, CAST(((CAST(n_days AS HUGEINT) * ss - CAST(total AS HUGEINT) * total) * 1000000) // (CAST(n_days AS HUGEINT) * total) AS BIGINT) AS fano_micro FROM g""",
     "sim_radius" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8), sc AS (SELECT q.query_id, e.vec_id AS neighbor_id, CAST(round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT) AS score_micro FROM e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, score_micro FROM sc WHERE score_micro >= 250000""",
     // mm_histogram: every bin count recomputed from doc_id's planted
@@ -9692,7 +9749,7 @@ operations:
     // ta_token_dropout: DuckDB's lambda index is 1-based — shifted to
     // match Spark's 0-based transform index
     "ta_token_dropout" ->
-      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, list_filter(list_transform(toks, (x, i) -> CASE WHEN substr(md5('do:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) = '0' THEN NULL ELSE x END), x -> x IS NOT NULL) AS kept FROM t) SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept, list_aggregate(kept, 'string_agg', ' ') AS aug_text FROM k""",
+      """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, list_filter(list_transform(toks, (x, i) -> CASE WHEN substr(md5('do:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) = '0' THEN NULL ELSE x END), x -> x IS NOT NULL) AS kept FROM t) SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept, coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS aug_text FROM k""",
     "sk_bloom_fpr" ->
       """WITH keys AS (SELECT DISTINCT o_orderkey AS x FROM orders), pos AS (SELECT CAST(('0x' || substr(md5('b1:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS p FROM keys UNION ALL SELECT CAST(('0x' || substr(md5('b2:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 FROM keys), words AS (SELECT p // 32 AS word, CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits FROM pos GROUP BY 1), probes AS (SELECT x + 100000000 AS pr FROM keys), ph AS (SELECT pr, CAST(('0x' || substr(md5('b1:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h1, CAST(('0x' || substr(md5('b2:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h2 FROM probes), looked AS (SELECT pr, coalesce(w1.bits & (1::BIGINT << CAST(h1 % 32 AS INTEGER)), 0) <> 0 AND coalesce(w2.bits & (1::BIGINT << CAST(h2 % 32 AS INTEGER)), 0) <> 0 AS hit FROM ph LEFT JOIN words w1 ON w1.word = h1 // 32 LEFT JOIN words w2 ON w2.word = h2 // 32), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos FROM looked), nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys) SELECT n_keys, CAST(2097152 AS BIGINT) AS m_bits, n_probes, n_false_pos, (n_false_pos * 1000000) // n_probes AS fpr_micro FROM agg, nk""",
     "q_mcnemar" ->
@@ -9749,11 +9806,11 @@ operations:
     "q_dense_ids" ->
       """SELECT c_custkey, c_name, CAST(row_number() OVER (ORDER BY c_name) - 1 AS BIGINT) AS dense_id FROM customer""",
     "q_residuals" ->
-      """WITH cells AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2), rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), j AS (SELECT cells.l_returnflag, cells.l_linestatus, o, r, c, n FROM cells JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN nt) SELECT l_returnflag, l_linestatus, o, CAST((r * c * 1000000) // n AS BIGINT) AS e_micro, CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT) AS resid_micro, abs(CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT)) > 2000000 AS driving FROM j""",
+      """WITH cells AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2), rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), j AS (SELECT cells.l_returnflag, cells.l_linestatus, o, r, c, n FROM cells JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN nt) SELECT l_returnflag, l_linestatus, o, CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT) AS e_micro, CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT) AS resid_micro, abs(CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT)) > 2000000 AS driving FROM j""",
     "q_dw" ->
       """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM daily), l AS (SELECT x, lag(x, 1) OVER (ORDER BY d) AS xp FROM daily), g AS (SELECT CAST(max(n) AS BIGINT) AS n_days, sum(CASE WHEN xp IS NULL THEN 0::HUGEINT ELSE CAST(n AS HUGEINT) * n * (x - xp) * (x - xp) END) AS num, sum((CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)) AS den FROM l, t) SELECT n_days, CAST((num * 1000000) // den AS BIGINT) AS dw_micro FROM g""",
     "q_relative_risk" ->
-      """WITH g AS (SELECT CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d FROM lineitem) SELECT a, b, c, d, CAST(round(CAST(a AS DOUBLE) / (a + b) / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT) AS rr_micro, CAST(round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) * 1000000) AS BIGINT) AS or_micro, CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) AS or_lo_micro, CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) AS or_hi_micro FROM g""",
+      """WITH g AS (SELECT CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d FROM lineitem) SELECT a, b, c, d, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(CAST(a AS DOUBLE) / (a + b) / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT) END AS rr_micro, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) * 1000000) AS BIGINT) END AS or_micro, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) END AS or_lo_micro, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) END AS or_hi_micro FROM g""",
     "ev_audience_overlap" -> audienceOverlapOracleSql,
     "q_monotonicity" ->
       """WITH bins AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS pos FROM lineitem GROUP BY 1), r AS (SELECT qty, (pos * 1000000) // n AS rate_micro FROM bins), l AS (SELECT rate_micro, lag(rate_micro, 1) OVER (ORDER BY qty) AS prev FROM r) SELECT CAST(count(*) AS BIGINT) AS n_bins, CAST(sum(CASE WHEN prev IS NOT NULL AND rate_micro < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_violations, CAST(max(CASE WHEN prev IS NOT NULL AND rate_micro < prev THEN prev - rate_micro ELSE 0 END) AS BIGINT) AS worst_drop_micro FROM l""",
