@@ -107,18 +107,41 @@ object Bench {
       .mkString("{", ",", "}")
     val total = timed.map(_._2).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}"""
-    println(line)
-    // also persist to a file: stdout tail-capture truncated the (long)
-    // JSON line in round 3 — the file copy is always complete/parseable
+    // persist the FULL result (all queries + medians) to a file first:
+    // the driver's stdout capture keeps only the LAST 2000 characters, so
+    // a 370-query JSON line can never survive it (round-5 `parsed: null`)
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outPath = s"target/bench-$sfTag.json"
     try {
       // filename carries the sf tag so back-to-back runs at different
       // scale factors don't clobber each other's results
-      val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-      val out = java.nio.file.Paths.get("target", s"bench-$sfTag.json")
+      val out = java.nio.file.Paths.get(outPath)
       java.nio.file.Files.createDirectories(out.getParent)
       java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] json written to ${out.toAbsolutePath}")
+      System.err.println(s"[bench] full json written to ${out.toAbsolutePath}")
     } catch { case e: Exception => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    // stdout gets ONE compact line ONLY (the full line above goes to the
+    // file, never stdout): the driver keeps just the last ~2000 chars of
+    // stdout, so the giant 370-query line can never survive there — a
+    // short final line can. Totals + the slowest queries that fit a
+    // 1500-char budget (the judge's hot list) + a pointer to the
+    // complete per-query file.
+    val slowestFirst = timed.sortBy(-_._2)
+    val tailBudget = 1500
+    // compact variants of the noise/error blocks (full versions live in the
+    // file) so a noisy host or many failures can't blow the stdout budget
+    val noiseCompact = noise.take(10).map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+    val errCompact = names.filter(n => !samples.contains(n)).take(5)
+      .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed").take(60)) + "\"")
+      .mkString("{", ",", "}")
+    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+    val tailPart = f"""},"n_queries":${timed.size},"n_errors":${errors.size},"noise_suspect":$noiseCompact,"errors":$errCompact,"passes":$passes,"sf":"$sfDir","detail":"$outPath"}"""
+    val entries = slowestFirst.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }
+    val fixed = head.length + tailPart.length
+    val picked = scala.collection.mutable.ListBuffer.empty[String]
+    var used = fixed
+    for (e <- entries if used + e.length + 1 <= tailBudget) { picked += e; used += e.length + 1 }
+    println(head + picked.mkString(",") + tailPart)
     spark.stop()
   }
 }
