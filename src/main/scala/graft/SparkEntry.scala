@@ -541,6 +541,40 @@ operations:
         .agg(count(lit(1)).as("n"), sum(fp).as("sum_fp"), sum(fp * fp).as("sumsq_fp"))
     }),
 
+    "sim_mahalanobis" -> ((s, dir) => {
+      // diagonal-covariance Mahalanobis outlier score per embedding —
+      // the OOD/garbage filter a training pipeline runs before
+      // clustering or ANN indexing: per-dimension (n, Σ, Σ²) on the
+      // 2⁻²⁰ grid (sim_normalize's stats, broadcast back as a 64-row
+      // join — no driver collect), per-dimension z² term
+      // (n·x−S)²/(n·SS−S²) micro-rounded ONCE so the 64-term per-vector
+      // sum is an order-free integer; zero-variance dims contribute 0
+      // by the mirrored guard. Score ≈ χ²(d); flagged above 2·d. The
+      // integer products run in DECIMAL(38,0) (HUGEINT in the oracle)
+      // so billion-row stats can't wrap int64.
+      val x = T(s, dir, "embeddings")
+        .select(col("vec_id"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .select(col("vec_id"), col("dim"),
+          floor(col("x") * graft.ext.IvfIndex.Grid).cast("long").as("fp"))
+        .localCheckpoint(true) // feeds the stats AND the probe
+      val stats = x.groupBy("dim")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("fp").cast("decimal(38,0)")).as("s"),
+          sum(expr("CAST(fp AS DECIMAL(38,0)) * fp")).as("ss"))
+      x.join(broadcast(stats), "dim")
+        .select(col("vec_id"),
+          expr("""CASE WHEN n * ss - s * s = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(round(CAST(n * fp - s AS DOUBLE)
+                   * CAST(n * fp - s AS DOUBLE)
+                   / CAST(n * ss - s * s AS DOUBLE) * 1000000) AS BIGINT)
+                 END""").as("t"))
+        .groupBy("vec_id")
+        .agg(sum("t").as("score_micro"))
+        .select(col("vec_id"), col("score_micro"),
+          (col("score_micro") > lit(128L * 1000000L)).as("is_outlier"))
+    }),
+
     "sim_ivf_stats" -> ((s, dir) => {
       // IVF index health report: per-cell occupancy and summed
       // quantization error (d² to own centroid, micro-rounded per ROW so
@@ -1088,6 +1122,23 @@ operations:
         .select(col("o_custkey").as("src"),
           (col("l_suppkey") + 10000000L).as("dst")).distinct()
       ext.Graph.labelPropagation(pairs, iters = 3)
+    }),
+
+    "g_hits" -> ((s, dir) => {
+      // HITS hubs & authorities (Kleinberg) over the DIRECTED customer→
+      // supplier trade graph — customers "endorse" the suppliers they
+      // buy from, so hub = breadth of a customer's supplier base and
+      // authority = how much well-connected demand a supplier attracts.
+      // 2 max-normalized integer fixed-point iterations
+      // (ext.Graph.hitsInt); the unrolled-SQL oracle replays them
+      // exactly. Completes the link-analysis family next to q_pagerank.
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val e = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + 10000000L).as("dst"))
+        .distinct()
+      ext.Graph.hitsInt(e, iters = 2)
     }),
 
     "ev_variant" -> ((s, dir) => {
@@ -4851,6 +4902,55 @@ operations:
                  div n AS BIGINT)""").as("y_adj_micro"))
     }),
 
+    "ev_uplift" -> ((s, dir) => {
+      // uplift/Qini decile table — the causal companion to q_lift:
+      // users split by the deterministic per-user assignment
+      // (user_id % 2 — ev_srm's arm hash is per-event, uplift needs a
+      // stable per-USER arm), ranked by PRE-period activity (the
+      // targeting score a model would produce), cut into exact deciles
+      // by the range-partitioned groupedNtile (no global sort window),
+      // then per-decile treated/control response rates and the
+      // cumulative Qini curve qini = cumR_t − cumR_c·cumN_t/cumN_c in
+      // exact integer micro-units. The cumulative window runs over the
+      // 10-row decile frame only; the rate products go through
+      // DECIMAL(38,0) (HUGEINT oracle) so billion-user cohorts can't
+      // wrap int64.
+      import org.apache.spark.sql.expressions.Window
+      val cut = "2024-01-15 00:00:00"
+      val u = events(s, dir)
+        .select(col("user_id"),
+          (col("ts") < lit(cut).cast("timestamp")).as("pre"),
+          (col("event_type") === "purchase").as("purch"))
+        .groupBy("user_id")
+        .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("pre_n"),
+          max(when(!col("pre") && col("purch"), 1L).otherwise(0L)).as("resp"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast("long"))
+        .withColumn("g", lit("all"))
+      val dec = ext.Ranks.groupedNtile(u, "g",
+        Seq(col("pre_n").desc, col("user_id").asc), 10, "decile")
+      val byDec = dec.groupBy("decile")
+        .agg(sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated") === 1L, col("resp")).otherwise(0L)).as("r_t"),
+          sum(when(col("treated") === 0L, col("resp")).otherwise(0L)).as("r_c"))
+      val w = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDec
+        .withColumn("cn_t", sum("n_t").over(w))
+        .withColumn("cn_c", sum("n_c").over(w))
+        .withColumn("cr_t", sum("r_t").over(w))
+        .withColumn("cr_c", sum("r_c").over(w))
+        .select(col("decile"), col("n_t"), col("n_c"), col("r_t"), col("r_c"),
+          expr("""CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                 ELSE CAST(CAST(r_t AS DECIMAL(38,0)) * 1000000 div n_t
+                   - CAST(r_c AS DECIMAL(38,0)) * 1000000 div n_c AS BIGINT)
+                 END""").as("uplift_micro"),
+          expr("""CASE WHEN cn_c = 0 THEN NULL
+                 ELSE CAST(CAST(cr_t AS DECIMAL(38,0)) * 1000000
+                   - (CAST(cr_c AS DECIMAL(38,0)) * cn_t * 1000000) div cn_c
+                   AS BIGINT) END""").as("qini_micro"))
+    }),
+
     "ev_gaps" -> ((s, dir) => {
       // inter-event gap distribution: per-user lag (high-cardinality
       // partitioned window), then an exact CASE ladder into 7 literal
@@ -5711,6 +5811,103 @@ operations:
                  * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
                     - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)""")
             .as("ssb_c2"), // whole-c² granularity: ×1e6 would overflow
+          expr("""CAST(round(CAST(ssg AS DOUBLE)
+                 - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
+                 AS BIGINT)""").as("ssw_c2"))
+        .groupBy()
+        .agg(max(col("n").cast("long")).as("n"), max(col("k").cast("long")).as("k"),
+          sum("ssb_c2").as("ssb_c2"), sum("ssw_c2").as("ssw_c2"))
+        .select(col("n"), col("k"), col("ssb_c2"), col("ssw_c2"),
+          expr("""CAST(round(CAST(ssb_c2 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                 / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE))
+                 * 1000000) AS BIGINT)""").as("f_micro"))
+    }),
+
+    "q_kruskal" -> ((s, dir) => {
+      // Kruskal–Wallis H (nonparametric one-way ANOVA) of price across
+      // the three return flags: global doubled midranks 2·cum−c+1 from
+      // ONE value histogram (the q_spearman machinery — ties handled
+      // exactly as average ranks ×2), per-group doubled-rank sums as
+      // DECIMAL integers, each group's R²/n term micro-rounded ONCE so
+      // the Σ over groups is order-free (the q_anova discipline), plus
+      // the exact Σ(t³−t) tie correction. The rank-based sibling of
+      // q_anova for when normality can't be assumed.
+      import org.apache.spark.sql.expressions.Window
+      val base = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .localCheckpoint(true) // feeds the histogram AND the probe
+      val h = base.groupBy("v").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // feeds ranks AND tie correction
+      val wc = Window.orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val d = h.withColumn("cum", sum("c").over(wc))
+        .select(col("v"), expr("2 * cum - c + 1").as("dr"))
+      val g = base.join(d, "v")
+        .groupBy("grp")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
+          sum(col("dr").cast("decimal(38,0)")).as("sd"))
+        .select(col("ng"),
+          expr("""CAST(round(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / 4
+                 / CAST(ng AS DOUBLE)) AS BIGINT)""").as("term"))
+      val ties = h.agg(
+        sum(expr("CAST(c AS DECIMAL(38,0)) * c * c - c")).as("t3t"))
+      g.agg(sum(col("ng")).cast("long").as("n"), count(lit(1)).as("k"),
+          sum("term").as("sum_term"))
+        .crossJoin(broadcast(ties))
+        .select(col("n"), col("k"), col("sum_term"),
+          col("t3t").cast("long").as("tie_sum"),
+          expr("""CAST(round((12.0 * CAST(sum_term AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                 - 3.0 * CAST(n + 1 AS DOUBLE)) * 1000000) AS BIGINT)""")
+            .as("h_micro"),
+          expr("""CAST(round((12.0 * CAST(sum_term AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                 - 3.0 * CAST(n + 1 AS DOUBLE))
+                 / (1.0 - CAST(t3t AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                       - CAST(n AS DOUBLE)))
+                 * 1000000) AS BIGINT)""").as("h_adj_micro"))
+    }),
+
+    "q_levene" -> ((s, dir) => {
+      // Brown–Forsythe variance-equality test (median-centered Levene):
+      // per-group nearest-rank medians from value histograms (the q_mad
+      // machinery — windows run over per-group DISTINCT VALUES, a
+      // bounded domain), absolute deviations, then the q_anova F
+      // machinery on the deviations. "Are price spreads equal across
+      // return flags?" — the homoscedasticity gate read before trusting
+      // any pooled-variance test (q_ttest/q_anova). Per-group SS terms
+      // are rounded once and summed order-free, same as q_anova.
+      import org.apache.spark.sql.expressions.Window
+      val v = T(s, dir, "lineitem")
+        .select(col("l_returnflag").as("grp"),
+          round(col("l_extendedprice") * 100).cast("long").as("v"))
+        .localCheckpoint(true) // feeds the histogram AND the deviations
+      val h1 = v.groupBy("grp", "v").agg(count(lit(1)).as("c"))
+      val wg = Window.partitionBy("grp").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = h1.withColumn("cum", sum("c").over(wg))
+        .withColumn("n", sum("c").over(Window.partitionBy("grp")))
+      val med = cum.groupBy("grp").agg(
+        min(when(expr("cum >= greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT))"),
+          col("v"))).as("med"))
+      val g = v.join(med, "grp")
+        .select(col("grp"), abs(col("v") - col("med")).cast("decimal(38,0)").as("d"))
+        .groupBy("grp")
+        .agg(count(lit(1)).cast("decimal(38,0)").as("ng"),
+          sum("d").as("sg"), sum(expr("d * d")).as("ssg"))
+        .localCheckpoint(true) // totals + per-group terms read one frame
+      val tot = g.agg(sum("ng").as("n"), sum("sg").as("st"),
+        count(lit(1)).cast("decimal(38,0)").as("k"))
+      g.crossJoin(broadcast(tot))
+        .select(col("n"), col("k"),
+          expr("""CAST(round(CAST(ng AS DOUBLE)
+                 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                    - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+                 * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)
+                    - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)""")
+            .as("ssb_c2"),
           expr("""CAST(round(CAST(ssg AS DOUBLE)
                  - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE))
                  AS BIGINT)""").as("ssw_c2"))
@@ -8668,6 +8865,12 @@ operations:
       """WITH x AS (SELECT CAST(i AS INTEGER) AS dim, CAST(embedding[CAST(i AS INTEGER)+1] AS DOUBLE) AS x FROM embeddings, unnest(range(64)) t(i)),
          |f AS (SELECT dim, CAST(floor(x * 1048576) AS BIGINT) AS fp FROM x)
          |SELECT dim, CAST(count(*) AS BIGINT) AS n, CAST(sum(fp) AS BIGINT) AS sum_fp, CAST(sum(fp * fp) AS BIGINT) AS sumsq_fp FROM f GROUP BY 1""".stripMargin,
+    // sim_mahalanobis: sim_normalize's per-dim stats re-joined to every
+    // (vec, dim) cell; the per-dim z² term is rounded once to micro so
+    // the 64-term sum is an order-free integer; HUGEINT mirrors the
+    // engine's DECIMAL(38,0) products, the zero-variance guard matches.
+    "sim_mahalanobis" ->
+      """WITH x AS (SELECT vec_id, CAST(i AS INTEGER) AS dim, CAST(floor(CAST(embedding[CAST(i AS INTEGER)+1] AS DOUBLE) * 1048576) AS BIGINT) AS fp FROM embeddings, unnest(range(64)) t(i)), st AS (SELECT dim, CAST(count(*) AS HUGEINT) AS n, CAST(sum(fp) AS HUGEINT) AS s, sum(CAST(fp AS HUGEINT) * fp) AS ss FROM x GROUP BY 1), t AS (SELECT vec_id, CASE WHEN n * ss - s * s = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round(CAST(n * fp - s AS DOUBLE) * CAST(n * fp - s AS DOUBLE) / CAST(n * ss - s * s AS DOUBLE) * 1000000) AS BIGINT) END AS t FROM x JOIN st USING (dim)) SELECT vec_id, CAST(sum(t) AS BIGINT) AS score_micro, CAST(sum(t) AS BIGINT) > 128000000 AS is_outlier FROM t GROUP BY 1""",
     // srch_hybrid: nest the full srch_bm25 replay as the keyword pool,
     // rank a cosine pool for query vec 0, fuse with round(1e6/(60+rank))
     "srch_hybrid" ->
@@ -9061,6 +9264,11 @@ operations:
       """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem), e AS (SELECT DISTINCT a.p AS u, b.p AS v FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p), deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY 1), tri AS (SELECT a.u AS x, a.v AS y, b.v AS z FROM e a JOIN e b ON b.u = a.u AND a.v < b.v JOIN e c ON c.u = a.v AND c.v = b.v), pv AS (SELECT id, CAST(count(*) AS BIGINT) AS tri_cnt FROM (SELECT x AS id FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY 1) SELECT deg.id AS part_id, deg.deg, coalesce(pv.tri_cnt, 0) AS tri_cnt FROM deg LEFT JOIN pv USING (id)""",
     "q_pagerank" ->
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM nodes n LEFT JOIN i3 USING (id)) SELECT id, r AS rank_micro FROM r3""",
+    // g_hits: 2 max-normalized HITS iterations unrolled — every sum/max
+    // is an order-free integer aggregate, so the replay is bit-exact;
+    // the ·1e6 renorm products run in HUGEINT like the engine's DECIMAL.
+    "g_hits" ->
+      """WITH e AS (SELECT DISTINCT o_custkey AS src, l_suppkey + 10000000 AS dst FROM lineitem JOIN orders ON l_orderkey = o_orderkey), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes), ar1 AS (SELECT e.dst AS id, sum(h0.h) AS raw FROM e JOIN h0 ON e.src = h0.id GROUP BY 1), am1 AS (SELECT max(raw) AS mx FROM ar1), a1 AS (SELECT n.id, CAST(CAST(coalesce(ar1.raw, 0) AS HUGEINT) * 1000000 // am1.mx AS BIGINT) AS a FROM nodes n LEFT JOIN ar1 USING (id) CROSS JOIN am1), hr1 AS (SELECT e.src AS id, sum(a1.a) AS raw FROM e JOIN a1 ON e.dst = a1.id GROUP BY 1), hm1 AS (SELECT max(raw) AS mx FROM hr1), h1 AS (SELECT n.id, CAST(CAST(coalesce(hr1.raw, 0) AS HUGEINT) * 1000000 // hm1.mx AS BIGINT) AS h FROM nodes n LEFT JOIN hr1 USING (id) CROSS JOIN hm1), ar2 AS (SELECT e.dst AS id, sum(h1.h) AS raw FROM e JOIN h1 ON e.src = h1.id GROUP BY 1), am2 AS (SELECT max(raw) AS mx FROM ar2), a2 AS (SELECT n.id, CAST(CAST(coalesce(ar2.raw, 0) AS HUGEINT) * 1000000 // am2.mx AS BIGINT) AS a FROM nodes n LEFT JOIN ar2 USING (id) CROSS JOIN am2), hr2 AS (SELECT e.src AS id, sum(a2.a) AS raw FROM e JOIN a2 ON e.dst = a2.id GROUP BY 1), hm2 AS (SELECT max(raw) AS mx FROM hr2), h2 AS (SELECT n.id, CAST(CAST(coalesce(hr2.raw, 0) AS HUGEINT) * 1000000 // hm2.mx AS BIGINT) AS h FROM nodes n LEFT JOIN hr2 USING (id) CROSS JOIN hm2) SELECT h2.id, h2.h AS hub_micro, a2.a AS auth_micro FROM h2 JOIN a2 USING (id)""",
     "ev_variant" ->
       """SELECT CAST(props->>'$.k' AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1""",
     "ev_trailing_1h" ->
@@ -9689,6 +9897,11 @@ operations:
       """WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events), seg AS (SELECT es // 86400 AS day, es % 86400 AS a, es % 86400 + 3600 AS b FROM e WHERE es % 86400 + 3600 <= 86400 UNION ALL SELECT es // 86400, es % 86400, 86400 FROM e WHERE es % 86400 + 3600 > 86400 UNION ALL SELECT es // 86400 + 1, 0, es % 86400 + 3600 - 86400 FROM e WHERE es % 86400 + 3600 > 86400), del AS (SELECT day, a AS sec, CAST(1 AS BIGINT) AS delta FROM seg UNION ALL SELECT day, b, CAST(-1 AS BIGINT) FROM seg), g AS (SELECT day, sec, delta, CAST(sum(delta) AS BIGINT) AS d FROM del GROUP BY 1, 2, 3), r AS (SELECT day, sum(d) OVER (PARTITION BY day ORDER BY sec, delta ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run FROM g) SELECT CAST(day AS BIGINT) AS day, CAST(max(run) AS BIGINT) AS peak FROM r GROUP BY 1""",
     "ev_cuped" ->
       """WITH ux AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS x_c, CAST(sum(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y_c FROM events GROUP BY 1), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(x_c) AS HUGEINT) AS sx, CAST(sum(y_c) AS HUGEINT) AS sy, CAST(sum(CAST(x_c AS HUGEINT) * x_c) AS HUGEINT) AS sxx, CAST(sum(CAST(x_c AS HUGEINT) * y_c) AS HUGEINT) AS sxy FROM ux), t AS (SELECT n, sx, ((n * sxy - sx * sy) * 1000000) // (n * sxx - sx * sx) AS theta_micro FROM g) SELECT user_id, x_c, y_c, CAST(theta_micro AS BIGINT) AS theta_micro, CAST((n * y_c * 1000000 - theta_micro * (n * x_c - sx)) // n AS BIGINT) AS y_adj_micro FROM ux, t""",
+    // ev_uplift: window ntile(10) is exactly Ranks.groupedNtile's
+    // semantics (RanksSpec-proven); cumulative sums run over the 10-row
+    // decile frame; HUGEINT mirrors the engine's DECIMAL rate products.
+    "ev_uplift" ->
+      """WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp FROM events GROUP BY 1), d AS (SELECT user_id, resp, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated, CAST(ntile(10) OVER (ORDER BY pre_n DESC, user_id) AS BIGINT) AS decile FROM u), b AS (SELECT decile, CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, CAST(sum(CASE WHEN treated = 1 THEN resp ELSE 0 END) AS BIGINT) AS r_t, CAST(sum(CASE WHEN treated = 0 THEN resp ELSE 0 END) AS BIGINT) AS r_c FROM d GROUP BY 1), c AS (SELECT *, CAST(sum(n_t) OVER w AS HUGEINT) AS cn_t, CAST(sum(n_c) OVER w AS HUGEINT) AS cn_c, CAST(sum(r_t) OVER w AS HUGEINT) AS cr_t, CAST(sum(r_c) OVER w AS HUGEINT) AS cr_c FROM b WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT decile, n_t, n_c, r_t, r_c, CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE CAST(CAST(r_t AS HUGEINT) * 1000000 // n_t - CAST(r_c AS HUGEINT) * 1000000 // n_c AS BIGINT) END AS uplift_micro, CASE WHEN cn_c = 0 THEN NULL ELSE CAST(cr_t * 1000000 - (cr_c * cn_t * 1000000) // cn_c AS BIGINT) END AS qini_micro FROM c""",
     "ev_gaps" ->
       """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), b AS (SELECT CASE WHEN gap_s < 1 THEN '0_sub_second' WHEN gap_s < 10 THEN '1_under_10s' WHEN gap_s < 60 THEN '2_under_1m' WHEN gap_s < 600 THEN '3_under_10m' WHEN gap_s < 3600 THEN '4_under_1h' WHEN gap_s < 86400 THEN '5_under_1d' ELSE '6_over_1d' END AS bucket FROM g WHERE gap_s IS NOT NULL), c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) SELECT bucket, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM c, t""",
     // q_cohend / q_rolling_corr: the double expressions are mirrored
@@ -9766,6 +9979,15 @@ operations:
       """WITH d AS (SELECT doc_id, source, md5('fold0:' || CAST(doc_id AS VARCHAR)) AS h FROM documents), r AS (SELECT doc_id, source, CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS BIGINT) AS rn FROM d) SELECT doc_id, source, (rn - 1) % 5 AS fold FROM r""",
     "q_anova" ->
       """WITH v AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS HUGEINT) AS v FROM lineitem), g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng, sum(v) AS sg, sum(v * v) AS ssg FROM v GROUP BY 1), t AS (SELECT CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(sg) AS HUGEINT) AS st, CAST(count(*) AS HUGEINT) AS k FROM g), terms AS (SELECT n, k, CAST(round(CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS ssb, CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT) AS ssw FROM g, t), agg AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k, CAST(sum(ssb) AS BIGINT) AS ssb_c2, CAST(sum(ssw) AS BIGINT) AS ssw_c2 FROM terms) SELECT n, k, ssb_c2, ssw_c2, CAST(round(CAST(ssb_c2 AS DOUBLE) / CAST(k - 1 AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000) AS BIGINT) AS f_micro FROM agg""",
+    // q_kruskal: global doubled midranks (q_spearman's CTE shape), each
+    // group's R²/n term rounded once so the group Σ is order-free; the
+    // only doubles are casts of exact integers, op order mirrored.
+    "q_kruskal" ->
+      """WITH base AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem), h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1), d AS (SELECT v, 2 * sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS dr FROM h), g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng, CAST(sum(dr) AS HUGEINT) AS sd FROM base JOIN d USING (v) GROUP BY 1), t AS (SELECT ng, CAST(round(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / 4 / CAST(ng AS DOUBLE)) AS BIGINT) AS term FROM g), ties AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t3t FROM h), s AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k, CAST(sum(term) AS BIGINT) AS sum_term FROM t) SELECT n, k, sum_term, CAST(t3t AS BIGINT) AS tie_sum, CAST(round((12.0 * CAST(sum_term AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS h_micro, CAST(round((12.0 * CAST(sum_term AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) / (1.0 - CAST(t3t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS h_adj_micro FROM s CROSS JOIN ties""",
+    // q_levene: q_mad's nearest-rank group medians feeding q_anova's F
+    // replay on the absolute deviations — both CTE shapes already proven.
+    "q_levene" ->
+      """WITH vv AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem), h1 AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c FROM vv GROUP BY 1, 2), c1 AS (SELECT *, sum(c) OVER (PARTITION BY grp ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum, sum(c) OVER (PARTITION BY grp) AS n FROM h1), med AS (SELECT grp, min(CASE WHEN cum >= greatest(1, CAST(ceil(CAST(0.5 AS DOUBLE) * n) AS BIGINT)) THEN v END) AS med FROM c1 GROUP BY 1), dv AS (SELECT vv.grp, CAST(abs(vv.v - med.med) AS HUGEINT) AS d FROM vv JOIN med USING (grp)), g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng, sum(d) AS sg, sum(d * d) AS ssg FROM dv GROUP BY 1), t AS (SELECT CAST(sum(ng) AS HUGEINT) AS n, CAST(sum(sg) AS HUGEINT) AS st, CAST(count(*) AS HUGEINT) AS k FROM g), terms AS (SELECT n, k, CAST(round(CAST(ng AS DOUBLE) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE)) * (CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE) - CAST(st AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT) AS ssb, CAST(round(CAST(ssg AS DOUBLE) - CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE) / CAST(ng AS DOUBLE)) AS BIGINT) AS ssw FROM g, t), agg AS (SELECT CAST(max(n) AS BIGINT) AS n, CAST(max(k) AS BIGINT) AS k, CAST(sum(ssb) AS BIGINT) AS ssb_c2, CAST(sum(ssw) AS BIGINT) AS ssw_c2 FROM terms) SELECT n, k, ssb_c2, ssw_c2, CAST(round(CAST(ssb_c2 AS DOUBLE) / CAST(k - 1 AS DOUBLE) / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE)) * 1000000) AS BIGINT) AS f_micro FROM agg""",
     "q_partial_corr" ->
       """WITH v AS (SELECT CAST(l_quantity AS HUGEINT) AS x, CAST(round(l_extendedprice * 100) AS HUGEINT) AS y, CAST(round(l_discount * 100) AS HUGEINT) AS z FROM lineitem), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(z) AS sz, sum(x * x) AS sxx, sum(y * y) AS syy, sum(z * z) AS szz, sum(x * y) AS sxy, sum(x * z) AS sxz, sum(y * z) AS syz FROM v), r AS (SELECT CAST(n AS BIGINT) AS n, CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) AS rxy, CAST(n * sxz - sx * sz AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS rxz, CAST(n * syz - sy * sz AS DOUBLE) / (sqrt(CAST(n * syy - sy * sy AS DOUBLE)) * sqrt(CAST(n * szz - sz * sz AS DOUBLE))) AS ryz FROM g) SELECT n, CAST(round(rxy * 1000000) AS BIGINT) AS rxy_micro, CAST(round((rxy - rxz * ryz) / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)) * 1000000) AS BIGINT) AS rxy_given_z_micro FROM r""",
     "q_freshness" ->

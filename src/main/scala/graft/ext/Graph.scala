@@ -217,6 +217,52 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** HITS hubs & authorities in INTEGER micro-units (Kleinberg 1999),
+    * completing the link-analysis family next to [[pageRankInt]]. Per
+    * iteration: authority(v) = Σ hub(u) over in-edges u→v, then hub(u) =
+    * Σ authority(v) over out-edges — each renormalized to the 0..10⁶
+    * range by the round's MAX (L∞ instead of the classic L2: max is an
+    * order-free integer aggregate, so a fixed iteration count is
+    * bit-identical across engines and the DuckDB oracle can unroll it;
+    * an L2 norm would need a float sqrt whose summation order leaks in).
+    *
+    * Scale shape: per half-iteration ONE ids-only join of the edge list
+    * to the current score map and ONE partial-aggregated groupBy — the
+    * Pregel message flow, same as pageRankInt. The Σscore·10⁶ product
+    * runs in DECIMAL(38,0) (HUGEINT in the oracle) so billion-edge
+    * in-degrees cannot wrap int64. Nodes with no in-edges get
+    * authority 0; no out-edges → hub 0. Lineage is truncated per
+    * iteration like every iterative op here.
+    */
+  def hitsInt(edges: DataFrame, src: String = "src", dst: String = "dst",
+              iters: Int = 2): DataFrame = {
+    val e = edges.select(col(src).cast(LongType).as("src"),
+      col(dst).cast(LongType).as("dst")).distinct().localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    def renorm(raw: DataFrame, out: String): DataFrame = {
+      val mx = raw.agg(max("raw").as("mx"))
+      nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
+        .select(col("id"),
+          expr("CAST(CAST(coalesce(raw, 0) AS DECIMAL(38,0)) * 1000000 div mx AS BIGINT)")
+            .as(out))
+    }
+    var hub = nodes.withColumn("h", lit(1000000L))
+    var auth = nodes.withColumn("a", lit(0L))
+    for (i <- 0 until iters) {
+      val araw = e.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("raw"))
+      auth = renorm(araw, "a").localCheckpoint(true)
+      val hraw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("raw"))
+      hub = renorm(hraw, "h")
+      if (i < iters - 1) hub = hub.localCheckpoint(true)
+    }
+    hub.join(auth, "id")
+      .select(col("id"), col("h").as("hub_micro"), col("a").as("auth_micro"))
+  }
+
   /** Bounded-hop BFS: minimum hop distance from any source vertex,
     * up to `maxHops` (Pregel frontier expansion as DataFrame ops —
     * the "who is within N hops of a flagged account" query).

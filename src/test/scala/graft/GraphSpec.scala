@@ -99,6 +99,34 @@ class GraphSpec extends SparkSpec {
     assert(r3a === r3b)
   }
 
+  test("hitsInt matches an independent BigInt replay on a planted directed graph") {
+    import spark.implicits._
+    // hubs 1,2,3 endorse authorities 10,11 (3 also 12); a detached edge
+    // 20→21 checks the no-in-edge / no-out-edge zero conventions
+    val edges = Seq((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L),
+      (3L, 10L), (3L, 11L), (3L, 12L), (20L, 21L))
+    val got = Graph.hitsInt(edges.toDF("src", "dst"), iters = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    var hub = nodes.map(_ -> BigInt(1000000)).toMap
+    var auth = Map.empty[Long, BigInt]
+    for (_ <- 0 until 2) {
+      val araw = edges.groupBy(_._2).map { case (v, es) => v -> es.map(e => hub(e._1)).sum }
+      val amx = araw.values.max
+      auth = nodes.map(v => v -> araw.getOrElse(v, BigInt(0)) * 1000000 / amx).toMap
+      val hraw = edges.groupBy(_._1).map { case (u, es) => u -> es.map(e => auth(e._2)).sum }
+      val hmx = hraw.values.max
+      hub = nodes.map(v => v -> hraw.getOrElse(v, BigInt(0)) * 1000000 / hmx).toMap
+    }
+    val expected = nodes.map(v => v -> (hub(v).toLong, auth(v).toLong)).toMap
+    assert(got == expected)
+    // the widest hub and the most-endorsed authorities sit at the cap
+    assert(got(3L)._1 == 1000000L && got(10L)._2 == 1000000L && got(11L)._2 == 1000000L)
+    // authorities never act as hubs here; hubs never as authorities
+    assert(got(10L)._1 == 0L && got(1L)._2 == 0L)
+  }
+
   test("triangle counts: hand graph, direction/duplicate invariance, skew apex") {
     // two triangles sharing edge 2-3, plus a pendant vertex 4
     val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (2L, 5L), (3L, 5L))

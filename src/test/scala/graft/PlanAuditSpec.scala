@@ -44,6 +44,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_croston",      // day-domain occurrence indexing
     "srch_ndcg",      // 10-row retrieved frame
     "q_rolling_median", // day-domain 7-value collect
+    "q_kruskal",      // global value histogram (q_spearman's shape)
+    "ev_uplift",      // 10-row decile table (q_lorenz's shape)
     "q_emd",          // 10-bin histogram CDF
     "q_volatility",   // day-domain log-returns
     "q_dw",           // day-domain residual lag
@@ -68,7 +70,13 @@ class PlanAuditSpec extends SparkSpec {
             case _ =>
           }
           p.children.foreach(walk)
-          p.subqueries.foreach(walk)
+          // QueryPlan.subqueries is type-erased: at the sparkPlan stage a
+          // runtime-filter subquery (e.g. the injected bloom_filter_agg)
+          // still holds a LOGICAL subtree, so descend only into physical ones
+          p.subqueries.asInstanceOf[Seq[Any]].foreach {
+            case s: SparkPlan => walk(s)
+            case _            => ()
+          }
         }
         walk(df.queryExecution.sparkPlan)
       } catch { case _: Exception => () } // planning failures caught by the window test
@@ -90,7 +98,10 @@ class PlanAuditSpec extends SparkSpec {
             case _ =>
           }
           p.children.foreach(walk)
-          p.subqueries.foreach(walk)
+          p.subqueries.asInstanceOf[Seq[Any]].foreach {
+            case s: SparkPlan => walk(s)
+            case _            => () // pre-planned logical subquery (see above)
+          }
         }
         walk(df.queryExecution.sparkPlan)
       } catch {
