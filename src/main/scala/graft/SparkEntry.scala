@@ -598,6 +598,52 @@ operations:
         .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("qerr_micro"))
     }),
 
+    "sim_silhouette" -> ((s, dir) => {
+      // simplified silhouette (centroid-based, Hruschka et al.): the
+      // clustering-QA row for the IVF quantizer — per point, a = distance
+      // to OWN centroid, b = distance to the nearest OTHER centroid,
+      // s = (b−a)/max(a,b); averaged per cell. Unlike the classic
+      // silhouette's O(n²) pairwise form, the centroid variant is one
+      // broadcast-k CASE ladder per row — linear, the only formulation
+      // that survives 100 TB. d² uses sim_ivf_stats' exact op order
+      // ((v·v − 2⟨v,c⟩) + ‖c‖², left folds both engines), sqrt is
+      // IEEE-exact, s is micro-rounded per ROW so per-cell sums are
+      // order-free integers (DECIMAL against the 2⁵³ bound at scale).
+      val emb = T(s, dir, "embeddings")
+      val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val assigned = ext.IvfIndex.assign(emb, "vec_id", "embedding", cents)
+      val vv = graft.functions.VectorExprs.dot(col("v"), col("v"))
+      def d2(c: Array[Double]): org.apache.spark.sql.Column = {
+        val c2 = { var s0 = 0.0; var i = 0; while (i < c.length) { s0 += c(i) * c(i); i += 1 }; s0 }
+        (vv - lit(2.0) * graft.functions.VectorExprs.dot(col("v"), lit(c))) + lit(c2)
+      }
+      val dCols = cents.map { case (cid, c) => cid -> d2(c) }
+      val ownB = dCols.map { case (cid, dc) => (cid, dc) }
+      val own = ownB.tail.foldLeft(when(col("cell") === ownB.head._1, ownB.head._2)) {
+        case (acc, (cid, dc)) => acc.when(col("cell") === cid, dc)
+      }
+      val othB = cents.map { case (cid, _) =>
+        cid -> least(dCols.collect { case (o, dc) if o != cid => dc }: _*)
+      }
+      val other = othB.tail.foldLeft(when(col("cell") === othB.head._1, othB.head._2)) {
+        case (acc, (cid, lc)) => acc.when(col("cell") === cid, lc)
+      }
+      assigned
+        .withColumn("a", sqrt(own))
+        .withColumn("b", sqrt(other))
+        .withColumn("sil",
+          when(greatest(col("a"), col("b")) === 0.0, lit(0L))
+            .otherwise(round((col("b") - col("a"))
+              / greatest(col("a"), col("b")) * 1e6).cast("long")))
+        .groupBy("cell")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(col("sil").cast("decimal(38,0)")).as("ss"))
+        .select(col("cell"), col("n_vecs"),
+          col("ss").cast("long").as("sil_sum_micro"),
+          expr("CAST(round(CAST(ss AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS BIGINT)")
+            .as("mean_sil_micro"))
+    }),
+
     "sim_coreset" -> ((s, dir) => {
       // greedy k-center coreset (Gonzalez 1985 / Sener-Savarese): 8
       // maximally spread embeddings — diversity selection for training
@@ -4323,6 +4369,76 @@ operations:
           col("j").as("rec_part_id"), col("cooc"), col("score_micro"))
     }),
 
+    "rec_mrr" -> ((s, dir) => {
+      // leave-last-out evaluation of the item-item recommender — the
+      // accept/reject gate rec_itemitem needs (the ta_nbc_eval pattern
+      // applied to recommendations): each customer's LAST order is held
+      // out, similarities retrain on the remaining baskets only (no
+      // leakage), candidates are each profile item's top-3 neighbors
+      // (the standard bounded candidate-generation fan-out: ≤3·|profile|
+      // rows per user, never the catalog), scored by the exact integer
+      // sum of neighbor scores, top-10 per user. Output per eval user:
+      // held-out size, hits@10, first-hit rank, reciprocal rank —
+      // mean(rr_micro) IS the MRR. All windows partition on
+      // high-cardinality keys (customer / item); ranking ties break
+      // (score desc, id asc) so both engines agree bit-for-bit.
+      import org.apache.spark.sql.expressions.Window
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+      val wo = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate").desc, col("o_orderkey").desc)
+      val seqo = o.withColumn("rn", row_number().over(wo))
+        .withColumn("no", count(lit(1)).over(Window.partitionBy("o_custkey")))
+        .filter(col("no") >= 2)
+        .localCheckpoint(true) // feeds the train AND test splits
+      val items = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val train = seqo.filter(col("rn") > 1)
+        .select(col("o_orderkey").as("o"), col("o_custkey").as("c"))
+      val test = seqo.filter(col("rn") === 1)
+        .select(col("o_orderkey").as("o"), col("o_custkey").as("c"))
+      val ti = train.join(items, "o").select("c", "p").distinct()
+        .localCheckpoint(true) // profile: candidate fan-out + seen-filter
+      val te = test.join(items, "o").select("c", "p").distinct()
+      // retrain rec_itemitem's similarities on the train baskets only
+      val tb = items.join(train.select("o").distinct(), Seq("o"), "left_semi")
+      val widths = tb.groupBy("o").agg(count(lit(1)).as("w"))
+      val capped = tb.join(
+        widths.filter(col("w") <= kcoreOrderCap).select("o"), Seq("o"), "left_semi")
+      val freq = capped.groupBy("p").agg(count(lit(1)).as("n"))
+      val pairs = capped.as("a")
+        .join(capped.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("i"), col("b.p").as("j")).agg(count(lit(1)).as("cooc"))
+        .filter(col("cooc") >= 2)
+      val directed = pairs.select(col("i"), col("j"), col("cooc"))
+        .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cooc")))
+      val scored = directed
+        .join(freq.select(col("p").as("i"), col("n").as("ni")), Seq("i"))
+        .join(freq.select(col("p").as("j"), col("n").as("nj")), Seq("j"))
+        .withColumn("score_micro",
+          expr("CAST((cooc * cooc * 1000000) div (ni * nj) AS BIGINT)"))
+      val wi = Window.partitionBy("i")
+        .orderBy(col("score_micro").desc, col("j").asc)
+      val sims3 = scored.withColumn("rk", row_number().over(wi))
+        .filter(col("rk") <= 3).select("i", "j", "score_micro")
+      val cand = ti.join(sims3, col("p") === col("i"))
+        .groupBy(col("c"), col("j")).agg(sum("score_micro").as("scsum"))
+      val fresh = cand.join(ti.select(col("c"), col("p").as("j")),
+        Seq("c", "j"), "left_anti")
+      val wc = Window.partitionBy("c").orderBy(col("scsum").desc, col("j").asc)
+      val top10 = fresh.withColumn("rk", row_number().over(wc))
+        .filter(col("rk") <= 10)
+      val hits = top10.join(te.select(col("c"), col("p").as("j")), Seq("c", "j"))
+        .groupBy("c").agg(count(lit(1)).as("n_hits"), min("rk").as("best_rank"))
+      te.groupBy("c").agg(count(lit(1)).as("n_test"))
+        .join(hits, Seq("c"), "left")
+        .select(col("c").as("customer_id"), col("n_test"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          col("best_rank").cast("long").as("best_rank"),
+          expr("""CAST(CASE WHEN best_rank IS NULL THEN 0
+                 ELSE 1000000 div CAST(best_rank AS BIGINT) END AS BIGINT)""")
+            .as("rr_micro"))
+    }),
+
     "q_bitmap" -> ((s, dir) => {
       // bitmap-index membership: per event type, user ids packed into
       // 32-bit words (word = id div 32, bit = id % 32) with ONE bit_or
@@ -4949,6 +5065,43 @@ operations:
                  ELSE CAST(CAST(cr_t AS DECIMAL(38,0)) * 1000000
                    - (CAST(cr_c AS DECIMAL(38,0)) * cn_t * 1000000) div cn_c
                    AS BIGINT) END""").as("qini_micro"))
+    }),
+
+    "ev_ipw" -> ((s, dir) => {
+      // stratified inverse-propensity weighting — the observational
+      // sibling of ev_uplift: strata are exact pre-period-activity
+      // deciles (range-partitioned groupedNtile, no global sort window),
+      // the within-stratum propensity is n_t/n_s, and each stratum
+      // contributes the Horvitz-Thompson term r_t·n_s/n_t − r_c·n_s/n_c
+      // (sum over strata / N = the stratified ATE). All products run in
+      // DECIMAL(38,0) (HUGEINT oracle); empty arms yield NULL, the
+      // estimator's honest answer, mirrored in the oracle.
+      val cut = "2024-01-15 00:00:00"
+      val u = events(s, dir)
+        .select(col("user_id"),
+          (col("ts") < lit(cut).cast("timestamp")).as("pre"),
+          (col("event_type") === "purchase").as("purch"))
+        .groupBy("user_id")
+        .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("pre_n"),
+          max(when(!col("pre") && col("purch"), 1L).otherwise(0L)).as("resp"))
+        .withColumn("treated", (col("user_id") % 2 === 0).cast("long"))
+        .withColumn("g", lit("all"))
+      val dec = ext.Ranks.groupedNtile(u, "g",
+        Seq(col("pre_n").desc, col("user_id").asc), 10, "stratum")
+      dec.groupBy("stratum")
+        .agg(count(lit(1)).as("n_s"),
+          sum(when(col("treated") === 1L, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treated") === 0L, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("treated") === 1L, col("resp")).otherwise(0L)).as("r_t"),
+          sum(when(col("treated") === 0L, col("resp")).otherwise(0L)).as("r_c"))
+        .select(col("stratum"), col("n_s"), col("n_t"), col("n_c"),
+          col("r_t"), col("r_c"),
+          expr("CAST(CAST(n_t AS DECIMAL(38,0)) * 1000000 div n_s AS BIGINT)")
+            .as("propensity_micro"),
+          expr("""CASE WHEN n_t = 0 OR n_c = 0 THEN NULL
+                 ELSE CAST(CAST(r_t AS DECIMAL(38,0)) * n_s * 1000000 div n_t
+                   - CAST(r_c AS DECIMAL(38,0)) * n_s * 1000000 div n_c AS BIGINT)
+                 END""").as("ht_term_micro"))
     }),
 
     "ev_gaps" -> ((s, dir) => {
@@ -5918,6 +6071,55 @@ operations:
           expr("""CAST(round(CAST(ssb_c2 AS DOUBLE) / CAST(k - 1 AS DOUBLE)
                  / (CAST(ssw_c2 AS DOUBLE) / CAST(n - k AS DOUBLE))
                  * 1000000) AS BIGINT)""").as("f_micro"))
+    }),
+
+    "q_friedman" -> ((s, dir) => {
+      // Friedman rank test (nonparametric repeated-measures ANOVA): does
+      // any return flag consistently out-earn the others DAY AFTER DAY?
+      // Blocks = ship days with all k flags present (complete blocks
+      // only, the test's requirement), treatment value = the day x flag
+      // revenue cell. Doubled midranks WITHIN each day come from a
+      // per-day value histogram (window partitioned by day — a k-row
+      // frame, never global); rank sums and their squares stay exact
+      // DECIMAL integers (day-domain bound: Rj2² < 2⁵³ even at 100x the
+      // day range), so the only double math is the final statistic.
+      // Tie-corrected variant divides by 1 − Σ(t³−t)/(n·k·(k²−1)),
+      // mirroring q_kruskal's discipline.
+      import org.apache.spark.sql.expressions.Window
+      val cells = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"), col("l_returnflag").as("grp"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("v"))
+      val complete = cells.groupBy("d").agg(count(lit(1)).as("kk"))
+        .filter(col("kk") === 3).select("d")
+      val cc = cells.join(complete, "d").localCheckpoint(true) // hist + probe
+      val h = cc.groupBy("d", "v").agg(count(lit(1)).as("c"))
+      val wd = Window.partitionBy("d").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val dr = h.withColumn("cum", sum("c").over(wd))
+        .select(col("d"), col("v"), expr("2 * cum - c + 1").as("dr"),
+          expr("CAST(c AS DECIMAL(38,0)) * c * c - c").as("t3t"))
+      val g = cc.join(dr.select("d", "v", "dr"), Seq("d", "v"))
+        .groupBy("grp")
+        .agg(sum(col("dr").cast("decimal(38,0)")).as("rj2"))
+        .select(expr("rj2 * rj2").as("rj2sq"))
+      val ties = dr.agg(sum("t3t").as("tsum"))
+      val nb = complete.agg(count(lit(1)).cast("long").as("n"))
+      g.agg(sum("rj2sq").as("sum_rj2sq"), count(lit(1)).as("k"))
+        .crossJoin(broadcast(nb)).crossJoin(broadcast(ties))
+        .select(col("n"), col("k"),
+          col("sum_rj2sq").cast("long").as("sum_rj2sq"),
+          col("tsum").cast("long").as("tie_sum"),
+          expr("""CAST(round((12.0 * (CAST(sum_rj2sq AS DOUBLE) / 4.0)
+                 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+                 - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+                 * 1000000) AS BIGINT)""").as("chi2_micro"),
+          expr("""CAST(round((12.0 * (CAST(sum_rj2sq AS DOUBLE) / 4.0)
+                 / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+                 - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE))
+                 / (1.0 - CAST(tsum AS DOUBLE)
+                    / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE)
+                       * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)))
+                 * 1000000) AS BIGINT)""").as("chi2_adj_micro"))
     }),
 
     "q_partial_corr" -> ((s, dir) => {
@@ -8800,8 +9002,22 @@ operations:
        |st AS (SELECT i.cell, CAST(round(((list_dot_product(i.v, i.v) - 2 * list_dot_product(i.v, c.v)) + list_dot_product(c.v, c.v)) * 1e6) AS BIGINT) AS q FROM idx i JOIN cen2 c ON i.cell = c.cell)
        |SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(q) AS BIGINT) AS qerr_micro FROM st GROUP BY 1""".stripMargin
 
+  /** sim_silhouette: same trained cen2 + hard assignment as
+    * sim_ivf_stats; a/b from the identical d² op order, per-row micro
+    * rounding, per-cell exact sums (HUGEINT mirrors the DECIMAL).
+    */
+  private lazy val silhouetteOracleSql: String =
+    s"""WITH ${kmeansCtes(8, 2, 64)},
+       |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+       |dd AS (SELECT i.vec_id, i.cell AS own_cell, c.cell AS cand_cell, (list_dot_product(i.v, i.v) - 2 * list_dot_product(i.v, c.v)) + list_dot_product(c.v, c.v) AS d2 FROM idx i CROSS JOIN cen2 c),
+       |ab AS (SELECT vec_id, own_cell AS cell, sqrt(max(CASE WHEN cand_cell = own_cell THEN d2 END)) AS a, sqrt(min(CASE WHEN cand_cell <> own_cell THEN d2 END)) AS b FROM dd GROUP BY 1, 2),
+       |sl AS (SELECT cell, CASE WHEN greatest(a, b) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(round((b - a) / greatest(a, b) * 1e6) AS BIGINT) END AS sil FROM ab),
+       |g AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_vecs, CAST(sum(sil) AS HUGEINT) AS ss FROM sl GROUP BY 1)
+       |SELECT cell, n_vecs, CAST(ss AS BIGINT) AS sil_sum_micro, CAST(round(CAST(ss AS DOUBLE) / CAST(n_vecs AS DOUBLE)) AS BIGINT) AS mean_sil_micro FROM g""".stripMargin
+
   def oracleSql: Map[String, String] = ListMap(
     "ta_winnow" -> winnowOracleSql,
+    "sim_silhouette" -> silhouetteOracleSql,
     "sim_topk_ivf" -> ivfTopKOracleSql,
     "dd_semantic" -> semanticOracleSql,
     "sim_topk_pq" -> pqTopKOracleSql,
@@ -9747,6 +9963,31 @@ operations:
          FROM c""",
     // rec_itemitem: same width cap, support floor, cosine² integer
     // score, QUALIFY top-3 per item
+    // rec_mrr: rec_itemitem's similarity replay retrained on train
+    // baskets only (rn > 1 per customer), candidate fan-out through each
+    // profile item's top-3 neighbors, seen-filter, top-10, first-hit
+    // reciprocal rank; all ties (score desc, id asc), nonnegative // ≡ div.
+    "rec_mrr" ->
+      s"""WITH seqo AS (SELECT o_orderkey, o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn, count(*) OVER (PARTITION BY o_custkey) AS no FROM orders),
+         el AS (SELECT o_orderkey, o_custkey, rn FROM seqo WHERE no >= 2),
+         items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         train AS (SELECT o_orderkey AS o, o_custkey AS c FROM el WHERE rn > 1),
+         test AS (SELECT o_orderkey AS o, o_custkey AS c FROM el WHERE rn = 1),
+         ti AS (SELECT DISTINCT c, p FROM train JOIN items USING (o)),
+         te AS (SELECT DISTINCT c, p FROM test JOIN items USING (o)),
+         tb AS (SELECT i.o, i.p FROM items i WHERE i.o IN (SELECT o FROM train)),
+         capped AS (SELECT o, p FROM tb QUALIFY count(*) OVER (PARTITION BY o) <= $kcoreOrderCap),
+         freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+         pr AS (SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS cooc FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p GROUP BY 1, 2 HAVING count(*) >= 2),
+         dirp AS (SELECT i, j, cooc FROM pr UNION ALL SELECT j, i, cooc FROM pr),
+         sc AS (SELECT d.i, d.j, CAST((d.cooc * d.cooc * 1000000) // (fi.n * fj.n) AS BIGINT) AS score_micro FROM dirp d JOIN freq fi ON d.i = fi.p JOIN freq fj ON d.j = fj.p),
+         s3 AS (SELECT i, j, score_micro FROM (SELECT *, row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) AS rk FROM sc) WHERE rk <= 3),
+         cand AS (SELECT ti.c, s3.j, CAST(sum(score_micro) AS BIGINT) AS scsum FROM ti JOIN s3 ON ti.p = s3.i GROUP BY 1, 2),
+         fresh AS (SELECT cand.c, cand.j, scsum FROM cand LEFT JOIN ti tx ON cand.c = tx.c AND cand.j = tx.p WHERE tx.p IS NULL),
+         t10 AS (SELECT c, j, rk FROM (SELECT *, row_number() OVER (PARTITION BY c ORDER BY scsum DESC, j) AS rk FROM fresh) WHERE rk <= 10),
+         h AS (SELECT t10.c, CAST(count(*) AS BIGINT) AS n_hits, CAST(min(rk) AS BIGINT) AS best_rank FROM t10 JOIN te ON t10.c = te.c AND t10.j = te.p GROUP BY 1),
+         ntst AS (SELECT c, CAST(count(*) AS BIGINT) AS n_test FROM te GROUP BY 1)
+         SELECT ntst.c AS customer_id, n_test, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, best_rank, CAST(CASE WHEN best_rank IS NULL THEN 0 ELSE 1000000 // best_rank END AS BIGINT) AS rr_micro FROM ntst LEFT JOIN h ON ntst.c = h.c""",
     "rec_itemitem" ->
       s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
          capped AS (SELECT o, p FROM items
@@ -9902,6 +10143,11 @@ operations:
     // decile frame; HUGEINT mirrors the engine's DECIMAL rate products.
     "ev_uplift" ->
       """WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp FROM events GROUP BY 1), d AS (SELECT user_id, resp, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated, CAST(ntile(10) OVER (ORDER BY pre_n DESC, user_id) AS BIGINT) AS decile FROM u), b AS (SELECT decile, CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, CAST(sum(CASE WHEN treated = 1 THEN resp ELSE 0 END) AS BIGINT) AS r_t, CAST(sum(CASE WHEN treated = 0 THEN resp ELSE 0 END) AS BIGINT) AS r_c FROM d GROUP BY 1), c AS (SELECT *, CAST(sum(n_t) OVER w AS HUGEINT) AS cn_t, CAST(sum(n_c) OVER w AS HUGEINT) AS cn_c, CAST(sum(r_t) OVER w AS HUGEINT) AS cr_t, CAST(sum(r_c) OVER w AS HUGEINT) AS cr_c FROM b WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) SELECT decile, n_t, n_c, r_t, r_c, CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE CAST(CAST(r_t AS HUGEINT) * 1000000 // n_t - CAST(r_c AS HUGEINT) * 1000000 // n_c AS BIGINT) END AS uplift_micro, CASE WHEN cn_c = 0 THEN NULL ELSE CAST(cr_t * 1000000 - (cr_c * cn_t * 1000000) // cn_c AS BIGINT) END AS qini_micro FROM c""",
+    // ev_ipw: ev_uplift's user frame and decile machinery; HUGEINT
+    // mirrors the engine's DECIMAL HT-term products; nonnegative
+    // operands keep // and div identical.
+    "ev_ipw" ->
+      """WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp FROM events GROUP BY 1), d AS (SELECT user_id, resp, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated, CAST(ntile(10) OVER (ORDER BY pre_n DESC, user_id) AS BIGINT) AS stratum FROM u), b AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, CAST(sum(CASE WHEN treated = 1 THEN resp ELSE 0 END) AS BIGINT) AS r_t, CAST(sum(CASE WHEN treated = 0 THEN resp ELSE 0 END) AS BIGINT) AS r_c FROM d GROUP BY 1) SELECT stratum, n_s, n_t, n_c, r_t, r_c, CAST(CAST(n_t AS HUGEINT) * 1000000 // n_s AS BIGINT) AS propensity_micro, CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE CAST(CAST(r_t AS HUGEINT) * n_s * 1000000 // n_t - CAST(r_c AS HUGEINT) * n_s * 1000000 // n_c AS BIGINT) END AS ht_term_micro FROM b""",
     "ev_gaps" ->
       """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), b AS (SELECT CASE WHEN gap_s < 1 THEN '0_sub_second' WHEN gap_s < 10 THEN '1_under_10s' WHEN gap_s < 60 THEN '2_under_1m' WHEN gap_s < 600 THEN '3_under_10m' WHEN gap_s < 3600 THEN '4_under_1h' WHEN gap_s < 86400 THEN '5_under_1d' ELSE '6_over_1d' END AS bucket FROM g WHERE gap_s IS NOT NULL), c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) SELECT bucket, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM c, t""",
     // q_cohend / q_rolling_corr: the double expressions are mirrored
@@ -9984,6 +10230,11 @@ operations:
     // only doubles are casts of exact integers, op order mirrored.
     "q_kruskal" ->
       """WITH base AS (SELECT l_returnflag AS grp, CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem), h AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM base GROUP BY 1), d AS (SELECT v, 2 * sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS dr FROM h), g AS (SELECT grp, CAST(count(*) AS HUGEINT) AS ng, CAST(sum(dr) AS HUGEINT) AS sd FROM base JOIN d USING (v) GROUP BY 1), t AS (SELECT ng, CAST(round(CAST(sd AS DOUBLE) * CAST(sd AS DOUBLE) / 4 / CAST(ng AS DOUBLE)) AS BIGINT) AS term FROM g), ties AS (SELECT sum(CAST(c AS HUGEINT) * c * c - c) AS t3t FROM h), s AS (SELECT CAST(sum(ng) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k, CAST(sum(term) AS BIGINT) AS sum_term FROM t) SELECT n, k, sum_term, CAST(t3t AS BIGINT) AS tie_sum, CAST(round((12.0 * CAST(sum_term AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS h_micro, CAST(round((12.0 * CAST(sum_term AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE)) - 3.0 * CAST(n + 1 AS DOUBLE)) / (1.0 - CAST(t3t AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE) - CAST(n AS DOUBLE))) * 1000000) AS BIGINT) AS h_adj_micro FROM s CROSS JOIN ties""",
+    // q_friedman: per-day doubled midranks from day-partitioned value
+    // histograms; rank-sum squares stay exact HUGEINT integers (mirroring
+    // the engine's DECIMAL), so only the final statistic touches doubles.
+    "q_friedman" ->
+      """WITH cells AS (SELECT l_shipdate AS d, l_returnflag AS grp, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS v FROM lineitem GROUP BY 1, 2), complete AS (SELECT d FROM cells GROUP BY 1 HAVING count(*) = 3), cc AS (SELECT cells.d, cells.grp, cells.v FROM cells JOIN complete USING (d)), h AS (SELECT d, v, CAST(count(*) AS BIGINT) AS c FROM cc GROUP BY 1, 2), dr AS (SELECT d, v, 2 * sum(c) OVER (PARTITION BY d ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c + 1 AS dr, CAST(c AS HUGEINT) * c * c - c AS t3t FROM h), g AS (SELECT grp, CAST(sum(dr) AS HUGEINT) AS rj2 FROM cc JOIN dr USING (d, v) GROUP BY 1), gs AS (SELECT CAST(sum(rj2 * rj2) AS BIGINT) AS sum_rj2sq, CAST(count(*) AS BIGINT) AS k FROM g), ties AS (SELECT CAST(sum(t3t) AS BIGINT) AS tsum FROM dr), nb AS (SELECT CAST(count(*) AS BIGINT) AS n FROM complete) SELECT n, k, sum_rj2sq, tsum AS tie_sum, CAST(round((12.0 * (CAST(sum_rj2sq AS DOUBLE) / 4.0) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)) - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS chi2_micro, CAST(round((12.0 * (CAST(sum_rj2sq AS DOUBLE) / 4.0) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k + 1 AS DOUBLE)) - 3.0 * CAST(n AS DOUBLE) * CAST(k + 1 AS DOUBLE)) / (1.0 - CAST(tsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0))) * 1000000) AS BIGINT) AS chi2_adj_micro FROM gs CROSS JOIN ties CROSS JOIN nb""",
     // q_levene: q_mad's nearest-rank group medians feeding q_anova's F
     // replay on the absolute deviations — both CTE shapes already proven.
     "q_levene" ->

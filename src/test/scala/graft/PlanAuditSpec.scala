@@ -85,6 +85,78 @@ class PlanAuditSpec extends SparkSpec {
       s"unexpected CartesianProduct in: ${offenders.distinct.mkString(", ")}")
   }
 
+  /** Queries allowed a BroadcastNestedLoopJoin whose broadcast side is NOT
+    * mechanically bounded (no global aggregate / limit / local table in the
+    * build subtree): each broadcasts a deliberately small anchor frame whose
+    * bound comes from a selective filter documented at the definition site.
+    */
+  private val bnljAnchorWhitelist = Set(
+    "q_bind_cross",     // the reference's own `how: cross` bind surface
+    "sim_topk",         // probe cohort: vec_id filter bounds the broadcast side
+    "sim_mips",         // probe cohort (vec_id bound)
+    "sim_knn",          // probe cohort (vec_id bound)
+    "sim_radius",       // probe cohort (vec_id bound)
+    "sim_recall",       // eval probe cohort (vec_id bound)
+    "sim_graph_recall", // eval probe cohort (vec_id < 8)
+    "sim_hardneg",      // anchor cohort (% 10 sample)
+    "geo_knn",          // probe cohort (bounded anchor set)
+    "ta_nbc",           // per-class prior table (#classes = #sources rows)
+    "ta_nbc_eval",      // per-class prior table (#classes rows)
+    "ta_bootstrap",     // replicate-index frame (B = 40 literal rows)
+    "q_cramers_v",      // contingency margin (flag x status domain)
+    "q_kendall",        // day-panel pair frame (bounded day domain)
+    "q_mannkendall",    // day-panel pair frame (bounded day domain)
+  )
+
+  test("every BroadcastNestedLoopJoin build side is bounded or whitelisted") {
+    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, TakeOrderedAndProjectExec, LocalTableScanExec}
+    import org.apache.spark.sql.catalyst.optimizer.{BuildLeft, BuildRight}
+
+    // a build subtree is provably small when some node caps its row count:
+    // a grand-total aggregate (<= 1 row), an explicit limit/top-k, or an
+    // in-memory literal table
+    def bounded(p: SparkPlan): Boolean = p match {
+      case a: HashAggregateExec if a.groupingExpressions.isEmpty       => true
+      case a: ObjectHashAggregateExec if a.groupingExpressions.isEmpty => true
+      case a: SortAggregateExec if a.groupingExpressions.isEmpty       => true
+      case _: GlobalLimitExec | _: LocalLimitExec |
+           _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
+      // a Generate (explode) re-expands rows, so a cap below it does not
+      // bound its output — such a build side must be whitelisted instead
+      case _: org.apache.spark.sql.execution.GenerateExec => false
+      case _ => p.children.nonEmpty && p.children.forall(bounded)
+    }
+
+    val offenders = scala.collection.mutable.ListBuffer.empty[String]
+    SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { name =>
+      try {
+        val df = SparkEntry.queries(name)(spark, sf0001)
+        def walk(p: SparkPlan): Unit = {
+          p match {
+            case j: BroadcastNestedLoopJoinExec =>
+              val build = j.buildSide match {
+                case BuildLeft  => j.left
+                case BuildRight => j.right
+              }
+              if (!bounded(build) && !bnljAnchorWhitelist.contains(name))
+                offenders += name
+            case _ =>
+          }
+          p.children.foreach(walk)
+          p.subqueries.asInstanceOf[Seq[Any]].foreach {
+            case s: SparkPlan => walk(s)
+            case _            => ()
+          }
+        }
+        walk(df.queryExecution.sparkPlan)
+      } catch { case _: Exception => () } // planning failures caught by the window test
+    }
+    assert(offenders.isEmpty,
+      s"unbounded BroadcastNestedLoopJoin build side in: ${offenders.distinct.mkString(", ")}")
+  }
+
   test("no unpartitioned WindowExec outside the bounded-domain whitelist") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     val skipped = scala.collection.mutable.ListBuffer.empty[String]
