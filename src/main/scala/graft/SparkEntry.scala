@@ -6883,6 +6883,36 @@ operations:
           col("ns").as("n_sample"), col("v").as("est_c"))
     }),
 
+    "stream_topk" -> ((s, dir) => {
+      // STREAMING grouped top-k: the bounded-heap TopKAgg running as a
+      // stateful streaming aggregation (COMPLETE mode) — proof that the
+      // custom TypedImperativeAggregate's serialize/merge contract is
+      // streaming-safe, so the same map-side k-heap that bounds the
+      // batch shuffle also bounds the state store (k rows per key,
+      // however many micro-batches arrive). Result ≡ the batch top-5
+      // per event_type by (value desc, event_id asc), replayed by the
+      // oracle as a window rank.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .select(col("event_type"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"), col("event_id"))
+      val agg = stream.groupBy("event_type")
+        .agg(graft.functions.TopKAgg.topK(5, col("v"),
+          col("event_id").cast("double"),
+          struct(col("event_id"), col("v"))).as("__top__"))
+      s.catalog.dropTempView("graft_stream_topk")
+      val q = agg.writeStream.format("memory").queryName("graft_stream_topk")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_topk")
+        .select(col("event_type"), posexplode(col("__top__")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("col.event_id").as("event_id"), col("col.v").as("v"))
+    }),
+
     "g_modularity" -> ((s, dir) => {
       // partition quality of the g_labelprop communities: Newman
       // modularity Q = Σ_c [m_c/m − (d_c/2m)²] over the same undirected
@@ -7715,6 +7745,63 @@ operations:
             .as("den"))
         .select(col("n_days"),
           expr("CAST((num * 1000000) div den AS BIGINT)").as("dw_micro"))
+    }),
+
+    "q_granger" -> ((s, dir) => {
+      // Granger causality at lag 1: does yesterday's shipped QUANTITY
+      // improve today's REVENUE forecast beyond yesterday's revenue?
+      // Restricted model y ~ 1 + y₋₁ vs unrestricted y ~ 1 + y₋₁ + x₋₁,
+      // F = (RSS_r − RSS_u) / (RSS_u / (n−3)). ONE pass builds every
+      // Gram entry as an exact DECIMAL(38,0) integer (HUGEINT oracle);
+      // both 2×2 and 3×3 solves and the RSS identities
+      // RSS = Σy² − βᵀ(Xᵀy) are closed-form doubles written in the SAME
+      // operation order in both engines (the q_ols discipline). Day-
+      // domain lag window (whitelisted).
+      import org.apache.spark.sql.expressions.Window
+      val daily = T(s, dir, "lineitem")
+        .groupBy(col("l_shipdate").as("d"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)")).as("y"),
+          sum(expr("CAST(l_quantity AS BIGINT)")).as("x"))
+      val wd = Window.orderBy("d")
+      val lagged = daily
+        .withColumn("y1", lag(col("y"), 1).over(wd))
+        .withColumn("x1", lag(col("x"), 1).over(wd))
+        .filter(col("y1").isNotNull)
+      lagged.agg(
+          count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("y1").cast("decimal(38,0)")).as("g01"),
+          sum(col("x1").cast("decimal(38,0)")).as("g02"),
+          sum(col("y").cast("decimal(38,0)")).as("g0y"),
+          sum(expr("CAST(y1 AS DECIMAL(38,0)) * y1")).as("g11"),
+          sum(expr("CAST(y1 AS DECIMAL(38,0)) * x1")).as("g12"),
+          sum(expr("CAST(y1 AS DECIMAL(38,0)) * y")).as("g1y"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * x1")).as("g22"),
+          sum(expr("CAST(x1 AS DECIMAL(38,0)) * y")).as("g2y"),
+          sum(expr("CAST(y AS DECIMAL(38,0)) * y")).as("syy"))
+        .selectExpr("CAST(n AS BIGINT) AS n",
+          "CAST(n AS DOUBLE) AS a00", "CAST(g01 AS DOUBLE) AS a01",
+          "CAST(g02 AS DOUBLE) AS a02", "CAST(g0y AS DOUBLE) AS b0",
+          "CAST(g11 AS DOUBLE) AS a11", "CAST(g12 AS DOUBLE) AS a12",
+          "CAST(g1y AS DOUBLE) AS b1", "CAST(g22 AS DOUBLE) AS a22",
+          "CAST(g2y AS DOUBLE) AS b2", "CAST(syy AS DOUBLE) AS syy")
+        .selectExpr("n", "a00", "a01", "a02", "b0", "a11", "a12", "b1",
+          "a22", "b2", "syy",
+          "a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det3",
+          "a00 * a11 - a01 * a01 AS det2")
+        .selectExpr("n", "a00", "a01", "a11", "b0", "b1", "b2", "syy", "det2",
+          "(b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det3 AS bb0",
+          "(a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det3 AS bb1",
+          "(a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det3 AS bb2")
+        .selectExpr("n", "a00", "a01", "a11", "b0", "b1", "syy", "det2", "bb2",
+          "syy - ((bb0 * b0 + bb1 * b1) + bb2 * b2) AS rssu")
+        .selectExpr("n", "b0", "b1", "syy", "bb2", "rssu",
+          "(b0 * a11 - a01 * b1) / det2 AS aa0",
+          "(a00 * b1 - a01 * b0) / det2 AS aa1")
+        .selectExpr("n", "bb2", "rssu",
+          "syy - (aa0 * b0 + aa1 * b1) AS rssr")
+        .selectExpr("n",
+          "CAST(round(bb2 * 1000000) AS BIGINT) AS beta_x_micro",
+          "CAST(round((rssr - rssu) / (rssu / CAST(n - 3 AS DOUBLE)) * 1000000) AS BIGINT) AS f_micro")
     }),
 
     "q_relative_risk" -> ((s, dir) => {
@@ -10312,6 +10399,10 @@ operations:
     // order-free filter), so the batch replay is the oracle verbatim
     "stream_quantile" ->
       """WITH sample AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS v, event_id FROM events WHERE substr(md5('sq:' || CAST(event_id AS VARCHAR)), 1, 1) = '0'), r AS (SELECT event_type, v, event_id, CAST(row_number() OVER (PARTITION BY event_type ORDER BY v, event_id) AS BIGINT) AS rn, CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS ns FROM sample), k(k) AS (VALUES (1), (2), (3)) SELECT event_type, CAST(k AS BIGINT) AS quartile, ns AS n_sample, v AS est_c FROM r JOIN k ON rn = (ns * k + 3) // 4""",
+    // stream_topk: the streamed bounded-heap equals a plain batch
+    // window rank — (v desc, event_id asc), top 5 per type.
+    "stream_topk" ->
+      """SELECT event_type, CAST(rnk AS BIGINT) AS rnk, event_id, v FROM (SELECT event_type, event_id, CAST(round(value * 100) AS BIGINT) AS v, row_number() OVER (PARTITION BY event_type ORDER BY CAST(round(value * 100) AS BIGINT) DESC, event_id) AS rnk FROM events) WHERE rnk <= 5""",
     "g_modularity" -> modularityOracleSql,
     "ev_balance" -> evBalanceOracleSql,
     "ev_its" ->
@@ -10381,6 +10472,11 @@ operations:
       """WITH cells AS (SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS o FROM lineitem GROUP BY 1, 2), rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1), ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1), nt AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells), j AS (SELECT cells.l_returnflag, cells.l_linestatus, o, r, c, n FROM cells JOIN rt USING (l_returnflag) JOIN ct USING (l_linestatus) CROSS JOIN nt) SELECT l_returnflag, l_linestatus, o, CAST((CAST(r AS HUGEINT) * c * 1000000) // n AS BIGINT) AS e_micro, CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT) AS resid_micro, abs(CAST(round((CAST(o AS DOUBLE) - CAST(r AS DOUBLE) * c / n) / sqrt(CAST(r AS DOUBLE) * c / n * (1.0 - CAST(r AS DOUBLE) / n) * (1.0 - CAST(c AS DOUBLE) / n)) * 1000000) AS BIGINT)) > 2000000 AS driving FROM j""",
     "q_dw" ->
       """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), t AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM daily), l AS (SELECT x, lag(x, 1) OVER (ORDER BY d) AS xp FROM daily), g AS (SELECT CAST(max(n) AS BIGINT) AS n_days, sum(CASE WHEN xp IS NULL THEN 0::HUGEINT ELSE CAST(n AS HUGEINT) * n * (x - xp) * (x - xp) END) AS num, sum((CAST(n AS HUGEINT) * x - sx) * (CAST(n AS HUGEINT) * x - sx)) AS den FROM l, t) SELECT n_days, CAST((num * 1000000) // den AS BIGINT) AS dw_micro FROM g""",
+    // q_granger: Gram entries exact HUGEINT (mirrors the engine's
+    // DECIMAL), Cramer solves and RSS identities in the SAME double op
+    // order via staged CTEs mirroring the engine's staged selects.
+    "q_granger" ->
+      """WITH daily AS (SELECT l_shipdate AS d, CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS y, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS x FROM lineitem GROUP BY 1), lagged AS (SELECT y, lag(y) OVER (ORDER BY d) AS y1, lag(x) OVER (ORDER BY d) AS x1 FROM daily), flt AS (SELECT y, y1, x1 FROM lagged WHERE y1 IS NOT NULL), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(y1) AS HUGEINT) AS g01, CAST(sum(x1) AS HUGEINT) AS g02, CAST(sum(y) AS HUGEINT) AS g0y, sum(CAST(y1 AS HUGEINT) * y1) AS g11, sum(CAST(y1 AS HUGEINT) * x1) AS g12, sum(CAST(y1 AS HUGEINT) * y) AS g1y, sum(CAST(x1 AS HUGEINT) * x1) AS g22, sum(CAST(x1 AS HUGEINT) * y) AS g2y, sum(CAST(y AS HUGEINT) * y) AS syy FROM flt), d0 AS (SELECT CAST(n AS BIGINT) AS n, CAST(n AS DOUBLE) AS a00, CAST(g01 AS DOUBLE) AS a01, CAST(g02 AS DOUBLE) AS a02, CAST(g0y AS DOUBLE) AS b0, CAST(g11 AS DOUBLE) AS a11, CAST(g12 AS DOUBLE) AS a12, CAST(g1y AS DOUBLE) AS b1, CAST(g22 AS DOUBLE) AS a22, CAST(g2y AS DOUBLE) AS b2, CAST(syy AS DOUBLE) AS syy FROM g), d1 AS (SELECT *, a00 * (a11 * a22 - a12 * a12) - a01 * (a01 * a22 - a12 * a02) + a02 * (a01 * a12 - a11 * a02) AS det3, a00 * a11 - a01 * a01 AS det2 FROM d0), d2 AS (SELECT n, a00, a01, a11, b0, b1, b2, syy, det2, (b0 * (a11 * a22 - a12 * a12) - a01 * (b1 * a22 - a12 * b2) + a02 * (b1 * a12 - a11 * b2)) / det3 AS bb0, (a00 * (b1 * a22 - a12 * b2) - b0 * (a01 * a22 - a12 * a02) + a02 * (a01 * b2 - b1 * a02)) / det3 AS bb1, (a00 * (a11 * b2 - a12 * b1) - a01 * (a01 * b2 - b1 * a02) + b0 * (a01 * a12 - a11 * a02)) / det3 AS bb2 FROM d1), d3 AS (SELECT n, a00, a01, a11, b0, b1, syy, det2, bb2, syy - ((bb0 * b0 + bb1 * b1) + bb2 * b2) AS rssu FROM d2), d4 AS (SELECT n, b0, b1, syy, bb2, rssu, (b0 * a11 - a01 * b1) / det2 AS aa0, (a00 * b1 - a01 * b0) / det2 AS aa1 FROM d3), d5 AS (SELECT n, bb2, rssu, syy - (aa0 * b0 + aa1 * b1) AS rssr FROM d4) SELECT n, CAST(round(bb2 * 1000000) AS BIGINT) AS beta_x_micro, CAST(round((rssr - rssu) / (rssu / CAST(n - 3 AS DOUBLE)) * 1000000) AS BIGINT) AS f_micro FROM d5""",
     "q_relative_risk" ->
       """WITH g AS (SELECT CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS a, CAST(sum(CASE WHEN l_discount >= 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(sum(CASE WHEN l_discount < 0.05 AND l_returnflag <> 'R' THEN 1 ELSE 0 END) AS BIGINT) AS d FROM lineitem) SELECT a, b, c, d, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(CAST(a AS DOUBLE) / (a + b) / (CAST(c AS DOUBLE) / (c + d)) * 1000000) AS BIGINT) END AS rr_micro, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c) * 1000000) AS BIGINT) END AS or_micro, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) - 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) END AS or_lo_micro, CASE WHEN a > 0 AND b > 0 AND c > 0 AND d > 0 THEN CAST(round(exp(ln(CAST(a AS DOUBLE) * d / (CAST(b AS DOUBLE) * c)) + 1.96 * sqrt(1.0/a + 1.0/b + 1.0/c + 1.0/d)) * 1000000) AS BIGINT) END AS or_hi_micro FROM g""",
     "ev_audience_overlap" -> audienceOverlapOracleSql,

@@ -49,6 +49,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_emd",          // 10-bin histogram CDF
     "q_volatility",   // day-domain log-returns
     "q_dw",           // day-domain residual lag
+    "q_granger",      // day-domain lag pair
     "q_monotonicity"  // bounded quantity panel lag
   )
 
