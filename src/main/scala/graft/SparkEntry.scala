@@ -4526,6 +4526,100 @@ operations:
       out.toSeq.toDF("day", "n_risk", "n_events", "n_censored", "surv_pico")
     }),
 
+    "ev_hazard" -> ((s, dir) => {
+      // Nelson–Aalen cumulative hazard on ev_survival's risk table —
+      // H(t) = Σ_{t_j ≤ t} d_j/n_j. Unlike Kaplan–Meier's sequential
+      // PRODUCT (which needs the driver fold), the hazard is a cumulative
+      // SUM of per-day terms each micro-rounded ONCE, so the whole curve
+      // stays in SQL: one per-day aggregate, one prior-rows window for
+      // at-risk, one running sum — all over the bounded day domain
+      // (whitelisted), zero collect. The estimator a 100 TB survival
+      // pipeline should prefer for exactly that reason.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val horizon = ev.agg(max(col("ts")).as("tmax"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      val byDay = perUser.crossJoin(broadcast(horizon))
+        .select(
+          expr("""CAST((unix_micros(coalesce(tp, tmax)) - unix_micros(t0))
+                  div 86400000000 AS BIGINT)""").as("dur"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("obs"))
+        .groupBy("dur").agg(sum("obs").as("d"), sum(lit(1L) - col("obs")).as("c"))
+      val tot = byDay.agg(sum(expr("d + c")).as("n"))
+      val wPrior = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byDay.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n") - coalesce(sum(expr("d + c")).over(wPrior), lit(0L)))
+        .withColumn("term",
+          expr("""CASE WHEN d > 0
+                 THEN CAST(CAST(d AS DECIMAL(38,0)) * 1000000 div n_risk AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END"""))
+        .withColumn("cumhaz_micro", sum("term").over(wCum))
+        .filter(col("d") > 0)
+        .select(col("dur").as("day"), col("n_risk"), col("d").as("n_events"),
+          col("term").as("hazard_micro"), col("cumhaz_micro"))
+    }),
+
+    "ev_logrank" -> ((s, dir) => {
+      // two-sample log-rank test: do the even/odd user arms convert at
+      // the same rate over time? Per death-day k: observed arm-1 deaths
+      // vs hypergeometric expectation d_k·n_1k/n_k and variance
+      // d_k·(n_1k/n_k)(1−n_1k/n_k)(n_k−d_k)/(n_k−1); χ² = (O−E)²/V.
+      // Per-arm at-risk comes from prior-rows windows over the bounded
+      // day×arm GRID (2 partitions of ≤ horizon days — never data-scale);
+      // every term is staged integer division (d·n1·1e6 div n, then
+      // ·(n−n1) div n, then ·(n−d) div (n−1)) so the largest intermediate
+      // stays inside DECIMAL(38,0) even at billion-user arms, and the
+      // oracle replays the identical op order in HUGEINT.
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(s, dir)
+      val horizon = ev.agg(max(col("ts")).as("tmax"))
+      val perUser = ev.groupBy("user_id").agg(
+        min(col("ts")).as("t0"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("tp"))
+      val du = perUser.crossJoin(broadcast(horizon))
+        .select((col("user_id") % 2).cast("long").as("arm"),
+          expr("""CAST((unix_micros(coalesce(tp, tmax)) - unix_micros(t0))
+                  div 86400000000 AS BIGINT)""").as("dur"),
+          when(col("tp").isNotNull, 1L).otherwise(0L).as("obs"))
+      val byDayArm = du.groupBy("dur", "arm")
+        .agg(sum("obs").as("d"), sum(lit(1L) - col("obs")).as("c"))
+      val arms = s.createDataFrame(Seq(Tuple1(0L), Tuple1(1L))).toDF("arm")
+      val grid = byDayArm.select("dur").distinct().crossJoin(broadcast(arms))
+      val full = grid.join(byDayArm, Seq("dur", "arm"), "left")
+        .na.fill(0L, Seq("d", "c"))
+      val wPrior = Window.partitionBy("arm").orderBy("dur")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val risk = full.withColumn("n_arm",
+        sum(expr("d + c")).over(Window.partitionBy("arm"))
+          - coalesce(sum(expr("d + c")).over(wPrior), lit(0L)))
+      val byDay = risk.groupBy("dur").agg(
+          sum("d").as("dt"),
+          sum(when(col("arm") === 1L, col("d")).otherwise(0L)).as("d1"),
+          sum("n_arm").as("nt"),
+          sum(when(col("arm") === 1L, col("n_arm")).otherwise(0L)).as("n1"))
+        .filter(col("dt") > 0 && col("nt") > 0)
+      byDay.select(
+          col("d1"),
+          expr("CAST(CAST(dt AS DECIMAL(38,0)) * n1 * 1000000 div nt AS BIGINT)")
+            .as("e1"),
+          expr("""CAST(CASE WHEN nt > 1 THEN
+                 ((CAST(dt AS DECIMAL(38,0)) * n1 * 1000000 div nt) * (nt - n1) div nt)
+                   * (nt - dt) div (nt - 1)
+                 ELSE CAST(0 AS DECIMAL(38,0)) END AS BIGINT)""").as("v1"))
+        .agg(sum("d1").as("o1"), sum("e1").as("e1_micro"), sum("v1").as("v1_micro"))
+        .select(col("o1"), col("e1_micro"), col("v1_micro"),
+          expr("""CASE WHEN v1_micro = 0 THEN NULL
+                 ELSE CAST((CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_micro)
+                   * (CAST(o1 AS DECIMAL(38,0)) * 1000000 - e1_micro)
+                   div v1_micro AS BIGINT) END""").as("chi2_micro"))
+    }),
+
     "ta_rake" -> ((s, dir) => {
       // RAKE keyword extraction (Rose et al. 2010): candidate phrases are
       // maximal runs between stopwords/punctuation; word score =
@@ -10142,6 +10236,14 @@ operations:
          SELECT dur AS day, CAST(at_risk AS BIGINT) AS n_risk, d AS n_events, c AS n_censored,
            CAST(s AS BIGINT) AS surv_pico
          FROM km WHERE d > 0""",
+    // ev_hazard: ev_survival's risk table, but the hazard is a running
+    // SUM of once-rounded integer terms — pure window SQL, no recursion.
+    "ev_hazard" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS t0, min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp FROM events GROUP BY 1), mx AS (SELECT max(ts) AS tmax FROM events), du AS (SELECT (epoch_us(coalesce(tp, tmax)) - epoch_us(t0)) // 86400000000 AS dur, CASE WHEN tp IS NULL THEN 0 ELSE 1 END AS obs FROM pu, mx), byday AS (SELECT dur, CAST(sum(obs) AS BIGINT) AS d, CAST(sum(1 - obs) AS BIGINT) AS c FROM du GROUP BY 1), tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n FROM byday), evt AS (SELECT dur, d, CAST(n - coalesce(sum(d + c) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk FROM byday, tot), tm AS (SELECT dur, d, n_risk, CASE WHEN d > 0 THEN CAST(CAST(d AS HUGEINT) * 1000000 // n_risk AS BIGINT) ELSE CAST(0 AS BIGINT) END AS term FROM evt), cm AS (SELECT dur, d, n_risk, term, CAST(sum(term) OVER (ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhaz_micro FROM tm) SELECT dur AS day, n_risk, d AS n_events, term AS hazard_micro, cumhaz_micro FROM cm WHERE d > 0""",
+    // ev_logrank: per-arm at-risk from prior-rows windows over the
+    // day x arm grid; staged HUGEINT divisions in the engine's op order.
+    "ev_logrank" ->
+      """WITH pu AS (SELECT user_id, min(ts) AS t0, min(CASE WHEN event_type = 'purchase' THEN ts END) AS tp FROM events GROUP BY 1), mx AS (SELECT max(ts) AS tmax FROM events), du AS (SELECT user_id % 2 AS arm, (epoch_us(coalesce(tp, tmax)) - epoch_us(t0)) // 86400000000 AS dur, CASE WHEN tp IS NULL THEN 0 ELSE 1 END AS obs FROM pu, mx), bda AS (SELECT dur, arm, CAST(sum(obs) AS BIGINT) AS d, CAST(sum(1 - obs) AS BIGINT) AS c FROM du GROUP BY 1, 2), grid AS (SELECT g.dur, a.arm FROM (SELECT DISTINCT dur FROM bda) g CROSS JOIN (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) a(arm)), full0 AS (SELECT g.dur, g.arm, coalesce(b.d, 0) AS d, coalesce(b.c, 0) AS c FROM grid g LEFT JOIN bda b ON g.dur = b.dur AND g.arm = b.arm), risk AS (SELECT dur, arm, d, CAST(sum(d + c) OVER (PARTITION BY arm) - coalesce(sum(d + c) OVER (PARTITION BY arm ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_arm FROM full0), bd AS (SELECT dur, CAST(sum(d) AS BIGINT) AS dt, CAST(sum(CASE WHEN arm = 1 THEN d ELSE 0 END) AS BIGINT) AS d1, CAST(sum(n_arm) AS BIGINT) AS nt, CAST(sum(CASE WHEN arm = 1 THEN n_arm ELSE 0 END) AS BIGINT) AS n1 FROM risk GROUP BY 1 HAVING sum(d) > 0 AND sum(n_arm) > 0), tm AS (SELECT d1, CAST(CAST(dt AS HUGEINT) * n1 * 1000000 // nt AS BIGINT) AS e1, CAST(CASE WHEN nt > 1 THEN ((CAST(dt AS HUGEINT) * n1 * 1000000 // nt) * (nt - n1) // nt) * (nt - dt) // (nt - 1) ELSE CAST(0 AS HUGEINT) END AS BIGINT) AS v1 FROM bd), ag AS (SELECT CAST(sum(d1) AS BIGINT) AS o1, CAST(sum(e1) AS BIGINT) AS e1_micro, CAST(sum(v1) AS BIGINT) AS v1_micro FROM tm) SELECT o1, e1_micro, v1_micro, CASE WHEN v1_micro = 0 THEN NULL ELSE CAST((CAST(o1 AS HUGEINT) * 1000000 - e1_micro) * (CAST(o1 AS HUGEINT) * 1000000 - e1_micro) // v1_micro AS BIGINT) END AS chi2_micro FROM ag""",
     // ta_rake: identical delimiter-marking regexes (global flag), degree/
     // freq word scores, phrase-sum scores, deterministic top-15
     "ta_rake" ->

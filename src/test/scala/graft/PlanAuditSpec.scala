@@ -32,7 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_theilsen", "q_ks", "q_benford", "q_drift", "ev_growth",
     "ev_interp", "ev_wau", "ev_dau_mau", "ev_trailing_h", "q_moving",
     "dd_lsh_planner", "ta_zipf", "q_declist", "ev_backtest",
-    "ev_seqmine", "ev_survival", "q_auc", "sk_incremental",
+    "ev_seqmine", "ev_survival", "ev_hazard", "q_auc", "sk_incremental",
     "ta_langid_eval", "ta_nbc_eval", "q_ntile", "q_pct_rank",
     "ta_curriculum",  // 4-row band-offset table only
     "ta_apportion",   // per-source remainder rows (#sources)
