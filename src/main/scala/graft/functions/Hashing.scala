@@ -353,3 +353,63 @@ case class Hamming64Expr(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_hamming64"
 }
+
+/** (string, blockKey) → array<long> of hashes of every ≤d-deletion
+  * variant of the string (SymSpell neighborhood), with the block key
+  * folded into the seed. A native expression instead of the nested
+  * higher-order-function form (transform∘transform + explode of variant
+  * STRINGS) because that shape materializes O(len²) UTF8Strings per row
+  * through Catalyst lambda plumbing — measured as the dominant cost of
+  * the whole edit-distance join at sf0.1. Here no variant string ever
+  * exists: one codepoint array per row, one FNV/fmix pass per (i,j)
+  * skip pair, primitive long[] out. Equal variant strings hash equal by
+  * construction (the hash consumes kept codepoints in order), so the
+  * candidate set is exactly the neighborhood equi-join's; 64-bit
+  * collisions only ever ADD candidates, which exact verification drops.
+  */
+case class DeletionHashesExpr(strE: Expression, blkE: Expression, d: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+  require(d >= 0 && d <= 2, "DeletionHashesExpr supports d in 0..2")
+  override def left: Expression = strE
+  override def right: Expression = blkE
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(str: Any, blk: Any): Any = {
+    val cps = str.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val bb = blk.asInstanceOf[UTF8String].getBytes
+    val seed = Hashing.fnv1a64(bb, 0, bb.length)
+    val n = cps.length
+    def hashSkip(skip1: Int, skip2: Int): Long = {
+      var h = seed
+      var i = 0
+      while (i < n) {
+        if (i != skip1 && i != skip2) h = (h ^ cps(i)) * 1099511628211L
+        i += 1
+      }
+      Hashing.fmix64(h)
+    }
+    val size = d match {
+      case 0 => 1
+      case 1 => 1 + n
+      case _ => 1 + n + n * (n - 1) / 2
+    }
+    val out = new Array[Long](size)
+    var w = 0
+    out(w) = hashSkip(-1, -1); w += 1
+    if (d >= 1) { var i = 0; while (i < n) { out(w) = hashSkip(i, -1); w += 1; i += 1 } }
+    if (d >= 2) {
+      var i = 0
+      while (i < n) {
+        var j = i + 1
+        while (j < n) { out(w) = hashSkip(i, j); w += 1; j += 1 }
+        i += 1
+      }
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
+    copy(strE = newLeft, blkE = newRight)
+  override def prettyName: String = "graft_deletion_hashes"
+}
