@@ -3391,6 +3391,7 @@ operations:
         .join(T(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("o"), col("p_brand").as("item"))
         .distinct()
+        .localCheckpoint(true) // read by widths, the cap semi-join, and both pair sides
       val widths = items.groupBy("o").agg(count(lit(1)).as("w"))
       val dropped = widths.filter(col("w") > assocBasketCap)
       val nDropped = dropped.count()
@@ -3398,6 +3399,7 @@ operations:
         System.err.println(s"[ev_assoc] dropped $nDropped baskets wider than $assocBasketCap")
       val capped = items.join(
         widths.filter(col("w") <= assocBasketCap).select("o"), Seq("o"), "left_semi")
+        .localCheckpoint(true) // nOrders action + item counts + both pair sides
       val nOrders = capped.select("o").distinct().count()
       val itemCnt = capped.groupBy("item").agg(count(lit(1)).as("n_item"))
       val pairCnt = capped.as("a")

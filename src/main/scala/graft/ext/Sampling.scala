@@ -255,6 +255,10 @@ object Sampling {
           Dedup.wordNgrams(col(textCol), 2))).as("g"))
       .select(col("id"), col("is_t"),
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("b"))
+      // materialize ONCE: the bucket-count pass and the per-doc tf pass
+      // both read this frame — without the checkpoint the tokenize +
+      // md5-per-gram explode (the expensive part) runs twice
+      .localCheckpoint(true)
     val c = grams.groupBy("b").agg(count(lit(1)).as("cr"),
       count(when(col("is_t"), lit(1))).as("ct"))
     val tot = c.agg(sum(col("cr")).as("tr"), sum(col("ct")).as("tt"))
