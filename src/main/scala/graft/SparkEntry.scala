@@ -4394,6 +4394,7 @@ operations:
         .localCheckpoint(true) // feeds the train AND test splits
       val items = T(s, dir, "lineitem")
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+        .localCheckpoint(true) // read by the train-basket, profile and test joins
       val train = seqo.filter(col("rn") > 1)
         .select(col("o_orderkey").as("o"), col("o_custkey").as("c"))
       val test = seqo.filter(col("rn") === 1)
@@ -4406,6 +4407,7 @@ operations:
       val widths = tb.groupBy("o").agg(count(lit(1)).as("w"))
       val capped = tb.join(
         widths.filter(col("w") <= kcoreOrderCap).select("o"), Seq("o"), "left_semi")
+        .localCheckpoint(true) // item frequencies + both sides of the pair join
       val freq = capped.groupBy("p").agg(count(lit(1)).as("n"))
       val pairs = capped.as("a")
         .join(capped.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
@@ -4422,6 +4424,7 @@ operations:
         .orderBy(col("score_micro").desc, col("j").asc)
       val sims3 = scored.withColumn("rk", row_number().over(wi))
         .filter(col("rk") <= 3).select("i", "j", "score_micro")
+        .localCheckpoint(true) // truncates the retrain lineage under the fan-out
       val cand = ti.join(sims3, col("p") === col("i"))
         .groupBy(col("c"), col("j")).agg(sum("score_micro").as("scsum"))
       val fresh = cand.join(ti.select(col("c"), col("p").as("j")),
