@@ -6811,6 +6811,39 @@ operations:
           expr("(dcg_micro * 1000000) div idcg_micro").as("ndcg_micro"))
     }),
 
+    "srch_ap" -> ((s, dir) => {
+      // average precision + reciprocal rank over the same BM25 top-10 —
+      // the binary-relevance companion to srch_ndcg (rel ≥ 2 counts as
+      // relevant; same md5-derived grades both engines). AP = mean over
+      // relevant hit ranks of precision@rank, denominator min(R, 10) —
+      // all exact integer division over the 10-row rank frame
+      // (whitelisted); R comes from one corpus-wide aggregate.
+      import org.apache.spark.sql.expressions.Window
+      val docs = T(s, dir, "documents")
+      val top = ext.Search.bm25TopK(docs, "doc_id", "text",
+          Seq("spark", "dup", "vector"), 10)
+        .withColumn("r", row_number().over(
+          Window.orderBy(col("score_bp").desc, col("doc_id"))).cast("long"))
+        .withColumn("brel", (expr(relGradeSql) >= 2L).cast("long"))
+      val wcum = Window.orderBy("r")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val t = top.withColumn("cumhits", sum("brel").over(wcum))
+      val rtot = docs.select((expr(relGradeSql) >= 2L).cast("long").as("b"))
+        .agg(sum("b").as("n_rel_corpus"))
+      t.crossJoin(broadcast(rtot))
+        .agg(max("n_rel_corpus").as("n_rel_corpus"),
+          sum("brel").as("n_rel_at10"),
+          min(when(col("brel") === 1L, col("r"))).as("first_rel"),
+          sum(when(col("brel") === 1L, expr("cumhits * 1000000 div r"))
+            .otherwise(0L)).as("psum"))
+        .select(col("n_rel_corpus"), col("n_rel_at10"),
+          expr("""CAST(CASE WHEN first_rel IS NULL THEN 0
+                 ELSE 1000000 div first_rel END AS BIGINT)""").as("mrr_micro"),
+          expr("""CASE WHEN least(n_rel_corpus, 10) = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(psum div least(n_rel_corpus, 10) AS BIGINT)
+                 END""").as("ap_micro"))
+    }),
+
     "q_mannkendall" -> ((s, dir) => {
       // Mann-Kendall trend test on daily revenue: S = Σ_{i<j}
       // sign(x_j − x_i) over the bounded day panel (one side broadcast,
@@ -10623,6 +10656,10 @@ operations:
     // mm_blockiness: both diff sums replayed from the planted grid
     "mm_blockiness" ->
       """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), dfs AS (SELECT a.doc_id, a.x % 8 = 7 AS bdry, abs(b.luma - a.luma) AS dv FROM px a JOIN px b ON b.doc_id = a.doc_id AND b.y = a.y AND b.x = a.x + 1 WHERE a.x < 31), g AS (SELECT doc_id, CAST(sum(CASE WHEN bdry THEN dv ELSE 0 END) AS BIGINT) AS bsum, CAST(sum(CASE WHEN NOT bdry THEN dv ELSE 0 END) AS BIGINT) AS isum FROM dfs GROUP BY 1) SELECT doc_id AS media_id, bsum, isum, CAST(CASE WHEN isum = 0 THEN 0 ELSE (bsum * 28 * 1000000) // (isum * 3) END AS BIGINT) AS blockiness_micro FROM g""",
+    // srch_ap: same BM25 replay, binary relevance rel >= 2, integer
+    // precision@rank sums over the 10-row frame, min(R,10) denominator.
+    "srch_ap" ->
+      s"""WITH top AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS r FROM ($bm25OracleSql)), g AS (SELECT r, CASE WHEN CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 >= 2 THEN 1 ELSE 0 END AS brel FROM top WHERE r <= 10), c AS (SELECT r, brel, CAST(sum(brel) OVER (ORDER BY r ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumhits FROM g), rt AS (SELECT CAST(sum(CASE WHEN CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rel_corpus FROM documents), ag AS (SELECT CAST(sum(brel) AS BIGINT) AS n_rel_at10, min(CASE WHEN brel = 1 THEN r END) AS first_rel, CAST(sum(CASE WHEN brel = 1 THEN cumhits * 1000000 // r ELSE 0 END) AS BIGINT) AS psum FROM c) SELECT n_rel_corpus, n_rel_at10, CAST(CASE WHEN first_rel IS NULL THEN 0 ELSE 1000000 // first_rel END AS BIGINT) AS mrr_micro, CASE WHEN least(n_rel_corpus, 10) = 0 THEN CAST(0 AS BIGINT) ELSE CAST(psum // least(n_rel_corpus, 10) AS BIGINT) END AS ap_micro FROM ag, rt""",
     // srch_ndcg: the full BM25 replay re-ranked to 10, the same md5
     // grade rule, and the identical Scala-generated weight literals
     "srch_ndcg" ->

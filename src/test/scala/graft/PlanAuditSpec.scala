@@ -43,6 +43,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_changepoint",  // day-domain prefix sums
     "q_croston",      // day-domain occurrence indexing
     "srch_ndcg",      // 10-row retrieved frame
+    "srch_ap",        // 10-row retrieved frame
     "q_rolling_median", // day-domain 7-value collect
     "q_kruskal",      // global value histogram (q_spearman's shape)
     "ev_uplift",      // 10-row decile table (q_lorenz's shape)
