@@ -692,6 +692,32 @@ operations:
         "vec_id", "embedding", books, k = 10, shortlist = 50)
     }),
 
+    "sim_pq_recall" -> ((s, dir) => {
+      // recall@10 of the PQ tier (ADC shortlist-50 + exact refine) vs
+      // brute force — with sim_recall / sim_ivf_recall /
+      // sim_graph_recall this makes every approximate ANN tier carry
+      // its own accept/reject number; the shortlist width is the recall
+      // dial this row tunes.
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val bf = ext.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val books = ext.Pq.trainCodebooks(emb, "vec_id", "embedding", m = 4, k = 64, iters = 2)
+      val enc = ext.Pq.encode(emb, "vec_id", "embedding", books)
+      val ann = ext.Pq.refinedTopK(enc, emb, q,
+          "vec_id", "embedding", books, k = 10, shortlist = 50)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      val hits = bf.join(ann,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
     // ---- extended: text analysis ----
 
     "ta_tokens" -> ((s, dir) => {
@@ -9039,6 +9065,14 @@ operations:
        |qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8)
        |SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10 FROM qq LEFT JOIN h ON qq.query_id = h.query_id""".stripMargin
 
+  /** sim_pq_recall: brute-force top-10 ∩ the full PQ replay. */
+  private lazy val pqRecallOracleSql: String =
+    s"""WITH bf AS (SELECT query_id, neighbor_id FROM (WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored) WHERE rn <= 10)),
+       |ann AS (SELECT query_id, neighbor_id FROM ($pqTopKOracleSql)),
+       |h AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM bf JOIN ann ON bf.query_id = ann.query_id AND bf.neighbor_id = ann.neighbor_id GROUP BY 1),
+       |qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8)
+       |SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10 FROM qq LEFT JOIN h ON qq.query_id = h.query_id""".stripMargin
+
   // --- k-means family DuckDB replays ---------------------------------
   // IvfIndex.train is now EXACTLY replayable: md5-ordered init, argmin by
   // the NearestCellsExpr score (‖c‖² − 2⟨v,c⟩, fixed left-to-right double
@@ -9274,6 +9308,7 @@ operations:
     "sim_silhouette" -> silhouetteOracleSql,
     "sim_topk_ivf" -> ivfTopKOracleSql,
     "sim_ivf_recall" -> ivfRecallOracleSql,
+    "sim_pq_recall" -> pqRecallOracleSql,
     "dd_semantic" -> semanticOracleSql,
     "sim_topk_pq" -> pqTopKOracleSql,
     "sim_topk_ivfpq" -> ivfPqTopKOracleSql,
