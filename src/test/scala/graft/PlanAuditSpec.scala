@@ -60,6 +60,15 @@ class PlanAuditSpec extends SparkSpec {
     */
   private val cartesianWhitelist = Set("q_bind_cross")
 
+  test("the oracle-less bucket stays EMPTY: queries and oracleSql keys match") {
+    val q = SparkEntry.queries.keySet
+    val o = SparkEntry.oracleSql.keySet
+    assert(q.diff(o).isEmpty,
+      s"queries without a DuckDB oracle: ${q.diff(o).toSeq.sorted.mkString(", ")}")
+    assert(o.diff(q).isEmpty,
+      s"orphan oracle entries: ${o.diff(q).toSeq.sorted.mkString(", ")}")
+  }
+
   test("no CartesianProduct outside the explicit cross-join surface") {
     val offenders = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.keys.filterNot(_.startsWith("stream_")).foreach { name =>
