@@ -4090,6 +4090,56 @@ operations:
         .withColumn("d_micro", greatest(col("d_plus_micro"), col("d_minus_micro")))
     }),
 
+    "dd_threshold_sweep" -> ((s, dir) => {
+      // dd_eval generalized to a THRESHOLD SWEEP from one pass: the
+      // banding's precision/recall at five decision thresholds, the
+      // table you read before picking est ≥ t for a corpus (dd_eval
+      // audits the single shipped point; this draws the curve).
+      // Exact side: per anchor pair the division-free test
+      // i·(100+t) ≥ t·(|A|+|B|); predicted side: signature agreement
+      // m/64 ≥ t/100 ⇔ 100·m ≥ 64·t — both integer, per threshold,
+      // via one broadcast 5-row literal table. Candidates stay the
+      // banded set (threshold 0 keeps every banded pair once).
+      val gset = wordGramSet(T(s, dir, "documents"), 3)
+        .withColumnRenamed("gram", "g")
+      val gsz = gset.groupBy("doc_id").agg(count(lit(1)).as("sz"))
+      val inter = gset.filter(col("doc_id") % 37 === 0).as("a")
+        .join(gset.as("b"), col("a.g") === col("b.g") && col("a.doc_id") =!= col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+        .agg(count(lit(1)).as("i"))
+      val exact = inter
+        .join(gsz.select(col("doc_id").as("ia"), col("sz").as("sa")), Seq("ia"))
+        .join(gsz.select(col("doc_id").as("ib"), col("sz").as("sb")), Seq("ib"))
+        .select(least(col("ia"), col("ib")).as("pa"),
+          greatest(col("ia"), col("ib")).as("pb"),
+          col("i"), (col("sa") + col("sb")).as("ssum"))
+        .groupBy("pa", "pb").agg(max("i").as("i"), max("ssum").as("ssum"))
+      val lsh = ext.Dedup.minhashPairs(T(s, dir, "documents"), "doc_id", "text",
+          threshold = 0.0)
+        .filter(col("id_a") % 37 === 0 || col("id_b") % 37 === 0)
+        .select(col("id_a").as("pa"), col("id_b").as("pb"),
+          round(col("est_jaccard") * 64).cast("long").as("m64"))
+      val joined = exact.join(lsh, Seq("pa", "pb"), "full")
+        .na.fill(0L, Seq("i", "ssum", "m64"))
+      val ts = s.createDataFrame(Seq(40L, 50L, 60L, 70L, 80L).map(Tuple1(_))).toDF("t")
+      joined.crossJoin(broadcast(ts))
+        .select(col("t"),
+          when(col("i") > 0L && col("i") * (lit(100L) + col("t")) >= col("t") * col("ssum"), 1L)
+            .otherwise(0L).as("e"),
+          when(lit(100L) * col("m64") >= lit(64L) * col("t"), 1L).otherwise(0L).as("p"))
+        .groupBy("t")
+        .agg(sum(when(col("e") === 1L && col("p") === 1L, 1L).otherwise(0L)).as("tp"),
+          sum(when(col("e") === 0L && col("p") === 1L, 1L).otherwise(0L)).as("fp"),
+          sum(when(col("e") === 1L && col("p") === 0L, 1L).otherwise(0L)).as("fn"))
+        .select(col("t"), (col("tp") + col("fn")).as("n_exact"),
+          (col("tp") + col("fp")).as("n_pred"),
+          col("tp"), col("fp"), col("fn"),
+          expr("""CASE WHEN tp + fp = 0 THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST((tp * 1000000) div (tp + fp) AS BIGINT) END""").as("precision_micro"),
+          expr("""CASE WHEN tp + fn = 0 THEN CAST(1000000 AS BIGINT)
+                  ELSE CAST((tp * 1000000) div (tp + fn) AS BIGINT) END""").as("recall_micro"))
+    }),
+
     "dd_eval" -> ((s, dir) => {
       // LSH quality audit — precision/recall of the SHIPPED MinHash
       // banding (k=64, b=16, est ≥ 0.5) against EXACT 3-gram-set
@@ -5252,6 +5302,48 @@ operations:
                  ELSE CAST(CAST(r_t AS DECIMAL(38,0)) * n_s * 1000000 div n_t
                    - CAST(r_c AS DECIMAL(38,0)) * n_s * 1000000 div n_c AS BIGINT)
                  END""").as("ht_term_micro"))
+    }),
+
+    "ev_tost" -> ((s, dir) => {
+      // TOST equivalence test (Schuirmann): is the A/B per-user spend
+      // difference PROVABLY within ±2% of the grand mean — the "safe to
+      // ship, arms are equivalent" claim a plain t-test can never make.
+      // Welch machinery shared with q_ttest (exact DECIMAL Gram sums,
+      // variances as rational pairs, mirrored IEEE expressions); both
+      // one-sided t's reported in micro units, equivalence at the
+      // one-sided 5% level (t > 1.645 for both).
+      val u = events(s, dir)
+        .select(col("user_id"), expr("CAST(round(value * 100) AS BIGINT)").as("vc"))
+        .groupBy("user_id").agg(sum("vc").as("v"))
+        .select((col("user_id") % 2 === 0).as("a"),
+          col("v").cast("decimal(38,0)").as("v"))
+      u.agg(
+          sum(when(col("a"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n1"),
+          sum(when(col("a"), col("v"))).as("s1"),
+          sum(when(col("a"), expr("v * v"))).as("ss1"),
+          sum(when(!col("a"), 1L).otherwise(0L)).cast("decimal(38,0)").as("n2"),
+          sum(when(!col("a"), col("v"))).as("s2"),
+          sum(when(!col("a"), expr("v * v"))).as("ss2"))
+        .select(col("n1"), col("n2"),
+          expr("""CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                 - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)""").as("dm"),
+          expr("""abs(CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * 0.02""")
+            .as("delta"),
+          expr("""CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE))""")
+            .as("a1"),
+          expr("""CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                 / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE))""")
+            .as("a2"))
+        .select(col("n1").cast("long").as("n_a"), col("n2").cast("long").as("n_b"),
+          expr("CAST(round(dm * 1000000) AS BIGINT)").as("dm_micro_c"),
+          expr("CAST(round(delta * 1000000) AS BIGINT)").as("delta_micro_c"),
+          expr("CAST(round((dm + delta) / sqrt(a1 + a2) * 1000000) AS BIGINT)")
+            .as("t_lower_micro"),
+          expr("CAST(round((delta - dm) / sqrt(a1 + a2) * 1000000) AS BIGINT)")
+            .as("t_upper_micro"),
+          expr("""least((dm + delta) / sqrt(a1 + a2),
+                 (delta - dm) / sqrt(a1 + a2)) > 1.645""").as("equivalent"))
     }),
 
     "ev_gaps" -> ((s, dir) => {
@@ -10118,6 +10210,31 @@ operations:
     // dd_eval: the minhash pipeline replay (sig + band CTEs) joined
     // against the anchored exact gram-set side; identical division-free
     // threshold and micro P/R
+    // dd_threshold_sweep: dd_eval's replay with candidates at threshold
+    // 0 (the full banded set), integer m/64 estimates, and the 5-row
+    // literal threshold table; both classification tests division-free.
+    "dd_threshold_sweep" ->
+      s"""WITH ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.0)},
+         |gset AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams),
+         |gsz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz FROM gset GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS ia, b.doc_id AS ib, CAST(count(*) AS BIGINT) AS i
+         |          FROM gset a JOIN gset b ON a.g = b.g AND a.doc_id <> b.doc_id
+         |          WHERE a.doc_id % 37 = 0 GROUP BY 1, 2),
+         |ex AS (SELECT least(ia, ib) AS pa, greatest(ia, ib) AS pb, CAST(max(i) AS BIGINT) AS i, CAST(max(sa.sz + sb.sz) AS BIGINT) AS ssum
+         |       FROM inter JOIN gsz sa ON inter.ia = sa.doc_id JOIN gsz sb ON inter.ib = sb.doc_id GROUP BY 1, 2),
+         |lsh AS (SELECT id_a AS pa, id_b AS pb, CAST(round(est_jaccard * 64) AS BIGINT) AS m64 FROM mh_pairs WHERE id_a % 37 = 0 OR id_b % 37 = 0),
+         |j AS (SELECT coalesce(e.i, 0) AS i, coalesce(e.ssum, 0) AS ssum, coalesce(l.m64, 0) AS m64
+         |      FROM ex e FULL JOIN lsh l ON e.pa = l.pa AND e.pb = l.pb),
+         |tt(t) AS (VALUES (CAST(40 AS BIGINT)), (CAST(50 AS BIGINT)), (CAST(60 AS BIGINT)), (CAST(70 AS BIGINT)), (CAST(80 AS BIGINT))),
+         |cl AS (SELECT tt.t, CASE WHEN i > 0 AND i * (100 + tt.t) >= tt.t * ssum THEN 1 ELSE 0 END AS e, CASE WHEN 100 * m64 >= 64 * tt.t THEN 1 ELSE 0 END AS p FROM j CROSS JOIN tt),
+         |c AS (SELECT t, CAST(sum(CASE WHEN e = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |             CAST(sum(CASE WHEN e = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |             CAST(sum(CASE WHEN e = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |      FROM cl GROUP BY 1)
+         |SELECT t, tp + fn AS n_exact, tp + fp AS n_pred, tp, fp, fn,
+         |  CASE WHEN tp + fp = 0 THEN CAST(1000000 AS BIGINT) ELSE CAST((tp * 1000000) // (tp + fp) AS BIGINT) END AS precision_micro,
+         |  CASE WHEN tp + fn = 0 THEN CAST(1000000 AS BIGINT) ELSE CAST((tp * 1000000) // (tp + fn) AS BIGINT) END AS recall_micro
+         |FROM c""".stripMargin,
     "dd_eval" ->
       s"""WITH ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)},
          |gset AS MATERIALIZED (SELECT DISTINCT doc_id, g FROM grams),
@@ -10446,6 +10563,11 @@ operations:
     // operands keep // and div identical.
     "ev_ipw" ->
       """WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp FROM events GROUP BY 1), d AS (SELECT user_id, resp, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated, CAST(ntile(10) OVER (ORDER BY pre_n DESC, user_id) AS BIGINT) AS stratum FROM u), b AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, CAST(sum(CASE WHEN treated = 1 THEN resp ELSE 0 END) AS BIGINT) AS r_t, CAST(sum(CASE WHEN treated = 0 THEN resp ELSE 0 END) AS BIGINT) AS r_c FROM d GROUP BY 1) SELECT stratum, n_s, n_t, n_c, r_t, r_c, CAST(CAST(n_t AS HUGEINT) * 1000000 // n_s AS BIGINT) AS propensity_micro, CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE CAST(CAST(r_t AS HUGEINT) * n_s * 1000000 // n_t - CAST(r_c AS HUGEINT) * n_s * 1000000 // n_c AS BIGINT) END AS ht_term_micro FROM b""",
+    // ev_tost: q_ttest's Welch replay on per-user spend with arms by
+    // parity; margin, t's and the equivalence verdict in the identical
+    // double op order.
+    "ev_tost" ->
+      """WITH u AS (SELECT user_id, CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS v FROM events GROUP BY 1), vv AS (SELECT user_id % 2 = 0 AS a, CAST(v AS HUGEINT) AS v FROM u), g AS (SELECT CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS HUGEINT) AS n1, CAST(sum(CASE WHEN a THEN v END) AS HUGEINT) AS s1, CAST(sum(CASE WHEN a THEN v * v END) AS HUGEINT) AS ss1, CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS HUGEINT) AS n2, CAST(sum(CASE WHEN NOT a THEN v END) AS HUGEINT) AS s2, CAST(sum(CASE WHEN NOT a THEN v * v END) AS HUGEINT) AS ss2 FROM vv), d AS (SELECT n1, n2, CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS dm, abs(CAST(s1 + s2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * 0.02 AS delta, CAST(n1 * ss1 - s1 * s1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE) * CAST(n1 - 1 AS DOUBLE)) AS a1, CAST(n2 * ss2 - s2 * s2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * CAST(n2 AS DOUBLE) * CAST(n2 - 1 AS DOUBLE)) AS a2 FROM g) SELECT CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b, CAST(round(dm * 1000000) AS BIGINT) AS dm_micro_c, CAST(round(delta * 1000000) AS BIGINT) AS delta_micro_c, CAST(round((dm + delta) / sqrt(a1 + a2) * 1000000) AS BIGINT) AS t_lower_micro, CAST(round((delta - dm) / sqrt(a1 + a2) * 1000000) AS BIGINT) AS t_upper_micro, least((dm + delta) / sqrt(a1 + a2), (delta - dm) / sqrt(a1 + a2)) > 1.645 AS equivalent FROM d""",
     "ev_gaps" ->
       """WITH g AS (SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT) AS gap_s FROM events), b AS (SELECT CASE WHEN gap_s < 1 THEN '0_sub_second' WHEN gap_s < 10 THEN '1_under_10s' WHEN gap_s < 60 THEN '2_under_1m' WHEN gap_s < 600 THEN '3_under_10m' WHEN gap_s < 3600 THEN '4_under_1h' WHEN gap_s < 86400 THEN '5_under_1d' ELSE '6_over_1d' END AS bucket FROM g WHERE gap_s IS NOT NULL), c AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1), t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c) SELECT bucket, n, CAST((n * 1000000) // total AS BIGINT) AS share_micro FROM c, t""",
     // q_cohend / q_rolling_corr: the double expressions are mirrored
