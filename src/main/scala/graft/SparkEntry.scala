@@ -5994,6 +5994,46 @@ operations:
           (col("qty") * 20000L - expr("(n_pos * 1000000) div n")).as("gap_micro"))
     }),
 
+    "q_isotonic" -> ((s, dir) => {
+      // isotonic (PAVA) calibration of the q_calibration reliability
+      // table, via the exact minimax closed form: on the bounded score
+      // domain (≤50 qty values) the pooled-adjacent-violators fit at
+      // score i equals max_{j≤i} min_{k≥i} mean(obs over [j..k]) — so
+      // three bounded self-joins over a ≤50-row frame replace the
+      // sequential pooling loop, with NO driver fold and nothing that
+      // grows with table size (the only full-data pass is the first
+      // hash agg). Interval means are micro-rounded integer divisions
+      // BEFORE the minimax (the definitional rounding, mirrored in the
+      // oracle), keeping every comparison engine-exact. The calibrator
+      // q_calibration diagnoses and q_monotonicity audits.
+      import org.apache.spark.sql.expressions.Window
+      val cal = T(s, dir, "lineitem")
+        .select(col("l_quantity").cast("long").as("qty"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy("qty")
+        .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      val w = Window.orderBy("qty")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pref = cal
+        .withColumn("cn", sum("n").over(w))
+        .withColumn("cp", sum("n_pos").over(w))
+        .localCheckpoint(true) // ≤50 rows, read by both join sides
+      val ivl = pref.as("j").join(pref.as("k"), col("j.qty") <= col("k.qty"))
+        .select(col("j.qty").as("jq"), col("k.qty").as("kq"),
+          (col("k.cp") - col("j.cp") + col("j.n_pos")).cast("decimal(38,0)").as("sp"),
+          (col("k.cn") - col("j.cn") + col("j.n")).as("sn"))
+        .select(col("jq"), col("kq"),
+          expr("CAST(sp * 1000000 div sn AS BIGINT)").as("avg_micro"))
+      val iso = cal.select(col("qty")).as("i")
+        .join(ivl.as("a"), col("a.jq") <= col("i.qty") && col("a.kq") >= col("i.qty"))
+        .groupBy(col("i.qty").as("qty"), col("a.jq").as("jq"))
+        .agg(min("avg_micro").as("mn"))
+        .groupBy("qty").agg(max("mn").as("iso_micro"))
+      cal.join(iso, "qty")
+        .select(col("qty"), col("n"), col("n_pos"),
+          expr("(n_pos * 1000000) div n").as("obs_micro"), col("iso_micro"))
+    }),
+
     "q_theil" -> ((s, dir) => {
       // Theil T inequality index over per-customer revenue: each
       // customer's (x/μ)·ln(x/μ) term is micro-rounded PER ROW (the
@@ -10629,6 +10669,11 @@ operations:
       """WITH arms AS (SELECT CAST(props->>'$.k' AS BIGINT) % 2 AS arm, CAST(count(*) AS BIGINT) AS o FROM events GROUP BY 1), tv AS (SELECT CAST(sum(o) AS BIGINT) AS total, CAST(count(*) AS BIGINT) AS v FROM arms), s AS (SELECT ((o * v - total) * (o * v - total) * 1000000) // (total * v) AS term, total, v FROM arms, tv) SELECT CAST(max(v) AS BIGINT) AS n_variants, CAST(max(total) AS BIGINT) AS n_total, CAST(sum(term) AS BIGINT) AS chi2_micro, CAST(3841459 AS BIGINT) AS crit_micro, sum(term) > 3841459 AS srm_detected FROM s""",
     "q_calibration" ->
       """WITH b AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos FROM lineitem GROUP BY 1) SELECT qty, n, n_pos, qty * 20000 AS pred_micro, CAST((n_pos * 1000000) // n AS BIGINT) AS obs_micro, CAST(qty * 20000 - (n_pos * 1000000) // n AS BIGINT) AS gap_micro FROM b""",
+    // q_isotonic: the same minimax replay — prefix sums over the qty
+    // domain, interval means micro-rounded BEFORE min/max (HUGEINT
+    // product mirrors the decimal(38,0) side), j<=i<=k expansion.
+    "q_isotonic" ->
+      """WITH cal AS (SELECT CAST(l_quantity AS BIGINT) AS qty, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos FROM lineitem GROUP BY 1), pref AS (SELECT qty, n, n_pos, sum(n) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn, sum(n_pos) OVER (ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cp FROM cal), ivl AS (SELECT j.qty AS jq, k.qty AS kq, CAST((CAST(k.cp - j.cp + j.n_pos AS HUGEINT) * 1000000) // (k.cn - j.cn + j.n) AS BIGINT) AS avg_micro FROM pref j JOIN pref k ON j.qty <= k.qty), mn AS (SELECT i.qty AS qty, a.jq, min(a.avg_micro) AS m FROM cal i JOIN ivl a ON a.jq <= i.qty AND a.kq >= i.qty GROUP BY 1, 2), iso AS (SELECT qty, CAST(max(m) AS BIGINT) AS iso_micro FROM mn GROUP BY 1) SELECT c.qty, c.n, c.n_pos, CAST((c.n_pos * 1000000) // c.n AS BIGINT) AS obs_micro, iso.iso_micro FROM cal c JOIN iso USING (qty)""",
     "q_theil" ->
       """WITH rev AS (SELECT o_custkey AS c, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS x FROM orders GROUP BY 1), t AS (SELECT CAST(sum(x) AS BIGINT) AS xt, CAST(count(*) AS BIGINT) AS n FROM rev), s AS (SELECT n, CAST(round(CAST(x AS DOUBLE) * n / xt * ln(CAST(x AS DOUBLE) * n / xt) * 1000000) AS BIGINT) AS term FROM rev, t) SELECT CAST(max(n) AS BIGINT) AS n_customers, CAST(sum(term) // max(n) AS BIGINT) AS theil_micro FROM s""",
     "q_runs_test" ->

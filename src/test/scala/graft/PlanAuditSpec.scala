@@ -51,7 +51,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_volatility",   // day-domain log-returns
     "q_dw",           // day-domain residual lag
     "q_granger",      // day-domain lag pair
-    "q_monotonicity"  // bounded quantity panel lag
+    "q_monotonicity", // bounded quantity panel lag
+    "q_isotonic"      // ≤50-row score-domain prefix sums
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
@@ -117,6 +118,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_cramers_v",      // contingency margin (flag x status domain)
     "q_kendall",        // day-panel pair frame (bounded day domain)
     "q_mannkendall",    // day-panel pair frame (bounded day domain)
+    "q_isotonic",       // ≤50-row score-domain interval frames (minimax PAVA)
   )
 
   test("every BroadcastNestedLoopJoin build side is bounded or whitelisted") {
