@@ -2359,6 +2359,31 @@ operations:
       s.table("graft_stream_join")
     }),
 
+    "stream_asof" -> ((s, dir) => {
+      // streaming AS-OF enrichment (Streams.asofEnrich): each view
+      // carries the most recent same-user purchase STRICTLY BEFORE it
+      // in (ts, event_id) order, via flatMapGroupsWithState run as a
+      // real stream — state is ONE carry row per user, so the store is
+      // O(#users) at any event volume. Must equal the batch
+      // last-ignore-nulls window oracle exactly.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = normalizeTs(s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet"))
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("event_id"), col("ts"), col("user_id"), col("event_type"),
+          round(col("value") * 10000).cast("long").as("value_c"))
+        .as[streaming.Streams.AsofEvent]
+      val out = streaming.Streams.asofEnrich(src)(s).toDF()
+      s.catalog.dropTempView("graft_stream_asof")
+      val q = out.writeStream.format("memory").queryName("graft_stream_asof")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table("graft_stream_asof")
+    }),
+
     "sk_hll" -> ((s, dir) => {
       // mergeable HyperLogLog registers (functions.SketchAgg): ONE pass,
       // 1 KiB buffer per group, map-side combine — the 100 TB substitute
@@ -9862,6 +9887,12 @@ operations:
       """SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id, v.ts AS view_ts, p.ts AS purchase_ts, CAST(round(p.value * 10000) AS BIGINT) AS value_c FROM events v JOIN events p ON v.event_type = 'view' AND p.event_type = 'purchase' AND p.user_id = v.user_id AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR""",
     "q_asof" ->
       """SELECT e.event_id, e.user_id, e.ts, e.event_type, p.value AS last_purchase_value FROM events e ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'purchase') p ON e.user_id = p.user_id AND e.ts >= p.ts""",
+    // stream_asof: the carry state machine replayed as a strictly-
+    // preceding last-ignore-nulls window in the same (ts, event_id)
+    // per-user order (q_asof's ASOF JOIN is the at-or-before batch
+    // variant; the 1-PRECEDING frame is the streaming carry's order)
+    "stream_asof" ->
+      """WITH s AS (SELECT event_id, ts, user_id, event_type, CAST(round(value * 10000) AS BIGINT) AS value_c FROM events WHERE event_type IN ('view', 'purchase')), c AS (SELECT user_id, event_id, ts, event_type, last_value(CASE WHEN event_type = 'purchase' THEN event_id END IGNORE NULLS) OVER w AS src_id, last_value(CASE WHEN event_type = 'purchase' THEN value_c END IGNORE NULLS) OVER w AS src_value_c FROM s WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) SELECT user_id, event_id AS view_id, ts AS view_ts, src_id, src_value_c FROM c WHERE event_type = 'view'""",
     "q_range_join" ->
       """WITH bands AS (SELECT event_type AS band_type, min(value) AS lo, (min(value) + max(value)) / 2 AS hi FROM events GROUP BY 1) SELECT e.event_id, e.event_type, e.value, b.band_type, b.lo, b.hi FROM events e JOIN bands b ON e.value >= b.lo AND e.value <= b.hi""",
     "q_range_sql" ->

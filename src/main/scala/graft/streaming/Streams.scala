@@ -20,6 +20,12 @@ object Streams {
                          session_end: java.sql.Timestamp, n_events: Long,
                          total_value: Double)
 
+  case class AsofEvent(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                       event_type: String, value_c: Long)
+
+  case class AsofOut(user_id: Long, view_id: Long, view_ts: java.sql.Timestamp,
+                     src_id: Option[Long], src_value_c: Option[Long])
+
   val eventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", TimestampType),
@@ -139,6 +145,44 @@ object Streams {
                 es.map(_.value).sum)
             }
           }
+      }
+  }
+
+  /** Streaming AS-OF enrichment via flatMapGroupsWithState: each view
+    * is joined to the most recent purchase STRICTLY BEFORE it in the
+    * per-user (ts, event_id) order — the streaming form of
+    * Relational.asofJoin, with the carried dimension living in the
+    * state store instead of a sorted shuffle. State per key is ONE
+    * carry row (the latest purchase), so the store is O(#users)
+    * regardless of event volume — the bounded-state discipline every
+    * stream op here follows.
+    *
+    * Ordering contract (same as sessionize): within a micro-batch any
+    * arrival order is fine (the group's slice is sorted in the state
+    * function); across micro-batches the carry assumes per-key
+    * event-time-monotone arrival, which AvailableNow over a static
+    * source satisfies. A late purchase would need a watermark-buffered
+    * variant; the point here is the carry state machine itself.
+    */
+  def asofEnrich(events: Dataset[AsofEvent])
+                (implicit spark: SparkSession): Dataset[AsofOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[AsofEvent, AsofOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[AsofEvent], state: GroupState[AsofEvent]) =>
+          val sorted = it.toList.sortBy(e => (e.ts.getTime, e.event_id))
+          var carry = state.getOption
+          val out = scala.collection.mutable.ListBuffer.empty[AsofOut]
+          sorted.foreach { e =>
+            if (e.event_type == "view")
+              out += AsofOut(userId, e.event_id, e.ts,
+                carry.map(_.event_id), carry.map(_.value_c))
+            else if (e.event_type == "purchase")
+              carry = Some(e)
+          }
+          carry.foreach(state.update)
+          out.iterator
       }
   }
 

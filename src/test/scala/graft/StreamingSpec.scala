@@ -140,4 +140,26 @@ class StreamingSpec extends SparkSpec {
       assert(b.nonEmpty)
     } finally q.stop()
   }
+
+  test("asofEnrich: strictly-before carry, (ts, event_id) tie-break, no-prior is None") {
+    implicit val s = spark
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000)
+    val ev = Seq(
+      Streams.AsofEvent(1L, ts(10), 7L, "view", 0L),       // before any purchase → None
+      Streams.AsofEvent(2L, ts(20), 7L, "purchase", 100L),
+      Streams.AsofEvent(3L, ts(20), 7L, "view", 0L),       // same ts, id 3 > 2 → sees purchase 2
+      Streams.AsofEvent(4L, ts(30), 7L, "purchase", 200L),
+      Streams.AsofEvent(5L, ts(30), 7L, "view", 0L),       // latest purchase wins (id 4)
+      Streams.AsofEvent(6L, ts(40), 7L, "purchase", 300L),
+      Streams.AsofEvent(7L, ts(40), 7L, "view", 0L),
+      Streams.AsofEvent(8L, ts(5), 9L, "view", 0L)         // other user: isolated state
+    ).toDS()
+    val out = Streams.asofEnrich(ev).collect().map(o => o.view_id -> o).toMap
+    assert(out(1L).src_id.isEmpty && out(1L).src_value_c.isEmpty)
+    assert(out(3L).src_id.contains(2L) && out(3L).src_value_c.contains(100L))
+    assert(out(5L).src_id.contains(4L) && out(5L).src_value_c.contains(200L))
+    assert(out(7L).src_id.contains(6L) && out(7L).src_value_c.contains(300L))
+    assert(out(8L).src_id.isEmpty)
+    assert(out.size == 5) // purchases themselves emit nothing
+  }
 }
