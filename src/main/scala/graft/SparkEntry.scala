@@ -4049,6 +4049,30 @@ operations:
           col("max_acctbal_c"), col("n_segments"))
     }),
 
+    "er_eval" -> ((s, dir) => {
+      // ER blocking-loss audit — the eval row for er_entities' nation
+      // blocking: candidates that pass exact levenshtein verify are all
+      // true pairs (precision ≡ 1 by construction), so the number that
+      // matters is BLOCKING RECALL — the share of the exact unblocked
+      // d≤1 pair set (q_fuzzy_join's, proven equal to the cross-join
+      // oracle) whose members share a nation. One row; what you read
+      // before accepting blocked ER for a corpus.
+      val cust = T(s, dir, "customer")
+      val pairs = ext.FuzzyJoin.editDistanceSelfJoin(
+        cust, "c_custkey", "c_name", maxDist = 1)
+      val nat = cust.select(col("c_custkey"), col("c_nationkey"))
+      pairs
+        .join(nat.select(col("c_custkey").as("id_a"), col("c_nationkey").as("na")), "id_a")
+        .join(nat.select(col("c_custkey").as("id_b"), col("c_nationkey").as("nb")), "id_b")
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("na") === col("nb"), 1L).otherwise(0L)).as("n_blocked"),
+          sum(when(col("na") =!= col("nb"), 1L).otherwise(0L)).as("n_lost"))
+        .select(col("n_true"), col("n_blocked"), col("n_lost"),
+          expr("""CASE WHEN n_true = 0 THEN CAST(1000000 AS BIGINT)
+                 ELSE CAST((n_blocked * 1000000) div n_true AS BIGINT) END""")
+            .as("recall_micro"))
+    }),
+
     "srch_phrase" -> ((s, dir) => {
       // exact-phrase retrieval over positional postings: the corpus's
       // most frequent token bigram (count desc, bigram asc — a 1-row
@@ -5036,6 +5060,46 @@ operations:
             .as("k_hashes"),
           expr("CAST((CAST(m_bits AS DECIMAL(38,0)) * 1000000) div n AS BIGINT)")
             .as("bits_per_item_micro"))
+    }),
+
+    "ta_burrows" -> ((s, dir) => {
+      // Burrows' Delta stylometry (Burrows 2002): pairwise source
+      // distance = mean |z_a − z_b| over the top-30 corpus words, where
+      // z is the per-word cross-source z-score of relative frequency.
+      // Everything after the one full-corpus token agg is bounded:
+      // top-30 via TakeOrdered, a 30×#sources dense grid (missing
+      // combos are REAL zeros — a left join + fill, not dropped rows),
+      // and a per-word pair expansion of #sources² rows. Frequencies
+      // are micro ints; z = (n·f − Σf)/√(n·Σf² − (Σf)²) keeps the
+      // numerator exact-integer and is micro-rounded per (word, source)
+      // BEFORE the pair mean (the q_lift discipline), so the distance
+      // matrix is engine-exact. Zero-variance words are excluded by the
+      // same integer test in both engines.
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(expr(
+          "filter(split(lower(text), '\\\\s+'), x -> x != '')")).as("w"))
+        .localCheckpoint(true) // top-30 scan + per-source counts share it
+      val topw = tok.groupBy("w").agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(30).select("w")
+      val tot = tok.groupBy("source").agg(count(lit(1)).as("tot"))
+      val cnt = tok.join(topw, "w").groupBy("source", "w").agg(count(lit(1)).as("c"))
+      val grid = tot.crossJoin(broadcast(topw))
+        .join(cnt, Seq("source", "w"), "left").na.fill(0L, Seq("c"))
+        .select(col("source"), col("w"),
+          expr("(c * 1000000) div tot").as("f"))
+      val stats = grid.groupBy("w").agg(count(lit(1)).as("n"),
+        sum("f").as("s1"), sum(expr("f * f")).as("s2"))
+      val z = grid.join(stats, "w")
+        .filter(expr("n * s2 > s1 * s1")) // zero-variance words carry no signal
+        .select(col("source"), col("w"),
+          expr("""CAST(round((n * f - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+                 * 1000000) AS BIGINT)""").as("z"))
+        .localCheckpoint(true) // both sides of the pair join
+      z.as("a").join(z.as("b"),
+          col("a.w") === col("b.w") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("source_a"), col("b.source").as("source_b"))
+        .agg(count(lit(1)).as("n_words"),
+          expr("CAST(sum(abs(a.z - b.z)) div count(1) AS BIGINT)").as("delta_micro"))
     }),
 
     "ta_hapax" -> ((s, dir) => {
@@ -10244,6 +10308,10 @@ operations:
            CAST((sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END)::HUGEINT * 1000000) // count(*) AS BIGINT) AS novelty_micro
          FROM grams JOIN fst USING (gram) GROUP BY 1""",
     // er_golden: the er_entities recursive closure + arg_min survivorship
+    // er_eval: the exact unblocked pair set with a same-nation flag;
+    // guard mirrors the Spark CASE for an empty pair set.
+    "er_eval" ->
+      """WITH t AS (SELECT a.c_nationkey = b.c_nationkey AS sn FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1) SELECT CAST(count(*) AS BIGINT) AS n_true, CAST(sum(CASE WHEN sn THEN 1 ELSE 0 END) AS BIGINT) AS n_blocked, CAST(sum(CASE WHEN NOT sn THEN 1 ELSE 0 END) AS BIGINT) AS n_lost, CASE WHEN count(*) = 0 THEN CAST(1000000 AS BIGINT) ELSE CAST((sum(CASE WHEN sn THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) END AS recall_micro FROM t""",
     "er_golden" ->
       """WITH pairs AS (SELECT a.c_custkey AS s, b.c_custkey AS d FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey AND levenshtein(a.c_name, b.c_name) <= 1),
          edges AS (SELECT s, d FROM pairs UNION SELECT d AS s, s AS d FROM pairs),
@@ -10604,6 +10672,12 @@ operations:
       """WITH e AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS sp FROM lineitem JOIN orders ON l_orderkey = o_orderkey), dc AS (SELECT c, CAST(count(*) AS HUGEINT) AS dc FROM e GROUP BY 1), ds AS (SELECT sp, CAST(count(*) AS HUGEINT) AS ds FROM e GROUP BY 1), j AS (SELECT dc.dc AS x, ds.ds AS y FROM e JOIN dc USING (c) JOIN ds USING (sp)), g AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(x) AS sx, sum(y) AS sy, sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy FROM j) SELECT CAST(n AS BIGINT) AS n_edges, CAST(round(CAST(n * sxy - sx * sy AS DOUBLE) / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))) * 1000000) AS BIGINT) AS r_micro FROM g""",
     "sk_bloom_planner" ->
       """WITH n AS (SELECT source, CAST(count(*) AS HUGEINT) AS n FROM documents GROUP BY 1), t(fpp_bp, lnp) AS (VALUES (100, 4605170185988), (10, 6907755278982)), m AS (SELECT source, n, fpp_bp, CAST(lnp AS HUGEINT) AS lnp, (n * lnp + 480453013917) // 480453013918 AS m_bits FROM n, t) SELECT source, CAST(n AS BIGINT) AS n_items, CAST(fpp_bp AS BIGINT) AS fpp_bp, CAST(m_bits AS BIGINT) AS m_bits, CAST((m_bits * 693147180560 + n * 500000000000) // (n * 1000000000000) AS BIGINT) AS k_hashes, CAST((m_bits * 1000000) // n AS BIGINT) AS bits_per_item_micro FROM m""",
+    // ta_burrows: same token agg, TakeOrdered top-30, dense grid with
+    // real zeros, exact-integer z numerator micro-rounded before the
+    // pair mean; zero-variance words excluded by the identical integer
+    // test.
+    "ta_burrows" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), topw AS (SELECT w FROM (SELECT w, count(*) AS cw FROM tok GROUP BY 1 ORDER BY cw DESC, w LIMIT 30)), tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tok GROUP BY 1), cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok JOIN topw USING (w) GROUP BY 1, 2), grid AS (SELECT t.source, p.w, CAST((coalesce(c.c, 0) * 1000000) // t.tot AS BIGINT) AS f FROM tot t CROSS JOIN topw p LEFT JOIN cnt c ON c.source = t.source AND c.w = p.w), stats AS (SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(f) AS BIGINT) AS s1, CAST(sum(f * f) AS BIGINT) AS s2 FROM grid GROUP BY 1), z AS (SELECT g.source, g.w, CAST(round((s.n * g.f - s.s1) / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) * 1000000) AS BIGINT) AS z FROM grid g JOIN stats s USING (w) WHERE s.n * s.s2 > s.s1 * s.s1) SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(abs(a.z - b.z)) // count(*) AS BIGINT) AS delta_micro FROM z a JOIN z b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2""",
     "ta_hapax" ->
       """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2) SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micro, CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_micro FROM c GROUP BY 1""",
     // dd_url: the same planted variants and the same canonicalization
