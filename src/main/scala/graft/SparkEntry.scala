@@ -4464,6 +4464,54 @@ operations:
                   ELSE CAST((u2 * 1000000) div (2 * p * n) AS BIGINT) END""").as("auc_micro"))
     }),
 
+    "q_auc_delong" -> ((s, dir) => {
+      // DeLong variance + Wald CI for q_auc's Mann–Whitney AUC: the
+      // structural components V10 (per positive) and V01 (per negative)
+      // depend ONLY on the unit's score, so on the bounded score domain
+      // both collapse onto the per-score histogram — V10d(s) =
+      // 2·negBelow + negAt in half-units, V01d(t) = 2·posAbove + posAt —
+      // and the component variances are exact-integer weighted sums of
+      // squares over the ≤O(max_score) score table (DECIMAL/HUGEINT so
+      // the squares never wrap). No per-unit pass beyond q_auc's own
+      // aggregation; float work is one mirrored expression chain at the
+      // end. The CI every AUC point estimate should ship with.
+      import org.apache.spark.sql.expressions.Window
+      val perUnit = events(s, dir)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day")).agg(
+          sum(when(col("event_type").isin("view", "click"), 1L).otherwise(0L)).as("score"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("label"))
+      val byScore = perUnit.groupBy("score").agg(
+        sum(col("label")).as("pos"), sum(lit(1L) - col("label")).as("neg"))
+      val w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+      val cum = byScore
+        .withColumn("neg_below", coalesce(sum("neg").over(w), lit(0L)))
+        .withColumn("pos_below", coalesce(sum("pos").over(w), lit(0L)))
+        .withColumn("tp", sum("pos").over(Window.partitionBy()))
+      val g = cum.agg(
+        sum("pos").as("n1"), sum("neg").as("n0"),
+        sum(expr("pos * (2 * neg_below + neg)")).as("u2"),
+        sum(expr("CAST(pos AS DECIMAL(38,0)) * (2 * neg_below + neg) * (2 * neg_below + neg)")).as("q1"),
+        sum(expr("CAST(neg AS DECIMAL(38,0)) * (2 * (tp - pos_below - pos) + pos) * (2 * (tp - pos_below - pos) + pos)")).as("q0"))
+      g.withColumn("aucd",
+          expr("CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE))"))
+        .withColumn("s10",
+          expr("""(CAST(q1 AS DOUBLE) / (4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE))
+                 - CAST(n1 AS DOUBLE) * aucd * aucd) / (CAST(n1 AS DOUBLE) - 1.0)"""))
+        .withColumn("s01",
+          expr("""(CAST(q0 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE))
+                 - CAST(n0 AS DOUBLE) * aucd * aucd) / (CAST(n0 AS DOUBLE) - 1.0)"""))
+        .withColumn("se", expr("sqrt(s10 / CAST(n1 AS DOUBLE) + s01 / CAST(n0 AS DOUBLE))"))
+        .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+          expr("""CASE WHEN n1 = 0 OR n0 = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST((u2 * 1000000) div (2 * n1 * n0) AS BIGINT) END""").as("auc_micro"),
+          expr("""CASE WHEN n1 < 2 OR n0 < 2 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(round(se * 1000000) AS BIGINT) END""").as("se_micro"),
+          expr("""CASE WHEN n1 < 2 OR n0 < 2 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(round((aucd - 1.96 * se) * 1000000) AS BIGINT) END""").as("lo_micro"),
+          expr("""CASE WHEN n1 < 2 OR n0 < 2 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(round((aucd + 1.96 * se) * 1000000) AS BIGINT) END""").as("hi_micro"))
+    }),
+
     "q_benford" -> ((s, dir) => {
       // Benford first-digit audit of order totals (the fraud/data-entry
       // anomaly screen): observed first-digit counts of the cents
@@ -10481,6 +10529,11 @@ operations:
          FROM g""",
     // q_auc: identical per-score counts, exclusive cumulative, doubled
     // Mann–Whitney numerator, one integral division
+    // q_auc_delong: the same score histogram with both prefix sums;
+    // structural-component sums of squares through HUGEINT, then the
+    // identical double chain (aucd → s10/s01 → se → CI).
+    "q_auc_delong" ->
+      """WITH pu AS (SELECT user_id, CAST(ts AS DATE) AS day, CAST(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS BIGINT) AS score, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS label FROM events GROUP BY 1, 2), bs AS (SELECT score, CAST(sum(label) AS BIGINT) AS pos, CAST(sum(1 - label) AS BIGINT) AS neg FROM pu GROUP BY 1), c AS (SELECT score, pos, neg, CAST(coalesce(sum(neg) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS neg_below, CAST(coalesce(sum(pos) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS pos_below, CAST(sum(pos) OVER () AS BIGINT) AS tp FROM bs), g AS (SELECT CAST(sum(pos) AS BIGINT) AS n1, CAST(sum(neg) AS BIGINT) AS n0, CAST(sum(pos * (2 * neg_below + neg)) AS BIGINT) AS u2, sum(CAST(pos AS HUGEINT) * (2 * neg_below + neg) * (2 * neg_below + neg)) AS q1, sum(CAST(neg AS HUGEINT) * (2 * (tp - pos_below - pos) + pos) * (2 * (tp - pos_below - pos) + pos)) AS q0 FROM c), a AS (SELECT *, CAST(u2 AS DOUBLE) / (2.0 * CAST(n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) AS aucd FROM g), v AS (SELECT *, (CAST(q1 AS DOUBLE) / (4.0 * CAST(n0 AS DOUBLE) * CAST(n0 AS DOUBLE)) - CAST(n1 AS DOUBLE) * aucd * aucd) / (CAST(n1 AS DOUBLE) - 1.0) AS s10, (CAST(q0 AS DOUBLE) / (4.0 * CAST(n1 AS DOUBLE) * CAST(n1 AS DOUBLE)) - CAST(n0 AS DOUBLE) * aucd * aucd) / (CAST(n0 AS DOUBLE) - 1.0) AS s01 FROM a), e AS (SELECT *, sqrt(s10 / CAST(n1 AS DOUBLE) + s01 / CAST(n0 AS DOUBLE)) AS se FROM v) SELECT n1 AS n_pos, n0 AS n_neg, CASE WHEN n1 = 0 OR n0 = 0 THEN CAST(NULL AS BIGINT) ELSE CAST((u2 * 1000000) // (2 * n1 * n0) AS BIGINT) END AS auc_micro, CASE WHEN n1 < 2 OR n0 < 2 THEN CAST(NULL AS BIGINT) ELSE CAST(round(se * 1000000) AS BIGINT) END AS se_micro, CASE WHEN n1 < 2 OR n0 < 2 THEN CAST(NULL AS BIGINT) ELSE CAST(round((aucd - 1.96 * se) * 1000000) AS BIGINT) END AS lo_micro, CASE WHEN n1 < 2 OR n0 < 2 THEN CAST(NULL AS BIGINT) ELSE CAST(round((aucd + 1.96 * se) * 1000000) AS BIGINT) END AS hi_micro FROM e""",
     "q_auc" ->
       """WITH pu AS (SELECT user_id, CAST(ts AS DATE) AS day,
            CAST(sum(CASE WHEN event_type IN ('view','click') THEN 1 ELSE 0 END) AS BIGINT) AS score,

@@ -52,7 +52,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_dw",           // day-domain residual lag
     "q_granger",      // day-domain lag pair
     "q_monotonicity", // bounded quantity panel lag
-    "q_isotonic"      // ≤50-row score-domain prefix sums
+    "q_isotonic",     // ≤50-row score-domain prefix sums
+    "q_auc_delong"    // bounded score-domain prefix sums (q_auc's shape)
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
