@@ -7260,6 +7260,18 @@ operations:
         .select(col("query_id"), col("neighbor_id"), col("score_micro"))
     }),
 
+    "mm_patches" -> ((s, dir) => {
+      // ViT-style patchify with a REAL decode: the planted 32×32 PNGs
+      // split into a 4×4 grid of 8×8 patches with per-patch luma stats
+      // (sum/min/max) — the deterministic front half of a vision-
+      // transformer ingest. Per-partition codec work, no shuffle; the
+      // oracle recomputes every patch from doc_id's closed-form pixel
+      // grid, so a fake decode mismatches.
+      implicit val sp: SparkSession = s
+      ext.Multimodal.patchGrid(
+        ext.Multimodal.phashMedia(T(s, dir, "documents"))).toDF()
+    }),
+
     "mm_histogram" -> ((s, dir) => {
       // per-image luma histogram with a REAL decode (the planted 32×32
       // PNGs behind mm_phash): 16 bins, all bins emitted (zeros
@@ -7546,6 +7558,62 @@ operations:
         .select(col("n_keys"), lit(2097152L).as("m_bits"), col("n_probes"),
           col("n_false_pos"),
           expr("(n_false_pos * 1000000) div n_probes").as("fpr_micro"))
+    }),
+
+    "q_cochran_q" -> ((s, dir) => {
+      // Cochran's Q: did the three engagement behaviors (view / click /
+      // purchase, matched within user) occur at the same rate — the
+      // k-treatment generalization of q_mcnemar (k=2 reduces to it).
+      // Q = (k−1)·[k·ΣC_j² − (ΣC_j)²] / [k·ΣR_i − ΣR_i²]: both sides
+      // exact integers from ONE conditional-agg pass (squares through
+      // DECIMAL so billion-user column totals never wrap), one mirrored
+      // double at the end; χ²₍₂₎ 5% critical value as a literal micro.
+      val f = events(s, dir).groupBy("user_id").agg(
+        max(when(col("event_type") === "view", 1L).otherwise(0L)).as("v"),
+        max(when(col("event_type") === "click", 1L).otherwise(0L)).as("c"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("p"))
+      f.agg(count(lit(1)).as("n_users"),
+          sum("v").as("cv"), sum("c").as("cc"), sum("p").as("cp"),
+          sum(expr("v + c + p")).as("sr"),
+          sum(expr("(v + c + p) * (v + c + p)")).as("sr2"))
+        .select(col("n_users"), col("cv").as("c_view"), col("cc").as("c_click"),
+          col("cp").as("c_purchase"),
+          expr("""3 * (CAST(cv AS DECIMAL(38,0)) * cv + CAST(cc AS DECIMAL(38,0)) * cc
+                 + CAST(cp AS DECIMAL(38,0)) * cp)
+                 - CAST(cv + cc + cp AS DECIMAL(38,0)) * (cv + cc + cp)""").as("num"),
+          (lit(3L) * col("sr") - col("sr2")).as("den"))
+        .select(col("n_users"), col("c_view"), col("c_click"), col("c_purchase"),
+          expr("""CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+                  ELSE CAST(round(2.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE)
+                    * 1000000) AS BIGINT) END""").as("q_micro"))
+        .withColumn("significant", col("q_micro") > 5991465L)
+    }),
+
+    "q_capture_recapture" -> ((s, dir) => {
+      // Lincoln–Petersen population estimate, Chapman-corrected: how
+      // many users EXIST given two observation windows (first / second
+      // half of the month) — the "how much are we not seeing"
+      // data-quality number. N̂ = (n1+1)(n2+1)/(m+1) − 1 with the exact
+      // product in micro-integer division; Chapman's variance for the
+      // Wald CI is the one mirrored double chain. One distinct-user
+      // pass builds both window flags.
+      val f = events(s, dir).groupBy("user_id").agg(
+        max(when(col("ts") < lit("2024-01-15 00:00:00").cast("timestamp"), 1L)
+          .otherwise(0L)).as("w1"),
+        max(when(col("ts") >= lit("2024-01-15 00:00:00").cast("timestamp"), 1L)
+          .otherwise(0L)).as("w2"))
+      f.agg(sum("w1").as("n1"), sum("w2").as("n2"),
+          sum(expr("w1 * w2")).as("m"))
+        .select(col("n1"), col("n2"), col("m"),
+          expr("""CAST((CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1) * 1000000)
+                 div (m + 1) AS BIGINT) - 1000000""").as("nhat_micro"),
+          expr("""CAST(round(sqrt(CAST(CAST(n1 + 1 AS DECIMAL(38,0)) * (n2 + 1)
+                 * (n1 - m) * (n2 - m) AS DOUBLE)
+                 / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE)
+                    * CAST(m + 2 AS DOUBLE))) * 1000000) AS BIGINT)""").as("se_micro"))
+        .select(col("n1"), col("n2"), col("m"), col("nhat_micro"), col("se_micro"),
+          (col("nhat_micro") - expr("CAST(round(1.96 * se_micro) AS BIGINT)")).as("lo_micro"),
+          (col("nhat_micro") + expr("CAST(round(1.96 * se_micro) AS BIGINT)")).as("hi_micro"))
     }),
 
     "q_mcnemar" -> ((s, dir) => {
@@ -10925,6 +10993,10 @@ operations:
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 8), sc AS (SELECT q.query_id, e.vec_id AS neighbor_id, CAST(round(list_dot_product(e.v, q.qv) / (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))) * 1000000) AS BIGINT) AS score_micro FROM e, q WHERE e.vec_id <> q.query_id) SELECT query_id, neighbor_id, score_micro FROM sc WHERE score_micro >= 250000""",
     // mm_histogram: every bin count recomputed from doc_id's planted
     // closed-form pixel grid (zeros included via the bin grid)
+    // mm_patches: the closed-form pixel grid grouped by the 8×8 patch
+    // coordinates; every stat recomputed from doc_id alone.
+    "mm_patches" ->
+      """WITH px AS (SELECT d.doc_id, x.range AS x, y.range AS y, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y) SELECT doc_id AS media_id, CAST(x // 8 AS BIGINT) AS px, CAST(y // 8 AS BIGINT) AS py, CAST(count(*) AS BIGINT) AS n_px, CAST(sum(luma) AS BIGINT) AS sum_luma, CAST(min(luma) AS BIGINT) AS min_luma, CAST(max(luma) AS BIGINT) AS max_luma FROM px GROUP BY 1, 2, 3""",
     "mm_histogram" ->
       """WITH px AS (SELECT d.doc_id, ((1 + d.doc_id % 7) * x.range + (1 + d.doc_id % 5) * y.range + d.doc_id % 256) % 256 AS luma FROM documents d, range(32) x, range(32) y), c AS (SELECT doc_id, luma // 16 AS bin, CAST(count(*) AS BIGINT) AS n_px FROM px GROUP BY 1, 2), grid AS (SELECT doc_id, b.range AS bin FROM documents, range(16) b) SELECT grid.doc_id AS media_id, CAST(grid.bin AS BIGINT) AS bin, coalesce(c.n_px, CAST(0 AS BIGINT)) AS n_px FROM grid LEFT JOIN c ON c.doc_id = grid.doc_id AND c.bin = grid.bin""",
     "q_effective_n" ->
@@ -10951,6 +11023,14 @@ operations:
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, list_filter(list_transform(toks, (x, i) -> CASE WHEN substr(md5('do:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) = '0' THEN NULL ELSE x END), x -> x IS NOT NULL) AS kept FROM t) SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept, coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS aug_text FROM k""",
     "sk_bloom_fpr" ->
       """WITH keys AS (SELECT DISTINCT o_orderkey AS x FROM orders), pos AS (SELECT CAST(('0x' || substr(md5('b1:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS p FROM keys UNION ALL SELECT CAST(('0x' || substr(md5('b2:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 FROM keys), words AS (SELECT p // 32 AS word, CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits FROM pos GROUP BY 1), probes AS (SELECT x + 100000000 AS pr FROM keys), ph AS (SELECT pr, CAST(('0x' || substr(md5('b1:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h1, CAST(('0x' || substr(md5('b2:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h2 FROM probes), looked AS (SELECT pr, coalesce(w1.bits & (1::BIGINT << CAST(h1 % 32 AS INTEGER)), 0) <> 0 AND coalesce(w2.bits & (1::BIGINT << CAST(h2 % 32 AS INTEGER)), 0) <> 0 AS hit FROM ph LEFT JOIN words w1 ON w1.word = h1 // 32 LEFT JOIN words w2 ON w2.word = h2 // 32), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos FROM looked), nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys) SELECT n_keys, CAST(2097152 AS BIGINT) AS m_bits, n_probes, n_false_pos, (n_false_pos * 1000000) // n_probes AS fpr_micro FROM agg, nk""",
+    // q_cochran_q: the same matched-flag pass; column-total squares
+    // through HUGEINT, the identical final double.
+    "q_cochran_q" ->
+      """WITH f AS (SELECT user_id, CAST(max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS v, CAST(max(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c, CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS p FROM events GROUP BY 1), g AS (SELECT CAST(count(*) AS BIGINT) AS n_users, CAST(sum(v) AS BIGINT) AS cv, CAST(sum(c) AS BIGINT) AS cc, CAST(sum(p) AS BIGINT) AS cp, CAST(sum(v + c + p) AS BIGINT) AS sr, CAST(sum((v + c + p) * (v + c + p)) AS BIGINT) AS sr2 FROM f), h AS (SELECT n_users, cv AS c_view, cc AS c_click, cp AS c_purchase, 3 * (CAST(cv AS HUGEINT) * cv + CAST(cc AS HUGEINT) * cc + CAST(cp AS HUGEINT) * cp) - CAST(cv + cc + cp AS HUGEINT) * (cv + cc + cp) AS num, 3 * sr - sr2 AS den FROM g), q AS (SELECT n_users, c_view, c_click, c_purchase, CASE WHEN den = 0 THEN CAST(NULL AS BIGINT) ELSE CAST(round(2.0 * CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000) AS BIGINT) END AS q_micro FROM h) SELECT n_users, c_view, c_click, c_purchase, q_micro, q_micro > 5991465 AS significant FROM q""",
+    // q_capture_recapture: the same window-flag pass; Chapman estimate
+    // and variance with HUGEINT products, identical double chain.
+    "q_capture_recapture" ->
+      """WITH f AS (SELECT user_id, CAST(max(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS w1, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS w2 FROM events GROUP BY 1), g AS (SELECT CAST(sum(w1) AS BIGINT) AS n1, CAST(sum(w2) AS BIGINT) AS n2, CAST(sum(w1 * w2) AS BIGINT) AS m FROM f), h AS (SELECT n1, n2, m, CAST((CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * 1000000) // (m + 1) AS BIGINT) - 1000000 AS nhat_micro, CAST(round(sqrt(CAST(CAST(n1 + 1 AS HUGEINT) * (n2 + 1) * (n1 - m) * (n2 - m) AS DOUBLE) / (CAST(m + 1 AS DOUBLE) * CAST(m + 1 AS DOUBLE) * CAST(m + 2 AS DOUBLE))) * 1000000) AS BIGINT) AS se_micro FROM g) SELECT n1, n2, m, nhat_micro, se_micro, nhat_micro - CAST(round(1.96 * se_micro) AS BIGINT) AS lo_micro, nhat_micro + CAST(round(1.96 * se_micro) AS BIGINT) AS hi_micro FROM h""",
     "q_mcnemar" ->
       """WITH f AS (SELECT l_partkey, CAST(max(CASE WHEN year(l_shipdate) = 1997 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r97, CAST(max(CASE WHEN year(l_shipdate) = 1998 AND l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS r98, max(CASE WHEN year(l_shipdate) = 1997 THEN 1 ELSE 0 END) AS in97, max(CASE WHEN year(l_shipdate) = 1998 THEN 1 ELSE 0 END) AS in98 FROM lineitem WHERE year(l_shipdate) IN (1997, 1998) GROUP BY 1), p AS (SELECT * FROM f WHERE in97 = 1 AND in98 = 1), g AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(CASE WHEN r97 = 1 AND r98 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, CAST(sum(CASE WHEN r97 = 0 AND r98 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c FROM p) SELECT n_pairs, b, c, CAST(CASE WHEN b + c = 0 THEN 0 ELSE ((b - c) * (b - c) * 1000000) // (b + c) END AS BIGINT) AS chi2_micro, (CASE WHEN b + c = 0 THEN 0 ELSE ((b - c) * (b - c) * 1000000) // (b + c) END) > 3841459 AS significant FROM g""",
     "q_price_index" ->

@@ -677,6 +677,53 @@ object Multimodal {
       }
   }
 
+  case class Patch(media_id: Long, px: Long, py: Long, n_px: Long,
+                   sum_luma: Long, min_luma: Long, max_luma: Long)
+
+  /** ViT-style patch grid: REAL decode (the same planted 32×32 PNGs as
+    * [[dctPhash]]), the image split into a (32/patch)² grid of
+    * patch×patch tiles with per-tile luma stats — the deterministic
+    * patchify front half of a vision-transformer ingest (the learned
+    * linear projection belongs to the model; the engine's job is the
+    * grid, the stats, and the schema). Per-partition codec work like
+    * every decode step here; no shuffle at all. Non-32×32/undecodable
+    * payloads are dropped.
+    */
+  def patchGrid(media: DataFrame, patch: Int = 8)
+               (implicit spark: SparkSession): Dataset[Patch] = {
+    import spark.implicits._
+    require(patch > 0 && 32 % patch == 0, s"patch $patch must divide 32")
+    media.select("media_id", "media_type", "source", "content").as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { rec =>
+          val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
+          val img =
+            try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+            catch { case _: Exception => null }
+          if (img == null || img.getWidth != 32 || img.getHeight != 32) Nil
+          else {
+            val g = 32 / patch
+            for { py <- 0 until g; px <- 0 until g } yield {
+              var sum = 0L; var mn = 255L; var mx = 0L
+              var y = py * patch
+              while (y < (py + 1) * patch) {
+                var x = px * patch
+                while (x < (px + 1) * patch) {
+                  val l = ((img.getRGB(x, y) >> 16) & 0xff).toLong
+                  sum += l; if (l < mn) mn = l; if (l > mx) mx = l
+                  x += 1
+                }
+                y += 1
+              }
+              Patch(rec.media_id, px.toLong, py.toLong,
+                (patch * patch).toLong, sum, mn, mx)
+            }
+          }
+        }
+      }
+  }
+
   case class Blockiness(media_id: Long, bsum: Long, isum: Long, blockiness_micro: Long)
 
   /** JPEG-blockiness proxy: sum of |Δluma| across horizontal 8-px block
