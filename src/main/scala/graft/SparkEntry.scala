@@ -8728,6 +8728,160 @@ operations:
         .agg(count(lit(1)).as("n_rows"),
           sum(expr("((p - y) * (p - y)) div 1000000")).as("sq"))
         .select(col("n_rows"), expr("sq div n_rows").as("brier_micro"))
+    }),
+
+    "q_conformal" -> ((s, dir) => {
+      // Split-conformal prediction interval (Vovk; Lei et al. 2018): a
+      // 3:1 deterministic orderkey split, nonconformity |q − ŷ| against
+      // a 7-row per-linenumber mean table learned on the calibration
+      // quarters, q̂ = the ⌈0.9(n+1)⌉-th order statistic, then the
+      // finite-sample coverage of ŷ ± q̂ on the held-out quarter. The
+      // score domain is BOUNDED (|quantity − mean| ≤ 49) so the order
+      // statistic is an exact histogram quantile: one wide shuffle
+      // produces the ≤100-row (split, score) histogram and every later
+      // step — cumulative counts, q̂, coverage — runs on that frame.
+      // 10·cum ≥ 9·(n+1) is the integer form of cum ≥ ⌈0.9(n+1)⌉.
+      import org.apache.spark.sql.expressions.Window
+      val li = T(s, dir, "lineitem").select(
+        (col("l_orderkey") % 4 === 3).as("is_test"),
+        col("l_linenumber"),
+        col("l_quantity").cast("long").as("q"))
+      val pred = li.filter(!col("is_test")).groupBy("l_linenumber")
+        .agg(expr("sum(q) div count(1)").as("yhat"))
+      val h = li.join(broadcast(pred), Seq("l_linenumber"))
+        .select(col("is_test"), abs(col("q") - col("yhat")).as("s"))
+        .groupBy("is_test", "s").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // ≤100 rows; feeds q̂ AND the coverage pass
+      val cal = h.filter(!col("is_test"))
+      val nCal = cal.agg(sum("n").as("n_cal"))
+      val qhat = cal
+        .withColumn("cume", sum("n").over(Window.orderBy("s"))) // bounded score domain
+        .crossJoin(broadcast(nCal))
+        .filter(col("cume") * 10 >= (col("n_cal") + 1) * 9)
+        .agg(min("s").as("qhat"))
+      h.filter(col("is_test"))
+        .crossJoin(broadcast(qhat)).crossJoin(broadcast(nCal))
+        .agg(first("n_cal").as("n_cal"),
+          sum("n").as("n_test"),
+          sum(when(col("s") <= col("qhat"), col("n")).otherwise(0L)).as("n_cov"),
+          first("qhat").as("qhat"))
+        .select(col("n_cal"), col("n_test"), col("qhat"),
+          (col("qhat") * 2 + 1).as("width"),
+          expr("CAST(CAST(n_cov AS DECIMAL(38,0)) * 1000000 div n_test AS BIGINT)")
+            .as("cov_micro"))
+    }),
+
+    "ta_good_turing" -> ((s, dir) => {
+      // Good–Turing frequency-of-frequencies (Gale–Sampson 1995) over
+      // word trigrams: the N_r table for r ≤ 10, the smoothed count
+      // r* = (r+1)·N_{r+1}/N_r, the observed probability mass r·N_r/N
+      // per bucket, and the unseen-mass estimate P₀ = N₁/N as the r = 0
+      // row — the "how much tail haven't we crawled yet" dial of corpus
+      // curation. Trigram space carries the long tail (the whitespace
+      // unigram vocabulary is ~31 words); two hash aggregations (gram
+      // counts → counts-of-counts) and everything after the second is a
+      // ≤#distinct-counts-row frame. Products run in DECIMAL(38,0)
+      // (HUGEINT in the oracle) so billion-type corpora can't wrap.
+      val cnt = T(s, dir, "documents")
+        .select(explode(ext.Dedup.wordNgrams(col("text"), 3)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("n_r"))
+        .localCheckpoint(true) // tiny; feeds N, the r rows AND the r+1 lookup
+      val tot = cnt.agg(sum(expr("CAST(c AS DECIMAL(38,0)) * n_r")).as("n_tokens"))
+      val nxt = cnt.select((col("c") - 1).as("rj"), col("n_r").as("n_next"))
+      val rows = cnt.filter(col("c") <= 10)
+        .join(broadcast(nxt), col("c") === col("rj"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("c").cast("long").as("r"), col("n_r"),
+          expr("CAST(CAST(c + 1 AS DECIMAL(38,0)) * coalesce(n_next, 0) * 1000000 div n_r AS BIGINT)")
+            .as("r_star_micro"),
+          expr("CAST(CAST(c AS DECIMAL(38,0)) * n_r * 1000000 div n_tokens AS BIGINT)")
+            .as("mass_micro"))
+      val unseen = cnt.filter(col("c") === 1).crossJoin(broadcast(tot))
+        .select(lit(0L).as("r"), col("n_r"), lit(0L).as("r_star_micro"),
+          expr("CAST(CAST(n_r AS DECIMAL(38,0)) * 1000000 div n_tokens AS BIGINT)")
+            .as("mass_micro"))
+      unseen.unionAll(rows)
+    }),
+
+    "sim_matryoshka" -> ((s, dir) => {
+      // Matryoshka-representation eval (Kusupati et al. 2022): recall@10
+      // of brute-force search over the FIRST 16 of 64 dims vs the
+      // full-dim exact top-10 — the accept/reject number for
+      // prefix-truncated embeddings (¼ the bytes and FLOPs per probe)
+      // before re-indexing at the reduced dimension. Same probe cohort
+      // and bounded-heap shuffle shape as sim_recall; the truncated arm
+      // slices the SAME parquet column in-plan — no second table.
+      val emb = T(s, dir, "embeddings")
+      val bf = ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val cut = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 16).as("embedding"))
+      val mr = ext.Similarity.bruteForceTopK(cut, cut.filter(col("vec_id") < 8),
+          "vec_id", "embedding", 10)
+        .select(col("query_id").as("mq"), col("neighbor_id").as("mn"))
+      val hits = bf.join(mr,
+          col("query_id") === col("mq") && col("neighbor_id") === col("mn"),
+          "left_semi")
+        .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+      emb.filter(col("vec_id") < 8).select(col("vec_id").as("query_id"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
+    "rec_bt" -> ((s, dir) => {
+      // Bradley–Terry preference ranking (the RLHF preference-data
+      // fit; Hunter 2004's MM algorithm): 5 "teams" from deterministic
+      // lineitem keys, a win per row by quantity parity, 20 MM rounds
+      // π_i ← w_i / Σ_j n_ij/(π_i+π_j) with sum-to-5·10⁶ renorm. The
+      // distributed work is ONE pair-count aggregation (≤10 grouped
+      // rows); the iteration folds on the driver in exact BigInt micro
+      // arithmetic — every //, + and × replayed in the identical
+      // ascending-team order by the oracle's recursive CTE (HUGEINT),
+      // so the fixed point matches bit-for-bit. At 10¹² matches the
+      // counts are the only thing that grows; the model stays 5 rows.
+      import s.implicits._
+      val m = T(s, dir, "lineitem").select(
+          (col("l_suppkey") % 5).as("ta"), (col("l_partkey") % 5).as("tb"),
+          (col("l_quantity").cast("long") % 2 === 0).as("a_wins"))
+        .filter(col("ta") =!= col("tb"))
+        .select(least(col("ta"), col("tb")).as("i"),
+          greatest(col("ta"), col("tb")).as("j"),
+          when(col("ta") < col("tb"), col("a_wins")).otherwise(!col("a_wins")).as("i_wins"))
+        .groupBy("i", "j").agg(count(lit(1)).as("n"),
+          sum(when(col("i_wins"), 1L).otherwise(0L)).as("w_i"))
+        .collect().map(r => (r.getAs[Long]("i"), r.getAs[Long]("j"),
+          r.getAs[Long]("n"), r.getAs[Long]("w_i")))
+      val k = 5
+      val n = Array.ofDim[Long](k, k)
+      val w = Array.fill(k)(BigInt(0))
+      m.foreach { case (i, j, nij, wi) =>
+        n(i.toInt)(j.toInt) = nij; n(j.toInt)(i.toInt) = nij
+        w(i.toInt) += wi; w(j.toInt) += (nij - wi)
+      }
+      val one2 = BigInt(1000000) * 1000000
+      var pi = Array.fill(k)(BigInt(1000000))
+      var it = 0
+      while (it < 20) {
+        val next = Array.tabulate(k) { i =>
+          var d = BigInt(0)
+          var j = 0
+          while (j < k) {
+            if (j != i && n(i)(j) > 0) d += (BigInt(n(i)(j)) * one2) / (pi(i) + pi(j))
+            j += 1
+          }
+          if (d == 0) pi(i) else (w(i) * one2) / d
+        }
+        val s5 = next.foldLeft(BigInt(0))(_ + _)
+        pi = next.map(x => (x * 5000000) / s5)
+        it += 1
+      }
+      (0 until k).map { i =>
+        (i.toLong, n(i).sum, w(i).toLong, pi(i).toLong)
+      }.toDF("team", "n_matches", "n_wins", "pi_micro")
     })
   )
 
@@ -9612,6 +9766,44 @@ operations:
        |sel1 AS (SELECT vec_id, v FROM c1),
        |$steps
        |SELECT CAST(sel_rank AS INTEGER) AS sel_rank, vec_id, dist FROM (SELECT 1 AS sel_rank, vec_id, d AS dist FROM c1 UNION ALL $out)""".stripMargin
+  }
+
+  /** rec_bt replay: pair counts → 5×5 list-of-lists matrix + win vector
+    * (HUGEINT), then the driver fold's 20 MM rounds as a recursive CTE —
+    * every //, + and × in the identical ascending-team order (integer
+    * ops, so associativity is exact and the fixed point matches
+    * bit-for-bit).
+    */
+  private lazy val recBtOracleSql: String = {
+    val dnmInner =
+      "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
+        "list_transform(range(5), j -> CASE WHEN i = j THEN CAST(0 AS HUGEINT) " +
+        "ELSE (m[CAST(i AS INTEGER) + 1][CAST(j AS INTEGER) + 1] * 1000000000000) // " +
+        "(v[CAST(i AS INTEGER) + 1] + v[CAST(j AS INTEGER) + 1]) END)), " +
+        "(a, b) -> a + b)"
+    val newPi =
+      "list_transform(range(5), i -> CASE WHEN dnm[CAST(i AS INTEGER) + 1] = 0 " +
+        "THEN v[CAST(i AS INTEGER) + 1] " +
+        "ELSE (w[CAST(i AS INTEGER) + 1] * 1000000000000) // dnm[CAST(i AS INTEGER) + 1] END)"
+    s"""WITH RECURSIVE mt AS (SELECT least(l_suppkey % 5, l_partkey % 5) AS i, greatest(l_suppkey % 5, l_partkey % 5) AS j, CASE WHEN l_suppkey % 5 < l_partkey % 5 THEN CAST(l_quantity AS BIGINT) % 2 = 0 ELSE NOT (CAST(l_quantity AS BIGINT) % 2 = 0) END AS i_wins FROM lineitem WHERE l_suppkey % 5 <> l_partkey % 5),
+       |pc AS (SELECT i, j, CAST(count(*) AS BIGINT) AS n, CAST(sum(CASE WHEN i_wins THEN 1 ELSE 0 END) AS BIGINT) AS w_i FROM mt GROUP BY 1, 2),
+       |cells AS (SELECT a.range AS i, b.range AS j FROM range(5) a, range(5) b),
+       |nm0 AS (SELECT c.i, c.j, coalesce(p1.n, p2.n, 0) AS n FROM cells c LEFT JOIN pc p1 ON p1.i = c.i AND p1.j = c.j LEFT JOIN pc p2 ON p2.i = c.j AND p2.j = c.i),
+       |nmr AS (SELECT i, list(CAST(n AS HUGEINT) ORDER BY j) AS nrow FROM nm0 GROUP BY 1),
+       |nm AS (SELECT list(nrow ORDER BY i) AS m FROM nmr),
+       |wv0 AS (SELECT t.range AS i, CAST(coalesce((SELECT sum(w_i) FROM pc WHERE pc.i = t.range), 0) + coalesce((SELECT sum(n - w_i) FROM pc WHERE pc.j = t.range), 0) AS HUGEINT) AS w FROM range(5) t),
+       |wv AS (SELECT list(w ORDER BY i) AS w FROM wv0),
+       |iter(k, v) AS (
+       |  SELECT 0, list_transform(range(5), x -> CAST(1000000 AS HUGEINT))
+       |  UNION ALL
+       |  SELECT k + 1, list_transform(nx, x -> (x * 5000000) // list_reduce(nx, (a, b) -> a + b))
+       |  FROM (SELECT k, w, $newPi AS nx
+       |        FROM (SELECT k, v, w, list_transform(range(5), i -> $dnmInner) AS dnm FROM iter, nm, wv WHERE k < 20)))
+       |SELECT CAST(t.range AS BIGINT) AS team,
+       |       CAST(list_reduce(m[CAST(t.range AS INTEGER) + 1], (a, b) -> a + b) AS BIGINT) AS n_matches,
+       |       CAST(w[CAST(t.range AS INTEGER) + 1] AS BIGINT) AS n_wins,
+       |       CAST(v[CAST(t.range AS INTEGER) + 1] AS BIGINT) AS pi_micro
+       |FROM (SELECT v FROM iter WHERE k = 20), nm, wv, range(5) t""".stripMargin
   }
 
   private lazy val bm25OracleSql: String =
@@ -11139,7 +11331,20 @@ operations:
     // srch_ndcg: the full BM25 replay re-ranked to 10, the same md5
     // grade rule, and the identical Scala-generated weight literals
     "srch_ndcg" ->
-      s"""WITH top AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS r FROM ($bm25OracleSql)), g AS (SELECT r, CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM top WHERE r <= 10), w(r, wr) AS (VALUES ${ndcgWeights.map { case (r, v) => s"($r, $v)" }.mkString(", ")}), dcg AS (SELECT CAST(sum((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS dcg_micro FROM g JOIN w USING (r)), cnt AS (SELECT CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3, CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM (SELECT CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM documents)), idcg AS (SELECT CAST(sum((CASE WHEN r <= n3 THEN 7 WHEN r <= n3 + n2 THEN 3 WHEN r <= n3 + n2 + n1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS idcg_micro FROM w, cnt) SELECT CAST(10 AS BIGINT) AS k, dcg_micro, idcg_micro, CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro FROM dcg, idcg"""
+      s"""WITH top AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS r FROM ($bm25OracleSql)), g AS (SELECT r, CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM top WHERE r <= 10), w(r, wr) AS (VALUES ${ndcgWeights.map { case (r, v) => s"($r, $v)" }.mkString(", ")}), dcg AS (SELECT CAST(sum((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS dcg_micro FROM g JOIN w USING (r)), cnt AS (SELECT CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3, CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM (SELECT CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM documents)), idcg AS (SELECT CAST(sum((CASE WHEN r <= n3 THEN 7 WHEN r <= n3 + n2 THEN 3 WHEN r <= n3 + n2 + n1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS idcg_micro FROM w, cnt) SELECT CAST(10 AS BIGINT) AS k, dcg_micro, idcg_micro, CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro FROM dcg, idcg""",
+    // q_conformal: same split / 7-row mean table / bounded-score
+    // histogram; 10·cum >= 9·(n+1) is the integer ceil condition.
+    "q_conformal" ->
+      """WITH li AS (SELECT l_orderkey % 4 = 3 AS is_test, l_linenumber, CAST(l_quantity AS BIGINT) AS q FROM lineitem), pred AS (SELECT l_linenumber, CAST(sum(q) // count(*) AS BIGINT) AS yhat FROM li WHERE NOT is_test GROUP BY 1), h AS (SELECT is_test, abs(li.q - p.yhat) AS s, CAST(count(*) AS BIGINT) AS n FROM li JOIN pred p USING (l_linenumber) GROUP BY 1, 2), ncal AS (SELECT CAST(sum(n) AS BIGINT) AS n_cal FROM h WHERE NOT is_test), cum AS (SELECT s, sum(n) OVER (ORDER BY s) AS cume FROM h WHERE NOT is_test), qh AS (SELECT CAST(min(s) AS BIGINT) AS qhat FROM cum, ncal WHERE 10 * cume >= 9 * (n_cal + 1)), tst AS (SELECT CAST(sum(n) AS BIGINT) AS n_test, CAST(sum(CASE WHEN s <= qhat THEN n ELSE 0 END) AS BIGINT) AS n_cov FROM h, qh WHERE is_test) SELECT n_cal, n_test, qhat, CAST(2 * qhat + 1 AS BIGINT) AS width, CAST(CAST(n_cov AS HUGEINT) * 1000000 // n_test AS BIGINT) AS cov_micro FROM ncal, tst, qh""",
+    // ta_good_turing: same trigram rule, counts-of-counts, HUGEINT
+    // products mirroring the Spark DECIMAL(38,0) route.
+    "ta_good_turing" ->
+      """WITH toks AS (SELECT list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), tri AS (SELECT array_to_string(t[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+3)], ' ') AS g FROM (SELECT t, unnest(range(len(t) - 2)) AS i FROM toks WHERE len(t) >= 3)), cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM tri GROUP BY 1), ff AS (SELECT c AS r, CAST(count(*) AS BIGINT) AS n_r FROM cnt GROUP BY 1), tot AS (SELECT CAST(sum(CAST(r AS HUGEINT) * n_r) AS HUGEINT) AS n_tokens FROM ff), rr AS (SELECT f.r, f.n_r, coalesce(nx.n_r, 0) AS n_next FROM ff f LEFT JOIN ff nx ON nx.r = f.r + 1 WHERE f.r <= 10) SELECT CAST(0 AS BIGINT) AS r, f.n_r, CAST(0 AS BIGINT) AS r_star_micro, CAST(CAST(f.n_r AS HUGEINT) * 1000000 // t.n_tokens AS BIGINT) AS mass_micro FROM ff f, tot t WHERE f.r = 1 UNION ALL SELECT CAST(r AS BIGINT), n_r, CAST(CAST(r + 1 AS HUGEINT) * n_next * 1000000 // n_r AS BIGINT), CAST(CAST(r AS HUGEINT) * n_r * 1000000 // t.n_tokens AS BIGINT) FROM rr, tot t""",
+    // sim_matryoshka: the sim_recall brute-force replay twice — full
+    // 64-dim arm vs the v[1:16] prefix arm — identical tie-breaks.
+    "sim_matryoshka" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), bf AS (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) DESC, d.vec_id) AS rn FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) WHERE rn <= 10), ec AS (SELECT vec_id, v[1:16] AS v FROM e), mr AS (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) DESC, d.vec_id) AS rn FROM ec d, ec q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) WHERE rn <= 10), h AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM bf JOIN mr ON bf.query_id = mr.query_id AND bf.neighbor_id = mr.neighbor_id GROUP BY 1), qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8) SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10 FROM qq LEFT JOIN h ON qq.query_id = h.query_id""",
+    "rec_bt" -> recBtOracleSql
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the

@@ -53,7 +53,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_granger",      // day-domain lag pair
     "q_monotonicity", // bounded quantity panel lag
     "q_isotonic",     // ≤50-row score-domain prefix sums
-    "q_auc_delong"    // bounded score-domain prefix sums (q_auc's shape)
+    "q_auc_delong",   // bounded score-domain prefix sums (q_auc's shape)
+    "q_conformal"     // ≤50-row |score| histogram cumulative (conformal q̂)
   )
 
   /** Queries allowed a CartesianProductExec: the reference's own
@@ -111,6 +112,9 @@ class PlanAuditSpec extends SparkSpec {
     "sim_radius",       // probe cohort (vec_id bound)
     "sim_recall",       // eval probe cohort (vec_id bound)
     "sim_graph_recall", // eval probe cohort (vec_id < 8)
+    "sim_ivf_recall",   // eval probe cohort (vec_id < 8, brute-force arm)
+    "sim_pq_recall",    // eval probe cohort (vec_id < 8, brute-force arm)
+    "sim_matryoshka",   // eval probe cohort (vec_id < 8, both arms)
     "sim_hardneg",      // anchor cohort (% 10 sample)
     "geo_knn",          // probe cohort (bounded anchor set)
     "ta_nbc",           // per-class prior table (#classes = #sources rows)
