@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs every SparkEntry query against
-  * SPARK_GRAFT_SF_DIR and prints ONE JSON line with per-query seconds.
+  * SPARK_GRAFT_SF_DIR and prints a compact JSON summary line.
   *
   * Honesty notes: the action is a `noop`-format write — it materializes
   * every output column (a bare count() would let Catalyst prune the whole
@@ -12,11 +12,28 @@ import org.apache.spark.sql.SparkSession
   *
   * Sampling: the shared host has bursty multi-core CPU steal with degraded
   * windows that can last minutes — back-to-back retries of one query land
-  * in the same window and both read slow. The suite therefore runs as
+  * in the same window and both read slow. The suite therefore runs up to
   * SPARK_GRAFT_PASSES (default 3) INTERLEAVED whole-suite passes and
   * reports the per-query MIN across passes: consecutive samples of the
   * same query are separated by a full suite pass (~minutes), so at least
   * one sample lands outside a degraded window with high probability.
+  *
+  * Deadline: the round driver runs this main under an external `timeout`;
+  * round 6 (404 queries × 3 passes) exceeded it and was SIGKILLed with NO
+  * summary line on stdout (BENCH_r06 `rc: 124, parsed: null`). Three
+  * defenses, in depth:
+  *   1. a wall-clock deadline (SPARK_GRAFT_DEADLINE_SEC, default 900 s,
+  *      measured from main() entry): pass 1 always runs to completion so
+  *      every query gets at least one sample; passes 2+ and the noise
+  *      re-probe stop starting new queries once the deadline passes, and
+  *      the JSON reports `passes_done` so a reader knows the sampling depth;
+  *   2. the compact summary line is printed after EVERY completed pass,
+  *      not only at the end — the driver parses the LAST JSON line, so a
+  *      kill between passes still leaves a parseable artifact;
+  *   3. a JVM shutdown hook emits a final `"truncated":true` summary from
+  *      whatever samples exist if the normal epilogue never ran (SIGTERM
+  *      from `timeout` runs hooks; only SIGKILL defeats this, and the
+  *      deadline margin exists to keep us clear of that).
   *
   * Failures: a query that throws contributes NO timing. It appears in an
   * "errors" object (name → first error message) instead of "queries", and
@@ -24,10 +41,13 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val tStart = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - tStart) / 1e9
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "900").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -36,10 +56,86 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: bounded-domain window warnings × 400 queries × 3
+    // passes flood the driver's combined-output tail buffer and can push
+    // the summary line out of its capture window
+    spark.sparkContext.setLogLevel("ERROR")
 
     // warm-up: session + codegen + parquet footer caches
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
+
+    val names = SparkEntry.queries.keys.toSeq
+    // all mutable state below is read by the shutdown hook from another
+    // thread — guard every access with this lock
+    val lock = new Object
+    val samples = collection.mutable.Map.empty[String, List[Double]]
+    val errors = collection.mutable.Map.empty[String, String]
+    var passesDone = 0
+    @volatile var summaryPrinted = false
+
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString
+    }
+    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
+    val outPath = s"target/bench-$sfTag.json"
+
+    def spreadSuspect(xs: List[Double]): Boolean =
+      xs.size >= 2 && xs.min > 0.2 && xs.max / xs.min > 3.0
+
+    /** Compact stdout line: totals + slowest queries that fit a 1500-char
+      * budget (the driver keeps only the last ~2000 chars of stdout) + a
+      * pointer to the complete per-query file. Caller must hold `lock`. */
+    def compactLine(truncated: Boolean): String = {
+      val timed = names.filter(samples.contains).map(n => n -> samples(n).min)
+      val total = timed.map(_._2).sum
+      val noise = names.filter(n => samples.get(n).exists(spreadSuspect))
+      val noiseCompact = noise.take(10).map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+      val errCompact = names.filter(n => !samples.contains(n)).take(5)
+        .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed").take(60)) + "\"")
+        .mkString("{", ",", "}")
+      val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
+      val truncPart = if (truncated) ""","truncated":true""" else ""
+      val tailPart = f"""},"n_queries":${timed.size},"n_errors":${errors.size},"noise_suspect":$noiseCompact,"errors":$errCompact,"passes_done":$passesDone,"passes":$passes$truncPart,"sf":"$sfDir","detail":"$outPath"}"""
+      val entries = timed.sortBy(-_._2).map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }
+      val budget = 1500
+      val picked = scala.collection.mutable.ListBuffer.empty[String]
+      var used = head.length + tailPart.length
+      for (e <- entries if used + e.length + 1 <= budget) { picked += e; used += e.length + 1 }
+      head + picked.mkString(",") + tailPart
+    }
+
+    /** Full per-query JSON (mins + medians) → target file. Caller holds `lock`. */
+    def writeFullFile(): Unit = {
+      def median(xs: List[Double]): Double = {
+        val s = xs.sorted
+        if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+      }
+      val timed = names.filter(samples.contains).map(n => n -> samples(n).min)
+      val qs = timed.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val medJson = names.filter(samples.contains)
+        .map(n => "\"" + esc(n) + f"\":${median(samples(n))}%.3f").mkString("{", ",", "}")
+      val noise = names.filter(n => samples.get(n).exists(spreadSuspect))
+      val noiseJson = noise.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
+      val errJson = names.filter(n => !samples.contains(n))
+        .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed")) + "\"")
+        .mkString("{", ",", "}")
+      val total = timed.map(_._2).sum
+      val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes_done":$passesDone,"passes":$passes,"sf":"$sfDir"}"""
+      try {
+        val out = java.nio.file.Paths.get(outPath)
+        java.nio.file.Files.createDirectories(out.getParent)
+        java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
+      } catch { case e: Exception => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    }
+
+    // last-resort artifact if `timeout` SIGTERMs us mid-pass
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!summaryPrinted) lock.synchronized {
+        writeFullFile()
+        println(compactLine(truncated = true))
+        System.out.flush()
+      }
+    }))
 
     def timeOnce(name: String,
                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Either[String, Double] = {
@@ -60,16 +156,29 @@ object Bench {
       res
     }
 
-    val names = SparkEntry.queries.keys.toSeq
-    val samples = collection.mutable.Map.empty[String, List[Double]]
-    val errors = collection.mutable.Map.empty[String, String]
-    for (p <- 1 to passes; name <- names) {
-      timeOnce(name, SparkEntry.queries(name)) match {
-        case Right(sec) => samples(name) = sec :: samples.getOrElse(name, Nil)
-        case Left(msg)  => if (!errors.contains(name)) errors(name) = msg
+    var deadlineHit = false
+    for (p <- 1 to passes if !deadlineHit) {
+      for (name <- names if !deadlineHit) {
+        // pass 1 always completes (coverage beats sampling depth); later
+        // passes yield to the deadline before STARTING a query, so a
+        // long-running query never straddles the external timeout by much
+        if (p > 1 && elapsed > deadlineSec) {
+          deadlineHit = true
+          System.err.println(f"[bench] deadline ${deadlineSec}%.0f s hit at $elapsed%.0f s — stopping after ${p - 1} full passes")
+        } else {
+          timeOnce(name, SparkEntry.queries(name)) match {
+            case Right(sec) => lock.synchronized { samples(name) = sec :: samples.getOrElse(name, Nil) }
+            case Left(msg)  => lock.synchronized { if (!errors.contains(name)) errors(name) = msg }
+          }
+        }
       }
-      if (p == 1 && name == names.last)
-        System.err.println(s"[bench] pass 1/$passes done")
+      if (!deadlineHit) lock.synchronized {
+        passesDone = p
+        System.err.println(f"[bench] pass $p/$passes done at $elapsed%.0f s")
+        writeFullFile()
+        println(compactLine(truncated = p < passes))
+        System.out.flush()
+      }
     }
 
     // Noise handling: a degraded-CPU window longer than one suite pass can
@@ -77,71 +186,25 @@ object Bench {
     // (max/min > 3× with a non-trivial min) marks the query noise-suspect
     // and earns ONE extra re-probe after the suite — if the host recovered,
     // the min self-corrects; if not, the flag rides the JSON so a reader
-    // never mistakes an artifact for a regression.
-    def spreadSuspect(xs: List[Double]): Boolean =
-      xs.size >= 2 && xs.min > 0.2 && xs.max / xs.min > 3.0
-    val suspects = names.filter(n => samples.get(n).exists(spreadSuspect))
-    if (suspects.nonEmpty) {
+    // never mistakes an artifact for a regression. Skipped entirely once
+    // the deadline has passed.
+    val suspects = lock.synchronized { names.filter(n => samples.get(n).exists(spreadSuspect)) }
+    if (suspects.nonEmpty && elapsed < deadlineSec) {
       System.err.println(s"[bench] noise re-probe: ${suspects.mkString(", ")}")
       suspects.foreach { name =>
-        timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
-          samples(name) = sec :: samples(name))
+        if (elapsed < deadlineSec)
+          timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
+            lock.synchronized { samples(name) = sec :: samples(name) })
       }
     }
 
-    def esc(s: String) = s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case c if c < ' ' => " "; case c => c.toString
+    lock.synchronized {
+      writeFullFile()
+      println(compactLine(truncated = false))
+      System.out.flush()
+      summaryPrinted = true
     }
-    def median(xs: List[Double]): Double = {
-      val s = xs.sorted
-      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
-    }
-    val timed = names.filter(samples.contains).map(n => n -> samples(n).min)
-    val qs = timed.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val medJson = names.filter(samples.contains)
-      .map(n => "\"" + esc(n) + f"\":${median(samples(n))}%.3f").mkString("{", ",", "}")
-    val noise = names.filter(n => samples.get(n).exists(spreadSuspect))
-    val noiseJson = noise.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
-    val errJson = names.filter(n => !samples.contains(n))
-      .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed")) + "\"")
-      .mkString("{", ",", "}")
-    val total = timed.map(_._2).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes":$passes,"sf":"$sfDir"}"""
-    // persist the FULL result (all queries + medians) to a file first:
-    // the driver's stdout capture keeps only the LAST 2000 characters, so
-    // a 370-query JSON line can never survive it (round-5 `parsed: null`)
-    val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
-    val outPath = s"target/bench-$sfTag.json"
-    try {
-      // filename carries the sf tag so back-to-back runs at different
-      // scale factors don't clobber each other's results
-      val out = java.nio.file.Paths.get(outPath)
-      java.nio.file.Files.createDirectories(out.getParent)
-      java.nio.file.Files.write(out, (line + "\n").getBytes("UTF-8"))
-      System.err.println(s"[bench] full json written to ${out.toAbsolutePath}")
-    } catch { case e: Exception => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
-    // stdout gets ONE compact line ONLY (the full line above goes to the
-    // file, never stdout): the driver keeps just the last ~2000 chars of
-    // stdout, so the giant 370-query line can never survive there — a
-    // short final line can. Totals + the slowest queries that fit a
-    // 1500-char budget (the judge's hot list) + a pointer to the
-    // complete per-query file.
-    val slowestFirst = timed.sortBy(-_._2)
-    val tailBudget = 1500
-    // compact variants of the noise/error blocks (full versions live in the
-    // file) so a noisy host or many failures can't blow the stdout budget
-    val noiseCompact = noise.take(10).map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
-    val errCompact = names.filter(n => !samples.contains(n)).take(5)
-      .map(n => "\"" + esc(n) + "\":\"" + esc(errors.getOrElse(n, "failed").take(60)) + "\"")
-      .mkString("{", ",", "}")
-    val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
-    val tailPart = f"""},"n_queries":${timed.size},"n_errors":${errors.size},"noise_suspect":$noiseCompact,"errors":$errCompact,"passes":$passes,"sf":"$sfDir","detail":"$outPath"}"""
-    val entries = slowestFirst.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }
-    val fixed = head.length + tailPart.length
-    val picked = scala.collection.mutable.ListBuffer.empty[String]
-    var used = fixed
-    for (e <- entries if used + e.length + 1 <= tailBudget) { picked += e; used += e.length + 1 }
-    println(head + picked.mkString(",") + tailPart)
+    System.err.println(s"[bench] full json written to $outPath")
     spark.stop()
   }
 }

@@ -5131,16 +5131,22 @@ operations:
         .orderBy(col("cw").desc, col("w")).limit(30).select("w")
       val tot = tok.groupBy("source").agg(count(lit(1)).as("tot"))
       val cnt = tok.join(topw, "w").groupBy("source", "w").agg(count(lit(1)).as("c"))
+      // micro products and the exact-integer z pieces run in DECIMAL(38,0)
+      // (HUGEINT in the oracle) like the sibling ops — a LongType product
+      // wraps silently where DuckDB BIGINT raises, so engine and oracle
+      // would part ways instead of both staying exact
       val grid = tot.crossJoin(broadcast(topw))
         .join(cnt, Seq("source", "w"), "left").na.fill(0L, Seq("c"))
         .select(col("source"), col("w"),
-          expr("(c * 1000000) div tot").as("f"))
+          expr("CAST(CAST(c AS DECIMAL(38,0)) * 1000000 div tot AS BIGINT)").as("f"))
       val stats = grid.groupBy("w").agg(count(lit(1)).as("n"),
-        sum("f").as("s1"), sum(expr("f * f")).as("s2"))
+        sum(col("f").cast("decimal(38,0)")).as("s1"),
+        sum(expr("CAST(f AS DECIMAL(38,0)) * f")).as("s2"))
       val z = grid.join(stats, "w")
         .filter(expr("n * s2 > s1 * s1")) // zero-variance words carry no signal
         .select(col("source"), col("w"),
-          expr("""CAST(round((n * f - s1) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+          expr("""CAST(round((CAST(n AS DECIMAL(38,0)) * f - s1)
+                 / sqrt(CAST(CAST(n AS DECIMAL(38,0)) * s2 - s1 * s1 AS DOUBLE))
                  * 1000000) AS BIGINT)""").as("z"))
         .localCheckpoint(true) // both sides of the pair join
       z.as("a").join(z.as("b"),
@@ -8732,10 +8738,13 @@ operations:
 
     "q_conformal" -> ((s, dir) => {
       // Split-conformal prediction interval (Vovk; Lei et al. 2018): a
-      // 3:1 deterministic orderkey split, nonconformity |q − ŷ| against
-      // a 7-row per-linenumber mean table learned on the calibration
-      // quarters, q̂ = the ⌈0.9(n+1)⌉-th order statistic, then the
-      // finite-sample coverage of ŷ ± q̂ on the held-out quarter. The
+      // deterministic three-way orderkey split — quarters 0,1 FIT the
+      // 7-row per-linenumber mean table, quarter 2 CALIBRATES (the fit
+      // and calibration sets must be disjoint or the finite-sample
+      // coverage guarantee does not hold), quarter 3 is the held-out
+      // test set. Nonconformity is |q − ŷ|, q̂ = the ⌈0.9(n+1)⌉-th
+      // order statistic of the calibration scores, then the coverage
+      // of ŷ ± q̂ on the test quarter. The
       // score domain is BOUNDED (|quantity − mean| ≤ 49) so the order
       // statistic is an exact histogram quantile: one wide shuffle
       // produces the ≤100-row (split, score) histogram and every later
@@ -8743,13 +8752,13 @@ operations:
       // 10·cum ≥ 9·(n+1) is the integer form of cum ≥ ⌈0.9(n+1)⌉.
       import org.apache.spark.sql.expressions.Window
       val li = T(s, dir, "lineitem").select(
-        (col("l_orderkey") % 4 === 3).as("is_test"),
+        (col("l_orderkey") % 4).as("part"),
         col("l_linenumber"),
         col("l_quantity").cast("long").as("q"))
-      val pred = li.filter(!col("is_test")).groupBy("l_linenumber")
+      val pred = li.filter(col("part") < 2).groupBy("l_linenumber")
         .agg(expr("sum(q) div count(1)").as("yhat"))
-      val h = li.join(broadcast(pred), Seq("l_linenumber"))
-        .select(col("is_test"), abs(col("q") - col("yhat")).as("s"))
+      val h = li.filter(col("part") >= 2).join(broadcast(pred), Seq("l_linenumber"))
+        .select((col("part") === 3).as("is_test"), abs(col("q") - col("yhat")).as("s"))
         .groupBy("is_test", "s").agg(count(lit(1)).as("n"))
         .localCheckpoint(true) // ≤100 rows; feeds q̂ AND the coverage pass
       val cal = h.filter(!col("is_test"))
@@ -8870,7 +8879,12 @@ operations:
           var d = BigInt(0)
           var j = 0
           while (j < k) {
-            if (j != i && n(i)(j) > 0) d += (BigInt(n(i)(j)) * one2) / (pi(i) + pi(j))
+            // max(…, 1): the sum-to-5e6 integer renorm can floor a tiny
+            // score to 0, and a played pair with BOTH endpoints at 0
+            // would otherwise divide by zero (the oracle CTE guards the
+            // same denominator with greatest(…, 1))
+            if (j != i && n(i)(j) > 0)
+              d += (BigInt(n(i)(j)) * one2) / (pi(i) + pi(j)).max(BigInt(1))
             j += 1
           }
           if (d == 0) pi(i) else (w(i) * one2) / d
@@ -9779,7 +9793,7 @@ operations:
       "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
         "list_transform(range(5), j -> CASE WHEN i = j THEN CAST(0 AS HUGEINT) " +
         "ELSE (m[CAST(i AS INTEGER) + 1][CAST(j AS INTEGER) + 1] * 1000000000000) // " +
-        "(v[CAST(i AS INTEGER) + 1] + v[CAST(j AS INTEGER) + 1]) END)), " +
+        "greatest(v[CAST(i AS INTEGER) + 1] + v[CAST(j AS INTEGER) + 1], CAST(1 AS HUGEINT)) END)), " +
         "(a, b) -> a + b)"
     val newPi =
       "list_transform(range(5), i -> CASE WHEN dnm[CAST(i AS INTEGER) + 1] = 0 " +
@@ -10990,7 +11004,7 @@ operations:
     // pair mean; zero-variance words excluded by the identical integer
     // test.
     "ta_burrows" ->
-      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), topw AS (SELECT w FROM (SELECT w, count(*) AS cw FROM tok GROUP BY 1 ORDER BY cw DESC, w LIMIT 30)), tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tok GROUP BY 1), cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok JOIN topw USING (w) GROUP BY 1, 2), grid AS (SELECT t.source, p.w, CAST((coalesce(c.c, 0) * 1000000) // t.tot AS BIGINT) AS f FROM tot t CROSS JOIN topw p LEFT JOIN cnt c ON c.source = t.source AND c.w = p.w), stats AS (SELECT w, CAST(count(*) AS BIGINT) AS n, CAST(sum(f) AS BIGINT) AS s1, CAST(sum(f * f) AS BIGINT) AS s2 FROM grid GROUP BY 1), z AS (SELECT g.source, g.w, CAST(round((s.n * g.f - s.s1) / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) * 1000000) AS BIGINT) AS z FROM grid g JOIN stats s USING (w) WHERE s.n * s.s2 > s.s1 * s.s1) SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(abs(a.z - b.z)) // count(*) AS BIGINT) AS delta_micro FROM z a JOIN z b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2""",
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), topw AS (SELECT w FROM (SELECT w, count(*) AS cw FROM tok GROUP BY 1 ORDER BY cw DESC, w LIMIT 30)), tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tok GROUP BY 1), cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok JOIN topw USING (w) GROUP BY 1, 2), grid AS (SELECT t.source, p.w, CAST((CAST(coalesce(c.c, 0) AS HUGEINT) * 1000000) // t.tot AS BIGINT) AS f FROM tot t CROSS JOIN topw p LEFT JOIN cnt c ON c.source = t.source AND c.w = p.w), stats AS (SELECT w, CAST(count(*) AS HUGEINT) AS n, sum(CAST(f AS HUGEINT)) AS s1, sum(CAST(f AS HUGEINT) * f) AS s2 FROM grid GROUP BY 1), z AS (SELECT g.source, g.w, CAST(round(CAST(s.n * g.f - s.s1 AS DOUBLE) / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) * 1000000) AS BIGINT) AS z FROM grid g JOIN stats s USING (w) WHERE s.n * s.s2 > s.s1 * s.s1) SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(abs(a.z - b.z)) // count(*) AS BIGINT) AS delta_micro FROM z a JOIN z b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2""",
     "ta_hapax" ->
       """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2) SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micro, CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_micro FROM c GROUP BY 1""",
     // dd_url: the same planted variants and the same canonicalization
@@ -11332,10 +11346,11 @@ operations:
     // grade rule, and the identical Scala-generated weight literals
     "srch_ndcg" ->
       s"""WITH top AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score_bp DESC, doc_id) AS BIGINT) AS r FROM ($bm25OracleSql)), g AS (SELECT r, CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM top WHERE r <= 10), w(r, wr) AS (VALUES ${ndcgWeights.map { case (r, v) => s"($r, $v)" }.mkString(", ")}), dcg AS (SELECT CAST(sum((CASE rel WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS dcg_micro FROM g JOIN w USING (r)), cnt AS (SELECT CAST(sum(CASE WHEN rel = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3, CAST(sum(CASE WHEN rel = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, CAST(sum(CASE WHEN rel = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM (SELECT CAST(('0x' || substr(md5('rel:' || CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 4 AS rel FROM documents)), idcg AS (SELECT CAST(sum((CASE WHEN r <= n3 THEN 7 WHEN r <= n3 + n2 THEN 3 WHEN r <= n3 + n2 + n1 THEN 1 ELSE 0 END) * wr) AS BIGINT) AS idcg_micro FROM w, cnt) SELECT CAST(10 AS BIGINT) AS k, dcg_micro, idcg_micro, CAST((dcg_micro * 1000000) // idcg_micro AS BIGINT) AS ndcg_micro FROM dcg, idcg""",
-    // q_conformal: same split / 7-row mean table / bounded-score
-    // histogram; 10·cum >= 9·(n+1) is the integer ceil condition.
+    // q_conformal: same disjoint fit(0,1)/calibrate(2)/test(3) split,
+    // 7-row mean table, bounded-score histogram; 10·cum >= 9·(n+1) is
+    // the integer ceil condition.
     "q_conformal" ->
-      """WITH li AS (SELECT l_orderkey % 4 = 3 AS is_test, l_linenumber, CAST(l_quantity AS BIGINT) AS q FROM lineitem), pred AS (SELECT l_linenumber, CAST(sum(q) // count(*) AS BIGINT) AS yhat FROM li WHERE NOT is_test GROUP BY 1), h AS (SELECT is_test, abs(li.q - p.yhat) AS s, CAST(count(*) AS BIGINT) AS n FROM li JOIN pred p USING (l_linenumber) GROUP BY 1, 2), ncal AS (SELECT CAST(sum(n) AS BIGINT) AS n_cal FROM h WHERE NOT is_test), cum AS (SELECT s, sum(n) OVER (ORDER BY s) AS cume FROM h WHERE NOT is_test), qh AS (SELECT CAST(min(s) AS BIGINT) AS qhat FROM cum, ncal WHERE 10 * cume >= 9 * (n_cal + 1)), tst AS (SELECT CAST(sum(n) AS BIGINT) AS n_test, CAST(sum(CASE WHEN s <= qhat THEN n ELSE 0 END) AS BIGINT) AS n_cov FROM h, qh WHERE is_test) SELECT n_cal, n_test, qhat, CAST(2 * qhat + 1 AS BIGINT) AS width, CAST(CAST(n_cov AS HUGEINT) * 1000000 // n_test AS BIGINT) AS cov_micro FROM ncal, tst, qh""",
+      """WITH li AS (SELECT l_orderkey % 4 AS part, l_linenumber, CAST(l_quantity AS BIGINT) AS q FROM lineitem), pred AS (SELECT l_linenumber, CAST(sum(q) // count(*) AS BIGINT) AS yhat FROM li WHERE part < 2 GROUP BY 1), h AS (SELECT li.part = 3 AS is_test, abs(li.q - p.yhat) AS s, CAST(count(*) AS BIGINT) AS n FROM li JOIN pred p USING (l_linenumber) WHERE li.part >= 2 GROUP BY 1, 2), ncal AS (SELECT CAST(sum(n) AS BIGINT) AS n_cal FROM h WHERE NOT is_test), cum AS (SELECT s, sum(n) OVER (ORDER BY s) AS cume FROM h WHERE NOT is_test), qh AS (SELECT CAST(min(s) AS BIGINT) AS qhat FROM cum, ncal WHERE 10 * cume >= 9 * (n_cal + 1)), tst AS (SELECT CAST(sum(n) AS BIGINT) AS n_test, CAST(sum(CASE WHEN s <= qhat THEN n ELSE 0 END) AS BIGINT) AS n_cov FROM h, qh WHERE is_test) SELECT n_cal, n_test, qhat, CAST(2 * qhat + 1 AS BIGINT) AS width, CAST(CAST(n_cov AS HUGEINT) * 1000000 // n_test AS BIGINT) AS cov_micro FROM ncal, tst, qh""",
     // ta_good_turing: same trigram rule, counts-of-counts, HUGEINT
     // products mirroring the Spark DECIMAL(38,0) route.
     "ta_good_turing" ->

@@ -251,11 +251,14 @@ object Graph {
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth = nodes.withColumn("a", lit(0L))
     for (i <- 0 until iters) {
+      // the raw score sums run in DECIMAL(38,0) too (not just the renorm
+      // product): scores reach 1e6, so a LongType sum would wrap silently
+      // at ~9.2e12 in-degree while the oracle's HUGEINT sum keeps going
       val araw = e.join(hub.select(col("id").as("src"), col("h")), "src")
-        .groupBy(col("dst").as("id")).agg(sum("h").as("raw"))
+        .groupBy(col("dst").as("id")).agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
       auth = renorm(araw, "a").localCheckpoint(true)
       val hraw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
-        .groupBy(col("src").as("id")).agg(sum("a").as("raw"))
+        .groupBy(col("src").as("id")).agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
       hub = renorm(hraw, "h")
       if (i < iters - 1) hub = hub.localCheckpoint(true)
     }
