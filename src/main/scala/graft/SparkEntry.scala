@@ -4545,28 +4545,7 @@ operations:
       // prunes the noise tail BEFORE the per-item ranking, which is a
       // window partitioned by the HIGH-cardinality item key (already
       // parallel — Ranks would be wrong here).
-      val items = T(s, dir, "lineitem")
-        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
-      val widths = items.groupBy("o").agg(count(lit(1)).as("w"))
-      val capped = items.join(
-        widths.filter(col("w") <= kcoreOrderCap).select("o"), Seq("o"), "left_semi")
-      val freq = capped.groupBy("p").agg(count(lit(1)).as("n"))
-      val pairs = capped.as("a")
-        .join(capped.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("i"), col("b.p").as("j")).agg(count(lit(1)).as("cooc"))
-        .filter(col("cooc") >= 2)
-      val directed = pairs.select(col("i"), col("j"), col("cooc"))
-        .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cooc")))
-      val scored = directed
-        .join(freq.select(col("p").as("i"), col("n").as("ni")), Seq("i"))
-        .join(freq.select(col("p").as("j"), col("n").as("nj")), Seq("j"))
-        .withColumn("score_micro",
-          expr("CAST((cooc * cooc * 1000000) div (ni * nj) AS BIGINT)"))
-      val w = org.apache.spark.sql.expressions.Window.partitionBy("i")
-        .orderBy(col("score_micro").desc, col("j").asc)
-      scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-        .select(col("i").as("part_id"), col("rnk").cast("long").as("rnk"),
-          col("j").as("rec_part_id"), col("cooc"), col("score_micro"))
+      recItemItemRecs(s, dir)
     }),
 
     "rec_mrr" -> ((s, dir) => {
@@ -8896,6 +8875,154 @@ operations:
       (0 until k).map { i =>
         (i.toLong, n(i).sum, w(i).toLong, pi(i).toLong)
       }.toDF("team", "n_matches", "n_wins", "pi_micro")
+    }),
+
+    "g_ppr" -> ((s, dir) => {
+      // personalized PageRank (Jeh–Widom 2003) on q_pagerank's
+      // symmetrized customer↔supplier trade graph: teleport mass
+      // returns ONLY to the seed cohort (customers with key % 100 = 0),
+      // so rank concentrates in the seeds' neighborhoods — the "expand
+      // outward from known-good examples" primitive behind seed-based
+      // corpus expansion and audience lookalikes. 3 unrolled integer
+      // iterations, Pregel shape identical to q_pagerank; the oracle
+      // replays them with the seed indicator in every round.
+      val o = T(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val li = T(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val pairs = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("c"), (col("l_suppkey") + 10000000L).as("s"))
+        .distinct()
+      val edges = pairs.select(col("c").as("src"), col("s").as("dst"))
+        .union(pairs.select(col("s").as("src"), col("c").as("dst")))
+      val seeds = T(s, dir, "customer")
+        .filter(col("c_custkey") % 100 === 0).select(col("c_custkey").as("id"))
+      ext.Graph.personalizedPageRankInt(edges, seeds, iters = 3)
+    }),
+
+    "ev_hmm" -> ((s, dir) => {
+      // 2-state HMM forward filter (Rabiner 1989) per user over the
+      // time-ordered event stream: P(engaged | obs₁..ₜ) under fixed
+      // integer-micro transition/emission matrices, renormalized every
+      // step (the forward algorithm's scaling trick in exact integer
+      // division — no underflow, no floats). The whole recurrence is
+      // ONE sequential fold over the user's sorted observation array;
+      // both state probabilities ride in a single BIGINT (hmmStepSql),
+      // so the oracle's list_reduce replays the fold bit-exactly.
+      // Scale: one groupBy(user) shuffle; per-user arrays are activity-
+      // bounded like every per-user fold here (ev_gaps, ev_transitions).
+      val seq = events(s, dir)
+        .select(col("user_id"), struct(col("ts"), col("event_id"),
+          when(col("event_type").isin("click", "purchase"), 1L)
+            .otherwise(0L).as("o")).as("x"))
+        .groupBy("user_id").agg(sort_array(collect_list(col("x"))).as("xs"))
+        .select(col("user_id"), size(col("xs")).cast("long").as("n_events"),
+          expr("transform(xs, x -> x.o)").as("obs"))
+      seq.select(col("user_id"), col("n_events"),
+          (expr(s"aggregate(obs, CAST(5000000500000 AS BIGINT), (acc, o) -> " +
+            s"${hmmStepSql("acc", "o", "div")})") % 10000000L)
+            .as("p_engaged_micro"))
+        .withColumn("is_engaged", col("p_engaged_micro") >= 500000L)
+    }),
+
+    "geo_pip" -> ((s, dir) => {
+      // point-in-polygon (ray casting, Shimrat 1962) against a fixed
+      // non-convex 5-gon in integer micro-degrees — the geofence
+      // primitive. The crossing test is division-free integer
+      // arithmetic with per-edge literal slopes (pipCrossSql), ONE
+      // codegen projection per point + one keyed agg; the same planted
+      // coordinates as geo_geohash. At 100 TB the polygon is a
+      // broadcast literal and the scan stays embarrassingly parallel.
+      T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+          expr(geoLatSql("c_custkey", custLatMul)).as("lat"),
+          expr(geoLonSql("c_custkey", custLonMul)).as("lon"))
+        .withColumn("inside", expr(s"(${pipCrossSql("lon", "lat")}) % 2 = 1"))
+        .groupBy("nation", "inside")
+        .agg(count(lit(1)).as("n_customers"))
+    }),
+
+    "q_interval_overlap" -> ((s, dir) => {
+      // interval-OVERLAP join — both sides are intervals, the successor
+      // to q_range_join's point-in-interval: order validity windows
+      // [o_orderdate, +1..30 days] × 6 fixed promotion windows. Scale
+      // shape: each interval explodes into the ≤2 calendar months it
+      // touches (duration-bounded fan-out), month-bucketed equi-join,
+      // exact overlap predicate, distinct — never a nested loop of
+      // orders × promos. Overlap length is exact integer date math.
+      import s.implicits._
+      val promos = promoWindows.toDF("promo_id", "p_start_s", "p_end_s")
+        .select(col("promo_id"), to_date(col("p_start_s")).as("p_start"),
+          to_date(col("p_end_s")).as("p_end"))
+      val pm = promos.select(col("promo_id"), col("p_start"), col("p_end"),
+        explode(sequence(trunc(col("p_start"), "MM"), trunc(col("p_end"), "MM"),
+          expr("INTERVAL 1 MONTH"))).as("m"))
+      val o = T(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate").cast("date").as("o_start"),
+        date_add(col("o_orderdate").cast("date"),
+          expr("CAST(1 + o_orderkey % 30 AS INT)")).as("o_end"))
+      val om = o.select(col("o_orderkey"), col("o_start"), col("o_end"),
+        explode(sequence(trunc(col("o_start"), "MM"), trunc(col("o_end"), "MM"),
+          expr("INTERVAL 1 MONTH"))).as("m"))
+      om.join(broadcast(pm), Seq("m"))
+        .filter(col("o_start") <= col("p_end") && col("p_start") <= col("o_end"))
+        .select("o_orderkey", "promo_id", "o_start", "o_end", "p_start", "p_end")
+        .distinct()
+        .groupBy("promo_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum((datediff(least(col("o_end"), col("p_end")),
+            greatest(col("o_start"), col("p_start"))) + 1).cast("long"))
+            .as("overlap_days"))
+    }),
+
+    "rec_diversity" -> ((s, dir) => {
+      // recommendation-quality panel over rec_itemitem's top-3 lists:
+      // catalog coverage (how much of the purchasable catalog ever
+      // appears as a recommendation) and exposure concentration (HHI
+      // over the recommended-item distribution — the "popularity echo
+      // chamber" dial), plus list counts. The audit every production
+      // recommender ships next to its accuracy eval (rec_mrr). HHI's
+      // Σc² runs in DECIMAL(38,0) (HUGEINT oracle) so billion-exposure
+      // counts can't wrap.
+      val recs = recItemItemRecs(s, dir).localCheckpoint(true) // 3 consumers
+      val catalog = T(s, dir, "lineitem").agg(
+        countDistinct(col("l_partkey")).as("n_catalog"))
+      val ex = recs.groupBy("rec_part_id").agg(count(lit(1)).as("c"))
+      val tot = recs.agg(countDistinct(col("part_id")).as("n_lists"),
+        count(lit(1)).as("n_recs"), countDistinct(col("rec_part_id")).as("n_rec_items"))
+      ex.agg(sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("ssq"))
+        .crossJoin(tot).crossJoin(catalog)
+        .select(col("n_lists"), col("n_recs"), col("n_rec_items"),
+          expr("CAST(CAST(n_rec_items AS DECIMAL(38,0)) * 1000000 div n_catalog AS BIGINT)")
+            .as("coverage_micro"),
+          expr("CAST(ssq * 1000000 div (CAST(n_recs AS DECIMAL(38,0)) * n_recs) AS BIGINT)")
+            .as("hhi_micro"))
+    }),
+
+    "mm_vad" -> ((s, dir) => {
+      // energy-threshold voice activity detection over REAL WAV round-
+      // trips: vadMedia plants a speech/silence block pattern (bit b of
+      // md5_64(doc_id) ⇒ 50 ms block b is a ±6000 square wave, else
+      // silence), the JDK WAV writer encodes it, audioWindows re-parses
+      // the container to PCM and frames 400-sample energy windows; a
+      // window is speech iff mean |sample| clears 3000, segments are
+      // speech runs via one lag over the per-clip window index (domain
+      // bounded: 8 windows/clip). The oracle recomputes every value
+      // from doc_id alone — the encode → parse → window → segment
+      // pipeline is hash-gated end to end.
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.vadMedia(T(s, dir, "documents"))
+      val w = ext.Multimodal.audioWindows(media, 400).toDF()
+      val lw = org.apache.spark.sql.expressions.Window
+        .partitionBy("media_id").orderBy("win_idx")
+      w.withColumn("speech", col("sum_abs") > col("n_frames") * 3000L)
+        .withColumn("prev", lag(col("speech"), 1).over(lw))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("speech"), 1L).otherwise(0L)).as("n_speech"),
+          sum(when(col("speech") && (col("prev").isNull || !col("prev")), 1L)
+            .otherwise(0L)).as("n_segments"))
+        .select(col("media_id"), col("n_windows"), col("n_speech"),
+          col("n_segments"),
+          expr("(n_speech * 1000000) div n_windows").as("speech_ratio_micro"))
     })
   )
 
@@ -8973,6 +9100,34 @@ operations:
   // Synthetic micro-degree coordinates: Knuth/Murmur multiplicative
   // hashes of the integer key — pure BIGINT arithmetic both engines
   // replay literal-for-literal (products stay ≤ ~4e17, far under 2^63).
+  /** The rec_itemitem top-3 lists — shared by rec_itemitem (which
+    * returns them directly) and rec_diversity (which audits them).
+    */
+  private def recItemItemRecs(s: SparkSession, dir: String): DataFrame = {
+    val items = T(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val widths = items.groupBy("o").agg(count(lit(1)).as("w"))
+    val capped = items.join(
+      widths.filter(col("w") <= kcoreOrderCap).select("o"), Seq("o"), "left_semi")
+    val freq = capped.groupBy("p").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"), col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("i"), col("b.p").as("j")).agg(count(lit(1)).as("cooc"))
+      .filter(col("cooc") >= 2)
+    val directed = pairs.select(col("i"), col("j"), col("cooc"))
+      .union(pairs.select(col("j").as("i"), col("i").as("j"), col("cooc")))
+    val scored = directed
+      .join(freq.select(col("p").as("i"), col("n").as("ni")), Seq("i"))
+      .join(freq.select(col("p").as("j"), col("n").as("nj")), Seq("j"))
+      .withColumn("score_micro",
+        expr("CAST((cooc * cooc * 1000000) div (ni * nj) AS BIGINT)"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("i")
+      .orderBy(col("score_micro").desc, col("j").asc)
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("i").as("part_id"), col("rnk").cast("long").as("rnk"),
+        col("j").as("rec_part_id"), col("cooc"), col("score_micro"))
+  }
+
   private val custLatMul = 2654435761L
   private val custLonMul = 2246822519L
   private val suppLatMul = 1540483477L
@@ -8981,6 +9136,67 @@ operations:
     s"(($key * $mul) % 180000000 - 90000000)"
   private def geoLonSql(key: String, mul: Long): String =
     s"(($key * $mul) % 360000000 - 180000000)"
+
+  /** One HMM forward step over the BIGINT-encoded state pair
+    * (a0·10⁷ + a1, both micro, renormalized to a0+a1 = 10⁶ each step):
+    * transition T = [[0.9, 0.1], [0.2, 0.8]], emission P(obs=1|s0)=0.3 /
+    * P(obs=1|s1)=0.8, all in micro ints. `idiv` is `div` (Spark) or `//`
+    * (DuckDB); every operand is nonnegative so the two divisions agree.
+    * Packing both probabilities into one BIGINT keeps the fold free of
+    * struct lambdas, so Spark's `aggregate` and DuckDB's `list_reduce`
+    * replay it bit-for-bit. Max intermediate ≈ 9·10¹¹ — no wrap.
+    */
+  private def hmmStepSql(acc: String, o: String, idiv: String): String = {
+    val a0 = s"($acc $idiv 10000000)"
+    val a1 = s"($acc % 10000000)"
+    val u0 = s"((($a0 * 900000 + $a1 * 200000) $idiv 1000000) * " +
+      s"(CASE WHEN $o = 1 THEN 300000 ELSE 700000 END)) $idiv 1000000"
+    val u1 = s"((($a0 * 100000 + $a1 * 800000) $idiv 1000000) * " +
+      s"(CASE WHEN $o = 1 THEN 800000 ELSE 200000 END)) $idiv 1000000"
+    val na0 = s"((($u0) * 1000000) $idiv greatest(($u0) + ($u1), 1))"
+    s"($na0 * 10000000 + (1000000 - $na0))"
+  }
+
+  /** Fixed non-convex geofence polygon for geo_pip, (lon, lat) vertices
+    * in micro-degrees — closed implicitly (last → first).
+    */
+  private val pipPolygon: Seq[(Long, Long)] = Seq(
+    (-30000000L, 10000000L), (-10000000L, 40000000L), (20000000L, 25000000L),
+    (45000000L, 50000000L), (30000000L, -5000000L))
+
+  /** Ray-casting crossing COUNT (Shimrat 1962) of the +lon ray from
+    * point (px, py) against [[pipPolygon]], as a sum of per-edge CASE
+    * terms. Each edge's Δlat sign is a compile-time literal, so the
+    * "px left of the edge at height py" test is a pure integer product
+    * comparison — no division, hence bit-identical in both engines.
+    * Products stay ≤ ~6.5·10¹⁶ (micro-degree spans), far from wrap.
+    */
+  private def pipCrossSql(px: String, py: String): String =
+    (pipPolygon :+ pipPolygon.head).sliding(2).map { w =>
+      val ((x1, y1), (x2, y2)) = (w(0), w(1))
+      val dy = y2 - y1
+      require(dy != 0L, "pip polygon must have no horizontal edges")
+      val cmp = if (dy > 0) "<" else ">"
+      s"(CASE WHEN ($y1 > $py) <> ($y2 > $py) AND " +
+        s"(($px - $x1) * $dy) $cmp (($x2 - $x1) * ($py - $y1)) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Test hook: the geo_pip crossing-parity projection over (lon, lat)
+    * columns, so Round7OpsSpec can check it against an independent
+    * point-in-polygon implementation.
+    */
+  private[graft] def pipInside(df: DataFrame): DataFrame =
+    df.select(col("lon"), col("lat"),
+      expr(s"(${pipCrossSql("lon", "lat")}) % 2 = 1").as("inside"))
+
+  /** Fixed promotion windows for q_interval_overlap (id, start, end) —
+    * inclusive dates, deliberately overlapping each other and spanning
+    * month boundaries.
+    */
+  private val promoWindows: Seq[(Long, String, String)] = Seq(
+    (1L, "1993-05-15", "1993-07-10"), (2L, "1994-11-20", "1995-01-05"),
+    (3L, "1995-06-01", "1995-06-30"), (4L, "1996-02-10", "1996-04-25"),
+    (5L, "1996-12-15", "1997-02-01"), (6L, "1997-08-05", "1997-09-20"))
 
   /** 30-bit lon/lat interleave over pre-quantized `lon_q`/`lat_q`
     * (15 bits each) as literal-unrolled div/mod terms; `idiv` is `div`
@@ -9788,6 +10004,27 @@ operations:
     * ops, so associativity is exact and the fixed point matches
     * bit-for-bit).
     */
+  /** The rec_itemitem replay — also the recommendation source inside
+    * rec_diversity's oracle (same discipline as bm25OracleSql reuse).
+    */
+  private lazy val recItemItemOracleSql: String =
+    s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       capped AS (SELECT o, p FROM items
+         QUALIFY count(*) OVER (PARTITION BY o) <= $kcoreOrderCap),
+       freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+       pairs AS (SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS cooc
+         FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
+         GROUP BY 1, 2 HAVING count(*) >= 2),
+       directed AS (SELECT i, j, cooc FROM pairs UNION ALL SELECT j, i, cooc FROM pairs),
+       scored AS (SELECT d.i, d.j, d.cooc,
+           CAST((d.cooc * d.cooc * 1000000) // (fi.n * fj.n) AS BIGINT) AS score_micro
+         FROM directed d JOIN freq fi ON d.i = fi.p JOIN freq fj ON d.j = fj.p)
+       SELECT i AS part_id,
+         CAST(row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) AS BIGINT) AS rnk,
+         j AS rec_part_id, cooc, score_micro
+       FROM scored
+       QUALIFY row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) <= 3"""
+
   private lazy val recBtOracleSql: String = {
     val dnmInner =
       "list_reduce(list_prepend(CAST(0 AS HUGEINT), " +
@@ -10861,23 +11098,7 @@ operations:
          h AS (SELECT t10.c, CAST(count(*) AS BIGINT) AS n_hits, CAST(min(rk) AS BIGINT) AS best_rank FROM t10 JOIN te ON t10.c = te.c AND t10.j = te.p GROUP BY 1),
          ntst AS (SELECT c, CAST(count(*) AS BIGINT) AS n_test FROM te GROUP BY 1)
          SELECT ntst.c AS customer_id, n_test, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, best_rank, CAST(CASE WHEN best_rank IS NULL THEN 0 ELSE 1000000 // best_rank END AS BIGINT) AS rr_micro FROM ntst LEFT JOIN h ON ntst.c = h.c""",
-    "rec_itemitem" ->
-      s"""WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-         capped AS (SELECT o, p FROM items
-           QUALIFY count(*) OVER (PARTITION BY o) <= $kcoreOrderCap),
-         freq AS (SELECT p, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY 1),
-         pairs AS (SELECT a.p AS i, b.p AS j, CAST(count(*) AS BIGINT) AS cooc
-           FROM capped a JOIN capped b ON a.o = b.o AND a.p < b.p
-           GROUP BY 1, 2 HAVING count(*) >= 2),
-         directed AS (SELECT i, j, cooc FROM pairs UNION ALL SELECT j, i, cooc FROM pairs),
-         scored AS (SELECT d.i, d.j, d.cooc,
-             CAST((d.cooc * d.cooc * 1000000) // (fi.n * fj.n) AS BIGINT) AS score_micro
-           FROM directed d JOIN freq fi ON d.i = fi.p JOIN freq fj ON d.j = fj.p)
-         SELECT i AS part_id,
-           CAST(row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) AS BIGINT) AS rnk,
-           j AS rec_part_id, cooc, score_micro
-         FROM scored
-         QUALIFY row_number() OVER (PARTITION BY i ORDER BY score_micro DESC, j) <= 3""",
+    "rec_itemitem" -> recItemItemOracleSql,
     // q_bitmap: same 32-bit word packing, bit_or bitmaps, bit_count
     // popcounts, word-aligned AND for the overlap row
     "q_bitmap" ->
@@ -11359,7 +11580,32 @@ operations:
     // 64-dim arm vs the v[1:16] prefix arm — identical tie-breaks.
     "sim_matryoshka" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), bf AS (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) DESC, d.vec_id) AS rn FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) WHERE rn <= 10), ec AS (SELECT vec_id, v[1:16] AS v FROM e), mr AS (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) DESC, d.vec_id) AS rn FROM ec d, ec q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) WHERE rn <= 10), h AS (SELECT bf.query_id, CAST(count(*) AS BIGINT) AS n_hits FROM bf JOIN mr ON bf.query_id = mr.query_id AND bf.neighbor_id = mr.neighbor_id GROUP BY 1), qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8) SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10 FROM qq LEFT JOIN h ON qq.query_id = h.query_id""",
-    "rec_bt" -> recBtOracleSql
+    "rec_bt" -> recBtOracleSql,
+    // g_ppr: q_pagerank's unrolled replay with the teleport term gated
+    // on the seed indicator in r0 and every round.
+    "g_ppr" ->
+      """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), ns AS (SELECT id, CASE WHEN id < 10000000 AND id % 100 = 0 THEN 1 ELSE 0 END AS seed FROM nodes), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS r FROM ns), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(n.seed * 150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM ns n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(n.seed * 150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM ns n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(n.seed * 150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM ns n LEFT JOIN i3 USING (id)) SELECT id, r AS ppr_micro FROM r3""",
+    // ev_hmm: the identical BIGINT-encoded forward fold, replayed by
+    // list_reduce over the same (ts, event_id)-ordered observations.
+    "ev_hmm" ->
+      s"""WITH seq AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list(CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END ORDER BY ts, event_id) AS obs FROM events GROUP BY 1), f AS (SELECT user_id, n_events, list_reduce(list_prepend(CAST(5000000500000 AS BIGINT), obs), (acc, o) -> ${hmmStepSql("acc", "o", "//")}) AS enc FROM seq) SELECT user_id, n_events, CAST(enc % 10000000 AS BIGINT) AS p_engaged_micro, (enc % 10000000) >= 500000 AS is_engaged FROM f""",
+    // geo_pip: the same planted coordinates and the same Scala-generated
+    // per-edge crossing terms (literal slopes — division-free).
+    "geo_pip" ->
+      s"""WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation, ${geoLatSql("c_custkey", custLatMul)} AS lat, ${geoLonSql("c_custkey", custLonMul)} AS lon FROM customer) SELECT nation, ((${pipCrossSql("lon", "lat")}) % 2 = 1) AS inside, CAST(count(*) AS BIGINT) AS n_customers FROM c GROUP BY 1, 2""",
+    // q_interval_overlap: the plain theta join the bucketed engine plan
+    // must equal — promos as the same literal VALUES.
+    "q_interval_overlap" ->
+      s"""WITH o AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS o_start, CAST(o_orderdate AS DATE) + CAST((1 + o_orderkey % 30) AS INTEGER) AS o_end FROM orders), p(promo_id, p_start, p_end) AS (VALUES ${promoWindows.map { case (id, a, b) => s"($id, DATE '$a', DATE '$b')" }.mkString(", ")}), j AS (SELECT o.o_orderkey, p.promo_id, o.o_start, o.o_end, p.p_start, p.p_end FROM o JOIN p ON o.o_start <= p.p_end AND p.p_start <= o.o_end) SELECT CAST(promo_id AS BIGINT) AS promo_id, CAST(count(*) AS BIGINT) AS n_orders, CAST(sum(datediff('day', greatest(o_start, p_start), least(o_end, p_end)) + 1) AS BIGINT) AS overlap_days FROM j GROUP BY 1""",
+    // rec_diversity: the full rec_itemitem replay audited — coverage vs
+    // the distinct-part catalog, HHI over exposures in HUGEINT.
+    "rec_diversity" ->
+      s"""WITH r AS ($recItemItemOracleSql), cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem), ex AS (SELECT rec_part_id, CAST(count(*) AS HUGEINT) AS c FROM r GROUP BY 1), t AS (SELECT CAST(count(DISTINCT part_id) AS BIGINT) AS n_lists, CAST(count(*) AS BIGINT) AS n_recs, CAST(count(DISTINCT rec_part_id) AS BIGINT) AS n_rec_items FROM r), sq AS (SELECT sum(c * c) AS ssq FROM ex) SELECT n_lists, n_recs, n_rec_items, CAST(CAST(n_rec_items AS HUGEINT) * 1000000 // n_catalog AS BIGINT) AS coverage_micro, CAST(ssq * 1000000 // (CAST(n_recs AS HUGEINT) * n_recs) AS BIGINT) AS hhi_micro FROM sq, t, cat""",
+    // mm_vad: every value recomputed from doc_id alone — bit b of the
+    // md5_64 low byte IS window b's speech flag (see Multimodal.vadBits),
+    // segments via the same lag-over-window-index rule.
+    "mm_vad" ->
+      """WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 15, 2) AS BIGINT) AS lb FROM documents), b AS (SELECT doc_id, CAST(t.range AS BIGINT) AS win_idx, ((lb >> CAST(t.range AS INTEGER)) & 1) = 1 AS speech FROM h, range(8) t), l AS (SELECT doc_id, win_idx, speech, lag(speech) OVER (PARTITION BY doc_id ORDER BY win_idx) AS prev FROM b) SELECT doc_id AS media_id, CAST(count(*) AS BIGINT) AS n_windows, CAST(sum(CASE WHEN speech THEN 1 ELSE 0 END) AS BIGINT) AS n_speech, CAST(sum(CASE WHEN speech AND (prev IS NULL OR NOT prev) THEN 1 ELSE 0 END) AS BIGINT) AS n_segments, CAST(sum(CASE WHEN speech THEN 1 ELSE 0 END) * 1000000 // count(*) AS BIGINT) AS speech_ratio_micro FROM l GROUP BY 1"""
   )
 
   /** The mm_phash replay: pixel grid from the planted closed form, the

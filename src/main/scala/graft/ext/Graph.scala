@@ -217,6 +217,48 @@ object Graph {
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
 
+  /** Personalized PageRank (Jeh–Widom 2003) in the same integer
+    * fixed-point discipline as [[pageRankInt]]: the teleport term lands
+    * ONLY on the seed set, so rank mass concentrates in the seeds'
+    * neighborhoods — the "expand outward from my known-good examples"
+    * primitive behind seed-based corpus expansion and recommendation.
+    *
+    * Per iteration: r(v) ← 150000·seed(v) + 0.85·Σ_{u→v} r(u)/d(u),
+    * starting from r₀ = 10⁶·seed(v); all arithmetic is integral (div),
+    * so a fixed iteration count is bit-identical across engines and the
+    * oracle can unroll it. Scale shape is pageRankInt's exactly: one
+    * ids-only join + one partial-aggregated groupBy per iteration, the
+    * seed indicator joined once up front; lineage truncated per round.
+    * Non-seed nodes unreachable from any seed settle at exactly 0.
+    */
+  def personalizedPageRankInt(edges: DataFrame, seeds: DataFrame,
+                              src: String = "src", dst: String = "dst",
+                              idCol: String = "id", iters: Int = 3): DataFrame = {
+    val e = edges.select(col(src).cast(LongType).as("src"),
+      col(dst).cast(LongType).as("dst")).distinct().localCheckpoint(true)
+    val sd = seeds.select(col(idCol).cast(LongType).as("id")).distinct()
+      .withColumn("seed", lit(1L))
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .join(sd, Seq("id"), "left")
+      .select(col("id"), coalesce(col("seed"), lit(0L)).as("seed"))
+      .localCheckpoint(true)
+    val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
+      .localCheckpoint(true)
+    var ranks = nodes.select(col("id"), (col("seed") * 1000000L).as("r"))
+    for (i <- 0 until iters) {
+      val outbound = ranks.join(deg, "id")
+        .select(col("id").as("src"), expr("r div d").as("c"))
+      val inbox = e.join(outbound, "src")
+        .groupBy(col("dst").as("id")).agg(sum(col("c")).as("sc"))
+      ranks = nodes.join(inbox, Seq("id"), "left")
+        .select(col("id"),
+          (col("seed") * 150000L + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
+      if (i < iters - 1) ranks = ranks.localCheckpoint(true)
+    }
+    ranks.select(col("id"), col("r").as("ppr_micro"))
+  }
+
   /** HITS hubs & authorities in INTEGER micro-units (Kleinberg 1999),
     * completing the link-analysis family next to [[pageRankInt]]. Per
     * iteration: authority(v) = Σ hub(u) over in-edges u→v, then hub(u) =

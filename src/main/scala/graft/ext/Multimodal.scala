@@ -171,6 +171,114 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Speech-pattern WAVs whose active blocks are a closed-form function
+    * of the id — [[gradientMedia]]'s plant-and-replay idea applied to
+    * audio. Each clip is 8 blocks × 400 frames of 16-bit mono PCM at
+    * 8 kHz (50 ms blocks); block b carries a ±6000 square wave ("speech")
+    * iff bit b of md5_64(doc_id) is set, else digital silence. An
+    * external oracle recomputes per-window energies, the speech ratio
+    * and the segment count from doc_id alone, which hash-gates the REAL
+    * encode → container-parse → PCM-windowing pipeline end to end.
+    */
+  def vadMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, source) =>
+          MediaRecord(id, "audio/wav", source, encodeVadWav(id))
+        }
+      }.toDF()
+  }
+
+  /** The 8 planted speech bits for [[vadMedia]]: the LOW byte of the
+    * unsigned 64-bit parse of md5(doc_id)'s first 16 hex chars — the
+    * DuckDB mirror is `CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+    * 15, 2) AS BIGINT)` (hex chars 15–16 ARE bits 0..7 of that value).
+    */
+  private[graft] def vadBits(id: Long): Int = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    (java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16) & 0xffL).toInt
+  }
+
+  private[ext] def encodeVadWav(id: Long): Array[Byte] = {
+    val bits = vadBits(id)
+    val data = new Array[Byte](8 * 400 * 2)
+    var b = 0
+    while (b < 8) {
+      if (((bits >> b) & 1) == 1) {
+        var i = 0
+        while (i < 400) {
+          val v = if (i % 2 == 0) 6000 else -6000
+          val off = (b * 400 + i) * 2
+          data(off) = (v & 0xff).toByte
+          data(off + 1) = ((v >> 8) & 0xff).toByte
+          i += 1
+        }
+      }
+      b += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, 3200L)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** One fixed-length energy window of decoded PCM. */
+  case class AudioWindow(media_id: Long, win_idx: Long, n_frames: Long,
+                         sum_abs: Long)
+
+  /** Window decoded 16-bit mono PCM into `windowFrames`-sample energy
+    * windows (media_id, win_idx, n_frames, Σ|sample|) — the feature
+    * extraction under energy-threshold voice-activity detection. Real
+    * AudioSystem parse per clip, per-partition iterator processing like
+    * [[decode]]; clips the codec can't parse contribute no windows.
+    */
+  def audioWindows(media: DataFrame, windowFrames: Int)
+                  (implicit spark: SparkSession): Dataset[AudioWindow] = {
+    import spark.implicits._
+    require(windowFrames > 0, "windowFrames must be positive")
+    media.select(col("media_id"), col("content")).as[(Long, Array[Byte])]
+      .flatMap { case (id, bytes) =>
+        decodePcm(bytes) match {
+          case Some(samples) =>
+            samples.grouped(windowFrames).zipWithIndex.map { case (w, i) =>
+              var s = 0L
+              var k = 0
+              while (k < w.length) { s += math.abs(w(k).toLong); k += 1 }
+              AudioWindow(id, i.toLong, w.length.toLong, s)
+            }
+          case None => Iterator.empty
+        }
+      }
+  }
+
+  /** REAL PCM extraction via AudioSystem: the decoded 16-bit mono sample
+    * array, or None when no reader accepts the bytes.
+    */
+  private[ext] def decodePcm(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val fmt = ais.getFormat
+      if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1) {
+        val data = ais.readAllBytes()
+        val out = new Array[Short](data.length / 2)
+        var i = 0
+        while (i + 1 < data.length) {
+          out(i / 2) =
+            if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xff)).toShort
+            else ((data(i + 1) << 8) | (data(i) & 0xff)).toShort
+          i += 2
+        }
+        Some(out)
+      } else None
+    } catch { case _: Exception => None }
+
   /** Container-format sniff from magic bytes — real logic (PNG/JPEG/RIFF/
     * PDF/GZIP), pure Column expression.
     */
