@@ -8997,6 +8997,72 @@ operations:
             .as("hhi_micro"))
     }),
 
+    "srch_rocchio" -> ((s, dir) => {
+      // Rocchio pseudo-relevance feedback (Rocchio 1971 — the PRF query-
+      // expansion step of every classic IR stack): BM25's top-10 for the
+      // seed terms is ASSUMED relevant, candidate expansion terms are
+      // scored df_fb · idf (how common in the feedback set × how rare in
+      // the corpus) and the top-10 emitted with their statistics. Scale
+      // shape: the feedback set is 10 ids (broadcast semi-join), the
+      // candidates are its bounded vocabulary, and corpus df is ONE
+      // distinct-pair aggregate semi-joined to those candidates — the
+      // corpus is scanned, never shuffled wide. floor(·10⁴) basis
+      // points like bm25TopK (ln is the only transcendental).
+      val docs = T(s, dir, "documents")
+      val terms = Seq("spark", "dup", "vector")
+      val fb = ext.Search.bm25TopK(docs, "doc_id", "text", terms, 10)
+        .select("doc_id")
+      val fbToks = docs.join(broadcast(fb), "doc_id")
+        .select(explode(array_distinct(ext.Dedup.tokens(col("text")))).as("tok"))
+        .filter(!col("tok").isin(terms: _*) && length(col("tok")) >= 3)
+      val dfFb = fbToks.groupBy("tok").agg(count(lit(1)).as("df_fb"))
+        .localCheckpoint(true) // candidate list + final join share it
+      val dfCorpus = docs
+        .select(col("doc_id"), explode(array_distinct(ext.Dedup.tokens(col("text")))).as("tok"))
+        .join(broadcast(dfFb.select("tok")), Seq("tok"), "left_semi")
+        .groupBy("tok").agg(count(lit(1)).as("df_corpus"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      dfFb.join(dfCorpus, "tok").crossJoin(broadcast(n))
+        .select(col("tok"), col("df_fb"), col("df_corpus"),
+          floor(col("df_fb").cast("double") *
+            log((col("n_docs").cast("double") + 1.0) /
+              (col("df_corpus").cast("double") + 1.0)) * 10000)
+            .cast("long").as("weight_bp"))
+        .orderBy(col("weight_bp").desc, col("tok").asc).limit(10)
+    }),
+
+    "stream_hmm" -> ((s, dir) => {
+      // streaming ev_hmm (Streams.hmmForward): the forward fold's
+      // BIGINT-encoded probability pair lives in the state store — ONE
+      // (enc, count) pair per user, O(#users) at any event volume —
+      // and each micro-batch advances it through the SAME hmmStepInt
+      // recurrence the batch query folds. The last snapshot per user
+      // must equal ev_hmm exactly, so the two share one oracle:
+      // streaming ≡ batch, proven by hash.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      import s.implicits._
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val src = normalizeTs(s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          when(col("event_type").isin("click", "purchase"), 1L)
+            .otherwise(0L).as("obs"))
+        .as[streaming.Streams.HmmEvent]
+      val out = streaming.Streams.hmmForward(src)(s).toDF()
+      s.catalog.dropTempView("graft_stream_hmm")
+      val q = out.writeStream.format("memory").queryName("graft_stream_hmm")
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // one snapshot per (user, micro-batch) accumulates in the sink;
+      // the final posterior is the snapshot with the highest count
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("n_events").desc)
+      s.table("graft_stream_hmm")
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select("user_id", "n_events", "p_engaged_micro", "is_engaged")
+    }),
+
     "mm_vad" -> ((s, dir) => {
       // energy-threshold voice activity detection over REAL WAV round-
       // trips: vadMedia plants a speech/silence block pattern (bit b of
@@ -9146,6 +9212,25 @@ operations:
     * struct lambdas, so Spark's `aggregate` and DuckDB's `list_reduce`
     * replay it bit-for-bit. Max intermediate ≈ 9·10¹¹ — no wrap.
     */
+  /** The same forward step as [[hmmStepSql]] in plain Scala — the
+    * streaming fold (streaming.Streams.hmmForward) carries this across
+    * micro-batches; all three spellings (Spark SQL, DuckDB, Scala) are
+    * the one recurrence.
+    */
+  private[graft] def hmmStepInt(acc: Long, o: Long): Long = {
+    val a0 = acc / 10000000L
+    val a1 = acc % 10000000L
+    val u0 = (a0 * 900000L + a1 * 200000L) / 1000000L *
+      (if (o == 1L) 300000L else 700000L) / 1000000L
+    val u1 = (a0 * 100000L + a1 * 800000L) / 1000000L *
+      (if (o == 1L) 800000L else 200000L) / 1000000L
+    val na0 = u0 * 1000000L / math.max(u0 + u1, 1L)
+    na0 * 10000000L + (1000000L - na0)
+  }
+
+  /** Initial encoded HMM state: a0 = a1 = 500000 micro. */
+  private[graft] val hmmInit: Long = 5000000500000L
+
   private def hmmStepSql(acc: String, o: String, idiv: String): String = {
     val a0 = s"($acc $idiv 10000000)"
     val a1 = s"($acc % 10000000)"
@@ -10004,6 +10089,14 @@ operations:
     * ops, so associativity is exact and the fixed point matches
     * bit-for-bit).
     */
+  /** The ev_hmm replay — list_reduce over the (ts, event_id)-ordered
+    * observations with the identical BIGINT-encoded step. stream_hmm
+    * shares it verbatim: the last state-store snapshot per user must
+    * equal the batch fold.
+    */
+  private lazy val hmmOracleSql: String =
+    s"""WITH seq AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list(CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END ORDER BY ts, event_id) AS obs FROM events GROUP BY 1), f AS (SELECT user_id, n_events, list_reduce(list_prepend(CAST(5000000500000 AS BIGINT), obs), (acc, o) -> ${hmmStepSql("acc", "o", "//")}) AS enc FROM seq) SELECT user_id, n_events, CAST(enc % 10000000 AS BIGINT) AS p_engaged_micro, (enc % 10000000) >= 500000 AS is_engaged FROM f"""
+
   /** The rec_itemitem replay — also the recommendation source inside
     * rec_diversity's oracle (same discipline as bm25OracleSql reuse).
     */
@@ -11587,8 +11680,10 @@ operations:
       """WITH pairs AS (SELECT DISTINCT o_custkey AS c, l_suppkey + 10000000 AS s FROM lineitem JOIN orders ON l_orderkey = o_orderkey), e AS (SELECT c AS src, s AS dst FROM pairs UNION SELECT s, c FROM pairs), nodes AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e), ns AS (SELECT id, CASE WHEN id < 10000000 AND id % 100 = 0 THEN 1 ELSE 0 END AS seed FROM nodes), deg AS (SELECT src AS id, count(*) AS d FROM e GROUP BY 1), r0 AS (SELECT id, CAST(seed * 1000000 AS BIGINT) AS r FROM ns), i1 AS (SELECT e.dst AS id, sum(r0.r // deg.d) AS sc FROM e JOIN r0 ON e.src = r0.id JOIN deg ON deg.id = e.src GROUP BY 1), r1 AS (SELECT n.id, CAST(n.seed * 150000 + (850 * coalesce(i1.sc, 0)) // 1000 AS BIGINT) AS r FROM ns n LEFT JOIN i1 USING (id)), i2 AS (SELECT e.dst AS id, sum(r1.r // deg.d) AS sc FROM e JOIN r1 ON e.src = r1.id JOIN deg ON deg.id = e.src GROUP BY 1), r2 AS (SELECT n.id, CAST(n.seed * 150000 + (850 * coalesce(i2.sc, 0)) // 1000 AS BIGINT) AS r FROM ns n LEFT JOIN i2 USING (id)), i3 AS (SELECT e.dst AS id, sum(r2.r // deg.d) AS sc FROM e JOIN r2 ON e.src = r2.id JOIN deg ON deg.id = e.src GROUP BY 1), r3 AS (SELECT n.id, CAST(n.seed * 150000 + (850 * coalesce(i3.sc, 0)) // 1000 AS BIGINT) AS r FROM ns n LEFT JOIN i3 USING (id)) SELECT id, r AS ppr_micro FROM r3""",
     // ev_hmm: the identical BIGINT-encoded forward fold, replayed by
     // list_reduce over the same (ts, event_id)-ordered observations.
-    "ev_hmm" ->
-      s"""WITH seq AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events, list(CASE WHEN event_type IN ('click', 'purchase') THEN 1 ELSE 0 END ORDER BY ts, event_id) AS obs FROM events GROUP BY 1), f AS (SELECT user_id, n_events, list_reduce(list_prepend(CAST(5000000500000 AS BIGINT), obs), (acc, o) -> ${hmmStepSql("acc", "o", "//")}) AS enc FROM seq) SELECT user_id, n_events, CAST(enc % 10000000 AS BIGINT) AS p_engaged_micro, (enc % 10000000) >= 500000 AS is_engaged FROM f""",
+    "ev_hmm" -> hmmOracleSql,
+    // stream_hmm: the last state-store snapshot per user IS the full
+    // batch fold — the same oracle proves streaming ≡ batch.
+    "stream_hmm" -> hmmOracleSql,
     // geo_pip: the same planted coordinates and the same Scala-generated
     // per-edge crossing terms (literal slopes — division-free).
     "geo_pip" ->
@@ -11601,6 +11696,10 @@ operations:
     // the distinct-part catalog, HHI over exposures in HUGEINT.
     "rec_diversity" ->
       s"""WITH r AS ($recItemItemOracleSql), cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem), ex AS (SELECT rec_part_id, CAST(count(*) AS HUGEINT) AS c FROM r GROUP BY 1), t AS (SELECT CAST(count(DISTINCT part_id) AS BIGINT) AS n_lists, CAST(count(*) AS BIGINT) AS n_recs, CAST(count(DISTINCT rec_part_id) AS BIGINT) AS n_rec_items FROM r), sq AS (SELECT sum(c * c) AS ssq FROM ex) SELECT n_lists, n_recs, n_rec_items, CAST(CAST(n_rec_items AS HUGEINT) * 1000000 // n_catalog AS BIGINT) AS coverage_micro, CAST(ssq * 1000000 // (CAST(n_recs AS HUGEINT) * n_recs) AS BIGINT) AS hhi_micro FROM sq, t, cat""",
+    // srch_rocchio: the full BM25 replay truncated to 10, the same
+    // distinct-token dfs and the same floor(df_fb·idf·10⁴) weights.
+    "srch_rocchio" ->
+      s"""WITH top AS (SELECT doc_id FROM (SELECT doc_id, row_number() OVER (ORDER BY score_bp DESC, doc_id) AS r FROM ($bm25OracleSql)) WHERE r <= 10), toks AS (SELECT doc_id, unnest(list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> ''))) AS tok FROM documents), fb AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_fb FROM toks JOIN top USING (doc_id) WHERE tok NOT IN ('spark', 'dup', 'vector') AND length(tok) >= 3 GROUP BY 1), dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df_corpus FROM toks WHERE tok IN (SELECT tok FROM fb) GROUP BY 1), n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents) SELECT tok, df_fb, df_corpus, CAST(floor(CAST(df_fb AS DOUBLE) * ln((CAST(n_docs AS DOUBLE) + 1.0) / (CAST(df_corpus AS DOUBLE) + 1.0)) * 10000) AS BIGINT) AS weight_bp FROM fb JOIN dfc USING (tok), n ORDER BY weight_bp DESC, tok LIMIT 10""",
     // mm_vad: every value recomputed from doc_id alone — bit b of the
     // md5_64 low byte IS window b's speech flag (see Multimodal.vadBits),
     // segments via the same lag-over-window-index rule.

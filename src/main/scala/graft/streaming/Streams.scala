@@ -186,6 +186,45 @@ object Streams {
       }
   }
 
+  /** One observation for the streaming HMM forward filter. */
+  case class HmmEvent(event_id: Long, ts: java.sql.Timestamp,
+                      user_id: Long, obs: Long)
+
+  /** Per-user posterior snapshot after a micro-batch. */
+  case class HmmSnapshot(user_id: Long, n_events: Long,
+                         p_engaged_micro: Long, is_engaged: Boolean)
+
+  /** Streaming 2-state HMM forward filter via flatMapGroupsWithState:
+    * ev_hmm's integer fold with the BIGINT-encoded probability pair
+    * living in the state store — state per key is ONE (enc, count)
+    * pair, so the store is O(#users) at any event volume (the
+    * bounded-state discipline every stream op here follows). Each
+    * micro-batch sorts its per-user slice by (ts, event_id), folds it
+    * through graft.SparkEntry.hmmStepInt — the SAME recurrence the batch
+    * query and the DuckDB oracle run — and emits one updated snapshot;
+    * the last snapshot per user therefore equals the batch fold
+    * exactly. Ordering contract across batches is asofEnrich's:
+    * per-key event-time-monotone arrival.
+    */
+  def hmmForward(events: Dataset[HmmEvent])
+                (implicit spark: SparkSession): Dataset[HmmSnapshot] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Long), HmmSnapshot](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, it: Iterator[HmmEvent], state: GroupState[(Long, Long)]) =>
+          val sorted = it.toList.sortBy(e => (e.ts.getTime, e.event_id))
+          var (enc, n) = state.getOption.getOrElse((graft.SparkEntry.hmmInit, 0L))
+          sorted.foreach { e => enc = graft.SparkEntry.hmmStepInt(enc, e.obs); n += 1 }
+          if (sorted.isEmpty) Iterator.empty
+          else {
+            state.update((enc, n))
+            Iterator.single(HmmSnapshot(userId, n, enc % 10000000L,
+              enc % 10000000L >= 500000L))
+          }
+      }
+  }
+
   /** Streaming keyed upsert into a parquet "table" via foreachBatch —
     * the maintenance pattern behind every streaming silver table
     * (Delta MERGE re-expressed on plain parquet): per micro-batch,

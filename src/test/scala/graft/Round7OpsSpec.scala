@@ -129,6 +129,26 @@ class Round7OpsSpec extends SparkSpec {
     assert(bucketed === ref)
   }
 
+  test("stream_hmm's last snapshots equal the batch ev_hmm fold at sf0.001") {
+    def rows(q: String) = SparkEntry.queries(q)(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSet
+    assert(rows("stream_hmm") === rows("ev_hmm"))
+  }
+
+  test("srch_rocchio expansion terms exclude the seeds and rank by weight") {
+    val rows = SparkEntry.queries("srch_rocchio")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty && rows.length <= 10)
+    rows.foreach { case (tok, dfFb, dfC, _) =>
+      assert(!Set("spark", "dup", "vector").contains(tok))
+      assert(tok.length >= 3)
+      assert(dfFb <= 10L, "feedback df cannot exceed the feedback set")
+      assert(dfC >= dfFb, "corpus df dominates feedback df")
+    }
+    val ws = rows.map(_._4)
+    assert(ws.sameElements(ws.sortBy(-_)), "rows must arrive weight-desc")
+  }
+
   test("rec_diversity invariants hold at sf0.001") {
     val row = SparkEntry.queries("rec_diversity")(spark, sf0001).collect()(0)
     val (nLists, nRecs, nRecItems) = (row.getLong(0), row.getLong(1), row.getLong(2))
