@@ -157,6 +157,7 @@ object Bench {
     }
 
     var deadlineHit = false
+    var done = 0
     for (p <- 1 to passes if !deadlineHit) {
       for (name <- names if !deadlineHit) {
         // pass 1 always completes (coverage beats sampling depth); later
@@ -169,6 +170,14 @@ object Bench {
           timeOnce(name, SparkEntry.queries(name)) match {
             case Right(sec) => lock.synchronized { samples(name) = sec :: samples.getOrElse(name, Nil) }
             case Left(msg)  => lock.synchronized { if (!errors.contains(name)) errors(name) = msg }
+          }
+          // intra-pass checkpoint every 64 queries: a SIGKILL (which no
+          // shutdown hook survives) mid-pass then still leaves the most
+          // recent partial summary as the last JSON line on stdout
+          done += 1
+          if (done % 64 == 0) lock.synchronized {
+            println(compactLine(truncated = true))
+            System.out.flush()
           }
         }
       }

@@ -8997,6 +8997,27 @@ operations:
             .as("hhi_micro"))
     }),
 
+    "ta_dunning" -> ((s, dir) => {
+      // collocations by Dunning's log-likelihood ratio (Dunning 1993):
+      // G² over each bigram's 2×2 table — the low-count-robust
+      // complement to ta_pmi (PMI over-rewards rare pairs; G² weighs
+      // evidence). Same bigram-stream aggregates as ta_pmi; decimal
+      // products before the double cast so k·N can't wrap at web scale.
+      ext.LangModel.dunningCollocations(T(s, dir, "documents"),
+        "doc_id", "text", minCount = 5, topK = 25)
+    }),
+
+    "ta_kneser_ney" -> ((s, dir) => {
+      // interpolated Kneser–Ney bigram probabilities (Kneser–Ney 1995;
+      // Chen–Goodman 1999) for the top-25 bigrams: continuation counts
+      // (how many distinct contexts a word follows) replace raw
+      // frequency in the backoff — the smoothing behind production
+      // n-gram LMs and the right novelty statistic for a dedup'd
+      // corpus. Five integer aggregates + one micro-rounded formula.
+      ext.LangModel.kneserNeyBigrams(T(s, dir, "documents"),
+        "doc_id", "text", topK = 25)
+    }),
+
     "srch_rocchio" -> ((s, dir) => {
       // Rocchio pseudo-relevance feedback (Rocchio 1971 — the PRF query-
       // expansion step of every classic IR stack): BM25's top-10 for the
@@ -11696,6 +11717,16 @@ operations:
     // the distinct-part catalog, HHI over exposures in HUGEINT.
     "rec_diversity" ->
       s"""WITH r AS ($recItemItemOracleSql), cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem), ex AS (SELECT rec_part_id, CAST(count(*) AS HUGEINT) AS c FROM r GROUP BY 1), t AS (SELECT CAST(count(DISTINCT part_id) AS BIGINT) AS n_lists, CAST(count(*) AS BIGINT) AS n_recs, CAST(count(DISTINCT rec_part_id) AS BIGINT) AS n_rec_items FROM r), sq AS (SELECT sum(c * c) AS ssq FROM ex) SELECT n_lists, n_recs, n_rec_items, CAST(CAST(n_rec_items AS HUGEINT) * 1000000 // n_catalog AS BIGINT) AS coverage_micro, CAST(ssq * 1000000 // (CAST(n_recs AS HUGEINT) * n_recs) AS BIGINT) AS hhi_micro FROM sq, t, cat""",
+    // ta_dunning: ta_pmi's bigram CTEs; each G² term multiplies counts
+    // in HUGEINT before the double cast and the four terms sum in the
+    // engine's fixed textual order.
+    "ta_dunning" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), bg AS (SELECT t[i+1] AS w1, t[i+2] AS w2 FROM (SELECT t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2), c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1), c2 AS (SELECT w2, CAST(count(*) AS BIGINT) AS c2 FROM bg GROUP BY 1), n AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bg), f AS (SELECT w1, w2, c12, c1, c2, nb, c1 - c12 AS k12, c2 - c12 AS k21, nb - c1 - c2 + c12 AS k22 FROM c12 JOIN c1 USING (w1) JOIN c2 USING (w2), n WHERE c12 >= 5) SELECT w1, w2, c12, CAST(round((CASE WHEN c12 > 0 THEN CAST(c12 AS DOUBLE) * ln(CAST(CAST(c12 AS HUGEINT) * nb AS DOUBLE) / CAST(CAST(c1 AS HUGEINT) * c2 AS DOUBLE)) ELSE 0.0 END + CASE WHEN k12 > 0 THEN CAST(k12 AS DOUBLE) * ln(CAST(CAST(k12 AS HUGEINT) * nb AS DOUBLE) / CAST(CAST(c1 AS HUGEINT) * (nb - c2) AS DOUBLE)) ELSE 0.0 END + CASE WHEN k21 > 0 THEN CAST(k21 AS DOUBLE) * ln(CAST(CAST(k21 AS HUGEINT) * nb AS DOUBLE) / CAST(CAST(nb - c1 AS HUGEINT) * c2 AS DOUBLE)) ELSE 0.0 END + CASE WHEN k22 > 0 THEN CAST(k22 AS DOUBLE) * ln(CAST(CAST(k22 AS HUGEINT) * nb AS DOUBLE) / CAST(CAST(nb - c1 AS HUGEINT) * (nb - c2) AS DOUBLE)) ELSE 0.0 END) * 2.0 * 1000000) AS BIGINT) AS g2_micro FROM f ORDER BY g2_micro DESC, w1, w2 LIMIT 25""",
+    // ta_kneser_ney: the same bigram CTEs plus continuation counts over
+    // the distinct-pair set; the probability replays the identical
+    // three-double-op order before the single micro-round.
+    "ta_kneser_ney" ->
+      """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), bg AS (SELECT t[i+1] AS w1, t[i+2] AS w2 FROM (SELECT t, unnest(range(len(t)-1)) AS i FROM toks WHERE len(t) >= 2)), c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM bg GROUP BY 1, 2), c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS c1 FROM bg GROUP BY 1), dis AS (SELECT DISTINCT w1, w2 FROM bg), fol AS (SELECT w1, CAST(count(*) AS BIGINT) AS n_follow FROM dis GROUP BY 1), prc AS (SELECT w2, CAST(count(*) AS BIGINT) AS n_prec FROM dis GROUP BY 1), ty AS (SELECT CAST(count(*) AS BIGINT) AS n_types FROM dis) SELECT w1, w2, c12, c1, n_follow, n_prec, n_types, CAST(round(((CAST(c12 AS DOUBLE) - 0.75) / CAST(c1 AS DOUBLE) + (0.75 * CAST(n_follow AS DOUBLE) / CAST(c1 AS DOUBLE)) * (CAST(n_prec AS DOUBLE) / CAST(n_types AS DOUBLE))) * 1000000) AS BIGINT) AS pkn_micro FROM c12 JOIN c1 USING (w1) JOIN fol USING (w1) JOIN prc USING (w2), ty ORDER BY c12 DESC, w1, w2 LIMIT 25""",
     // srch_rocchio: the full BM25 replay truncated to 10, the same
     // distinct-token dfs and the same floor(df_fb·idf·10⁴) weights.
     "srch_rocchio" ->

@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -224,6 +224,96 @@ object LangModel {
         round(log((col("c12") * col("nb")).cast(DoubleType) /
           (col("c1") * col("c2")).cast(DoubleType)) * 1e6).cast(LongType).as("pmi_micro"))
       .orderBy(col("pmi_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** The bigram stream (w1, w2) shared by [[collocations]],
+    * [[dunningCollocations]] and [[kneserNeyBigrams]].
+    */
+  private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
+      .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+
+  /** Collocations by Dunning's log-likelihood ratio (Dunning 1993) — the
+    * G² statistic over each bigram's 2×2 contingency table (k11 = c12,
+    * k12 = c1−c12, k21 = c2−c12, k22 = N−c1−c2+c12), the classic
+    * low-count-robust alternative to PMI (which over-rewards rare
+    * pairs). Each G² term k·ln(k·N/(R·C)) multiplies its integer counts
+    * in DECIMAL(38,0) BEFORE the double cast (k·N at web scale overflows
+    * int64) and the four terms sum in fixed textual order, so the
+    * micro-rounded score is engine-exact. Zero cells contribute zero
+    * (the lim x→0 x·ln x = 0 convention).
+    *
+    * Scale shape identical to [[collocations]]: two word-keyed count
+    * aggregates + one total, then a |candidates|-row ranking after the
+    * minCount filter.
+    */
+  def dunningCollocations(docs: DataFrame, idCol: String, textCol: String,
+                          minCount: Long = 5, topK: Int = 25): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val n = bg.agg(count(lit(1)).as("nb"))
+    def term(k: Column, r: Column, c: Column): Column = {
+      val arg = (k.cast("decimal(38,0)") * col("nb")).cast(DoubleType) /
+        (r.cast("decimal(38,0)") * c).cast(DoubleType)
+      when(k > 0, k.cast(DoubleType) * log(arg)).otherwise(lit(0.0))
+    }
+    c12.filter(col("c12") >= minCount)
+      .join(c1, "w1").join(c2, "w2")
+      .crossJoin(broadcast(n))
+      .withColumn("k12", col("c1") - col("c12"))
+      .withColumn("k21", col("c2") - col("c12"))
+      .withColumn("k22", col("nb") - col("c1") - col("c2") + col("c12"))
+      .select(col("w1"), col("w2"), col("c12"),
+        round((term(col("c12"), col("c1"), col("c2")) +
+          term(col("k12"), col("c1"), col("nb") - col("c2")) +
+          term(col("k21"), col("nb") - col("c1"), col("c2")) +
+          term(col("k22"), col("nb") - col("c1"), col("nb") - col("c2"))) * 2.0
+          * 1e6).cast(LongType).as("g2_micro"))
+      .orderBy(col("g2_micro").desc, col("w1"), col("w2"))
+      .limit(topK)
+  }
+
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999) for the corpus's top-`topK` bigrams:
+    * P(w2|w1) = (c12 − d)/c1 + (d·N1₊(w1·)/c1) · (N1₊(·w2)/T), d = 0.75
+    * — the continuation-count smoothing behind every production n-gram
+    * LM. Novelty of a word (how many distinct contexts it follows)
+    * replaces its raw frequency in the backoff, which is exactly the
+    * statistic a dedup'd training corpus wants. All counts are integer
+    * aggregates (two keyed counts + two distinct-counts + one types
+    * total); the probability is three double ops in fixed order,
+    * micro-rounded once. c12 ≥ 1 keeps the discounted numerator
+    * positive, so no max() is needed.
+    */
+  def kneserNeyBigrams(docs: DataFrame, idCol: String, textCol: String,
+                       topK: Int = 25): DataFrame = {
+    val bg = bigrams(docs, idCol, textCol).localCheckpoint(true) // 3 consumers
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    // the distinct-pair set feeds three continuation aggregates —
+    // materialize it ONCE (three wide distincts of the full bigram
+    // stream is two passes too many at 100 TB)
+    val dis = bg.select("w1", "w2").distinct().localCheckpoint(true)
+    val follow = dis.groupBy("w1").agg(count(lit(1)).as("n_follow"))
+    val prec = dis.groupBy("w2").agg(count(lit(1)).as("n_prec"))
+    val types = dis.agg(count(lit(1)).as("n_types"))
+    c12.join(c1, "w1").join(follow, "w1").join(prec, "w2")
+      .crossJoin(broadcast(types))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"),
+        col("n_follow"), col("n_prec"), col("n_types"),
+        round(((col("c12").cast(DoubleType) - 0.75) / col("c1").cast(DoubleType) +
+          (lit(0.75) * col("n_follow").cast(DoubleType) / col("c1").cast(DoubleType)) *
+            (col("n_prec").cast(DoubleType) / col("n_types").cast(DoubleType)))
+          * 1e6).cast(LongType).as("pkn_micro"))
+      .orderBy(col("c12").desc, col("w1"), col("w2"))
       .limit(topK)
   }
 }

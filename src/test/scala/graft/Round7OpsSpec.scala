@@ -149,6 +149,49 @@ class Round7OpsSpec extends SparkSpec {
     assert(ws.sameElements(ws.sortBy(-_)), "rows must arrive weight-desc")
   }
 
+  test("dunning G2 matches a direct scala computation on a planted corpus") {
+    // "big data" appears 6x together; "big" also precedes other words
+    val docs = Seq(
+      (1L, "big data big data big data big apple big orange small data"),
+      (2L, "big data big data big data small apple tiny orange small pear"))
+      .toDF("doc_id", "text")
+    val got = ext.LangModel.dunningCollocations(docs, "doc_id", "text",
+      minCount = 5, topK = 5).collect()
+    assert(got.nonEmpty)
+    val row = got.find(r => r.getString(0) == "big" && r.getString(1) == "data").get
+    val c12 = row.getLong(2).toDouble
+    // direct replay over hand-counted marginals
+    val all = Seq("big data big data big data big apple big orange small data",
+      "big data big data big data small apple tiny orange small pear")
+      .flatMap { t => val w = t.split("\\s+"); w.zip(w.tail) }
+    val nb = all.size.toDouble
+    val k11 = all.count(_ == ("big", "data")).toDouble
+    val c1 = all.count(_._1 == "big").toDouble
+    val c2 = all.count(_._2 == "data").toDouble
+    assert(c12 === k11)
+    def term(k: Double, r: Double, c: Double): Double =
+      if (k > 0) k * math.log(k * nb / (r * c)) else 0.0
+    val g2 = 2.0 * (term(k11, c1, c2) + term(c1 - k11, c1, nb - c2) +
+      term(c2 - k11, nb - c1, c2) + term(nb - c1 - c2 + k11, nb - c1, nb - c2))
+    assert(row.getLong(3) === math.round(g2 * 1e6), s"expected G2=$g2")
+  }
+
+  test("kneser-ney probabilities are valid and favor diverse continuations") {
+    val docs = Seq((1L, "a b a b a b a c x b y b z b w c"))
+      .toDF("doc_id", "text")
+    val got = ext.LangModel.kneserNeyBigrams(docs, "doc_id", "text", topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    got.values.foreach { r =>
+      val p = r.getLong(7)
+      assert(p > 0L && p <= 1000000L, s"pkn out of range: $r")
+    }
+    // P(b|a) discounts to the continuation prob of b, which is high
+    // (b follows many contexts) vs c (follows few)
+    val pAB = got(("a", "b")).getLong(7)
+    val pAC = got(("a", "c")).getLong(7)
+    assert(pAB > pAC, s"P(b|a)=$pAB should beat P(c|a)=$pAC")
+  }
+
   test("rec_diversity invariants hold at sf0.001") {
     val row = SparkEntry.queries("rec_diversity")(spark, sf0001).collect()(0)
     val (nLists, nRecs, nRecItems) = (row.getLong(0), row.getLong(1), row.getLong(2))
