@@ -8997,6 +8997,125 @@ operations:
             .as("hhi_micro"))
     }),
 
+    "sim_nprobe_sweep" -> ((s, dir) => {
+      // nProbe accuracy ladder for the IVF tier — dd_threshold_sweep's
+      // one-pass-curve idea applied to ANN: ONE candidate
+      // materialization with each candidate tagged by its cell's probe
+      // rank, then recall@10 vs brute force for EVERY nProbe in 1..4 —
+      // the whole cost/accuracy curve for the price of the widest
+      // point plus a ≤4× bounded tag fan-out. This is the dial a
+      // 100 TB index operator actually turns; the sweep is the
+      // evidence for sim_topk_ivf's nProbe = 3.
+      import graft.functions.{TopKAgg, VectorExprs}
+      VectorExprs.register(s)
+      val emb = T(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 8)
+      val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val index = ext.IvfIndex.assign(emb, "vec_id", "embedding", cents)
+      val bf = ext.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val probed = q
+        .select(col("vec_id").as("query_id"), col("embedding").cast("array<double>").as("qv"))
+        .select(col("query_id"), col("qv"),
+          posexplode(VectorExprs.nearestCells(col("qv"), cents, 4)))
+        .select(col("query_id"), col("qv"),
+          (col("pos") + 1).cast("long").as("cell_rank"), col("col").as("cell"))
+      val qb = broadcast(probed.withColumn("qn", VectorExprs.norm(col("qv"))))
+      val cand = index.join(qb, Seq("cell"))
+        .filter(col("id") =!= col("query_id"))
+        .withColumn("score", VectorExprs.dot(col("v"), col("qv")) /
+          (VectorExprs.norm(col("v")) * col("qn")))
+        .select(col("query_id"), col("cell_rank"),
+          col("id").as("neighbor_id"), col("score"))
+      val swept = cand.select(col("query_id"),
+        explode(sequence(col("cell_rank"), lit(4L))).as("nprobe"),
+        col("neighbor_id"), col("score"))
+      val top = swept.groupBy("query_id", "nprobe")
+        .agg(TopKAgg.topK(10, col("score"), col("neighbor_id").cast("double"),
+          struct(col("neighbor_id"))).as("t"))
+        .select(col("query_id"), col("nprobe"), explode(col("t")).as("x"))
+        .select(col("query_id"), col("nprobe"), col("x.neighbor_id").as("an"))
+      val hits = bf.join(top,
+          bf("query_id") === top("query_id") && bf("neighbor_id") === top("an"))
+        .groupBy(top("query_id").as("query_id"), col("nprobe"))
+        .agg(count(lit(1)).as("n_hits"))
+      q.select(col("vec_id").as("query_id"))
+        .crossJoin(s.range(1, 5).select(col("id").as("nprobe")))
+        .join(hits, Seq("query_id", "nprobe"), "left")
+        .select(col("query_id"), col("nprobe"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / 10.0).as("recall_at_10"))
+    }),
+
+    "ev_psm_match" -> ((s, dir) => {
+      // propensity-score matching, exact-match variant (Rosenbaum–Rubin
+      // 1983): users pair 1:1 on pre-period activity — within each
+      // pre_n stratum the i-th treated user by id matches the i-th
+      // control — and the ATT is the mean matched-pair response
+      // difference per stratum. Exact matching dominates nearest-
+      // neighbor when the covariate is discrete, and the rank join IS
+      // the matcher: no distance scan, windows partition by
+      // (stratum, arm) so matching parallelizes across strata. The
+      // final mean is a double rounded ONCE (a negative integer
+      // division would part ways between div and // semantics).
+      val cut = lit("2024-01-15 00:00:00").cast("timestamp")
+      val u = events(s, dir)
+        .select(col("user_id"), (col("ts") < cut).as("pre"),
+          when(col("event_type") === "purchase" && col("ts") >= cut, 1L)
+            .otherwise(0L).as("post_resp"))
+        .groupBy("user_id")
+        .agg(sum(when(col("pre"), 1L).otherwise(0L)).as("pre_n"),
+          max(col("post_resp")).as("resp"))
+        .withColumn("treated", col("user_id") % 2 === 0)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("pre_n", "treated").orderBy("user_id")
+      val r = u.withColumn("rk", row_number().over(w))
+      val t = r.filter(col("treated"))
+        .select(col("pre_n"), col("rk"), col("resp").as("t_resp"))
+      val c = r.filter(!col("treated"))
+        .select(col("pre_n"), col("rk"), col("resp").as("c_resp"))
+      t.join(c, Seq("pre_n", "rk"))
+        .groupBy("pre_n")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("t_resp")).as("resp_t"), sum(col("c_resp")).as("resp_c"))
+        .select(col("pre_n"), col("n_pairs"), col("resp_t"), col("resp_c"),
+          round((col("resp_t").cast("double") - col("resp_c")) /
+            col("n_pairs") * 1e6).cast("long").as("att_micro"))
+    }),
+
+    "ev_event_study" -> ((s, dir) => {
+      // dynamic difference-in-differences / event study: per relative
+      // week k around the 2024-01-15 treatment date, the treated −
+      // control gap in mean spend, normalized to the k = −1 gap (the
+      // pre-trend anchor). Leads (k < 0) test parallel trends, lags
+      // (k ≥ 0) trace the effect — the panel every DiD ships next to
+      // its point estimate (ev_did). One keyed agg; gaps are double
+      // means rounded once per row.
+      val e = events(s, dir).select(
+          (col("user_id") % 2 === 0).as("treated"),
+          floor(datediff(col("ts").cast("date"),
+            lit("2024-01-15").cast("date")) / lit(7.0)).cast("long").as("k"),
+          round(col("value") * 100).cast("long").as("v_c"))
+        .filter(col("k").between(-4L, 4L))
+      val gap = e.groupBy("k").agg(
+          sum(when(col("treated"), 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("treated"), col("v_c")).otherwise(0L)).as("s_t"),
+          sum(when(!col("treated"), 1L).otherwise(0L)).as("n_c"),
+          sum(when(!col("treated"), col("v_c")).otherwise(0L)).as("s_c"))
+        .filter(col("n_t") > 0 && col("n_c") > 0)
+        .withColumn("gap", col("s_t").cast("double") / col("n_t") -
+          col("s_c").cast("double") / col("n_c"))
+        .localCheckpoint(true) // the k = −1 anchor and every row read it
+      // limit(1) states the one-row bound mechanically (k is unique after
+      // the groupBy, so this is semantics-free) — the BNLJ audit then
+      // proves the broadcast side bounded instead of trusting a comment
+      val base = gap.filter(col("k") === -1L).select(col("gap").as("gap0")).limit(1)
+      gap.crossJoin(broadcast(base))
+        .select(col("k"), col("n_t"), col("n_c"),
+          round(col("gap") * 1e6).cast("long").as("gap_micro"),
+          round((col("gap") - col("gap0")) * 1e6).cast("long").as("effect_micro"))
+    }),
+
     "ta_dunning" -> ((s, dir) => {
       // collocations by Dunning's log-likelihood ratio (Dunning 1993):
       // G² over each bigram's 2×2 table — the low-count-robust
@@ -9942,6 +10061,27 @@ operations:
        |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
        |WHERE rn <= 10""".stripMargin
+  }
+
+  /** sim_nprobe_sweep: ivfTopKOracleSql generalized — probe ranks kept
+    * to 4, candidates replicated per nprobe >= their rank, per-(query,
+    * nprobe) top-10 intersected with the brute-force pool.
+    */
+  private lazy val nprobeSweepOracleSql: String = {
+    val cos = "list_dot_product(i.v, p.qv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
+    s"""WITH ${kmeansCtes(8, 2, 64)},
+       |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+       |prob AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, cell, CAST(rn AS BIGINT) AS cell_rank FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c WHERE e.vec_id < 8) WHERE rn <= 4),
+       |scored AS MATERIALIZED (SELECT p.query_id, p.cell_rank, i.vec_id AS neighbor_id, $cos AS score FROM prob p JOIN idx i ON p.cell = i.cell AND i.vec_id <> p.query_id),
+       |np AS (SELECT CAST(range + 1 AS BIGINT) AS nprobe FROM range(4)),
+       |sw AS (SELECT s.query_id, np.nprobe, s.neighbor_id, s.score FROM scored s JOIN np ON s.cell_rank <= np.nprobe),
+       |topn AS (SELECT query_id, nprobe, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id, nprobe ORDER BY score DESC, neighbor_id) AS rn FROM sw) WHERE rn <= 10),
+       |bf AS (SELECT query_id, neighbor_id FROM (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, row_number() OVER (PARTITION BY q.vec_id ORDER BY list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) DESC, d.vec_id) AS rn FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) WHERE rn <= 10),
+       |h AS (SELECT bf.query_id, t.nprobe, CAST(count(*) AS BIGINT) AS n_hits FROM bf JOIN topn t ON bf.query_id = t.query_id AND bf.neighbor_id = t.neighbor_id GROUP BY 1, 2),
+       |qq AS (SELECT DISTINCT vec_id AS query_id FROM embeddings WHERE vec_id < 8),
+       |g AS (SELECT query_id, nprobe FROM qq, np)
+       |SELECT g.query_id, g.nprobe, CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10.0 AS recall_at_10
+       |FROM g LEFT JOIN h ON g.query_id = h.query_id AND g.nprobe = h.nprobe""".stripMargin
   }
 
   /** dd_semantic: SemDeDup — 16 trained cells, soft-assign each vector to
@@ -11717,6 +11857,17 @@ operations:
     // the distinct-part catalog, HHI over exposures in HUGEINT.
     "rec_diversity" ->
       s"""WITH r AS ($recItemItemOracleSql), cat AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_catalog FROM lineitem), ex AS (SELECT rec_part_id, CAST(count(*) AS HUGEINT) AS c FROM r GROUP BY 1), t AS (SELECT CAST(count(DISTINCT part_id) AS BIGINT) AS n_lists, CAST(count(*) AS BIGINT) AS n_recs, CAST(count(DISTINCT rec_part_id) AS BIGINT) AS n_rec_items FROM r), sq AS (SELECT sum(c * c) AS ssq FROM ex) SELECT n_lists, n_recs, n_rec_items, CAST(CAST(n_rec_items AS HUGEINT) * 1000000 // n_catalog AS BIGINT) AS coverage_micro, CAST(ssq * 1000000 // (CAST(n_recs AS HUGEINT) * n_recs) AS BIGINT) AS hhi_micro FROM sq, t, cat""",
+    // sim_nprobe_sweep: the IVF replay with probe rank kept (rn <= 4),
+    // swept per nprobe against the brute-force pool.
+    "sim_nprobe_sweep" -> nprobeSweepOracleSql,
+    // ev_psm_match: ev_uplift's user frame, the identical rank-join
+    // matcher, double ATT rounded once.
+    "ev_psm_match" ->
+      """WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp FROM events GROUP BY 1), r AS (SELECT user_id, pre_n, resp, user_id % 2 = 0 AS treated, CAST(row_number() OVER (PARTITION BY pre_n, user_id % 2 = 0 ORDER BY user_id) AS BIGINT) AS rk FROM u), t AS (SELECT pre_n, rk, resp AS t_resp FROM r WHERE treated), c AS (SELECT pre_n, rk, resp AS c_resp FROM r WHERE NOT treated), j AS (SELECT t.pre_n, t.t_resp, c.c_resp FROM t JOIN c USING (pre_n, rk)) SELECT pre_n, CAST(count(*) AS BIGINT) AS n_pairs, CAST(sum(t_resp) AS BIGINT) AS resp_t, CAST(sum(c_resp) AS BIGINT) AS resp_c, CAST(round((CAST(sum(t_resp) AS DOUBLE) - sum(c_resp)) / count(*) * 1000000) AS BIGINT) AS att_micro FROM j GROUP BY 1""",
+    // ev_event_study: the same weekly panel, gap and anchor replayed in
+    // the identical double op order.
+    "ev_event_study" ->
+      """WITH e AS (SELECT user_id % 2 = 0 AS treated, CAST(floor(datediff('day', DATE '2024-01-15', CAST(ts AS DATE)) / 7.0) AS BIGINT) AS k, CAST(round(value * 100) AS BIGINT) AS v_c FROM events), f AS (SELECT * FROM e WHERE k BETWEEN -4 AND 4), g AS (SELECT k, CAST(sum(CASE WHEN treated THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(sum(CASE WHEN treated THEN v_c ELSE 0 END) AS BIGINT) AS s_t, CAST(sum(CASE WHEN NOT treated THEN 1 ELSE 0 END) AS BIGINT) AS n_c, CAST(sum(CASE WHEN NOT treated THEN v_c ELSE 0 END) AS BIGINT) AS s_c FROM f GROUP BY 1), gg AS (SELECT k, n_t, n_c, CAST(s_t AS DOUBLE) / n_t - CAST(s_c AS DOUBLE) / n_c AS gap FROM g WHERE n_t > 0 AND n_c > 0), b AS (SELECT gap AS gap0 FROM gg WHERE k = -1) SELECT k, n_t, n_c, CAST(round(gap * 1000000) AS BIGINT) AS gap_micro, CAST(round((gap - gap0) * 1000000) AS BIGINT) AS effect_micro FROM gg, b""",
     // ta_dunning: ta_pmi's bigram CTEs; each G² term multiplies counts
     // in HUGEINT before the double cast and the four terms sum in the
     // engine's fixed textual order.

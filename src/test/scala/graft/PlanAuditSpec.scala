@@ -124,6 +124,7 @@ class PlanAuditSpec extends SparkSpec {
     "q_kendall",        // day-panel pair frame (bounded day domain)
     "q_mannkendall",    // day-panel pair frame (bounded day domain)
     "q_isotonic",       // ≤50-row score-domain interval frames (minimax PAVA)
+    "sim_nprobe_sweep", // eval probe cohort (vec_id < 8, brute-force arm)
   )
 
   test("every BroadcastNestedLoopJoin build side is bounded or whitelisted") {
@@ -141,6 +142,10 @@ class PlanAuditSpec extends SparkSpec {
       case a: SortAggregateExec if a.groupingExpressions.isEmpty       => true
       case _: GlobalLimitExec | _: LocalLimitExec |
            _: TakeOrderedAndProjectExec | _: LocalTableScanExec => true
+      // a literal range is a known row count at plan time — bounded when
+      // small (sweep axes like nprobe 1..4 broadcast such frames)
+      case r: org.apache.spark.sql.execution.RangeExec =>
+        r.numElements <= BigInt(10000)
       // a Generate (explode) re-expands rows, so a cap below it does not
       // bound its output — such a build side must be whitelisted instead
       case _: org.apache.spark.sql.execution.GenerateExec => false

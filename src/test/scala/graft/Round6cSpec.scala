@@ -11,18 +11,23 @@ class Round6cSpec extends SparkSpec {
   import sqlImplicits._
 
   test("q_conformal: hand-computed q̂ and held-out coverage") {
-    // cal (orderkey % 4 != 3): quantities 10×4, 20×3, 30×2 → n=9,
-    // ŷ = 160 div 9 = 17; scores 7×4, 3×3, 13×2; cum: 3→3, 7→7, 13→9;
-    // 10·cum ≥ 9·(9+1) first holds at s=13 → q̂=13, width=27.
+    // DISJOINT three-way split (fit quarters 0,1 / calibrate 2 / test 3):
+    // fit: quantities 10×4, 20×3, 30×2 → ŷ = 160 div 9 = 17;
+    // cal (orderkey % 4 = 2): the same multiset → n=9, scores 7×4, 3×3,
+    // 13×2; cum: 3→3, 7→7, 13→9; 10·cum ≥ 9·(9+1) first holds at s=13
+    // → q̂=13, width=27.
     // test (orderkey % 4 = 3): quantities 17, 31, 40 → scores 0, 14, 23
     // → 1 of 3 covered → cov = 333333 micro.
+    val fit = Seq(10, 10, 10, 10, 20, 20, 20, 30, 30).zipWithIndex.map {
+      case (q, i) => (i.toLong * 4 + (i % 2), 1, q.toLong) // keys ≡ 0,1 (mod 4)
+    }
     val cal = Seq(10, 10, 10, 10, 20, 20, 20, 30, 30).zipWithIndex.map {
-      case (q, i) => (i.toLong * 4 + (i % 3), 1, q.toLong) // keys ≢ 3 (mod 4)
+      case (q, i) => (i.toLong * 4 + 2, 1, q.toLong)
     }
     val test = Seq(17, 31, 40).zipWithIndex.map {
       case (q, i) => (i.toLong * 4 + 3, 1, q.toLong)
     }
-    val li = (cal ++ test).toDF("l_orderkey", "l_linenumber", "l_quantity")
+    val li = (fit ++ cal ++ test).toDF("l_orderkey", "l_linenumber", "l_quantity")
     val dir = plant("/tmp/graft-test/conformal", "lineitem" -> li)
     val r = SparkEntry.queries("q_conformal")(spark, dir).collect().head
     assert(r.getAs[Long]("n_cal") == 9L)

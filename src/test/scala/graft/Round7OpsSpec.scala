@@ -192,6 +192,48 @@ class Round7OpsSpec extends SparkSpec {
     assert(pAB > pAC, s"P(b|a)=$pAB should beat P(c|a)=$pAC")
   }
 
+  test("ev_psm_match pairs are stratum-balanced at sf0.001") {
+    val rows = SparkEntry.queries("ev_psm_match")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent pair-count check: min(#treated, #control) per stratum
+    val cut = "2024-01-15 00:00:00"
+    val u = spark.read.parquet(s"$sf0001/events.parquet")
+      .groupBy("user_id")
+      .agg(sum(when(col("ts") < lit(cut).cast("timestamp"), 1L).otherwise(0L)).as("pre_n"))
+      .withColumn("treated", col("user_id") % 2 === 0)
+      .groupBy("pre_n").agg(
+        sum(when(col("treated"), 1L).otherwise(0L)).as("nt"),
+        sum(when(!col("treated"), 1L).otherwise(0L)).as("nc"))
+      .collect().map(r => r.getLong(0) -> math.min(r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (preN, nPairs) = (r.getLong(0), r.getLong(1))
+      assert(nPairs === u(preN), s"stratum $preN")
+      assert(math.abs(r.getLong(4)) <= 1000000L, "ATT is a response-rate diff")
+    }
+  }
+
+  test("ev_event_study anchors the k = -1 effect at exactly zero") {
+    val rows = SparkEntry.queries("ev_event_study")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getLong(3), r.getLong(4))).toMap
+    assert(rows.contains(-1L), "the anchor week must exist")
+    assert(rows(-1L)._2 === 0L, "effect at the anchor is zero by construction")
+    assert(rows.size >= 3, "should cover several relative weeks")
+  }
+
+  test("sim_nprobe_sweep recall is monotone and agrees with sim_ivf_recall at nprobe=3") {
+    val sweep = SparkEntry.queries("sim_nprobe_sweep")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // monotone non-decreasing in nprobe per query
+    sweep.keys.map(_._1).toSeq.distinct.foreach { q =>
+      val hs = (1L to 4L).map(p => sweep((q, p)))
+      assert(hs.zip(hs.tail).forall { case (a, b) => a <= b },
+        s"recall not monotone for query $q: $hs")
+    }
+    val ivf3 = SparkEntry.queries("sim_ivf_recall")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ivf3.foreach { case (q, h) => assert(sweep((q, 3L)) === h, s"query $q") }
+  }
+
   test("rec_diversity invariants hold at sf0.001") {
     val row = SparkEntry.queries("rec_diversity")(spark, sf0001).collect()(0)
     val (nLists, nRecs, nRecItems) = (row.getLong(0), row.getLong(1), row.getLong(2))
