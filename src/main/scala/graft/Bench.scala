@@ -190,18 +190,39 @@ object Bench {
       }
     }
 
-    // Noise handling: a degraded-CPU window longer than one suite pass can
-    // defeat the interleaved min for a single query, so a wild spread
-    // (max/min > 3× with a non-trivial min) marks the query noise-suspect
-    // and earns ONE extra re-probe after the suite — if the host recovered,
-    // the min self-corrects; if not, the flag rides the JSON so a reader
-    // never mistakes an artifact for a regression. Skipped entirely once
-    // the deadline has passed.
+    // Noise handling, two layers:
+    // 1. Slowest re-probe — when the deadline cut the run to ONE pass,
+    //    min-of-passes can't rescue steal-window outliers, and the top of
+    //    the table dominates the total (a 9 s query has read 500 s under
+    //    a burst). Re-probing just the K slowest queries buys most of
+    //    min-of-N's fidelity at a fraction of a pass, inside its own
+    //    budget (SPARK_GRAFT_REPROBE_SEC, default 240 s) so the external
+    //    timeout stays safe.
+    // 2. Spread re-probe — a wild spread across passes (max/min > 3× with
+    //    a non-trivial min) earns one extra sample; if the host
+    //    recovered, the min self-corrects; if not, the flag rides the
+    //    JSON so a reader never mistakes an artifact for a regression.
+    val reprobeBudget = sys.env.getOrElse("SPARK_GRAFT_REPROBE_SEC", "240").toDouble
+    val reprobeDeadline = elapsed + reprobeBudget
+    val slowest = lock.synchronized {
+      names.filter(samples.contains).sortBy(n => -samples(n).min).take(12)
+    }
+    System.err.println(s"[bench] slowest re-probe: ${slowest.mkString(", ")}")
+    slowest.foreach { name =>
+      if (elapsed < reprobeDeadline)
+        timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
+          lock.synchronized { samples(name) = sec :: samples(name) })
+    }
+    lock.synchronized {
+      writeFullFile()
+      println(compactLine(truncated = true))
+      System.out.flush()
+    }
     val suspects = lock.synchronized { names.filter(n => samples.get(n).exists(spreadSuspect)) }
-    if (suspects.nonEmpty && elapsed < deadlineSec) {
+    if (suspects.nonEmpty && elapsed < reprobeDeadline) {
       System.err.println(s"[bench] noise re-probe: ${suspects.mkString(", ")}")
       suspects.foreach { name =>
-        if (elapsed < deadlineSec)
+        if (elapsed < reprobeDeadline)
           timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
             lock.synchronized { samples(name) = sec :: samples(name) })
       }

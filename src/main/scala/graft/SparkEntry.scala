@@ -8997,6 +8997,64 @@ operations:
             .as("hhi_micro"))
     }),
 
+    "mm_loudness" -> ((s, dir) => {
+      // RMS loudness per clip from REAL WAV round-trips — the audio
+      // curation dial next to mm_vad's speech ratio (clips too quiet or
+      // too hot get filtered before transcription). Same planted
+      // square-wave corpus, same JDK encode → AudioSystem parse →
+      // window pipeline; RMS = sqrt(Σv²/n) as ONE double sqrt rounded
+      // once to milli-units, so the oracle's closed form (popcount of
+      // the planted bits) matches bit-for-bit.
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.vadMedia(T(s, dir, "documents"))
+      ext.Multimodal.audioWindows(media, 400).toDF()
+        .groupBy("media_id")
+        .agg(sum("n_frames").as("n_frames"), sum("sum_sq").as("sum_sq"))
+        .select(col("media_id"), col("n_frames"), col("sum_sq"),
+          round(sqrt(col("sum_sq").cast("double") / col("n_frames")) * 1000)
+            .cast("long").as("rms_milli"))
+    }),
+
+    "er_bcubed" -> ((s, dir) => {
+      // B-cubed cluster-quality eval (Bagga–Baldwin 1998; Amigó et al.
+      // 2009) of the nation-BLOCKED entity resolution against the
+      // unblocked gold clustering — the standard ER clustering metric,
+      // completing the eval ladder next to er_eval's blocking recall:
+      // per-record precision |pred∩gold|/|pred| and recall
+      // |pred∩gold|/|gold|, averaged. The per-record sums collapse to
+      // three keyed aggregates over the (pred, gold) cell counts; c²
+      // products run DECIMAL(38,0) (HUGEINT oracle); F1 derives from
+      // the already-floored micro P and R so both engines agree.
+      val cust = T(s, dir, "customer")
+      val gold = ext.Graph.componentsFor(cust.select("c_custkey"), "c_custkey",
+          ext.FuzzyJoin.editDistanceSelfJoin(cust, "c_custkey", "c_name", maxDist = 1)
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("c_custkey"), col("component").as("g"))
+      val pred = ext.Graph.componentsFor(cust.select("c_custkey"), "c_custkey",
+          ext.FuzzyJoin.editDistanceSelfJoin(cust, "c_custkey", "c_name",
+            maxDist = 1, blockCol = Some("c_nationkey"))
+            .select(col("id_a").as("src"), col("id_b").as("dst")))
+        .select(col("c_custkey"), col("component").as("p"))
+      val m = pred.join(gold, "c_custkey").localCheckpoint(true) // 4 consumers
+      val cells = m.groupBy("p", "g").agg(count(lit(1)).as("c"))
+      val ps = m.groupBy("p").agg(count(lit(1)).as("np"))
+      val gs = m.groupBy("g").agg(count(lit(1)).as("ng"))
+      val n = m.agg(count(lit(1)).as("n"), countDistinct("p").as("n_pred"),
+        countDistinct("g").as("n_gold"))
+      cells.join(ps, "p").join(gs, "g")
+        .select(expr("CAST(c AS DECIMAL(38,0)) * c * 1000000 div np").as("tp"),
+          expr("CAST(c AS DECIMAL(38,0)) * c * 1000000 div ng").as("tr"))
+        .agg(sum("tp").as("sp"), sum("tr").as("sr"))
+        .crossJoin(broadcast(n))
+        .select(col("n").as("n_records"), col("n_pred").as("n_pred_clusters"),
+          col("n_gold").as("n_gold_clusters"),
+          expr("CAST(sp div n AS BIGINT)").as("bcubed_precision_micro"),
+          expr("CAST(sr div n AS BIGINT)").as("bcubed_recall_micro"),
+          expr("""CAST((2 * (sp div n) * (sr div n))
+                 div greatest((sp div n) + (sr div n), 1) AS BIGINT)""")
+            .as("f1_micro"))
+    }),
+
     "sim_nprobe_sweep" -> ((s, dir) => {
       // nProbe accuracy ladder for the IVF tier — dd_threshold_sweep's
       // one-pass-curve idea applied to ANN: ONE candidate
@@ -11860,6 +11918,15 @@ operations:
     // sim_nprobe_sweep: the IVF replay with probe rank kept (rn <= 4),
     // swept per nprobe against the brute-force pool.
     "sim_nprobe_sweep" -> nprobeSweepOracleSql,
+    // mm_loudness: closed form from the planted bits — Σv² is
+    // popcount(low byte)·400·6000², one double sqrt rounded once.
+    "mm_loudness" ->
+      """WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 15, 2) AS BIGINT) AS lb FROM documents), s AS (SELECT doc_id, CAST(bit_count(lb) AS BIGINT) AS k FROM h) SELECT doc_id AS media_id, CAST(3200 AS BIGINT) AS n_frames, CAST(k * 400 * 36000000 AS BIGINT) AS sum_sq, CAST(round(sqrt(CAST(k * 400 * 36000000 AS DOUBLE) / 3200) * 1000) AS BIGINT) AS rms_milli FROM s""",
+    // er_bcubed: both transitive closures (er_entities' unblocked gold,
+    // er_golden's nation-blocked pred) composed, then the three cell
+    // aggregates with HUGEINT c² products mirroring the engine DECIMAL.
+    "er_bcubed" ->
+      """WITH up AS (SELECT a.c_custkey AS s, b.c_custkey AS d FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND levenshtein(a.c_name, b.c_name) <= 1), ue AS (SELECT s, d FROM up UNION SELECT d, s FROM up), gold AS (WITH RECURSIVE rr(id, rid) AS (SELECT c_custkey, c_custkey FROM customer UNION SELECT rr.id, e.d FROM rr JOIN ue e ON rr.rid = e.s) SELECT id, min(rid) AS g FROM rr GROUP BY 1), bp AS (SELECT a.c_custkey AS s, b.c_custkey AS d FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey AND levenshtein(a.c_name, b.c_name) <= 1), be AS (SELECT s, d FROM bp UNION SELECT d, s FROM bp), pred AS (WITH RECURSIVE rr(id, rid) AS (SELECT c_custkey, c_custkey FROM customer UNION SELECT rr.id, e.d FROM rr JOIN be e ON rr.rid = e.s) SELECT id, min(rid) AS p FROM rr GROUP BY 1), m AS (SELECT pred.id, pred.p, gold.g FROM pred JOIN gold ON pred.id = gold.id), cells AS (SELECT p, g, CAST(count(*) AS HUGEINT) AS c FROM m GROUP BY 1, 2), ps AS (SELECT p, CAST(count(*) AS HUGEINT) AS np FROM m GROUP BY 1), gs AS (SELECT g, CAST(count(*) AS HUGEINT) AS ng FROM m GROUP BY 1), nn AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(count(DISTINCT p) AS BIGINT) AS n_pred, CAST(count(DISTINCT g) AS BIGINT) AS n_gold FROM m), t AS (SELECT sum(c * c * 1000000 // np) AS sp, sum(c * c * 1000000 // ng) AS sr FROM cells JOIN ps USING (p) JOIN gs USING (g)) SELECT CAST(n AS BIGINT) AS n_records, n_pred AS n_pred_clusters, n_gold AS n_gold_clusters, CAST(sp // n AS BIGINT) AS bcubed_precision_micro, CAST(sr // n AS BIGINT) AS bcubed_recall_micro, CAST((2 * (sp // n) * (sr // n)) // greatest((sp // n) + (sr // n), CAST(1 AS HUGEINT)) AS BIGINT) AS f1_micro FROM t, nn""",
     // ev_psm_match: ev_uplift's user frame, the identical rank-join
     // matcher, double ATT rounded once.
     "ev_psm_match" ->

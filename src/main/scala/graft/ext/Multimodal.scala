@@ -228,9 +228,12 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** One fixed-length energy window of decoded PCM. */
+  /** One fixed-length energy window of decoded PCM. `sum_abs` feeds the
+    * VAD threshold, `sum_sq` the RMS loudness (v² ≤ 3.6e7 per 16-bit
+    * sample → ~1.4e10 per 400-sample window: no wrap).
+    */
   case class AudioWindow(media_id: Long, win_idx: Long, n_frames: Long,
-                         sum_abs: Long)
+                         sum_abs: Long, sum_sq: Long)
 
   /** Window decoded 16-bit mono PCM into `windowFrames`-sample energy
     * windows (media_id, win_idx, n_frames, Σ|sample|) — the feature
@@ -248,9 +251,15 @@ object Multimodal {
           case Some(samples) =>
             samples.grouped(windowFrames).zipWithIndex.map { case (w, i) =>
               var s = 0L
+              var q = 0L
               var k = 0
-              while (k < w.length) { s += math.abs(w(k).toLong); k += 1 }
-              AudioWindow(id, i.toLong, w.length.toLong, s)
+              while (k < w.length) {
+                val v = w(k).toLong
+                s += math.abs(v)
+                q += v * v
+                k += 1
+              }
+              AudioWindow(id, i.toLong, w.length.toLong, s, q)
             }
           case None => Iterator.empty
         }

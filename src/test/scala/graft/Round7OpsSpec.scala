@@ -234,6 +234,32 @@ class Round7OpsSpec extends SparkSpec {
     ivf3.foreach { case (q, h) => assert(sweep((q, 3L)) === h, s"query $q") }
   }
 
+  test("mm_loudness equals the closed form of the planted square wave") {
+    implicit val s: org.apache.spark.sql.SparkSession = spark
+    val ids = Seq(0L, 3L, 9L, 77L, 255L)
+    val docs = ids.map(i => (i, "t")).toDF("doc_id", "source")
+    val media = ext.Multimodal.vadMedia(docs)
+    val got = ext.Multimodal.audioWindows(media, 400).toDF()
+      .groupBy("media_id")
+      .agg(sum("n_frames").as("n"), sum("sum_sq").as("q"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    ids.foreach { id =>
+      val k = java.lang.Integer.bitCount(ext.Multimodal.vadBits(id))
+      assert(got(id) === ((3200L, k.toLong * 400L * 36000000L)), s"id $id")
+    }
+  }
+
+  test("er_bcubed: blocking can only split gold clusters, so precision = 1") {
+    val r = SparkEntry.queries("er_bcubed")(spark, sf0001).collect()(0)
+    val (p, rec, f1) = (r.getLong(3), r.getLong(4), r.getLong(5))
+    // nation blocking removes links, so every predicted cluster is a
+    // subset of a gold cluster: B³ precision is exactly 1.0
+    assert(p === 1000000L, s"precision should be exactly 1.0, got $p")
+    assert(rec > 0L && rec <= 1000000L)
+    assert(f1 <= 1000000L && f1 >= rec, "F1 lies between R and P")
+    assert(r.getLong(1) >= r.getLong(2), "blocking can only create MORE clusters")
+  }
+
   test("rec_diversity invariants hold at sf0.001") {
     val row = SparkEntry.queries("rec_diversity")(spark, sf0001).collect()(0)
     val (nLists, nRecs, nRecItems) = (row.getLong(0), row.getLong(1), row.getLong(2))
