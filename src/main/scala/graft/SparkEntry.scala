@@ -4597,18 +4597,27 @@ operations:
         .join(freq.select(col("p").as("j"), col("n").as("nj")), Seq("j"))
         .withColumn("score_micro",
           expr("CAST((cooc * cooc * 1000000) div (ni * nj) AS BIGINT)"))
-      val wi = Window.partitionBy("i")
-        .orderBy(col("score_micro").desc, col("j").asc)
-      val sims3 = scored.withColumn("rk", row_number().over(wi))
-        .filter(col("rk") <= 3).select("i", "j", "score_micro")
+      // both rankings ride the native bounded-heap aggregate (TopKAgg):
+      // the window row_number spelling shuffles and sorts every scored
+      // row; the k-heap ships ≤k rows per (partition, key). Ordering
+      // matches the old windows exactly — (score desc, j asc), j unique
+      // within each key, so no ties exist for the heap to break
+      // differently.
+      val sims3 = scored.groupBy(col("i"))
+        .agg(graft.functions.TopKAgg.topK(3, col("score_micro").cast("double"),
+          col("j").cast("double"), struct(col("j"), col("score_micro"))).as("top"))
+        .select(col("i"), explode(col("top")).as("e"))
+        .select(col("i"), col("e.j").as("j"), col("e.score_micro").as("score_micro"))
         .localCheckpoint(true) // truncates the retrain lineage under the fan-out
       val cand = ti.join(sims3, col("p") === col("i"))
         .groupBy(col("c"), col("j")).agg(sum("score_micro").as("scsum"))
       val fresh = cand.join(ti.select(col("c"), col("p").as("j")),
         Seq("c", "j"), "left_anti")
-      val wc = Window.partitionBy("c").orderBy(col("scsum").desc, col("j").asc)
-      val top10 = fresh.withColumn("rk", row_number().over(wc))
-        .filter(col("rk") <= 10)
+      val top10 = fresh.groupBy(col("c"))
+        .agg(graft.functions.TopKAgg.topK(10, col("scsum").cast("double"),
+          col("j").cast("double"), struct(col("j"), col("scsum"))).as("top"))
+        .select(col("c"), posexplode(col("top")))
+        .select(col("c"), col("col.j").as("j"), (col("pos") + 1).as("rk"))
       val hits = top10.join(te.select(col("c"), col("p").as("j")), Seq("c", "j"))
         .groupBy("c").agg(count(lit(1)).as("n_hits"), min("rk").as("best_rank"))
       te.groupBy("c").agg(count(lit(1)).as("n_test"))
@@ -9385,11 +9394,19 @@ operations:
       .join(freq.select(col("p").as("j"), col("n").as("nj")), Seq("j"))
       .withColumn("score_micro",
         expr("CAST((cooc * cooc * 1000000) div (ni * nj) AS BIGINT)"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("i")
-      .orderBy(col("score_micro").desc, col("j").asc)
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
-      .select(col("i").as("part_id"), col("rnk").cast("long").as("rnk"),
-        col("j").as("rec_part_id"), col("cooc"), col("score_micro"))
+    // top-3 per item via the native bounded-heap aggregate: the window
+    // row_number formulation shuffles and sorts EVERY directed pair; the
+    // k-heap ships ≤3 rows per (partition, item). Ordering identical to
+    // the old window: score_micro desc, j asc (j unique per i, so ties
+    // are impossible and the two spellings agree row-for-row).
+    scored.groupBy(col("i"))
+      .agg(graft.functions.TopKAgg.topK(3, col("score_micro").cast("double"),
+        col("j").cast("double"),
+        struct(col("j"), col("cooc"), col("score_micro"))).as("top"))
+      .select(col("i").as("part_id"), posexplode(col("top")))
+      .select(col("part_id"), (col("pos") + 1).cast("long").as("rnk"),
+        col("col.j").as("rec_part_id"), col("col.cooc").as("cooc"),
+        col("col.score_micro").as("score_micro"))
   }
 
   private val custLatMul = 2654435761L
