@@ -4049,6 +4049,31 @@ operations:
           col("max_acctbal_c"), col("n_segments"))
     }),
 
+    "er_jw" -> ((s, dir) => {
+      // Jaro-Winkler candidate scoring over the nation-blocked pair set —
+      // the classic record-linkage similarity (Winkler 1990) the er_*
+      // ladder was missing next to its edit-distance tier. Native
+      // Catalyst expression (functions/StringSim.scala) whose integer
+      // (m, t, len, prefix) pieces go through the exact double-arithmetic
+      // order DuckDB's jaro_winkler_similarity uses, so floor-micro
+      // values hash-match across all ~44k blocked pairs. Per nation:
+      // pair count, near-matches (jw > 0.97), and the micro-sum (a
+      // value-parity check over every pair). Blocked quadratic — bounded
+      // by block size², the standard ER cost envelope, never all-pairs.
+      val c = T(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_custkey") < col("b.c_custkey"))
+        .select(col("a.c_nationkey").as("nation_id"),
+          graft.functions.StringSim.jaroWinkler(
+            col("a.c_name"), col("b.c_name")).as("jw"))
+        .groupBy("nation_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("jw") > 0.97, 1L).otherwise(0L)).as("n_close"),
+          sum(floor(col("jw") * 1e6)).as("jw_micro_sum"))
+    }),
+
     "er_eval" -> ((s, dir) => {
       // ER blocking-loss audit — the eval row for er_entities' nation
       // blocking: candidates that pass exact levenshtein verify are all
@@ -11210,6 +11235,16 @@ operations:
            CAST(max(CAST(round(c.c_acctbal * 100) AS BIGINT)) AS BIGINT) AS max_acctbal_c,
            CAST(count(DISTINCT c.c_mktsegment) AS BIGINT) AS n_segments
          FROM reach r JOIN customer c ON r.id = c.c_custkey GROUP BY 1""",
+    // er_jw: DuckDB's own jaro_winkler_similarity IS the oracle — the
+    // native expression reproduces its double arithmetic bit-for-bit,
+    // so the floor-micro sum matches over every blocked pair
+    "er_jw" ->
+      """SELECT a.c_nationkey AS nation_id, CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN jaro_winkler_similarity(a.c_name, b.c_name) > 0.97 THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+           CAST(sum(CAST(floor(jaro_winkler_similarity(a.c_name, b.c_name) * 1000000) AS BIGINT)) AS BIGINT) AS jw_micro_sum
+         FROM customer a JOIN customer b
+           ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+         GROUP BY 1""",
     // srch_phrase: same bigram windows, same (count desc, bigram) top-1
     "srch_phrase" ->
       """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents),
