@@ -1559,6 +1559,48 @@ operations:
         Seq("spark", "dup", "vector"), 25)
     }),
 
+    "srch_mmr" -> ((s, dir) => {
+      // MMR diversified re-ranking (Carbonell & Goldstein, SIGIR 1998):
+      // greedy top-5 from the BM25 top-20 pool, trading relevance
+      // against max token-set Jaccard to anything already selected
+      // (λ = 0.7 ⇒ score = 7·reln − 3·maxsim in micro ints — exact).
+      // The greedy fold runs on the DRIVER over the collected pool —
+      // the standard re-rank shape: k² similarity lookups over 20 rows,
+      // bounded no matter the corpus size; the corpus-scale work (BM25
+      // scan + top-k heap) stays distributed. Oracle replays the same
+      // five steps as unrolled argmax CTEs.
+      val terms = Seq("spark", "dup", "vector")
+      val pool = ext.Search.bm25TopK(T(s, dir, "documents"), "doc_id", "text",
+          terms, 20).select("doc_id", "score_bp")
+      val toks = T(s, dir, "documents").select(col("doc_id"),
+        array_distinct(ext.Dedup.tokens(col("text"))).as("ts"))
+      val rows = pool.join(toks, "doc_id")
+        .select(col("doc_id"), col("score_bp"), col("ts")).collect()
+      final case class Cand(id: Long, bp: Long, reln: Long, ts: Set[String])
+      val maxBp = math.max(rows.map(_.getLong(1)).max, 1L)
+      val cands = rows.map(r => Cand(r.getLong(0), r.getLong(1),
+        r.getLong(1) * 1000000L / maxBp, r.getSeq[String](2).toSet)).sortBy(_.id)
+      def jac(a: Set[String], b: Set[String]): Long = {
+        val inter = (a & b).size.toLong
+        inter * 1000000L / math.max(a.size + b.size - inter, 1L)
+      }
+      val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Cand, Long, Long)]
+      for (rank <- 1L to 5L) {
+        val chosen = cands.filter(c => !selected.exists(_._2.id == c.id))
+          .map { c =>
+            val ms = if (selected.isEmpty) 0L
+              else selected.map(s => jac(c.ts, s._2.ts)).max
+            (c, ms, 7L * c.reln - 3L * ms)
+          }.maxBy { case (c, _, mmr) => (mmr, -c.id) }
+        selected += ((rank, chosen._1, chosen._2, chosen._3))
+      }
+      val out = selected.toSeq.map { case (rank, c, ms, mmr) =>
+        (rank, c.id, c.bp, c.reln, ms, mmr) }
+      import s.implicits._
+      out.toDF("rank", "doc_id", "score_bp", "rel_norm_micro",
+        "maxsim_micro", "mmr_score")
+    }),
+
     "srch_hybrid" -> ((s, dir) => {
       // hybrid RAG retrieval: BM25 keyword pool + cosine vector pool
       // fused by reciprocal-rank fusion in integer micro-units (one
@@ -1741,6 +1783,43 @@ operations:
         sum(col("quality_bp")).as("quality_bp_sum"),
         min(col("quality_bp")).as("quality_bp_min"),
         max(col("quality_bp")).as("quality_bp_max"))
+    }),
+
+    "ta_kappa" -> ((s, dir) => {
+      // inter-annotator agreement (Cohen's kappa, 1960) between two
+      // independent curation raters — the reliability check an RLHF /
+      // labeling pipeline runs before trusting its labels. Rater A =
+      // composite quality gate (ta_curate's quality_bp >= 5000), rater
+      // B = length gate (>= 50 tokens). The 2×2 contingency is exact
+      // integers; po, pe and kappa ride micro fixed point with the
+      // N²-scale products in DECIMAL(38,0) (HUGEINT oracle) so a
+      // trillion-doc corpus cannot wrap. kappa can be NEGATIVE (worse
+      // than chance), so the division runs on |numerator| with an
+      // explicit sign — Spark's `div` and DuckDB's `//` agree on
+      // nonnegative operands only.
+      val d = T(s, dir, "documents")
+        .select(
+          (floor(ext.TextAnalysis.rawQualityScore(col("text")) * 10000) >= 5000)
+            .cast("int").as("a"),
+          (ext.TextAnalysis.tokenCount(col("text")) >= 50).cast("int").as("b"))
+      d.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("a") === 1 && col("b") === 1, 1L).otherwise(0L)).as("n11"),
+          sum(when(col("a") === 1 && col("b") === 0, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("a") === 0 && col("b") === 1, 1L).otherwise(0L)).as("n01"),
+          sum(when(col("a") === 0 && col("b") === 0, 1L).otherwise(0L)).as("n00"))
+        // chance-agreement mass pm = Σ marginal products; kappa =
+        // (N·agree − pm) / (N² − pm), all DECIMAL(38,0)
+        .withColumn("pm", expr("""CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
+                 + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)"""))
+        .withColumn("kn", expr("CAST(n AS DECIMAL(38,0)) * (n11 + n00) - pm"))
+        .withColumn("kd", expr("CAST(n AS DECIMAL(38,0)) * n - pm"))
+        .select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
+          expr("CAST((n11 + n00) * 1000000 div n AS BIGINT)").as("po_micro"),
+          expr("CAST((pm * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
+            .as("pe_micro"),
+          expr("""CAST(CASE WHEN kn >= 0 THEN (kn * 1000000) div kd
+                 ELSE -((-kn * 1000000) div kd) END AS BIGINT)""").as("kappa_micro"))
     }),
 
     "ta_curate" -> ((s, dir) => {
@@ -2433,6 +2512,55 @@ operations:
         .select(col("g").cast("long").as("l_partkey"), col("true_cnt"),
           graft.functions.SketchAgg.cmsEstimate(
             col("cms"), col("g"), cmsDepth, cmsLogW).as("cms_est"))
+    }),
+
+    "q_influence" -> ((s, dir) => {
+      // OLS influence diagnostics (leverage + residual — the pieces of
+      // Cook's distance) for the per-flag regression price ~ quantity:
+      // the outlier/label-noise audit a training pipeline runs before
+      // trusting a fitted relation. EXACT integer route: with the group
+      // Gram sums (n, Σx, Σy, Σx², Σxy) the residual numerator
+      // e·D = y·D − (Sy·Sxx − Sx·Sxy) − (n·Sxy − Sx·Sy)·x and leverage
+      // h = (D + (n·x − Sx)²)/(n·D) are integer rationals over
+      // D = n·Sxx − Sx² — all DECIMAL(38,0) (HUGEINT oracle), micro-
+      // fixed-pointed with the |numerator|-with-sign division. Top-5
+      // per group by |e_micro| ride the bounded-heap TopKAgg (≤5 rows
+      // per key cross the wire, never the table).
+      val li = T(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+        col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_quantity").cast("long").as("x"),
+        round(col("l_extendedprice") * 100).cast("long").as("y_c"))
+      val st = li.groupBy("flag").agg(
+        count(lit(1)).as("n"), sum("x").as("sx"), sum("y_c").as("sy"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
+        sum(expr("CAST(x AS DECIMAL(38,0)) * y_c")).as("sxy"))
+      li.join(broadcast(st), "flag")
+        // greatest(D, 1): a constant-x group would zero D; keep the
+        // division total (both engines share the guard)
+        .withColumn("d", expr(
+          "greatest(CAST(n AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sx, CAST(1 AS DECIMAL(38,0)))"))
+        .withColumn("e_num", expr("""CAST(y_c AS DECIMAL(38,0)) * d
+             - (CAST(sy AS DECIMAL(38,0)) * sxx - CAST(sx AS DECIMAL(38,0)) * sxy)
+             - (CAST(n AS DECIMAL(38,0)) * sxy - CAST(sx AS DECIMAL(38,0)) * sy) * x"""))
+        .withColumn("h_num", expr("""d + (CAST(n AS DECIMAL(38,0)) * x - sx)
+             * (CAST(n AS DECIMAL(38,0)) * x - sx)"""))
+        .withColumn("e_micro", expr("""CAST(CASE WHEN e_num >= 0
+             THEN (e_num * 1000000) div d
+             ELSE -((-e_num * 1000000) div d) END AS BIGINT)"""))
+        .withColumn("h_micro", expr(
+          "CAST((h_num * 1000000) div (CAST(n AS DECIMAL(38,0)) * d) AS BIGINT)"))
+        .groupBy("flag")
+        .agg(graft.functions.TopKAgg.topK(5,
+          abs(col("e_micro")).cast("double"),
+          (col("l_orderkey") * 8 + col("l_linenumber")).cast("double"),
+          struct(col("l_orderkey"), col("l_linenumber"), col("x"), col("y_c"),
+            col("e_micro"), col("h_micro"))).as("top"))
+        .select(col("flag"), posexplode(col("top")))
+        .select(col("flag"), (col("pos") + 1).cast("long").as("rank"),
+          col("col.l_orderkey").as("l_orderkey"),
+          col("col.l_linenumber").as("l_linenumber"),
+          col("col.x").as("x"), col("col.y_c").as("y_c"),
+          col("col.e_micro").as("e_micro"), col("col.h_micro").as("h_micro"))
     }),
 
     "q_ols" -> ((s, dir) => {
@@ -10757,6 +10885,22 @@ operations:
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
          WHERE rn <= 10""",
     "ta_quality_score" -> qualityScoreOracleSql,
+    // ta_kappa: the qualityScoreOracleSql rater vs the 50-token length
+    // rater; same exact-integer contingency, HUGEINT marginal products,
+    // |numerator|-with-sign division so negative kappa agrees
+    "ta_kappa" ->
+      """WITH base AS (SELECT doc_id, text, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents),
+         comp AS (SELECT doc_id, len(toks) AS n_toks, CAST(len(toks) AS DOUBLE) AS ntok, CASE WHEN length(text) > 0 THEN (length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g'))) / CAST(length(text) AS DOUBLE) ELSE 0 END AS pr, CASE WHEN len(toks) > 0 THEN CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','or','of','to','in','is','it','that','for','on','with','as','was','at','by','be','this'], t))) AS DOUBLE) / len(toks) ELSE 0 END AS sr, CASE WHEN len(toks) > 0 THEN CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks) ELSE 0 END AS mtl FROM base),
+         lab AS (SELECT CASE WHEN floor((CAST(CASE WHEN ntok >= 50 AND ntok <= 10000 THEN 1.0 WHEN ntok >= 10 THEN 0.5 ELSE 0.1 END AS DOUBLE) * 0.3 + (1.0 - least(pr * 4, 1.0)) * 0.2 + least(sr * 3, 1.0) * 0.3 + CAST(CASE WHEN mtl >= 3 AND mtl <= 10 THEN 1.0 ELSE 0.3 END AS DOUBLE) * 0.2) * 10000) >= 5000 THEN 1 ELSE 0 END AS a, CASE WHEN n_toks >= 50 THEN 1 ELSE 0 END AS b FROM comp),
+         c AS (SELECT count(*) AS n, sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS n11, sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS n10, sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS n01, sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS n00 FROM lab),
+         k AS (SELECT n, n11, n10, n01, n00, (n11 + n10)::HUGEINT * (n11 + n01) + (n01 + n00)::HUGEINT * (n10 + n00) AS pm FROM c)
+         SELECT CAST(n AS BIGINT) AS n_docs, CAST(n11 AS BIGINT) AS n11, CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01, CAST(n00 AS BIGINT) AS n00,
+           CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
+           CAST((pm * 1000000) // (n::HUGEINT * n) AS BIGINT) AS pe_micro,
+           CAST(CASE WHEN n::HUGEINT * (n11 + n00) - pm >= 0
+                THEN ((n::HUGEINT * (n11 + n00) - pm) * 1000000) // (n::HUGEINT * n - pm)
+                ELSE -((-(n::HUGEINT * (n11 + n00) - pm)) * 1000000) // (n::HUGEINT * n - pm) END AS BIGINT) AS kappa_micro
+         FROM k""",
     "ta_langid" -> langidOracleSql,
     "ta_split" ->
       """SELECT doc_id, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'cccccccd' THEN 'train' WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < 'e6666666' THEN 'val' ELSE 'test' END AS split FROM documents""",
@@ -10964,6 +11108,26 @@ operations:
     "dd_jaccard_join" ->
       """WITH t AS (SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents), s AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0), p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter FROM s a JOIN s b ON a.id < b.id) SELECT id_a, id_b, n_a, n_b, inter, n_a + n_b - inter AS uni, CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard FROM p WHERE n_a + n_b - inter > 0 AND CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.9""",
     "srch_bm25" -> bm25OracleSql,
+    // srch_mmr: the same BM25 pool truncated to 20, integer Jaccard
+    // sims, and the greedy λ=0.7 selection unrolled as five argmax CTEs
+    "srch_mmr" -> s"""WITH dtoks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS ts FROM documents),
+         pool AS (SELECT p.doc_id, p.score_bp, t.ts FROM (SELECT doc_id, score_bp FROM ($bm25OracleSql) ORDER BY score_bp DESC, doc_id LIMIT 20) p JOIN dtoks t USING (doc_id)),
+         rel AS (SELECT doc_id, score_bp, (score_bp * 1000000) // greatest((SELECT max(score_bp) FROM pool), 1) AS reln FROM pool),
+         sims AS (SELECT a.doc_id AS i, b.doc_id AS j, (CAST(len(list_intersect(a.ts, b.ts)) AS BIGINT) * 1000000) // greatest(len(a.ts) + len(b.ts) - len(list_intersect(a.ts, b.ts)), 1) AS jac FROM pool a JOIN pool b ON a.doc_id <> b.doc_id),
+         s1 AS (SELECT doc_id, score_bp, reln, CAST(0 AS BIGINT) AS maxsim, 7 * reln AS mmr FROM rel ORDER BY reln DESC, doc_id LIMIT 1),
+         c2 AS (SELECT r.doc_id, r.score_bp, r.reln, max(s.jac) AS ms FROM rel r JOIN sims s ON s.i = r.doc_id AND s.j IN (SELECT doc_id FROM s1) WHERE r.doc_id NOT IN (SELECT doc_id FROM s1) GROUP BY 1, 2, 3),
+         s2 AS (SELECT doc_id, score_bp, reln, ms AS maxsim, 7 * reln - 3 * ms AS mmr FROM c2 ORDER BY mmr DESC, doc_id LIMIT 1),
+         sel2 AS (SELECT doc_id FROM s1 UNION ALL SELECT doc_id FROM s2),
+         c3 AS (SELECT r.doc_id, r.score_bp, r.reln, max(s.jac) AS ms FROM rel r JOIN sims s ON s.i = r.doc_id AND s.j IN (SELECT doc_id FROM sel2) WHERE r.doc_id NOT IN (SELECT doc_id FROM sel2) GROUP BY 1, 2, 3),
+         s3 AS (SELECT doc_id, score_bp, reln, ms AS maxsim, 7 * reln - 3 * ms AS mmr FROM c3 ORDER BY mmr DESC, doc_id LIMIT 1),
+         sel3 AS (SELECT doc_id FROM sel2 UNION ALL SELECT doc_id FROM s3),
+         c4 AS (SELECT r.doc_id, r.score_bp, r.reln, max(s.jac) AS ms FROM rel r JOIN sims s ON s.i = r.doc_id AND s.j IN (SELECT doc_id FROM sel3) WHERE r.doc_id NOT IN (SELECT doc_id FROM sel3) GROUP BY 1, 2, 3),
+         s4 AS (SELECT doc_id, score_bp, reln, ms AS maxsim, 7 * reln - 3 * ms AS mmr FROM c4 ORDER BY mmr DESC, doc_id LIMIT 1),
+         sel4 AS (SELECT doc_id FROM sel3 UNION ALL SELECT doc_id FROM s4),
+         c5 AS (SELECT r.doc_id, r.score_bp, r.reln, max(s.jac) AS ms FROM rel r JOIN sims s ON s.i = r.doc_id AND s.j IN (SELECT doc_id FROM sel4) WHERE r.doc_id NOT IN (SELECT doc_id FROM sel4) GROUP BY 1, 2, 3),
+         s5 AS (SELECT doc_id, score_bp, reln, ms AS maxsim, 7 * reln - 3 * ms AS mmr FROM c5 ORDER BY mmr DESC, doc_id LIMIT 1)
+         SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_bp, CAST(reln AS BIGINT) AS rel_norm_micro, CAST(maxsim AS BIGINT) AS maxsim_micro, CAST(mmr AS BIGINT) AS mmr_score FROM (
+           SELECT 1 AS rank, * FROM s1 UNION ALL SELECT 2, * FROM s2 UNION ALL SELECT 3, * FROM s3 UNION ALL SELECT 4, * FROM s4 UNION ALL SELECT 5, * FROM s5)""",
     "ev_scd2" ->
       """WITH m AS (SELECT user_id, event_type, ts, event_id, lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev FROM events), c AS (SELECT user_id, event_type, ts AS valid_from, event_id FROM m WHERE prev IS NULL OR event_type <> prev), v AS (SELECT user_id, event_type, valid_from, lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS valid_to, row_number() OVER (PARTITION BY user_id ORDER BY valid_from, event_id) AS version FROM c) SELECT user_id, event_type, valid_from, valid_to, valid_to IS NULL AS is_current, CAST(version AS BIGINT) AS version FROM v""",
     "ta_decontam" ->
@@ -10973,6 +11137,29 @@ operations:
     // stream_cms: elementwise-sum merge makes streamed ≡ batch — same oracle
     "stream_cms" -> cmsOracleSql,
     "q_ols" -> olsOracleSql,
+    // q_influence: identical integer rationals through HUGEINT; top-5
+    // via the same (|e_micro| desc, okey·8+line) ordering
+    "q_influence" ->
+      """WITH st AS (SELECT l_returnflag AS flag, count(*)::HUGEINT AS n,
+             sum(CAST(l_quantity AS BIGINT))::HUGEINT AS sx,
+             sum(CAST(round(l_extendedprice * 100) AS BIGINT))::HUGEINT AS sy,
+             sum(CAST(l_quantity AS BIGINT)::HUGEINT * CAST(l_quantity AS BIGINT)) AS sxx,
+             sum(CAST(l_quantity AS BIGINT)::HUGEINT * CAST(round(l_extendedprice * 100) AS BIGINT)) AS sxy
+           FROM lineitem GROUP BY 1),
+         r AS (SELECT l.l_returnflag AS flag, l.l_orderkey, CAST(l.l_linenumber AS BIGINT) AS l_linenumber,
+             CAST(l.l_quantity AS BIGINT) AS x, CAST(round(l.l_extendedprice * 100) AS BIGINT) AS y_c,
+             s.n, s.sx, s.sy, s.sxx, s.sxy, greatest(s.n * s.sxx - s.sx * s.sx, 1::HUGEINT) AS d
+           FROM lineitem l JOIN st s ON l.l_returnflag = s.flag),
+         e AS (SELECT *, y_c::HUGEINT * d - (sy * sxx - sx * sxy) - (n * sxy - sx * sy) * x AS e_num,
+             d + (n * x - sx) * (n * x - sx) AS h_num FROM r),
+         m AS (SELECT flag, l_orderkey, l_linenumber, x, y_c,
+             CAST(CASE WHEN e_num >= 0 THEN (e_num * 1000000) // d
+                  ELSE -((-e_num * 1000000) // d) END AS BIGINT) AS e_micro,
+             CAST((h_num * 1000000) // (n * d) AS BIGINT) AS h_micro FROM e),
+         k AS (SELECT *, row_number() OVER (PARTITION BY flag
+             ORDER BY abs(e_micro) DESC, l_orderkey * 8 + l_linenumber) AS rank FROM m)
+         SELECT flag, CAST(rank AS BIGINT) AS rank, l_orderkey, l_linenumber, x, y_c, e_micro, h_micro
+         FROM k WHERE rank <= 5""",
     // stream_hll: order-free max-merge ⇒ streamed registers equal batch
     "stream_hll" -> hllOracleSql,
     "srch_invindex" ->
