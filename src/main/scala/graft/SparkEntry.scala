@@ -1785,6 +1785,53 @@ operations:
         max(col("quality_bp")).as("quality_bp_max"))
     }),
 
+    "ta_bleu" -> ((s, dir) => {
+      // corpus BLEU-2 (Papineni et al. 2002) between adjacent document
+      // pairs (even doc = hypothesis, its successor = reference) rolled
+      // up per source — the generation-eval metric next to ta_rouge's
+      // recall overlap. Clipped n-gram counts are exact integers
+      // (Σ min(count_hyp, count_ref) via one grouped join per order, no
+      // pairwise token loops); the brevity penalty is an integer
+      // rational; the only doubles are one ln per precision order per
+      // SOURCE (5 rows), each rounded once to micro-nats — the
+      // ta_entropy discipline. Pairing is an equi-join on doc_id + 1,
+      // not a window: no per-source sort at any scale.
+      val d = T(s, dir, "documents")
+      val pr = d.filter(col("doc_id") % 2 === 0)
+        .select(col("doc_id").as("pid"), col("source"), col("text").as("htext"))
+        .join(d.select((col("doc_id") - 1).as("pid"), col("text").as("rtext")),
+          "pid")
+      val base = pr.select(col("pid"), col("source"),
+        ext.TextAnalysis.tokenCount(col("htext")).as("c"),
+        ext.TextAnalysis.tokenCount(col("rtext")).as("r"))
+      def grams(n: Int, c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        if (n == 1) ext.Dedup.tokens(c) else ext.Dedup.wordNgrams(c, n)
+      def clipped(n: Int): DataFrame = {
+        val hg = pr.select(col("pid"), explode(grams(n, col("htext"))).as("g"))
+          .groupBy("pid", "g").agg(count(lit(1)).as("ch"))
+        val rg = pr.select(col("pid"), explode(grams(n, col("rtext"))).as("g"))
+          .groupBy("pid", "g").agg(count(lit(1)).as("cr"))
+        hg.groupBy("pid").agg(sum(col("ch")).as(s"p${n}_den"))
+          .join(hg.join(rg, Seq("pid", "g"))
+            .groupBy("pid").agg(sum(least(col("ch"), col("cr"))).as(s"p${n}_num")),
+            Seq("pid"), "left")
+          .na.fill(0L, Seq(s"p${n}_num"))
+      }
+      base.join(clipped(1), Seq("pid"), "left").join(clipped(2), Seq("pid"), "left")
+        .na.fill(0L, Seq("p1_num", "p1_den", "p2_num", "p2_den"))
+        .groupBy("source").agg(count(lit(1)).as("n_pairs"),
+          sum("c").as("c_total"), sum("r").as("r_total"),
+          sum("p1_num").as("p1_num"), sum("p1_den").as("p1_den"),
+          sum("p2_num").as("p2_num"), sum("p2_den").as("p2_den"))
+        .withColumn("bp_micro", expr("""CASE WHEN c_total >= r_total
+             THEN CAST(0 AS BIGINT)
+             ELSE -CAST(((r_total - c_total) * 1000000) div c_total AS BIGINT) END"""))
+        .withColumn("log_bleu_micro", expr(
+          """CASE WHEN p1_num = 0 OR p2_num = 0 OR p1_den = 0 OR p2_den = 0 THEN NULL
+             ELSE bp_micro - ((-(CAST(round(ln(CAST(p1_num AS DOUBLE) / p1_den) * 1000000) AS BIGINT)
+                 + CAST(round(ln(CAST(p2_num AS DOUBLE) / p2_den) * 1000000) AS BIGINT))) div 2) END"""))
+    }),
+
     "ta_kappa" -> ((s, dir) => {
       // inter-annotator agreement (Cohen's kappa, 1960) between two
       // independent curation raters — the reliability check an RLHF /
@@ -5588,6 +5635,38 @@ operations:
                  END""").as("ht_term_micro"))
     }),
 
+    "ev_snips" -> ((s, dir) => {
+      // self-normalized inverse-propensity scoring (SNIPS — Swaminathan
+      // & Joachims 2015) off-policy value of a purchase-skewed target
+      // policy (π_t: purchase 0.6, others 0.1) against the LOGGED event
+      // stream, per user cohort. Logging propensities are the empirical
+      // per-(cohort, action) rates n_ca/N_c, so each cell contributes
+      // the Horvitz-Thompson term π_t(a)·N_c·r_ca/n_ca and the
+      // normalizer Σ π_t(a)·N_c — exact integer rationals, micro-floored
+      // per CELL (deterministic on both engines), DECIMAL(38,0) products
+      // so a trillion-event log cannot wrap. Reward = value > 50.
+      val cells = events(s, dir)
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          when(col("value") > 50, 1L).otherwise(0L).as("r"))
+        .groupBy("cohort", "event_type")
+        .agg(count(lit(1)).as("n_ca"), sum("r").as("r_ca"))
+        .withColumn("pt_micro",
+          when(col("event_type") === "purchase", 600000L).otherwise(100000L))
+      val nc = cells.groupBy("cohort").agg(sum("n_ca").as("n_c"))
+      cells.join(broadcast(nc), "cohort")
+        .withColumn("term",
+          expr("(CAST(pt_micro AS DECIMAL(38,0)) * n_c * r_ca) div n_ca"))
+        .withColumn("wsum", expr("CAST(pt_micro AS DECIMAL(38,0)) * n_c"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_cells"), sum("n_ca").as("n_events"),
+          sum("term").as("num"), sum("wsum").as("den"))
+        .select(col("cohort"), col("n_cells"), col("n_events"),
+          expr("CAST(num AS BIGINT)").as("num_micro"),
+          expr("CAST(den AS BIGINT)").as("den_micro"),
+          expr("CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div den AS BIGINT)")
+            .as("snips_micro"))
+    }),
+
     "ev_tost" -> ((s, dir) => {
       // TOST equivalence test (Schuirmann): is the A/B per-user spend
       // difference PROVABLY within ±2% of the grand mean — the "safe to
@@ -9177,6 +9256,24 @@ operations:
             .cast("long").as("rms_milli"))
     }),
 
+    "mm_zcr" -> ((s, dir) => {
+      // zero-crossing rate per clip — the third audio-curation dial next
+      // to mm_vad (energy) and mm_loudness (RMS): high ZCR separates
+      // tonal/voiced content from noise and silence. Same REAL WAV
+      // round-trip; a crossing is a strict sign flip between adjacent
+      // samples WITHIN a window (zeros never cross, so silence scores
+      // 0). The planted ±6000 alternating square wave crosses on every
+      // adjacent pair: an active 400-frame window contributes exactly
+      // 399, which is the oracle's closed form over the planted bits.
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.vadMedia(T(s, dir, "documents"))
+      ext.Multimodal.audioWindows(media, 400).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(col("n_zc") > 0, 1L).otherwise(0L)).as("n_active"),
+          sum(col("n_zc")).as("zc_total"))
+    }),
+
     "er_bcubed" -> ((s, dir) => {
       // B-cubed cluster-quality eval (Bagga–Baldwin 1998; Amigó et al.
       // 2009) of the nation-BLOCKED entity resolution against the
@@ -10885,6 +10982,37 @@ operations:
          FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
          WHERE rn <= 10""",
     "ta_quality_score" -> qualityScoreOracleSql,
+    // ta_bleu: identical clipped-count joins; the two ln-per-source
+    // roundings are the only doubles, same op order
+    "ta_bleu" ->
+      """WITH pr AS (SELECT h.doc_id AS pid, h.source,
+             list_filter(string_split_regex(lower(h.text), '\s+'), x -> x <> '') AS t,
+             list_filter(string_split_regex(lower(r.text), '\s+'), x -> x <> '') AS rt
+           FROM documents h JOIN documents r ON r.doc_id = h.doc_id + 1 WHERE h.doc_id % 2 = 0),
+         base AS (SELECT pid, source, CAST(len(t) AS BIGINT) AS c, CAST(len(rt) AS BIGINT) AS r FROM pr),
+         h1c AS (SELECT pid, g, count(*) AS ch FROM (SELECT pid, unnest(t) AS g FROM pr) GROUP BY 1, 2),
+         r1c AS (SELECT pid, g, count(*) AS cr FROM (SELECT pid, unnest(rt) AS g FROM pr) GROUP BY 1, 2),
+         p1 AS (SELECT pid, CAST(sum(least(h.ch, r.cr)) AS BIGINT) AS p1_num FROM h1c h JOIN r1c r USING (pid, g) GROUP BY 1),
+         d1 AS (SELECT pid, CAST(sum(ch) AS BIGINT) AS p1_den FROM h1c GROUP BY 1),
+         h2c AS (SELECT pid, g, count(*) AS ch FROM (SELECT pid, unnest(CASE WHEN len(t) >= 2 THEN list_transform(range(len(t) - 1), i -> array_to_string(t[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+2)], ' ')) ELSE [] END) AS g FROM pr) GROUP BY 1, 2),
+         r2c AS (SELECT pid, g, count(*) AS cr FROM (SELECT pid, unnest(CASE WHEN len(rt) >= 2 THEN list_transform(range(len(rt) - 1), i -> array_to_string(rt[(CAST(i AS INTEGER)+1):(CAST(i AS INTEGER)+2)], ' ')) ELSE [] END) AS g FROM pr) GROUP BY 1, 2),
+         p2 AS (SELECT pid, CAST(sum(least(h.ch, r.cr)) AS BIGINT) AS p2_num FROM h2c h JOIN r2c r USING (pid, g) GROUP BY 1),
+         d2 AS (SELECT pid, CAST(sum(ch) AS BIGINT) AS p2_den FROM h2c GROUP BY 1),
+         agg AS (SELECT b.source, CAST(count(*) AS BIGINT) AS n_pairs,
+             CAST(sum(b.c) AS BIGINT) AS c_total, CAST(sum(b.r) AS BIGINT) AS r_total,
+             CAST(sum(coalesce(p1.p1_num, 0)) AS BIGINT) AS p1_num,
+             CAST(sum(coalesce(d1.p1_den, 0)) AS BIGINT) AS p1_den,
+             CAST(sum(coalesce(p2.p2_num, 0)) AS BIGINT) AS p2_num,
+             CAST(sum(coalesce(d2.p2_den, 0)) AS BIGINT) AS p2_den
+           FROM base b LEFT JOIN p1 USING (pid) LEFT JOIN d1 USING (pid)
+             LEFT JOIN p2 USING (pid) LEFT JOIN d2 USING (pid) GROUP BY 1),
+         f AS (SELECT *, CASE WHEN c_total >= r_total THEN CAST(0 AS BIGINT)
+             ELSE -CAST(((r_total - c_total) * 1000000) // c_total AS BIGINT) END AS bp_micro FROM agg)
+         SELECT source, n_pairs, c_total, r_total, p1_num, p1_den, p2_num, p2_den, bp_micro,
+           CASE WHEN p1_num = 0 OR p2_num = 0 OR p1_den = 0 OR p2_den = 0 THEN NULL
+             ELSE bp_micro - ((-(CAST(round(ln(CAST(p1_num AS DOUBLE) / p1_den) * 1000000) AS BIGINT)
+                 + CAST(round(ln(CAST(p2_num AS DOUBLE) / p2_den) * 1000000) AS BIGINT))) // 2) END AS log_bleu_micro
+         FROM f""",
     // ta_kappa: the qualityScoreOracleSql rater vs the 50-token length
     // rater; same exact-integer contingency, HUGEINT marginal products,
     // |numerator|-with-sign division so negative kappa agrees
@@ -11807,6 +11935,24 @@ operations:
     // operands keep // and div identical.
     "ev_ipw" ->
       """WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp FROM events GROUP BY 1), d AS (SELECT user_id, resp, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated, CAST(ntile(10) OVER (ORDER BY pre_n DESC, user_id) AS BIGINT) AS stratum FROM u), b AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, CAST(sum(CASE WHEN treated = 1 THEN resp ELSE 0 END) AS BIGINT) AS r_t, CAST(sum(CASE WHEN treated = 0 THEN resp ELSE 0 END) AS BIGINT) AS r_c FROM d GROUP BY 1) SELECT stratum, n_s, n_t, n_c, r_t, r_c, CAST(CAST(n_t AS HUGEINT) * 1000000 // n_s AS BIGINT) AS propensity_micro, CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE CAST(CAST(r_t AS HUGEINT) * n_s * 1000000 // n_t - CAST(r_c AS HUGEINT) * n_s * 1000000 // n_c AS BIGINT) END AS ht_term_micro FROM b""",
+    // ev_snips: identical per-(cohort, action) cells, HT terms
+    // micro-floored per cell, HUGEINT products
+    "ev_snips" ->
+      """WITH cells AS (SELECT user_id % 10 AS cohort, event_type,
+             count(*)::HUGEINT AS n_ca,
+             sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::HUGEINT AS r_ca,
+             (CASE WHEN event_type = 'purchase' THEN 600000 ELSE 100000 END)::HUGEINT AS pt
+           FROM events GROUP BY 1, 2),
+         nc AS (SELECT cohort, sum(n_ca) AS n_c FROM cells GROUP BY 1),
+         t AS (SELECT c.cohort, c.n_ca, (c.pt * n.n_c * c.r_ca) // c.n_ca AS term,
+             c.pt * n.n_c AS wsum
+           FROM cells c JOIN nc n USING (cohort))
+         SELECT cohort, CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(sum(n_ca) AS BIGINT) AS n_events,
+           CAST(sum(term) AS BIGINT) AS num_micro,
+           CAST(sum(wsum) AS BIGINT) AS den_micro,
+           CAST((sum(term) * 1000000) // sum(wsum) AS BIGINT) AS snips_micro
+         FROM t GROUP BY 1""",
     // ev_tost: q_ttest's Welch replay on per-user spend with arms by
     // parity; margin, t's and the equivalence verdict in the identical
     // double op order.
@@ -12161,6 +12307,10 @@ operations:
     // popcount(low byte)·400·6000², one double sqrt rounded once.
     "mm_loudness" ->
       """WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 15, 2) AS BIGINT) AS lb FROM documents), s AS (SELECT doc_id, CAST(bit_count(lb) AS BIGINT) AS k FROM h) SELECT doc_id AS media_id, CAST(3200 AS BIGINT) AS n_frames, CAST(k * 400 * 36000000 AS BIGINT) AS sum_sq, CAST(round(sqrt(CAST(k * 400 * 36000000 AS DOUBLE) / 3200) * 1000) AS BIGINT) AS rms_milli FROM s""",
+    // mm_zcr: closed form from the planted bits — an active window's
+    // ±6000 alternation crosses on all 399 adjacent pairs, silence never
+    "mm_zcr" ->
+      """WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 15, 2) AS BIGINT) AS lb FROM documents), s AS (SELECT doc_id, CAST(bit_count(lb) AS BIGINT) AS k FROM h) SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_windows, k AS n_active, CAST(k * 399 AS BIGINT) AS zc_total FROM s""",
     // er_bcubed: both transitive closures (er_entities' unblocked gold,
     // er_golden's nation-blocked pred) composed, then the three cell
     // aggregates with HUGEINT c² products mirroring the engine DECIMAL.

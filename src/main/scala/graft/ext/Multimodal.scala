@@ -233,7 +233,7 @@ object Multimodal {
     * sample → ~1.4e10 per 400-sample window: no wrap).
     */
   case class AudioWindow(media_id: Long, win_idx: Long, n_frames: Long,
-                         sum_abs: Long, sum_sq: Long)
+                         sum_abs: Long, sum_sq: Long, n_zc: Long)
 
   /** Window decoded 16-bit mono PCM into `windowFrames`-sample energy
     * windows (media_id, win_idx, n_frames, Σ|sample|) — the feature
@@ -252,14 +252,18 @@ object Multimodal {
             samples.grouped(windowFrames).zipWithIndex.map { case (w, i) =>
               var s = 0L
               var q = 0L
+              var zc = 0L
               var k = 0
               while (k < w.length) {
                 val v = w(k).toLong
                 s += math.abs(v)
                 q += v * v
+                // strict sign flip (v·v' < 0): zeros never count, so
+                // silence contributes no crossings
+                if (k > 0 && v * w(k - 1).toLong < 0) zc += 1
                 k += 1
               }
-              AudioWindow(id, i.toLong, w.length.toLong, s, q)
+              AudioWindow(id, i.toLong, w.length.toLong, s, q, zc)
             }
           case None => Iterator.empty
         }
