@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -95,11 +95,13 @@ object StringSim {
 }
 
 /** jaro_winkler_similarity(a, b) → double in [0, 1]. Null if either side
-  * is null (BinaryExpression nullSafeEval). CodegenFallback: the per-row
-  * cost is the O(len·window) matching loop, not the virtual call.
+  * is null (BinaryExpression nullSafeEval). Real doGenCode (a static call
+  * into [[StringSim]]): the expression stays INSIDE whole-stage codegen —
+  * no per-row virtual eval() call, no fallback-induced codegen split in
+  * the blocked self-join's probe loop.
   */
 case class JaroWinklerExpr(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
 
@@ -107,6 +109,10 @@ case class JaroWinklerExpr(left: Expression, right: Expression)
     StringSim.jaroWinkler(
       a.asInstanceOf[UTF8String].getBytes,
       b.asInstanceOf[UTF8String].getBytes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.StringSim.jaroWinkler($a.getBytes(), $b.getBytes());")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerExpr =

@@ -50,6 +50,22 @@ class StringSimSpec extends SparkSpec {
     assert(got(2) == null)
   }
 
+  test("doGenCode compiles: identical results under CODEGEN_ONLY") {
+    import spark.implicits._
+    val was = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val got = Seq(("martha", "marhta"), ("aa", "aaaa"))
+        .toDF("a", "b")
+        .select(StringSim.jaroWinkler(col("a"), col("b")).as("jw"))
+        .collect().map(_.getDouble(0))
+      assert(got.toSeq == Seq(0.9611111111111111, 0.8666666666666667))
+    } finally was match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("symmetry and range on corpus-shaped names") {
     val names = (0 until 50).map(i => f"Customer#$i%09d")
     for (a <- names.take(10); b <- names.take(10)) {
