@@ -5361,6 +5361,26 @@ operations:
           expr("(n_hapax * 1000000) div n_vocab").as("hapax_micro"))
     }),
 
+    "ta_yule" -> ((s, dir) => {
+      // Yule's characteristic K (Yule 1944) per source — the length-
+      // robust lexical-diversity constant TTR lacks (TTR shrinks as a
+      // corpus grows; K doesn't): K = 10⁴·(Σc² − N)/N² over word
+      // frequencies c. Same two cascaded hash aggs as ta_hapax; Σc²
+      // rides DECIMAL(38,0) (HUGEINT oracle) so web-scale frequencies
+      // cannot wrap; Σc² ≥ N always, so the division is sign-free.
+      val tok = T(s, dir, "documents")
+        .select(col("source"), explode(ext.Dedup.tokens(col("text"))).as("w"))
+      tok.groupBy("source", "w").agg(count(lit(1)).as("c"))
+        .groupBy("source")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_vocab"),
+          sum(expr("CAST(c AS DECIMAL(38,0)) * c")).as("s2"))
+        .select(col("source"), col("n_tokens"), col("n_vocab"),
+          expr("CAST(s2 AS BIGINT)").as("sum_c2"),
+          expr("""CAST(((s2 - n_tokens) * 10000000)
+                 div (CAST(n_tokens AS DECIMAL(38,0)) * n_tokens) AS BIGINT)""")
+            .as("yule_k_milli"))
+    }),
+
     "dd_url" -> ((s, dir) => {
       // URL canonicalization dedup (the CommonCrawl ingest step): four
       // planted surface variants per target (case, default port,
@@ -9274,6 +9294,22 @@ operations:
           sum(col("n_zc")).as("zc_total"))
     }),
 
+    "mm_goertzel" -> ((s, dir) => {
+      // single-bin DFT tone detector (Goertzel 1958) at the Nyquist bin
+      // — the frequency-domain sibling of mm_zcr: the planted square
+      // wave IS a pure fs/2 tone, so an active window's alternating sum
+      // Σ(−1)^k·v is exactly 400·6000 and silence is 0; a real pipeline
+      // flips the bin coefficient to hunt hums/tones before ASR. All
+      // integer; closed-form oracle from the planted bits.
+      implicit val sp: SparkSession = s
+      val media = ext.Multimodal.vadMedia(T(s, dir, "documents"))
+      ext.Multimodal.audioWindows(media, 400).toDF()
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_windows"),
+          sum(when(abs(col("alt_sum")) > 0, 1L).otherwise(0L)).as("n_tonal"),
+          sum(abs(col("alt_sum"))).as("nyquist_mag_total"))
+    }),
+
     "er_bcubed" -> ((s, dir) => {
       // B-cubed cluster-quality eval (Bagga–Baldwin 1998; Amigó et al.
       // 2009) of the nation-BLOCKED entity resolution against the
@@ -11907,6 +11943,10 @@ operations:
       """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), topw AS (SELECT w FROM (SELECT w, count(*) AS cw FROM tok GROUP BY 1 ORDER BY cw DESC, w LIMIT 30)), tot AS (SELECT source, CAST(count(*) AS BIGINT) AS tot FROM tok GROUP BY 1), cnt AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok JOIN topw USING (w) GROUP BY 1, 2), grid AS (SELECT t.source, p.w, CAST((CAST(coalesce(c.c, 0) AS HUGEINT) * 1000000) // t.tot AS BIGINT) AS f FROM tot t CROSS JOIN topw p LEFT JOIN cnt c ON c.source = t.source AND c.w = p.w), stats AS (SELECT w, CAST(count(*) AS HUGEINT) AS n, sum(CAST(f AS HUGEINT)) AS s1, sum(CAST(f AS HUGEINT) * f) AS s2 FROM grid GROUP BY 1), z AS (SELECT g.source, g.w, CAST(round(CAST(s.n * g.f - s.s1 AS DOUBLE) / sqrt(CAST(s.n * s.s2 - s.s1 * s.s1 AS DOUBLE)) * 1000000) AS BIGINT) AS z FROM grid g JOIN stats s USING (w) WHERE s.n * s.s2 > s.s1 * s.s1) SELECT a.source AS source_a, b.source AS source_b, CAST(count(*) AS BIGINT) AS n_words, CAST(sum(abs(a.z - b.z)) // count(*) AS BIGINT) AS delta_micro FROM z a JOIN z b ON a.w = b.w AND a.source < b.source GROUP BY 1, 2""",
     "ta_hapax" ->
       """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2) SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax, CAST((count(*) * 1000000) // sum(c) AS BIGINT) AS ttr_micro, CAST((sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT) AS hapax_micro FROM c GROUP BY 1""",
+    // ta_yule: same (source, word) counts; K scaled to milli
+    // (10⁴·K → ×10⁷ over N²) through HUGEINT
+    "ta_yule" ->
+      """WITH tok AS (SELECT source, unnest(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS w FROM documents), c AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2) SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_vocab, CAST(sum(c::HUGEINT * c) AS BIGINT) AS sum_c2, CAST(((sum(c::HUGEINT * c) - sum(c)) * 10000000) // (sum(c)::HUGEINT * sum(c)) AS BIGINT) AS yule_k_milli FROM c GROUP BY 1""",
     // dd_url: the same planted variants and the same canonicalization
     // regex chain, replayed step for step
     "dd_url" ->
@@ -12311,6 +12351,10 @@ operations:
     // ±6000 alternation crosses on all 399 adjacent pairs, silence never
     "mm_zcr" ->
       """WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 15, 2) AS BIGINT) AS lb FROM documents), s AS (SELECT doc_id, CAST(bit_count(lb) AS BIGINT) AS k FROM h) SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_windows, k AS n_active, CAST(k * 399 AS BIGINT) AS zc_total FROM s""",
+    // mm_goertzel: closed form — each active window is a pure Nyquist
+    // tone with alternating sum 400·6000
+    "mm_goertzel" ->
+      """WITH h AS (SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 15, 2) AS BIGINT) AS lb FROM documents), s AS (SELECT doc_id, CAST(bit_count(lb) AS BIGINT) AS k FROM h) SELECT doc_id AS media_id, CAST(8 AS BIGINT) AS n_windows, k AS n_tonal, CAST(k * 2400000 AS BIGINT) AS nyquist_mag_total FROM s""",
     // er_bcubed: both transitive closures (er_entities' unblocked gold,
     // er_golden's nation-blocked pred) composed, then the three cell
     // aggregates with HUGEINT c² products mirroring the engine DECIMAL.

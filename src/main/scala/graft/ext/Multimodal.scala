@@ -233,7 +233,7 @@ object Multimodal {
     * sample → ~1.4e10 per 400-sample window: no wrap).
     */
   case class AudioWindow(media_id: Long, win_idx: Long, n_frames: Long,
-                         sum_abs: Long, sum_sq: Long, n_zc: Long)
+                         sum_abs: Long, sum_sq: Long, n_zc: Long, alt_sum: Long)
 
   /** Window decoded 16-bit mono PCM into `windowFrames`-sample energy
     * windows (media_id, win_idx, n_frames, Σ|sample|) — the feature
@@ -253,6 +253,7 @@ object Multimodal {
               var s = 0L
               var q = 0L
               var zc = 0L
+              var alt = 0L
               var k = 0
               while (k < w.length) {
                 val v = w(k).toLong
@@ -261,9 +262,12 @@ object Multimodal {
                 // strict sign flip (v·v' < 0): zeros never count, so
                 // silence contributes no crossings
                 if (k > 0 && v * w(k - 1).toLong < 0) zc += 1
+                // Goertzel at the Nyquist bin (f = fs/2): X = Σ(−1)^k·v —
+                // the single-bin DFT energy of a period-2 alternation
+                alt += (if ((k & 1) == 0) v else -v)
                 k += 1
               }
-              AudioWindow(id, i.toLong, w.length.toLong, s, q, zc)
+              AudioWindow(id, i.toLong, w.length.toLong, s, q, zc, alt)
             }
           case None => Iterator.empty
         }
