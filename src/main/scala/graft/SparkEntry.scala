@@ -428,6 +428,34 @@ operations:
       ext.Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
     }),
 
+    "sim_lid" -> ((s, dir) => {
+      // local intrinsic dimensionality (MLE of Amsaleg et al., KDD
+      // 2015) at each standard query point: LID ≈ −k / Σ ln(d_i/d_k)
+      // over the k nearest cosine distances — the embedding-geometry
+      // audit (high LID ⇒ the neighborhood is noise-dimensional and
+      // ANN recall will suffer there). Rides the exact brute-force
+      // top-10 (bounded-heap shuffle); distances 1 − cos reuse the
+      // bit-identical dot products, each ln rounded once to micro
+      // (ta_entropy discipline), duplicate-distance guards NULL out
+      // degenerate neighborhoods in both engines.
+      val emb = T(s, dir, "embeddings")
+      val knn = ext.Similarity.bruteForceTopK(emb,
+        emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
+      val dk = knn.filter(col("rank") === 10)
+        .select(col("query_id"), (lit(1.0) - col("score")).as("dk"))
+      knn.join(broadcast(dk), "query_id")
+        .select(col("query_id"),
+          when(col("score") < 1.0 && col("dk") > 0.0,
+            round(log((lit(1.0) - col("score")) / col("dk")) * 1e6).cast("long"))
+            .as("lnr_micro"))
+        .groupBy("query_id")
+        .agg(count(col("lnr_micro")).as("k"), sum("lnr_micro").as("s_micro"))
+        .select(col("query_id"), col("k"), col("s_micro"),
+          expr("""CASE WHEN s_micro < 0
+                 THEN CAST((k * 1000000000) div (-s_micro) AS BIGINT)
+                 ELSE NULL END""").as("lid_milli"))
+    }),
+
     "sim_mips" -> ((s, dir) => {
       // maximum-inner-product top-k (dot-product retrieval scoring —
       // magnitude-aware, distinct from sim_topk's cosine); brute
@@ -5687,6 +5715,49 @@ operations:
             .as("snips_micro"))
     }),
 
+    "stream_snips" -> ((s, dir) => {
+      // STREAMING off-policy monitor: ev_snips' per-(cohort, action)
+      // cells accumulate over the event file stream (complete mode —
+      // counts and reward sums are order-free and mergeable, so
+      // streamed ≡ batch however the source micro-batches), then the
+      // SNIPS readout runs on the tiny drained cell table. The live
+      // face of the estimator: watch a new policy's value while the
+      // log is still arriving. Same oracle as ev_snips.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[e]vents.parquet")
+        .select((col("user_id") % 10).as("cohort"), col("event_type"),
+          when(col("value") > 50, 1L).otherwise(0L).as("r"))
+      val cells = stream.groupBy("cohort", "event_type")
+        .agg(count(lit(1)).as("n_ca"), sum("r").as("r_ca"))
+      s.catalog.dropTempView("graft_stream_snips")
+      val q = cells.writeStream.format("memory").queryName("graft_stream_snips")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val drained = s.table("graft_stream_snips")
+        .withColumn("pt_micro",
+          when(col("event_type") === "purchase", 600000L).otherwise(100000L))
+      // rename the grouping key before re-joining the memory table to
+      // itself — identical attribute ids otherwise collide in the Join
+      val nc = drained.groupBy("cohort").agg(sum("n_ca").as("n_c"))
+        .select(col("cohort").as("__nc_cohort__"), col("n_c"))
+      drained.join(broadcast(nc), col("cohort") === col("__nc_cohort__"))
+        .drop("__nc_cohort__")
+        .withColumn("term",
+          expr("(CAST(pt_micro AS DECIMAL(38,0)) * n_c * r_ca) div n_ca"))
+        .withColumn("wsum", expr("CAST(pt_micro AS DECIMAL(38,0)) * n_c"))
+        .groupBy("cohort")
+        .agg(count(lit(1)).as("n_cells"), sum("n_ca").as("n_events"),
+          sum("term").as("num"), sum("wsum").as("den"))
+        .select(col("cohort"), col("n_cells"), col("n_events"),
+          expr("CAST(num AS BIGINT)").as("num_micro"),
+          expr("CAST(den AS BIGINT)").as("den_micro"),
+          expr("CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div den AS BIGINT)")
+            .as("snips_micro"))
+    }),
+
     "ev_tost" -> ((s, dir) => {
       // TOST equivalence test (Schuirmann): is the A/B per-user spend
       // difference PROVABLY within ±2% of the grand mean — the "safe to
@@ -10672,6 +10743,27 @@ operations:
        |FROM (SELECT v FROM iter WHERE k = 20), nm, wv, range(5) t""".stripMargin
   }
 
+  /** ev_snips / stream_snips: the per-(cohort, action) SNIPS cells —
+    * shared because the streamed cell merge is order-free, so both
+    * spellings hash-match the same SQL.
+    */
+  private lazy val snipsOracleSql: String =
+    """WITH cells AS (SELECT user_id % 10 AS cohort, event_type,
+           count(*)::HUGEINT AS n_ca,
+           sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::HUGEINT AS r_ca,
+           (CASE WHEN event_type = 'purchase' THEN 600000 ELSE 100000 END)::HUGEINT AS pt
+         FROM events GROUP BY 1, 2),
+       nc AS (SELECT cohort, sum(n_ca) AS n_c FROM cells GROUP BY 1),
+       t AS (SELECT c.cohort, c.n_ca, (c.pt * n.n_c * c.r_ca) // c.n_ca AS term,
+           c.pt * n.n_c AS wsum
+         FROM cells c JOIN nc n USING (cohort))
+       SELECT cohort, CAST(count(*) AS BIGINT) AS n_cells,
+         CAST(sum(n_ca) AS BIGINT) AS n_events,
+         CAST(sum(term) AS BIGINT) AS num_micro,
+         CAST(sum(wsum) AS BIGINT) AS den_micro,
+         CAST((sum(term) * 1000000) // sum(wsum) AS BIGINT) AS snips_micro
+       FROM t GROUP BY 1"""
+
   private lazy val bm25OracleSql: String =
     """WITH toks AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS t FROM documents), base AS (SELECT doc_id, CAST(len(t) AS DOUBLE) AS dl, CAST(len(list_filter(t, x -> x = 'spark')) AS BIGINT) AS tf0, CAST(len(list_filter(t, x -> x = 'dup')) AS BIGINT) AS tf1, CAST(len(list_filter(t, x -> x = 'vector')) AS BIGINT) AS tf2 FROM toks), stats AS (SELECT CAST(count(*) AS DOUBLE) AS nd, CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avgdl, CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0, CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1, CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2 FROM base), scored AS (SELECT doc_id, (CASE WHEN tf0 > 0 THEN 1 ELSE 0 END + CASE WHEN tf1 > 0 THEN 1 ELSE 0 END + CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS n_terms, (tf0 + tf1 + tf2) AS tf_total, (((ln((nd - df0 + CAST(0.5 AS DOUBLE)) / (df0 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf0 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf0 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl))) + (ln((nd - df1 + CAST(0.5 AS DOUBLE)) / (df1 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf1 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf1 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) + (ln((nd - df2 + CAST(0.5 AS DOUBLE)) / (df2 + CAST(0.5 AS DOUBLE)) + CAST(1.0 AS DOUBLE)) * (CAST(tf2 AS DOUBLE) * (CAST(1.2 AS DOUBLE) + CAST(1.0 AS DOUBLE))) / (CAST(tf2 AS DOUBLE) + CAST(1.2 AS DOUBLE) * (CAST(0.25 AS DOUBLE) + (CAST(0.75 AS DOUBLE) * dl) / avgdl)))) AS raw FROM base, stats) SELECT doc_id, CAST(n_terms AS BIGINT) AS n_terms, CAST(tf_total AS BIGINT) AS tf_total, CAST(floor(raw * 10000) AS BIGINT) AS score_bp FROM scored WHERE tf_total > 0 ORDER BY score_bp DESC, doc_id ASC LIMIT 25"""
 
@@ -10998,6 +11090,22 @@ operations:
     // is bit-identical (verified on this corpus), so exact scores and
     // ranks hash-match; ties (none in practice) break by neighbor_id in
     // both engines
+    // sim_lid: the same brute top-10 replay, then per-term micro-nat
+    // rounding of ln(d_i/d_k) and the integer MLE readout
+    "sim_lid" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+         scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id,
+             list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score
+           FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id),
+         top AS (SELECT query_id, score, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rank
+           FROM scored QUALIFY rank <= 10),
+         dk AS (SELECT query_id, 1.0 - score AS dk FROM top WHERE rank = 10),
+         term AS (SELECT t.query_id,
+             CASE WHEN t.score < 1.0 AND d.dk > 0 THEN CAST(round(ln((1.0 - t.score) / d.dk) * 1000000) AS BIGINT) ELSE NULL END AS lnr
+           FROM top t JOIN dk d USING (query_id))
+         SELECT query_id, CAST(count(lnr) AS BIGINT) AS k, CAST(sum(lnr) AS BIGINT) AS s_micro,
+           CASE WHEN sum(lnr) < 0 THEN CAST((count(lnr) * 1000000000) // (-sum(lnr)) AS BIGINT) ELSE NULL END AS lid_milli
+         FROM term GROUP BY 1""",
     "sim_topk" ->
       """WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
          scored AS (
@@ -11977,22 +12085,9 @@ operations:
       """WITH u AS (SELECT user_id, CAST(sum(CASE WHEN ts < TIMESTAMP '2024-01-15 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS pre_n, CAST(max(CASE WHEN ts >= TIMESTAMP '2024-01-15 00:00:00' AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS resp FROM events GROUP BY 1), d AS (SELECT user_id, resp, CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS treated, CAST(ntile(10) OVER (ORDER BY pre_n DESC, user_id) AS BIGINT) AS stratum FROM u), b AS (SELECT stratum, CAST(count(*) AS BIGINT) AS n_s, CAST(sum(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t, CAST(sum(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c, CAST(sum(CASE WHEN treated = 1 THEN resp ELSE 0 END) AS BIGINT) AS r_t, CAST(sum(CASE WHEN treated = 0 THEN resp ELSE 0 END) AS BIGINT) AS r_c FROM d GROUP BY 1) SELECT stratum, n_s, n_t, n_c, r_t, r_c, CAST(CAST(n_t AS HUGEINT) * 1000000 // n_s AS BIGINT) AS propensity_micro, CASE WHEN n_t = 0 OR n_c = 0 THEN NULL ELSE CAST(CAST(r_t AS HUGEINT) * n_s * 1000000 // n_t - CAST(r_c AS HUGEINT) * n_s * 1000000 // n_c AS BIGINT) END AS ht_term_micro FROM b""",
     // ev_snips: identical per-(cohort, action) cells, HT terms
     // micro-floored per cell, HUGEINT products
-    "ev_snips" ->
-      """WITH cells AS (SELECT user_id % 10 AS cohort, event_type,
-             count(*)::HUGEINT AS n_ca,
-             sum(CASE WHEN value > 50 THEN 1 ELSE 0 END)::HUGEINT AS r_ca,
-             (CASE WHEN event_type = 'purchase' THEN 600000 ELSE 100000 END)::HUGEINT AS pt
-           FROM events GROUP BY 1, 2),
-         nc AS (SELECT cohort, sum(n_ca) AS n_c FROM cells GROUP BY 1),
-         t AS (SELECT c.cohort, c.n_ca, (c.pt * n.n_c * c.r_ca) // c.n_ca AS term,
-             c.pt * n.n_c AS wsum
-           FROM cells c JOIN nc n USING (cohort))
-         SELECT cohort, CAST(count(*) AS BIGINT) AS n_cells,
-           CAST(sum(n_ca) AS BIGINT) AS n_events,
-           CAST(sum(term) AS BIGINT) AS num_micro,
-           CAST(sum(wsum) AS BIGINT) AS den_micro,
-           CAST((sum(term) * 1000000) // sum(wsum) AS BIGINT) AS snips_micro
-         FROM t GROUP BY 1""",
+    "ev_snips" -> snipsOracleSql,
+    // stream_snips: order-free mergeable cells ⇒ streamed ≡ batch
+    "stream_snips" -> snipsOracleSql,
     // ev_tost: q_ttest's Welch replay on per-user spend with arms by
     // parity; margin, t's and the equivalence verdict in the identical
     // double op order.

@@ -125,6 +125,8 @@ class PlanAuditSpec extends SparkSpec {
     "q_mannkendall",    // day-panel pair frame (bounded day domain)
     "q_isotonic",       // ≤50-row score-domain interval frames (minimax PAVA)
     "sim_nprobe_sweep", // eval probe cohort (vec_id < 8, brute-force arm)
+    "sim_lid",          // eval probe cohort (vec_id < 8; appears twice — the
+                        // top-10 frame and its rank-10 distance slice)
   )
 
   test("every BroadcastNestedLoopJoin build side is bounded or whitelisted") {

@@ -142,6 +142,32 @@ class Round7bSpec extends SparkSpec {
     }
   }
 
+  test("stream_snips: the streamed cells produce exactly the batch estimator") {
+    val batch = SparkEntry.queries("ev_snips")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    val streamed = SparkEntry.queries("stream_snips")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSet
+    assert(streamed === batch)
+  }
+
+  test("sim_lid: MLE is positive and reassembles from the summed micro-nats") {
+    val rows = SparkEntry.queries("sim_lid")(spark, sf0001).collect()
+    assert(rows.length === 8)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val sm = r.getAs[Long]("s_micro")
+      assert(k <= 10L && k >= 1L)
+      assert(sm <= 0L, "nearest distances can never exceed the k-th")
+      if (sm < 0L) {
+        val lid = r.getAs[Long]("lid_milli")
+        assert(lid === k * 1000000000L / (-sm))
+        assert(lid > 0L)
+      } else assert(r.isNullAt(r.fieldIndex("lid_milli")))
+    }
+  }
+
   test("ta_yule: K reassembles from the integer pieces and is non-negative") {
     val rows = SparkEntry.queries("ta_yule")(spark, sf0001).collect()
     assert(rows.nonEmpty)
