@@ -43,6 +43,38 @@ object VectorExprs {
     toCol(NearestCellsExpr(toExpr(vec),
       centroids.map(_._1).toArray, centroids.map(_._2).toArray, n))
 
+  /** Allocation-free dot product straight off ArrayData — the per-row
+    * kernel of every brute-force scorer. Element reads widen float →
+    * double exactly like [[toDoubles]], and accumulation runs in index
+    * order, so results are bit-identical to the array path (and to the
+    * DuckDB list_dot_product oracles). Public: called from generated code.
+    */
+  def dotData(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      val y = if (bFloat) b.getFloat(i).toDouble else b.getDouble(i)
+      s += x * y
+      i += 1
+    }
+    s
+  }
+
+  /** Allocation-free L2 norm — same discipline as [[dotData]]. */
+  def normData(a: ArrayData, aFloat: Boolean): Double = {
+    val n = a.numElements()
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (aFloat) a.getFloat(i).toDouble else a.getDouble(i)
+      s += x * x
+      i += 1
+    }
+    math.sqrt(s)
+  }
+
   private[functions] def toDoubles(arr: ArrayData, dt: DataType): Array[Double] = {
     val n = arr.numElements()
     val out = new Array[Double](n)
@@ -69,35 +101,43 @@ object VectorExprs {
     (Math.floorMod(splitmix64(table.toLong * 1000003 + bit.toLong * 100003 + dim), 2001L) - 1000L) / 1000.0
 }
 
-/** (array<float|double>, array<float|double>) → double dot product. */
+/** (array<float|double>, array<float|double>) → double dot product.
+  * Real doGenCode: a static allocation-free kernel call, so the
+  * brute-force scorers' probe loops stay inside whole-stage codegen and
+  * never materialize per-row double arrays.
+  */
 case class DotExpr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
-  private def elemType(e: Expression): DataType =
-    e.dataType.asInstanceOf[ArrayType].elementType
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  private def isFloat(e: Expression): Boolean =
+    e.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = VectorExprs.toDoubles(a.asInstanceOf[ArrayData], elemType(left))
-    val y = VectorExprs.toDoubles(b.asInstanceOf[ArrayData], elemType(right))
-    var s = 0.0; var i = 0
-    val n = math.min(x.length, y.length)
-    while (i < n) { s += x(i) * y(i); i += 1 }
-    s
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.dotData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      isFloat(left), isFloat(right))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorExprs.dotData($a, $b, ${isFloat(left)}, ${isFloat(right)});")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "graft_dot"
 }
 
-/** array<float|double> → double L2 norm. */
+/** array<float|double> → double L2 norm (same codegen discipline as
+  * [[DotExpr]]).
+  */
 case class NormExpr(child: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  private def isFloat: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == FloatType
   override def dataType: DataType = DoubleType
-  override def nullSafeEval(a: Any): Any = {
-    val dt = child.dataType.asInstanceOf[ArrayType].elementType
-    val x = VectorExprs.toDoubles(a.asInstanceOf[ArrayData], dt)
-    var s = 0.0; var i = 0
-    while (i < x.length) { s += x(i) * x(i); i += 1 }
-    math.sqrt(s)
-  }
+  override def nullSafeEval(a: Any): Any =
+    VectorExprs.normData(a.asInstanceOf[ArrayData], isFloat)
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.VectorExprs.normData($a, $isFloat);")
   override protected def withNewChildInternal(c: Expression) = copy(c)
   override def prettyName: String = "graft_norm"
 }
