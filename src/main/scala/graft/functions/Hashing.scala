@@ -36,6 +36,14 @@ object Hashing {
     fnv1a64(b, 0, b.length)
   }
 
+  /** fmix64 ∘ fnv1a64 over a UTF8String's bytes — the sketch-feed hash as
+    * one static call, shared by FnvFmix64Expr's eval and generated code.
+    */
+  def fnvFmix64Utf8(s: UTF8String): Long = {
+    val b = s.getBytes
+    fmix64(fnv1a64(b, 0, b.length))
+  }
+
   /** MurmurHash3 fmix64 finalizer (Appleby, public domain): full-avalanche
     * mixing of all 64 bits. FNV-1a alone under-disperses its HIGH bits for
     * short keys — fatal for sketches that index by the top bits (HLL
@@ -215,12 +223,17 @@ case class SimHash64Expr(child: Expression) extends UnaryExpression with Codegen
   * recovered downstream by re-biasing into DECIMAL(38,0) (sk_theta) so
   * the oracle's HUGEINT replay compares identically.
   */
-case class FnvFmix64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+case class FnvFmix64Expr(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
-  override def nullSafeEval(input: Any): Any = {
-    val b = input.asInstanceOf[UTF8String].getBytes
-    Hashing.fmix64(Hashing.fnv1a64(b, 0, b.length))
-  }
+  override def nullSafeEval(input: Any): Any =
+    Hashing.fnvFmix64Utf8(input.asInstanceOf[UTF8String])
+  // per-row sketch hashing (HLL/CMS/theta/KMV feeds) — static kernel call
+  // keeps the aggregate's input projection in whole-stage codegen
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.Hashing.fnvFmix64Utf8($a);")
   override protected def withNewChildInternal(newChild: Expression): FnvFmix64Expr =
     copy(child = newChild)
   override def prettyName: String = "graft_fnvfmix64"
@@ -345,10 +358,18 @@ case class WinnowExpr(text: Expression, kE: Expression, wE: Expression)
 
 /** (long, long) → Hamming distance of the two 64-bit values. */
 case class Hamming64Expr(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   override def dataType: DataType = LongType
   override def nullSafeEval(a: Any, b: Any): Any =
     java.lang.Long.bitCount(a.asInstanceOf[Long] ^ b.asInstanceOf[Long]).toLong
+  // this runs per CANDIDATE PAIR inside the LSH band joins — inline the
+  // two-instruction kernel into whole-stage codegen rather than paying a
+  // fallback eval() call per pair
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = (long) java.lang.Long.bitCount($a ^ $b);")
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression) =
     copy(left = newLeft, right = newRight)
   override def prettyName: String = "graft_hamming64"
