@@ -7840,6 +7840,40 @@ operations:
           expr("array_join(kept, ' ')").as("aug_text"))
     }),
 
+    "sk_mg" -> ((s, dir) => {
+      // Misra-Gries heavy hitters (k = 2 counters over the return-flag
+      // domain) — the deterministic-guarantee frequency summary that
+      // completes the sketch family (HLL, CMS, theta, KMV, quantile,
+      // Bloom, bitmap): f − n/(k+1) ≤ est ≤ f and every key with
+      // f > n/(k+1) survives ANY merge order. Raw estimates are
+      // merge-order-dependent, so the row exposes only the theorem-level
+      // facts — the guaranteed-hitter count (exact SQL), an engine-
+      // verified presence bit and an engine-verified bound bit — the
+      // sk_hll error-envelope discipline. Buffer is ≤k pairs: a 100 TB
+      // scan ships bytes per partition.
+      val k = 2
+      val li = T(s, dir, "lineitem")
+        .select(expr("ascii(l_returnflag)").cast("long").as("key"))
+      val exact = li.groupBy("key").agg(count(lit(1)).as("f"))
+      val tot = exact.agg(sum("f").as("n_total"))
+      val cand = li.agg(graft.functions.SketchAgg.misraGries(col("key"), k).as("mg"))
+        .select(explode(col("mg")).as("c"))
+        .select(col("c.key").as("key"), col("c.est").as("est"))
+      exact.crossJoin(broadcast(tot)).join(broadcast(cand), Seq("key"), "left")
+        .agg(max("n_total").as("n_total"),
+          sum(when(col("f") * (k + 1) > col("n_total"), 1L).otherwise(0L))
+            .as("n_guaranteed"),
+          min(when(col("f") * (k + 1) > col("n_total"),
+            col("est").isNotNull.cast("int")).otherwise(1)).as("gp"),
+          min(when(col("est").isNotNull,
+            (col("est") <= col("f") &&
+              (col("f") - col("est")) * (k + 1) <= col("n_total")).cast("int"))
+            .otherwise(1)).as("bok"))
+        .select(col("n_total"), lit(k.toLong).as("k"), col("n_guaranteed"),
+          (col("gp") === 1).as("guaranteed_present"),
+          (col("bok") === 1).as("bounds_ok"))
+    }),
+
     "sk_bloom_fpr" -> ((s, dir) => {
       // measured Bloom false-positive rate (the empirical check behind
       // sk_bloom_planner's math): k=2 md5-derived positions in a 2²¹-bit
@@ -12280,6 +12314,16 @@ operations:
     // match Spark's 0-based transform index
     "ta_token_dropout" ->
       """WITH t AS (SELECT doc_id, list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '') AS toks FROM documents), k AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens, list_filter(list_transform(toks, (x, i) -> CASE WHEN substr(md5('do:' || CAST(doc_id AS VARCHAR) || ':' || CAST(i - 1 AS VARCHAR)), 1, 1) = '0' THEN NULL ELSE x END), x -> x IS NOT NULL) AS kept FROM t) SELECT doc_id, n_tokens, CAST(len(kept) AS BIGINT) AS n_kept, coalesce(list_aggregate(kept, 'string_agg', ' '), '') AS aug_text FROM k""",
+    // sk_mg: the two exact facts recomputed in SQL; the two booleans are
+    // MG theorems the ENGINE verifies against exact counts (they can
+    // only be false if the aggregate is buggy) — sk_hll envelope style
+    "sk_mg" ->
+      """WITH f AS (SELECT ascii(l_returnflag) AS key, count(*) AS f FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(f) AS BIGINT) AS n_total FROM f)
+         SELECT n_total, CAST(2 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM f WHERE f * 3 > t.n_total) AS BIGINT) AS n_guaranteed,
+           TRUE AS guaranteed_present, TRUE AS bounds_ok
+         FROM t""",
     "sk_bloom_fpr" ->
       """WITH keys AS (SELECT DISTINCT o_orderkey AS x FROM orders), pos AS (SELECT CAST(('0x' || substr(md5('b1:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS p FROM keys UNION ALL SELECT CAST(('0x' || substr(md5('b2:' || CAST(x AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 FROM keys), words AS (SELECT p // 32 AS word, CAST(bit_or(1::BIGINT << CAST(p % 32 AS INTEGER)) AS BIGINT) AS bits FROM pos GROUP BY 1), probes AS (SELECT x + 100000000 AS pr FROM keys), ph AS (SELECT pr, CAST(('0x' || substr(md5('b1:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h1, CAST(('0x' || substr(md5('b2:' || CAST(pr AS VARCHAR)), 1, 15)) AS BIGINT) % 2097152 AS h2 FROM probes), looked AS (SELECT pr, coalesce(w1.bits & (1::BIGINT << CAST(h1 % 32 AS INTEGER)), 0) <> 0 AND coalesce(w2.bits & (1::BIGINT << CAST(h2 % 32 AS INTEGER)), 0) <> 0 AS hit FROM ph LEFT JOIN words w1 ON w1.word = h1 // 32 LEFT JOIN words w2 ON w2.word = h2 // 32), agg AS (SELECT CAST(count(*) AS BIGINT) AS n_probes, CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos FROM looked), nk AS (SELECT CAST(count(*) AS BIGINT) AS n_keys FROM keys) SELECT n_keys, CAST(2097152 AS BIGINT) AS m_bits, n_probes, n_false_pos, (n_false_pos * 1000000) // n_probes AS fpr_micro FROM agg, nk""",
     // q_cochran_q: the same matched-flag pass; column-total squares

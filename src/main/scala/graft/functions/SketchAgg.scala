@@ -75,6 +75,13 @@ object SketchAgg {
     */
   def kmvBottomK(key: Column, k: Int): Column =
     toCol(KmvAgg(toExpr(key), k).toAggregateExpression())
+
+  /** Misra-Gries heavy-hitters candidates over a LONG key column:
+    * array<struct<key, est>> (est desc, key asc). See MisraGriesAgg for
+    * the deterministic-guarantee discipline.
+    */
+  def misraGries(key: Column, k: Int): Column =
+    toCol(MisraGriesAgg(toExpr(key), k).toAggregateExpression())
 }
 
 /** (counters array<long>, key string) → min over the depth rows of the
@@ -313,4 +320,96 @@ case class KmvAgg(keyE: Expression, k: Int,
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): KmvAgg =
     copy(keyE = c(0))
   override def prettyName: String = "graft_kmv"
+}
+
+/** Misra-Gries heavy-hitters summary with k counters (Misra & Gries 1982;
+  * mergeable form: Agarwal, Cormode, Huang, Phillips, Wei, Yi, "Mergeable
+  * summaries", PODS 2012 — public algorithms). Buffer: ≤k (key, count)
+  * pairs; update decrements all counters when a new key finds the buffer
+  * full; merge sums both maps then subtracts the (k+1)-th largest count.
+  *
+  * DETERMINISTIC GUARANTEES (any merge order, any partitioning):
+  *   f(x) − n/(k+1) ≤ est(x) ≤ f(x), and every x with f(x) > n/(k+1) is
+  *   in the output. The exact candidate counts DO depend on merge order,
+  *   so queries must expose only the theorem-level facts (presence of
+  *   guaranteed hitters, bound satisfaction), never raw estimates —
+  *   the sk_hll error-envelope discipline.
+  */
+case class MisraGriesAgg(keyE: Expression, k: Int,
+                         mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[scala.collection.mutable.LongMap[Long]] {
+
+  require(k >= 1 && k <= 4096, "mg: k must be in [1,4096]")
+
+  override def children: Seq[Expression] = Seq(keyE)
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("key", LongType, nullable = false),
+    StructField("est", LongType, nullable = false))), containsNull = false)
+  override def nullable: Boolean = false
+
+  override def createAggregationBuffer(): scala.collection.mutable.LongMap[Long] =
+    scala.collection.mutable.LongMap.empty[Long]
+
+  override def update(buf: scala.collection.mutable.LongMap[Long],
+                      input: InternalRow): scala.collection.mutable.LongMap[Long] = {
+    val v = keyE.eval(input)
+    if (v != null) {
+      val x = v.asInstanceOf[Long]
+      if (buf.contains(x)) buf(x) += 1L
+      else if (buf.size < k) buf(x) = 1L
+      else {
+        // decrement-all: the classic O(k) step; zeros drop out
+        val dead = buf.iterator.filter(_._2 == 1L).map(_._1).toArray
+        buf.transformValuesInPlace(c => c - 1L)
+        dead.foreach(buf.remove)
+      }
+    }
+    buf
+  }
+
+  override def merge(a: scala.collection.mutable.LongMap[Long],
+                     b: scala.collection.mutable.LongMap[Long]): scala.collection.mutable.LongMap[Long] = {
+    b.foreach { case (key, c) => a(key) = a.getOrElse(key, 0L) + c }
+    if (a.size > k) {
+      // subtract the (k+1)-th largest count from everything (mergeable MG)
+      val counts = a.values.toArray.sortBy(-_)
+      val cut = counts(k)
+      val dead = a.iterator.filter(_._2 <= cut).map(_._1).toArray
+      a.transformValuesInPlace(c => c - cut)
+      dead.foreach(a.remove)
+    }
+    a
+  }
+
+  override def eval(buf: scala.collection.mutable.LongMap[Long]): Any = {
+    val rows = buf.toArray.sortBy { case (key, est) => (-est, key) }
+      .map { case (key, est) => InternalRow(key, est) }
+    new GenericArrayData(rows.asInstanceOf[Array[Any]])
+  }
+
+  override def serialize(buf: scala.collection.mutable.LongMap[Long]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { case (key, c) => out.writeLong(key); out.writeLong(c) }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): scala.collection.mutable.LongMap[Long] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val m = scala.collection.mutable.LongMap.empty[Long]
+    var i = 0
+    while (i < n) { m(in.readLong()) = in.readLong(); i += 1 }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MisraGriesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): MisraGriesAgg =
+    copy(keyE = c(0))
+  override def prettyName: String = "graft_mg"
 }
