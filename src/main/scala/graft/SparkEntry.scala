@@ -7874,6 +7874,49 @@ operations:
           (col("bok") === 1).as("bounds_ok"))
     }),
 
+    "stream_mg" -> ((s, dir) => {
+      // STREAMING Misra-Gries: the ≤k-pair summary accumulates over the
+      // lineitem file stream (complete mode). Estimates are merge-order-
+      // dependent BY DESIGN, but the MG theorems hold under any order —
+      // so the theorem-level readout (guaranteed-hitter presence, bound
+      // bits vs exact batch counts) hash-matches sk_mg's oracle no
+      // matter how the source micro-batches. The live heavy-hitters
+      // monitor: flag a hot key while the log is still arriving.
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val k = 2
+      val schema = s.read.parquet(s"$dir/lineitem.parquet").schema
+      val stream = s.readStream.schema(schema).parquet(s"$dir/[l]ineitem.parquet")
+        .select(expr("ascii(l_returnflag)").cast("long").as("key"))
+      val agg = stream.agg(
+        graft.functions.SketchAgg.misraGries(col("key"), k).as("mg"))
+      s.catalog.dropTempView("graft_stream_mg")
+      val q = agg.writeStream.format("memory").queryName("graft_stream_mg")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cand = s.table("graft_stream_mg")
+        .select(explode(col("mg")).as("c"))
+        .select(col("c.key").as("key"), col("c.est").as("est"))
+      val li = T(s, dir, "lineitem")
+        .select(expr("ascii(l_returnflag)").cast("long").as("key"))
+      val exact = li.groupBy("key").agg(count(lit(1)).as("f"))
+      val tot = exact.agg(sum("f").as("n_total"))
+      exact.crossJoin(broadcast(tot)).join(broadcast(cand), Seq("key"), "left")
+        .agg(max("n_total").as("n_total"),
+          sum(when(col("f") * (k + 1) > col("n_total"), 1L).otherwise(0L))
+            .as("n_guaranteed"),
+          min(when(col("f") * (k + 1) > col("n_total"),
+            col("est").isNotNull.cast("int")).otherwise(1)).as("gp"),
+          min(when(col("est").isNotNull,
+            (col("est") <= col("f") &&
+              (col("f") - col("est")) * (k + 1) <= col("n_total")).cast("int"))
+            .otherwise(1)).as("bok"))
+        .select(col("n_total"), lit(k.toLong).as("k"), col("n_guaranteed"),
+          (col("gp") === 1).as("guaranteed_present"),
+          (col("bok") === 1).as("bounds_ok"))
+    }),
+
     "sk_bloom_fpr" -> ((s, dir) => {
       // measured Bloom false-positive rate (the empirical check behind
       // sk_bloom_planner's math): k=2 md5-derived positions in a 2²¹-bit
@@ -12318,6 +12361,15 @@ operations:
     // MG theorems the ENGINE verifies against exact counts (they can
     // only be false if the aggregate is buggy) — sk_hll envelope style
     "sk_mg" ->
+      """WITH f AS (SELECT ascii(l_returnflag) AS key, count(*) AS f FROM lineitem GROUP BY 1),
+         t AS (SELECT CAST(sum(f) AS BIGINT) AS n_total FROM f)
+         SELECT n_total, CAST(2 AS BIGINT) AS k,
+           CAST((SELECT count(*) FROM f WHERE f * 3 > t.n_total) AS BIGINT) AS n_guaranteed,
+           TRUE AS guaranteed_present, TRUE AS bounds_ok
+         FROM t""",
+    // stream_mg: the MG theorems hold under ANY merge order, so the
+    // streamed summary passes the identical theorem-level oracle
+    "stream_mg" ->
       """WITH f AS (SELECT ascii(l_returnflag) AS key, count(*) AS f FROM lineitem GROUP BY 1),
          t AS (SELECT CAST(sum(f) AS BIGINT) AS n_total FROM f)
          SELECT n_total, CAST(2 AS BIGINT) AS k,
