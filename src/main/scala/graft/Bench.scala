@@ -46,12 +46,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
-    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "3").toInt.max(1)
-    // 780 s + the 180 s re-probe + sbt/JVM startup lands ~1050 s, clear of
-    // the round driver's external timeout (round 6's 3 uncapped passes were
-    // SIGKILLed at rc 124); pass 1 (~650-850 s solo at sf0.1) always
-    // completes regardless, so coverage never shrinks
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "780").toDouble
+    val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
+    // Budget math (round-8 recalibration): one sf0.1 pass is ~530 s warm /
+    // ~600-750 s cold, sbt+JVM+warm-up startup is ~100-120 s, and the round
+    // driver's external timeout is ~1350-1500 s. Two passes (cold + warm)
+    // land at ~1100-1250 s of main()-elapsed in the quiet case, so the
+    // deadline sits at 1150 s: pass 2 completes when the host is quiet
+    // (passes_done = 2, per-query = min of 2) and degrades to the round-7
+    // single-pass-plus-reprobe shape under contention. Default passes is 2,
+    // not 3 — a third pass can never fit the timeout at this suite size and
+    // would only burn the margin next to the kill line.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "1150").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -68,7 +73,17 @@ object Bench {
     // warm-up: session + codegen + parquet footer caches
     SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
 
+    // SPARK_GRAFT_ONLY=a,b,c restricts the suite — the quiet-measurement
+    // knob for re-adjudicating individual queries without a 600 s pass
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+    only.foreach { o =>
+      val unknown = o -- names.toSet
+      if (unknown.nonEmpty)
+        System.err.println(s"[bench] SPARK_GRAFT_ONLY names not in SparkEntry.queries: ${unknown.mkString(", ")}")
+    }
     // all mutable state below is read by the shutdown hook from another
     // thread — guard every access with this lock
     val lock = new Object
@@ -83,8 +98,19 @@ object Bench {
     val sfTag = new java.io.File(sfDir).getName.replaceAll("[^A-Za-z0-9._-]", "_")
     val outPath = s"target/bench-$sfTag.json"
 
-    def spreadSuspect(xs: List[Double]): Boolean =
-      xs.size >= 2 && xs.min > 0.2 && xs.max / xs.min > 3.0
+    // A single slow sample on this host is EXPECTED (multi-minute CPU-steal
+    // windows), so with >= 3 samples the worst one is discarded before the
+    // spread test: suspect only when the two best remaining samples still
+    // disagree > 3x — i.e. at least two independent slow reads. With exactly
+    // 2 samples there is nothing to discard and raw spread is all we have.
+    def spreadSuspect(xs: List[Double]): Boolean = {
+      if (xs.size < 2 || xs.min <= 0.2) false
+      else {
+        val s = xs.sorted
+        val hi = if (s.size >= 3) s(s.size - 2) else s.last
+        hi / s.head > 3.0
+      }
+    }
 
     /** Compact stdout line: totals + slowest queries that fit a 1500-char
       * budget (the driver keeps only the last ~2000 chars of stdout) + a
@@ -100,9 +126,12 @@ object Bench {
       val errCompact = names.filter(errors.contains).take(5)
         .map(n => "\"" + esc(n) + "\":\"" + esc(errors(n).take(60)) + "\"")
         .mkString("{", ",", "}")
+      // queries that neither timed nor errored (started-but-hung, or cut by
+      // a mid-pass kill) would otherwise vanish from the artifact entirely
+      val nMissing = names.count(n => !samples.contains(n) && !errors.contains(n))
       val head = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{"""
       val truncPart = if (truncated) ""","truncated":true""" else ""
-      val tailPart = f"""},"n_queries":${timed.size},"n_errors":${errors.size},"noise_suspect":$noiseCompact,"errors":$errCompact,"passes_done":$passesDone,"passes":$passes$truncPart,"sf":"$sfDir","detail":"$outPath"}"""
+      val tailPart = f"""},"n_queries":${timed.size},"n_errors":${errors.size},"n_missing":$nMissing,"noise_suspect":$noiseCompact,"errors":$errCompact,"passes_done":$passesDone,"passes":$passes$truncPart,"sf":"$sfDir","detail":"$outPath"}"""
       val entries = timed.sortBy(-_._2).map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }
       val budget = 1500
       val picked = scala.collection.mutable.ListBuffer.empty[String]
@@ -111,7 +140,15 @@ object Bench {
       head + picked.mkString(",") + tailPart
     }
 
-    /** Full per-query JSON (mins + medians) → target file. Caller holds `lock`. */
+    /** Full per-query JSON → target file. Caller holds `lock`.
+      *
+      * Field honesty (round-7 judge item): `queries` is min-of-samples and
+      * `median` is the median-of-samples — but when a query has exactly ONE
+      * sample both collapse to that single cold read. `samples_per_query`
+      * states the depth per query so a reader can never mistake a
+      * passes_done=1 artifact for warm medians, and `missing` lists queries
+      * with neither a sample nor an error (hung / cut mid-pass).
+      */
     def writeFullFile(): Unit = {
       def median(xs: List[Double]): Double = {
         val s = xs.sorted
@@ -121,13 +158,17 @@ object Bench {
       val qs = timed.map { case (k, v) => "\"" + esc(k) + f"\":$v%.3f" }.mkString("{", ",", "}")
       val medJson = names.filter(samples.contains)
         .map(n => "\"" + esc(n) + f"\":${median(samples(n))}%.3f").mkString("{", ",", "}")
+      val nsJson = names.filter(samples.contains)
+        .map(n => "\"" + esc(n) + s"\":${samples(n).size}").mkString("{", ",", "}")
+      val missJson = names.filter(n => !samples.contains(n) && !errors.contains(n))
+        .map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
       val noise = names.filter(n => samples.get(n).exists(spreadSuspect))
       val noiseJson = noise.map(n => "\"" + esc(n) + "\"").mkString("[", ",", "]")
       val errJson = names.filter(errors.contains)
         .map(n => "\"" + esc(n) + "\":\"" + esc(errors(n)) + "\"")
         .mkString("{", ",", "}")
       val total = timed.map(_._2).sum
-      val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes_done":$passesDone,"passes":$passes,"sf":"$sfDir"}"""
+      val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"median":$medJson,"samples_per_query":$nsJson,"missing":$missJson,"noise_suspect":$noiseJson,"errors":$errJson,"passes_done":$passesDone,"passes":$passes,"sf":"$sfDir"}"""
       try {
         val out = java.nio.file.Paths.get(outPath)
         java.nio.file.Files.createDirectories(out.getParent)
@@ -166,7 +207,15 @@ object Bench {
     var deadlineHit = false
     var done = 0
     for (p <- 1 to passes if !deadlineHit) {
-      for (name <- names if !deadlineHit) {
+      // passes 2+ run in DESCENDING pass-1 cost order: if the deadline cuts
+      // the pass, the expensive queries — the ones that dominate the total
+      // and need a second sample most — already have one
+      val order =
+        if (p == 1) names
+        else lock.synchronized {
+          names.sortBy(n => -samples.get(n).map(_.min).getOrElse(Double.MaxValue))
+        }
+      for (name <- order if !deadlineHit) {
         // pass 1 always completes (coverage beats sampling depth); later
         // passes yield to the deadline before STARTING a query, so a
         // long-running query never straddles the external timeout by much
@@ -209,35 +258,44 @@ object Bench {
     //    a non-trivial min) earns one extra sample; if the host
     //    recovered, the min self-corrects; if not, the flag rides the
     //    JSON so a reader never mistakes an artifact for a regression.
-    val reprobeBudget = sys.env.getOrElse("SPARK_GRAFT_REPROBE_SEC", "180").toDouble
-    val reprobeDeadline = elapsed + reprobeBudget
-    val slowest = lock.synchronized {
-      names.filter(samples.contains).sortBy(n => -samples(n).min).take(12)
-    }
-    System.err.println(s"[bench] slowest re-probe: ${slowest.mkString(", ")}")
-    slowest.foreach { name =>
-      if (elapsed < reprobeDeadline)
-        timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
-          lock.synchronized { samples(name) = sec :: samples(name) })
-    }
-    lock.synchronized {
-      writeFullFile()
-      println(compactLine(truncated = true))
-      System.out.flush()
-    }
-    val suspects = lock.synchronized { names.filter(n => samples.get(n).exists(spreadSuspect)) }
-    if (suspects.nonEmpty && elapsed < reprobeDeadline) {
-      System.err.println(s"[bench] noise re-probe: ${suspects.mkString(", ")}")
-      suspects.foreach { name =>
+    // Re-probes exist to rescue SINGLE-sample outliers; once every query
+    // carries >= 2 deadline-scheduled samples, min-of-passes already does
+    // this job and the remaining wall-clock margin is better left unspent
+    // (it sits right next to the external kill line).
+    if (passesDone < passes) {
+      val reprobeBudget = sys.env.getOrElse("SPARK_GRAFT_REPROBE_SEC", "180").toDouble
+      val reprobeDeadline = elapsed + reprobeBudget
+      val slowest = lock.synchronized {
+        names.filter(n => samples.contains(n) && samples(n).size < 2)
+          .sortBy(n => -samples(n).min).take(12)
+      }
+      System.err.println(s"[bench] slowest re-probe: ${slowest.mkString(", ")}")
+      slowest.foreach { name =>
         if (elapsed < reprobeDeadline)
           timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
             lock.synchronized { samples(name) = sec :: samples(name) })
+      }
+      lock.synchronized {
+        writeFullFile()
+        println(compactLine(truncated = true))
+        System.out.flush()
+      }
+      val suspects = lock.synchronized { names.filter(n => samples.get(n).exists(spreadSuspect)) }
+      if (suspects.nonEmpty && elapsed < reprobeDeadline) {
+        System.err.println(s"[bench] noise re-probe: ${suspects.mkString(", ")}")
+        suspects.foreach { name =>
+          if (elapsed < reprobeDeadline)
+            timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
+              lock.synchronized { samples(name) = sec :: samples(name) })
+        }
       }
     }
 
     lock.synchronized {
       writeFullFile()
-      println(compactLine(truncated = false))
+      // the artifact of record: truncated iff the deadline actually cut
+      // sampling short (round-7 item — the flag must match passes_done)
+      println(compactLine(truncated = passesDone < passes))
       System.out.flush()
       summaryPrinted = true
     }

@@ -1605,7 +1605,9 @@ operations:
       val rows = pool.join(toks, "doc_id")
         .select(col("doc_id"), col("score_bp"), col("ts")).collect()
       final case class Cand(id: Long, bp: Long, reln: Long, ts: Set[String])
-      val maxBp = math.max(rows.map(_.getLong(1)).max, 1L)
+      // empty / undersized pools degrade to fewer output rows (the oracle
+      // shape), never a driver crash on max/maxBy of an empty collection
+      val maxBp = math.max(rows.map(_.getLong(1)).foldLeft(0L)(math.max), 1L)
       val cands = rows.map(r => Cand(r.getLong(0), r.getLong(1),
         r.getLong(1) * 1000000L / maxBp, r.getSeq[String](2).toSet)).sortBy(_.id)
       def jac(a: Set[String], b: Set[String]): Long = {
@@ -1613,7 +1615,7 @@ operations:
         inter * 1000000L / math.max(a.size + b.size - inter, 1L)
       }
       val selected = scala.collection.mutable.ArrayBuffer.empty[(Long, Cand, Long, Long)]
-      for (rank <- 1L to 5L) {
+      for (rank <- 1L to math.min(5L, cands.length.toLong)) {
         val chosen = cands.filter(c => !selected.exists(_._2.id == c.id))
           .map { c =>
             val ms = if (selected.isEmpty) 0L
@@ -1888,7 +1890,12 @@ operations:
         .withColumn("pm", expr("""CAST(n11 + n10 AS DECIMAL(38,0)) * (n11 + n01)
                  + CAST(n01 + n00 AS DECIMAL(38,0)) * (n10 + n00)"""))
         .withColumn("kn", expr("CAST(n AS DECIMAL(38,0)) * (n11 + n00) - pm"))
-        .withColumn("kd", expr("CAST(n AS DECIMAL(38,0)) * n - pm"))
+        // kd = N² − pm is 0 iff both raters are constant (pm = N²); the
+        // greatest(…, 1) guard makes that degenerate corpus read kappa = 0
+        // on BOTH engines (Spark non-ANSI would yield NULL, DuckDB // would
+        // raise — they diverge without it); kn = 0 there too, so the guard
+        // never changes a non-degenerate result
+        .withColumn("kd", expr("greatest(CAST(n AS DECIMAL(38,0)) * n - pm, 1)"))
         .select(col("n").as("n_docs"), col("n11"), col("n10"), col("n01"), col("n00"),
           expr("CAST((n11 + n00) * 1000000 div n AS BIGINT)").as("po_micro"),
           expr("CAST((pm * 1000000) div (CAST(n AS DECIMAL(38,0)) * n) AS BIGINT)")
@@ -11247,8 +11254,8 @@ operations:
            CAST((n11 + n00) * 1000000 // n AS BIGINT) AS po_micro,
            CAST((pm * 1000000) // (n::HUGEINT * n) AS BIGINT) AS pe_micro,
            CAST(CASE WHEN n::HUGEINT * (n11 + n00) - pm >= 0
-                THEN ((n::HUGEINT * (n11 + n00) - pm) * 1000000) // (n::HUGEINT * n - pm)
-                ELSE -((-(n::HUGEINT * (n11 + n00) - pm)) * 1000000) // (n::HUGEINT * n - pm) END AS BIGINT) AS kappa_micro
+                THEN ((n::HUGEINT * (n11 + n00) - pm) * 1000000) // greatest(n::HUGEINT * n - pm, 1)
+                ELSE -((-(n::HUGEINT * (n11 + n00) - pm)) * 1000000) // greatest(n::HUGEINT * n - pm, 1) END AS BIGINT) AS kappa_micro
          FROM k""",
     "ta_langid" -> langidOracleSql,
     "ta_split" ->

@@ -86,6 +86,24 @@ object VectorExprs {
     out
   }
 
+  /** Shared analysis-time gate for the vector kernels: every input must be
+    * array<float> or array<double>. [[dotData]]/[[normData]] branch only on
+    * float-vs-double, so any other element type has to be rejected HERE —
+    * at runtime it would read garbage through `getDouble` without error.
+    */
+  private[functions] def checkVectorType(
+      fn: String, dts: DataType*): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    dts.collectFirst {
+      case dt if !dt.isInstanceOf[ArrayType] =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn requires array<float|double> inputs, got ${dt.catalogString}")
+      case ArrayType(et, _) if et != FloatType && et != DoubleType =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$fn requires float or double vector elements, got array<${et.catalogString}>")
+    }.getOrElse(TypeCheckResult.TypeCheckSuccess)
+  }
+
   /** splitmix64 — deterministic, public-domain mixing function. */
   private[functions] def splitmix64(x0: Long): Long = {
     var x = x0 + 0x9E3779B97F4A7C15L
@@ -110,6 +128,11 @@ case class DotExpr(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
   private def isFloat(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  // isFloat reduces element handling to float-vs-double; any OTHER element
+  // type (array<int>, array<decimal>, …) must fail at analysis time — the
+  // else-branch getDouble would silently read garbage off ArrayData
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprs.checkVectorType(prettyName, left.dataType, right.dataType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any =
     VectorExprs.dotData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
@@ -130,6 +153,8 @@ case class NormExpr(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
   private def isFloat: Boolean =
     child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprs.checkVectorType(prettyName, child.dataType)
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any): Any =
     VectorExprs.normData(a.asInstanceOf[ArrayData], isFloat)
