@@ -22,6 +22,13 @@ object SparkEntry {
   private[graft] def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Scratch root for the persisted-ANN-index queries: deterministic per
+    * (sf dir, index name) so every invocation overwrites its own prior
+    * run, outside the repo so round tooling never mistakes it for source.
+    */
+  private[graft] def annIndexPath(dir: String, name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ann/${new java.io.File(dir).getName}/$name"
+
   /** Normalize the events `ts` column to a session-UTC TIMESTAMP whatever
     * the fixture's physical type (the driver has shipped both): a
     * TIMESTAMP(NANOS) parquet is read as a nanosecond long (legacy conf)
@@ -499,6 +506,45 @@ operations:
         .select(col("query_id"),
           coalesce(col("n_hits"), lit(0L)).as("n_hits"),
           (coalesce(col("n_hits"), lit(0L)).cast("double") / lit(10.0)).as("recall_at_10"))
+    }),
+
+    "sim_ivf_persisted" -> ((s, dir) => {
+      // the persisted-index serving path a 100 TB corpus actually runs:
+      // train + assign ONCE, write the inverted lists Hive-partitioned by
+      // cell (+ centroids alongside), then RE-OPEN from disk and probe —
+      // the probe's static `cell IN (…)` predicate prunes unprobed cell
+      // directories at planning time (AnnIndexSpec proves the pruning on
+      // the scan), so query cost is O(probed lists), not O(index). Same
+      // train/probe parameters as sim_topk_ivf ⇒ byte-identical results,
+      // so the existing full-replay oracle hash-checks the whole
+      // write → open → probe loop.
+      val emb = T(s, dir, "embeddings")
+      val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val path = annIndexPath(dir, "ivf_full")
+      ext.AnnIndex.write(
+        ext.IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
+      ext.AnnIndex.probeTopK(s, path, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nProbe = 3)
+    }),
+
+    "sim_ivf_incremental" -> ((s, dir) => {
+      // incremental ingest against a persisted index: train on the BASE
+      // cohort only (even vec_ids), persist its lists, then APPEND the
+      // delta cohort (odd vec_ids) assigned under the FROZEN centroids —
+      // no retrain, no rewrite of existing lists, O(delta) ingest (the
+      // FAISS add-after-train contract). The probe then reads the merged
+      // index from disk; the oracle replays k-means-on-evens +
+      // assign-everything exactly.
+      val emb = T(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val delta = emb.filter(col("vec_id") % 2 === 1)
+      val cents = ext.IvfIndex.train(base, "vec_id", "embedding", k = 8, iters = 2)
+      val path = annIndexPath(dir, "ivf_incr")
+      ext.AnnIndex.write(
+        ext.IvfIndex.assign(base, "vec_id", "embedding", cents), cents, path)
+      ext.AnnIndex.append(delta, "vec_id", "embedding", path)
+      ext.AnnIndex.probeTopK(s, path, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
     "sim_topk_lsh" -> ((s, dir) => {
@@ -10551,13 +10597,20 @@ operations:
   /** CTEs replaying IvfIndex.train(embeddings, k, iters) into
     * `cen$iters(cell, v)`; also defines `e(vec_id, v)` double-cast vectors.
     */
-  private def kmeansCtes(k: Int, iters: Int, dim: Int): String = {
+  /** `trainWhere` (e.g. "e.vec_id % 2 = 0") restricts the TRAINING set —
+    * init sample and Lloyd assignments — without touching `e` itself,
+    * replaying IvfIndex.train on a base cohort while downstream CTEs
+    * still assign/probe the full corpus (the persisted-index oracles).
+    * Empty (the default) emits exactly the historical full-corpus text.
+    */
+  private def kmeansCtes(k: Int, iters: Int, dim: Int, trainWhere: String = ""): String = {
     val grid = graft.ext.IvfIndex.Grid
+    val initW = if (trainWhere.isEmpty) "" else s" WHERE $trainWhere"
     val init =
       s"""e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
-         |cen0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS cell, v FROM e QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k)""".stripMargin
+         |cen0 AS MATERIALIZED (SELECT CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) - 1 AS INTEGER) AS cell, v FROM e$initW QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) <= $k)""".stripMargin
     val steps = (0 until iters).map { t =>
-      s"""asg$t AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen$t c) WHERE rn = 1),
+      s"""asg$t AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen$t c$initW) WHERE rn = 1),
          |upd$t AS MATERIALIZED (SELECT cell, j, CAST(sum(CAST(floor(v[CAST(j AS INTEGER)+1] * $grid) AS BIGINT)) AS BIGINT) AS sj, count(*) AS n FROM asg$t, unnest(range($dim)) t(j) GROUP BY 1, 2),
          |cen${t + 1} AS MATERIALIZED (SELECT p.cell, COALESCE(u.nv, p.v) AS v FROM cen$t p LEFT JOIN (SELECT cell, list(CAST(sj AS DOUBLE) / CAST(n * $grid AS DOUBLE) ORDER BY j) AS nv FROM upd$t GROUP BY cell) u ON p.cell = u.cell)""".stripMargin
     }
@@ -10571,6 +10624,22 @@ operations:
   private lazy val ivfTopKOracleSql: String = {
     val cos = "list_dot_product(i.v, p.qv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
     s"""WITH ${kmeansCtes(8, 2, 64)},
+       |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+       |prob AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c WHERE e.vec_id < 8) WHERE rn <= 3),
+       |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id, $cos AS score FROM prob p JOIN idx i ON p.cell = i.cell AND i.vec_id <> p.query_id)
+       |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
+       |WHERE rn <= 10""".stripMargin
+  }
+
+  /** sim_ivf_incremental: ivfTopKOracleSql with k-means TRAINED on the
+    * even-vec_id base cohort only (the persisted index's frozen
+    * quantizer); assignment and probing still cover the full corpus —
+    * exactly what base-write + frozen-centroid append produces on disk.
+    */
+  private lazy val ivfIncrementalOracleSql: String = {
+    val cos = "list_dot_product(i.v, p.qv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
+    s"""WITH ${kmeansCtes(8, 2, 64, trainWhere = "e.vec_id % 2 = 0")},
        |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
        |prob AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c WHERE e.vec_id < 8) WHERE rn <= 3),
        |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id, $cos AS score FROM prob p JOIN idx i ON p.cell = i.cell AND i.vec_id <> p.query_id)
@@ -10878,6 +10947,10 @@ operations:
     "ta_winnow" -> winnowOracleSql,
     "sim_silhouette" -> silhouetteOracleSql,
     "sim_topk_ivf" -> ivfTopKOracleSql,
+    // identical parameters to sim_topk_ivf — the oracle hash-checks that
+    // the write → re-open → pruned-probe loop loses nothing vs in-memory
+    "sim_ivf_persisted" -> ivfTopKOracleSql,
+    "sim_ivf_incremental" -> ivfIncrementalOracleSql,
     "sim_ivf_recall" -> ivfRecallOracleSql,
     "sim_pq_recall" -> pqRecallOracleSql,
     "dd_semantic" -> semanticOracleSql,

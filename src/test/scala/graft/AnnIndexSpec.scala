@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.ext.{AnnIndex, IvfIndex}
+
+/** The persisted/incremental ANN index contract: write → open loses
+  * nothing, incremental append equals batch build under the same frozen
+  * quantizer, and the probe's cell filter prunes partition DIRECTORIES
+  * at planning time (the property that makes the on-disk layout pay at
+  * 100 TB — a probe reads its cells, not the index).
+  */
+class AnnIndexSpec extends SparkSpec {
+
+  private lazy val emb = SparkEntry.T(spark, sf0001, "embeddings")
+  private lazy val queries = emb.filter(col("vec_id") < 8)
+  private def tmpIndex(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-ann-spec/$name"
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long)] =
+    df.select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+
+  test("write -> open -> probe equals the in-memory IVF result exactly") {
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val index = IvfIndex.assign(emb, "vec_id", "embedding", cents)
+    val inMem = IvfIndex.topK(index, queries, "vec_id", "embedding", cents,
+      k = 10, nProbe = 3)
+
+    val path = tmpIndex("roundtrip")
+    AnnIndex.write(index, cents, path)
+    val (reopened, loaded) = AnnIndex.open(spark, path)
+    assert(loaded.map(_._1) == cents.map(_._1))
+    assert(loaded.map(_._2.toSeq) == cents.map(_._2.toSeq),
+      "centroids must survive the parquet roundtrip bit-exactly")
+    assert(reopened.count() == emb.count())
+
+    val probed = AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", k = 10, nProbe = 3)
+    assert(rowsOf(probed) == rowsOf(inMem))
+  }
+
+  test("probe scan prunes unprobed cell directories at planning time") {
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val path = tmpIndex("pruning")
+    AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
+
+    // one query probing 2 of 8 cells: the index scan must plan over <= 2
+    // partition directories, not all 8
+    val one = emb.filter(col("vec_id") === 0)
+    val probed = AnnIndex.probeTopK(spark, path, one,
+      "vec_id", "embedding", k = 5, nProbe = 2)
+    // AQE wraps the join in AdaptiveSparkPlanExec — recurse into it to
+    // reach the index scan (pruning happens at initial planning, before
+    // any runtime re-plan)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.executedPlan)
+      }.flatten
+    val scans = fileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("pruning")))
+    assert(scans.nonEmpty, "expected a file scan over the persisted index")
+    val selected = scans.map(_.selectedPartitions.partitionCount).min
+    val total = new java.io.File(s"$path/cells").listFiles()
+      .count(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(total == 8, s"expected 8 cell directories, found $total")
+    assert(selected <= 2,
+      s"nProbe=2 single-query probe must read <= 2 of $total cell dirs, read $selected")
+  }
+
+  test("incremental append under frozen centroids equals the batch build") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val delta = emb.filter(col("vec_id") % 2 === 1)
+    val cents = IvfIndex.train(base, "vec_id", "embedding", k = 8, iters = 2)
+
+    val incr = tmpIndex("incremental")
+    AnnIndex.write(IvfIndex.assign(base, "vec_id", "embedding", cents), cents, incr)
+    AnnIndex.append(delta, "vec_id", "embedding", incr)
+
+    val batch = tmpIndex("batch")
+    AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, batch)
+
+    val a = AnnIndex.probeTopK(spark, incr, queries, "vec_id", "embedding", 10, 3)
+    val b = AnnIndex.probeTopK(spark, batch, queries, "vec_id", "embedding", 10, 3)
+    assert(rowsOf(a) == rowsOf(b))
+
+    // append must not have rewritten base lists: every base row is still
+    // present exactly once alongside the delta rows
+    val (cells, _) = AnnIndex.open(spark, incr)
+    assert(cells.count() == emb.count())
+    assert(cells.select("id").distinct().count() == emb.count())
+  }
+}
