@@ -47,16 +47,21 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.min(32, Runtime.getRuntime.availableProcessors).toString)
     val passes = sys.env.getOrElse("SPARK_GRAFT_PASSES", "2").toInt.max(1)
-    // Budget math (round-8 recalibration): one sf0.1 pass is ~530 s warm /
-    // ~600-750 s cold, sbt+JVM+warm-up startup is ~100-120 s, and the round
-    // driver's external timeout is ~1350-1500 s. Two passes (cold + warm)
-    // land at ~1100-1250 s of main()-elapsed in the quiet case, so the
-    // deadline sits at 1150 s: pass 2 completes when the host is quiet
-    // (passes_done = 2, per-query = min of 2) and degrades to the round-7
-    // single-pass-plus-reprobe shape under contention. Default passes is 2,
-    // not 3 — a third pass can never fit the timeout at this suite size and
-    // would only burn the margin next to the kill line.
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "1150").toDouble
+    // Budget math (round-8, rehearsed): a quiet cold pass is ~585 s and a
+    // cold-cache second pass costs about the same (the per-query
+    // clearCache means pass 2 is not "warm"), so two passes land at
+    // ~1170-1190 s of main()-elapsed; sbt startup adds only ~10 s (the
+    // 1150 s rehearsal cut pass 2 with 45 sub-second queries — ~11 s of
+    // work — left). The round driver's external timeout is ~1350-1500 s,
+    // so 1240 s leaves ≥ 100 s of margin: overshoot past the deadline is
+    // bounded by ONE query, and passes 2+ run cheapest-last, so the query
+    // straddling the deadline is sub-second. Under contention (r7: 735 s
+    // pass 1) the deadline degrades this to one full pass + a
+    // descending-cost partial second + re-probes — strictly more samples
+    // than round 7's artifact. Default passes is 2, not 3 — a third pass
+    // can never fit the timeout at this suite size and would only burn
+    // margin next to the kill line.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "1240").toDouble
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -265,11 +270,15 @@ object Bench {
     if (passesDone < passes) {
       val reprobeBudget = sys.env.getOrElse("SPARK_GRAFT_REPROBE_SEC", "180").toDouble
       val reprobeDeadline = elapsed + reprobeBudget
+      // every still-single-sampled query, costliest first — the budget
+      // gate below is the only cap (when the deadline cut pass 2 near its
+      // end, the leftovers are the CHEAPEST queries and a few seconds of
+      // budget buys min-of-2 for all of them)
       val slowest = lock.synchronized {
         names.filter(n => samples.contains(n) && samples(n).size < 2)
-          .sortBy(n => -samples(n).min).take(12)
+          .sortBy(n => -samples(n).min)
       }
-      System.err.println(s"[bench] slowest re-probe: ${slowest.mkString(", ")}")
+      System.err.println(s"[bench] single-sample re-probe: ${slowest.size} queries")
       slowest.foreach { name =>
         if (elapsed < reprobeDeadline)
           timeOnce(name, SparkEntry.queries(name)).foreach(sec =>
