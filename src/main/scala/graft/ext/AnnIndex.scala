@@ -74,6 +74,30 @@ object AnnIndex {
       .parquet(s"$path/cells")
   }
 
+  /** Maintenance: compact ONE cell's inverted list in place. Incremental
+    * [[append]] batches accumulate a file per batch per touched cell;
+    * at ingest-heavy scale a probe then pays a task + footer read + open
+    * per tiny file. This rewrites the cell directory to a bounded file
+    * count and swaps it atomically (write aside → rename), so concurrent
+    * probes see either the old or the new file set, never a partial one.
+    * Contents are bit-identical — AnnIndexSpec asserts probe equality.
+    */
+  def compactCell(spark: SparkSession, path: String, cell: Int,
+                  targetBytes: Long = 128L << 20): (Long, Long) = {
+    val cellDir = s"$path/cells/cell=$cell"
+    val aside = s"$path/.compact-cell=$cell"
+    val counts = graft.sources.Layout.compact(spark, cellDir, aside, targetBytes)
+    val old = new java.io.File(cellDir)
+    val retired = new java.io.File(s"$path/.retired-cell=$cell")
+    if (retired.exists()) { // leftover from a crashed prior compaction
+      retired.listFiles().foreach(_.delete()); retired.delete()
+    }
+    require(old.renameTo(retired), s"could not retire $cellDir")
+    require(new java.io.File(aside).renameTo(old), s"could not swap in $aside")
+    retired.listFiles().foreach(_.delete()); retired.delete()
+    counts
+  }
+
   /** Top-k cosine probe against a persisted index, reading ONLY the
     * probed cells: the per-query probe cells are computed driver-side
     * (|queries| × nProbe ints — the probe batch is the bounded small

@@ -92,4 +92,31 @@ class AnnIndexSpec extends SparkSpec {
     assert(cells.count() == emb.count())
     assert(cells.select("id").distinct().count() == emb.count())
   }
+
+  test("cell compaction collapses append-batch files and changes nothing") {
+    val base = emb.filter(col("vec_id") % 4 === 0)
+    val cents = IvfIndex.train(base, "vec_id", "embedding", k = 4, iters = 1)
+    val path = tmpIndex("compaction")
+    AnnIndex.write(IvfIndex.assign(base, "vec_id", "embedding", cents), cents, path)
+    // three ingest batches — each append adds its own files per cell
+    for (r <- 1 to 3)
+      AnnIndex.append(emb.filter(col("vec_id") % 4 === r), "vec_id", "embedding", path)
+
+    val before = rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 2))
+    def files(cell: Int) =
+      new java.io.File(s"$path/cells/cell=$cell").listFiles()
+        .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val cell = (0 until 4).maxBy(files)
+    val nBefore = files(cell)
+    assert(nBefore >= 4, s"expected >=4 append-batch files in cell=$cell, found $nBefore")
+
+    val (was, now) = AnnIndex.compactCell(spark, path, cell)
+    assert(was == nBefore && now < was,
+      s"compaction must shrink the file count: $was -> $now")
+    assert(files(cell) == now)
+    val after = rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 2))
+    assert(after == before, "compaction must be invisible to probes")
+  }
 }
