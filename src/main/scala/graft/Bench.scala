@@ -62,6 +62,17 @@ object Bench {
     // can never fit the timeout at this suite size and would only burn
     // margin next to the kill line.
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "1240").toDouble
+    // Absolute stop for ALL post-pass-1 work (pass-2 finish-out AND
+    // re-probes): the external kill is ~1350-1500 s and startup is ~10 s,
+    // so nothing may start past 1300 s. Two uses: (a) a pass that reaches
+    // the soft deadline with only a few cheap queries left (cheapest-last
+    // ordering makes this the common case) may FINISH if its projected
+    // remainder fits under the cap — sampling depth is worth more than
+    // the counter's honesty margin; (b) re-probe budgets are clipped to
+    // the cap (a full 180 s budget on top of a 1240 s deadline would
+    // otherwise straddle the kill line).
+    val hardCapSec = sys.env.getOrElse("SPARK_GRAFT_HARDCAP_SEC", "1300").toDouble
+      .max(deadlineSec)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench")
@@ -220,13 +231,18 @@ object Bench {
         else lock.synchronized {
           names.sortBy(n => -samples.get(n).map(_.min).getOrElse(Double.MaxValue))
         }
-      for (name <- order if !deadlineHit) {
+      for ((name, idx) <- order.zipWithIndex if !deadlineHit) {
         // pass 1 always completes (coverage beats sampling depth); later
-        // passes yield to the deadline before STARTING a query, so a
-        // long-running query never straddles the external timeout by much
-        if (p > 1 && elapsed > deadlineSec) {
+        // passes yield to the deadline before STARTING a query — unless
+        // the pass's projected remainder (pass-1 mins × 1.15 slack) still
+        // fits under the hard cap, in which case finishing beats stopping:
+        // cheapest-last ordering makes the post-deadline tail seconds-cheap
+        lazy val remainEst = lock.synchronized {
+          order.drop(idx).map(n => samples.get(n).map(_.min).getOrElse(1.0)).sum * 1.15
+        }
+        if (p > 1 && elapsed > deadlineSec && elapsed + remainEst > hardCapSec) {
           deadlineHit = true
-          System.err.println(f"[bench] deadline ${deadlineSec}%.0f s hit at $elapsed%.0f s — stopping after ${p - 1} full passes")
+          System.err.println(f"[bench] deadline ${deadlineSec}%.0f s hit at $elapsed%.0f s (remainder est $remainEst%.0f s misses the ${hardCapSec}%.0f s cap) — stopping after ${p - 1} full passes")
         } else {
           timeOnce(name, SparkEntry.queries(name)) match {
             case Right(sec) => lock.synchronized { samples(name) = sec :: samples.getOrElse(name, Nil) }
@@ -269,7 +285,10 @@ object Bench {
     // (it sits right next to the external kill line).
     if (passesDone < passes) {
       val reprobeBudget = sys.env.getOrElse("SPARK_GRAFT_REPROBE_SEC", "180").toDouble
-      val reprobeDeadline = elapsed + reprobeBudget
+      // clipped to the hard cap — the budget exists for the EARLY-cut case
+      // (pass 1 alone blew the deadline); after a late cut only the cap's
+      // own margin is left, and that's the margin that keeps us alive
+      val reprobeDeadline = (elapsed + reprobeBudget).min(hardCapSec)
       // every still-single-sampled query, costliest first — the budget
       // gate below is the only cap (when the deadline cut pass 2 near its
       // end, the leftovers are the CHEAPEST queries and a few seconds of
