@@ -547,6 +547,37 @@ operations:
         "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
+    "stream_ivf_ingest" -> ((s, dir) => {
+      // STREAMING index maintenance — the live-ingest shape of
+      // sim_ivf_incremental: the persisted IVF index absorbs micro-batches
+      // through foreachBatch → AnnIndex.append under the FROZEN persisted
+      // centroids. Cell assignment is stateless and per-row, and appends
+      // only add files, so the on-disk index CONVERGES to the batch-append
+      // index whatever the micro-batch boundaries — the final probe shares
+      // sim_ivf_incremental's oracle verbatim (streaming ≡ batch for index
+      // builds, proven by hash, like stream_nbc ≡ ta_nbc). The base write
+      // (SaveMode.Overwrite, static partition-overwrite) clears any prior
+      // run's lists, and AvailableNow + a fresh temp checkpoint reprocesses
+      // the full delta, so the query is rerun-deterministic.
+      val emb = T(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val cents = ext.IvfIndex.train(base, "vec_id", "embedding", k = 8, iters = 2)
+      val path = annIndexPath(dir, "ivf_stream")
+      ext.AnnIndex.write(
+        ext.IvfIndex.assign(base, "vec_id", "embedding", cents), cents, path)
+      val stream = s.readStream.schema(emb.schema)
+        .parquet(s"$dir/[e]mbeddings.parquet")
+        .filter(col("vec_id") % 2 === 1)
+      val q = stream.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          ext.AnnIndex.append(batch, "vec_id", "embedding", path))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ext.AnnIndex.probeTopK(s, path, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nProbe = 3)
+    }),
+
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
@@ -10951,6 +10982,8 @@ operations:
     // the write → re-open → pruned-probe loop loses nothing vs in-memory
     "sim_ivf_persisted" -> ivfTopKOracleSql,
     "sim_ivf_incremental" -> ivfIncrementalOracleSql,
+    // streaming micro-batch append converges to batch append — same oracle
+    "stream_ivf_ingest" -> ivfIncrementalOracleSql,
     "sim_ivf_recall" -> ivfRecallOracleSql,
     "sim_pq_recall" -> pqRecallOracleSql,
     "dd_semantic" -> semanticOracleSql,
