@@ -95,6 +95,24 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq
       .filter(n => only.forall(_.contains(n)))
+
+    // Broad JIT/codegen warm-up: the entry query above doesn't touch most
+    // operator shapes, so pass 1's first ~25 queries used to absorb Janino
+    // compilation and JVM warmup into their only cold sample (every
+    // rehearsal's noise flags were exactly those early queries, 3-4×
+    // inflated). Running the early slice once against the SMALLEST
+    // fixture compiles the same generated code for ~10 s instead of
+    // billing ~30 s of warmup to the measured samples.
+    val warmDir = sfDir.replace("sf0.1", "sf0.001")
+    if (warmDir != sfDir && new java.io.File(warmDir).isDirectory) {
+      names.take(30).foreach { n =>
+        try SparkEntry.queries(n)(spark, warmDir)
+          .write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () } // warm-up must never fail the run
+      }
+      spark.catalog.clearCache()
+      System.err.println(f"[bench] warm-up done at $elapsed%.0f s")
+    }
     only.foreach { o =>
       val unknown = o -- names.toSet
       if (unknown.nonEmpty)
@@ -118,13 +136,17 @@ object Bench {
     // windows), so with >= 3 samples the worst one is discarded before the
     // spread test: suspect only when the two best remaining samples still
     // disagree > 3x — i.e. at least two independent slow reads. With exactly
-    // 2 samples there is nothing to discard and raw spread is all we have.
+    // 2 samples there is nothing to discard, and a cold-pass-1 vs
+    // warm-pass-2 gap is the NORMAL case under min-of-passes reporting —
+    // so the raw-spread test additionally requires a >= 5 s absolute gap
+    // (a sub-5 s delta cannot meaningfully distort a ~550 s suite total,
+    // while a real steal-window hit on a heavy query is tens of seconds).
     def spreadSuspect(xs: List[Double]): Boolean = {
       if (xs.size < 2 || xs.min <= 0.2) false
       else {
         val s = xs.sorted
-        val hi = if (s.size >= 3) s(s.size - 2) else s.last
-        hi / s.head > 3.0
+        if (s.size >= 3) s(s.size - 2) / s.head > 3.0
+        else s.last / s.head > 3.0 && s.last - s.head > 5.0
       }
     }
 
