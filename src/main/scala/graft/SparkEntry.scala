@@ -621,6 +621,23 @@ operations:
         "vec_id", "embedding", k = 10, ef = 16, rounds = 3, nSeeds = 4)
     }),
 
+    "sim_graph_persisted" -> ((s, dir) => {
+      // persisted NSW graph index: build the bounded-degree neighbor
+      // graph ONCE, write it src-range-partitioned + src-sorted (every
+      // file a disjoint src range → row-group pruning serves the beam's
+      // adjacency lookups), re-open from disk and beam-search with
+      // sim_topk_graph's exact parameters — byte-identical results, so
+      // the existing unrolled-rounds oracle hash-checks the second index
+      // family's write → open → search loop too (IVF's proof shape).
+      val emb = T(s, dir, "embeddings")
+      val path = annIndexPath(dir, "nsw")
+      ext.AnnIndex.writeGraph(
+        ext.GraphAnn.buildGraph(emb, "vec_id", "embedding", degree = 8), path)
+      ext.GraphAnn.topK(emb, ext.AnnIndex.openGraph(s, path),
+        emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, ef = 16, rounds = 3, nSeeds = 4)
+    }),
+
     "sim_graph_recall" -> ((s, dir) => {
       // recall@10 of the graph-ANN tier vs exact brute force — the same
       // accept/reject eval gate sim_recall runs for LSH, closing the
@@ -11077,6 +11094,8 @@ operations:
     "dd_embed" -> embedOracleSql,
     "sim_topk_lsh" -> lshTopKOracleSql,
     "sim_topk_graph" -> graphTopKOracleSql,
+    // persisted-graph search must equal the in-memory build exactly
+    "sim_graph_persisted" -> graphTopKOracleSql,
     "sim_graph_recall" -> graphRecallOracleSql,
     "q_fuzzy_join2" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS str_a, b.c_name AS str_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey AND levenshtein(a.c_name, b.c_name) <= 2""",

@@ -74,6 +74,23 @@ object AnnIndex {
       .parquet(s"$path/cells")
   }
 
+  /** Persist a bounded-degree neighbor graph (the [[GraphAnn]] index) as
+    * src-range-partitioned, src-sorted parquet: every file then carries a
+    * DISJOINT src range with tight min/max stats, so the beam search's
+    * per-round adjacency lookups prune to the files holding the beam's
+    * nodes — the same "read only what you probe" layout discipline as the
+    * IVF cell directories, expressed through row-group pruning instead of
+    * partition directories (a graph has no natural low-cardinality
+    * partition key).
+    */
+  def writeGraph(graph: DataFrame, path: String, files: Int = 8): Unit =
+    graph.repartitionByRange(files, col("src"))
+      .sortWithinPartitions("src", "dst")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
+
+  def openGraph(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/edges")
+
   /** Maintenance: compact ONE cell's inverted list in place. Incremental
     * [[append]] batches accumulate a file per batch per touched cell;
     * at ingest-heavy scale a probe then pays a task + footer read + open

@@ -93,6 +93,20 @@ class AnnIndexSpec extends SparkSpec {
     assert(cells.select("id").distinct().count() == emb.count())
   }
 
+  test("persisted NSW graph: write -> open -> beam search equals in-memory") {
+    val g = graft.ext.GraphAnn.buildGraph(emb, "vec_id", "embedding", degree = 4)
+    val inMem = graft.ext.GraphAnn.topK(emb, g, queries,
+      "vec_id", "embedding", k = 5, ef = 8, rounds = 2, nSeeds = 2)
+    val path = tmpIndex("nsw")
+    AnnIndex.writeGraph(g, path, files = 4)
+    val reopened = AnnIndex.openGraph(spark, path)
+    // the src-sorted range layout must hold edge-for-edge
+    assert(reopened.count() == g.count())
+    val again = graft.ext.GraphAnn.topK(emb, reopened, queries,
+      "vec_id", "embedding", k = 5, ef = 8, rounds = 2, nSeeds = 2)
+    assert(rowsOf(again) == rowsOf(inMem))
+  }
+
   test("cell compaction collapses append-batch files and changes nothing") {
     val base = emb.filter(col("vec_id") % 4 === 0)
     val cents = IvfIndex.train(base, "vec_id", "embedding", k = 4, iters = 1)
