@@ -578,6 +578,53 @@ operations:
         "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
+    "dd_lsh_persisted" -> ((s, dir) => {
+      // persisted near-dup LEDGER — the dedup analog of sim_ivf_persisted:
+      // band the HISTORICAL corpus once, write it bkey-range-sorted, then
+      // check an incoming batch against the re-opened ledger without
+      // re-reading any historical text (the FineWeb/RefinedWeb daily-
+      // ingest shape). The probe pushes the batch's bucket keys into the
+      // ledger scan (`bkey IN …` + tight row-group stats ⇒ O(matched
+      // postings), LshIndexSpec proves the pruning); the oracle replays
+      // sig + banding for both cohorts and crosses them.
+      val d = T(s, dir, "documents")
+      val path = annIndexPath(dir, "lsh_ledger")
+      ext.LshIndex.write(d.filter(col("doc_id") < 250), "doc_id", "text", path)
+      ext.LshIndex.probePairs(s, path, d.filter(col("doc_id") >= 250),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+    "dd_lsh_incremental" -> ((s, dir) => {
+      // incremental ledger ingest: build on the first cohort, APPEND the
+      // second under the ledger's FROZEN stored params (no rebuild — O(delta)
+      // files only), then probe. Banding is stateless per-row under frozen
+      // params and parquet append only adds files, so append-then-probe
+      // CONVERGES to dd_lsh_persisted's one-shot build — the oracle is
+      // shared verbatim (the convergence proof, like stream_ivf_ingest ≡
+      // sim_ivf_incremental).
+      val d = T(s, dir, "documents")
+      val path = annIndexPath(dir, "lsh_ledger_incr")
+      ext.LshIndex.write(d.filter(col("doc_id") < 150), "doc_id", "text", path)
+      ext.LshIndex.append(d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+        "doc_id", "text", path)
+      ext.LshIndex.probePairs(s, path, d.filter(col("doc_id") >= 250),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+    "srch_persisted" -> ((s, dir) => {
+      // persisted inverted index + BM25 probe — the Lucene-on-Spark
+      // serving path: index the corpus once (tok-range-sorted postings,
+      // doclens, one stats row), then serve the query from the index with
+      // a `tok IN (…)` pushed scan — zero text reads at query time. The
+      // probe shares bm25TopK's exact scoring expression tree (same
+      // doubles bit-for-bit), so srch_bm25's oracle checks the whole
+      // write → open → probe loop.
+      val docs = T(s, dir, "documents")
+      val path = annIndexPath(dir, "bm25_idx")
+      ext.Search.writeIndex(docs, "doc_id", "text", path)
+      ext.Search.probeBm25(s, path, "doc_id", Seq("spark", "dup", "vector"), 25)
+    }),
+
     "sim_topk_lsh" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       ext.Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), "vec_id", "embedding", 10)
@@ -10442,6 +10489,22 @@ operations:
   private lazy val minhashOracleSql: String =
     s"WITH ${minhashSigCtes(3, 64)}, ${minhashPairSql(64, 16, 0.5)} SELECT id_a, id_b, est_jaccard FROM mh_pairs"
 
+  /** dd_lsh_persisted / dd_lsh_incremental: the same sig + banding replay
+    * as dd_minhash, but candidates CROSS the ledger cohort (doc_id < 250)
+    * with the incoming batch (doc_id ≥ 250) instead of self-joining — the
+    * persisted-ledger probe finds exactly the cross-cohort banded pairs.
+    * Shared by both queries: append-under-frozen-params converges to the
+    * one-shot build, so the incremental run must hash-match this too.
+    */
+  private lazy val lshLedgerOracleSql: String = {
+    val r = 64 / 16
+    s"""WITH ${minhashSigCtes(3, 64)},
+       |banded AS MATERIALIZED (SELECT doc_id, b, array_to_string(sig[(CAST(b AS INTEGER)*$r+1):(CAST(b AS INTEGER)*$r+$r)], ',') AS bkey FROM sigs, unnest(range(16)) t(b)),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_old, b.doc_id AS id_new FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey WHERE a.doc_id < 250 AND b.doc_id >= 250),
+       |est AS (SELECT id_old, id_new, CAST(len(list_filter(range(64), i -> sa.sig[CAST(i AS INTEGER)+1] = sb.sig[CAST(i AS INTEGER)+1])) AS DOUBLE) / 64 AS est_jaccard FROM cand JOIN sigs sa ON cand.id_old = sa.doc_id JOIN sigs sb ON cand.id_new = sb.doc_id)
+       |SELECT id_old, id_new, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
+  }
+
   /** dd_minhash_dedup: connected components over the minhash pair graph
     * (recursive min-label propagation — labels only decrease, so the
     * UNION-dedup recursion terminates), keep the min-id doc per cluster.
@@ -11105,6 +11168,8 @@ operations:
     "g_kcore" -> kcoreOracleSql,
     "g_labelprop" -> labelpropOracleSql,
     "dd_minhash" -> minhashOracleSql,
+    "dd_lsh_persisted" -> lshLedgerOracleSql,
+    "dd_lsh_incremental" -> lshLedgerOracleSql,
     "dd_incremental" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
          |inc AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250)
@@ -11589,6 +11654,9 @@ operations:
     "dd_jaccard_join" ->
       """WITH t AS (SELECT doc_id AS id, list_distinct(list_filter(string_split_regex(lower(text), '\s+'), x -> x <> '')) AS toks FROM documents), s AS (SELECT id, toks, CAST(len(toks) AS BIGINT) AS n FROM t WHERE len(toks) > 0), p AS (SELECT a.id AS id_a, b.id AS id_b, a.n AS n_a, b.n AS n_b, CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter FROM s a JOIN s b ON a.id < b.id) SELECT id_a, id_b, n_a, n_b, inter, n_a + n_b - inter AS uni, CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) AS jaccard FROM p WHERE n_a + n_b - inter > 0 AND CAST(inter AS DOUBLE) / CAST(n_a + n_b - inter AS DOUBLE) >= 0.9""",
     "srch_bm25" -> bm25OracleSql,
+    // srch_persisted: the index probe shares bm25TopK's exact scoring
+    // expression tree, so the scan-path oracle checks the persisted loop
+    "srch_persisted" -> bm25OracleSql,
     // srch_mmr: the same BM25 pool truncated to 20, integer Jaccard
     // sims, and the greedy λ=0.7 selection unrolled as five argmax CTEs
     "srch_mmr" -> s"""WITH dtoks AS (SELECT doc_id, list_distinct(list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')) AS ts FROM documents),

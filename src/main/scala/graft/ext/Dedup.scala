@@ -37,7 +37,7 @@ object Dedup {
     * CollectMetrics node over the bucket-count aggregate, zero extra
     * passes) and surface on stderr after the action.
     */
-  private def ensureMetricsLogger(spark: org.apache.spark.sql.SparkSession): Unit =
+  private[ext] def ensureMetricsLogger(spark: org.apache.spark.sql.SparkSession): Unit =
     loggerSessions.synchronized {
       if (!loggerSessions.containsKey(spark)) {
         loggerSessions.put(spark, java.lang.Boolean.TRUE)

@@ -1,0 +1,153 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH near-duplicate LEDGER: the dedup analog of the
+  * persisted ANN index ([[AnnIndex]]). A 100 TB corpus does not re-run
+  * all-pairs near-dup over its whole history per ingest — it keeps the
+  * historical corpus's banded signatures ON DISK and checks each incoming
+  * batch against that ledger (the daily-ingest shape of the
+  * RefinedWeb/FineWeb-style MinHash dedup pipelines). Build ONCE, append
+  * each batch O(delta), probe each batch O(delta · matched postings).
+  *
+  * On-disk layout (`path/`):
+  *   - `bands/…parquet` — (id, band, bkey) banded signature postings,
+  *     range-partitioned and sorted by `bkey`: every file carries a
+  *     near-disjoint bkey range with tight parquet min/max stats, so a
+  *     probe that pushes a `bkey IN (…)` predicate skips the row groups
+  *     (and whole files) holding no probed bucket — the same
+  *     "read only what you probe" discipline as the IVF cell directories,
+  *     expressed through stats pruning because bkey is high-cardinality
+  *     (bkey is xxhash64 seeded BY BAND, so one column both spreads the
+  *     range partitioner and identifies the bucket; the `band` column
+  *     rides along only to guard astronomically-unlikely cross-band hash
+  *     collisions in the join).
+  *   - `sigs/…parquet` — (id, sig) full k-long signatures, read only to
+  *     estimate Jaccard on the matched candidate ids (never shuffled
+  *     through the band join).
+  *   - `params/…parquet` — one row (n, k, bands). Probes and appends
+  *     re-derive their expressions from the STORED params, so a ledger
+  *     can never be probed with a different shingle/permutation setup
+  *     than it was built with (the frozen-params contract that makes
+  *     append-then-probe converge to the one-shot batch build —
+  *     LshIndexSpec proves the equivalence).
+  *
+  * Reference scope: the reference engine has no dedup surface at all
+  * (SURVEY §2); this extends the LLM-pipeline brief's MinHash dedup to
+  * the persisted/incremental form a real ingest pipeline needs.
+  */
+object LshIndex {
+
+  private val obsCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Banded postings (id, band, bkey) for `docs` under (n, k, bands) —
+    * the single expression path shared by build, append and probe, so
+    * all three see byte-identical bucket keys. Docs with fewer than n
+    * tokens have no shingles (MaxValue sentinel signature) and are
+    * dropped, exactly as in [[Dedup.minhashPairs]].
+    */
+  private def banded(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
+    require(k % bands == 0, "LshIndex: bands must divide k")
+    graft.functions.Hashing.register(docs.sparkSession)
+    val r = k / bands
+    val sigs = Par.fanOut(docs).select(col(idCol).as("id"),
+      graft.functions.Hashing.textMinhash(col(textCol), n, k).as("sig"))
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
+    val bandedDf = sigs.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
+    (bandedDf, sigs)
+  }
+
+  /** Build the ledger from the historical corpus and persist it at
+    * `path`. `files` bounds the band-posting file count (range
+    * partitioner on bkey — scale it with corpus size; each file then
+    * covers a disjoint bkey range).
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String, path: String,
+            n: Int = 3, k: Int = 64, bands: Int = 16, files: Int = 8): Unit = {
+    val spark = docs.sparkSession
+    val (b, sigs) = banded(docs, idCol, textCol, n, k, bands)
+    b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
+    sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/sigs")
+    import spark.implicits._
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
+  }
+
+  private def readParams(spark: SparkSession, path: String): (Int, Int, Int) = {
+    val r = spark.read.parquet(s"$path/params").collect()(0)
+    (r.getInt(0), r.getInt(1), r.getInt(2))
+  }
+
+  /** Incremental ingest: band `delta` under the ledger's FROZEN params
+    * and append its postings and signatures. Parquet append only adds
+    * files — existing postings are never rewritten, so ingest cost is
+    * O(delta), not O(ledger). Appended files are bkey-sorted within
+    * partitions, keeping their row-group stats tight for later probes.
+    */
+  def append(delta: DataFrame, idCol: String, textCol: String,
+             path: String): Unit = {
+    val (n, k, bands) = readParams(delta.sparkSession, path)
+    val (b, sigs) = banded(delta, idCol, textCol, n, k, bands)
+    b.sortWithinPartitions("bkey")
+      .write.mode(SaveMode.Append).parquet(s"$path/bands")
+    sigs.write.mode(SaveMode.Append).parquet(s"$path/sigs")
+  }
+
+  /** Probe: all (id_old, id_new, est_jaccard) near-dup pairs between the
+    * LEDGER (old) and the `incoming` batch (new) with signature-estimated
+    * Jaccard ≥ `threshold`. The incoming batch is the bounded small side
+    * by contract (a daily ingest, not a second corpus):
+    *  - its distinct bucket keys (≤ |delta|·bands longs) are collected
+    *    and pushed as a static `bkey IN (…)` scan predicate when they
+    *    number ≤ `pushLimit`, pruning unmatched ledger row groups at
+    *    planning time — probe cost is O(matched postings), not O(ledger);
+    *    above `pushLimit` the probe falls back to the plain shuffle join
+    *    (the predicate would cost more to ship than it saves);
+    *  - `maxPostings` guards the web-scale failure mode of a boilerplate
+    *    band bucket (thousands of ledger docs sharing one bkey): buckets
+    *    with more ledger postings are dropped from the CANDIDATE stage
+    *    with the drop count logged via observed metrics — the
+    *    [[Dedup.bucketPairs]] cap discipline, sized to never trigger at
+    *    oracle scale (a true near-dup pair collides in ~every band, so a
+    *    capped bucket costs recall only if ALL its bands are boilerplate).
+    */
+  def probePairs(spark: SparkSession, path: String, incoming: DataFrame,
+                 idCol: String, textCol: String, threshold: Double,
+                 pushLimit: Int = 100000, maxPostings: Int = 2000): DataFrame = {
+    Dedup.ensureMetricsLogger(spark)
+    val (n, k, bands) = readParams(spark, path)
+    val (probe, probeSigs) = banded(incoming, idCol, textCol, n, k, bands)
+    val keys = probe.select("bkey").distinct().limit(pushLimit + 1)
+      .collect().map(_.getLong(0))
+    val ledgerAll = spark.read.parquet(s"$path/bands")
+    val ledger0 =
+      if (keys.length <= pushLimit)
+        ledgerAll.filter(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
+      else ledgerAll
+    // boilerplate-bucket cap, ledger side (see scaladoc)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+    val ledger = ledger0.withColumn("__bsize__", count(lit(1)).over(w))
+      .observe(s"graft_lsh_probe_cap_${obsCounter.incrementAndGet()}",
+        sum(when(col("__bsize__") > maxPostings, 1L).otherwise(0L)).as("dropped_postings"),
+        max(col("__bsize__")).as("max_bucket"))
+      .filter(col("__bsize__") <= maxPostings)
+      .select(col("id").as("id_old"), col("band"), col("bkey"))
+    val pairs = ledger
+      .join(probe.select(col("id").as("id_new"), col("band"), col("bkey")),
+        Seq("band", "bkey"))
+      .select(col("id_old"), col("id_new")).distinct()
+    val oldSigs = spark.read.parquet(s"$path/sigs")
+      .select(col("id").as("id_old"), col("sig").as("sig_a"))
+    val newSigs = probeSigs.select(col("id").as("id_new"), col("sig").as("sig_b"))
+    pairs.join(oldSigs, Seq("id_old")).join(newSigs, Seq("id_new"))
+      .select(col("id_old"), col("id_new"),
+        Dedup.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
+      .filter(col("est_jaccard") >= threshold)
+  }
+}

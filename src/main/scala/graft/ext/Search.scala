@@ -43,6 +43,18 @@ object Search {
       (sum(col("dl")).as("dl_sum") +: terms.indices.map(i =>
         sum(when(col(s"__tf${i}__") > 0, 1L).otherwise(0L)).as(s"__df${i}__")): _*))
 
+    scoreTopK(base, stats, idCol, terms.size, k, k1, b)
+  }
+
+  /** The BM25 scoring tail shared by the scan path ([[bm25TopK]]) and the
+    * persisted-index path ([[probeBm25]]): ONE expression tree over
+    * `base(id, dl, __tf0__…)` × a broadcast single-row
+    * `stats(n_docs, dl_sum, __df0__…)` — both callers therefore emit
+    * bit-identical doubles (same ops, same fixed term order), which is
+    * what lets the persisted probe reuse the scan query's oracle.
+    */
+  private def scoreTopK(base: DataFrame, stats: DataFrame, idCol: String,
+                        nTermCols: Int, k: Int, k1: Double, b: Double): DataFrame = {
     val nD = col("n_docs").cast(DoubleType)
     val avgdl = col("dl_sum").cast(DoubleType) / nD
     def contrib(i: Int): Column = {
@@ -52,9 +64,9 @@ object Search {
       idf * (tf * (k1 + 1.0)) / (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast(DoubleType) / avgdl))
     }
     // fixed textual order: c0 + c1 + ... — reproducible bit-for-bit
-    val score = terms.indices.map(contrib).reduce(_ + _)
-    val tfTotal = terms.indices.map(i => col(s"__tf${i}__")).reduce(_ + _)
-    val nTerms = terms.indices.map(i =>
+    val score = (0 until nTermCols).map(contrib).reduce(_ + _)
+    val tfTotal = (0 until nTermCols).map(i => col(s"__tf${i}__")).reduce(_ + _)
+    val nTerms = (0 until nTermCols).map(i =>
       when(col(s"__tf${i}__") > 0, 1L).otherwise(0L)).reduce(_ + _)
 
     base.crossJoin(broadcast(stats))
@@ -63,6 +75,73 @@ object Search {
         floor(score * 10000).cast(LongType).as("score_bp"))
       .orderBy(col("score_bp").desc, col(idCol).asc)
       .limit(k)
+  }
+
+  /** Persist the inverted index behind [[probeBm25]] at `path`: the
+    * Lucene-on-Spark serving shape — build the index ONCE over the
+    * corpus, then serve every later keyword query from the index without
+    * rescanning any text.
+    *
+    * Layout (`path/`):
+    *   - `postings/` — (tok, id, tf), range-partitioned and sorted by
+    *     `tok`: each file carries a near-disjoint token range with tight
+    *     parquet min/max stats, so a probe's `tok IN (…)` predicate skips
+    *     every row group holding none of its terms (the same stats-pruning
+    *     discipline as [[AnnIndex.writeGraph]]'s src-sorted edges — query
+    *     cost is O(matched postings), not O(index));
+    *   - `doclens/` — (id, dl) document lengths (the BM25 length prior
+    *     needs dl for matched docs only — inner-joined by id);
+    *   - `stats/` — one row (n_docs, dl_sum), the corpus-level constants.
+    *
+    * At 100 TB, `files` scales with the vocabulary so each posting file
+    * stays executor-sized; the build is two map-side-combinable
+    * aggregates, no global sort anywhere.
+    */
+  def writeIndex(docs: DataFrame, idCol: String, textCol: String,
+                 path: String, files: Int = 8): Unit = {
+    import org.apache.spark.sql.SaveMode
+    val toks = docs.select(col(idCol), Dedup.tokens(col(textCol)).as("__t__"))
+    val doclens = toks.select(col(idCol), size(col("__t__")).cast(LongType).as("dl"))
+    toks.select(col(idCol), explode(col("__t__")).as("tok"))
+      .groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf"))
+      .repartitionByRange(files, col("tok")).sortWithinPartitions("tok", idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
+    doclens.write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
+  }
+
+  /** BM25 top-k served from a PERSISTED index ([[writeIndex]]) — results
+    * are bit-identical to [[bm25TopK]] over the same corpus (SearchSpec
+    * asserts equality), but the plan reads only the probed postings: the
+    * static `tok IN (…)` filter reaches the parquet scan and the
+    * tok-sorted range layout prunes unmatched row groups, so nothing
+    * text-sized is ever read or shuffled at query time.
+    */
+  def probeBm25(spark: org.apache.spark.sql.SparkSession, path: String,
+                idCol: String, terms: Seq[String], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "probeBm25: terms must be non-empty")
+    val postings = spark.read.parquet(s"$path/postings")
+      .filter(col("tok").isin(terms: _*))
+    // pivot the matched postings to the scan path's per-term tf columns;
+    // docs with no matched posting simply never appear (same exclusion
+    // as bm25TopK's tf_total > 0 filter)
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      coalesce(sum(when(col("tok") === t, col("tf"))), lit(0L))
+        .cast(LongType).as(s"__tf${i}__")
+    }
+    val pivoted = postings.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
+    val base = pivoted.join(spark.read.parquet(s"$path/doclens"), Seq(idCol))
+      .select((col(idCol) +: col("dl") +:
+        terms.indices.map(i => col(s"__tf${i}__"))): _*)
+    // per-term document frequencies: one row per (tok, doc) in postings,
+    // so df is a row count — a single tiny aggregate over matched postings
+    val dfAggs = terms.indices.map(i =>
+      sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"__df${i}__"))
+    val stats = spark.read.parquet(s"$path/stats")
+      .crossJoin(postings.agg(dfAggs.head, dfAggs.tail: _*))
+    scoreTopK(base, stats, idCol, terms.size, k, k1, b)
   }
 
   /** Hybrid retrieval: a BM25 keyword pool and a cosine vector pool fused

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.FileSourceScanExec
+import graft.ext.{Dedup, LshIndex}
+
+/** The persisted MinHash-LSH ledger contract: the disk probe finds exactly
+  * the cross-cohort banded pair set the in-memory machinery finds, append
+  * under frozen params converges to the one-shot build, the probe pushes
+  * its bucket keys into the ledger scan, and the boilerplate-bucket cap
+  * drops (never explodes on) a pathological bucket.
+  */
+class LshIndexSpec extends SparkSpec {
+
+  private lazy val docs = SparkEntry.T(spark, sf0001, "documents")
+  private lazy val ledgerCohort = docs.filter(col("doc_id") < 250)
+  private lazy val incoming = docs.filter(col("doc_id") >= 250)
+  private def tmpIndex(name: String): String =
+    s"${sys.props("java.io.tmpdir")}/graft-lsh-spec/$name"
+
+  private def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+    df.select("id_old", "id_new", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  /** Reference result: the in-memory self-join over the WHOLE corpus,
+    * restricted to pairs crossing the cohort boundary (doc_id ordering
+    * aligns with the split, so id_a < 250 <= id_b selects exactly
+    * ledger × incoming).
+    */
+  private lazy val expected: Set[(Long, Long, Double)] =
+    Dedup.minhashPairs(docs, "doc_id", "text", n = 3, k = 64, bands = 16,
+      threshold = 0.5)
+      .filter(col("id_a") < 250 && col("id_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+  test("write -> probe equals the in-memory cross-cohort pair set exactly") {
+    val path = tmpIndex("roundtrip")
+    LshIndex.write(ledgerCohort, "doc_id", "text", path)
+    val probed = LshIndex.probePairs(spark, path, incoming, "doc_id", "text", 0.5)
+    assert(pairsOf(probed) == expected)
+    assert(expected.nonEmpty, "fixture must contain cross-cohort near-dups")
+  }
+
+  test("append under frozen params converges to the one-shot build") {
+    val path = tmpIndex("incremental")
+    LshIndex.write(docs.filter(col("doc_id") < 150), "doc_id", "text", path)
+    LshIndex.append(docs.filter(col("doc_id") >= 150 && col("doc_id") < 250),
+      "doc_id", "text", path)
+    val probed = LshIndex.probePairs(spark, path, incoming, "doc_id", "text", 0.5)
+    assert(pairsOf(probed) == expected)
+  }
+
+  test("probe pushes its bucket keys into the ledger scan") {
+    val path = tmpIndex("pushdown")
+    LshIndex.write(ledgerCohort, "doc_id", "text", path)
+    val probed = LshIndex.probePairs(spark, path, incoming, "doc_id", "text", 0.5)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.executedPlan)
+      }.flatten
+    val scans = fileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("pushdown/bands")))
+    assert(scans.nonEmpty, "expected a file scan over the persisted ledger")
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "").contains("In(bkey")),
+      "the probe's bkey IN (…) predicate must reach the parquet scan")
+  }
+
+  test("oversized ledger buckets are dropped by the cap, not exploded") {
+    import spark.implicits._
+    // 5 identical ledger docs + 1 identical incoming doc: every band
+    // bucket they share holds 5 ledger postings
+    val text = "alpha beta gamma delta epsilon zeta"
+    val ledger = (0L until 5L).map(i => (i, text)).toDF("doc_id", "text")
+    val inc = Seq((100L, text)).toDF("doc_id", "text")
+    val path = tmpIndex("cap")
+    LshIndex.write(ledger, "doc_id", "text", path)
+    val capped = LshIndex.probePairs(spark, path, inc, "doc_id", "text", 0.5,
+      maxPostings = 4)
+    assert(capped.count() == 0, "buckets over the cap must be dropped")
+    val uncapped = LshIndex.probePairs(spark, path, inc, "doc_id", "text", 0.5)
+    assert(pairsOf(uncapped).map(p => (p._1, p._2)) ==
+      (0L until 5L).map(i => (i, 100L)).toSet)
+  }
+
+  test("probe beyond pushLimit falls back to the plain join, same result") {
+    val path = tmpIndex("fallback")
+    LshIndex.write(ledgerCohort, "doc_id", "text", path)
+    val probed = LshIndex.probePairs(spark, path, incoming, "doc_id", "text", 0.5,
+      pushLimit = 1)
+    assert(pairsOf(probed) == expected)
+  }
+}

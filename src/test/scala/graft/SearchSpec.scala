@@ -62,4 +62,45 @@ class SearchSpec extends SparkSpec {
       id -> (kw.get(id.toInt).map(rrf).getOrElse(0L) + vec.get(id).map(rrf).getOrElse(0L))).toMap
     assert(got == want)
   }
+
+  test("persisted index probe equals the scan path bit-for-bit") {
+    val corpus = SparkEntry.T(spark, sf0001, "documents")
+    val terms = Seq("spark", "dup", "vector")
+    val path = s"${sys.props("java.io.tmpdir")}/graft-search-spec/idx"
+    Search.writeIndex(corpus, "doc_id", "text", path)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val scan = rows(Search.bm25TopK(corpus, "doc_id", "text", terms, 25))
+    val idx = rows(Search.probeBm25(spark, path, "doc_id", terms, 25))
+    assert(idx == scan, "index probe must reproduce the scan ranking exactly")
+    assert(scan.nonEmpty)
+  }
+
+  test("persisted index probe pushes tok IN (…) into the postings scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val path = s"${sys.props("java.io.tmpdir")}/graft-search-spec/idx2"
+    Search.writeIndex(docs, "doc_id", "text", path)
+    val probed = Search.probeBm25(spark, path, "doc_id", Seq("cat", "fish"), 10)
+    def fileScans(p: org.apache.spark.sql.execution.SparkPlan): Seq[FileSourceScanExec] =
+      p.collect {
+        case f: FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          fileScans(a.executedPlan)
+      }.flatten
+    val scans = fileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("idx2/postings")))
+    assert(scans.nonEmpty, "expected a file scan over the persisted postings")
+    assert(scans.exists(_.metadata.getOrElse("PushedFilters", "").contains("In(tok")),
+      "the probe's tok IN (…) predicate must reach the parquet scan")
+  }
+
+  test("probe handles terms absent from the index (df = 0 contributes nothing)") {
+    val path = s"${sys.props("java.io.tmpdir")}/graft-search-spec/idx3"
+    Search.writeIndex(docs, "doc_id", "text", path)
+    val got = Search.probeBm25(spark, path, "doc_id", Seq("cat", "unicorn"), 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // only cat matches; unicorn has no postings and must not crash or score
+    assert(got.map(_._1).toSeq == Seq(1L, 2L))
+    assert(got.forall(_._2 == 1L))
+  }
 }
