@@ -611,6 +611,31 @@ operations:
         "doc_id", "text", threshold = 0.5)
     }),
 
+    "stream_lsh_ingest" -> ((s, dir) => {
+      // STREAMING ledger maintenance — the live-ingest shape of
+      // dd_lsh_incremental: the persisted band ledger absorbs micro-batches
+      // through foreachBatch → LshIndex.append under the ledger's FROZEN
+      // stored params. Banding is stateless per-row and appends only add
+      // files, so the on-disk ledger CONVERGES to the batch-append ledger
+      // whatever the micro-batch boundaries — the final probe shares
+      // dd_lsh_persisted's oracle verbatim (streaming ≡ batch for index
+      // builds, proven by hash, like stream_ivf_ingest ≡ sim_ivf_incremental).
+      val d = T(s, dir, "documents")
+      val path = annIndexPath(dir, "lsh_ledger_stream")
+      ext.LshIndex.write(d.filter(col("doc_id") < 150), "doc_id", "text", path)
+      val stream = s.readStream.schema(d.schema)
+        .parquet(s"$dir/[d]ocuments.parquet")
+        .filter(col("doc_id") >= 150 && col("doc_id") < 250)
+      val q = stream.writeStream
+        .foreachBatch((batch: DataFrame, _: Long) =>
+          ext.LshIndex.append(batch, "doc_id", "text", path))
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      ext.LshIndex.probePairs(s, path, d.filter(col("doc_id") >= 250),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
     "srch_persisted" -> ((s, dir) => {
       // persisted inverted index + BM25 probe — the Lucene-on-Spark
       // serving path: index the corpus once (tok-range-sorted postings,
@@ -11170,6 +11195,9 @@ operations:
     "dd_minhash" -> minhashOracleSql,
     "dd_lsh_persisted" -> lshLedgerOracleSql,
     "dd_lsh_incremental" -> lshLedgerOracleSql,
+    // stream_lsh_ingest: foreachBatch append under frozen stored params
+    // converges to the batch ledger whatever the micro-batch boundaries
+    "stream_lsh_ingest" -> lshLedgerOracleSql,
     "dd_incremental" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
          |inc AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250)
