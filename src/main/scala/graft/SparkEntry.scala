@@ -611,6 +611,25 @@ operations:
         "doc_id", "text", threshold = 0.5)
     }),
 
+    "dd_lsh_stats" -> ((s, dir) => {
+      // ledger health report, read back from the PERSISTED artifact: the
+      // per-band posting/bucket occupancy an ingest pipeline monitors for
+      // boilerplate-bucket drift (max_bucket creeping toward the probe's
+      // maxPostings cap = the point where the cap starts costing recall)
+      // and for banding skew — the sim_ivf_stats of the dedup ledger.
+      // Two mergeable hash aggregates over ids-only postings; no text.
+      val d = T(s, dir, "documents")
+      val path = annIndexPath(dir, "lsh_ledger_stats")
+      ext.LshIndex.write(d.filter(col("doc_id") < 250), "doc_id", "text", path)
+      s.read.parquet(s"$path/bands")
+        .groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
+        .groupBy("band").agg(
+          sum("sz").as("n_postings"),
+          count(lit(1)).as("n_buckets"),
+          max("sz").as("max_bucket"),
+          sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
+    }),
+
     "stream_lsh_ingest" -> ((s, dir) => {
       // STREAMING ledger maintenance — the live-ingest shape of
       // dd_lsh_incremental: the persisted band ledger absorbs micro-batches
@@ -11198,6 +11217,17 @@ operations:
     // stream_lsh_ingest: foreachBatch append under frozen stored params
     // converges to the batch ledger whatever the micro-batch boundaries
     "stream_lsh_ingest" -> lshLedgerOracleSql,
+    // dd_lsh_stats: band replay grouped to per-band occupancy; DuckDB
+    // buckets on the raw signature slice where Spark buckets on its
+    // xxhash64 — identical grouping up to hash collisions (see the
+    // minhash replay note above)
+    "dd_lsh_stats" -> {
+      val r = 64 / 16
+      s"""WITH ${minhashSigCtes(3, 64)},
+         |banded AS MATERIALIZED (SELECT doc_id, b, array_to_string(sig[(CAST(b AS INTEGER)*$r+1):(CAST(b AS INTEGER)*$r+$r)], ',') AS bkey FROM sigs, unnest(range(16)) t(b) WHERE doc_id < 250),
+         |bu AS (SELECT b, bkey, CAST(count(*) AS BIGINT) AS sz FROM banded GROUP BY 1, 2)
+         |SELECT CAST(b AS INTEGER) AS band, CAST(sum(sz) AS BIGINT) AS n_postings, CAST(count(*) AS BIGINT) AS n_buckets, CAST(max(sz) AS BIGINT) AS max_bucket, CAST(sum(CASE WHEN sz = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons FROM bu GROUP BY 1""".stripMargin
+    },
     "dd_incremental" ->
       """WITH f AS (SELECT doc_id, md5(text) AS fp FROM documents),
          |inc AS (SELECT doc_id, fp FROM f WHERE doc_id >= 250)

@@ -106,6 +106,33 @@ object LshIndex {
     sigs.write.mode(SaveMode.Append).parquet(s"$path/sigs")
   }
 
+  /** Maintenance: compact the ledger's postings in place. Incremental
+    * [[append]] batches accumulate a file per batch; at ingest-heavy
+    * scale a probe then pays a task + footer read per tiny file, and the
+    * per-file bkey ranges overlap (each batch spans the whole key space),
+    * eroding the stats pruning. This rewrites `bands/` to a bounded file
+    * count RE-SORTED by bkey — restoring disjoint per-file ranges — and
+    * swaps it atomically (write aside → rename), so concurrent probes see
+    * either the old or the new file set, never a partial one. Contents
+    * are row-identical — LshIndexSpec asserts probe equality.
+    */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L << 20): (Long, Long) = {
+    val dir = s"$path/bands"
+    val aside = s"$path/.compact-bands"
+    val counts = graft.sources.Layout.compact(spark, dir, aside, targetBytes,
+      sortCols = Seq("bkey"))
+    val old = new java.io.File(dir)
+    val retired = new java.io.File(s"$path/.retired-bands")
+    if (retired.exists()) { // leftover from a crashed prior compaction
+      retired.listFiles().foreach(_.delete()); retired.delete()
+    }
+    require(old.renameTo(retired), s"could not retire $dir")
+    require(new java.io.File(aside).renameTo(old), s"could not swap in $aside")
+    retired.listFiles().foreach(_.delete()); retired.delete()
+    counts
+  }
+
   /** Probe: all (id_old, id_new, est_jaccard) near-dup pairs between the
     * LEDGER (old) and the `incoming` batch (new) with signature-estimated
     * Jaccard ≥ `threshold`. The incoming batch is the bounded small side

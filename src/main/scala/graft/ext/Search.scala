@@ -139,10 +139,15 @@ object Search {
     // so df is a row count — a single tiny aggregate over matched postings
     val dfAggs = terms.indices.map(i =>
       sum(when(col("tok") === terms(i), 1L).otherwise(0L)).as(s"__df${i}__"))
-    // limit(1) states the one-row-by-construction bound STATICALLY, so
-    // the broadcast build side is provably bounded at plan time (the
-    // PlanAudit BNLJ doctrine), not just true in practice
-    val stats = spark.read.parquet(s"$path/stats").limit(1)
+    // the one corpus-stats row is re-opened onto the driver (the
+    // AnnIndex.open discipline for tiny sidecars) and re-enters the plan
+    // as a LocalTableScan: statically bounded for the PlanAudit BNLJ
+    // doctrine with NO extra exchange (a limit(1) scan would add a
+    // single-partition shuffle the budget gate flags)
+    val stRow = spark.read.parquet(s"$path/stats")
+      .select(col("n_docs"), col("dl_sum")).collect()(0)
+    import spark.implicits._
+    val stats = Seq((stRow.getLong(0), stRow.getLong(1))).toDF("n_docs", "dl_sum")
       .crossJoin(postings.agg(dfAggs.head, dfAggs.tail: _*))
     scoreTopK(base, stats, idCol, terms.size, k, k1, b)
   }

@@ -84,6 +84,30 @@ class LshIndexSpec extends SparkSpec {
       (0L until 5L).map(i => (i, 100L)).toSet)
   }
 
+  test("ledger compaction collapses append-batch files and changes nothing") {
+    val path = tmpIndex("compaction")
+    LshIndex.write(docs.filter(col("doc_id") < 100), "doc_id", "text", path,
+      files = 2)
+    // three ingest batches — each append adds its own files
+    for (r <- 0 until 3)
+      LshIndex.append(
+        docs.filter(col("doc_id") >= 100 + r * 50 && col("doc_id") < 150 + r * 50),
+        "doc_id", "text", path)
+    val before = pairsOf(LshIndex.probePairs(spark, path, incoming,
+      "doc_id", "text", 0.5))
+    assert(before == expected)
+    def files() = new java.io.File(s"$path/bands").listFiles()
+      .count(f => f.isFile && f.getName.endsWith(".parquet"))
+    val nBefore = files()
+    assert(nBefore > 2, s"appends must have accumulated files, found $nBefore")
+    val (was, now) = LshIndex.compact(spark, path)
+    assert(was == nBefore && now < was, s"compaction must shrink: $was -> $now")
+    assert(files() == now)
+    val after = pairsOf(LshIndex.probePairs(spark, path, incoming,
+      "doc_id", "text", 0.5))
+    assert(after == before, "compaction must be invisible to probes")
+  }
+
   test("probe beyond pushLimit falls back to the plain join, same result") {
     val path = tmpIndex("fallback")
     LshIndex.write(ledgerCohort, "doc_id", "text", path)
