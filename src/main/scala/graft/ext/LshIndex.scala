@@ -157,6 +157,16 @@ object LshIndex {
     Dedup.ensureMetricsLogger(spark)
     val (n, k, bands) = readParams(spark, path)
     val (probe, probeSigs) = banded(incoming, idCol, textCol, n, k, bands)
+    // a ledger whose every doc was sub-shingle-length has schema-less
+    // empty bands/sigs dirs (parquet writes no files for zero rows) — a
+    // probe against it degrades to zero pairs, not a schema-inference
+    // crash (the srch_mmr empty-pool lesson applied to the disk path)
+    def hasParquet(dir: String): Boolean =
+      Option(new java.io.File(dir).listFiles())
+        .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    if (!hasParquet(s"$path/bands") || !hasParquet(s"$path/sigs"))
+      return probeSigs.select(col("id").as("id_old"), col("id").as("id_new"),
+        lit(0.0).as("est_jaccard")).filter(lit(false))
     val keys = probe.select("bkey").distinct().limit(pushLimit + 1)
       .collect().map(_.getLong(0))
     val ledgerAll = spark.read.parquet(s"$path/bands")

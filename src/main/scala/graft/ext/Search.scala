@@ -107,7 +107,8 @@ object Search {
       .repartitionByRange(files, col("tok")).sortWithinPartitions("tok", idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
     doclens.write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
-    doclens.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("dl_sum"))
+    doclens.agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(col("dl")), lit(0L)).as("dl_sum")) // 0, not NULL, for an empty corpus
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
   }
 
@@ -122,6 +123,16 @@ object Search {
                 idCol: String, terms: Seq[String], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "probeBm25: terms must be non-empty")
+    // an all-empty corpus leaves a schema-less postings dir (parquet
+    // writes no files for zero rows): degrade to zero hits, don't crash
+    // on schema inference
+    val hasPostings = Option(new java.io.File(s"$path/postings").listFiles())
+      .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
+    if (!hasPostings) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long, Long)]
+        .toDF(idCol, "n_terms", "tf_total", "score_bp")
+    }
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms: _*))
     // pivot the matched postings to the scan path's per-term tf columns;
