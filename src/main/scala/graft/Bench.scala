@@ -61,6 +61,10 @@ object Bench {
     // than round 7's artifact. Default passes is 2, not 3 — a third pass
     // can never fit the timeout at this suite size and would only burn
     // margin next to the kill line.
+    // Re-measured at 441 queries (second r8 session): quiet pass 1 =
+    // 540.5 s, contended = 577.9 s; both rehearsals finished 2 full
+    // passes inside the deadline (BENCH_DETAIL_008/009), so the 1240 s
+    // budget still carries the grown suite with margin.
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_DEADLINE_SEC", "1240").toDouble
     // Absolute stop for ALL post-pass-1 work (pass-2 finish-out AND
     // re-probes): the external kill is ~1350-1500 s and startup is ~10 s,
