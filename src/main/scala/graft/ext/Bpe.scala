@@ -72,10 +72,15 @@ object Bpe {
         merges += ((l, r, best(0).getLong(2)))
         // checkpoint per step: without it, step t re-executes all t prior
         // folds and the nested expression tree grows linearly — the
-        // "one shuffle + one map pass per merge" claim requires this
+        // "one shuffle + one map pass per merge" claim requires this.
+        // Free the superseded step (eager checkpoint ⇒ prev fully read):
+        // a 10k-merge run must hold ONE dictionary, not 10k of them.
+        val prev = state
         state = state.withColumn("sy", applyMerge(col("sy"), l, r)).localCheckpoint()
+        Ckpt.free(prev)
       }
     }
+    Ckpt.free(state) // merges are on the driver — no consumer left
     merges.toSeq
   }
 
@@ -100,12 +105,20 @@ object Bpe {
     */
   def tokenize(docs: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
+    var prevCkpt: DataFrame = null
     val dict = merges.zipWithIndex.foldLeft(
       dictionary(docs, textCol).select(col("w"), col("sy"))) { case (d, ((l, r), i)) =>
       val next = d.withColumn("sy", applyMerge(col("sy"), l, r))
       // truncate the fold tree every 16 merges: a long merge list would
-      // otherwise build one analysis-breaking nested expression
-      if ((i + 1) % 16 == 0) next.localCheckpoint() else next
+      // otherwise build one analysis-breaking nested expression. Only the
+      // LATEST truncation is live (the chain references nothing older) —
+      // free the superseded one so fold depth costs O(1) storage.
+      if ((i + 1) % 16 == 0) {
+        val ck = next.localCheckpoint()
+        Ckpt.freeIfSet(prevCkpt)
+        prevCkpt = ck
+        ck
+      } else next
     }.select(col("w"), size(col("sy")).cast("long").as("n_subwords"))
     docs
       .select(col(idCol),

@@ -1,0 +1,67 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** Storage hygiene for iterative `localCheckpoint(true)` loops.
+  *
+  * Every eager local checkpoint persists its rows in the block manager
+  * (MEMORY_AND_DISK) and NOTHING frees them until the RDD is
+  * garbage-collected and the ContextCleaner runs — so a peeling loop that
+  * checkpoints a new edge frame per round holds rounds×|edges| of
+  * superseded blocks. At fixed heap that is exactly the measured
+  * superlinear bend on deep fixpoints (k-core at 30× data grew ×6.0 for
+  * ×3 input while its non-iterative neighbors stayed near-linear): the
+  * dead rounds crowd out the live one and everything spills.
+  *
+  * `Dataset.unpersist` CANNOT fix this — it only uncaches CacheManager
+  * entries, and checkpoint blocks never enter the CacheManager. The
+  * checkpointed frame's analyzed plan is a single [[LogicalRDD]] leaf
+  * whose `rdd` IS the persisted RDD, so [[free]] unpersists that
+  * directly (non-blocking — the loop should not stall on block removal).
+  *
+  * Contract: call [[free]] on a frame ONLY after every consumer of it
+  * has materialized — i.e. after the next round's eager checkpoint (or a
+  * terminal action) returned. The standard loop shape is:
+  * {{{
+  *   var cur = seed.localCheckpoint(true)
+  *   while (...) {
+  *     val next = step(cur).localCheckpoint(true) // eager: fully built
+  *     Ckpt.free(cur)                             // cur now superseded
+  *     cur = next
+  *   }
+  *   cur // the ONE live frame the caller consumes
+  * }}}
+  * which bounds resident checkpoint state to O(1) frames instead of
+  * O(rounds).
+  */
+object Ckpt {
+
+  // Unpersisting a locally-checkpointed RDD logs a WARN per call ("lineage
+  // has been truncated and cannot be recomputed") — correct in general,
+  // but freeing a SUPERSEDED round is exactly the case where recomputation
+  // is never wanted, and a deep loop would emit hundreds of them. Silence
+  // just that logger (all checkpoint internals are MapPartitionsRDDs);
+  // best-effort — a host app with a different logging stack is untouched.
+  private val _quietUnpersistWarn: Unit =
+    try org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD",
+      org.apache.logging.log4j.Level.ERROR)
+    catch { case _: Throwable => () }
+
+  /** Unpersist the block-manager storage behind an eagerly
+    * localCheckpointed frame. No-op (and safe) on frames that are not
+    * checkpoint results — only a top-level [[LogicalRDD]] leaf is freed,
+    * never storage reachable through a composite plan, so a mistaken
+    * call on a derived frame cannot yank blocks out from under it.
+    */
+  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+    case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
+    case _              => ()
+  }
+
+  /** [[free]] over a previous-frame slot that may not be filled yet —
+    * the common `var prev: DataFrame = null` loop bookkeeping.
+    */
+  def freeIfSet(df: DataFrame): Unit = if (df != null) free(df)
+}

@@ -26,9 +26,12 @@ import org.apache.spark.sql.types.LongType
   *
   * Lineage is truncated every round with an eager `localCheckpoint`
   * (iterative DataFrame plans otherwise grow exponentially and stall the
-  * optimizer). On a real cluster prefer `spark.sparkContext
-  * .setCheckpointDir(...)` + `.checkpoint(true)` — same call shape,
-  * HDFS-durable instead of executor-local.
+  * optimizer), and every SUPERSEDED round's checkpoint is freed via
+  * [[Ckpt.free]] the moment the next round materializes — resident
+  * checkpoint state is O(1) frames, not O(rounds) (see Ckpt's scaladoc
+  * for why Dataset.unpersist cannot do this). On a real cluster prefer
+  * `spark.sparkContext.setCheckpointDir(...)` + `.checkpoint(true)` —
+  * same call shape, HDFS-durable instead of executor-local.
   */
 object Graph {
 
@@ -116,13 +119,16 @@ object Graph {
         }
       }
       val out = parent.keys.toSeq.sorted.map(v => (v, find(v))).filter(p => p._1 != p._2)
+      Ckpt.free(e) // collected to the driver — the blocks are dead weight now
       return out.toDF("u", "v")
     }
 
     var iter = 0
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {
-      e = smallStar(largeStar(e)).localCheckpoint(true)
+      val prev = e
+      e = smallStar(largeStar(e)).localCheckpoint(true) // eager: prev fully consumed
+      Ckpt.free(prev) // bound resident state to the live round, not O(rounds)
       val next = signature(e)
       converged = next == sig
       sig = next
@@ -204,6 +210,7 @@ object Graph {
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     var ranks = nodes.withColumn("r", lit(1000000L))
+    var prevCkpt: DataFrame = null
     for (i <- 0 until iters) {
       val outbound = ranks.join(deg, "id")
         .select(col("id").as("src"), expr("r div d").as("c"))
@@ -212,7 +219,11 @@ object Graph {
       ranks = nodes.join(inbox, Seq("id"), "left")
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
-      if (i < iters - 1) ranks = ranks.localCheckpoint(true)
+      if (i < iters - 1) {
+        ranks = ranks.localCheckpoint(true)
+        Ckpt.freeIfSet(prevCkpt) // superseded once the new round materialized
+        prevCkpt = ranks
+      }
     }
     ranks.select(col("id"), col("r").as("rank_micro"))
   }
@@ -246,6 +257,7 @@ object Graph {
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
       .localCheckpoint(true)
     var ranks = nodes.select(col("id"), (col("seed") * 1000000L).as("r"))
+    var prevCkpt: DataFrame = null
     for (i <- 0 until iters) {
       val outbound = ranks.join(deg, "id")
         .select(col("id").as("src"), expr("r div d").as("c"))
@@ -254,7 +266,11 @@ object Graph {
       ranks = nodes.join(inbox, Seq("id"), "left")
         .select(col("id"),
           (col("seed") * 150000L + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
-      if (i < iters - 1) ranks = ranks.localCheckpoint(true)
+      if (i < iters - 1) {
+        ranks = ranks.localCheckpoint(true)
+        Ckpt.freeIfSet(prevCkpt)
+        prevCkpt = ranks
+      }
     }
     ranks.select(col("id"), col("r").as("ppr_micro"))
   }
@@ -292,6 +308,8 @@ object Graph {
     }
     var hub = nodes.withColumn("h", lit(1000000L))
     var auth = nodes.withColumn("a", lit(0L))
+    var prevAuth: DataFrame = null
+    var prevHub: DataFrame = null
     for (i <- 0 until iters) {
       // the raw score sums run in DECIMAL(38,0) too (not just the renorm
       // product): scores reach 1e6, so a LongType sum would wrap silently
@@ -299,10 +317,16 @@ object Graph {
       val araw = e.join(hub.select(col("id").as("src"), col("h")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
       auth = renorm(araw, "a").localCheckpoint(true)
+      Ckpt.freeIfSet(prevAuth) // last round's auth: fully consumed by hub+this auth
+      prevAuth = auth
       val hraw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
       hub = renorm(hraw, "h")
-      if (i < iters - 1) hub = hub.localCheckpoint(true)
+      if (i < iters - 1) {
+        hub = hub.localCheckpoint(true)
+        Ckpt.freeIfSet(prevHub)
+        prevHub = hub
+      }
     }
     hub.join(auth, "id")
       .select(col("id"), col("h").as("hub_micro"), col("a").as("auth_micro"))
@@ -336,6 +360,7 @@ object Graph {
   private def bfsLoop(e: DataFrame, dist0: DataFrame, keyCols: Seq[String],
                       maxHops: Int): DataFrame = {
     var dist = dist0
+    var prevCkpt: DataFrame = null
     for (k <- 1 to maxHops) {
       val frontier = dist.filter(col("dist") === (k - 1))
       val next = e.join(
@@ -345,6 +370,8 @@ object Graph {
       dist = dist.union(next)
         .groupBy((keyCols :+ "id").map(col): _*).agg(min(col("dist")).as("dist"))
         .localCheckpoint(true)
+      Ckpt.freeIfSet(prevCkpt) // hop k-1's frame: folded into the new union
+      prevCkpt = dist
     }
     dist
   }
@@ -431,8 +458,9 @@ object Graph {
         .join(keep, col("src") === col("kid"), "left_semi")
         .join(keep, col("dst") === col("kid"), "left_semi")
         .localCheckpoint(true)
-      val n2 = e2.count()
-      done = n2 == n || n2 == 0
+      Ckpt.free(e) // peeled round fully superseded — a deep peel must not
+      val n2 = e2.count() //  hold rounds×|edges| of dead blocks (30× probe
+      done = n2 == n || n2 == 0 //  showed exactly that bend)
       e = e2; n = n2; round += 1
     }
     // A bounded-unroll SQL replay is exact only if the fixpoint landed
@@ -466,6 +494,7 @@ object Graph {
       .distinct().localCheckpoint(true)
     val nodes = e.select(col("src").as("id")).distinct().localCheckpoint(true)
     var lbl = nodes.withColumn("lbl", col("id"))
+    var prevCkpt: DataFrame = null
     for (i <- 0 until iters) {
       val freq = e.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -475,7 +504,11 @@ object Graph {
         .filter(col("__rn__") === 1).select(col("id"), col("lbl").as("nl"))
       lbl = lbl.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
-      if (i < iters - 1) lbl = lbl.localCheckpoint(true)
+      if (i < iters - 1) {
+        lbl = lbl.localCheckpoint(true)
+        Ckpt.freeIfSet(prevCkpt)
+        prevCkpt = lbl
+      }
     }
     lbl
   }

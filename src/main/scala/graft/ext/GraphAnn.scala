@@ -101,7 +101,9 @@ object GraphAnn {
         .select(col("query_id"), col("dst").as("node"))
       val cand = beam.select("query_id", "node").unionByName(expanded)
         .filter(col("node") =!= col("query_id")).distinct()
-      beam = scoreAndKeep(cand, ef).localCheckpoint(true)
+      val prev = beam
+      beam = scoreAndKeep(cand, ef).localCheckpoint(true) // eager ⇒ prev consumed
+      Ckpt.free(prev) // beam state is O(1) frames across rounds, not O(rounds)
     }
     beam.groupBy("query_id")
       .agg(graft.functions.TopKAgg.topK(k, col("score"),

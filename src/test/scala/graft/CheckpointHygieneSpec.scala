@@ -1,0 +1,120 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.ext.{Ckpt, Graph, GraphAnn}
+
+/** Storage hygiene of the iterative checkpoint loops: superseded
+  * `localCheckpoint` frames must be FREED (their blocks unpersisted), not
+  * abandoned to the block manager — the measured failure mode was k-core
+  * at 30× data bending ×6.0 for ×3 input because every peeling round's
+  * dead edge frame stayed resident until spill (bench/SCALEPROBE_r08).
+  *
+  * The assertions snapshot the persisted-RDD id set before each operator
+  * (localCheckpoint persists its RDD, so every leaked frame is visible in
+  * `sc.getPersistentRDDs`) and count only RDDs CREATED BY the operator
+  * that are still resident after it returns — immune to the shared
+  * session's ContextCleaner collecting other suites' leftovers mid-test.
+  * A deep loop must leave only the O(1) frames its RESULT legitimately
+  * references — never one per round.
+  */
+class CheckpointHygieneSpec extends SparkSpec {
+
+  private lazy val sqlImplicits = spark.implicits
+  import sqlImplicits._
+
+  private def residentIds(): Set[Int] =
+    spark.sparkContext.getPersistentRDDs
+      .collect { case (id, r) if r.getStorageLevel != StorageLevel.NONE => id }
+      .toSet
+
+  /** Persisted RDDs created while `body` ran and still resident after. */
+  private def leakedBy[A](body: => A): (A, Int) = {
+    val before = residentIds()
+    val out = body
+    (out, (residentIds() -- before).size)
+  }
+
+  test("Ckpt.free actually unpersists a localCheckpoint's blocks") {
+    val before = residentIds()
+    val df = Seq((1L, 2L), (3L, 4L)).toDF("a", "b").localCheckpoint(true)
+    assert(df.count() == 2)
+    assert((residentIds() -- before).size == 1,
+      "an eager localCheckpoint must register exactly one persisted RDD")
+    Ckpt.free(df)
+    assert((residentIds() -- before).isEmpty,
+      "Ckpt.free must deregister the checkpoint's persisted RDD")
+  }
+
+  test("Ckpt.free is a safe no-op on non-checkpointed frames") {
+    val base = Seq((1L, 2L)).toDF("a", "b").localCheckpoint(true)
+    val derived = base.select(col("a") + 1) // composite plan, not a LogicalRDD leaf
+    Ckpt.free(derived)
+    assert(base.count() == 1, "freeing a derived frame must not touch its parent")
+    Ckpt.free(base)
+  }
+
+  /** A long path graph peels in many k-core rounds (endpoints drop one
+    * layer per round) — the worst case for per-round leakage.
+    */
+  test("kCore: deep peeling leaves O(1) resident frames, not O(rounds)") {
+    val path = (0L until 40L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (out, leaked) = leakedBy(Graph.kCore(path, k = 2, maxRounds = 100).collect())
+    assert(out.isEmpty, "a path has no 2-core")
+    // ~20 peeling rounds ran; only the final (empty) fixpoint frame may remain
+    assert(leaked <= 1, s"kCore leaked $leaked checkpoints after a deep peel")
+  }
+
+  test("components: star loop frees superseded rounds") {
+    val chain = (0L until 200L).map(i => (i, i + 1)).toDF("src", "dst")
+    val (nComp, leaked) = leakedBy(
+      Graph.components(chain, maxIter = 25)
+        .select(countDistinct(col("component"))).head().getLong(0))
+    assert(nComp == 1L)
+    // result was consumed; at most the fixpoint frame may still be live
+    assert(leaked <= 1, s"components leaked $leaked checkpoints")
+  }
+
+  test("pageRankInt / bfsHops / labelPropagation / hitsInt: bounded residue") {
+    val edges = (0L until 60L).map(i => (i, (i * 7 + 1) % 60)).toDF("src", "dst")
+    for ((name, run) <- Seq[(String, () => Long)](
+      "pageRankInt" -> (() => Graph.pageRankInt(edges, iters = 6).count()),
+      "bfsHops" -> (() => Graph.bfsHops(edges, Seq(0L).toDF("id"), maxHops = 6).count()),
+      "labelPropagation" -> (() => Graph.labelPropagation(edges, iters = 6).count()),
+      "hitsInt" -> (() => Graph.hitsInt(edges, iters = 4).count())
+    )) {
+      val (n, leaked) = leakedBy(run())
+      assert(n > 0)
+      // inputs (e/nodes/deg/seed frames) + at most one live round frame —
+      // a fixed constant independent of the iteration count
+      assert(leaked <= 4,
+        s"$name leaked $leaked checkpoints after 6 rounds (bound is iteration-free)")
+    }
+  }
+
+  test("Bpe.learn: merge loop frees every superseded dictionary state") {
+    val docs = Seq(
+      (1L, "aa ab aab aab banana bandana"),
+      (2L, "banana banana bandana aa aa ab")).toDF("id", "text")
+    val (merges, leaked) = leakedBy(graft.ext.Bpe.learn(docs, "text", nMerges = 12))
+    assert(merges.nonEmpty)
+    assert(leaked == 0,
+      s"Bpe.learn leaked $leaked dictionary checkpoints " +
+        "(result is a driver Seq — nothing may stay resident)")
+  }
+
+  test("graphAnn beam search: bounded residue across rounds") {
+    val rnd = new scala.util.Random(7)
+    val data = (0L until 80L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("id", "emb")
+    val graph = (0L until 80L).flatMap(i =>
+      Seq((i, (i + 1) % 80), (i, (i + 13) % 80))).toDF("src", "dst")
+    val queries = (0L until 5L).map(i =>
+      (i, Array.fill(8)(rnd.nextDouble()))).toDF("id", "emb")
+    val (n, leaked) = leakedBy(
+      GraphAnn.topK(data, graph, queries, "id", "emb",
+        k = 3, ef = 6, rounds = 4, nSeeds = 4).count())
+    assert(n > 0)
+    assert(leaked <= 2, s"beamSearch leaked $leaked beam checkpoints")
+  }
+}
