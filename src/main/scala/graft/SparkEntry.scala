@@ -621,7 +621,7 @@ operations:
       val d = T(s, dir, "documents")
       val path = annIndexPath(dir, "lsh_ledger_stats")
       ext.LshIndex.write(d.filter(col("doc_id") < 250), "doc_id", "text", path)
-      s.read.parquet(s"$path/bands")
+      ext.LshIndex.openBands(s, path)
         .groupBy("band", "bkey").agg(count(lit(1)).as("sz"))
         .groupBy("band").agg(
           sum("sz").as("n_postings"),

@@ -40,6 +40,8 @@ object AnnIndex {
     assigned.select(col("id"), col("v"), col("cell").cast("int").as("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$path/cells")
+    // snapshot manifest = the probe-visible commit point for the lists
+    graft.sources.Snapshots.bootstrap(spark, s"$path/cells")
     import spark.implicits._
     centroids.toDF("cell", "v")
       .coalesce(1) // k × dim doubles — a few MB even at k = 4096
@@ -51,7 +53,8 @@ object AnnIndex {
     * directories at planning time.
     */
   def open(spark: SparkSession, path: String): (DataFrame, Seq[(Int, Array[Double])]) = {
-    val cells = spark.read.parquet(s"$path/cells")
+    val cells = graft.sources.Snapshots.read(spark, s"$path/cells")
+      .getOrElse(sys.error(s"AnnIndex: no live inverted lists at $path/cells"))
       .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
     val cents = spark.read.parquet(s"$path/centroids")
       .select(col("cell").cast("int"), col("v"))
@@ -67,11 +70,14 @@ object AnnIndex {
     * are never rewritten, so ingest cost is O(delta), not O(index).
     */
   def append(delta: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
-    val (_, cents) = open(delta.sparkSession, path)
-    IvfIndex.assign(delta, idCol, vecCol, cents)
-      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
-      .write.mode(SaveMode.Append).partitionBy("cell")
-      .parquet(s"$path/cells")
+    val spark = delta.sparkSession
+    val (_, cents) = open(spark, path)
+    graft.sources.Snapshots.appendCommit(spark, s"$path/cells") {
+      IvfIndex.assign(delta, idCol, vecCol, cents)
+        .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+        .write.mode(SaveMode.Append).partitionBy("cell")
+        .parquet(s"$path/cells")
+    }
   }
 
   /** Persist a bounded-degree neighbor graph (the [[GraphAnn]] index) as
@@ -91,29 +97,23 @@ object AnnIndex {
   def openGraph(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(s"$path/edges")
 
-  /** Maintenance: compact ONE cell's inverted list in place. Incremental
-    * [[append]] batches accumulate a file per batch per touched cell;
-    * at ingest-heavy scale a probe then pays a task + footer read + open
-    * per tiny file. This rewrites the cell directory to a bounded file
-    * count and swaps it atomically (write aside → rename), so concurrent
-    * probes see either the old or the new file set, never a partial one.
-    * Contents are bit-identical — AnnIndexSpec asserts probe equality.
+  /** Maintenance: compact ONE cell's inverted list — O(cell), not
+    * O(index). Incremental [[append]] batches accumulate a file per batch
+    * per touched cell; at ingest-heavy scale a probe then pays a task +
+    * footer read + open per tiny file. This rewrites the cell's live
+    * files to a bounded count and commits the swap through the snapshot
+    * manifest ([[graft.sources.Snapshots]]): new files land first
+    * (invisible to probes), then one atomic manifest commit makes them
+    * live — concurrent probes resolve either the old or the new file set,
+    * never a partial one, on any Hadoop filesystem (HDFS/S3A/local).
+    * Single maintenance writer by contract. Contents are bit-identical —
+    * AnnIndexSpec asserts probe equality.
     */
   def compactCell(spark: SparkSession, path: String, cell: Int,
-                  targetBytes: Long = 128L << 20): (Long, Long) = {
-    val cellDir = s"$path/cells/cell=$cell"
-    val aside = s"$path/.compact-cell=$cell"
-    val counts = graft.sources.Layout.compact(spark, cellDir, aside, targetBytes)
-    val old = new java.io.File(cellDir)
-    val retired = new java.io.File(s"$path/.retired-cell=$cell")
-    if (retired.exists()) { // leftover from a crashed prior compaction
-      retired.listFiles().foreach(_.delete()); retired.delete()
-    }
-    require(old.renameTo(retired), s"could not retire $cellDir")
-    require(new java.io.File(aside).renameTo(old), s"could not swap in $aside")
-    retired.listFiles().foreach(_.delete()); retired.delete()
-    counts
-  }
+                  targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Snapshots.compactCommit(spark, s"$path/cells",
+      rel => rel.startsWith(s"cell=$cell/"), targetBytes,
+      partitionBy = Seq("cell"))
 
   /** Top-k cosine probe against a persisted index, reading ONLY the
     * probed cells: the per-query probe cells are computed driver-side

@@ -37,6 +37,24 @@ import org.apache.spark.sql.execution.LogicalRDD
   */
 object Ckpt {
 
+  /** Storage level for iterative-loop checkpoints:
+    * MEMORY_AND_DISK_SER, not the deserialized default. Serialized blocks
+    * are several × smaller (binary rows vs boxed object graphs) and their
+    * unroll accounting is byte-accurate, so an oversized partition SPILLS
+    * instead of OOMing the executor — measured at 30× data, where the
+    * deserialized default died unrolling a fan-out burst as values
+    * (OutOfMemoryError in BufferedRowIterator.append during
+    * putIteratorAsValues) once the freed store left room to unroll into.
+    * The price is a cheap per-consumer deserialize of ids-only rows.
+    */
+  val SER: org.apache.spark.storage.StorageLevel =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+
+  /** Eager serialized local checkpoint — the loop-state variant every
+    * iterative operator here uses (pair with [[free]] on supersession).
+    */
+  def local(df: DataFrame): DataFrame = df.localCheckpoint(true, SER)
+
   // Unpersisting a locally-checkpointed RDD logs a WARN per call ("lineage
   // has been truncated and cannot be recomputed") — correct in general,
   // but freeing a SUPERSEDED round is exactly the case where recomputation

@@ -81,6 +81,10 @@ object LshIndex {
     b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
     sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/sigs")
+    // snapshot manifests are the probe-visible commit point from here on
+    // (Overwrite wiped any prior manifest along with the prior files)
+    graft.sources.Snapshots.bootstrap(spark, s"$path/bands")
+    graft.sources.Snapshots.bootstrap(spark, s"$path/sigs")
     import spark.implicits._
     Seq((n, k, bands)).toDF("n", "k", "bands")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
@@ -99,39 +103,44 @@ object LshIndex {
     */
   def append(delta: DataFrame, idCol: String, textCol: String,
              path: String): Unit = {
-    val (n, k, bands) = readParams(delta.sparkSession, path)
+    val spark = delta.sparkSession
+    val (n, k, bands) = readParams(spark, path)
     val (b, sigs) = banded(delta, idCol, textCol, n, k, bands)
-    b.sortWithinPartitions("bkey")
-      .write.mode(SaveMode.Append).parquet(s"$path/bands")
-    sigs.write.mode(SaveMode.Append).parquet(s"$path/sigs")
+    graft.sources.Snapshots.appendCommit(spark, s"$path/bands") {
+      b.sortWithinPartitions("bkey")
+        .write.mode(SaveMode.Append).parquet(s"$path/bands")
+    }
+    graft.sources.Snapshots.appendCommit(spark, s"$path/sigs") {
+      sigs.write.mode(SaveMode.Append).parquet(s"$path/sigs")
+    }
   }
 
-  /** Maintenance: compact the ledger's postings in place. Incremental
-    * [[append]] batches accumulate a file per batch; at ingest-heavy
-    * scale a probe then pays a task + footer read per tiny file, and the
-    * per-file bkey ranges overlap (each batch spans the whole key space),
-    * eroding the stats pruning. This rewrites `bands/` to a bounded file
-    * count RE-SORTED by bkey — restoring disjoint per-file ranges — and
-    * swaps it atomically (write aside → rename), so concurrent probes see
-    * either the old or the new file set, never a partial one. Contents
-    * are row-identical — LshIndexSpec asserts probe equality.
+  /** Maintenance: compact the ledger's postings. Incremental [[append]]
+    * batches accumulate a file per batch; at ingest-heavy scale a probe
+    * then pays a task + footer read per tiny file, and the per-file bkey
+    * ranges overlap (each batch spans the whole key space), eroding the
+    * stats pruning. This rewrites the live band postings to a bounded
+    * file count RE-SORTED by bkey — restoring disjoint per-file ranges —
+    * and commits the swap through the snapshot manifest
+    * ([[graft.sources.Snapshots]]): new files are written FIRST (probes
+    * cannot see them), then one atomic manifest commit makes them live,
+    * so a concurrent probe resolves either the old or the new file set —
+    * never a partial one, never a missing directory. Works on any Hadoop
+    * filesystem (HDFS/S3A/local); single maintenance writer by contract.
+    * Contents are row-identical — LshIndexSpec asserts probe equality.
     */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L << 20): (Long, Long) = {
-    val dir = s"$path/bands"
-    val aside = s"$path/.compact-bands"
-    val counts = graft.sources.Layout.compact(spark, dir, aside, targetBytes,
-      sortCols = Seq("bkey"))
-    val old = new java.io.File(dir)
-    val retired = new java.io.File(s"$path/.retired-bands")
-    if (retired.exists()) { // leftover from a crashed prior compaction
-      retired.listFiles().foreach(_.delete()); retired.delete()
-    }
-    require(old.renameTo(retired), s"could not retire $dir")
-    require(new java.io.File(aside).renameTo(old), s"could not swap in $aside")
-    retired.listFiles().foreach(_.delete()); retired.delete()
-    counts
-  }
+              targetBytes: Long = 128L << 20): (Long, Long) =
+    graft.sources.Snapshots.compactCommit(spark, s"$path/bands",
+      _ => true, targetBytes, sortCols = Seq("bkey"))
+
+  /** The live band postings (manifest-resolved); empty-ledger-safe only
+    * through [[probePairs]] — this accessor is for stats/monitoring reads
+    * over a non-empty ledger.
+    */
+  def openBands(spark: SparkSession, path: String): DataFrame =
+    graft.sources.Snapshots.read(spark, s"$path/bands")
+      .getOrElse(sys.error(s"LshIndex: no live band postings at $path/bands"))
 
   /** Probe: all (id_old, id_new, est_jaccard) near-dup pairs between the
     * LEDGER (old) and the `incoming` batch (new) with signature-estimated
@@ -157,19 +166,18 @@ object LshIndex {
     Dedup.ensureMetricsLogger(spark)
     val (n, k, bands) = readParams(spark, path)
     val (probe, probeSigs) = banded(incoming, idCol, textCol, n, k, bands)
-    // a ledger whose every doc was sub-shingle-length has schema-less
-    // empty bands/sigs dirs (parquet writes no files for zero rows) — a
-    // probe against it degrades to zero pairs, not a schema-inference
-    // crash (the srch_mmr empty-pool lesson applied to the disk path)
-    def hasParquet(dir: String): Boolean =
-      Option(new java.io.File(dir).listFiles())
-        .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
-    if (!hasParquet(s"$path/bands") || !hasParquet(s"$path/sigs"))
+    // a ledger whose every doc was sub-shingle-length has a ZERO-FILE live
+    // snapshot (parquet writes no files for zero rows) — a probe against
+    // it degrades to zero pairs, not a schema-inference crash (the
+    // srch_mmr empty-pool lesson applied to the disk path)
+    val bandsOpt = graft.sources.Snapshots.read(spark, s"$path/bands")
+    val sigsOpt = graft.sources.Snapshots.read(spark, s"$path/sigs")
+    if (bandsOpt.isEmpty || sigsOpt.isEmpty)
       return probeSigs.select(col("id").as("id_old"), col("id").as("id_new"),
         lit(0.0).as("est_jaccard")).filter(lit(false))
     val keys = probe.select("bkey").distinct().limit(pushLimit + 1)
       .collect().map(_.getLong(0))
-    val ledgerAll = spark.read.parquet(s"$path/bands")
+    val ledgerAll = bandsOpt.get
     val ledger0 =
       if (keys.length <= pushLimit)
         ledgerAll.filter(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
@@ -186,7 +194,7 @@ object LshIndex {
       .join(probe.select(col("id").as("id_new"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("id_old"), col("id_new")).distinct()
-    val oldSigs = spark.read.parquet(s"$path/sigs")
+    val oldSigs = sigsOpt.get
       .select(col("id").as("id_old"), col("sig").as("sig_a"))
     val newSigs = probeSigs.select(col("id").as("id_new"), col("sig").as("sig_b"))
     pairs.join(oldSigs, Seq("id_old")).join(newSigs, Seq("id_new"))

@@ -118,19 +118,26 @@ class AnnIndexSpec extends SparkSpec {
 
     val before = rowsOf(AnnIndex.probeTopK(spark, path, queries,
       "vec_id", "embedding", 10, 2))
-    def files(cell: Int) =
-      new java.io.File(s"$path/cells/cell=$cell").listFiles()
-        .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    val cell = (0 until 4).maxBy(files)
-    val nBefore = files(cell)
+    // LIVE per-cell file count = the snapshot manifest, not a directory
+    // listing (the retired files get one version of vacuum grace)
+    def live(cell: Int) = graft.sources.Snapshots
+      .currentFiles(spark, s"$path/cells").get
+      .count(_.startsWith(s"cell=$cell/"))
+    val cell = (0 until 4).maxBy(live)
+    val nBefore = live(cell)
     assert(nBefore >= 4, s"expected >=4 append-batch files in cell=$cell, found $nBefore")
 
     val (was, now) = AnnIndex.compactCell(spark, path, cell)
     assert(was == nBefore && now < was,
       s"compaction must shrink the file count: $was -> $now")
-    assert(files(cell) == now)
+    assert(live(cell) == now)
     val after = rowsOf(AnnIndex.probeTopK(spark, path, queries,
       "vec_id", "embedding", 10, 2))
     assert(after == before, "compaction must be invisible to probes")
+    // other cells' live sets are untouched — compaction is O(cell)
+    graft.sources.Snapshots.vacuum(spark, s"$path/cells", grace = 0)
+    assert(graft.sources.Snapshots.listParquet(spark, s"$path/cells")
+      .count(_.startsWith(s"cell=$cell/")) == now,
+      "post-vacuum cell directory must hold exactly the live files")
   }
 }

@@ -96,16 +96,24 @@ class LshIndexSpec extends SparkSpec {
     val before = pairsOf(LshIndex.probePairs(spark, path, incoming,
       "doc_id", "text", 0.5))
     assert(before == expected)
-    def files() = new java.io.File(s"$path/bands").listFiles()
-      .count(f => f.isFile && f.getName.endsWith(".parquet"))
-    val nBefore = files()
+    // LIVE file count = the snapshot manifest, not a directory listing —
+    // the retired generation stays on disk for one version of grace so
+    // in-flight readers finish (graft.sources.Snapshots contract)
+    def live() = graft.sources.Snapshots
+      .currentFiles(spark, s"$path/bands").get.size
+    val nBefore = live()
     assert(nBefore > 2, s"appends must have accumulated files, found $nBefore")
     val (was, now) = LshIndex.compact(spark, path)
     assert(was == nBefore && now < was, s"compaction must shrink: $was -> $now")
-    assert(files() == now)
+    assert(live() == now)
     val after = pairsOf(LshIndex.probePairs(spark, path, incoming,
       "doc_id", "text", 0.5))
     assert(after == before, "compaction must be invisible to probes")
+    // zero-grace vacuum reconciles the directory with the live manifest
+    graft.sources.Snapshots.vacuum(spark, s"$path/bands", grace = 0)
+    val onDisk = graft.sources.Snapshots.listParquet(spark, s"$path/bands")
+    assert(onDisk.size == now,
+      s"post-vacuum directory must hold exactly the live files, found $onDisk")
   }
 
   test("probe beyond pushLimit falls back to the plain join, same result") {
