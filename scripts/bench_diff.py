@@ -10,6 +10,7 @@ regression question the round-7 verdict could not answer from the repo
 passes `queries` field (the contention-robust number); single-sample
 artifacts are labelled as such via samples_per_query when present.
 """
+import argparse
 import json
 import sys
 
@@ -21,18 +22,16 @@ def load(path):
 
 
 def main():
-    argv, args, top, ratio = sys.argv[1:], [], 20, 1.5
-    i = 0
-    while i < len(argv):
-        if argv[i] == "--top":
-            top, i = int(argv[i + 1]), i + 2
-        elif argv[i] == "--ratio":
-            ratio, i = float(argv[i + 1]), i + 2
-        else:
-            args.append(argv[i])
-            i += 1
-    if len(args) != 2:
-        sys.exit(__doc__)
+    ap = argparse.ArgumentParser(description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    ap.add_argument("old", help="baseline bench-detail JSON")
+    ap.add_argument("new", help="candidate bench-detail JSON")
+    ap.add_argument("--top", type=int, default=20,
+                    help="rows in the absolute-moves table (default 20)")
+    ap.add_argument("--ratio", type=float, default=1.5,
+                    help="flag threshold: moved >= RATIO x and >= 1 s (default 1.5)")
+    ns = ap.parse_args()
+    args, top, ratio = [ns.old, ns.new], ns.top, ns.ratio
     old, new = load(args[0]), load(args[1])
     oq, nq = old.get("queries", {}), new.get("queries", {})
     added = sorted(set(nq) - set(oq))
@@ -49,9 +48,13 @@ def main():
             f"{k}={nq[k]:.2f}s" for k in added))
     if removed:
         print(f"removed ({len(removed)}): " + ", ".join(removed))
+    # a zero-cost side would trivially satisfy any ratio — treat a query
+    # that went 0 <-> nonzero as flagged only via the >= 1 s guard, with
+    # the ratio test applied to genuinely nonzero pairs
     flagged = [(d, k) for d, k in deltas
-               if abs(d) >= 1.0 and (nq[k] >= ratio * oq[k]
-                                     or oq[k] >= ratio * nq[k])]
+               if abs(d) >= 1.0 and (
+                   (oq[k] == 0 or nq[k] == 0) or
+                   nq[k] >= ratio * oq[k] or oq[k] >= ratio * nq[k])]
     print(f"\nflagged (>= {ratio}x and >= 1 s, {len(flagged)}):")
     for d, k in flagged:
         print(f"  {k:28s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({d:+.2f} s)")

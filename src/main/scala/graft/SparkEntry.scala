@@ -29,6 +29,24 @@ object SparkEntry {
   private[graft] def annIndexPath(dir: String, name: String): String =
     s"${sys.props("java.io.tmpdir")}/graft-ann/${new java.io.File(dir).getName}/$name"
 
+  /** Oracle-validity guard for the LSH-ledger queries: lshLedgerOracleSql
+    * models NEITHER probePairs' `maxPostings` boilerplate-bucket cap nor
+    * its `pushLimit` fallback. The fallback is result-identical
+    * (spec-proven), but the cap DROPS pairs — provably inert only while
+    * the ledger cohort holds fewer docs than the cap, since no band
+    * bucket can exceed the cohort size. Fail loudly if a grown fixture
+    * ever crosses that line, instead of silently diverging from the
+    * oracle. One count over the (tiny, filtered) cohort per query run.
+    */
+  private def requireLedgerOracleValid(ledgerCohort: org.apache.spark.sql.DataFrame,
+                                       maxPostings: Int = 2000): Unit = {
+    val n = ledgerCohort.count()
+    require(n < maxPostings,
+      s"LSH-ledger oracle invalid: cohort has $n docs >= maxPostings=$maxPostings — " +
+        "probePairs' bucket cap could drop pairs the oracle keeps; raise the cap " +
+        "in the query or model it in lshLedgerOracleSql")
+  }
+
   /** Normalize the events `ts` column to a session-UTC TIMESTAMP whatever
     * the fixture's physical type (the driver has shipped both): a
     * TIMESTAMP(NANOS) parquet is read as a nanosecond long (legacy conf)
@@ -589,7 +607,9 @@ operations:
       // sig + banding for both cohorts and crosses them.
       val d = T(s, dir, "documents")
       val path = annIndexPath(dir, "lsh_ledger")
-      ext.LshIndex.write(d.filter(col("doc_id") < 250), "doc_id", "text", path)
+      val cohort = d.filter(col("doc_id") < 250)
+      requireLedgerOracleValid(cohort)
+      ext.LshIndex.write(cohort, "doc_id", "text", path)
       ext.LshIndex.probePairs(s, path, d.filter(col("doc_id") >= 250),
         "doc_id", "text", threshold = 0.5)
     }),
@@ -604,6 +624,7 @@ operations:
       // sim_ivf_incremental).
       val d = T(s, dir, "documents")
       val path = annIndexPath(dir, "lsh_ledger_incr")
+      requireLedgerOracleValid(d.filter(col("doc_id") < 250)) // build + append
       ext.LshIndex.write(d.filter(col("doc_id") < 150), "doc_id", "text", path)
       ext.LshIndex.append(d.filter(col("doc_id") >= 150 && col("doc_id") < 250),
         "doc_id", "text", path)
@@ -641,6 +662,7 @@ operations:
       // builds, proven by hash, like stream_ivf_ingest ≡ sim_ivf_incremental).
       val d = T(s, dir, "documents")
       val path = annIndexPath(dir, "lsh_ledger_stream")
+      requireLedgerOracleValid(d.filter(col("doc_id") < 250)) // build + stream
       ext.LshIndex.write(d.filter(col("doc_id") < 150), "doc_id", "text", path)
       val stream = s.readStream.schema(d.schema)
         .parquet(s"$dir/[d]ocuments.parquet")

@@ -80,7 +80,12 @@ object LshIndex {
     val (b, sigs) = banded(docs, idCol, textCol, n, k, bands)
     b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
-    sigs.write.mode(SaveMode.Overwrite).parquet(s"$path/sigs")
+    // sigs get the same range-sort discipline on id: the probe pushes its
+    // matched-candidate id set into this scan, and disjoint per-file id
+    // ranges make that predicate prune files/row groups — sidecar reads
+    // are O(matched candidates), not O(ledger)
+    sigs.repartitionByRange(files, col("id")).sortWithinPartitions("id")
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/sigs")
     // snapshot manifests are the probe-visible commit point from here on
     // (Overwrite wiped any prior manifest along with the prior files)
     graft.sources.Snapshots.bootstrap(spark, s"$path/bands")
@@ -111,7 +116,8 @@ object LshIndex {
         .write.mode(SaveMode.Append).parquet(s"$path/bands")
     }
     graft.sources.Snapshots.appendCommit(spark, s"$path/sigs") {
-      sigs.write.mode(SaveMode.Append).parquet(s"$path/sigs")
+      sigs.sortWithinPartitions("id")
+        .write.mode(SaveMode.Append).parquet(s"$path/sigs")
     }
   }
 
@@ -149,9 +155,12 @@ object LshIndex {
     *  - its distinct bucket keys (≤ |delta|·bands longs) are collected
     *    and pushed as a static `bkey IN (…)` scan predicate when they
     *    number ≤ `pushLimit`, pruning unmatched ledger row groups at
-    *    planning time — probe cost is O(matched postings), not O(ledger);
-    *    above `pushLimit` the probe falls back to the plain shuffle join
-    *    (the predicate would cost more to ship than it saves);
+    *    planning time; the candidate ids of the pruned bands scan are
+    *    then pushed the same way into the id-range-sorted `sigs/`
+    *    sidecar, so BOTH the postings and the signature reads are
+    *    O(matched postings/candidates), not O(ledger); above `pushLimit`
+    *    either push falls back to the plain join/scan (the predicate
+    *    would cost more to ship than it saves);
     *  - `maxPostings` guards the web-scale failure mode of a boilerplate
     *    band bucket (thousands of ledger docs sharing one bkey): buckets
     *    with more ledger postings are dropped from the CANDIDATE stage
@@ -194,7 +203,20 @@ object LshIndex {
       .join(probe.select(col("id").as("id_new"), col("band"), col("bkey")),
         Seq("band", "bkey"))
       .select(col("id_old"), col("id_new")).distinct()
-    val oldSigs = sigsOpt.get
+    // push the candidate id set into the sigs sidecar the same way the
+    // bucket keys were pushed into bands: every ledger id that can appear
+    // in `pairs` sits in a probed bucket, so the distinct ids of the
+    // PRUNED bands scan (ids-only, tiny) bound the sigs rows the
+    // estimation join needs. With the id-range-sorted sigs layout the
+    // static `id IN (…)` prunes files/row groups — sidecar I/O is
+    // O(matched candidates), not O(ledger). Above the cap (a probe
+    // matching half the ledger) fall back to the full sigs scan.
+    val candIds = ledger0.select("id").distinct().limit(pushLimit + 1)
+      .collect().map(_.getLong(0))
+    val oldSigsAll = sigsOpt.get
+    val oldSigs = (if (candIds.length <= pushLimit)
+        oldSigsAll.filter(col("id").isin(candIds.map(java.lang.Long.valueOf): _*))
+      else oldSigsAll)
       .select(col("id").as("id_old"), col("sig").as("sig_a"))
     val newSigs = probeSigs.select(col("id").as("id_new"), col("sig").as("sig_b"))
     pairs.join(oldSigs, Seq("id_old")).join(newSigs, Seq("id_new"))

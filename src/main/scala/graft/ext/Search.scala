@@ -89,8 +89,9 @@ object Search {
     *     every row group holding none of its terms (the same stats-pruning
     *     discipline as [[AnnIndex.writeGraph]]'s src-sorted edges — query
     *     cost is O(matched postings), not O(index));
-    *   - `doclens/` — (id, dl) document lengths (the BM25 length prior
-    *     needs dl for matched docs only — inner-joined by id);
+    *   - `doclens/` — (id, dl) document lengths, id-range-sorted: the
+    *     probe pushes its matched doc ids as a static `id IN (…)`
+    *     predicate, so the length-prior read prunes to matched docs;
     *   - `stats/` — one row (n_docs, dl_sum), the corpus-level constants.
     *
     * At 100 TB, `files` scales with the vocabulary so each posting file
@@ -106,7 +107,12 @@ object Search {
       .groupBy(col("tok"), col(idCol)).agg(count(lit(1)).as("tf"))
       .repartitionByRange(files, col("tok")).sortWithinPartitions("tok", idCol)
       .write.mode(SaveMode.Overwrite).parquet(s"$path/postings")
-    doclens.write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
+    // doclens id-range-sorted for the same reason postings are tok-sorted:
+    // the probe pushes its matched doc ids into this scan, and disjoint
+    // per-file id ranges make that predicate prune — the length-prior read
+    // is O(matched docs), not O(corpus)
+    doclens.repartitionByRange(files, col(idCol)).sortWithinPartitions(idCol)
+      .write.mode(SaveMode.Overwrite).parquet(s"$path/doclens")
     doclens.agg(count(lit(1)).as("n_docs"),
         coalesce(sum(col("dl")), lit(0L)).as("dl_sum")) // 0, not NULL, for an empty corpus
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/stats")
@@ -121,17 +127,30 @@ object Search {
     */
   def probeBm25(spark: org.apache.spark.sql.SparkSession, path: String,
                 idCol: String, terms: Seq[String], k: Int,
-                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                k1: Double = 1.2, b: Double = 0.75,
+                pushLimit: Int = 100000): DataFrame = {
     require(terms.nonEmpty, "probeBm25: terms must be non-empty")
     // an all-empty corpus leaves a schema-less postings dir (parquet
     // writes no files for zero rows): degrade to zero hits, don't crash
-    // on schema inference
-    val hasPostings = Option(new java.io.File(s"$path/postings").listFiles())
-      .exists(_.exists(f => f.isFile && f.getName.endsWith(".parquet")))
-    if (!hasPostings) {
-      import spark.implicits._
-      return Seq.empty[(Long, Long, Long, Long)]
-        .toDF(idCol, "n_terms", "tf_total", "score_bp")
+    // on schema inference. The degenerate frame derives its id column
+    // from the doclens sidecar (docs with zero tokens still have doclens
+    // rows), so a non-Long id type survives the empty path exactly as it
+    // does the normal one; only a zero-DOC corpus — no stored id type
+    // anywhere — falls back to a Long id.
+    def hasParquet(dir: String): Boolean =
+      graft.sources.Snapshots.listParquet(spark, dir).nonEmpty
+    if (!hasParquet(s"$path/postings")) {
+      val base =
+        if (hasParquet(s"$path/doclens"))
+          spark.read.parquet(s"$path/doclens").select(col(idCol))
+        else {
+          import spark.implicits._
+          Seq.empty[Long].toDF(idCol)
+        }
+      return base
+        .select(col(idCol), lit(0L).as("n_terms"), lit(0L).as("tf_total"),
+          lit(0L).as("score_bp"))
+        .filter(lit(false))
     }
     val postings = spark.read.parquet(s"$path/postings")
       .filter(col("tok").isin(terms: _*))
@@ -143,7 +162,19 @@ object Search {
         .cast(LongType).as(s"__tf${i}__")
     }
     val pivoted = postings.groupBy(col(idCol)).agg(tfAggs.head, tfAggs.tail: _*)
-    val base = pivoted.join(spark.read.parquet(s"$path/doclens"), Seq(idCol))
+    // push the matched doc ids into the id-range-sorted doclens sidecar
+    // (the bkey/sigs discipline of LshIndex.probePairs): only matched
+    // docs need a length prior, so collect their ids from the pruned
+    // postings scan and prune doclens files/row groups with a static
+    // `id IN (…)`; above the cap fall back to the full scan
+    val matchedIds = postings.select(col(idCol)).distinct()
+      .limit(pushLimit + 1).collect().map(_.get(0))
+    val doclensAll = spark.read.parquet(s"$path/doclens")
+    val doclens =
+      if (matchedIds.length <= pushLimit)
+        doclensAll.filter(col(idCol).isin(matchedIds: _*))
+      else doclensAll
+    val base = pivoted.join(doclens, Seq(idCol))
       .select((col(idCol) +: col("dl") +:
         terms.indices.map(i => col(s"__tf${i}__"))): _*)
     // per-term document frequencies: one row per (tok, doc) in postings,

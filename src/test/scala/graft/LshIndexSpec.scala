@@ -65,6 +65,13 @@ class LshIndexSpec extends SparkSpec {
     assert(scans.nonEmpty, "expected a file scan over the persisted ledger")
     assert(scans.exists(_.metadata.getOrElse("PushedFilters", "").contains("In(bkey")),
       "the probe's bkey IN (…) predicate must reach the parquet scan")
+    // the sigs sidecar gets the same treatment: candidate ids pushed as a
+    // static id IN (…) — sidecar I/O is O(matched candidates), not O(ledger)
+    val sigScans = fileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("pushdown/sigs")))
+    assert(sigScans.nonEmpty, "expected a file scan over the sigs sidecar")
+    assert(sigScans.exists(_.metadata.getOrElse("PushedFilters", "").contains("In(id")),
+      "the candidate id IN (…) predicate must reach the sigs scan")
   }
 
   test("oversized ledger buckets are dropped by the cap, not exploded") {

@@ -92,6 +92,27 @@ class SearchSpec extends SparkSpec {
     assert(scans.nonEmpty, "expected a file scan over the persisted postings")
     assert(scans.exists(_.metadata.getOrElse("PushedFilters", "").contains("In(tok")),
       "the probe's tok IN (…) predicate must reach the parquet scan")
+    // the doclens sidecar gets the matched doc ids pushed the same way —
+    // the length-prior read is O(matched docs), not O(corpus)
+    val dlScans = fileScans(probed.queryExecution.executedPlan)
+      .filter(_.relation.location.rootPaths.exists(_.toString.contains("idx2/doclens")))
+    assert(dlScans.nonEmpty, "expected a file scan over the doclens sidecar")
+    assert(dlScans.exists(_.metadata.getOrElse("PushedFilters", "").contains("In(doc_id")),
+      "the matched-id IN (…) predicate must reach the doclens scan")
+  }
+
+  test("probe against a corpus whose docs all tokenize empty keeps the id type") {
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    val path = s"${sys.props("java.io.tmpdir")}/graft-search-spec/idx-empty"
+    // non-Long id type + zero tokens everywhere → postings is schema-less
+    val empty = Seq(("a", "   "), ("b", "\t")).toDF("doc_id", "text")
+    Search.writeIndex(empty, "doc_id", "text", path)
+    val got = Search.probeBm25(spark, path, "doc_id", Seq("cat"), 10)
+    assert(got.schema("doc_id").dataType ==
+      org.apache.spark.sql.types.StringType,
+      "degenerate path must inherit the stored id type, not hardcode Long")
+    assert(got.count() == 0)
   }
 
   test("probe handles terms absent from the index (df = 0 contributes nothing)") {
