@@ -565,6 +565,31 @@ operations:
         "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
+    "sim_ivf_retrain" -> ((s, dir) => {
+      // index MAINTENANCE retrain — the acted-on half of the drift story
+      // sim_ivf_stats detects: build on the even-vec_id cohort, append the
+      // odd cohort under the FROZEN quantizer (sim_ivf_incremental's
+      // state: lists assigned by stale centroids), then RETRAIN on the
+      // index's own stored vectors and rewrite both tiers as one new
+      // generation (single atomic root-pointer commit — probes never pair
+      // new lists with old centroids). Training is deterministic (md5
+      // init over stored ids + integer-grid Lloyd), so append-then-retrain
+      // CONVERGES bit-for-bit to the one-shot build on the full corpus —
+      // the probe shares sim_ivf_persisted's full-replay oracle verbatim
+      // (the convergence law, like dd_lsh_incremental ≡ dd_lsh_persisted).
+      val emb = T(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") % 2 === 0)
+      val delta = emb.filter(col("vec_id") % 2 === 1)
+      val cents0 = ext.IvfIndex.train(base, "vec_id", "embedding", k = 8, iters = 2)
+      val path = annIndexPath(dir, "ivf_retrain")
+      ext.AnnIndex.write(
+        ext.IvfIndex.assign(base, "vec_id", "embedding", cents0), cents0, path)
+      ext.AnnIndex.append(delta, "vec_id", "embedding", path)
+      ext.AnnIndex.retrain(s, path, k = 8, iters = 2)
+      ext.AnnIndex.probeTopK(s, path, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nProbe = 3)
+    }),
+
     "stream_ivf_ingest" -> ((s, dir) => {
       // STREAMING index maintenance — the live-ingest shape of
       // sim_ivf_incremental: the persisted IVF index absorbs micro-batches
@@ -11128,6 +11153,10 @@ operations:
     // the write → re-open → pruned-probe loop loses nothing vs in-memory
     "sim_ivf_persisted" -> ivfTopKOracleSql,
     "sim_ivf_incremental" -> ivfIncrementalOracleSql,
+    // append-then-retrain converges to the one-shot full-corpus build
+    // (deterministic init + integer-grid Lloyd over the stored set), so
+    // the retrained index's probe shares the full-replay oracle verbatim
+    "sim_ivf_retrain" -> ivfTopKOracleSql,
     // streaming micro-batch append converges to batch append — same oracle
     "stream_ivf_ingest" -> ivfIncrementalOracleSql,
     "sim_ivf_recall" -> ivfRecallOracleSql,

@@ -40,12 +40,20 @@ object AnnIndex {
     assigned.select(col("id"), col("v"), col("cell").cast("int").as("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$path/cells")
-    // snapshot manifest = the probe-visible commit point for the lists
+    // snapshot manifests = the probe-visible commit point for both tiers
     graft.sources.Snapshots.bootstrap(spark, s"$path/cells")
     import spark.implicits._
     centroids.toDF("cell", "v")
       .coalesce(1) // k × dim doubles — a few MB even at k = 4096
       .write.mode(SaveMode.Overwrite).parquet(s"$path/centroids")
+    graft.sources.Snapshots.bootstrap(spark, s"$path/centroids")
+    // rebuilding over a previously-RETRAINED path: flip the root pointer
+    // back to the root tier, else liveRoot would keep serving the stale
+    // generation this write just superseded
+    if (graft.sources.Snapshots.currentVersion(spark, path).nonEmpty) {
+      graft.sources.Snapshots.commit(spark, path, Seq("."))
+      vacuumGenerations(spark, path)
+    }
   }
 
   /** Re-open a persisted index: (inverted lists, centroids). The lists
@@ -53,10 +61,12 @@ object AnnIndex {
     * directories at planning time.
     */
   def open(spark: SparkSession, path: String): (DataFrame, Seq[(Int, Array[Double])]) = {
-    val cells = graft.sources.Snapshots.read(spark, s"$path/cells")
-      .getOrElse(sys.error(s"AnnIndex: no live inverted lists at $path/cells"))
+    val root = liveRoot(spark, path) // one resolve → a consistent tier pair
+    val cells = graft.sources.Snapshots.read(spark, s"$root/cells")
+      .getOrElse(sys.error(s"AnnIndex: no live inverted lists at $root/cells"))
       .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
-    val cents = spark.read.parquet(s"$path/centroids")
+    val cents = graft.sources.Snapshots.read(spark, s"$root/centroids")
+      .getOrElse(sys.error(s"AnnIndex: no live centroids at $root/centroids"))
       .select(col("cell").cast("int"), col("v"))
       .collect() // k rows — the coarse quantizer is driver-resident by design
       .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
@@ -71,12 +81,13 @@ object AnnIndex {
     */
   def append(delta: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = delta.sparkSession
+    val root = liveRoot(spark, path)
     val (_, cents) = open(spark, path)
-    graft.sources.Snapshots.appendCommit(spark, s"$path/cells") {
+    graft.sources.Snapshots.appendCommit(spark, s"$root/cells") {
       IvfIndex.assign(delta, idCol, vecCol, cents)
         .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
         .write.mode(SaveMode.Append).partitionBy("cell")
-        .parquet(s"$path/cells")
+        .parquet(s"$root/cells")
     }
   }
 
@@ -111,9 +122,110 @@ object AnnIndex {
     */
   def compactCell(spark: SparkSession, path: String, cell: Int,
                   targetBytes: Long = 128L << 20): (Long, Long) =
-    graft.sources.Snapshots.compactCommit(spark, s"$path/cells",
+    graft.sources.Snapshots.compactCommit(spark,
+      s"${liveRoot(spark, path)}/cells",
       rel => rel.startsWith(s"cell=$cell/"), targetBytes,
       partitionBy = Seq("cell"))
+
+  /** Live root of a (possibly retrained) index: a RETRAIN rewrites both
+    * tiers (cells + centroids) as one new `index@gN/` generation tree and
+    * commits a one-line root manifest naming it — a single atomic swap,
+    * so a probe can never pair new lists with old centroids (two
+    * sequential per-tier commits would have exactly that window). An
+    * index that has never been retrained has no root manifest and lives
+    * at `path` itself (`.`), which is also how pre-generation layouts
+    * keep working.
+    */
+  private[graft] def liveRoot(spark: SparkSession, path: String): String =
+    graft.sources.Snapshots.currentFiles(spark, path) match {
+      case Some(Seq(gen)) if gen != "." => s"$path/$gen"
+      case _                            => path
+    }
+
+  /** Cell-occupancy imbalance of a persisted index: max cell size over
+    * MEAN cell size (mean over the trained k, so emptied cells count).
+    * 1.0 = perfectly balanced; a drifted ingest (appends assigned under
+    * frozen centroids landing far from every centroid) pushes it toward
+    * k. This is the number a maintenance scheduler watches — one
+    * ids-only mergeable aggregate over the lists, no vectors read.
+    */
+  def imbalance(spark: SparkSession, path: String): Double = {
+    val (cells, cents) = open(spark, path)
+    val occ = cells.groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(max(col("n")).as("mx"), sum(col("n")).as("tot")).head()
+    if (occ.isNullAt(1) || occ.getLong(1) == 0L) 1.0
+    else occ.getLong(0).toDouble / (occ.getLong(1).toDouble / cents.size)
+  }
+
+  /** Maintenance: RETRAIN the coarse quantizer on the index's own stored
+    * vectors and rewrite the inverted lists under the new centroids —
+    * the acted-on half of the drift story ([[imbalance]] is the detector;
+    * FAISS re-`train` after distribution drift). Deterministic by
+    * construction: [[IvfIndex.train]] inits from the k smallest md5(id)
+    * over the STORED ids and folds Lloyd updates on the integer grid, so
+    * retraining an index whose stored set equals corpus C yields
+    * BIT-IDENTICAL centroids (and therefore bit-identical probes) to a
+    * one-shot build on C — append-then-retrain ≡ build-on-union, the
+    * convergence law the sim_ivf_retrain oracle hash-checks, and retrain
+    * of an undrifted index is a byte-level no-op (AnnIndexSpec proves
+    * both).
+    *
+    * The swap is WHOLE-INDEX atomic: the new generation tree
+    * (`index@gN/cells` + `index@gN/centroids`) is fully written first,
+    * then one root-manifest commit flips [[liveRoot]] — concurrent probes
+    * resolve a consistent (cells, centroids) pair, old or new, never
+    * mixed. The retired generation keeps one version of grace before
+    * [[vacuumGenerations]] removes it.
+    */
+  def retrain(spark: SparkSession, path: String, k: Int,
+              iters: Int = 2): Seq[(Int, Array[Double])] = {
+    val (cells, _) = open(spark, path)
+    val cents = IvfIndex.train(cells, "id", "v", k, iters)
+    val snaps = graft.sources.Snapshots
+    // first retrain of a root-layout index: record the root itself as the
+    // retiring generation so it gets the same vacuum grace as any other
+    if (snaps.currentVersion(spark, path).isEmpty) snaps.commit(spark, path, Seq("."))
+    val gen = s"index@g${snaps.currentVersion(spark, path).get + 1}"
+    write(IvfIndex.assign(cells, "id", "v", cents), cents, s"$path/$gen")
+    snaps.commit(spark, path, Seq(gen)) // the atomic whole-index swap
+    vacuumGenerations(spark, path)
+    cents
+  }
+
+  /** Delete retired generation trees not referenced by the live or the
+    * immediately-previous root manifest (same one-version grace as file
+    * vacuum). The legacy root tier (`cells/`+`centroids/` at `path`,
+    * recorded as generation ".") is removed the same way once retired
+    * past grace.
+    */
+  def vacuumGenerations(spark: SparkSession, path: String): Unit = {
+    val snaps = graft.sources.Snapshots
+    val versions = snaps.currentVersion(spark, path).toSeq
+      .flatMap(v => (1L to v).reverse.take(2))
+    if (versions.isEmpty) return
+    val kept = versions.flatMap(v => snaps.filesAt(spark, path, v)).toSet
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    fs.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("index@g") && !kept(n))
+        fs.delete(st.getPath, true)
+    }
+    if (!kept(".")) {
+      fs.delete(new org.apache.hadoop.fs.Path(p, "cells"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(p, "centroids"), true)
+    }
+  }
+
+  /** [[retrain]] gated on the [[imbalance]] detector: returns the new
+    * centroids when occupancy skew exceeded `maxRatio` (the scheduled
+    * maintenance shape), None when the index is healthy and untouched.
+    */
+  def retrainIfDrifted(spark: SparkSession, path: String, k: Int,
+                       iters: Int = 2,
+                       maxRatio: Double = 3.0): Option[Seq[(Int, Array[Double])]] =
+    if (imbalance(spark, path) > maxRatio) Some(retrain(spark, path, k, iters))
+    else None
 
   /** Top-k cosine probe against a persisted index, reading ONLY the
     * probed cells: the per-query probe cells are computed driver-side

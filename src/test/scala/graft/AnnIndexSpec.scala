@@ -140,4 +140,84 @@ class AnnIndexSpec extends SparkSpec {
       .count(_.startsWith(s"cell=$cell/")) == now,
       "post-vacuum cell directory must hold exactly the live files")
   }
+
+  /** Drift fixture: train on a tight cluster, append a far-away cohort —
+    * every appended vector lands in ONE stale cell, so occupancy skews
+    * hard. Retrain must restore balance and converge to the one-shot
+    * build on the union; the gated variant must fire on the drifted index
+    * and leave a healthy one untouched.
+    */
+  test("drift: imbalance detector fires, retrain restores balance and equals rebuild") {
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    def vec(c: Double, i: Long): Array[Double] =
+      Array(c + 0.001 * i, c - 0.001 * i, c, 1.0)
+    val base = (0L until 40L).map(i => (i, vec(0.0, i))).toDF("vec_id", "embedding")
+    val drift = (100L until 140L).map(i => (i, vec(50.0, i))).toDF("vec_id", "embedding")
+    val path = tmpIndex("drift")
+    val cents0 = IvfIndex.train(base, "vec_id", "embedding", k = 4, iters = 2)
+    AnnIndex.write(IvfIndex.assign(base, "vec_id", "embedding", cents0), cents0, path)
+    AnnIndex.append(drift, "vec_id", "embedding", path)
+    val skewed = AnnIndex.imbalance(spark, path)
+    assert(skewed > 2.0, s"drifted appends must skew occupancy, got $skewed")
+
+    val retrained = AnnIndex.retrainIfDrifted(spark, path, k = 4, iters = 2, maxRatio = 2.0)
+    assert(retrained.nonEmpty, "the detector must trigger the retrain")
+    val healed = AnnIndex.imbalance(spark, path)
+    assert(healed < skewed, s"retrain must reduce imbalance: $skewed -> $healed")
+    // the gated maintenance pass is now a no-op on the healthy index
+    assert(AnnIndex.retrainIfDrifted(spark, path, k = 4, iters = 2,
+      maxRatio = math.max(2.0, healed + 0.01)).isEmpty)
+
+    // convergence: retrained index == one-shot build on the union corpus
+    val union = base.unionByName(drift)
+    val pathFresh = tmpIndex("drift-fresh")
+    val centsU = IvfIndex.train(union, "vec_id", "embedding", k = 4, iters = 2)
+    AnnIndex.write(IvfIndex.assign(union, "vec_id", "embedding", centsU), centsU, pathFresh)
+    val q = union.filter(col("vec_id").isin(0L, 5L, 100L, 105L))
+    assert(rowsOf(AnnIndex.probeTopK(spark, path, q, "vec_id", "embedding", 5, 2)) ==
+      rowsOf(AnnIndex.probeTopK(spark, pathFresh, q, "vec_id", "embedding", 5, 2)),
+      "append-then-retrain must converge to the one-shot build")
+    assert(retrained.get.map(_._2.toSeq) == centsU.map(_._2.toSeq),
+      "retrained centroids must be bit-identical to the one-shot training")
+  }
+
+  test("retrain of an undrifted index is a bit-level no-op on probes and centroids") {
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val path = tmpIndex("retrain-noop")
+    AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
+    val before = rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 3))
+    val cents2 = AnnIndex.retrain(spark, path, k = 8, iters = 2)
+    assert(cents2.map(_._2.toSeq) == cents.map(_._2.toSeq),
+      "deterministic training over the same stored set must reproduce the quantizer")
+    val after = rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 3))
+    assert(after == before, "retrain of an undrifted index must not change probes")
+    // a rebuild ON the retrained path flips the root pointer back
+    AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
+    assert(rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 3)) == before,
+      "a fresh write over a retrained path must serve the new root tier")
+  }
+
+  test("retrain swaps generations atomically: old root stays readable until vacuumed past grace") {
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val path = tmpIndex("retrain-gen")
+    AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
+    AnnIndex.retrain(spark, path, k = 8, iters = 2)
+    // one retrain: root manifest points at index@g2, retired root tier kept
+    assert(AnnIndex.liveRoot(spark, path).endsWith("index@g2"))
+    assert(spark.read.parquet(s"$path/cells").count() == emb.count(),
+      "the retired generation must keep one version of grace")
+    AnnIndex.retrain(spark, path, k = 8, iters = 2)
+    assert(AnnIndex.liveRoot(spark, path).endsWith("index@g3"))
+    // grace window moved: the original root tier is now vacuumed
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/cells")),
+      "a twice-retired generation must be vacuumed")
+    assert(rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 3)).nonEmpty)
+  }
 }
