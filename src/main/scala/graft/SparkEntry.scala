@@ -590,6 +590,26 @@ operations:
         "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
+    "sim_ivf_forget" -> ((s, dir) => {
+      // the erasure path against a persisted index: tombstone a cohort
+      // (vec_id % 7 == 0) — O(deleted) manifest commit, no rewrite — and
+      // probe. Deleted vectors stop being NEIGHBORS immediately (open()'s
+      // broadcast anti-join feeds every consumer); the raw table still
+      // supplies the query set, exactly like a user whose data was erased
+      // can still issue queries. The oracle replays the full IVF build
+      // with the tombstoned cohort excluded from the index side only; the
+      // next retrain/compaction physically drops the rows (AnnIndexSpec
+      // proves purge + clear).
+      val emb = T(s, dir, "embeddings")
+      val cents = ext.IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+      val path = annIndexPath(dir, "ivf_forget")
+      ext.AnnIndex.write(
+        ext.IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
+      ext.AnnIndex.delete(s, path, emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+      ext.AnnIndex.probeTopK(s, path, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, nProbe = 3)
+    }),
+
     "stream_ivf_ingest" -> ((s, dir) => {
       // STREAMING index maintenance — the live-ingest shape of
       // sim_ivf_incremental: the persisted IVF index absorbs micro-batches
@@ -698,6 +718,25 @@ operations:
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      ext.LshIndex.probePairs(s, path, d.filter(col("doc_id") >= 250),
+        "doc_id", "text", threshold = 0.5)
+    }),
+
+    "dd_lsh_forget" -> ((s, dir) => {
+      // the erasure path against the persisted ledger: tombstone every
+      // doc_id % 10 == 0 in the historical cohort — O(deleted) manifest
+      // commit — and probe. Tombstoned docs stop matching IMMEDIATELY
+      // (probePairs anti-joins the pruned postings against the broadcast
+      // tombstone set); the next compact() physically purges postings AND
+      // signatures, then clears the set (LshIndexSpec proves purge ≡
+      // probe). Oracle = the ledger replay minus the deleted cohort.
+      val d = T(s, dir, "documents")
+      val path = annIndexPath(dir, "lsh_ledger_forget")
+      val cohort = d.filter(col("doc_id") < 250)
+      requireLedgerOracleValid(cohort)
+      ext.LshIndex.write(cohort, "doc_id", "text", path)
+      ext.LshIndex.delete(s, path,
+        cohort.filter(col("doc_id") % 10 === 0).select("doc_id"))
       ext.LshIndex.probePairs(s, path, d.filter(col("doc_id") >= 250),
         "doc_id", "text", threshold = 0.5)
     }),
@@ -10587,14 +10626,22 @@ operations:
     * Shared by both queries: append-under-frozen-params converges to the
     * one-shot build, so the incremental run must hash-match this too.
     */
-  private lazy val lshLedgerOracleSql: String = {
+  private def lshLedgerOracleSqlWith(ledgerWhere: String): String = {
     val r = 64 / 16
     s"""WITH ${minhashSigCtes(3, 64)},
        |banded AS MATERIALIZED (SELECT doc_id, b, array_to_string(sig[(CAST(b AS INTEGER)*$r+1):(CAST(b AS INTEGER)*$r+$r)], ',') AS bkey FROM sigs, unnest(range(16)) t(b)),
-       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_old, b.doc_id AS id_new FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey WHERE a.doc_id < 250 AND b.doc_id >= 250),
+       |cand AS MATERIALIZED (SELECT DISTINCT a.doc_id AS id_old, b.doc_id AS id_new FROM banded a JOIN banded b ON a.b = b.b AND a.bkey = b.bkey WHERE a.doc_id < 250 AND b.doc_id >= 250$ledgerWhere),
        |est AS (SELECT id_old, id_new, CAST(len(list_filter(range(64), i -> sa.sig[CAST(i AS INTEGER)+1] = sb.sig[CAST(i AS INTEGER)+1])) AS DOUBLE) / 64 AS est_jaccard FROM cand JOIN sigs sa ON cand.id_old = sa.doc_id JOIN sigs sb ON cand.id_new = sb.doc_id)
        |SELECT id_old, id_new, est_jaccard FROM est WHERE est_jaccard >= 0.5""".stripMargin
   }
+
+  private lazy val lshLedgerOracleSql: String = lshLedgerOracleSqlWith("")
+
+  /** dd_lsh_forget: the ledger oracle minus the tombstoned cohort —
+    * deleted ids must stop matching, everything else is untouched.
+    */
+  private lazy val lshForgetOracleSql: String =
+    lshLedgerOracleSqlWith(" AND a.doc_id % 10 <> 0")
 
   /** dd_minhash_dedup: connected components over the minhash pair graph
     * (recursive min-label propagation — labels only decrease, so the
@@ -10823,16 +10870,26 @@ operations:
     * nProbe=3) — hard-assign the corpus under the final centroids, probe
     * each query's 3 nearest cells, exact-cosine re-rank top-10.
     */
-  private lazy val ivfTopKOracleSql: String = {
+  private def ivfTopKOracleSqlWith(idxWhere: String): String = {
     val cos = "list_dot_product(i.v, p.qv) / (sqrt(list_dot_product(i.v, i.v)) * sqrt(list_dot_product(p.qv, p.qv)))"
     s"""WITH ${kmeansCtes(8, 2, 64)},
-       |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1),
+       |idx AS MATERIALIZED (SELECT vec_id, v, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c) WHERE rn = 1$idxWhere),
        |prob AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, cell FROM (SELECT e.vec_id, e.v, c.cell, row_number() OVER (PARTITION BY e.vec_id ORDER BY ${cellScore("e.v", "c.v")}, c.cell) AS rn FROM e CROSS JOIN cen2 c WHERE e.vec_id < 8) WHERE rn <= 3),
        |scored AS (SELECT p.query_id, i.vec_id AS neighbor_id, $cos AS score FROM prob p JOIN idx i ON p.cell = i.cell AND i.vec_id <> p.query_id)
        |SELECT query_id, CAST(rn AS INTEGER) AS rank, neighbor_id, score
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored)
        |WHERE rn <= 10""".stripMargin
   }
+
+  private lazy val ivfTopKOracleSql: String = ivfTopKOracleSqlWith("")
+
+  /** sim_ivf_forget: the IVF full-replay oracle with the tombstoned
+    * cohort excluded from the INDEX side only — deleted vectors stop
+    * being neighbors; the query set (which reads the raw table, not the
+    * index) is untouched.
+    */
+  private lazy val ivfForgetOracleSql: String =
+    ivfTopKOracleSqlWith(" AND vec_id % 7 <> 0")
 
   /** sim_ivf_incremental: ivfTopKOracleSql with k-means TRAINED on the
     * even-vec_id base cohort only (the persisted index's frozen
@@ -11157,6 +11214,7 @@ operations:
     // (deterministic init + integer-grid Lloyd over the stored set), so
     // the retrained index's probe shares the full-replay oracle verbatim
     "sim_ivf_retrain" -> ivfTopKOracleSql,
+    "sim_ivf_forget" -> ivfForgetOracleSql,
     // streaming micro-batch append converges to batch append — same oracle
     "stream_ivf_ingest" -> ivfIncrementalOracleSql,
     "sim_ivf_recall" -> ivfRecallOracleSql,
@@ -11264,6 +11322,7 @@ operations:
     "g_labelprop" -> labelpropOracleSql,
     "dd_minhash" -> minhashOracleSql,
     "dd_lsh_persisted" -> lshLedgerOracleSql,
+    "dd_lsh_forget" -> lshForgetOracleSql,
     "dd_lsh_incremental" -> lshLedgerOracleSql,
     // stream_lsh_ingest: foreachBatch append under frozen stored params
     // converges to the batch ledger whatever the micro-batch boundaries

@@ -54,6 +54,8 @@ object AnnIndex {
       graft.sources.Snapshots.commit(spark, path, Seq("."))
       vacuumGenerations(spark, path)
     }
+    // a fresh build is a new corpus: stale tombstones must not erase it
+    graft.sources.Tombstones.clear(spark, path)
   }
 
   /** Re-open a persisted index: (inverted lists, centroids). The lists
@@ -62,8 +64,13 @@ object AnnIndex {
     */
   def open(spark: SparkSession, path: String): (DataFrame, Seq[(Int, Array[Double])]) = {
     val root = liveRoot(spark, path) // one resolve → a consistent tier pair
-    val cells = graft.sources.Snapshots.read(spark, s"$root/cells")
-      .getOrElse(sys.error(s"AnnIndex: no live inverted lists at $root/cells"))
+    // tombstoned ids are anti-joined out HERE, so every consumer (probe,
+    // stats, retrain) forgets them uniformly and immediately; the next
+    // retrain physically drops them. Delete-free indexes skip the join.
+    val cells = graft.sources.Tombstones.filter(spark, path,
+      graft.sources.Snapshots.read(spark, s"$root/cells")
+        .getOrElse(sys.error(s"AnnIndex: no live inverted lists at $root/cells")),
+      "id")
       .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
     val cents = graft.sources.Snapshots.read(spark, s"$root/centroids")
       .getOrElse(sys.error(s"AnnIndex: no live centroids at $root/centroids"))
@@ -125,7 +132,19 @@ object AnnIndex {
     graft.sources.Snapshots.compactCommit(spark,
       s"${liveRoot(spark, path)}/cells",
       rel => rel.startsWith(s"cell=$cell/"), targetBytes,
-      partitionBy = Seq("cell"))
+      partitionBy = Seq("cell"),
+      // physically purge this cell's tombstoned rows on the way through;
+      // the tombstone SET stays (other cells still hold rows) — only the
+      // whole-index retrain rewrite clears it
+      transform = df => graft.sources.Tombstones.filter(spark, path, df, "id"))
+
+  /** The forget path: tombstone `ids` so every consumer (probe, stats,
+    * retrain input) forgets them IMMEDIATELY via [[open]]'s anti-join;
+    * the next [[retrain]] (or per-cell compaction) physically drops the
+    * rows. O(deleted) now — never a synchronous index rewrite.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    graft.sources.Tombstones.add(ids, path)
 
   /** Live root of a (possibly retrained) index: a RETRAIN rewrites both
     * tiers (cells + centroids) as one new `index@gN/` generation tree and
@@ -188,6 +207,11 @@ object AnnIndex {
     val gen = s"index@g${snaps.currentVersion(spark, path).get + 1}"
     write(IvfIndex.assign(cells, "id", "v", cents), cents, s"$path/$gen")
     snaps.commit(spark, path, Seq(gen)) // the atomic whole-index swap
+    // `cells` came through open()'s tombstone anti-join, so the new
+    // generation physically excludes deleted rows — clear the set (later,
+    // separate commit: the anti-join is idempotent, a crash between the
+    // two leaves behavior unchanged)
+    graft.sources.Tombstones.clear(spark, path)
     vacuumGenerations(spark, path)
     cents
   }

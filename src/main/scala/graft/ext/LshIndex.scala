@@ -93,6 +93,8 @@ object LshIndex {
     import spark.implicits._
     Seq((n, k, bands)).toDF("n", "k", "bands")
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
+    // a fresh build is a new corpus: stale tombstones must not erase it
+    graft.sources.Tombstones.clear(spark, path)
   }
 
   private def readParams(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -136,9 +138,29 @@ object LshIndex {
     * Contents are row-identical — LshIndexSpec asserts probe equality.
     */
   def compact(spark: SparkSession, path: String,
-              targetBytes: Long = 128L << 20): (Long, Long) =
-    graft.sources.Snapshots.compactCommit(spark, s"$path/bands",
-      _ => true, targetBytes, sortCols = Seq("bkey"))
+              targetBytes: Long = 128L << 20): (Long, Long) = {
+    // compaction doubles as the tombstone PURGE: the rewrite drops
+    // deleted ids from bands AND sigs, then clears the tombstone set
+    // (a separate, later commit — safe because the probe-side anti-join
+    // is idempotent; see Tombstones)
+    val purge = (df: org.apache.spark.sql.DataFrame) =>
+      graft.sources.Tombstones.filter(spark, path, df, "id")
+    val counts = graft.sources.Snapshots.compactCommit(spark, s"$path/bands",
+      _ => true, targetBytes, sortCols = Seq("bkey"), transform = purge)
+    graft.sources.Snapshots.compactCommit(spark, s"$path/sigs",
+      _ => true, targetBytes, sortCols = Seq("id"), transform = purge)
+    graft.sources.Tombstones.clear(spark, path)
+    counts
+  }
+
+  /** The forget path: tombstone `ids` so they stop matching probes
+    * IMMEDIATELY (anti-joined in [[probePairs]]); the next [[compact]]
+    * physically removes their postings and signatures. O(deleted) now,
+    * rewrite deferred to scheduled maintenance — a GDPR erasure against
+    * a 100 TB ledger must not be a synchronous rewrite.
+    */
+  def delete(spark: SparkSession, path: String, ids: DataFrame): Unit =
+    graft.sources.Tombstones.add(ids, path)
 
   /** The live band postings (manifest-resolved); empty-ledger-safe only
     * through [[probePairs]] — this accessor is for stats/monitoring reads
@@ -186,7 +208,10 @@ object LshIndex {
         lit(0.0).as("est_jaccard")).filter(lit(false))
     val keys = probe.select("bkey").distinct().limit(pushLimit + 1)
       .collect().map(_.getLong(0))
-    val ledgerAll = bandsOpt.get
+    // tombstoned ids stop matching immediately (broadcast anti-join over
+    // the pruned postings; physically purged by the next compact)
+    val ledgerAll = graft.sources.Tombstones.filter(spark, path,
+      bandsOpt.get, "id")
     val ledger0 =
       if (keys.length <= pushLimit)
         ledgerAll.filter(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))

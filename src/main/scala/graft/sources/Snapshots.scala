@@ -161,12 +161,16 @@ object Snapshots {
     * hive dirs by `partitionBy` when given), commit the swap, and vacuum
     * with one version of grace. Readers see either the pre- or
     * post-compaction file set — never a mixture, never a missing
-    * directory. Returns (filesBefore, filesAfter) over the subset.
+    * directory. `transform` rewrites the row set on the way through
+    * (identity by default) — the hook tombstone PURGES ride on, since
+    * physically dropping deleted rows is exactly a compaction that
+    * filters. Returns (filesBefore, filesAfter) over the subset.
     */
   def compactCommit(spark: SparkSession, root: String,
                     subset: String => Boolean, targetBytes: Long,
                     sortCols: Seq[String] = Nil,
-                    partitionBy: Seq[String] = Nil): (Long, Long) = {
+                    partitionBy: Seq[String] = Nil,
+                    transform: DataFrame => DataFrame = identity): (Long, Long) = {
     import org.apache.spark.sql.functions.col
     require(targetBytes > 0, "targetBytes must be positive")
     val (fs, rootP) = fsFor(spark, root)
@@ -176,8 +180,8 @@ object Snapshots {
     val totalBytes = oldSubset.map(f =>
       fs.getFileStatus(new Path(rootP, f)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = spark.read.option("basePath", root)
-      .parquet(oldSubset.map(f => s"$root/$f"): _*)
+    val df = transform(spark.read.option("basePath", root)
+      .parquet(oldSubset.map(f => s"$root/$f"): _*))
     val rewritten =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(col): _*)

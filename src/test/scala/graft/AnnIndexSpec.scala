@@ -182,6 +182,45 @@ class AnnIndexSpec extends SparkSpec {
       "retrained centroids must be bit-identical to the one-shot training")
   }
 
+  test("delete tombstones immediately; retrain purges physically and clears them") {
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
+    val path = tmpIndex("forget")
+    AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
+    val before = rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 3))
+    val dead = before.map(_._3).take(3).toSeq // delete known neighbors
+    AnnIndex.delete(spark, path, dead.toDF("vec_id"))
+    val after = rowsOf(AnnIndex.probeTopK(spark, path, queries,
+      "vec_id", "embedding", 10, 3))
+    assert(after.forall(r => !dead.contains(r._3)),
+      "tombstoned ids must stop being neighbors immediately")
+    assert(after != before)
+    // physical purge: retrain rewrites the index without the dead rows
+    // and clears the tombstone set; probes keep the post-delete answer
+    AnnIndex.retrain(spark, path, k = 8, iters = 2)
+    assert(graft.sources.Tombstones.read(spark, path).isEmpty,
+      "retrain must clear the applied tombstones")
+    val root = AnnIndex.liveRoot(spark, path)
+    assert(graft.sources.Snapshots.read(spark, s"$root/cells").get
+      .filter(col("id").isin(dead.map(java.lang.Long.valueOf): _*)).count() == 0,
+      "the retrained generation must physically exclude deleted rows")
+    // per-cell compaction purges without clearing the set
+    val path2 = tmpIndex("forget-cell")
+    AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path2)
+    AnnIndex.delete(spark, path2, dead.toDF("vec_id"))
+    val cell = graft.sources.Snapshots.read(spark, s"$path2/cells").get
+      .filter(col("id") === dead.head).select("cell").head().getInt(0)
+    AnnIndex.compactCell(spark, path2, cell)
+    assert(graft.sources.Snapshots.read(spark, s"$path2/cells").get
+      .filter(col("id") === dead.head &&
+        col("cell") === cell).count() == 0,
+      "cell compaction must purge that cell's tombstoned rows")
+    assert(graft.sources.Tombstones.read(spark, path2).nonEmpty,
+      "per-cell compaction must NOT clear the index-wide tombstone set")
+  }
+
   test("retrain of an undrifted index is a bit-level no-op on probes and centroids") {
     val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
     val path = tmpIndex("retrain-noop")
@@ -204,6 +243,12 @@ class AnnIndexSpec extends SparkSpec {
   test("retrain swaps generations atomically: old root stays readable until vacuumed past grace") {
     val cents = IvfIndex.train(emb, "vec_id", "embedding", k = 8, iters = 2)
     val path = tmpIndex("retrain-gen")
+    // start from a virgin path: generation numbers are monotone across a
+    // path's whole history, so a re-run over yesterday's scratch would
+    // land at g5, not g2
+    val fs0 = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs0.delete(new org.apache.hadoop.fs.Path(path), true)
     AnnIndex.write(IvfIndex.assign(emb, "vec_id", "embedding", cents), cents, path)
     AnnIndex.retrain(spark, path, k = 8, iters = 2)
     // one retrain: root manifest points at index@g2, retired root tier kept

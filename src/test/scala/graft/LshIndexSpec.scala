@@ -41,6 +41,35 @@ class LshIndexSpec extends SparkSpec {
     assert(expected.nonEmpty, "fixture must contain cross-cohort near-dups")
   }
 
+  test("delete tombstones immediately; compact purges physically and clears them") {
+    val sqlImplicits = spark.implicits
+    import sqlImplicits._
+    val path = tmpIndex("forget")
+    LshIndex.write(ledgerCohort, "doc_id", "text", path)
+    val deadIds = expected.map(_._1).take(2).toSeq
+    assert(deadIds.nonEmpty)
+    LshIndex.delete(spark, path, deadIds.toDF("doc_id"))
+    val afterDelete = pairsOf(LshIndex.probePairs(spark, path, incoming,
+      "doc_id", "text", 0.5))
+    assert(afterDelete == expected.filterNot(p => deadIds.contains(p._1)),
+      "tombstoned ids must stop matching immediately, others untouched")
+    // physical purge: compact drops the rows from bands AND sigs, then
+    // clears the tombstone set; the probe result must not move
+    def liveRows(sub: String) =
+      graft.sources.Snapshots.read(spark, s"$path/$sub").get
+        .filter(col("id").isin(deadIds.map(java.lang.Long.valueOf): _*)).count()
+    assert(liveRows("bands") > 0 && liveRows("sigs") > 0,
+      "before compact the rows are only tombstoned, not gone")
+    LshIndex.compact(spark, path)
+    assert(liveRows("bands") == 0 && liveRows("sigs") == 0,
+      "compact must physically drop tombstoned postings and signatures")
+    assert(graft.sources.Tombstones.read(spark, path).isEmpty,
+      "compact must clear the applied tombstones")
+    assert(pairsOf(LshIndex.probePairs(spark, path, incoming,
+      "doc_id", "text", 0.5)) == afterDelete,
+      "purge must be invisible to probe results")
+  }
+
   test("append under frozen params converges to the one-shot build") {
     val path = tmpIndex("incremental")
     LshIndex.write(docs.filter(col("doc_id") < 150), "doc_id", "text", path)
