@@ -48,12 +48,32 @@ object Ckpt {
     * The price is a cheap per-consumer deserialize of ids-only rows.
     */
   val SER: org.apache.spark.storage.StorageLevel =
-    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    sys.env.get("GRAFT_CKPT_LEVEL") match {
+      // measurement override for A/B probes of the serialize-vs-unroll
+      // trade (see the scaladoc above) — production default is SER
+      case Some("deser") => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      case Some("disk")  => org.apache.spark.storage.StorageLevel.DISK_ONLY
+      case _             => org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER
+    }
 
   /** Eager serialized local checkpoint — the loop-state variant every
     * iterative operator here uses (pair with [[free]] on supersession).
+    * Deliberately NOT `localCheckpoint(true, SER)`: the eager two-arg
+    * path materializes measurably slower than the classic
+    * checkpoint-then-count shape (+25% on a 12 M-edge k-core at sf1), so
+    * this marks the checkpoint lazily with the serialized level and
+    * forces it with the same `count()` the one-arg eager path uses.
     */
-  def local(df: DataFrame): DataFrame = df.localCheckpoint(true, SER)
+  def local(df: DataFrame): DataFrame = {
+    val ck = df.localCheckpoint(false, SER)
+    ck.count()
+    ck
+  }
+
+  /** `df.localCkpt()` — chainable form of [[local]]. */
+  implicit class CkptOps(private val df: DataFrame) extends AnyVal {
+    def localCkpt(): DataFrame = Ckpt.local(df)
+  }
 
   // Unpersisting a locally-checkpointed RDD logs a WARN per call ("lineage
   // has been truncated and cannot be recomputed") — correct in general,
@@ -73,7 +93,9 @@ object Ckpt {
     * never storage reachable through a composite plan, so a mistaken
     * call on a derived frame cannot yank blocks out from under it.
     */
-  def free(df: DataFrame): Unit = df.queryExecution.analyzed match {
+  private val freeEnabled = !sys.env.get("GRAFT_CKPT_FREE").contains("off")
+
+  def free(df: DataFrame): Unit = if (freeEnabled) df.queryExecution.analyzed match {
     case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)
     case _              => ()
   }

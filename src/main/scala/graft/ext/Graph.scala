@@ -3,6 +3,7 @@ package graft.ext
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
+import graft.ext.Ckpt.CkptOps
 
 /** Distributed graph utilities for the dedup family.
   *
@@ -90,7 +91,7 @@ object Graph {
         .distinct()
     }
 
-    var e = undirected.localCheckpoint(true, Ckpt.SER)
+    var e = undirected.localCkpt()
     var sig = signature(e)
 
     // Adaptive small-graph path: the star loop costs a fixed ~2 driver
@@ -127,7 +128,7 @@ object Graph {
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {
       val prev = e
-      e = smallStar(largeStar(e)).localCheckpoint(true, Ckpt.SER) // eager: prev fully consumed
+      e = smallStar(largeStar(e)).localCkpt() // eager: prev fully consumed
       Ckpt.free(prev) // bound resident state to the live round, not O(rounds)
       val next = signature(e)
       converged = next == sig
@@ -203,12 +204,12 @@ object Graph {
     // per-iteration checkpoint, iteration k's lazy plan re-runs
     // iterations 1..k-1 AND the edge derivation — quadratic recompute
     val e = edges.select(col(src).cast(LongType).as("src"),
-      col(dst).cast(LongType).as("dst")).distinct().localCheckpoint(true, Ckpt.SER)
+      col(dst).cast(LongType).as("dst")).distinct().localCkpt()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     var ranks = nodes.withColumn("r", lit(1000000L))
     var prevCkpt: DataFrame = null
     for (i <- 0 until iters) {
@@ -220,7 +221,7 @@ object Graph {
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
       if (i < iters - 1) {
-        ranks = ranks.localCheckpoint(true, Ckpt.SER)
+        ranks = ranks.localCkpt()
         Ckpt.freeIfSet(prevCkpt) // superseded once the new round materialized
         prevCkpt = ranks
       }
@@ -246,16 +247,16 @@ object Graph {
                               src: String = "src", dst: String = "dst",
                               idCol: String = "id", iters: Int = 3): DataFrame = {
     val e = edges.select(col(src).cast(LongType).as("src"),
-      col(dst).cast(LongType).as("dst")).distinct().localCheckpoint(true, Ckpt.SER)
+      col(dst).cast(LongType).as("dst")).distinct().localCkpt()
     val sd = seeds.select(col(idCol).cast(LongType).as("id")).distinct()
       .withColumn("seed", lit(1L))
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .join(sd, Seq("id"), "left")
       .select(col("id"), coalesce(col("seed"), lit(0L)).as("seed"))
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     val deg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("d"))
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     var ranks = nodes.select(col("id"), (col("seed") * 1000000L).as("r"))
     var prevCkpt: DataFrame = null
     for (i <- 0 until iters) {
@@ -267,7 +268,7 @@ object Graph {
         .select(col("id"),
           (col("seed") * 150000L + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
       if (i < iters - 1) {
-        ranks = ranks.localCheckpoint(true, Ckpt.SER)
+        ranks = ranks.localCkpt()
         Ckpt.freeIfSet(prevCkpt)
         prevCkpt = ranks
       }
@@ -295,10 +296,10 @@ object Graph {
   def hitsInt(edges: DataFrame, src: String = "src", dst: String = "dst",
               iters: Int = 2): DataFrame = {
     val e = edges.select(col(src).cast(LongType).as("src"),
-      col(dst).cast(LongType).as("dst")).distinct().localCheckpoint(true, Ckpt.SER)
+      col(dst).cast(LongType).as("dst")).distinct().localCkpt()
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     def renorm(raw: DataFrame, out: String): DataFrame = {
       val mx = raw.agg(max("raw").as("mx"))
       nodes.join(raw, Seq("id"), "left").crossJoin(broadcast(mx))
@@ -316,14 +317,14 @@ object Graph {
       // at ~9.2e12 in-degree while the oracle's HUGEINT sum keeps going
       val araw = e.join(hub.select(col("id").as("src"), col("h")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
-      auth = renorm(araw, "a").localCheckpoint(true, Ckpt.SER)
+      auth = renorm(araw, "a").localCkpt()
       Ckpt.freeIfSet(prevAuth) // last round's auth: fully consumed by hub+this auth
       prevAuth = auth
       val hraw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
       hub = renorm(hraw, "h")
       if (i < iters - 1) {
-        hub = hub.localCheckpoint(true, Ckpt.SER)
+        hub = hub.localCkpt()
         Ckpt.freeIfSet(prevHub)
         prevHub = hub
       }
@@ -347,7 +348,7 @@ object Graph {
               maxHops: Int = 3): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst")).distinct().localCheckpoint(true, Ckpt.SER)
+      col(dstCol).cast(LongType).as("dst")).distinct().localCkpt()
     val dist0 = sources.select(col(idCol).cast(LongType).as("id"))
       .distinct().withColumn("dist", lit(0L))
     bfsLoop(e, dist0, Seq.empty, maxHops)
@@ -369,7 +370,7 @@ object Graph {
         .withColumn("dist", lit(k.toLong))
       dist = dist.union(next)
         .groupBy((keyCols :+ "id").map(col): _*).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true, Ckpt.SER)
+        .localCkpt()
       Ckpt.freeIfSet(prevCkpt) // hop k-1's frame: folded into the new union
       prevCkpt = dist
     }
@@ -387,7 +388,7 @@ object Graph {
                    idCol: String = "id", maxHops: Int = 3): DataFrame = {
     require(maxHops >= 0, "maxHops must be non-negative")
     val e = edges.select(col(srcCol).cast(LongType).as("src"),
-      col(dstCol).cast(LongType).as("dst")).distinct().localCheckpoint(true, Ckpt.SER)
+      col(dstCol).cast(LongType).as("dst")).distinct().localCkpt()
     val dist0 = sources.select(col(idCol).cast(LongType).as("seed"))
       .distinct().select(col("seed"), col("seed").as("id"), lit(0L).as("dist"))
     bfsLoop(e, dist0, Seq("seed"), maxHops)
@@ -447,7 +448,7 @@ object Graph {
     val d0 = edges.select(col(src).cast(LongType).as("src"),
       col(dst).cast(LongType).as("dst")).filter(col("src") =!= col("dst"))
     var e = d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true, Ckpt.SER)
+      .distinct().localCkpt()
     var n = e.count()
     var round = 0
     var done = n == 0
@@ -457,7 +458,7 @@ object Graph {
       val e2 = e
         .join(keep, col("src") === col("kid"), "left_semi")
         .join(keep, col("dst") === col("kid"), "left_semi")
-        .localCheckpoint(true, Ckpt.SER)
+        .localCkpt()
       Ckpt.free(e) // peeled round fully superseded — a deep peel must not
       val n2 = e2.count() //  hold rounds×|edges| of dead blocks (30× probe
       done = n2 == n || n2 == 0 //  showed exactly that bend)
@@ -491,8 +492,8 @@ object Graph {
     val d0 = edges.select(col(src).cast(LongType).as("src"),
       col(dst).cast(LongType).as("dst")).filter(col("src") =!= col("dst"))
     val e = d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint(true, Ckpt.SER)
-    val nodes = e.select(col("src").as("id")).distinct().localCheckpoint(true, Ckpt.SER)
+      .distinct().localCkpt()
+    val nodes = e.select(col("src").as("id")).distinct().localCkpt()
     var lbl = nodes.withColumn("lbl", col("id"))
     var prevCkpt: DataFrame = null
     for (i <- 0 until iters) {
@@ -505,7 +506,7 @@ object Graph {
       lbl = lbl.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
       if (i < iters - 1) {
-        lbl = lbl.localCheckpoint(true, Ckpt.SER)
+        lbl = lbl.localCkpt()
         Ckpt.freeIfSet(prevCkpt)
         prevCkpt = lbl
       }
@@ -543,10 +544,10 @@ object Graph {
         greatest(col(src), col(dst)).cast(LongType).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     val oriented = e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
@@ -555,7 +556,7 @@ object Graph {
           struct(col("u").as("a"), col("v").as("b")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
-      .localCheckpoint(true, Ckpt.SER)
+      .localCkpt()
     // wedges: out-neighbor pairs of each apex; b < c keeps exactly one
     // ordering per pair and matches the (u < v)-normalized closing edge.
     // On a dense graph wedges dwarf edges (41M wedges from 1.2M edges on

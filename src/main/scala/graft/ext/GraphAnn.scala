@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.ext.Ckpt.CkptOps
 
 /** Graph-based ANN (the NSW/HNSW family, Malkov & Yashunin 2018) as
   * deterministic DataFrame ops — the tier that completes the ladder
@@ -95,14 +96,14 @@ object GraphAnn {
     var beam = scoreAndKeep(
       queries.select(col(idCol).as("query_id")).crossJoin(seeds)
         .filter(col("node") =!= col("query_id")), ef)
-      .localCheckpoint(true, Ckpt.SER) // |queries|·ef rows; truncates round lineage
+      .localCkpt() // |queries|·ef rows; truncates round lineage
     for (_ <- 0 until rounds) {
       val expanded = beam.join(adj, Seq("node"))
         .select(col("query_id"), col("dst").as("node"))
       val cand = beam.select("query_id", "node").unionByName(expanded)
         .filter(col("node") =!= col("query_id")).distinct()
       val prev = beam
-      beam = scoreAndKeep(cand, ef).localCheckpoint(true, Ckpt.SER) // eager ⇒ prev consumed
+      beam = scoreAndKeep(cand, ef).localCkpt() // eager ⇒ prev consumed
       Ckpt.free(prev) // beam state is O(1) frames across rounds, not O(rounds)
     }
     beam.groupBy("query_id")

@@ -129,6 +129,32 @@ object Snapshots {
       listed
     }
 
+  /** Build a DataFrame over an explicit manifest file list. Above 32
+    * root paths Spark switches to a PARALLEL listing job
+    * (`spark.sql.sources.parallelPartitionDiscovery.threshold`) — right
+    * for an object store, where thousands of sequential driver HEADs
+    * would dwarf one fleet job, but a pure ~1.2 s scheduling tax on a
+    * local filesystem whose stats cost microseconds. Scope-raise the
+    * threshold for local roots only (restored in a finally; serialized —
+    * snapshot reads are maintenance/probe-planning steps, not a hot
+    * concurrent path).
+    */
+  private def readFileList(spark: SparkSession, root: String,
+                           paths: Seq[String]): DataFrame = {
+    val (fs, _) = fsFor(spark, root)
+    val local = fs.getScheme == "file"
+    if (!local || paths.size <= 32)
+      spark.read.option("basePath", root).parquet(paths: _*)
+    else Snapshots.synchronized {
+      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+      val old = spark.conf.get(key)
+      try {
+        spark.conf.set(key, math.max(paths.size + 1, 33).toString)
+        spark.read.option("basePath", root).parquet(paths: _*)
+      } finally spark.conf.set(key, old)
+    }
+  }
+
   /** Read the live snapshot of `root`. None when the live file set is
     * empty (parquet cannot infer a schema from zero files — callers keep
     * their typed degenerate paths). Falls back to a plain directory scan
@@ -138,8 +164,7 @@ object Snapshots {
     currentFiles(spark, root) match {
       case Some(files) if files.isEmpty => None
       case Some(files) =>
-        Some(spark.read.option("basePath", root)
-          .parquet(files.map(f => s"$root/$f"): _*))
+        Some(readFileList(spark, root, files.map(f => s"$root/$f")))
       case None =>
         if (listParquet(spark, root).isEmpty) None
         else Some(spark.read.parquet(root))
@@ -180,8 +205,8 @@ object Snapshots {
     val totalBytes = oldSubset.map(f =>
       fs.getFileStatus(new Path(rootP, f)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = transform(spark.read.option("basePath", root)
-      .parquet(oldSubset.map(f => s"$root/$f"): _*))
+    val df = transform(readFileList(spark, root,
+      oldSubset.map(f => s"$root/$f")))
     val rewritten =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(col): _*)
