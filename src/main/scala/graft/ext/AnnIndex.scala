@@ -82,19 +82,19 @@ object AnnIndex {
   }
 
   /** Incremental ingest: assign `delta` under the index's FROZEN
-    * centroids and append to its cell directories. Append-mode parquet
-    * only adds files under the touched `cell=N/` dirs — existing lists
-    * are never rewritten, so ingest cost is O(delta), not O(index).
+    * centroids and append to its cell directories. The write lands in
+    * [[graft.sources.Snapshots.appendCommit]]'s staging dir and is moved
+    * into the touched `cell=N/` dirs — existing lists are never rewritten
+    * or even LISTED, so ingest cost is O(delta), not O(index).
     */
   def append(delta: DataFrame, idCol: String, vecCol: String, path: String): Unit = {
     val spark = delta.sparkSession
     val root = liveRoot(spark, path)
     val (_, cents) = open(spark, path)
-    graft.sources.Snapshots.appendCommit(spark, s"$root/cells") {
+    graft.sources.Snapshots.appendCommit(spark, s"$root/cells") { staging =>
       IvfIndex.assign(delta, idCol, vecCol, cents)
         .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
-        .write.mode(SaveMode.Append).partitionBy("cell")
-        .parquet(s"$root/cells")
+        .write.partitionBy("cell").parquet(staging)
     }
   }
 

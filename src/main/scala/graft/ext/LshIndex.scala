@@ -103,23 +103,30 @@ object LshIndex {
   }
 
   /** Incremental ingest: band `delta` under the ledger's FROZEN params
-    * and append its postings and signatures. Parquet append only adds
-    * files — existing postings are never rewritten, so ingest cost is
-    * O(delta), not O(ledger). Appended files are bkey-sorted within
-    * partitions, keeping their row-group stats tight for later probes.
+    * and append its postings and signatures. Each append stages its files
+    * and commits exactly what it wrote ([[graft.sources.Snapshots
+    * .appendCommit]]) — existing postings are never rewritten or LISTED,
+    * so ingest cost is O(delta), not O(ledger). Appended files are
+    * bkey-sorted within partitions, keeping their row-group stats tight
+    * for later probes.
+    *
+    * Commit order is sigs FIRST, bands second: the two tiers commit
+    * separately, and a concurrent probe landing between them must see a
+    * CONSISTENT view — with new sigs but old bands it sees exactly the
+    * pre-append ledger (extra signatures match no candidate pair), while
+    * the reverse order would surface band candidates whose signatures
+    * don't exist yet and silently drop those pairs from the inner join.
     */
   def append(delta: DataFrame, idCol: String, textCol: String,
              path: String): Unit = {
     val spark = delta.sparkSession
     val (n, k, bands) = readParams(spark, path)
     val (b, sigs) = banded(delta, idCol, textCol, n, k, bands)
-    graft.sources.Snapshots.appendCommit(spark, s"$path/bands") {
-      b.sortWithinPartitions("bkey")
-        .write.mode(SaveMode.Append).parquet(s"$path/bands")
+    graft.sources.Snapshots.appendCommit(spark, s"$path/sigs") { staging =>
+      sigs.sortWithinPartitions("id").write.parquet(staging)
     }
-    graft.sources.Snapshots.appendCommit(spark, s"$path/sigs") {
-      sigs.sortWithinPartitions("id")
-        .write.mode(SaveMode.Append).parquet(s"$path/sigs")
+    graft.sources.Snapshots.appendCommit(spark, s"$path/bands") { staging =>
+      b.sortWithinPartitions("bkey").write.parquet(staging)
     }
   }
 

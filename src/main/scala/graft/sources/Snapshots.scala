@@ -99,10 +99,19 @@ object Snapshots {
     next
   }
 
+  /** Test hook: when set, receives the root of every [[listParquet]]
+    * walk. SnapshotsSpec installs a recorder to PROVE the append path
+    * performs no recursive listing of the index tree (only of its own
+    * O(delta) staging directory).
+    */
+  @volatile private[graft] var listProbe: String => Unit = null
+
   /** Recursive root-relative listing of the data files under `root`
     * (hidden `_`/`.` entries excluded — manifests list data only).
     */
   def listParquet(spark: SparkSession, root: String): Seq[String] = {
+    val probe = listProbe
+    if (probe != null) probe(root)
     val (fs, rootP) = fsFor(spark, root)
     if (!fs.exists(rootP)) return Nil
     val rootUri = rootP.toUri.getPath
@@ -134,10 +143,14 @@ object Snapshots {
     * (`spark.sql.sources.parallelPartitionDiscovery.threshold`) — right
     * for an object store, where thousands of sequential driver HEADs
     * would dwarf one fleet job, but a pure ~1.2 s scheduling tax on a
-    * local filesystem whose stats cost microseconds. Scope-raise the
-    * threshold for local roots only (restored in a finally; serialized —
-    * snapshot reads are maintenance/probe-planning steps, not a hot
-    * concurrent path).
+    * local filesystem whose stats cost microseconds. Sidestep it for
+    * local roots WITHOUT touching session state (mutating the session
+    * conf — even restored in a finally — is visible to concurrent
+    * planning in the same session): read in ≤32-path groups, each under
+    * the sequential-listing threshold, and union. Filters and partition
+    * pruning push into every branch identically, and the group count is
+    * bounded (≤512 paths → ≤16 branches); past that bound the parallel
+    * listing job is genuinely the faster choice even locally.
     */
   private def readFileList(spark: SparkSession, root: String,
                            paths: Seq[String]): DataFrame = {
@@ -145,14 +158,11 @@ object Snapshots {
     val local = fs.getScheme == "file"
     if (!local || paths.size <= 32)
       spark.read.option("basePath", root).parquet(paths: _*)
-    else Snapshots.synchronized {
-      val key = "spark.sql.sources.parallelPartitionDiscovery.threshold"
-      val old = spark.conf.get(key)
-      try {
-        spark.conf.set(key, math.max(paths.size + 1, 33).toString)
-        spark.read.option("basePath", root).parquet(paths: _*)
-      } finally spark.conf.set(key, old)
-    }
+    else if (paths.size <= 512)
+      paths.grouped(32)
+        .map(g => spark.read.option("basePath", root).parquet(g: _*))
+        .reduce(_ unionByName _)
+    else spark.read.option("basePath", root).parquet(paths: _*)
   }
 
   /** Read the live snapshot of `root`. None when the live file set is
@@ -170,15 +180,48 @@ object Snapshots {
         else Some(spark.read.parquet(root))
     }
 
-  /** Run `write` (which must ONLY add files under `root` — parquet
-    * Append mode) and commit old ∪ new as the next version. The listing
-    * diff is safe under the single-maintenance-writer contract.
+  /** Incremental append, O(delta) end to end: run `write` against a
+    * fresh hidden staging directory (the function receives its path and
+    * must write ONE parquet dataset there — hive partition subdirs fine),
+    * list ONLY that directory to learn what the commit wrote, move each
+    * file into its final home under `root` (unique part-file names —
+    * Spark embeds the write job's UUID — so moves cannot collide), and
+    * commit manifest ∪ written.
+    *
+    * The index tree is NEVER walked: the one recursive listing is of the
+    * just-written staging tree, so a micro-batch ingest against a
+    * million-file index costs O(batch) filesystem calls, not an
+    * O(index-files) LIST storm (the r9 version diffed a full recursive
+    * listing against the manifest per append — quadratic across a
+    * backfill, and it also resurrected crash-orphaned data files into the
+    * live set; committing exactly what THIS commit wrote can't).
+    *
+    * Staging lives under `root/_staging-<uuid>` — underscore-hidden, so
+    * readers and [[listParquet]] never see half-written files. The moves
+    * are per-file renames: free on local/HDFS, a copy of the just-written
+    * delta on S3A (still O(delta) bytes; the zero-copy upgrade there is a
+    * manifest format that can reference files in nested commit
+    * directories, which Spark's flat hive partition inference rules out —
+    * mixed-depth file sets raise CONFLICTING_DIRECTORY_STRUCTURES).
+    * Crash safety: a crash before the manifest commit leaves only
+    * unreferenced files ([[vacuum]] removes them and any stray staging
+    * dirs); the commit itself is the same single rename as ever.
     */
-  def appendCommit(spark: SparkSession, root: String)(write: => Unit): Long = {
-    val before = bootstrap(spark, root).toSet
-    write
-    val added = listParquet(spark, root).filterNot(before)
-    commit(spark, root, (before.toSeq ++ added).sorted)
+  def appendCommit(spark: SparkSession, root: String)(write: String => Unit): Long = {
+    val before = bootstrap(spark, root) // manifest read; lists only on first touch
+    val (fs, rootP) = fsFor(spark, root)
+    val staging = new Path(rootP, s"_staging-${java.util.UUID.randomUUID()}")
+    write(staging.toString)
+    val written = listParquet(spark, staging.toString)
+    written.foreach { rel =>
+      val dst = new Path(rootP, rel)
+      val parent = dst.getParent
+      if (!fs.exists(parent)) fs.mkdirs(parent)
+      require(fs.rename(new Path(staging, rel), dst),
+        s"snapshot append move failed: $staging/$rel -> $dst")
+    }
+    fs.delete(staging, true)
+    commit(spark, root, (before ++ written).distinct.sorted)
   }
 
   /** Compact the live files matching `subset` into ⌈bytes/targetBytes⌉
@@ -248,6 +291,12 @@ object Snapshots {
     // stray temp manifests from crashed commits
     fs.listStatus(snapP).foreach(st =>
       if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, false))
+    // stray staging trees from crashed appendCommits (hidden from readers;
+    // safe to remove here — vacuum is a maintenance call, and the
+    // single-maintenance-writer contract means no append is in flight)
+    fs.listStatus(rootP).foreach(st =>
+      if (st.isDirectory && st.getPath.getName.startsWith("_staging-"))
+        fs.delete(st.getPath, true))
     deleted
   }
 }

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, col}
 
 /** Row-level deletion for persisted index artifacts — the "forget" path.
@@ -30,9 +30,9 @@ object Tombstones {
   def add(ids: DataFrame, root: String): Unit = {
     val spark = ids.sparkSession
     val one = ids.toDF("id").distinct()
-    Snapshots.appendCommit(spark, dir(root)) {
+    Snapshots.appendCommit(spark, dir(root)) { staging =>
       one.coalesce(1) // deletion batches are small by nature
-        .write.mode(SaveMode.Append).parquet(dir(root))
+        .write.parquet(staging)
     }
   }
 

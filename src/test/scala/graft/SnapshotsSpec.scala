@@ -44,13 +44,66 @@ class SnapshotsSpec extends SparkSpec {
     Seq(1L, 2L).toDF("id").write.parquet(root)
     Snapshots.bootstrap(spark, root)
     val n0 = Snapshots.currentFiles(spark, root).get.size
-    Snapshots.appendCommit(spark, root) {
-      Seq(3L, 4L).toDF("id")
-        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(root)
+    Snapshots.appendCommit(spark, root) { staging =>
+      Seq(3L, 4L).toDF("id").write.parquet(staging)
     }
     assert(Snapshots.currentVersion(spark, root).contains(2L))
     assert(Snapshots.currentFiles(spark, root).get.size > n0)
     assert(Snapshots.read(spark, root).get.count() == 4)
+  }
+
+  test("appendCommit never lists the index tree — O(delta), not O(index)") {
+    val root = tmp("odelta")
+    Seq(1L, 2L).toDF("id").write.parquet(root)
+    Snapshots.bootstrap(spark, root)
+    val listed = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    Snapshots.listProbe = p => listed.add(p)
+    try Snapshots.appendCommit(spark, root) { staging =>
+      Seq(3L, 4L).toDF("id").write.parquet(staging)
+    } finally Snapshots.listProbe = null
+    val walks = listed.toArray(Array.empty[String])
+    assert(walks.forall(_.contains("_staging-")),
+      s"append must only list its own staging dir, walked: ${walks.mkString(", ")}")
+    assert(Snapshots.read(spark, root).get.count() == 4)
+  }
+
+  test("appendCommit lands hive-partitioned files in their flat cell dirs") {
+    val root = tmp("hive-append")
+    Seq((1L, 0), (2L, 1)).toDF("id", "cell")
+      .write.partitionBy("cell").parquet(root)
+    Snapshots.bootstrap(spark, root)
+    Snapshots.appendCommit(spark, root) { staging =>
+      Seq((3L, 0), (4L, 2)).toDF("id", "cell")
+        .write.partitionBy("cell").parquet(staging)
+    }
+    val files = Snapshots.currentFiles(spark, root).get
+    assert(files.forall(_.matches("""cell=\d+/[^/]+""")),
+      s"appended files must move into the flat hive layout, got: $files")
+    val df = Snapshots.read(spark, root).get
+    assert(df.count() == 4)
+    val pruned = df.filter(col("cell") === 0)
+    assert(pruned.count() == 2)
+    val (sel, tot) = graft.sources.Layout.prunedPartitions(pruned)
+    assert(sel < tot, s"cell filter must prune partitions after append, got $sel of $tot")
+  }
+
+  test("a crashed append's staging tree is invisible and vacuumed") {
+    val root = tmp("crash-staging")
+    Seq(1L, 2L).toDF("id").write.parquet(root)
+    Snapshots.bootstrap(spark, root)
+    // simulate an append that wrote its staging files, then died pre-move
+    val stray = s"$root/_staging-dead"
+    Seq(99L).toDF("id").write.parquet(stray)
+    assert(Snapshots.read(spark, root).get.count() == 2,
+      "staged-but-uncommitted files must be invisible to readers")
+    assert(!Snapshots.listParquet(spark, root).exists(_.contains("_staging")),
+      "hidden staging trees must not appear in directory listings")
+    Snapshots.vacuum(spark, root, grace = 0)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(stray)),
+      "vacuum must clear crashed staging trees")
+    assert(Snapshots.read(spark, root).get.count() == 2)
   }
 
   test("orphan files from a crashed maintenance job are invisible, then vacuumed") {
