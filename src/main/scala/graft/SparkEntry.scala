@@ -815,6 +815,26 @@ operations:
         "vec_id", "embedding", k = 10, ef = 16, rounds = 3, nSeeds = 4)
     }),
 
+    "sim_graph_forget" -> ((s, dir) => {
+      // the erasure path against the persisted NSW graph index: tombstone
+      // a cohort AFTER the build — O(deleted) manifest commit, no graph
+      // rewrite — then probe through AnnIndex.probeGraphTopK, which
+      // resolves BOTH the adjacency (either endpoint deleted → edge gone)
+      // and the corpus (seed pool, candidate vectors) through the
+      // tombstone set. Deleted nodes stop being traversed, seeded, or
+      // returned immediately; r9's openGraph bypassed tombstones and
+      // kept serving them. Oracle = the unrolled beam replay with the
+      // same liveness predicate on edges and seeds.
+      val emb = T(s, dir, "embeddings")
+      val path = annIndexPath(dir, "nsw_forget")
+      ext.AnnIndex.writeGraph(
+        ext.GraphAnn.buildGraph(emb, "vec_id", "embedding", degree = 8), path)
+      ext.AnnIndex.delete(s, path,
+        emb.filter(col("vec_id") % 9 === 0 && col("vec_id") >= 8).select("vec_id"))
+      ext.AnnIndex.probeGraphTopK(s, path, emb, emb.filter(col("vec_id") < 8),
+        "vec_id", "embedding", k = 10, ef = 16, rounds = 3, nSeeds = 4)
+    }),
+
     "sim_graph_recall" -> ((s, dir) => {
       // recall@10 of the graph-ANN tier vs exact brute force — the same
       // accept/reject eval gate sim_recall runs for LSH, closing the
@@ -10777,7 +10797,16 @@ operations:
     * final top-10 with rank. All scores are the engine's exact fold
     * (list_dot_product over double-cast lists, proven by sim_topk/lsh).
     */
-  private lazy val graphTopKOracleSql: String = {
+  /** Unrolled graph-ANN beam-search replay, parameterized by a node
+    * LIVENESS predicate (`live(col)` → SQL boolean) so the forget row can
+    * share it: the graph BUILD replays over the full corpus (the index
+    * was built before the deletion), then tombstoned nodes drop from the
+    * surviving edges (either endpoint) and from the seed pool — exactly
+    * what AnnIndex.probeGraphTopK's two tombstone filters do. Candidates
+    * only ever come from live seeds and live adjacency, so no other
+    * stage needs the predicate.
+    */
+  private def graphTopKOracleSqlLive(live: String => String): String = {
     val nbits = 6; val tables = 8; val degree = 8; val ef = 16
     val rounds = 3; val nSeeds = 4
     val idx = "CAST(i AS INTEGER)+1"
@@ -10795,8 +10824,8 @@ operations:
        |gpair AS MATERIALIZED (SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst FROM dbuck a JOIN dbuck b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id),
        |nv AS MATERIALIZED (SELECT vec_id AS node, v, sqrt(list_dot_product(v, v)) AS nn FROM e),
        |gsc AS MATERIALIZED (SELECT src, dst, list_dot_product(ss.v, ds.v) / (ss.nn * ds.nn) AS score FROM gpair JOIN nv ss ON gpair.src = ss.node JOIN nv ds ON gpair.dst = ds.node),
-       |adj AS MATERIALIZED (SELECT src, dst FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn FROM gsc) WHERE rn <= $degree),
-       |seeds AS MATERIALIZED (SELECT vec_id AS node FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $nSeeds),
+       |adj AS MATERIALIZED (SELECT src, dst FROM (SELECT *, row_number() OVER (PARTITION BY src ORDER BY score DESC, dst) AS rn FROM gsc) WHERE rn <= $degree AND ${live("src")} AND ${live("dst")}),
+       |seeds AS MATERIALIZED (SELECT vec_id AS node FROM e WHERE ${live("vec_id")} ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $nSeeds),
        |qs AS MATERIALIZED (SELECT vec_id AS query_id, v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 8),
        |beam0 AS MATERIALIZED (SELECT query_id, node, score FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, node) AS rn FROM (SELECT q.query_id, s.node, $rescore AS score FROM qs q CROSS JOIN seeds s JOIN nv ON s.node = nv.node WHERE s.node <> q.query_id)) WHERE rn <= $ef),
        |$roundsSql
@@ -10804,6 +10833,17 @@ operations:
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, node) AS rn FROM beam$rounds)
        |WHERE rn <= 10""".stripMargin
   }
+
+  private lazy val graphTopKOracleSql: String =
+    graphTopKOracleSqlLive(_ => "TRUE")
+
+  /** sim_graph_forget: the graph replay with `vec_id % 9 = 0 AND
+    * vec_id >= 8` tombstoned after the build (queries stay < 8, so the
+    * query set is untouched; the deleted cohort overlaps the full-corpus
+    * seed pool, exercising the seed path too).
+    */
+  private lazy val graphForgetOracleSql: String =
+    graphTopKOracleSqlLive(c => s"NOT ($c % 9 = 0 AND $c >= 8)")
 
   private lazy val graphRecallOracleSql: String =
     s"""WITH bf AS (SELECT query_id, neighbor_id FROM (WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings), scored AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id, list_dot_product(d.v, q.v) / (sqrt(list_dot_product(d.v, d.v)) * sqrt(list_dot_product(q.v, q.v))) AS score FROM e d, e q WHERE q.vec_id < 8 AND d.vec_id <> q.vec_id) SELECT query_id, neighbor_id FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, neighbor_id) AS rn FROM scored) WHERE rn <= 10)),
@@ -11312,6 +11352,7 @@ operations:
     "sim_topk_graph" -> graphTopKOracleSql,
     // persisted-graph search must equal the in-memory build exactly
     "sim_graph_persisted" -> graphTopKOracleSql,
+    "sim_graph_forget" -> graphForgetOracleSql,
     "sim_graph_recall" -> graphRecallOracleSql,
     "q_fuzzy_join2" ->
       """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b, a.c_name AS str_a, b.c_name AS str_b, CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey AND a.c_nationkey = b.c_nationkey AND levenshtein(a.c_name, b.c_name) <= 2""",

@@ -64,21 +64,29 @@ object AnnIndex {
     */
   def open(spark: SparkSession, path: String): (DataFrame, Seq[(Int, Array[Double])]) = {
     val root = liveRoot(spark, path) // one resolve → a consistent tier pair
-    // tombstoned ids are anti-joined out HERE, so every consumer (probe,
-    // stats, retrain) forgets them uniformly and immediately; the next
-    // retrain physically drops them. Delete-free indexes skip the join.
-    val cells = graft.sources.Tombstones.filter(spark, path,
-      graft.sources.Snapshots.read(spark, s"$root/cells")
-        .getOrElse(sys.error(s"AnnIndex: no live inverted lists at $root/cells")),
-      "id")
-      .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
-    val cents = graft.sources.Snapshots.read(spark, s"$root/centroids")
-      .getOrElse(sys.error(s"AnnIndex: no live centroids at $root/centroids"))
-      .select(col("cell").cast("int"), col("v"))
-      .collect() // k rows — the coarse quantizer is driver-resident by design
-      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
-      .sortBy(_._1).toSeq
-    (cells, cents)
+    // the whole open — tombstone-filtered lists frame + the driver-side
+    // centroid collect (a Spark job) — is memoized per session against
+    // the fingerprints of everything it derives from: the root pointer
+    // (generation swaps), both tiers, and the tombstone set. Re-probing
+    // an unchanged index costs four tiny manifest reads, zero jobs.
+    graft.sources.SnapCache.cached(spark, s"ann-open:$path",
+      Seq(path, s"$root/cells", s"$root/centroids", s"$path/tombstones")) {
+      // tombstoned ids are anti-joined out HERE, so every consumer (probe,
+      // stats, retrain) forgets them uniformly and immediately; the next
+      // retrain physically drops them. Delete-free indexes skip the join.
+      val cells = graft.sources.Tombstones.filter(spark, path,
+        graft.sources.Snapshots.read(spark, s"$root/cells")
+          .getOrElse(sys.error(s"AnnIndex: no live inverted lists at $root/cells")),
+        "id")
+        .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+      val cents = graft.sources.Snapshots.read(spark, s"$root/centroids")
+        .getOrElse(sys.error(s"AnnIndex: no live centroids at $root/centroids"))
+        .select(col("cell").cast("int"), col("v"))
+        .collect() // k rows — the coarse quantizer is driver-resident by design
+        .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+      (cells, cents)
+    }
   }
 
   /** Incremental ingest: assign `delta` under the index's FROZEN
@@ -107,13 +115,46 @@ object AnnIndex {
     * partition directories (a graph has no natural low-cardinality
     * partition key).
     */
-  def writeGraph(graph: DataFrame, path: String, files: Int = 8): Unit =
+  def writeGraph(graph: DataFrame, path: String, files: Int = 8): Unit = {
+    val spark = graph.sparkSession
     graph.repartitionByRange(files, col("src"))
       .sortWithinPartitions("src", "dst")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/edges")
+    // same commit discipline as the cell/centroid tiers: the manifest is
+    // the probe-visible state, and a fresh build clears stale tombstones
+    graft.sources.Snapshots.bootstrap(spark, s"$path/edges")
+    graft.sources.Tombstones.clear(spark, path)
+  }
 
-  def openGraph(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(s"$path/edges")
+  /** Live adjacency of a persisted graph index: manifest-resolved and
+    * tombstone-filtered on BOTH endpoints, exactly like [[open]] filters
+    * the inverted lists — a forgotten node must stop being traversed
+    * (src) and stop being reachable/returned (dst) IMMEDIATELY, not at
+    * the next rebuild. (r9 shipped this read bypassing both layers, so a
+    * forget against the NSW index silently kept serving deleted nodes.)
+    */
+  def openGraph(spark: SparkSession, path: String): DataFrame = {
+    val edges = graft.sources.Snapshots.read(spark, s"$path/edges")
+      .getOrElse(sys.error(s"AnnIndex: no live edges at $path/edges"))
+    graft.sources.Tombstones.filter(spark, path,
+      graft.sources.Tombstones.filter(spark, path, edges, "src"), "dst")
+  }
+
+  /** Serving-path beam search against a persisted graph index: the live
+    * edge set AND the corpus both resolve through the index's tombstone
+    * set, so a deleted node can't enter as a seed, a candidate, or a
+    * result. Edge filtering alone would leave the md5-ordered seed
+    * selection (which draws from the corpus, not the graph) able to
+    * surface a forgotten node.
+    */
+  def probeGraphTopK(spark: SparkSession, path: String, corpus: DataFrame,
+                     queries: DataFrame, idCol: String, vecCol: String,
+                     k: Int, ef: Int = 16, rounds: Int = 3,
+                     nSeeds: Int = 4): DataFrame = {
+    val live = graft.sources.Tombstones.filter(spark, path, corpus, idCol)
+    GraphAnn.topK(live, openGraph(spark, path), queries,
+      idCol, vecCol, k, ef, rounds, nSeeds)
+  }
 
   /** Maintenance: compact ONE cell's inverted list — O(cell), not
     * O(index). Incremental [[append]] batches accumulate a file per batch

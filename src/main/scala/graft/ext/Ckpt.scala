@@ -75,17 +75,75 @@ object Ckpt {
     def localCkpt(): DataFrame = Ckpt.local(df)
   }
 
-  // Unpersisting a locally-checkpointed RDD logs a WARN per call ("lineage
-  // has been truncated and cannot be recomputed") — correct in general,
-  // but freeing a SUPERSEDED round is exactly the case where recomputation
-  // is never wanted, and a deep loop would emit hundreds of them. Silence
-  // just that logger (all checkpoint internals are MapPartitionsRDDs);
-  // best-effort — a host app with a different logging stack is untouched.
-  private val _quietUnpersistWarn: Unit =
-    try org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.rdd.MapPartitionsRDD",
-      org.apache.logging.log4j.Level.ERROR)
-    catch { case _: Throwable => () }
+  /** Row ceiling under which [[Loop]] checkpoints DESERIALIZED
+    * (MEMORY_AND_DISK): loop frames here are ids-only rows of a few
+    * boxed longs (~100 B each resident), so 20 M rows is ~2 GiB — safe
+    * against the 16 GiB bench heap even if the next round's frame bursts
+    * a few ×, while the measured serialized-level tax on mid-scale
+    * iterative graph ops is 20–60 % (g_kcore 40.1 s deserialized vs
+    * 64.1 s serialized at sf1, same-day A/B — SCALE.md §10d). Above the
+    * ceiling the loop pays that tax for byte-accurate unroll accounting:
+    * at 30× data the deserialized store reproducibly OOMed unrolling a
+    * fan-out burst as values (the r8 scale-killer). Env-tunable for A/B.
+    */
+  val DeserMaxRows: Long = sys.env.get("GRAFT_CKPT_DESER_MAX_ROWS")
+    .map(_.toLong).getOrElse(20000000L)
+
+  private val levelForced = sys.env.get("GRAFT_CKPT_LEVEL").nonEmpty
+
+  /** Size-adaptive checkpoint handle for ONE recurring loop frame: the
+    * materializing count() every eager checkpoint already pays is fed
+    * back as the level chooser for the NEXT round — deserialized while
+    * the frame stays under [[DeserMaxRows]], serialized above (or before
+    * any size is known, and always when GRAFT_CKPT_LEVEL forces a level
+    * for A/B probes). Use one Loop per recurring frame variable — mixing
+    * frames of different sizes through one handle would let a big
+    * frame's count mis-level a small one.
+    */
+  final class Loop {
+    private var lastRows: Long = -1L
+    def local(df: DataFrame): DataFrame = {
+      val lvl =
+        if (levelForced || lastRows < 0 || lastRows > DeserMaxRows) SER
+        else org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      val ck = df.localCheckpoint(false, lvl)
+      lastRows = ck.count()
+      ck
+    }
+    /** Rows of the frame this handle last checkpointed (-1 before any). */
+    def rows: Long = lastRows
+  }
+
+  // Unpersisting a locally-checkpointed RDD logs a WARN per call ("its
+  // lineage has been truncated and cannot be recomputed after
+  // unpersisting") — correct in general, but freeing a SUPERSEDED round is
+  // exactly the case where recomputation is never wanted, and a deep loop
+  // would emit hundreds of them. Deny just that MESSAGE with a regex
+  // filter on the logger config — NOT a level override, which would
+  // swallow every other WARN that class emits for any co-resident Spark
+  // workload (r9 ADVICE). Best-effort — a host app with a different
+  // logging stack is untouched.
+  private[graft] val quietUnpersistWarnInstalled: Boolean =
+    try {
+      import org.apache.logging.log4j.LogManager
+      import org.apache.logging.log4j.core.{Filter, LoggerContext}
+      import org.apache.logging.log4j.core.filter.RegexFilter
+      val ctx = LogManager.getContext(false).asInstanceOf[LoggerContext]
+      val cfg = ctx.getConfiguration
+      val name = "org.apache.spark.rdd.MapPartitionsRDD"
+      val filter = RegexFilter.createFilter(
+        ".*lineage has been truncated and cannot be recomputed.*",
+        null, java.lang.Boolean.FALSE, Filter.Result.DENY, Filter.Result.NEUTRAL)
+      // attach to the config node that HANDLES this logger (usually the
+      // root) rather than creating a per-class node: a created node would
+      // pin a level and stop inheriting later level changes
+      // (sc.setLogLevel). The filter is keyed on the message text — which
+      // only RDD.unpersist emits — so the broader attachment point denies
+      // nothing else.
+      cfg.getLoggerConfig(name).addFilter(filter)
+      ctx.updateLoggers()
+      true
+    } catch { case _: Throwable => false }
 
   /** Unpersist the block-manager storage behind an eagerly
     * localCheckpointed frame. No-op (and safe) on frames that are not

@@ -91,7 +91,8 @@ object Graph {
         .distinct()
     }
 
-    var e = undirected.localCkpt()
+    val lp = new Ckpt.Loop // size-adaptive level for the recurring frame
+    var e = lp.local(undirected)
     var sig = signature(e)
 
     // Adaptive small-graph path: the star loop costs a fixed ~2 driver
@@ -128,7 +129,7 @@ object Graph {
     var converged = e.isEmpty
     while (!converged && iter < maxIter) {
       val prev = e
-      e = smallStar(largeStar(e)).localCkpt() // eager: prev fully consumed
+      e = lp.local(smallStar(largeStar(e))) // eager: prev fully consumed
       Ckpt.free(prev) // bound resident state to the live round, not O(rounds)
       val next = signature(e)
       converged = next == sig
@@ -212,6 +213,7 @@ object Graph {
       .localCkpt()
     var ranks = nodes.withColumn("r", lit(1000000L))
     var prevCkpt: DataFrame = null
+    val lp = new Ckpt.Loop // size-adaptive level for the recurring rank frame
     for (i <- 0 until iters) {
       val outbound = ranks.join(deg, "id")
         .select(col("id").as("src"), expr("r div d").as("c"))
@@ -221,7 +223,7 @@ object Graph {
         .select(col("id"),
           (lit(150000L) + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
       if (i < iters - 1) {
-        ranks = ranks.localCkpt()
+        ranks = lp.local(ranks)
         Ckpt.freeIfSet(prevCkpt) // superseded once the new round materialized
         prevCkpt = ranks
       }
@@ -259,6 +261,7 @@ object Graph {
       .localCkpt()
     var ranks = nodes.select(col("id"), (col("seed") * 1000000L).as("r"))
     var prevCkpt: DataFrame = null
+    val lp = new Ckpt.Loop
     for (i <- 0 until iters) {
       val outbound = ranks.join(deg, "id")
         .select(col("id").as("src"), expr("r div d").as("c"))
@@ -268,7 +271,7 @@ object Graph {
         .select(col("id"),
           (col("seed") * 150000L + expr("(850 * coalesce(sc, 0)) div 1000")).as("r"))
       if (i < iters - 1) {
-        ranks = ranks.localCkpt()
+        ranks = lp.local(ranks)
         Ckpt.freeIfSet(prevCkpt)
         prevCkpt = ranks
       }
@@ -311,20 +314,22 @@ object Graph {
     var auth = nodes.withColumn("a", lit(0L))
     var prevAuth: DataFrame = null
     var prevHub: DataFrame = null
+    val lpAuth = new Ckpt.Loop // one adaptive handle per recurring frame
+    val lpHub = new Ckpt.Loop
     for (i <- 0 until iters) {
       // the raw score sums run in DECIMAL(38,0) too (not just the renorm
       // product): scores reach 1e6, so a LongType sum would wrap silently
       // at ~9.2e12 in-degree while the oracle's HUGEINT sum keeps going
       val araw = e.join(hub.select(col("id").as("src"), col("h")), "src")
         .groupBy(col("dst").as("id")).agg(sum(col("h").cast("decimal(38,0)")).as("raw"))
-      auth = renorm(araw, "a").localCkpt()
+      auth = lpAuth.local(renorm(araw, "a"))
       Ckpt.freeIfSet(prevAuth) // last round's auth: fully consumed by hub+this auth
       prevAuth = auth
       val hraw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
         .groupBy(col("src").as("id")).agg(sum(col("a").cast("decimal(38,0)")).as("raw"))
       hub = renorm(hraw, "h")
       if (i < iters - 1) {
-        hub = hub.localCkpt()
+        hub = lpHub.local(hub)
         Ckpt.freeIfSet(prevHub)
         prevHub = hub
       }
@@ -362,15 +367,15 @@ object Graph {
                       maxHops: Int): DataFrame = {
     var dist = dist0
     var prevCkpt: DataFrame = null
+    val lp = new Ckpt.Loop
     for (k <- 1 to maxHops) {
       val frontier = dist.filter(col("dist") === (k - 1))
       val next = e.join(
           frontier.select((keyCols.map(col) :+ col("id").as("src")): _*), "src")
         .select((keyCols.map(col) :+ col("dst").as("id")): _*).distinct()
         .withColumn("dist", lit(k.toLong))
-      dist = dist.union(next)
-        .groupBy((keyCols :+ "id").map(col): _*).agg(min(col("dist")).as("dist"))
-        .localCkpt()
+      dist = lp.local(dist.union(next)
+        .groupBy((keyCols :+ "id").map(col): _*).agg(min(col("dist")).as("dist")))
       Ckpt.freeIfSet(prevCkpt) // hop k-1's frame: folded into the new union
       prevCkpt = dist
     }
@@ -447,20 +452,20 @@ object Graph {
     require(k >= 1, "kCore: k must be >= 1")
     val d0 = edges.select(col(src).cast(LongType).as("src"),
       col(dst).cast(LongType).as("dst")).filter(col("src") =!= col("dst"))
-    var e = d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCkpt()
-    var n = e.count()
+    val lp = new Ckpt.Loop // adaptive level; its count doubles as `n`
+    var e = lp.local(d0.union(d0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var n = lp.rows
     var round = 0
     var done = n == 0
     while (!done && round < maxRounds) {
       val keep = e.groupBy("src").agg(count(lit(1)).as("d"))
         .filter(col("d") >= k).select(col("src").as("kid"))
-      val e2 = e
+      val e2 = lp.local(e
         .join(keep, col("src") === col("kid"), "left_semi")
-        .join(keep, col("dst") === col("kid"), "left_semi")
-        .localCkpt()
+        .join(keep, col("dst") === col("kid"), "left_semi"))
       Ckpt.free(e) // peeled round fully superseded — a deep peel must not
-      val n2 = e2.count() //  hold rounds×|edges| of dead blocks (30× probe
+      val n2 = lp.rows //  hold rounds×|edges| of dead blocks (30× probe
       done = n2 == n || n2 == 0 //  showed exactly that bend)
       e = e2; n = n2; round += 1
     }
@@ -496,6 +501,7 @@ object Graph {
     val nodes = e.select(col("src").as("id")).distinct().localCkpt()
     var lbl = nodes.withColumn("lbl", col("id"))
     var prevCkpt: DataFrame = null
+    val lp = new Ckpt.Loop
     for (i <- 0 until iters) {
       val freq = e.join(lbl.select(col("id").as("dst"), col("lbl")), "dst")
         .groupBy(col("src").as("id"), col("lbl")).agg(count(lit(1)).as("c"))
@@ -506,7 +512,7 @@ object Graph {
       lbl = lbl.join(pick, Seq("id"), "left")
         .select(col("id"), coalesce(col("nl"), col("lbl")).as("lbl"))
       if (i < iters - 1) {
-        lbl = lbl.localCkpt()
+        lbl = lp.local(lbl)
         Ckpt.freeIfSet(prevCkpt)
         prevCkpt = lbl
       }

@@ -93,17 +93,17 @@ object GraphAnn {
           col("node").cast("double"), struct(col("node"), col("score"))).as("__top__"))
         .select(col("query_id"), explode(col("__top__")).as("e"))
         .select(col("query_id"), col("e.node").as("node"), col("e.score").as("score"))
-    var beam = scoreAndKeep(
+    val lp = new Ckpt.Loop // beam frames are |queries|·ef rows — adaptive
+    var beam = lp.local(scoreAndKeep(
       queries.select(col(idCol).as("query_id")).crossJoin(seeds)
-        .filter(col("node") =!= col("query_id")), ef)
-      .localCkpt() // |queries|·ef rows; truncates round lineage
+        .filter(col("node") =!= col("query_id")), ef)) // truncates round lineage
     for (_ <- 0 until rounds) {
       val expanded = beam.join(adj, Seq("node"))
         .select(col("query_id"), col("dst").as("node"))
       val cand = beam.select("query_id", "node").unionByName(expanded)
         .filter(col("node") =!= col("query_id")).distinct()
       val prev = beam
-      beam = scoreAndKeep(cand, ef).localCkpt() // eager ⇒ prev consumed
+      beam = lp.local(scoreAndKeep(cand, ef)) // eager ⇒ prev consumed
       Ckpt.free(prev) // beam state is O(1) frames across rounds, not O(rounds)
     }
     beam.groupBy("query_id")

@@ -97,10 +97,16 @@ object LshIndex {
     graft.sources.Tombstones.clear(spark, path)
   }
 
-  private def readParams(spark: SparkSession, path: String): (Int, Int, Int) = {
-    val r = spark.read.parquet(s"$path/params").collect()(0)
-    (r.getInt(0), r.getInt(1), r.getInt(2))
-  }
+  private def readParams(spark: SparkSession, path: String): (Int, Int, Int) =
+    // params are frozen at write() time and only change through a write()
+    // that also rebuilds the bands manifest, so the bands fingerprint is
+    // a sound (slightly over-eager: appends re-read one tiny row) cache
+    // key for this one-row collect — it has no manifest of its own
+    graft.sources.SnapCache.cached(spark, s"lsh-params:$path",
+      Seq(s"$path/bands")) {
+      val r = spark.read.parquet(s"$path/params").collect()(0)
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    }
 
   /** Incremental ingest: band `delta` under the ledger's FROZEN params
     * and append its postings and signatures. Each append stages its files

@@ -169,12 +169,21 @@ object Snapshots {
     * empty (parquet cannot infer a schema from zero files — callers keep
     * their typed degenerate paths). Falls back to a plain directory scan
     * when no manifest exists (legacy layout).
+    *
+    * Manifest-resolved reads are memoized per session through
+    * [[SnapCache]]: re-opening an unchanged index skips the file-list
+    * DataFrame construction (footer schema read + file stats) and costs
+    * one tiny manifest read for the fingerprint check. The legacy
+    * no-manifest path is never cached — nothing fingerprints it.
     */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
     currentFiles(spark, root) match {
       case Some(files) if files.isEmpty => None
-      case Some(files) =>
-        Some(readFileList(spark, root, files.map(f => s"$root/$f")))
+      case Some(_) =>
+        SnapCache.cached(spark, s"snap-read:$root", Seq(root)) {
+          val files = currentFiles(spark, root).get
+          Some(readFileList(spark, root, files.map(f => s"$root/$f")))
+        }
       case None =>
         if (listParquet(spark, root).isEmpty) None
         else Some(spark.read.parquet(root))

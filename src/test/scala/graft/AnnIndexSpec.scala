@@ -107,6 +107,61 @@ class AnnIndexSpec extends SparkSpec {
     assert(rowsOf(again) == rowsOf(inMem))
   }
 
+  test("graph forget: tombstoned nodes vanish from edges, seeds and results") {
+    val g = graft.ext.GraphAnn.buildGraph(emb, "vec_id", "embedding", degree = 4)
+    val path = tmpIndex("nsw-forget")
+    AnnIndex.writeGraph(g, path, files = 4)
+    val dead = emb.filter(col("vec_id") % 5 === 3).select("vec_id")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(deadIds.nonEmpty)
+    AnnIndex.delete(spark, path, dead)
+    // adjacency: neither endpoint may be a deleted node
+    val edges = AnnIndex.openGraph(spark, path).collect()
+    assert(edges.forall(r => !deadIds(r.getLong(0)) && !deadIds(r.getLong(1))),
+      "openGraph must filter tombstoned nodes on BOTH endpoints")
+    assert(edges.length < g.count(), "the deleted cohort had edges to drop")
+    // serving path: results never contain deleted nodes, and equal the
+    // in-memory search over the live corpus + live edges
+    val got = AnnIndex.probeGraphTopK(spark, path, emb, queries,
+      "vec_id", "embedding", k = 5, ef = 8, rounds = 2, nSeeds = 2)
+    assert(got.collect().forall(r => !deadIds(r.getLong(2))),
+      "probe results must never surface a forgotten node")
+    val liveEmb = emb.filter(!(col("vec_id") % 5 === 3))
+    val liveEdges = g.filter(!(col("src") % 5 === 3) && !(col("dst") % 5 === 3))
+    val expect = graft.ext.GraphAnn.topK(liveEmb, liveEdges, queries,
+      "vec_id", "embedding", k = 5, ef = 8, rounds = 2, nSeeds = 2)
+    assert(rowsOf(got) == rowsOf(expect))
+    // a fresh rebuild clears the tombstones: full results come back
+    AnnIndex.writeGraph(g, path, files = 4)
+    assert(AnnIndex.openGraph(spark, path).count() == g.count())
+  }
+
+  test("open() is memoized per committed state and invalidated by any commit") {
+    val base = emb.filter(col("vec_id") % 2 === 0)
+    val cents = IvfIndex.train(base, "vec_id", "embedding", k = 4, iters = 1)
+    val path = tmpIndex("cache")
+    AnnIndex.write(IvfIndex.assign(base, "vec_id", "embedding", cents), cents, path)
+    val (c1, k1) = AnnIndex.open(spark, path)
+    val (c2, k2) = AnnIndex.open(spark, path)
+    assert((c1 eq c2) && (k1 eq k2),
+      "re-opening an unchanged index must return the memoized instances")
+    // an append commit invalidates: the new open sees the delta
+    AnnIndex.append(emb.filter(col("vec_id") % 2 === 1), "vec_id", "embedding", path)
+    val (c3, _) = AnnIndex.open(spark, path)
+    assert(!(c3 eq c1) && c3.count() == emb.count())
+    // a tombstone commit invalidates: the new open drops the ids
+    AnnIndex.delete(spark, path, emb.filter(col("vec_id") % 7 === 0).select("vec_id"))
+    val (c4, _) = AnnIndex.open(spark, path)
+    assert(!(c4 eq c3) && c4.count() ==
+      emb.filter(!(col("vec_id") % 7 === 0)).count())
+    // a full Overwrite REBUILD at the same path resets the version counter
+    // to 1 again — the fingerprint must still change (manifest bodies
+    // differ) so the cache can never serve the pre-rebuild file set
+    AnnIndex.write(IvfIndex.assign(base, "vec_id", "embedding", cents), cents, path)
+    val (c5, _) = AnnIndex.open(spark, path)
+    assert(!(c5 eq c4) && c5.count() == base.count())
+  }
+
   test("cell compaction collapses append-batch files and changes nothing") {
     val base = emb.filter(col("vec_id") % 4 === 0)
     val cents = IvfIndex.train(base, "vec_id", "embedding", k = 4, iters = 1)

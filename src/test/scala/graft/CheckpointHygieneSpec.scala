@@ -92,6 +92,44 @@ class CheckpointHygieneSpec extends SparkSpec {
     }
   }
 
+  test("Loop adapts the storage level to the measured frame size") {
+    val lp = new Ckpt.Loop
+    val before = residentIds()
+    val small = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    // first call: no size known yet -> the safe serialized level
+    val c1 = lp.local(small)
+    val id1 = (residentIds() -- before).head
+    assert(spark.sparkContext.getPersistentRDDs(id1).getStorageLevel ==
+      Ckpt.SER, "round 1 (unknown size) must checkpoint serialized")
+    assert(lp.rows == 2)
+    // second call: 2 rows << DeserMaxRows -> deserialized
+    val c2 = lp.local(c1.select(col("a") + 1 as "a", col("b")))
+    Ckpt.free(c1)
+    val id2 = (residentIds() -- before).head
+    assert(spark.sparkContext.getPersistentRDDs(id2).getStorageLevel ==
+      StorageLevel.MEMORY_AND_DISK,
+      "a frame measured under the ceiling must checkpoint deserialized")
+    Ckpt.free(c2)
+  }
+
+  test("the unpersist-warn silencer is a message filter, not a level override") {
+    assert(Ckpt.quietUnpersistWarnInstalled, "filter install must succeed on log4j2")
+    // r9 pinned a dedicated ERROR-level LoggerConfig on MapPartitionsRDD,
+    // swallowing every WARN the class emits for any co-resident workload
+    // AND detaching it from later level changes. The fix attaches a
+    // message-keyed DENY filter to the inherited config node instead —
+    // so no per-class config node may exist, and the handling node must
+    // carry a filter.
+    val ctx = org.apache.logging.log4j.LogManager.getContext(false)
+      .asInstanceOf[org.apache.logging.log4j.core.LoggerContext]
+    val lc = ctx.getConfiguration
+      .getLoggerConfig("org.apache.spark.rdd.MapPartitionsRDD")
+    assert(lc.getName != "org.apache.spark.rdd.MapPartitionsRDD",
+      "no per-class level override may exist — levels must stay inherited")
+    assert(lc.getFilter != null,
+      "the handling config node must carry the lineage-message DENY filter")
+  }
+
   test("Bpe.learn: merge loop frees every superseded dictionary state") {
     val docs = Seq(
       (1L, "aa ab aab aab banana bandana"),
