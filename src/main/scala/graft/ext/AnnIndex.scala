@@ -37,7 +37,15 @@ object AnnIndex {
   def write(assigned: DataFrame, centroids: Seq[(Int, Array[Double])],
             path: String): Unit = {
     val spark = assigned.sparkSession
+    // cluster by cell BEFORE the partitioned write: without it every
+    // write task emits a file into every cell directory (tasks × cells
+    // tiny files — measured ~60 per cell at bench scale, and the
+    // fragmented listing itself became the dominant open() cost), with
+    // it each cell's rows land in one task = ONE file per cell per
+    // write. At real scale a >targetBytes cell is what compactCell is
+    // for; a salted multi-file split can be added there, not here.
     assigned.select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
       .parquet(s"$path/cells")
     // snapshot manifests = the probe-visible commit point for both tiers
@@ -102,6 +110,7 @@ object AnnIndex {
     graft.sources.Snapshots.appendCommit(spark, s"$root/cells") { staging =>
       IvfIndex.assign(delta, idCol, vecCol, cents)
         .select(col("id"), col("v"), col("cell").cast("int").as("cell"))
+        .repartition(col("cell")) // one file per touched cell per batch
         .write.partitionBy("cell").parquet(staging)
     }
   }

@@ -124,15 +124,22 @@ object LshIndex {
     * don't exist yet and silently drop those pairs from the inner join.
     */
   def append(delta: DataFrame, idCol: String, textCol: String,
-             path: String): Unit = {
+             path: String, files: Int = 8): Unit = {
     val spark = delta.sparkSession
     val (n, k, bands) = readParams(spark, path)
     val (b, sigs) = banded(delta, idCol, textCol, n, k, bands)
+    // same range discipline as write(), per batch: `files` sorted files
+    // with DISJOINT key ranges — not one overlapping-range file per
+    // shuffle task (32 per batch, each spanning the whole key space:
+    // useless stats, and the file count itself became the probe's
+    // listing cost)
     graft.sources.Snapshots.appendCommit(spark, s"$path/sigs") { staging =>
-      sigs.sortWithinPartitions("id").write.parquet(staging)
+      sigs.repartitionByRange(files, col("id")).sortWithinPartitions("id")
+        .write.parquet(staging)
     }
     graft.sources.Snapshots.appendCommit(spark, s"$path/bands") { staging =>
-      b.sortWithinPartitions("bkey").write.parquet(staging)
+      b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
+        .write.parquet(staging)
     }
   }
 
