@@ -77,17 +77,21 @@ object Ckpt {
 
   /** Row ceiling under which [[Loop]] checkpoints DESERIALIZED
     * (MEMORY_AND_DISK): loop frames here are ids-only rows of a few
-    * boxed longs (~100 B each resident), so 20 M rows is ~2 GiB — safe
+    * boxed longs (~100 B each resident), so 32 M rows is ~3 GiB — safe
     * against the 16 GiB bench heap even if the next round's frame bursts
-    * a few ×, while the measured serialized-level tax on mid-scale
+    * a couple ×, while the measured serialized-level tax on mid-scale
     * iterative graph ops is 20–60 % (g_kcore 40.1 s deserialized vs
-    * 64.1 s serialized at sf1, same-day A/B — SCALE.md §10d). Above the
-    * ceiling the loop pays that tax for byte-accurate unroll accounting:
-    * at 30× data the deserialized store reproducibly OOMed unrolling a
-    * fan-out burst as values (the r8 scale-killer). Env-tunable for A/B.
+    * 64.1 s serialized at sf1, same-day A/B — SCALE.md §10d). The bound
+    * is calibrated against both measured endpoints: the sf1 k-core frame
+    * is ~24 M rows (12 M edges symmetrized) and must fall BELOW it to
+    * recover the deserialized speed, while the 30×-scale ~72 M-row
+    * frames whose value-unroll reproducibly OOMed the r8 heap must stay
+    * ABOVE it (2.2× margin). Above the ceiling the loop pays the
+    * serialized tax for byte-accurate unroll accounting that SPILLS
+    * instead of OOMing. Env-tunable for A/B probes.
     */
   val DeserMaxRows: Long = sys.env.get("GRAFT_CKPT_DESER_MAX_ROWS")
-    .map(_.toLong).getOrElse(20000000L)
+    .map(_.toLong).getOrElse(32000000L)
 
   private val levelForced = sys.env.get("GRAFT_CKPT_LEVEL").nonEmpty
 
