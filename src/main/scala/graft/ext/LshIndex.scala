@@ -47,26 +47,37 @@ object LshIndex {
     * tokens have no shingles (MaxValue sentinel signature) and are
     * dropped, exactly as in [[Dedup.minhashPairs]].
     */
-  private def banded(docs: DataFrame, idCol: String, textCol: String,
-                     n: Int, k: Int, bands: Int): (DataFrame, DataFrame) = {
-    require(k % bands == 0, "LshIndex: bands must divide k")
+  /** Minhash signatures (id, sig) for `docs`. Docs with fewer than n
+    * tokens have no shingles (MaxValue sentinel signature) and are
+    * dropped, exactly as in [[Dedup.minhashPairs]]. Callers MATERIALIZE
+    * this once (eager checkpoint) and derive the band postings from the
+    * stored sig arrays: the fused tokenize→shingle→minhash expression is
+    * the whole text-processing cost, and the r9 shape re-evaluated it up
+    * to three times per probe (key collect, band join, estimation join).
+    * An earlier round measured a plain persist() here LOSING (the cached
+    * relation's stats disturbed the small-side broadcast choices); the
+    * checkpoint+explicit-broadcast shape keeps the join sides pinned by
+    * the operator's own contract instead.
+    */
+  private def sigsOf(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, k: Int): DataFrame = {
     graft.functions.Hashing.register(docs.sparkSession)
-    val r = k / bands
-    // deliberately NOT persisted: each consumer (postings write + sigs
-    // sidecar on build; key-collect + band join + estimation join on
-    // probe) re-runs the fused tokenize→shingle→minhash expression, and
-    // that measured CHEAPER at sf0.1 than caching (11.3 s vs 7.4 s warm
-    // with a MEMORY_AND_DISK persist here) — the same trade SimJoin
-    // documents: a persisted relation's in-memory stats disturb the
-    // small-side broadcast choices worth more than the recompute
-    val sigs = Par.fanOut(docs).select(col(idCol).as("id"),
+    Par.fanOut(docs).select(col(idCol).as("id"),
       graft.functions.Hashing.textMinhash(col(textCol), n, k).as("sig"))
       .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
-    val bandedDf = sigs.select(col("id"),
+  }
+
+  /** Banded postings (id, band, bkey) derived from stored signatures —
+    * the single expression path shared by build, append and probe, so
+    * all three see byte-identical bucket keys.
+    */
+  private def bandsOf(sigs: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "LshIndex: bands must divide k")
+    val r = k / bands
+    sigs.select(col("id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bkey"))
-    (bandedDf, sigs)
   }
 
   /** Build the ledger from the historical corpus and persist it at
@@ -77,7 +88,10 @@ object LshIndex {
   def write(docs: DataFrame, idCol: String, textCol: String, path: String,
             n: Int = 3, k: Int = 64, bands: Int = 16, files: Int = 8): Unit = {
     val spark = docs.sparkSession
-    val (b, sigs) = banded(docs, idCol, textCol, n, k, bands)
+    // one minhash evaluation feeds both writes (freed after — both
+    // consumers are actions)
+    val sigs = Ckpt.local(sigsOf(docs, idCol, textCol, n, k))
+    val b = bandsOf(sigs, k, bands)
     b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
     // sigs get the same range-sort discipline on id: the probe pushes its
@@ -95,6 +109,7 @@ object LshIndex {
       .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
     // a fresh build is a new corpus: stale tombstones must not erase it
     graft.sources.Tombstones.clear(spark, path)
+    Ckpt.free(sigs)
   }
 
   private def readParams(spark: SparkSession, path: String): (Int, Int, Int) =
@@ -127,7 +142,8 @@ object LshIndex {
              path: String, files: Int = 8): Unit = {
     val spark = delta.sparkSession
     val (n, k, bands) = readParams(spark, path)
-    val (b, sigs) = banded(delta, idCol, textCol, n, k, bands)
+    val sigs = Ckpt.local(sigsOf(delta, idCol, textCol, n, k))
+    val b = bandsOf(sigs, k, bands)
     // same range discipline as write(), per batch: `files` sorted files
     // with DISJOINT key ranges — not one overlapping-range file per
     // shuffle task (32 per batch, each spanning the whole key space:
@@ -141,6 +157,7 @@ object LshIndex {
       b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
         .write.parquet(staging)
     }
+    Ckpt.free(sigs)
   }
 
   /** Maintenance: compact the ledger's postings. Incremental [[append]]
@@ -213,10 +230,9 @@ object LshIndex {
     */
   def probePairs(spark: SparkSession, path: String, incoming: DataFrame,
                  idCol: String, textCol: String, threshold: Double,
-                 pushLimit: Int = 100000, maxPostings: Int = 2000): DataFrame = {
+                 pushLimit: Int = 2048, maxPostings: Int = 2000): DataFrame = {
     Dedup.ensureMetricsLogger(spark)
     val (n, k, bands) = readParams(spark, path)
-    val (probe, probeSigs) = banded(incoming, idCol, textCol, n, k, bands)
     // a ledger whose every doc was sub-shingle-length has a ZERO-FILE live
     // snapshot (parquet writes no files for zero rows) — a probe against
     // it degrades to zero pairs, not a schema-inference crash (the
@@ -224,18 +240,34 @@ object LshIndex {
     val bandsOpt = graft.sources.Snapshots.read(spark, s"$path/bands")
     val sigsOpt = graft.sources.Snapshots.read(spark, s"$path/sigs")
     if (bandsOpt.isEmpty || sigsOpt.isEmpty)
-      return probeSigs.select(col("id").as("id_old"), col("id").as("id_new"),
-        lit(0.0).as("est_jaccard")).filter(lit(false))
+      return sigsOf(incoming, idCol, textCol, n, k)
+        .select(col("id").as("id_old"), col("id").as("id_new"),
+          lit(0.0).as("est_jaccard")).filter(lit(false))
+    // ONE minhash evaluation for the whole probe: the signatures are
+    // checkpointed (O(batch) rows — the bounded small side by contract)
+    // and the key collect, band join and estimation join all derive from
+    // the stored arrays. The r9 shape re-ran the fused minhash expression
+    // at each of those three consumers.
+    val probeSigs = Ckpt.local(sigsOf(incoming, idCol, textCol, n, k))
+    val probe = bandsOf(probeSigs, k, bands)
     val keys = probe.select("bkey").distinct().limit(pushLimit + 1)
       .collect().map(_.getLong(0))
     // tombstoned ids stop matching immediately (broadcast anti-join over
     // the pruned postings; physically purged by the next compact)
     val ledgerAll = graft.sources.Tombstones.filter(spark, path,
       bandsOpt.get, "id")
+    // ≤ pushLimit probed buckets: push the literal `bkey IN (…)` into the
+    // scan — planning-time row-group pruning, worth a bounded literal
+    // list. Above it a literal list is the WRONG tool (the r9 default
+    // pushed 36k literals at sf0.1: ~1.7 s of planning/filter-conversion
+    // per materialization, measured) — prune with a broadcast semi-join
+    // on the distinct probed keys instead: same row set, ids-only build
+    // side bounded by |batch|·bands, no giant expression tree.
     val ledger0 =
       if (keys.length <= pushLimit)
         ledgerAll.filter(col("bkey").isin(keys.map(java.lang.Long.valueOf): _*))
-      else ledgerAll
+      else ledgerAll.join(broadcast(probe.select("bkey").distinct()),
+        Seq("bkey"), "left_semi")
     // boilerplate-bucket cap, ledger side (see scaladoc)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
     val ledger = ledger0.withColumn("__bsize__", count(lit(1)).over(w))
@@ -244,8 +276,11 @@ object LshIndex {
         max(col("__bsize__")).as("max_bucket"))
       .filter(col("__bsize__") <= maxPostings)
       .select(col("id").as("id_old"), col("band"), col("bkey"))
+    // explicit broadcast: the probe batch is the bounded small side by
+    // the operator's contract, and the checkpointed frame's stats no
+    // longer advertise that to the planner
     val pairs = ledger
-      .join(probe.select(col("id").as("id_new"), col("band"), col("bkey")),
+      .join(broadcast(probe.select(col("id").as("id_new"), col("band"), col("bkey"))),
         Seq("band", "bkey"))
       .select(col("id_old"), col("id_new")).distinct()
     // push the candidate id set into the sigs sidecar the same way the
@@ -263,7 +298,8 @@ object LshIndex {
         oldSigsAll.filter(col("id").isin(candIds.map(java.lang.Long.valueOf): _*))
       else oldSigsAll)
       .select(col("id").as("id_old"), col("sig").as("sig_a"))
-    val newSigs = probeSigs.select(col("id").as("id_new"), col("sig").as("sig_b"))
+    val newSigs = broadcast(
+      probeSigs.select(col("id").as("id_new"), col("sig").as("sig_b")))
     pairs.join(oldSigs, Seq("id_old")).join(newSigs, Seq("id_new"))
       .select(col("id_old"), col("id_new"),
         Dedup.sigJaccard(col("sig_a"), col("sig_b")).as("est_jaccard"))
