@@ -30,8 +30,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * columns (`cell=N`) and their planning-time pruning survive exactly as
   * with a directory scan.
   *
-  * Concurrency contract (documented, not enforced): ONE maintenance
-  * writer at a time (append/compact/vacuum are ingest-pipeline jobs);
+  * Concurrency contract: ONE maintenance writer at a time per root
+  * (append/compact/vacuum are ingest-pipeline jobs) — ENFORCED as an
+  * advisory lock by [[withWriterLock]], which every mutator here takes;
   * probes are lock-free and unlimited. Crash safety: the commit point is
   * a single rename — a crash before it leaves orphan data files (removed
   * by the next [[vacuum]]) and the old manifest live; a crash after it
@@ -47,6 +48,69 @@ object Snapshots {
 
   private val SnapDir = "_snapshots"
   private val VersionRe = """^v(\d{9})\.txt$""".r
+  private val LockName = ".writer-lock"
+
+  /** Stale-lock takeover age for [[withWriterLock]] (ms): a maintenance
+    * op that holds a lock longer than this is presumed crashed and its
+    * lock is stolen. Generous — maintenance jobs are minutes, not hours.
+    */
+  private val LockTtlMs: Long =
+    sys.env.get("GRAFT_SNAPSHOT_LOCK_TTL_MS").map(_.toLong).getOrElse(30L * 60 * 1000)
+
+  // re-entrancy: compactCommit runs vacuum inside its own lock; track the
+  // roots the CURRENT THREAD already holds so nested acquisition is a no-op
+  private val heldLocks = new ThreadLocal[java.util.HashSet[String]] {
+    override def initialValue() = new java.util.HashSet[String]()
+  }
+
+  /** ENFORCE the single-maintenance-writer contract for `root` around
+    * `body`: an advisory lock file under `_snapshots/`, acquired by
+    * atomic create-no-overwrite (the same primitive the manifest commit
+    * relies on), released in a finally, stolen after [[LockTtlMs]] if its
+    * holder crashed. Two concurrent maintenance jobs on the same root now
+    * fail fast (after a short bounded wait) instead of silently racing
+    * their listing/commit sequences — accident PREVENTION; probes stay
+    * lock-free and unlimited. This is deliberately advisory: true
+    * multi-writer coordination on an object store whose create is not
+    * atomic needs an external coordinator, exactly as Delta requires on
+    * S3 — documented, not faked here.
+    */
+  def withWriterLock[A](spark: SparkSession, root: String)(body: => A): A = {
+    val held = heldLocks.get()
+    if (held.contains(root)) return body // re-entrant within the thread
+    val (fs, rootP) = fsFor(spark, root)
+    val snapP = new Path(rootP, SnapDir)
+    fs.mkdirs(snapP)
+    val lockP = new Path(snapP, LockName)
+    val deadline = System.currentTimeMillis() + 10000 // bounded wait, then loud
+    var acquired = false
+    while (!acquired) {
+      acquired =
+        try { val out = fs.create(lockP, false); out.close(); true }
+        catch { case _: java.io.IOException =>
+          // steal if the holder looks dead (TTL on the lock file's mtime)
+          val stale = try {
+            System.currentTimeMillis() - fs.getFileStatus(lockP)
+              .getModificationTime > LockTtlMs
+          } catch { case _: java.io.FileNotFoundException => false }
+          if (stale) fs.delete(lockP, false)
+          false
+        }
+      if (!acquired) {
+        require(System.currentTimeMillis() < deadline,
+          s"snapshot writer lock busy at $lockP: another maintenance job " +
+            "is running (single-maintenance-writer contract); retry later " +
+            "or remove the lock if its holder crashed")
+        Thread.sleep(100)
+      }
+    }
+    held.add(root)
+    try body
+    finally {
+      held.remove(root)
+      try fs.delete(lockP, false) catch { case _: java.io.IOException => () }
+    }
+  }
 
   private def fsFor(spark: SparkSession, root: String): (FileSystem, Path) = {
     val p = new Path(root)
@@ -216,7 +280,8 @@ object Snapshots {
     * unreferenced files ([[vacuum]] removes them and any stray staging
     * dirs); the commit itself is the same single rename as ever.
     */
-  def appendCommit(spark: SparkSession, root: String)(write: String => Unit): Long = {
+  def appendCommit(spark: SparkSession, root: String)(write: String => Unit): Long =
+      withWriterLock(spark, root) {
     val before = bootstrap(spark, root) // manifest read; lists only on first touch
     val (fs, rootP) = fsFor(spark, root)
     val staging = new Path(rootP, s"_staging-${java.util.UUID.randomUUID()}")
@@ -247,7 +312,8 @@ object Snapshots {
                     subset: String => Boolean, targetBytes: Long,
                     sortCols: Seq[String] = Nil,
                     partitionBy: Seq[String] = Nil,
-                    transform: DataFrame => DataFrame = identity): (Long, Long) = {
+                    transform: DataFrame => DataFrame = identity): (Long, Long) =
+      withWriterLock(spark, root) {
     import org.apache.spark.sql.functions.col
     require(targetBytes > 0, "targetBytes must be positive")
     val (fs, rootP) = fsFor(spark, root)
@@ -279,7 +345,8 @@ object Snapshots {
     * version finish safely) and drop manifests older than the kept set.
     * Returns the number of data files deleted.
     */
-  def vacuum(spark: SparkSession, root: String, grace: Int = 1): Long = {
+  def vacuum(spark: SparkSession, root: String, grace: Int = 1): Long =
+      withWriterLock(spark, root) {
     val (fs, rootP) = fsFor(spark, root)
     val snapP = new Path(rootP, SnapDir)
     if (!fs.exists(snapP)) return 0L

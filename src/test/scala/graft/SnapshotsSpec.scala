@@ -106,6 +106,59 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.read(spark, root).get.count() == 2)
   }
 
+  test("the writer lock serializes maintenance, is re-entrant, steals stale locks") {
+    val root = tmp("lock")
+    Seq(1L, 2L).toDF("id").write.parquet(root)
+    Snapshots.bootstrap(spark, root)
+    // serialization: a second appendCommit waits for the first to finish
+    val firstHolds = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val order = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val t1 = new Thread(() =>
+      Snapshots.appendCommit(spark, root) { staging =>
+        firstHolds.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        order.add("first")
+        Seq(3L).toDF("id").write.parquet(staging)
+      })
+    t1.start()
+    assert(firstHolds.await(30, java.util.concurrent.TimeUnit.SECONDS))
+    val t2 = new Thread(() =>
+      Snapshots.appendCommit(spark, root) { staging =>
+        order.add("second")
+        Seq(4L).toDF("id").write.parquet(staging)
+      })
+    t2.start()
+    Thread.sleep(300) // give t2 time to (wrongly) enter if the lock leaked
+    release.countDown()
+    t1.join(30000); t2.join(30000)
+    assert(order.toArray.toList == List("first", "second"),
+      s"concurrent maintenance must serialize on the writer lock, got $order")
+    assert(Snapshots.read(spark, root).get.count() == 4)
+    // re-entrancy: compactCommit vacuums inside its own lock without deadlock
+    Snapshots.compactCommit(spark, root, _ => true, targetBytes = 1L << 30)
+    assert(Snapshots.read(spark, root).get.count() == 4)
+    // stale-lock takeover: a lock left by a crashed holder is stolen once
+    // older than the TTL (mtime back-dated past it)
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val lockP = new org.apache.hadoop.fs.Path(s"$root/_snapshots/.writer-lock")
+    fs.create(lockP, false).close()
+    fs.setTimes(lockP, System.currentTimeMillis() - 31L * 60 * 1000, -1)
+    Snapshots.appendCommit(spark, root) { staging =>
+      Seq(5L).toDF("id").write.parquet(staging)
+    }
+    assert(Snapshots.read(spark, root).get.count() == 5,
+      "a stale crashed lock must be stolen, not block maintenance forever")
+    // a FRESH foreign lock blocks loudly instead of racing
+    fs.create(lockP, false).close()
+    val ex = intercept[IllegalArgumentException] {
+      Snapshots.appendCommit(spark, root)(_ => ())
+    }
+    assert(ex.getMessage.contains("writer lock busy"))
+    fs.delete(lockP, false)
+  }
+
   test("orphan files from a crashed maintenance job are invisible, then vacuumed") {
     val root = tmp("crash")
     Seq(1L, 2L, 3L).toDF("id").write.parquet(root)
