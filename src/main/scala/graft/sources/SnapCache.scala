@@ -10,50 +10,56 @@ import org.apache.spark.sql.SparkSession
   * several small driver jobs and filesystem walks per query against an
   * index that hadn't changed.
   *
-  * The committed state is captured by a FINGERPRINT per snapshot root:
-  * (manifest version, md5 of the manifest's file list). Any committed
+  * The committed state is captured by [[Snapshots.fingerprint]] per
+  * snapshot root: (manifest version, per-commit random tag), resolved
+  * from the manifest directory LISTING alone — O(1) metadata calls, zero
+  * manifest-body bytes (the r10 fingerprint md5'd the full manifest body
+  * per check: O(index-files) bytes per cold probe open). Any committed
   * change — append, compact, retrain generation swap, tombstone, even a
-  * full Overwrite rebuild that resets the version counter — produces a
-  * different manifest body (part-file names embed each write job's UUID),
-  * so a stale entry can never be served: [[cached]] re-reads only the
-  * tiny manifest files, compares fingerprints, and rebuilds on any
-  * mismatch. Vacuum never deletes a live version's files, so a
-  * fingerprint-valid cached frame always points at existing files.
+  * full Overwrite rebuild that resets the version counter — mints a
+  * fresh tag, so a stale entry can never be served. Vacuum never deletes
+  * a live version's files, so a fingerprint-valid cached frame always
+  * points at existing files.
   *
-  * Scoped per SparkSession through a WeakHashMap, so short-lived test
-  * sessions don't accumulate, and entries die with their session.
+  * Lifecycle: entries are keyed by session in a plain concurrent map with
+  * STRONG keys, and every access sweeps entries whose session has been
+  * STOPPED. A weak-keyed map cannot work here — the cached DataFrames
+  * strongly reference their SparkSession, so a value-to-key reference
+  * would pin every entry forever while claiming otherwise (the r10
+  * implementation had exactly that bug). A session that is abandoned
+  * without `stop()` keeps its entry, but such a session already pins its
+  * own SparkContext state — the cache adds nothing to that leak class.
   */
 object SnapCache {
 
+  private type Inner =
+    java.util.concurrent.ConcurrentHashMap[String, (Seq[Option[(Long, String)]], Any)]
+
   private val store =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.concurrent.ConcurrentHashMap[String, (Seq[Option[(Long, String)]], Any)]]()
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, Inner]()
+
+  private def sweepStopped(): Unit = {
+    val it = store.keySet.iterator()
+    while (it.hasNext) if (it.next().sparkContext.isStopped) it.remove()
+  }
 
   /** Fingerprint of a snapshot root's committed state; None when the root
-    * has no manifest (legacy plain dirs are never cached).
+    * has no manifest (legacy plain dirs are never cached). Delegates to
+    * [[Snapshots.fingerprint]] — one directory listing, no body reads.
     */
   def fingerprint(spark: SparkSession, root: String): Option[(Long, String)] =
-    Snapshots.currentVersion(spark, root).map { v =>
-      val md = java.security.MessageDigest.getInstance("MD5")
-      Snapshots.filesAt(spark, root, v).foreach(f => md.update(f.getBytes("UTF-8")))
-      (v, md.digest().map("%02x".format(_)).mkString)
-    }
+    Snapshots.fingerprint(spark, root)
 
   /** Return the cached value for `key` when every root in `roots` still
     * has the fingerprint it had at build time; otherwise run `build` and
     * cache it against the current fingerprints. The fingerprint read is
-    * O(#roots) tiny-manifest reads — no data listing, no Spark jobs.
+    * O(#roots) manifest-directory listings — no body reads, no data
+    * listing, no Spark jobs.
     */
   def cached[T](spark: SparkSession, key: String, roots: Seq[String])(build: => T): T = {
+    sweepStopped()
     val fps = roots.map(fingerprint(spark, _))
-    val m = store.synchronized {
-      var mm = store.get(spark)
-      if (mm == null) {
-        mm = new java.util.concurrent.ConcurrentHashMap[String, (Seq[Option[(Long, String)]], Any)]()
-        store.put(spark, mm)
-      }
-      mm
-    }
+    val m = store.computeIfAbsent(spark, _ => new Inner())
     m.get(key) match {
       case (oldFps, v) if oldFps == fps => v.asInstanceOf[T]
       case _ =>
@@ -64,7 +70,7 @@ object SnapCache {
   }
 
   /** Test hook: entry count for a session (0 when none). */
-  private[graft] def size(spark: SparkSession): Int = store.synchronized {
+  private[graft] def size(spark: SparkSession): Int = {
     val mm = store.get(spark); if (mm == null) 0 else mm.size()
   }
 }

@@ -12,23 +12,46 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * concurrent probe's `spark.read.parquet` fails in that window. The
   * standard fix (Delta/Iceberg's core idea, reduced to its minimum) is a
   * MANIFEST: readers never list the data directory; they resolve the
-  * current manifest — one tiny immutable file whose creation is atomic —
-  * and read exactly the files it names. Maintenance writes new data files
-  * FIRST (invisible: nothing references them), then commits a new
-  * manifest version; the commit IS the swap. Old files stay on disk until
-  * [[vacuum]], so in-flight readers of the previous version keep working.
+  * current manifest version — tiny immutable files whose creation is
+  * atomic — and read exactly the files it names. Maintenance writes new
+  * data files FIRST (invisible: nothing references them), then commits a
+  * new manifest version; the commit IS the swap. Old files stay on disk
+  * until [[vacuum]], so in-flight readers of the previous version keep
+  * working.
+  *
+  * Manifest format (v2 — an incremental COMMIT LOG, not a rewritten
+  * full list): each version under `root/_snapshots/` is either
+  *   - a CHECKPOINT `v%09d-c<tag>.txt` — one root-relative path per line,
+  *     the complete live set as of that version; or
+  *   - a DELTA `v%09d-d<tag>.txt` — `+path` / `-path` lines applied on
+  *     top of the previous version.
+  * `<tag>` is a random per-commit token, so (version, tag) fingerprints
+  * the committed state from the directory listing alone — O(1) metadata,
+  * no body read (and an Overwrite rebuild that resets the version counter
+  * still changes the tag). Readers resolve version v by reading the
+  * latest checkpoint ≤ v plus the delta suffix — O(chain) tiny files,
+  * bounded because every [[checkpointEvery]]-th commit rolls the log up
+  * into a fresh checkpoint. An APPEND therefore writes bytes proportional
+  * to its delta, not to the index: the v1 format (every commit rewrites
+  * the full list; every fingerprint digests the full body) was
+  * O(index-files) bytes per micro-batch commit and per cold probe open —
+  * quadratic across a backfill, the same shape the r10 staging rework
+  * killed on the LISTING side, one layer up. Legacy `v%09d.txt` files
+  * (the v1 format) parse as untagged checkpoints, so pre-existing roots
+  * keep resolving.
   *
   * Layout, per dataset rooted at `root` (e.g. `…/ledger/bands`):
-  *   - `root/…parquet`              — data files (hive partition subdirs ok)
-  *   - `root/_snapshots/v%09d.txt`  — manifest: one root-relative path per
-  *     line; highest version = live. Written via temp file + rename (no
-  *     overwrite), so a half-written manifest is never visible under a
-  *     final name. Underscore-prefixed, so legacy plain-directory readers
-  *     ignore it.
+  *   - `root/…parquet`                    — data files (hive subdirs ok)
+  *   - `root/commit-<tag>/…parquet`       — zero-copy commit trees (see
+  *     [[appendCommit]]'s `zeroCopy`)
+  *   - `root/_snapshots/v…txt`            — the commit log. Manifests are
+  *     written via temp file + rename (no overwrite), so a half-written
+  *     one is never visible under a final name. Underscore-prefixed, so
+  *     legacy plain-directory readers ignore it.
   *
-  * Readers load the file list with `basePath = root`, so hive partition
-  * columns (`cell=N`) and their planning-time pruning survive exactly as
-  * with a directory scan.
+  * Readers load the file list with `basePath = root` (per commit tree for
+  * zero-copy commits), so hive partition columns (`cell=N`) and their
+  * planning-time pruning survive exactly as with a directory scan.
   *
   * Concurrency contract: ONE maintenance writer at a time per root
   * (append/compact/vacuum are ingest-pipeline jobs) — ENFORCED as an
@@ -47,15 +70,41 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Snapshots {
 
   private val SnapDir = "_snapshots"
-  private val VersionRe = """^v(\d{9})\.txt$""".r
+  // v2: v%09d-c<tag>.txt checkpoint / v%09d-d<tag>.txt delta;
+  // legacy v1: v%09d.txt (an untagged checkpoint)
+  private val VersionRe = """^v(\d{9})(?:-([cd])([0-9a-f]{8}))?\.txt$""".r
   private val LockName = ".writer-lock"
 
-  /** Stale-lock takeover age for [[withWriterLock]] (ms): a maintenance
-    * op that holds a lock longer than this is presumed crashed and its
-    * lock is stolen. Generous — maintenance jobs are minutes, not hours.
+  /** One manifest file, parsed from its NAME alone. `tag` is empty for
+    * legacy v1 manifests.
     */
-  private val LockTtlMs: Long =
-    sys.env.get("GRAFT_SNAPSHOT_LOCK_TTL_MS").map(_.toLong).getOrElse(30L * 60 * 1000)
+  private final case class ManifestRef(version: Long, isCheckpoint: Boolean,
+                                       tag: String) {
+    def fileName: String =
+      if (tag.isEmpty) f"v$version%09d.txt"
+      else f"v$version%09d-${if (isCheckpoint) "c" else "d"}$tag.txt"
+  }
+
+  /** Stale-lock takeover age for [[withWriterLock]] (ms): a lock whose
+    * LEASE (mtime, refreshed by the holder's heartbeat) is older than
+    * this is presumed crashed and stolen. Generous — a LIVE holder
+    * heartbeats every quarter-TTL, so only a dead one ever looks stale;
+    * the TTL bounds crash recovery latency, not job length.
+    * System-property override for specs (read per acquisition).
+    */
+  private def lockTtlMs: Long =
+    sys.props.get("graft.snapshot.lock.ttl.ms").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_SNAPSHOT_LOCK_TTL_MS").map(_.toLong))
+      .getOrElse(30L * 60 * 1000)
+
+  /** Roll the delta log up into a fresh checkpoint every this many
+    * commits: bounds a reader's resolution chain (and the one
+    * O(index-files) checkpoint write amortizes across the window).
+    */
+  private def checkpointEvery: Int =
+    sys.props.get("graft.snapshot.ckpt.every").map(_.toInt)
+      .orElse(sys.env.get("GRAFT_SNAPSHOT_CKPT_EVERY").map(_.toInt))
+      .getOrElse(16)
 
   // re-entrancy: compactCommit runs vacuum inside its own lock; track the
   // roots the CURRENT THREAD already holds so nested acquisition is a no-op
@@ -63,17 +112,35 @@ object Snapshots {
     override def initialValue() = new java.util.HashSet[String]()
   }
 
+  // one daemon timer drives every held lock's lease heartbeat
+  private lazy val heartbeats =
+    java.util.concurrent.Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "graft-snapshot-lock-heartbeat")
+      t.setDaemon(true); t
+    })
+
   /** ENFORCE the single-maintenance-writer contract for `root` around
     * `body`: an advisory lock file under `_snapshots/`, acquired by
     * atomic create-no-overwrite (the same primitive the manifest commit
-    * relies on), released in a finally, stolen after [[LockTtlMs]] if its
-    * holder crashed. Two concurrent maintenance jobs on the same root now
-    * fail fast (after a short bounded wait) instead of silently racing
-    * their listing/commit sequences — accident PREVENTION; probes stay
+    * relies on), released in a finally, stolen after [[lockTtlMs]] if its
+    * holder crashed. While held, a daemon HEARTBEAT refreshes the lock's
+    * mtime every quarter-TTL, so a legitimately long maintenance job
+    * (routine at 100 TB — a multi-hour retrain) is never stolen from
+    * while alive; only a crashed holder's lease goes stale (r10 never
+    * refreshed the mtime, so any job over the TTL was stolen from
+    * mid-run). The steal itself is TOCTOU-safe: a stealer must first WIN
+    * a rename of the stale lock to a unique grave name — two waiters that
+    * both stat the same stale lock race the rename, exactly one succeeds,
+    * and the loser can no longer delete the winner's fresh lock (the r10
+    * stat-then-delete steal had that window). Two concurrent maintenance
+    * jobs on the same root fail fast (after a short bounded wait) instead
+    * of silently racing their listing/commit sequences; probes stay
     * lock-free and unlimited. This is deliberately advisory: true
     * multi-writer coordination on an object store whose create is not
     * atomic needs an external coordinator, exactly as Delta requires on
-    * S3 — documented, not faked here.
+    * S3 — documented, not faked here. (On stores without `setTimes`
+    * (S3A), the heartbeat no-ops harmlessly — size the TTL to the longest
+    * expected job there.)
     */
   def withWriterLock[A](spark: SparkSession, root: String)(body: => A): A = {
     val held = heldLocks.get()
@@ -82,18 +149,25 @@ object Snapshots {
     val snapP = new Path(rootP, SnapDir)
     fs.mkdirs(snapP)
     val lockP = new Path(snapP, LockName)
+    val ttl = lockTtlMs
     val deadline = System.currentTimeMillis() + 10000 // bounded wait, then loud
     var acquired = false
     while (!acquired) {
       acquired =
         try { val out = fs.create(lockP, false); out.close(); true }
         catch { case _: java.io.IOException =>
-          // steal if the holder looks dead (TTL on the lock file's mtime)
+          // steal if the holder looks dead (lease mtime past the TTL) —
+          // but only after WINNING the rename-to-grave race
           val stale = try {
             System.currentTimeMillis() - fs.getFileStatus(lockP)
-              .getModificationTime > LockTtlMs
+              .getModificationTime > ttl
           } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) fs.delete(lockP, false)
+          if (stale) {
+            val grave = new Path(snapP,
+              s".stale-${java.util.UUID.randomUUID().toString.take(8)}")
+            try { if (fs.rename(lockP, grave)) fs.delete(grave, false) }
+            catch { case _: java.io.IOException => () }
+          }
           false
         }
       if (!acquired) {
@@ -104,9 +178,15 @@ object Snapshots {
         Thread.sleep(100)
       }
     }
+    val period = math.max(ttl / 4, 25L)
+    val hb = heartbeats.scheduleAtFixedRate(() => {
+      try fs.setTimes(lockP, System.currentTimeMillis(), -1)
+      catch { case _: Throwable => () } // unsupported on some stores — see scaladoc
+    }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
     held.add(root)
     try body
     finally {
+      hb.cancel(false)
       held.remove(root)
       try fs.delete(lockP, false) catch { case _: java.io.IOException => () }
     }
@@ -117,26 +197,103 @@ object Snapshots {
     (p.getFileSystem(spark.sessionState.newHadoopConf()), p)
   }
 
-  /** Highest committed manifest version under `root`, if any. */
-  def currentVersion(spark: SparkSession, root: String): Option[Long] = {
-    val (fs, rootP) = fsFor(spark, root)
-    val snapP = new Path(rootP, SnapDir)
-    if (!fs.exists(snapP)) return None
-    val versions = fs.listStatus(snapP).toSeq.flatMap(st =>
-      st.getPath.getName match {
-        case VersionRe(v) => Some(v.toLong)
-        case _            => None
-      })
-    if (versions.isEmpty) None else Some(versions.max)
+  /** Test hook: receives (op, root, amount) for every manifest byte
+    * written ("manifest-write"), manifest body byte read
+    * ("manifest-read"), and per-file data move ("rename"). ManifestLogSpec
+    * installs a recorder to PROVE commits write O(delta) bytes,
+    * fingerprint checks read zero manifest bodies, and zero-copy commits
+    * perform zero renames.
+    */
+  @volatile private[graft] var manifestIoProbe: (String, String, Long) => Unit = null
+  private def probeIo(op: String, root: String, n: Long): Unit = {
+    val p = manifestIoProbe
+    if (p != null) p(op, root, n)
   }
 
-  /** Root-relative live file list of manifest version `v`. */
-  def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
+  /** The commit log of `root`, sorted by version — ONE directory listing,
+    * no body reads. Bounded: [[vacuum]]/[[vacuumLight]] drop manifests no
+    * kept version's resolution chain needs.
+    */
+  private def listManifests(spark: SparkSession, root: String): Seq[ManifestRef] = {
     val (fs, rootP) = fsFor(spark, root)
-    val in = fs.open(new Path(new Path(rootP, SnapDir), f"v$v%09d.txt"))
-    try scala.io.Source.fromInputStream(in, "UTF-8").getLines()
-      .map(_.trim).filter(_.nonEmpty).toList
-    finally in.close()
+    val snapP = new Path(rootP, SnapDir)
+    if (!fs.exists(snapP)) return Nil
+    fs.listStatus(snapP).toSeq.flatMap(st =>
+      st.getPath.getName match {
+        case VersionRe(v, kind, tag) =>
+          Some(ManifestRef(v.toLong, kind == null || kind == "c",
+            Option(tag).getOrElse("")))
+        case _ => None
+      }).sortBy(_.version)
+  }
+
+  /** Highest committed manifest version under `root`, if any. */
+  def currentVersion(spark: SparkSession, root: String): Option[Long] =
+    listManifests(spark, root).lastOption.map(_.version)
+
+  /** Fingerprint of `root`'s committed state: (version, per-commit tag),
+    * resolved from the manifest directory LISTING alone — O(1) metadata,
+    * zero body reads (v1 used an md5 of the full manifest body: O(index-
+    * files) bytes per probe open). Any commit — append, compact, retrain
+    * swap, tombstone, even an Overwrite rebuild that resets the version
+    * counter — mints a fresh random tag, so equal fingerprints imply an
+    * unchanged committed state. None when the root has no manifest
+    * (legacy plain dirs are never fingerprinted). Legacy UNTAGGED
+    * manifests fall back to a body digest (with a per-entry separator, so
+    * distinct lists can't concatenate to the same digest).
+    */
+  def fingerprint(spark: SparkSession, root: String): Option[(Long, String)] =
+    listManifests(spark, root).lastOption.map { ref =>
+      if (ref.tag.nonEmpty) (ref.version, ref.tag)
+      else {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        filesAt(spark, root, ref.version)
+          .foreach(f => md.update((f + "\n").getBytes("UTF-8")))
+        (ref.version, md.digest().map("%02x".format(_)).mkString)
+      }
+    }
+
+  private def readManifestLines(spark: SparkSession, root: String,
+                                ref: ManifestRef): Seq[String] = {
+    val (fs, rootP) = fsFor(spark, root)
+    val in = fs.open(new Path(new Path(rootP, SnapDir), ref.fileName))
+    try {
+      val body = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      probeIo("manifest-read", root, body.getBytes("UTF-8").length.toLong)
+      body.split('\n').toSeq.map(_.trim)
+        .filter(l => l.nonEmpty && !l.startsWith("#"))
+    } finally in.close()
+  }
+
+  /** Root-relative live file list of manifest version `v`: the latest
+    * checkpoint ≤ v plus its delta suffix, applied in order. O(chain)
+    * tiny reads, chain length bounded by [[checkpointEvery]].
+    */
+  def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
+    val refs = listManifests(spark, root)
+    val upTo = refs.filter(_.version <= v)
+    require(upTo.nonEmpty && upTo.last.version == v,
+      s"snapshot manifest v$v missing under $root/$SnapDir")
+    val ckptIdx = upTo.lastIndexWhere(_.isCheckpoint)
+    require(ckptIdx >= 0,
+      s"snapshot log broken under $root/$SnapDir: no checkpoint ≤ v$v " +
+        "(vacuumed past a delta chain's base?)")
+    val chain = upTo.drop(ckptIdx)
+    // the chain must be gapless — a vacuumed-away middle delta would
+    // silently resolve a wrong file set
+    require(chain.map(_.version) == (chain.head.version to v),
+      s"snapshot log broken under $root/$SnapDir: missing versions between " +
+        s"checkpoint v${chain.head.version} and v$v")
+    val live = scala.collection.mutable.LinkedHashSet.empty[String]
+    live ++= readManifestLines(spark, root, chain.head)
+    chain.tail.foreach { ref =>
+      readManifestLines(spark, root, ref).foreach { line =>
+        require(line.startsWith("+") || line.startsWith("-"),
+          s"malformed delta line in ${ref.fileName} under $root: $line")
+        if (line.startsWith("+")) live += line.drop(1) else live -= line.drop(1)
+      }
+    }
+    live.toList.sorted
   }
 
   /** Live file list (root-relative); None when no manifest exists yet
@@ -145,28 +302,63 @@ object Snapshots {
   def currentFiles(spark: SparkSession, root: String): Option[Seq[String]] =
     currentVersion(spark, root).map(v => filesAt(spark, root, v))
 
-  /** Commit `relFiles` as the next manifest version and return it.
-    * Write-temp-then-rename: the version file appears atomically or not
-    * at all. Single maintenance writer by contract.
-    */
-  def commit(spark: SparkSession, root: String, relFiles: Seq[String]): Long = {
+  private def writeManifest(spark: SparkSession, root: String,
+                            isCheckpoint: Boolean, version: Long,
+                            lines: Seq[String]): Long = {
     val (fs, rootP) = fsFor(spark, root)
     val snapP = new Path(rootP, SnapDir)
     fs.mkdirs(snapP)
-    val next = currentVersion(spark, root).getOrElse(0L) + 1L
+    val ref = ManifestRef(version, isCheckpoint,
+      java.util.UUID.randomUUID().toString.replace("-", "").take(8))
     val tmp = new Path(snapP, s".tmp-${java.util.UUID.randomUUID()}")
+    val body = lines.mkString("", "\n", "\n").getBytes("UTF-8")
+    probeIo("manifest-write", root, body.length.toLong)
     val out = fs.create(tmp, false)
-    try out.write(relFiles.mkString("", "\n", "\n").getBytes("UTF-8"))
+    try out.write(body)
     finally out.close()
-    val finalP = new Path(snapP, f"v$next%09d.txt")
+    val finalP = new Path(snapP, ref.fileName)
     require(fs.rename(tmp, finalP), s"snapshot commit failed: $tmp -> $finalP")
-    next
+    version
+  }
+
+  /** Commit `relFiles` as the next manifest version (a full CHECKPOINT)
+    * and return it. Write-temp-then-rename: the version file appears
+    * atomically or not at all. Single maintenance writer by contract.
+    * For incremental changes prefer [[commitDelta]] — this writes the
+    * whole list.
+    */
+  def commit(spark: SparkSession, root: String, relFiles: Seq[String]): Long =
+    writeManifest(spark, root, isCheckpoint = true,
+      currentVersion(spark, root).getOrElse(0L) + 1L, relFiles)
+
+  /** Commit an incremental change — O(delta) bytes written, NOT a rewrite
+    * of the live list (v1's full-list-per-commit was quadratic across a
+    * backfill). Every [[checkpointEvery]]-th commit instead rolls the log
+    * up into a checkpoint, bounding every reader's resolution chain; that
+    * rollup is the only commit that pays an O(index-files) write, so the
+    * amortized cost stays O(delta + files/checkpointEvery).
+    */
+  def commitDelta(spark: SparkSession, root: String, adds: Seq[String],
+                  removes: Seq[String] = Nil): Long = {
+    val refs = listManifests(spark, root)
+    if (refs.isEmpty)
+      return writeManifest(spark, root, isCheckpoint = true, 1L,
+        adds.distinct.sorted)
+    val cur = refs.last.version
+    val deltasSinceCkpt = refs.drop(refs.lastIndexWhere(_.isCheckpoint) + 1).size
+    if (deltasSinceCkpt + 1 >= checkpointEvery) {
+      val full = (filesAt(spark, root, cur).toSet ++ adds -- removes)
+      writeManifest(spark, root, isCheckpoint = true, cur + 1L,
+        full.toList.sorted)
+    } else
+      writeManifest(spark, root, isCheckpoint = false, cur + 1L,
+        removes.distinct.sorted.map("-" + _) ++ adds.distinct.sorted.map("+" + _))
   }
 
   /** Test hook: when set, receives the root of every [[listParquet]]
-    * walk. SnapshotsSpec installs a recorder to PROVE the append path
-    * performs no recursive listing of the index tree (only of its own
-    * O(delta) staging directory).
+    * walk. SnapshotsSpec installs a recorder to PROVE the mutation paths
+    * (append, compact, retrain) perform no recursive listing of the index
+    * tree (only of their own O(delta) staging/commit directories).
     */
   @volatile private[graft] var listProbe: String => Unit = null
 
@@ -202,31 +394,47 @@ object Snapshots {
       listed
     }
 
-  /** Build a DataFrame over an explicit manifest file list. Above 32
-    * root paths Spark switches to a PARALLEL listing job
-    * (`spark.sql.sources.parallelPartitionDiscovery.threshold`) — right
-    * for an object store, where thousands of sequential driver HEADs
-    * would dwarf one fleet job, but a pure ~1.2 s scheduling tax on a
-    * local filesystem whose stats cost microseconds. Sidestep it for
-    * local roots WITHOUT touching session state (mutating the session
-    * conf — even restored in a finally — is visible to concurrent
-    * planning in the same session): read in ≤32-path groups, each under
-    * the sequential-listing threshold, and union. Filters and partition
-    * pruning push into every branch identically, and the group count is
-    * bounded (≤512 paths → ≤16 branches); past that bound the parallel
-    * listing job is genuinely the faster choice even locally.
+  /** Build a DataFrame over an explicit manifest file list (root-relative
+    * paths). Zero-copy commit trees (`commit-<tag>/…`) get their OWN
+    * `basePath` group — each tree is one flat hive layout, and reading
+    * mixed depths under a single basePath is exactly what Spark's
+    * partition inference rejects (CONFLICTING_DIRECTORY_STRUCTURES); the
+    * per-depth groups union back together with identical partition
+    * columns and per-branch pushdown/pruning.
+    *
+    * Within a group, above 32 root paths Spark switches to a PARALLEL
+    * listing job (`spark.sql.sources.parallelPartitionDiscovery
+    * .threshold`) — right for an object store, where thousands of
+    * sequential driver HEADs would dwarf one fleet job, but a pure
+    * ~1.2 s scheduling tax on a local filesystem whose stats cost
+    * microseconds. Sidestep it for local roots WITHOUT touching session
+    * state (mutating the session conf — even restored in a finally — is
+    * visible to concurrent planning in the same session): read in
+    * ≤32-path groups, each under the sequential-listing threshold, and
+    * union. Filters and partition pruning push into every branch
+    * identically, and the group count is bounded (≤512 paths → ≤16
+    * branches); past that bound the parallel listing job is genuinely
+    * the faster choice even locally.
     */
-  private def readFileList(spark: SparkSession, root: String,
-                           paths: Seq[String]): DataFrame = {
-    val (fs, _) = fsFor(spark, root)
-    val local = fs.getScheme == "file"
-    if (!local || paths.size <= 32)
-      spark.read.option("basePath", root).parquet(paths: _*)
-    else if (paths.size <= 512)
-      paths.grouped(32)
-        .map(g => spark.read.option("basePath", root).parquet(g: _*))
-        .reduce(_ unionByName _)
-    else spark.read.option("basePath", root).parquet(paths: _*)
+  private def readRelFiles(spark: SparkSession, root: String,
+                           rels: Seq[String]): DataFrame = {
+    def one(base: String, paths: Seq[String]): DataFrame = {
+      val (fs, _) = fsFor(spark, base)
+      val local = fs.getScheme == "file"
+      if (!local || paths.size <= 32)
+        spark.read.option("basePath", base).parquet(paths: _*)
+      else if (paths.size <= 512)
+        paths.grouped(32)
+          .map(g => spark.read.option("basePath", base).parquet(g: _*))
+          .reduce(_ unionByName _)
+      else spark.read.option("basePath", base).parquet(paths: _*)
+    }
+    val groups = rels.groupBy(r =>
+      if (r.startsWith("commit-")) r.takeWhile(_ != '/') else "")
+    groups.toSeq.sortBy(_._1).map { case (dir, fs) =>
+      val base = if (dir.isEmpty) root else s"$root/$dir"
+      one(base, fs.map(f => s"$root/$f"))
+    }.reduce(_ unionByName _)
   }
 
   /** Read the live snapshot of `root`. None when the live file set is
@@ -237,76 +445,122 @@ object Snapshots {
     * Manifest-resolved reads are memoized per session through
     * [[SnapCache]]: re-opening an unchanged index skips the file-list
     * DataFrame construction (footer schema read + file stats) and costs
-    * one tiny manifest read for the fingerprint check. The legacy
+    * one manifest-directory listing for the fingerprint check. The legacy
     * no-manifest path is never cached — nothing fingerprints it.
     */
   def read(spark: SparkSession, root: String): Option[DataFrame] =
-    currentFiles(spark, root) match {
-      case Some(files) if files.isEmpty => None
-      case Some(_) =>
-        SnapCache.cached(spark, s"snap-read:$root", Seq(root)) {
-          val files = currentFiles(spark, root).get
-          Some(readFileList(spark, root, files.map(f => s"$root/$f")))
+    // fingerprint FIRST (one directory listing, no body reads), so a
+    // cache hit on an unchanged root costs zero manifest-body bytes —
+    // resolving currentFiles before the cache check would re-read the
+    // resolution chain on every open and defeat the O(1) claim
+    if (fingerprint(spark, root).nonEmpty)
+      SnapCache.cached(spark, s"snap-read:$root", Seq(root)) {
+        currentFiles(spark, root) match {
+          case Some(files) if files.nonEmpty =>
+            Some(readRelFiles(spark, root, files))
+          case _ => None // empty live set: parquet can't infer a schema
         }
-      case None =>
-        if (listParquet(spark, root).isEmpty) None
-        else Some(spark.read.parquet(root))
-    }
+      }
+    else if (listParquet(spark, root).isEmpty) None
+    else Some(spark.read.parquet(root))
+
+  /** Default for [[appendCommit]]'s `zeroCopy` (env-switchable so a bench
+    * A/B can flip the whole ingest family without a code change). Flat
+    * stays the default: on local/HDFS the per-file rename is free, and
+    * one flat hive tree keeps single-basePath reads and simplest vacuums.
+    */
+  private[graft] def zeroCopyDefault: Boolean =
+    sys.props.get("graft.snapshot.zerocopy").map(_ == "1")
+      .orElse(sys.env.get("GRAFT_SNAPSHOT_ZEROCOPY").map(_ == "1"))
+      .getOrElse(false)
 
   /** Incremental append, O(delta) end to end: run `write` against a
-    * fresh hidden staging directory (the function receives its path and
-    * must write ONE parquet dataset there — hive partition subdirs fine),
-    * list ONLY that directory to learn what the commit wrote, move each
-    * file into its final home under `root` (unique part-file names —
-    * Spark embeds the write job's UUID — so moves cannot collide), and
-    * commit manifest ∪ written.
+    * fresh staging directory (the function receives its path and must
+    * write ONE parquet dataset there — hive partition subdirs fine), list
+    * ONLY that directory to learn what the commit wrote, and commit an
+    * O(delta) manifest entry ([[commitDelta]]).
     *
-    * The index tree is NEVER walked: the one recursive listing is of the
-    * just-written staging tree, so a micro-batch ingest against a
-    * million-file index costs O(batch) filesystem calls, not an
-    * O(index-files) LIST storm (the r9 version diffed a full recursive
+    * The index tree is NEVER walked and the live list never rewritten:
+    * the one recursive listing is of the just-written staging tree and
+    * the manifest entry holds only this commit's adds, so a micro-batch
+    * ingest against a million-file index costs O(batch) filesystem calls
+    * and O(batch) manifest bytes (the r9 version diffed a full recursive
     * listing against the manifest per append — quadratic across a
-    * backfill, and it also resurrected crash-orphaned data files into the
-    * live set; committing exactly what THIS commit wrote can't).
+    * backfill — and r10 still rewrote the full FILE LIST per commit:
+    * same quadratic, one layer up. Committing exactly what THIS commit
+    * wrote also can't resurrect crash-orphaned data files into the live
+    * set).
     *
-    * Staging lives under `root/_staging-<uuid>` — underscore-hidden, so
-    * readers and [[listParquet]] never see half-written files. The moves
-    * are per-file renames: free on local/HDFS, a copy of the just-written
-    * delta on S3A (still O(delta) bytes; the zero-copy upgrade there is a
-    * manifest format that can reference files in nested commit
-    * directories, which Spark's flat hive partition inference rules out —
-    * mixed-depth file sets raise CONFLICTING_DIRECTORY_STRUCTURES).
-    * Crash safety: a crash before the manifest commit leaves only
-    * unreferenced files ([[vacuum]] removes them and any stray staging
-    * dirs); the commit itself is the same single rename as ever.
+    * Two physical layouts:
+    *   - `zeroCopy = false` (default): staging lives under
+    *     `root/_staging-<uuid>` — underscore-hidden, so readers and
+    *     [[listParquet]] never see half-written files — and each file is
+    *     RENAMED into its final home under `root` (unique part-file
+    *     names — Spark embeds the write job's UUID — so moves cannot
+    *     collide). Free on local/HDFS; a copy of the just-written delta's
+    *     bytes on S3A.
+    *   - `zeroCopy = true`: the commit writes DIRECTLY into its own
+    *     `root/commit-<tag>/` tree and the manifest references the files
+    *     in place — zero renames, so on S3A the append is metadata-only.
+    *     The tree is not underscore-hidden (Spark's readers drop hidden
+    *     path components), but it is invisible anyway: readers resolve
+    *     the manifest, which names it only after the commit. Readers
+    *     union per-commit-tree basePath groups (see [[readRelFiles]]) —
+    *     Spark's flat hive inference cannot span mixed depths under one
+    *     basePath (CONFLICTING_DIRECTORY_STRUCTURES), which is why v1
+    *     documented this as blocked; the grouped read is the unblock.
+    *
+    * Crash safety (both layouts): a crash before the manifest commit
+    * leaves only unreferenced files ([[vacuum]] removes them and any
+    * stray staging/commit trees); the commit itself is the same single
+    * rename as ever.
     */
-  def appendCommit(spark: SparkSession, root: String)(write: String => Unit): Long =
+  def appendCommit(spark: SparkSession, root: String,
+                   zeroCopy: Boolean = zeroCopyDefault)
+                  (write: String => Unit): Long =
       withWriterLock(spark, root) {
-    val before = bootstrap(spark, root) // manifest read; lists only on first touch
+    if (currentVersion(spark, root).isEmpty) bootstrap(spark, root)
     val (fs, rootP) = fsFor(spark, root)
-    val staging = new Path(rootP, s"_staging-${java.util.UUID.randomUUID()}")
-    write(staging.toString)
-    val written = listParquet(spark, staging.toString)
-    written.foreach { rel =>
-      val dst = new Path(rootP, rel)
-      val parent = dst.getParent
-      if (!fs.exists(parent)) fs.mkdirs(parent)
-      require(fs.rename(new Path(staging, rel), dst),
-        s"snapshot append move failed: $staging/$rel -> $dst")
+    if (zeroCopy) {
+      val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+      val tree = new Path(rootP, s"commit-$tag")
+      write(tree.toString)
+      val written = listParquet(spark, tree.toString)
+      commitDelta(spark, root, adds = written.map(f => s"commit-$tag/$f"))
+    } else {
+      val staging = new Path(rootP, s"_staging-${java.util.UUID.randomUUID()}")
+      write(staging.toString)
+      val written = listParquet(spark, staging.toString)
+      written.foreach { rel =>
+        val dst = new Path(rootP, rel)
+        val parent = dst.getParent
+        if (!fs.exists(parent)) fs.mkdirs(parent)
+        probeIo("rename", root, 1L)
+        require(fs.rename(new Path(staging, rel), dst),
+          s"snapshot append move failed: $staging/$rel -> $dst")
+      }
+      fs.delete(staging, true)
+      commitDelta(spark, root, adds = written)
     }
-    fs.delete(staging, true)
-    commit(spark, root, (before ++ written).distinct.sorted)
   }
 
   /** Compact the live files matching `subset` into ⌈bytes/targetBytes⌉
     * files (re-clustered on `sortCols` when given, re-partitioned into
-    * hive dirs by `partitionBy` when given), commit the swap, and vacuum
-    * with one version of grace. Readers see either the pre- or
-    * post-compaction file set — never a mixture, never a missing
+    * hive dirs by `partitionBy` when given), commit the swap, and
+    * [[vacuumLight]] with one version of grace. Readers see either the
+    * pre- or post-compaction file set — never a mixture, never a missing
     * directory. `transform` rewrites the row set on the way through
     * (identity by default) — the hook tombstone PURGES ride on, since
     * physically dropping deleted rows is exactly a compaction that
     * filters. Returns (filesBefore, filesAfter) over the subset.
+    *
+    * The rewrite lands in a hidden staging tree and moves into place —
+    * the same O(output) discipline as [[appendCommit]] — so compaction
+    * performs NO recursive walk of the index (r10 discovered its output
+    * by a before/after full listing: race-free under the lock, but an
+    * O(index) walk on a mutation path); its costs are O(subset) status
+    * calls + O(output) moves + an O(delta) manifest entry. The follow-up
+    * vacuum is likewise log-driven, not a tree walk.
     */
   def compactCommit(spark: SparkSession, root: String,
                     subset: String => Boolean, targetBytes: Long,
@@ -318,61 +572,122 @@ object Snapshots {
     require(targetBytes > 0, "targetBytes must be positive")
     val (fs, rootP) = fsFor(spark, root)
     val live = bootstrap(spark, root)
-    val (oldSubset, kept) = live.partition(subset)
+    val oldSubset = live.filter(subset)
     if (oldSubset.isEmpty) return (0L, 0L)
     val totalBytes = oldSubset.map(f =>
       fs.getFileStatus(new Path(rootP, f)).getLen).sum
     val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val df = transform(readFileList(spark, root,
-      oldSubset.map(f => s"$root/$f")))
+    val df = transform(readRelFiles(spark, root, oldSubset))
     val rewritten =
       if (sortCols.nonEmpty)
         df.repartitionByRange(nOut, sortCols.map(col): _*)
           .sortWithinPartitions(sortCols.map(col): _*)
       else df.repartition(nOut)
-    val before = listParquet(spark, root).toSet
-    val w = rewritten.write.mode(org.apache.spark.sql.SaveMode.Append)
+    val staging = new Path(rootP, s"_staging-${java.util.UUID.randomUUID()}")
+    val w = rewritten.write
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(root)
-    val newFiles = listParquet(spark, root).filterNot(before)
-    commit(spark, root, (kept ++ newFiles).sorted)
-    vacuum(spark, root)
+      .parquet(staging.toString)
+    val newFiles = listParquet(spark, staging.toString)
+    newFiles.foreach { rel =>
+      val dst = new Path(rootP, rel)
+      val parent = dst.getParent
+      if (!fs.exists(parent)) fs.mkdirs(parent)
+      probeIo("rename", root, 1L)
+      require(fs.rename(new Path(staging, rel), dst),
+        s"snapshot compact move failed: $staging/$rel -> $dst")
+    }
+    fs.delete(staging, true)
+    commitDelta(spark, root, adds = newFiles, removes = oldSubset)
+    vacuumLight(spark, root)
     (oldSubset.size.toLong, newFiles.size.toLong)
   }
 
-  /** Delete data files referenced by NO kept manifest (keep = the live
-    * version plus `grace` older ones — in-flight readers of the previous
-    * version finish safely) and drop manifests older than the kept set.
-    * Returns the number of data files deleted.
+  /** Log-driven vacuum — NO tree walk: resolves which files the dropped
+    * manifest versions referenced that the kept ones (live plus `grace`
+    * older — in-flight readers of the previous version finish safely) no
+    * longer do, deletes exactly those, and drops manifests no kept
+    * version's resolution chain needs. Cost is O(dropped-chain) tiny
+    * manifest reads + O(dead files) deletes — safe to run per maintenance
+    * cycle against a million-file index. Cannot see files no manifest
+    * ever referenced (crashed pre-commit writes): the full-walk [[vacuum]]
+    * sweeps those on a slower schedule. Returns data files deleted.
+    */
+  def vacuumLight(spark: SparkSession, root: String, grace: Int = 1): Long =
+      withWriterLock(spark, root) {
+    val (fs, rootP) = fsFor(spark, root)
+    val refs = listManifests(spark, root)
+    if (refs.isEmpty) return 0L
+    val keptVs = refs.map(_.version).sorted.reverse.take(1 + math.max(0, grace))
+    val dropVs = refs.map(_.version).filter(_ < keptVs.min)
+    if (dropVs.isEmpty) return 0L
+    val referenced = keptVs.flatMap(v => filesAt(spark, root, v)).toSet
+    var deleted = 0L
+    dropVs.flatMap(v => filesAt(spark, root, v)).distinct
+      .filterNot(referenced).foreach { rel =>
+        if (fs.delete(new Path(rootP, rel), false)) deleted += 1
+      }
+    dropManifestsBelowNeed(spark, root, refs, keptVs)
+    deleted
+  }
+
+  /** Drop manifests older than every kept version's resolution chain:
+    * the minimum needed version is the base CHECKPOINT of the oldest kept
+    * version (deleting a delta chain's base would break [[filesAt]] for
+    * a still-kept version — v1 kept manifests by version count alone,
+    * which the delta log would have broken).
+    */
+  private def dropManifestsBelowNeed(spark: SparkSession, root: String,
+                                     refs: Seq[ManifestRef],
+                                     keptVs: Seq[Long]): Unit = {
+    val (fs, rootP) = fsFor(spark, root)
+    val snapP = new Path(rootP, SnapDir)
+    val oldestKept = keptVs.min
+    refs.filter(r => r.isCheckpoint && r.version <= oldestKept)
+      .map(_.version).maxOption.foreach { needMin =>
+        refs.filter(_.version < needMin).foreach(r =>
+          fs.delete(new Path(snapP, r.fileName), false))
+      }
+  }
+
+  /** Full-walk vacuum: delete data files referenced by NO kept manifest
+    * (keep = the live version plus `grace` older ones) and drop manifests
+    * outside the kept set's resolution chains. This is the DEEP sweep —
+    * it walks the whole tree, so it also catches files no manifest ever
+    * referenced (crashed pre-commit writes), stray temp manifests, and
+    * stray staging/commit trees. Schedule it slower than [[vacuumLight]];
+    * both are safe under the writer lock. Returns data files deleted.
     */
   def vacuum(spark: SparkSession, root: String, grace: Int = 1): Long =
       withWriterLock(spark, root) {
     val (fs, rootP) = fsFor(spark, root)
     val snapP = new Path(rootP, SnapDir)
     if (!fs.exists(snapP)) return 0L
-    val versions = fs.listStatus(snapP).toSeq.flatMap(st =>
-      st.getPath.getName match {
-        case VersionRe(v) => Some(v.toLong)
-        case _            => None
-      }).sorted.reverse
-    if (versions.isEmpty) return 0L
-    val keptVs = versions.take(1 + math.max(0, grace))
+    val refs = listManifests(spark, root)
+    if (refs.isEmpty) return 0L
+    val keptVs = refs.map(_.version).sorted.reverse.take(1 + math.max(0, grace))
     val referenced = keptVs.flatMap(v => filesAt(spark, root, v)).toSet
     var deleted = 0L
     listParquet(spark, root).filterNot(referenced).foreach { rel =>
       if (fs.delete(new Path(rootP, rel), false)) deleted += 1
     }
-    versions.drop(keptVs.length).foreach(v =>
-      fs.delete(new Path(snapP, f"v$v%09d.txt"), false))
+    dropManifestsBelowNeed(spark, root, refs, keptVs)
     // stray temp manifests from crashed commits
     fs.listStatus(snapP).foreach(st =>
       if (st.getPath.getName.startsWith(".tmp-")) fs.delete(st.getPath, false))
-    // stray staging trees from crashed appendCommits (hidden from readers;
-    // safe to remove here — vacuum is a maintenance call, and the
-    // single-maintenance-writer contract means no append is in flight)
-    fs.listStatus(rootP).foreach(st =>
-      if (st.isDirectory && st.getPath.getName.startsWith("_staging-"))
-        fs.delete(st.getPath, true))
+    // stray staging trees from crashed appendCommits (hidden from
+    // readers) and zero-copy commit trees whose every file is dead (a
+    // crashed zero-copy append, or a fully-vacuumed old commit): safe to
+    // remove here — vacuum is a maintenance call, and the
+    // single-maintenance-writer contract means no append is in flight
+    fs.listStatus(rootP).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory && n.startsWith("_staging-"))
+        fs.delete(st.getPath, true)
+      else if (st.isDirectory && n.startsWith("commit-") &&
+               !referenced.exists(_.startsWith(n + "/")) &&
+               listParquet(spark, st.getPath.toString).isEmpty)
+        fs.delete(st.getPath, true)
+    }
     deleted
   }
 }

@@ -112,6 +112,40 @@ class CheckpointHygieneSpec extends SparkSpec {
     Ckpt.free(c2)
   }
 
+  test("Loop growth guard: an expanding frontier re-levels BEFORE it bursts the ceiling") {
+    // a doubling frontier with a 1000-row ceiling: the r10 chooser trusted
+    // the PREVIOUS round's count alone, so the round that crossed from
+    // just-under-ceiling to far-above unrolled deserialized — the exact
+    // OOM mode the serialized default exists to prevent. The guard scales
+    // by the worst observed growth, so the burst round checkpoints
+    // serialized even though its PREDECESSOR was still under the ceiling.
+    val lp = new Ckpt.Loop(deserMaxRows = 1000L)
+    def frame(n: Int) = spark.range(n.toLong).toDF("id")
+    var cur = lp.local(frame(100)) // round 1: unknown size -> SER
+    assert(lp.lastLevel == Ckpt.SER)
+    for (n <- Seq(200, 400, 800)) { // doubling, still under guard*ceiling
+      val next = lp.local(frame(n)); Ckpt.free(cur); cur = next
+    }
+    assert(lp.lastLevel == StorageLevel.MEMORY_AND_DISK,
+      "under ceiling/growth the loop must keep the fast deserialized level")
+    assert(lp.growth >= 2.0, "the doubling must be observed")
+    // burst round: previous count 800 <= 1000, but 800 * growth 2 > 1000
+    val burst = lp.local(frame(1600)); Ckpt.free(cur); cur = burst
+    assert(lp.lastLevel == Ckpt.SER,
+      "a frame whose history says it can burst past the ceiling must checkpoint SERIALIZED")
+    Ckpt.free(cur)
+    // a shrinking loop (k-core shape) never observes growth > 1, so the
+    // r10 measured deserialized win is untouched
+    val shrink = new Ckpt.Loop(deserMaxRows = 1000L)
+    var s = shrink.local(frame(900)) // round 1: SER (unknown)
+    for (n <- Seq(800, 700, 600)) {
+      val next = shrink.local(frame(n)); Ckpt.free(s); s = next
+      assert(shrink.lastLevel == StorageLevel.MEMORY_AND_DISK,
+        s"a shrinking $n-row frame under the ceiling must stay deserialized")
+    }
+    Ckpt.free(s)
+  }
+
   test("the unpersist-warn silencer is a message filter, not a level override") {
     assert(Ckpt.quietUnpersistWarnInstalled, "filter install must succeed on log4j2")
     // r9 pinned a dedicated ERROR-level LoggerConfig on MapPartitionsRDD,
