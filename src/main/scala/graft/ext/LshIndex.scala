@@ -100,28 +100,41 @@ object LshIndex {
     // are O(matched candidates), not O(ledger)
     sigs.repartitionByRange(files, col("id")).sortWithinPartitions("id")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/sigs")
+    // params land BEFORE the bands manifest bootstrap: [[readParams]]
+    // caches params under the bands fingerprint, so the new fingerprint
+    // must never become visible while the OLD params file is still on
+    // disk — the reverse order let a probe racing a rebuild poison the
+    // cache with stale (n, k, bands) under the new fingerprint for the
+    // session's lifetime (r10 ADVICE)
+    import spark.implicits._
+    Seq((n, k, bands)).toDF("n", "k", "bands")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
     // snapshot manifests are the probe-visible commit point from here on
     // (Overwrite wiped any prior manifest along with the prior files)
     graft.sources.Snapshots.bootstrap(spark, s"$path/bands")
     graft.sources.Snapshots.bootstrap(spark, s"$path/sigs")
-    import spark.implicits._
-    Seq((n, k, bands)).toDF("n", "k", "bands")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(s"$path/params")
     // a fresh build is a new corpus: stale tombstones must not erase it
     graft.sources.Tombstones.clear(spark, path)
     Ckpt.free(sigs)
   }
 
-  private def readParams(spark: SparkSession, path: String): (Int, Int, Int) =
+  private def readParams(spark: SparkSession, path: String): (Int, Int, Int) = {
     // params are frozen at write() time and only change through a write()
     // that also rebuilds the bands manifest, so the bands fingerprint is
     // a sound (slightly over-eager: appends re-read one tiny row) cache
-    // key for this one-row collect — it has no manifest of its own
-    graft.sources.SnapCache.cached(spark, s"lsh-params:$path",
-      Seq(s"$path/bands")) {
+    // key for this one-row collect — it has no manifest of its own.
+    // write() commits params BEFORE the bands manifest, so a new
+    // fingerprint always sees new params; the manifest-less window DURING
+    // a rebuild bypasses the cache entirely (two rebuilds would otherwise
+    // alias under the same empty fingerprint).
+    def load(): (Int, Int, Int) = {
       val r = spark.read.parquet(s"$path/params").collect()(0)
       (r.getInt(0), r.getInt(1), r.getInt(2))
     }
+    if (graft.sources.SnapCache.fingerprint(spark, s"$path/bands").isEmpty) load()
+    else graft.sources.SnapCache.cached(spark, s"lsh-params:$path",
+      Seq(s"$path/bands"))(load())
+  }
 
   /** Incremental ingest: band `delta` under the ledger's FROZEN params
     * and append its postings and signatures. Each append stages its files
@@ -247,7 +260,14 @@ object LshIndex {
     // checkpointed (O(batch) rows — the bounded small side by contract)
     // and the key collect, band join and estimation join all derive from
     // the stored arrays. The r9 shape re-ran the fused minhash expression
-    // at each of those three consumers.
+    // at each of those three consumers. LIFETIME: the returned lazy plan
+    // still references this checkpoint (twice — band probe + broadcast
+    // sigs), so it CANNOT be Ckpt.free'd in-method; its O(batch) blocks
+    // are reclaimed by GC + ContextCleaner once the caller drops the
+    // result. Deliberate exception to the eager-free discipline: an
+    // eager in-method materialization would hide the scan plan from
+    // callers (pushdown audits) and re-shape every consumer's pipeline
+    // for a bounded, self-expiring frame.
     val probeSigs = Ckpt.local(sigsOf(incoming, idCol, textCol, n, k))
     val probe = bandsOf(probeSigs, k, bands)
     val keys = probe.select("bkey").distinct().limit(pushLimit + 1)

@@ -70,6 +70,29 @@ class LshIndexSpec extends SparkSpec {
       "purge must be invisible to probe results")
   }
 
+  test("a rebuild with different params is never probed with the cached old ones") {
+    // r10 ADVICE: write() used to bootstrap the new bands manifest BEFORE
+    // overwriting the params file, so a probe racing the rebuild could
+    // cache the OLD (n, k, bands) under the NEW fingerprint — and the
+    // poisoned entry then served wrong signatures for the session's
+    // lifetime. The commit order is now params-first; this pins the
+    // visible consequence: probe → rebuild with new params → probe uses
+    // the NEW params (bit-identical to a fresh session's probe).
+    val path = tmpIndex("reparam")
+    LshIndex.write(ledgerCohort, "doc_id", "text", path, n = 3, k = 64, bands = 16)
+    assert(pairsOf(LshIndex.probePairs(spark, path, incoming,
+      "doc_id", "text", 0.5)) == expected) // warms the params cache
+    LshIndex.write(ledgerCohort, "doc_id", "text", path, n = 2, k = 32, bands = 8)
+    val reProbed = pairsOf(LshIndex.probePairs(spark, path, incoming,
+      "doc_id", "text", 0.5))
+    val fresh = Dedup.minhashPairs(docs, "doc_id", "text", n = 2, k = 32,
+      bands = 8, threshold = 0.5)
+      .filter(col("id_a") < 250 && col("id_b") >= 250)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(reProbed == fresh,
+      "post-rebuild probes must run under the rebuilt params, not cached ones")
+  }
+
   test("append under frozen params converges to the one-shot build") {
     val path = tmpIndex("incremental")
     LshIndex.write(docs.filter(col("doc_id") < 150), "doc_id", "text", path)
