@@ -128,12 +128,23 @@ object Snapshots {
     * (routine at 100 TB — a multi-hour retrain) is never stolen from
     * while alive; only a crashed holder's lease goes stale (r10 never
     * refreshed the mtime, so any job over the TTL was stolen from
-    * mid-run). The steal itself is TOCTOU-safe: a stealer must first WIN
-    * a rename of the stale lock to a unique grave name — two waiters that
-    * both stat the same stale lock race the rename, exactly one succeeds,
-    * and the loser can no longer delete the winner's fresh lock (the r10
-    * stat-then-delete steal had that window). Two concurrent maintenance
-    * jobs on the same root fail fast (after a short bounded wait) instead
+    * mid-run). The steal itself is TOCTOU-safe: stealers serialize on a
+    * steal MUTEX (`.writer-lock.steal`, atomic create-no-overwrite), and
+    * the staleness verdict is re-taken INSIDE the mutex right before the
+    * claim — r10's stat-then-delete let a waiter holding a pre-steal
+    * verdict delete the winner's FRESH lock, and a bare rename-to-grave
+    * claim has the same hole one step later (the rename can grab a fresh
+    * lock created after the verdict; observed as 4 double-holds in an
+    * 8-thread race). Under the mutex the stale file stays at the lock
+    * path until the single stealer renames it away (create-no-overwrite
+    * cannot replace a present file), so the rename provably claims the
+    * stale lock and never a live one; the final acquisition is still the
+    * same atomic create every waiter races. A crashed stealer's mutex is
+    * itself TTL-reaped — the residual double-steal window behind that
+    * needs a crashed stealer AND two waiters racing the reap, and even
+    * then the atomic rename lets exactly one claim. Two concurrent
+    * maintenance jobs on the same root fail fast (after a short bounded
+    * wait) instead
     * of silently racing their listing/commit sequences; probes stay
     * lock-free and unlimited. This is deliberately advisory: true
     * multi-writer coordination on an object store whose create is not
@@ -142,6 +153,26 @@ object Snapshots {
     * (S3A), the heartbeat no-ops harmlessly — size the TTL to the longest
     * expected job there.)
     */
+  /** Atomic create-no-overwrite — the primitive every lock/commit claim
+    * here races on. Hadoop's LOCAL create(path, overwrite=false) is a
+    * check-then-act (exists() then FileOutputStream), NOT atomic: under a
+    * 12-thread race the r10-shaped lock double-acquired repeatedly (the
+    * suite run measured 4 overlaps). On `file://` this goes through
+    * NIO's O_CREAT|O_EXCL, which the kernel makes atomic; on HDFS the
+    * namenode makes create-no-overwrite atomic, so the Hadoop call is
+    * kept; on S3A neither is atomic and multi-writer needs an external
+    * coordinator (documented in [[withWriterLock]], exactly as Delta).
+    */
+  private def tryCreateAtomic(fs: FileSystem, p: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try { java.nio.file.Files.createFile(
+        java.nio.file.Paths.get(p.toUri.getPath)); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false
+              case _: java.io.IOException => false }
+    } else
+      try { val out = fs.create(p, false); out.close(); true }
+      catch { case _: java.io.IOException => false }
+
   def withWriterLock[A](spark: SparkSession, root: String)(body: => A): A = {
     val held = heldLocks.get()
     if (held.contains(root)) return body // re-entrant within the thread
@@ -153,23 +184,39 @@ object Snapshots {
     val deadline = System.currentTimeMillis() + 10000 // bounded wait, then loud
     var acquired = false
     while (!acquired) {
-      acquired =
-        try { val out = fs.create(lockP, false); out.close(); true }
-        catch { case _: java.io.IOException =>
-          // steal if the holder looks dead (lease mtime past the TTL) —
-          // but only after WINNING the rename-to-grave race
-          val stale = try {
-            System.currentTimeMillis() - fs.getFileStatus(lockP)
-              .getModificationTime > ttl
-          } catch { case _: java.io.FileNotFoundException => false }
-          if (stale) {
-            val grave = new Path(snapP,
-              s".stale-${java.util.UUID.randomUUID().toString.take(8)}")
-            try { if (fs.rename(lockP, grave)) fs.delete(grave, false) }
+      acquired = tryCreateAtomic(fs, lockP)
+      if (!acquired) {
+        // steal if the holder looks dead (lease mtime past the TTL) —
+        // verdict and claim must be ATOMIC together (see scaladoc)
+        def mtimeStale(p: Path): Boolean =
+          try System.currentTimeMillis() -
+            fs.getFileStatus(p).getModificationTime > ttl
+          catch { case _: java.io.IOException => false }
+        if (mtimeStale(lockP)) {
+          val stealP = new Path(snapP, LockName + ".steal")
+          val mutexHeld = tryCreateAtomic(fs, stealP) || {
+            // a crashed stealer's mutex is itself TTL-reaped
+            if (mtimeStale(stealP))
+              try fs.delete(stealP, false)
+              catch { case _: java.io.IOException => () }
+            false
+          }
+          if (mutexHeld) try {
+            // re-verdict INSIDE the mutex: while the stale file sits at
+            // lockP, create-no-overwrite cannot replace it, so this
+            // rename can only ever claim the file just judged stale
+            if (mtimeStale(lockP)) {
+              val grave = new Path(snapP,
+                s".stale-${java.util.UUID.randomUUID().toString.take(8)}")
+              try { if (fs.rename(lockP, grave)) fs.delete(grave, false) }
+              catch { case _: java.io.IOException => () }
+            }
+          } finally {
+            try fs.delete(stealP, false)
             catch { case _: java.io.IOException => () }
           }
-          false
         }
+      }
       if (!acquired) {
         require(System.currentTimeMillis() < deadline,
           s"snapshot writer lock busy at $lockP: another maintenance job " +
@@ -618,14 +665,25 @@ object Snapshots {
     val refs = listManifests(spark, root)
     if (refs.isEmpty) return 0L
     val keptVs = refs.map(_.version).sorted.reverse.take(1 + math.max(0, grace))
-    val dropVs = refs.map(_.version).filter(_ < keptVs.min)
-    if (dropVs.isEmpty) return 0L
+    val dropRefs = refs.filter(_.version < keptVs.min)
+    if (dropRefs.isEmpty) return 0L
     val referenced = keptVs.flatMap(v => filesAt(spark, root, v)).toSet
+    // candidate dead files: read each DROPPED manifest once — a dropped
+    // version's resolution chain consists only of dropped manifests (its
+    // base checkpoint precedes it, hence precedes every kept version), so
+    // checkpoint lines plus delta `+adds` cover every file any dropped
+    // version referenced. One read per dropped manifest, not a full chain
+    // re-resolution per dropped version (O(dropped²) on a backfill's
+    // first vacuum).
+    val candidates = dropRefs.flatMap { ref =>
+      val lines = readManifestLines(spark, root, ref)
+      if (ref.isCheckpoint) lines
+      else lines.collect { case l if l.startsWith("+") => l.drop(1) }
+    }.distinct
     var deleted = 0L
-    dropVs.flatMap(v => filesAt(spark, root, v)).distinct
-      .filterNot(referenced).foreach { rel =>
-        if (fs.delete(new Path(rootP, rel), false)) deleted += 1
-      }
+    candidates.filterNot(referenced).foreach { rel =>
+      if (fs.delete(new Path(rootP, rel), false)) deleted += 1
+    }
     dropManifestsBelowNeed(spark, root, refs, keptVs)
     deleted
   }

@@ -206,6 +206,52 @@ class ManifestLogSpec extends SparkSpec {
     assert(rows(flat) == rows(zc))
   }
 
+  test("zero-copy mode runs the REAL index families end to end, same results") {
+    // the A/B above proves the raw layer; this proves the whole stack — a
+    // mixed layout (flat one-shot build + zero-copy appends + zero-copy
+    // tombstones + a staged compaction over both) through LshIndex and
+    // AnnIndex, bit-compared against the default flat run
+    val docs = (0L until 120L)
+      .map(i => (i, s"alpha bravo charlie delta echo ${i % 12} tail ${i % 5}"))
+      .toDF("doc_id", "text")
+    val incoming = docs.filter(col("doc_id") >= 100)
+    def lshPairs(root: String): Set[(Long, Long)] = {
+      ext.LshIndex.write(docs.filter(col("doc_id") < 60), "doc_id", "text", root, files = 2)
+      ext.LshIndex.append(docs.filter(col("doc_id") >= 60 && col("doc_id") < 100),
+        "doc_id", "text", root)
+      ext.LshIndex.delete(spark, root, Seq(7L).toDF("id"))
+      ext.LshIndex.compact(spark, root)
+      ext.LshIndex.probePairs(spark, root, incoming, "doc_id", "text", 0.2)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    }
+    // +1 offsets keep every vector away from the zero vector (cosine
+    // against a zero norm is a legitimate ANSI divide-by-zero)
+    val vecs = (0L until 80L).map(i =>
+      (i, Array(i.toDouble % 7 + 1, (i % 3).toDouble + 1))).toDF("id", "v")
+    val queries = (0L until 5L).map(i =>
+      (1000L + i, Array(i.toDouble % 7 + 1, (i % 3).toDouble + 1))).toDF("id", "v")
+    def annTop(root: String): Set[String] = {
+      val cents = ext.IvfIndex.train(vecs.filter(col("id") < 50), "id", "v", k = 4)
+      ext.AnnIndex.write(
+        ext.IvfIndex.assign(vecs.filter(col("id") < 50), "id", "v", cents), cents, root)
+      ext.AnnIndex.append(vecs.filter(col("id") >= 50), "id", "v", root)
+      ext.AnnIndex.delete(spark, root, Seq(11L).toDF("id"))
+      ext.AnnIndex.compactCell(spark, root, cell = 1)
+      ext.AnnIndex.probeTopK(spark, root, queries, "id", "v", k = 3)
+        .collect().map(r => (0 until r.length).map(i => String.valueOf(r.get(i)))
+          .mkString("|")).toSet
+    }
+    val flatLsh = lshPairs(tmp("zc-e2e-lsh-flat"))
+    val flatAnn = annTop(tmp("zc-e2e-ann-flat"))
+    assert(flatLsh.nonEmpty && flatAnn.nonEmpty, "fixtures must produce matches")
+    java.lang.System.setProperty("graft.snapshot.zerocopy", "1")
+    val (zcLsh, zcAnn) =
+      try (lshPairs(tmp("zc-e2e-lsh-zc")), annTop(tmp("zc-e2e-ann-zc")))
+      finally java.lang.System.clearProperty("graft.snapshot.zerocopy")
+    assert(zcLsh == flatLsh, "zero-copy LSH ledger must probe identically to flat")
+    assert(zcAnn == flatAnn, "zero-copy ANN index must probe identically to flat")
+  }
+
   test("no mutation path walks an index tree: append, compact, retrain, forget") {
     // the r10 board had ONE remaining full-tree walk on a mutation path
     // (compactCommit's before/after diff); with compaction staged, the
@@ -288,26 +334,34 @@ class ManifestLogSpec extends SparkSpec {
   }
 
   test("stale-lock stealing is atomic: N racing stealers never overlap") {
+    // the first shipped fix (bare rename-to-grave) FAILED this test under
+    // full-suite timing with 4 overlaps: a waiter whose staleness verdict
+    // predated the winner's fresh lock renamed THAT away. The steal mutex
+    // + in-mutex re-verdict closes it; two rounds of a 12-thread race keep
+    // the regression pressure on.
     val root = tmp("steal-race")
     Seq(1L).toDF("id").coalesce(1).write.parquet(root)
     Snapshots.bootstrap(spark, root)
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sessionState.newHadoopConf())
     val lockP = new org.apache.hadoop.fs.Path(s"$root/_snapshots/.writer-lock")
-    fs.create(lockP, false).close()
-    fs.setTimes(lockP, System.currentTimeMillis() - 31L * 60 * 1000, -1)
-    val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)
-    val overlap = new java.util.concurrent.atomic.AtomicInteger(0)
-    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
-    val threads = (1 to 8).map(_ => new Thread(() =>
-      try Snapshots.withWriterLock(spark, root) {
-        if (concurrent.incrementAndGet() > 1) overlap.incrementAndGet()
-        Thread.sleep(30)
-        concurrent.decrementAndGet()
-      } catch { case t: Throwable => errors.add(t) }))
-    threads.foreach(_.start()); threads.foreach(_.join(30000))
-    assert(errors.isEmpty, s"racing stealers must serialize, not fail: ${errors.peek()}")
-    assert(overlap.get() == 0,
-      "two stealers of one stale lock must never both hold it (r10 TOCTOU)")
+    for (round <- 1 to 2) {
+      fs.create(lockP, false).close()
+      fs.setTimes(lockP, System.currentTimeMillis() - 31L * 60 * 1000, -1)
+      val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+      val overlap = new java.util.concurrent.atomic.AtomicInteger(0)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (1 to 12).map(_ => new Thread(() =>
+        try Snapshots.withWriterLock(spark, root) {
+          if (concurrent.incrementAndGet() > 1) overlap.incrementAndGet()
+          Thread.sleep(30)
+          concurrent.decrementAndGet()
+        } catch { case t: Throwable => errors.add(t) }))
+      threads.foreach(_.start()); threads.foreach(_.join(30000))
+      assert(errors.isEmpty,
+        s"round $round: racing stealers must serialize, not fail: ${errors.peek()}")
+      assert(overlap.get() == 0,
+        s"round $round: two stealers of one stale lock must never both hold it")
+    }
   }
 }
