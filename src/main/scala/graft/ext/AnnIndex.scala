@@ -71,14 +71,20 @@ object AnnIndex {
     * directories at planning time.
     */
   def open(spark: SparkSession, path: String): (DataFrame, Seq[(Int, Array[Double])]) = {
-    val root = liveRoot(spark, path) // one resolve → a consistent tier pair
+    val (root, fpRoot) = liveRootFp(spark, path) // one resolve → a consistent tier pair
     // the whole open — tombstone-filtered lists frame + the driver-side
     // centroid collect (a Spark job) — is memoized per session against
     // the fingerprints of everything it derives from: the root pointer
     // (generation swaps), both tiers, and the tombstone set. Re-probing
-    // an unchanged index costs four tiny manifest reads, zero jobs.
-    graft.sources.SnapCache.cached(spark, s"ann-open:$path",
-      Seq(path, s"$root/cells", s"$root/centroids", s"$path/tombstones")) {
+    // an unchanged index costs ONE manifest-directory listing per root
+    // (≤4 LIST round trips, zero manifest-body bytes, zero jobs —
+    // ManifestLogSpec counts them); the root-pointer listing is shared
+    // with liveRoot's own resolution instead of being paid twice.
+    graft.sources.SnapCache.cachedFingerprinted(spark, s"ann-open:$path",
+      Seq(fpRoot,
+        graft.sources.SnapCache.fingerprint(spark, s"$root/cells"),
+        graft.sources.SnapCache.fingerprint(spark, s"$root/centroids"),
+        graft.sources.SnapCache.fingerprint(spark, s"$path/tombstones"))) {
       // tombstoned ids are anti-joined out HERE, so every consumer (probe,
       // stats, retrain) forgets them uniformly and immediately; the next
       // retrain physically drops them. Delete-free indexes skip the join.
@@ -210,10 +216,26 @@ object AnnIndex {
     * keep working.
     */
   private[graft] def liveRoot(spark: SparkSession, path: String): String =
-    graft.sources.Snapshots.currentFiles(spark, path) match {
-      case Some(Seq(gen)) if gen != "." => s"$path/$gen"
-      case _                            => path
+    liveRootFp(spark, path)._1
+
+  /** [[liveRoot]] plus the root-pointer fingerprint its resolution
+    * already paid for — memoized per committed pointer state, so a warm
+    * [[open]] resolves the generation with the SAME single listing that
+    * fingerprints it (a never-retrained root has no manifest → None →
+    * uncached recompute, which is just the cheap no-manifest probe).
+    */
+  private def liveRootFp(spark: SparkSession,
+                         path: String): (String, Option[(Long, String)]) = {
+    val fp = graft.sources.SnapCache.fingerprint(spark, path)
+    val root = graft.sources.SnapCache.cachedFingerprinted(
+      spark, s"ann-root:$path", Seq(fp)) {
+      graft.sources.Snapshots.currentFiles(spark, path) match {
+        case Some(Seq(gen)) if gen != "." => s"$path/$gen"
+        case _                            => path
+      }
     }
+    (root, fp)
+  }
 
   /** Cell-occupancy imbalance of a persisted index: max cell size over
     * MEAN cell size (mean over the trained k, so emptied cells count).

@@ -131,9 +131,11 @@ object LshIndex {
       val r = spark.read.parquet(s"$path/params").collect()(0)
       (r.getInt(0), r.getInt(1), r.getInt(2))
     }
-    if (graft.sources.SnapCache.fingerprint(spark, s"$path/bands").isEmpty) load()
-    else graft.sources.SnapCache.cached(spark, s"lsh-params:$path",
-      Seq(s"$path/bands"))(load())
+    // one listing serves both the rebuild-window check and the cache key
+    val fp = graft.sources.SnapCache.fingerprint(spark, s"$path/bands")
+    if (fp.isEmpty) load()
+    else graft.sources.SnapCache.cachedFingerprinted(spark,
+      s"lsh-params:$path", Seq(fp))(load())
   }
 
   /** Incremental ingest: band `delta` under the ledger's FROZEN params

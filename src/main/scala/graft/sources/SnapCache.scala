@@ -54,11 +54,27 @@ object SnapCache {
     * has the fingerprint it had at build time; otherwise run `build` and
     * cache it against the current fingerprints. The fingerprint read is
     * O(#roots) manifest-directory listings — no body reads, no data
-    * listing, no Spark jobs.
+    * listing, no Spark jobs. Callers that already hold the fingerprints
+    * (because their own resolution fetched the same listing) should use
+    * [[cachedFingerprinted]] instead of paying a second LIST per root.
     */
-  def cached[T](spark: SparkSession, key: String, roots: Seq[String])(build: => T): T = {
+  def cached[T](spark: SparkSession, key: String, roots: Seq[String])(build: => T): T =
+    cachedFingerprinted(spark, key, roots.map(fingerprint(spark, _)))(build)
+
+  /** [[cached]] against PRE-COMPUTED fingerprints — the zero-extra-I/O
+    * variant for callers that already listed the manifest directory.
+    * When EVERY fingerprint is None (no root has a manifest) the cache
+    * is bypassed entirely: two distinct manifest-less states — e.g. the
+    * windows of two successive Overwrite rebuilds — would otherwise
+    * alias under the same empty key and serve each other's entries.
+    * (A MIX of None and Some stays cacheable: a never-retrained root
+    * pointer or an empty tombstone set is a stable None, and the Some
+    * fingerprints guard every committed change.)
+    */
+  def cachedFingerprinted[T](spark: SparkSession, key: String,
+                             fps: Seq[Option[(Long, String)]])(build: => T): T = {
+    if (fps.forall(_.isEmpty)) return build
     sweepStopped()
-    val fps = roots.map(fingerprint(spark, _))
     val m = store.computeIfAbsent(spark, _ => new Inner())
     m.get(key) match {
       case (oldFps, v) if oldFps == fps => v.asInstanceOf[T]

@@ -259,12 +259,18 @@ object Snapshots {
 
   /** The commit log of `root`, sorted by version — ONE directory listing,
     * no body reads. Bounded: [[vacuum]]/[[vacuumLight]] drop manifests no
-    * kept version's resolution chain needs.
+    * kept version's resolution chain needs. On an object store each call
+    * is a billable LIST round trip, so every public operation here
+    * fetches the log ONCE and threads it through its internals (the
+    * `…From(refs)` variants) — ManifestLogSpec counts the calls through
+    * [[manifestIoProbe]] ("manifest-list" events) and pins one listing
+    * per root per warm open.
     */
   private def listManifests(spark: SparkSession, root: String): Seq[ManifestRef] = {
     val (fs, rootP) = fsFor(spark, root)
     val snapP = new Path(rootP, SnapDir)
     if (!fs.exists(snapP)) return Nil
+    probeIo("manifest-list", root, 1L)
     fs.listStatus(snapP).toSeq.flatMap(st =>
       st.getPath.getName match {
         case VersionRe(v, kind, tag) =>
@@ -290,11 +296,15 @@ object Snapshots {
     * distinct lists can't concatenate to the same digest).
     */
   def fingerprint(spark: SparkSession, root: String): Option[(Long, String)] =
-    listManifests(spark, root).lastOption.map { ref =>
+    fingerprintFrom(spark, root, listManifests(spark, root))
+
+  private def fingerprintFrom(spark: SparkSession, root: String,
+                              refs: Seq[ManifestRef]): Option[(Long, String)] =
+    refs.lastOption.map { ref =>
       if (ref.tag.nonEmpty) (ref.version, ref.tag)
       else {
         val md = java.security.MessageDigest.getInstance("MD5")
-        filesAt(spark, root, ref.version)
+        filesFrom(spark, root, refs, ref.version)
           .foreach(f => md.update((f + "\n").getBytes("UTF-8")))
         (ref.version, md.digest().map("%02x".format(_)).mkString)
       }
@@ -316,8 +326,11 @@ object Snapshots {
     * checkpoint ≤ v plus its delta suffix, applied in order. O(chain)
     * tiny reads, chain length bounded by [[checkpointEvery]].
     */
-  def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] = {
-    val refs = listManifests(spark, root)
+  def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] =
+    filesFrom(spark, root, listManifests(spark, root), v)
+
+  private def filesFrom(spark: SparkSession, root: String,
+                        refs: Seq[ManifestRef], v: Long): Seq[String] = {
     val upTo = refs.filter(_.version <= v)
     require(upTo.nonEmpty && upTo.last.version == v,
       s"snapshot manifest v$v missing under $root/$SnapDir")
@@ -346,8 +359,10 @@ object Snapshots {
   /** Live file list (root-relative); None when no manifest exists yet
     * (legacy plain directory — callers fall back to a directory scan).
     */
-  def currentFiles(spark: SparkSession, root: String): Option[Seq[String]] =
-    currentVersion(spark, root).map(v => filesAt(spark, root, v))
+  def currentFiles(spark: SparkSession, root: String): Option[Seq[String]] = {
+    val refs = listManifests(spark, root)
+    refs.lastOption.map(r => filesFrom(spark, root, refs, r.version))
+  }
 
   private def writeManifest(spark: SparkSession, root: String,
                             isCheckpoint: Boolean, version: Long,
@@ -394,7 +409,7 @@ object Snapshots {
     val cur = refs.last.version
     val deltasSinceCkpt = refs.drop(refs.lastIndexWhere(_.isCheckpoint) + 1).size
     if (deltasSinceCkpt + 1 >= checkpointEvery) {
-      val full = (filesAt(spark, root, cur).toSet ++ adds -- removes)
+      val full = (filesFrom(spark, root, refs, cur).toSet ++ adds -- removes)
       writeManifest(spark, root, isCheckpoint = true, cur + 1L,
         full.toList.sorted)
     } else
@@ -495,21 +510,23 @@ object Snapshots {
     * one manifest-directory listing for the fingerprint check. The legacy
     * no-manifest path is never cached — nothing fingerprints it.
     */
-  def read(spark: SparkSession, root: String): Option[DataFrame] =
-    // fingerprint FIRST (one directory listing, no body reads), so a
-    // cache hit on an unchanged root costs zero manifest-body bytes —
-    // resolving currentFiles before the cache check would re-read the
-    // resolution chain on every open and defeat the O(1) claim
-    if (fingerprint(spark, root).nonEmpty)
-      SnapCache.cached(spark, s"snap-read:$root", Seq(root)) {
-        currentFiles(spark, root) match {
-          case Some(files) if files.nonEmpty =>
-            Some(readRelFiles(spark, root, files))
-          case _ => None // empty live set: parquet can't infer a schema
-        }
+  def read(spark: SparkSession, root: String): Option[DataFrame] = {
+    // ONE listing serves both the fingerprint check and (on miss) the
+    // resolution — a warm open of an unchanged root costs exactly one
+    // LIST round trip and zero manifest-body bytes (spec-counted);
+    // fingerprinting and resolving through separate listings would
+    // double every open's object-store round trips
+    val refs = listManifests(spark, root)
+    val fp = fingerprintFrom(spark, root, refs)
+    if (fp.nonEmpty)
+      SnapCache.cachedFingerprinted(spark, s"snap-read:$root", Seq(fp)) {
+        val files = filesFrom(spark, root, refs, refs.last.version)
+        if (files.nonEmpty) Some(readRelFiles(spark, root, files))
+        else None // empty live set: parquet can't infer a schema
       }
     else if (listParquet(spark, root).isEmpty) None
     else Some(spark.read.parquet(root))
+  }
 
   /** Default for [[appendCommit]]'s `zeroCopy` (env-switchable so a bench
     * A/B can flip the whole ingest family without a code change). Flat
@@ -667,7 +684,7 @@ object Snapshots {
     val keptVs = refs.map(_.version).sorted.reverse.take(1 + math.max(0, grace))
     val dropRefs = refs.filter(_.version < keptVs.min)
     if (dropRefs.isEmpty) return 0L
-    val referenced = keptVs.flatMap(v => filesAt(spark, root, v)).toSet
+    val referenced = keptVs.flatMap(v => filesFrom(spark, root, refs, v)).toSet
     // candidate dead files: read each DROPPED manifest once — a dropped
     // version's resolution chain consists only of dropped manifests (its
     // base checkpoint precedes it, hence precedes every kept version), so
@@ -723,7 +740,7 @@ object Snapshots {
     val refs = listManifests(spark, root)
     if (refs.isEmpty) return 0L
     val keptVs = refs.map(_.version).sorted.reverse.take(1 + math.max(0, grace))
-    val referenced = keptVs.flatMap(v => filesAt(spark, root, v)).toSet
+    val referenced = keptVs.flatMap(v => filesFrom(spark, root, refs, v)).toSet
     var deleted = 0L
     listParquet(spark, root).filterNot(referenced).foreach { rel =>
       if (fs.delete(new Path(rootP, rel), false)) deleted += 1

@@ -93,6 +93,34 @@ class ManifestLogSpec extends SparkSpec {
       "a changed fingerprint must invalidate the cached frame")
   }
 
+  test("a warm open costs ONE manifest listing per root — never a double fingerprint") {
+    // every listing is a billable LIST round trip on an object store;
+    // fingerprinting and resolving through separate listings would double
+    // every open's round trips, and the r11 first cut did exactly that
+    // (read() fingerprinted, then SnapCache re-fingerprinted)
+    val root = tmp("warm-lists")
+    Seq((1L, 0), (2L, 1)).toDF("id", "cell").write.partitionBy("cell").parquet(root)
+    Snapshots.bootstrap(spark, root)
+    Snapshots.read(spark, root).get.count() // warm the entry
+    val (_, ev) = recordIo { assert(Snapshots.read(spark, root).get.count() == 2) }
+    assert(ev.count(_._1 == "manifest-list") == 1,
+      s"a warm Snapshots.read must pay exactly one LIST, got: $ev")
+    assert(!ev.exists(_._1 == "manifest-read"))
+    // the composite ANN open (root pointer + two tiers + tombstones):
+    // one listing per MANIFESTED root, zero body reads, warm
+    val ann = tmp("warm-lists-ann")
+    val vecs = (0L until 40L).map(i =>
+      (i, Array(i.toDouble % 5 + 1, (i % 3).toDouble + 1))).toDF("id", "v")
+    val cents = ext.IvfIndex.train(vecs, "id", "v", k = 3)
+    ext.AnnIndex.write(ext.IvfIndex.assign(vecs, "id", "v", cents), cents, ann)
+    ext.AnnIndex.open(spark, ann) // warm
+    val (_, evAnn) = recordIo { ext.AnnIndex.open(spark, ann) }
+    val lists = evAnn.count(_._1 == "manifest-list")
+    assert(lists <= 4, s"a warm AnnIndex.open must pay at most one LIST per root, got $lists: $evAnn")
+    assert(!evAnn.exists(_._1 == "manifest-read"),
+      s"a warm open must read zero manifest bodies, got: $evAnn")
+  }
+
   test("legacy v1 manifests (untagged full lists) still resolve and fingerprint") {
     val root = tmp("legacy")
     Seq(1L, 2L, 3L).toDF("id").coalesce(1).write.parquet(root)
