@@ -234,6 +234,73 @@ class ManifestLogSpec extends SparkSpec {
     assert(rows(flat) == rows(zc))
   }
 
+  test("every I/O prefix of an append or compaction is a safe crash point") {
+    // the crash-safety argument ("a crash before the manifest commit
+    // leaves only unreferenced files") asserted per-design in r9/r10 is
+    // here swept MECHANICALLY: re-run the mutation once per I/O event,
+    // killing it at that event, and require after every kill that (a)
+    // readers still resolve the exact pre-mutation rows, (b) vacuum
+    // reclaims the debris, and (c) a clean retry then lands the mutation
+    val failAt = new java.util.concurrent.atomic.AtomicInteger(Int.MaxValue)
+    final class InjectedCrash extends RuntimeException("injected crash")
+    def inject(): Unit = Snapshots.manifestIoProbe = (_, _, _) =>
+      if (failAt.decrementAndGet() < 0) throw new InjectedCrash
+    def countEvents(body: => Unit): Int = recordIo(body)._2.size
+
+    for (zeroCopy <- Seq(false, true)) {
+      def freshRoot(tag: String): String = {
+        val r = tmp(s"crash-sweep-$tag")
+        Seq((1L, 0), (2L, 1)).toDF("id", "cell").write.partitionBy("cell").parquet(r)
+        Snapshots.bootstrap(spark, r)
+        r
+      }
+      def append(root: String): Unit =
+        Snapshots.appendCommit(spark, root, zeroCopy = zeroCopy) { staging =>
+          Seq((3L, 0), (4L, 2)).toDF("id", "cell")
+            .write.partitionBy("cell").parquet(staging)
+        }
+      val countRoot = freshRoot(s"count-$zeroCopy") // outside the counter
+      val nAppend = countEvents(append(countRoot))
+      assert(nAppend >= 2, s"expected multiple I/O events, got $nAppend")
+      for (k <- 0 until nAppend) {
+        val root = freshRoot(s"a$zeroCopy-$k")
+        failAt.set(k); inject()
+        val crashed =
+          try { append(root); false } catch { case _: InjectedCrash => true }
+        finally Snapshots.manifestIoProbe = null
+        assert(crashed, s"event $k must be reachable")
+        assert(Snapshots.read(spark, root).get.select("id")
+          .collect().map(_.getLong(0)).toSet == Set(1L, 2L),
+          s"a crash at I/O event $k of append must leave the old state readable")
+        Snapshots.vacuum(spark, root, grace = 0)
+        append(root) // clean retry after the crash + vacuum
+        assert(Snapshots.read(spark, root).get.count() == 4,
+          s"retry after a crash at event $k must land the append")
+      }
+      // compaction: same sweep (flat only — its rewrite is always staged)
+      if (!zeroCopy) {
+        def compact(root: String): Unit = {
+          Snapshots.compactCommit(spark, root, _ => true, targetBytes = 1L << 30)
+          ()
+        }
+        val cRoot = freshRoot("count-compact"); append(cRoot)
+        val nCompact = countEvents(compact(cRoot))
+        for (k <- 0 until nCompact) {
+          val root = freshRoot(s"c-$k"); append(root)
+          failAt.set(k); inject()
+          try compact(root) catch { case _: InjectedCrash => () }
+          finally Snapshots.manifestIoProbe = null
+          val rows = Snapshots.read(spark, root).get.count()
+          assert(rows == 4,
+            s"a crash at I/O event $k of compaction must never lose rows, saw $rows")
+          Snapshots.vacuum(spark, root, grace = 0)
+          compact(root)
+          assert(Snapshots.read(spark, root).get.count() == 4)
+        }
+      }
+    }
+  }
+
   test("zero-copy mode runs the REAL index families end to end, same results") {
     // the A/B above proves the raw layer; this proves the whole stack — a
     // mixed layout (flat one-shot build + zero-copy appends + zero-copy
