@@ -97,6 +97,21 @@ object Snapshots {
       .orElse(sys.env.get("GRAFT_SNAPSHOT_LOCK_TTL_MS").map(_.toLong))
       .getOrElse(30L * 60 * 1000)
 
+  /** How long a writer WAITS for the lock before failing loudly. The
+    * 10 s default keeps the accident-prevention stance (two maintenance
+    * jobs racing the same root is a scheduling bug and should surface,
+    * not queue silently) — but a streaming ingest whose micro-batch
+    * appends legitimately interleave with a minutes-long scheduled
+    * compaction must RAISE this to at least the longest maintenance job
+    * (the appends then queue behind the compact and drain in order;
+    * ManifestLogSpec proves the interleave). Env/prop-tunable per
+    * deployment.
+    */
+  private def lockWaitMs: Long =
+    sys.props.get("graft.snapshot.lock.wait.ms").map(_.toLong)
+      .orElse(sys.env.get("GRAFT_SNAPSHOT_LOCK_WAIT_MS").map(_.toLong))
+      .getOrElse(10000L)
+
   /** Roll the delta log up into a fresh checkpoint every this many
     * commits: bounds a reader's resolution chain (and the one
     * O(index-files) checkpoint write amortizes across the window).
@@ -181,7 +196,7 @@ object Snapshots {
     fs.mkdirs(snapP)
     val lockP = new Path(snapP, LockName)
     val ttl = lockTtlMs
-    val deadline = System.currentTimeMillis() + 10000 // bounded wait, then loud
+    val deadline = System.currentTimeMillis() + lockWaitMs // bounded wait, then loud
     var acquired = false
     while (!acquired) {
       acquired = tryCreateAtomic(fs, lockP)

@@ -428,6 +428,43 @@ class ManifestLogSpec extends SparkSpec {
     } finally java.lang.System.clearProperty("graft.snapshot.lock.ttl.ms")
   }
 
+  test("streaming-ingest appends queue behind a long compaction and drain in order") {
+    // a micro-batch ingest racing scheduled maintenance is the NORMAL
+    // concurrent shape at scale: with the lock wait raised past the
+    // maintenance duration, appends queue and drain — none fail, none
+    // interleave, nothing is lost (the 10 s default stays the loud
+    // accident-prevention stance for same-kind maintenance collisions)
+    val root = tmp("ingest-vs-compact")
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(root)
+    Snapshots.bootstrap(spark, root)
+    for (i <- 3 to 5)
+      Snapshots.appendCommit(spark, root) { st =>
+        Seq(i.toLong).toDF("id").coalesce(1).write.parquet(st)
+      }
+    java.lang.System.setProperty("graft.snapshot.lock.wait.ms", "60000")
+    try {
+      val compacting = new java.util.concurrent.CountDownLatch(1)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val compactor = new Thread(() =>
+        try Snapshots.compactCommit(spark, root, _ => true, targetBytes = 1L << 30,
+          transform = df => { compacting.countDown(); Thread.sleep(1500); df })
+        catch { case t: Throwable => errors.add(t) })
+      compactor.start()
+      assert(compacting.await(30, java.util.concurrent.TimeUnit.SECONDS))
+      val ingesters = (6 to 8).map(i => new Thread(() =>
+        try Snapshots.appendCommit(spark, root) { st =>
+          Seq(i.toLong).toDF("id").coalesce(1).write.parquet(st)
+        } catch { case t: Throwable => errors.add(t) }))
+      ingesters.foreach(_.start())
+      compactor.join(60000); ingesters.foreach(_.join(60000))
+      assert(errors.isEmpty,
+        s"queued ingest appends must never fail behind maintenance: ${errors.peek()}")
+      assert(Snapshots.read(spark, root).get.select("id")
+        .collect().map(_.getLong(0)).toSet == (1L to 8L).toSet,
+        "every queued append and the compaction must land")
+    } finally java.lang.System.clearProperty("graft.snapshot.lock.wait.ms")
+  }
+
   test("stale-lock stealing is atomic: N racing stealers never overlap") {
     // the first shipped fix (bare rename-to-grave) FAILED this test under
     // full-suite timing with 4 overlaps: a waiter whose staleness verdict
