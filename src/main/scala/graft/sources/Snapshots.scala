@@ -337,12 +337,27 @@ object Snapshots {
     } finally in.close()
   }
 
+  /** Lock-free readers race vacuum's manifest retention: between a
+    * reader's LISTING and its chain BODY READS, a concurrent
+    * commit+vacuum can roll the log up and drop the listed chain — the
+    * read then hits FileNotFound on a manifest that is legitimately
+    * gone. One re-list + re-resolve answers it (the fresh listing sees
+    * the rolled-up checkpoint); a second miss is real corruption and
+    * stays loud. Same shape as Delta's log-listing retry. Distinct from
+    * the `require`d chain-gap check, which fires when the LISTING itself
+    * is broken on disk.
+    */
+  private def retryOnDroppedManifest[A](attempt: () => A): A =
+    try attempt()
+    catch { case _: java.io.FileNotFoundException => attempt() }
+
   /** Root-relative live file list of manifest version `v`: the latest
     * checkpoint ≤ v plus its delta suffix, applied in order. O(chain)
     * tiny reads, chain length bounded by [[checkpointEvery]].
     */
   def filesAt(spark: SparkSession, root: String, v: Long): Seq[String] =
-    filesFrom(spark, root, listManifests(spark, root), v)
+    retryOnDroppedManifest(() =>
+      filesFrom(spark, root, listManifests(spark, root), v))
 
   private def filesFrom(spark: SparkSession, root: String,
                         refs: Seq[ManifestRef], v: Long): Seq[String] = {
@@ -374,10 +389,11 @@ object Snapshots {
   /** Live file list (root-relative); None when no manifest exists yet
     * (legacy plain directory — callers fall back to a directory scan).
     */
-  def currentFiles(spark: SparkSession, root: String): Option[Seq[String]] = {
-    val refs = listManifests(spark, root)
-    refs.lastOption.map(r => filesFrom(spark, root, refs, r.version))
-  }
+  def currentFiles(spark: SparkSession, root: String): Option[Seq[String]] =
+    retryOnDroppedManifest { () =>
+      val refs = listManifests(spark, root)
+      refs.lastOption.map(r => filesFrom(spark, root, refs, r.version))
+    }
 
   private def writeManifest(spark: SparkSession, root: String,
                             isCheckpoint: Boolean, version: Long,
@@ -525,7 +541,8 @@ object Snapshots {
     * one manifest-directory listing for the fingerprint check. The legacy
     * no-manifest path is never cached — nothing fingerprints it.
     */
-  def read(spark: SparkSession, root: String): Option[DataFrame] = {
+  def read(spark: SparkSession, root: String): Option[DataFrame] =
+      retryOnDroppedManifest { () =>
     // ONE listing serves both the fingerprint check and (on miss) the
     // resolution — a warm open of an unchanged root costs exactly one
     // LIST round trip and zero manifest-body bytes (spec-counted);

@@ -234,6 +234,44 @@ class ManifestLogSpec extends SparkSpec {
     assert(rows(flat) == rows(zc))
   }
 
+  test("a reader racing a rollup+vacuum that drops its listed chain re-resolves, not dies") {
+    // lock-free probes race vacuum's manifest retention: list the log,
+    // then — before the chain body reads finish — a concurrent writer
+    // rolls the log up and vacuum drops the listed chain. The injected
+    // version of that race fires at the reader's FIRST chain read (the
+    // one point between its listing and its remaining reads), which the
+    // manifestIoProbe hook makes deterministic.
+    val root = tmp("reader-vs-vacuum")
+    Seq(1L, 2L).toDF("id").coalesce(1).write.parquet(root)
+    Snapshots.bootstrap(spark, root) // v1 checkpoint
+    for (i <- 3 to 5)
+      Snapshots.appendCommit(spark, root) { st => // v2..v4 deltas
+        Seq(i.toLong).toDF("id").coalesce(1).write.parquet(st)
+      }
+    val files = Snapshots.currentFiles(spark, root).get
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val snapP = new org.apache.hadoop.fs.Path(s"$root/_snapshots")
+    val olds = fs.listStatus(snapP).map(_.getPath)
+      .filter(_.getName.startsWith("v")).toSeq
+    assert(olds.size == 4)
+    val fired = new java.util.concurrent.atomic.AtomicBoolean(false)
+    Snapshots.manifestIoProbe = (op, _, _) =>
+      if (op == "manifest-read" && fired.compareAndSet(false, true)) {
+        // the interposed writer: one rolled-up v5 checkpoint, old chain gone
+        val out = fs.create(
+          new org.apache.hadoop.fs.Path(snapP, "v000000005-cfeedf00d.txt"), false)
+        out.write(files.mkString("", "\n", "\n").getBytes("UTF-8")); out.close()
+        olds.foreach(p => fs.delete(p, false))
+      }
+    val got = try Snapshots.currentFiles(spark, root)
+      finally Snapshots.manifestIoProbe = null
+    assert(fired.get(), "the race injection must have fired")
+    assert(got.contains(files),
+      "a reader whose listed chain was vacuumed away must re-resolve the fresh log")
+    assert(Snapshots.read(spark, root).get.count() == 5)
+  }
+
   test("every I/O prefix of an append or compaction is a safe crash point") {
     // the crash-safety argument ("a crash before the manifest commit
     // leaves only unreferenced files") asserted per-design in r9/r10 is
