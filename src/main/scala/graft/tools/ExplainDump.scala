@@ -1,0 +1,57 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Plan-audit tool: dump `explain("formatted")` for every SparkEntry query
+  * (or a comma-separated subset) to one file per query, plus a summary TSV
+  * of plan-shape counters (Exchange / SortMergeJoin / BroadcastHashJoin /
+  * CartesianProduct / WholeStageCodegen spans). Dev tooling for the
+  * optimization rounds — `runMain graft.tools.ExplainDump <sfDir> <outDir>
+  * [names]`. Streaming/stateful queries execute jobs inside their builder;
+  * the plan captured here is the final returned frame's (documented in the
+  * summary so a reader doesn't mistake a memory-scan plan for the work).
+  */
+object ExplainDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val only = args.lift(2).map(_.split(",").toSet)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-explain-dump")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Files.createDirectories(Paths.get(outDir))
+    val names = graft.SparkEntry.queries.keys.toSeq
+      .filter(n => only.forall(_.contains(n)))
+    val summary = new StringBuilder
+    summary.append("query\texchanges\tsmj\tbhj\tshj\tbnlj\tcartesian\twsc\tnotes\n")
+    names.foreach { name =>
+      try {
+        val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        Files.write(Paths.get(s"$outDir/$name.txt"), plan.getBytes("UTF-8"))
+        def c(tok: String) = tok.r.findAllIn(plan).length
+        summary.append(s"$name\t${c("Exchange ")}\t${c("SortMergeJoin")}\t" +
+          s"${c("BroadcastHashJoin")}\t${c("ShuffledHashJoin")}\t" +
+          s"${c("BroadcastNestedLoopJoin")}\t${c("CartesianProduct")}\t" +
+          s"${c("WholeStageCodegen")}\t\n")
+      } catch {
+        case e: Throwable =>
+          summary.append(s"$name\t-\t-\t-\t-\t-\t-\t-\tERR ${Option(e.getMessage).getOrElse("?").linesIterator.next().take(120)}\n")
+      }
+      spark.catalog.clearCache()
+    }
+    Files.write(Paths.get(s"$outDir/_summary.tsv"),
+      summary.toString.getBytes("UTF-8"))
+    System.err.println(s"[explain-dump] ${names.size} plans -> $outDir")
+    spark.stop()
+  }
+}
