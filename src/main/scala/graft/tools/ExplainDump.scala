@@ -17,6 +17,11 @@ object ExplainDump {
     val sfDir = args(0)
     val outDir = args(1)
     val only = args.lift(2).map(_.split(",").toSet)
+    // 4th arg "exec": run each query through the noop sink first and dump
+    // the EXECUTED plan (AQE final plan — isFinalPlan=true), so join
+    // strategies and coalesced exchanges reflect runtime reality, not the
+    // pre-execution estimate.
+    val exec = args.lift(3).contains("exec")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -35,6 +40,7 @@ object ExplainDump {
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
+        if (exec) df.write.format("noop").mode("overwrite").save()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(Paths.get(s"$outDir/$name.txt"), plan.getBytes("UTF-8"))
