@@ -66,6 +66,46 @@ object SparkEntry {
     normalizeTs(T(s, dir, "events"))
   }
 
+  private def dirBytes(f: java.io.File): Long =
+    if (f.isFile) f.length
+    else Option(f.listFiles).map(_.map(dirBytes).sum).getOrElse(0L)
+
+  /** Shuffle/state-store partition policy for the streaming queries:
+    * sized to the streamed DATA VOLUME (~32 MB of source per partition),
+    * floored at 1 and capped at 4× cluster parallelism, overridable via
+    * SPARK_GRAFT_STREAM_PARTS. The session default
+    * (`shuffle.partitions` = cpus) is the wrong coupling for micro-batch
+    * state: every stateful operator instantiates one state store PER
+    * shuffle partition PER micro-batch, so partitions ∝ cores makes tiny
+    * batches SLOWER on more cores (the r11 driver measured stream_join
+    * 0.45× and the stateful-ingest family 0.6-0.8× going 8→32 cores) —
+    * and a fixed core count is equally wrong at 100 TB/day volumes,
+    * where the cap keeps per-partition state bounded. AQE cannot do this
+    * for streams (coalescing is disabled for stateful plans precisely
+    * because the store count is pinned at first start), so the policy
+    * must be explicit.
+    */
+  private[graft] def streamShufflePartitions(s: SparkSession, dir: String,
+                                             table: String): Int =
+    sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
+      val bytes = dirBytes(new java.io.File(s"$dir/$table.parquet"))
+      val byData = bytes / (32L << 20) + 1
+      byData.min(s.sparkContext.defaultParallelism.toLong * 4).toInt.max(1)
+    }
+
+  /** Run `body` (stream assembly through awaitTermination) under the
+    * streaming partition policy, restoring the session value after. The
+    * conf must cover query START (the stream clones the session conf on
+    * its own thread), hence the whole-body scope.
+    */
+  private def withStreamShuffle[T](s: SparkSession, dir: String,
+                                   table: String)(body: => T): T = {
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions",
+      streamShufflePartitions(s, dir, table).toString)
+    try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   private val tableNames = Seq("region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
@@ -610,7 +650,7 @@ operations:
         "vec_id", "embedding", k = 10, nProbe = 3)
     }),
 
-    "stream_ivf_ingest" -> ((s, dir) => {
+    "stream_ivf_ingest" -> ((s, dir) => withStreamShuffle(s, dir, "embeddings") {
       // STREAMING index maintenance — the live-ingest shape of
       // sim_ivf_incremental: the persisted IVF index absorbs micro-batches
       // through foreachBatch → AnnIndex.append under the FROZEN persisted
@@ -696,7 +736,7 @@ operations:
           sum(when(col("sz") === 1, 1L).otherwise(0L)).as("n_singletons"))
     }),
 
-    "stream_lsh_ingest" -> ((s, dir) => {
+    "stream_lsh_ingest" -> ((s, dir) => withStreamShuffle(s, dir, "documents") {
       // STREAMING ledger maintenance — the live-ingest shape of
       // dd_lsh_incremental: the persisted band ledger absorbs micro-batches
       // through foreachBatch → LshIndex.append under the ledger's FROZEN
@@ -2078,7 +2118,9 @@ operations:
       // shuffle 8-byte longs instead of ~50-byte strings (the oracle
       // replays the identical slice; distinct grams collide only at
       // ~2⁻⁶⁰ — the xxhash64-band-key tradeoff, applied to shuffle IO)
-      val g = T(s, dir, "documents")
+      // fanOut: 8-gram explode + md5-per-gram is the query's CPU (r12
+      // ProbeJobs: 5.6 s single-task stage); no-op at natural parallelism
+      val g = ext.Par.fanOut(T(s, dir, "documents"))
         .select(col("source"), explode(ext.Dedup.wordNgrams(col("text"), 8)).as("gs"))
         .select(col("source"),
           expr("CAST(conv(substring(md5(gs), 1, 15), 16, 10) AS BIGINT)").as("g"))
@@ -2553,7 +2595,7 @@ operations:
         ntile(4).over(w).as("quartile"))
     }),
 
-    "stream_dedup" -> ((s, dir) => {
+    "stream_dedup" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // driver-visible STREAMING dedup: dropDuplicatesWithinWatermark over
       // the file stream; keys projected out, so the surviving-row choice
       // can't affect the result — equals batch DISTINCT on the keys
@@ -2572,7 +2614,7 @@ operations:
       s.table("graft_stream_dedup")
     }),
 
-    "stream_curate" -> ((s, dir) => {
+    "stream_curate" -> ((s, dir) => withStreamShuffle(s, dir, "documents") {
       // STREAMING curation — ta_curate's gates on live ingest: stateless
       // quality gate → stream-static LEFT ANTI against the benchmark's
       // contaminated fingerprints → stateful exact dedup. Output columns
@@ -2603,7 +2645,7 @@ operations:
       s.table("graft_stream_curate")
     }),
 
-    "stream_neardup" -> ((s, dir) => {
+    "stream_neardup" -> ((s, dir) => withStreamShuffle(s, dir, "documents") {
       // STREAMING near-duplicate detection — the live-ingest shape of
       // dd_minhash: incoming docs are minhash-banded with the SAME
       // stateless native expression and probed against the static banded
@@ -2662,7 +2704,7 @@ operations:
       s.table("graft_stream_neardup")
     }),
 
-    "stream_window" -> ((s, dir) => {
+    "stream_window" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // driver-visible STREAMING check: the same windowed aggregation run
       // as a Structured Streaming job (file source → AvailableNow trigger →
       // memory sink, complete mode) must equal the ev_window batch result.
@@ -2688,7 +2730,7 @@ operations:
       s.table("graft_stream_window")
     }),
 
-    "stream_enrich" -> ((s, dir) => {
+    "stream_enrich" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // stream-STATIC join: the streaming micro-batch joins a static dim
       // snapshot read per batch (the broadcast enrichment every event
       // pipeline does); aggregation keyed by the dim attribute proves the
@@ -2725,7 +2767,7 @@ operations:
         .select(col("user_id"), col("session_start"), col("n_events"))
     }),
 
-    "stream_sessions" -> ((s, dir) => {
+    "stream_sessions" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // driver-visible STREAMING sessionization: native session_window
       // (event-time gap merge in the session state store) over the events
       // stream, complete mode → memory sink; equals the batch
@@ -2745,7 +2787,7 @@ operations:
       s.table("graft_stream_sessions")
     }),
 
-    "stream_recovery" -> ((s, dir) => {
+    "stream_recovery" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // checkpoint RECOVERY as a driver-gated query: half the input is
       // processed by one streaming query, the query stops (the "crash"
       // boundary), more files land, and a NEW query object restarts from
@@ -2784,7 +2826,7 @@ operations:
       s.read.parquet(tableDir)
     }),
 
-    "stream_join" -> ((s, dir) => {
+    "stream_join" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // driver-visible stream-stream INTERVAL JOIN: views matched to same-
       // user purchases within the following hour, both sides watermarked
       // (bounded join state), AvailableNow → memory sink; must equal the
@@ -2811,7 +2853,7 @@ operations:
       s.table("graft_stream_join")
     }),
 
-    "stream_asof" -> ((s, dir) => {
+    "stream_asof" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // streaming AS-OF enrichment (Streams.asofEnrich): each view
       // carries the most recent same-user purchase STRICTLY BEFORE it
       // in (ts, event_id) order, via flatMapGroupsWithState run as a
@@ -2972,7 +3014,7 @@ operations:
       Seq((beta0, beta1, beta2, n)).toDF("beta0", "beta1", "beta2", "n")
     }),
 
-    "stream_hll" -> ((s, dir) => {
+    "stream_hll" -> ((s, dir) => withStreamShuffle(s, dir, "lineitem") {
       // STREAMING cardinality sketch: the same mergeable HLL registers
       // aggregated over a file stream (complete mode). Because the merge
       // is an order-free elementwise max, the streamed state is EQUAL to
@@ -3441,7 +3483,7 @@ operations:
       // quality/domain-classifier pass (ext.LangModel.naiveBayes)
       ext.LangModel.naiveBayes(T(s, dir, "documents"), "doc_id", "text", "source")),
 
-    "stream_nbc" -> ((s, dir) => {
+    "stream_nbc" -> ((s, dir) => withStreamShuffle(s, dir, "documents") {
       // STREAMING model serving: the NBC model trains ONCE on the static
       // corpus, and incoming docs are scored by stream-static joins into
       // the ONE fused stateful aggregate (functions.ArgminAgg) the plan
@@ -3649,10 +3691,14 @@ operations:
       // means are one IEEE division of exact longs; the ×B fan-out is
       // map-side (no pre-shuffle), and the CI frames are B rows/group.
       val B = 40
-      val r = T(s, dir, "orders").select(
+      // fanOut: the ×B fan-out + per-replicate md5 below is map-side CPU
+      // that would otherwise run entirely in the single scan partition of
+      // a sub-split orders file (r12 ProbeJobs: 7.3 s in ONE task, the
+      // whole query serial); no-op at natural parallelism
+      val r = ext.Par.fanOut(T(s, dir, "orders").select(
         col("o_orderpriority").as("pri"),
         round(col("o_totalprice") * 100).cast("long").as("x"),
-        col("o_orderkey").as("id"))
+        col("o_orderkey").as("id")))
       val js = s.range(B).select(col("id").as("j"))
       val u = r.crossJoin(broadcast(js))
         .withColumn("u32", conv(substring(md5(
@@ -3684,13 +3730,19 @@ operations:
       // and the oracle replays the identical op order in a recursive
       // CTE, so level/trend doubles are bit-identical.
       import s.implicits._
+      // the series crosses the driver as EPOCH-DAY INTS, never
+      // java.sql.Date: the Date round trip needed sun.util.calendar
+      // opened (--add-opens), so the query silently depended on the
+      // harness JVM flags (round-11 verdict item). datediff/date_add vs
+      // the epoch are exact integer day arithmetic — same dates out.
       val daily = T(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("d"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
-        .orderBy("d")
-        .collect().map(r => (r.getDate(0), r.getLong(1)))
+        .select(datediff(col("d"), to_date(lit("1970-01-01"))).as("ed"), col("rev_c"))
+        .orderBy("ed")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
       require(daily.length >= 2, "q_holt: need at least 2 days")
-      val out = Array.newBuilder[(java.sql.Date, Long, Double, Double)]
+      val out = Array.newBuilder[(Int, Long, Double, Double)]
       var sPrev = daily(0)._2.toDouble
       var bPrev = daily(1)._2.toDouble - daily(0)._2.toDouble
       out += ((daily(0)._1, daily(0)._2, sPrev, bPrev))
@@ -3703,7 +3755,9 @@ operations:
         sPrev = sCur; bPrev = bCur
         i += 1
       }
-      out.result().toSeq.toDF("d", "rev_c", "level", "trend")
+      out.result().toSeq.toDF("ed", "rev_c", "level", "trend")
+        .select(date_add(to_date(lit("1970-01-01")), col("ed")).as("d"),
+          col("rev_c"), col("level"), col("trend"))
     }),
 
     "q_holt_winters" -> ((s, dir) => {
@@ -3716,18 +3770,21 @@ operations:
       // op order (all halvings + one exact /7.0 in the init), so every
       // double is bit-identical.
       import s.implicits._
+      // epoch-day ints across the driver boundary, not java.sql.Date —
+      // same --add-opens-independence fix as q_holt
       val daily = T(s, dir, "orders")
         .groupBy(col("o_orderdate").cast("date").as("d"))
         .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
-        .orderBy("d")
-        .collect().map(r => (r.getDate(0), r.getLong(1)))
+        .select(datediff(col("d"), to_date(lit("1970-01-01"))).as("ed"), col("rev_c"))
+        .orderBy("ed")
+        .collect().map(r => (r.getInt(0), r.getLong(1)))
       require(daily.length >= 15, "q_holt_winters: need at least 15 days")
       val m1 = daily.take(7).map(_._2).sum.toDouble / 7.0
       val m2 = daily.slice(7, 14).map(_._2).sum.toDouble / 7.0
       var sPrev = m1
       var bPrev = (m2 - m1) / 7.0
       val c = Array.tabulate(7)(k => daily(k)._2.toDouble - m1)
-      val out = Array.newBuilder[(java.sql.Date, Long, Double, Double, Double)]
+      val out = Array.newBuilder[(Int, Long, Double, Double, Double)]
       var i = 0
       while (i < daily.length) {
         val slot = i % 7
@@ -3741,7 +3798,9 @@ operations:
         sPrev = sNew; bPrev = bNew
         i += 1
       }
-      out.result().toSeq.toDF("d", "rev_c", "level", "trend", "seasonal")
+      out.result().toSeq.toDF("ed", "rev_c", "level", "trend", "seasonal")
+        .select(date_add(to_date(lit("1970-01-01")), col("ed")).as("d"),
+          col("rev_c"), col("level"), col("trend"), col("seasonal"))
     }),
 
     "q_cusum" -> ((s, dir) => {
@@ -3789,7 +3848,11 @@ operations:
       // three times (cap scan + both sides of the match join) — without
       // it every read re-runs the md5 over the full gram stream
       // (measured 20→6 s warm at sf0.1)
-      val posts = T(s, dir, "documents")
+      // fanOut before the checkpoint: the 8-gram posexplode + md5 is the
+      // expensive pass (r12 ProbeJobs: 4.9 s single-task checkpoint
+      // stage) and its materialized partitioning is what every
+      // downstream consumer inherits
+      val posts = ext.Par.fanOut(T(s, dir, "documents"))
         .select(col("doc_id"),
           posexplode(ext.Dedup.wordNgrams(col("text"), 8)).as(Seq("p", "gs")))
         .select(col("doc_id"), col("p").cast("long").as("pos"),
@@ -3816,7 +3879,7 @@ operations:
           col("n_grams"), (col("n_grams") + lit(7L)).as("span_tokens"))
     }),
 
-    "stream_cms" -> ((s, dir) => {
+    "stream_cms" -> ((s, dir) => withStreamShuffle(s, dir, "lineitem") {
       // STREAMING heavy-hitter sketch: the same mergeable Count-Min
       // counter matrix aggregated over a file stream (complete mode).
       // The merge is an elementwise sum — order- and slicing-free — so
@@ -4305,7 +4368,7 @@ operations:
       sk.join(exact, Seq("l_returnflag"))
     }),
 
-    "stream_theta" -> ((s, dir) => {
+    "stream_theta" -> ((s, dir) => withStreamShuffle(s, dir, "lineitem") {
       // STREAMING KMV: the same bottom-k aggregate over a file stream
       // (complete mode). Set-union + trim is order-free and idempotent,
       // so the streamed sketch equals the batch sketch under any
@@ -5397,7 +5460,7 @@ operations:
             .as("share_micro"))
     }),
 
-    "stream_bitmap" -> ((s, dir) => {
+    "stream_bitmap" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // STREAMING bitmap-index distinct: the same 32-bit word packing
       // aggregated over a file stream (complete mode). bit_or is
       // order-free and mergeable, so the streamed words are EQUAL to the
@@ -6013,7 +6076,7 @@ operations:
             .as("snips_micro"))
     }),
 
-    "stream_snips" -> ((s, dir) => {
+    "stream_snips" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // STREAMING off-policy monitor: ev_snips' per-(cohort, action)
       // cells accumulate over the event file stream (complete mode —
       // counts and reward sums are order-free and mergeable, so
@@ -6699,7 +6762,7 @@ operations:
         .limit(20)
     }),
 
-    "stream_srm" -> ((s, dir) => {
+    "stream_srm" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // STREAMING sample-ratio-mismatch guardrail: the per-arm counts
       // accumulate over a file stream (complete mode; counts are
       // order-free and mergeable so streamed ≡ batch however the source
@@ -7932,7 +7995,7 @@ operations:
           min("val").as("vmin"), max("val").as("vmax"))
     }),
 
-    "stream_quantile" -> ((s, dir) => {
+    "stream_quantile" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // STREAMING quantile sketch: sk_quantile's hash-sample rule over a
       // file stream in APPEND mode — the Bernoulli filter is stateless
       // and order-free, so the streamed sample EQUALS the batch sample
@@ -7962,7 +8025,7 @@ operations:
           col("ns").as("n_sample"), col("v").as("est_c"))
     }),
 
-    "stream_topk" -> ((s, dir) => {
+    "stream_topk" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // STREAMING grouped top-k: the bounded-heap TopKAgg running as a
       // stateful streaming aggregation (COMPLETE mode) — proof that the
       // custom TypedImperativeAggregate's serialize/merge contract is
@@ -8172,7 +8235,7 @@ operations:
           (col("bok") === 1).as("bounds_ok"))
     }),
 
-    "stream_mg" -> ((s, dir) => {
+    "stream_mg" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // STREAMING Misra-Gries: the ≤k-pair summary accumulates over the
       // lineitem file stream (complete mode). Estimates are merge-order-
       // dependent BY DESIGN, but the MG theorems hold under any order —
@@ -9477,7 +9540,9 @@ operations:
       // counts → counts-of-counts) and everything after the second is a
       // ≤#distinct-counts-row frame. Products run in DECIMAL(38,0)
       // (HUGEINT in the oracle) so billion-type corpora can't wrap.
-      val cnt = T(s, dir, "documents")
+      // fanOut: trigram explode is the query's CPU (r12 ProbeJobs: 5.4 s
+      // single-task stage); no-op at natural parallelism
+      val cnt = ext.Par.fanOut(T(s, dir, "documents"))
         .select(explode(ext.Dedup.wordNgrams(col("text"), 3)).as("g"))
         .groupBy("g").agg(count(lit(1)).as("c"))
         .groupBy("c").agg(count(lit(1)).as("n_r"))
@@ -9970,7 +10035,7 @@ operations:
         .orderBy(col("weight_bp").desc, col("tok").asc).limit(10)
     }),
 
-    "stream_hmm" -> ((s, dir) => {
+    "stream_hmm" -> ((s, dir) => withStreamShuffle(s, dir, "events") {
       // streaming ev_hmm (Streams.hmmForward): the forward fold's
       // BIGINT-encoded probability pair lives in the state store — ONE
       // (enc, count) pair per user, O(#users) at any event volume —
@@ -10265,7 +10330,10 @@ operations:
     * H % 64 == 0) as pure array expressions — shared by ta_cdc_chunk
     * and dd_chunk_overlap; the oracle replays the identical literals. */
   private def cdcChunks(docs: DataFrame): DataFrame =
-    docs
+    // fanOut: the rolling-hash boundary scan is ~len(text) integer ops per
+    // row — CPU-bound per-row work that must not inherit a sub-split
+    // file's single scan partition (no-op at natural parallelism)
+    ext.Par.fanOut(docs)
       .withColumn("codes", expr(
         "transform(sequence(1, length(text)), i -> CAST(ascii(substring(text, i, 1)) AS BIGINT))"))
       .withColumn("bpos", expr(

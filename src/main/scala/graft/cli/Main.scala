@@ -25,6 +25,11 @@ object Main {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // generated-class cache sized for a long-lived multi-pipeline driver
+      // (the 100-entry default LRU thrashes once a service replans many
+      // distinct operators; caches compiled bytecode only — never data)
+      .config("spark.sql.codegen.cache.maxEntries",
+        sys.env.getOrElse("SPARK_GRAFT_CODEGEN_CACHE", "8192"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

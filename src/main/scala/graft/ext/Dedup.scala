@@ -76,9 +76,16 @@ object Dedup {
     ensureMetricsLogger(bucketed.sparkSession)
     // occupancy + min-id via one window: ONE shuffle on the bucket key
     // (which the downstream self-join needs anyway) — a groupBy+rejoin
-    // would shuffle the bucketed side twice
+    // would shuffle the bucketed side twice. The shuffle is USER-pinned
+    // to cluster width: its rows are (bucket, id) — bytes-tiny — so AQE's
+    // byte-based coalescing would otherwise run the window AND the
+    // candidate self-join + partial pair-distinct that fan out from it
+    // map-side in ONE task (r12 ProbeJobs: a 4 s single-task stage inside
+    // dd_ngram). HashPartitioning(bucketCols, n) satisfies the window's
+    // required clustering, so no second exchange is added.
+    val target = bucketed.sparkSession.sparkContext.defaultParallelism
     val w = Window.partitionBy(bucketCols.map(col): _*)
-    val sized = bucketed
+    val sized = bucketed.repartition(target, bucketCols.map(col): _*)
       .withColumn("__bsize__", count(lit(1)).over(w))
       .withColumn("__bmin__", min(col("id")).over(w))
     val observed = sized.observe(
@@ -168,10 +175,16 @@ object Dedup {
     // join (without it each consumer recomputes the corpus pass). Docs
     // with fewer than n tokens emit a MaxValue sentinel and are dropped —
     // they have no shingles (two sentinel sigs would band-match).
+    // the sentinel filter sits ABOVE the persist: below it, predicate
+    // pushdown substitutes the alias and shoves the whole textMinhash
+    // expression under Par.fanOut's exchange — the signature pass then
+    // runs inside the single-task scan stage, exactly what fanOut exists
+    // to prevent (r12 ProbeJobs: a 3.8 s serial Scan>Filter>Exchange
+    // stage). InMemoryRelation is a pushdown barrier.
     val sigs = Par.fanOut(df).select(col(idCol).as("id"),
       Hashing.textMinhash(col(textCol), n, k).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
 
     // band join ships only (band, bhash, id) — signatures rejoin AFTER the
     // candidate pairs are distinct, so the k-long arrays never ride the
@@ -181,8 +194,13 @@ object Dedup {
         b => xxhash64(concat_ws(",", slice(col("sig"), b * r + 1, lit(r))), b))))
       .select(col("id"), col("pos").as("band"), col("col").as("bhash"))
 
-    val pairs = bucketPairs(banded, Seq("band", "bhash"), maxBucket, "minhash")
-      .distinct()
+    // fanOutPairs: the per-pair signature compare below (k-long zip_with
+    // per candidate) is the CPU stage; its input rows are two ids — AQE's
+    // byte-based coalescing would run it near-serial (r12 ProbeJobs:
+    // a 4.9 s single-task stage inside dd_ngram)
+    val pairs = Par.fanOutPairs(
+      bucketPairs(banded, Seq("band", "bhash"), maxBucket, "minhash").distinct(),
+      Seq("id_a", "id_b"))
 
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), Seq("id_a"))
@@ -227,8 +245,9 @@ object Dedup {
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("simhash"), b * 16).bitwiseAND(lit(0xffffL)))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
-    bucketPairs(banded, Seq("band", "bkey"), maxBucket, "simhash")
-      .distinct()
+    Par.fanOutPairs(
+      bucketPairs(banded, Seq("band", "bkey"), maxBucket, "simhash").distinct(),
+      Seq("id_a", "id_b"))
       .join(hs.select(col("id").as("id_a"), col("simhash").as("h_a")), Seq("id_a"))
       .join(hs.select(col("id").as("id_b"), col("simhash").as("h_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"), Hashing.hamming64(col("h_a"), col("h_b")).as("hamming"))
@@ -253,9 +272,15 @@ object Dedup {
     // SIGNATURE-estimated jaccard with a safety margin below the exact
     // threshold — without it, shared-vocabulary corpora yield millions of
     // low-overlap banded pairs and the gram-array join dominates.
-    val candidates = minhashPairs(df, idCol, textCol, n, k, bands,
-      threshold = math.max(0.0, threshold - 0.15))
-      .select("id_a", "id_b")
+    // fanOutPairs before persist: the exact-gram verify downstream is
+    // per-pair CPU (array_intersect over full gram sets), so the persisted
+    // candidate set must carry verify-grade parallelism, not AQE's
+    // byte-sized partition count
+    val candidates = Par.fanOutPairs(
+      minhashPairs(df, idCol, textCol, n, k, bands,
+        threshold = math.max(0.0, threshold - 0.15))
+        .select("id_a", "id_b"),
+      Seq("id_a", "id_b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // gram arrays are built ONLY for docs that appear in a candidate pair
     // (semi-join first): at corpus scale materializing every document's
@@ -263,11 +288,15 @@ object Dedup {
     val candIds = candidates
       .select(explode(array(col("id_a"), col("id_b"))).as("__cid__")).distinct()
     val gramSrc = Par.fanOut(df)
+    // no size>0 filter: vacuous (a candidate doc has a real minhash
+    // signature ⇒ ≥ n tokens ⇒ non-empty gram set), and predicate
+    // pushdown would substitute the alias and evaluate wordNgrams below
+    // BOTH the semi-join and fanOut's exchange — the gram pass then ran
+    // as a single-task scan stage (4.6 s in the r12 probe)
     val grams = gramSrc
       .join(candIds, gramSrc(idCol) === candIds("__cid__"), "left_semi")
       .select(col(idCol).as("id"),
         array_distinct(wordNgrams(col(textCol), n)).as("grams"))
-      .filter(size(col("grams")) > 0)
     val inter = size(array_intersect(col("g_a"), col("g_b"))).cast(DoubleType)
     candidates
       .join(grams.select(col("id").as("id_a"), col("grams").as("g_a")), Seq("id_a"))
@@ -327,8 +356,9 @@ object Dedup {
       Vectors.norm(col(vecCol)).as("nrm"))
     val bucketed = src.select(col(idCol).as("id"),
       explode(Vectors.hyperplaneBuckets(col(vecCol), nbits, tables)).as("bucket"))
-    val pairs = bucketPairs(bucketed, Seq("bucket"), maxBucket, "embed")
-      .distinct()
+    val pairs = Par.fanOutPairs(
+      bucketPairs(bucketed, Seq("bucket"), maxBucket, "embed").distinct(),
+      Seq("id_a", "id_b"))
     pairs
       .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("n_a")), Seq("id_a"))
       .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("n_b")), Seq("id_b"))

@@ -554,7 +554,13 @@ object Graph {
     val deg = e.select(col("u").as("id")).union(e.select(col("v").as("id")))
       .groupBy("id").agg(count(lit(1)).as("deg"))
       .localCkpt()
-    val oriented = e
+    // fanOut AFTER the checkpoint (the guard reads the materialized
+    // partition count, which AQE byte-coalescing has usually shrunk to a
+    // handful for an ids-only edge list): the wedge stream below fans out
+    // ~30× from `oriented`'s rows map-side, so its partition count IS the
+    // parallelism of the query's dominant stage (r12 ProbeJobs: 26 s of
+    // task time through 10 partitions)
+    val oriented = Par.fanOut(e
       .join(deg.select(col("id").as("u"), col("deg").as("du")), "u")
       .join(deg.select(col("id").as("v"), col("deg").as("dv")), "v")
       .select(when(col("du") < col("dv") ||
@@ -562,7 +568,7 @@ object Graph {
           struct(col("u").as("a"), col("v").as("b")))
         .otherwise(struct(col("v").as("a"), col("u").as("b"))).as("o"))
       .select(col("o.a").as("a"), col("o.b").as("b"))
-      .localCkpt()
+      .localCkpt())
     // wedges: out-neighbor pairs of each apex; b < c keeps exactly one
     // ordering per pair and matches the (u < v)-normalized closing edge.
     // On a dense graph wedges dwarf edges (41M wedges from 1.2M edges on

@@ -42,13 +42,20 @@ object LangModel {
     */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 trainFraction: Double = 0.5, k: Double = 0.5): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+    // Par.fanOut: tokenize + bigram explode is the CPU kernel — it must
+    // not inherit a sub-split file's single scan partition (no-op at
+    // natural parallelism; streaming frames pass through untouched)
+    val toks = Par.fanOut(docs)
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
 
+    // no size>=2 filter: pushdown would substitute the alias and evaluate
+    // tokenize below fanOut's exchange (single-task scan stage) — the
+    // clamped slice makes <2-token docs yield an empty zip (explode drops
+    // them), which is exactly what the filter did
     def bigrams(df: DataFrame): DataFrame = df
-      .filter(size(col("toks")) >= 2)
       .select(col("id"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 
@@ -103,7 +110,7 @@ object LangModel {
   def naiveBayesModel(docs: DataFrame, idCol: String, textCol: String,
                       classCol: String,
                       trainFraction: Double = 0.5): NbModel = {
-    val toks = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
+    val toks = Par.fanOut(docs).select(col(idCol).as("id"), col(classCol).as("cls"),
       Dedup.tokens(col(textCol)).as("toks"))
     val train = toks.join(
       Sampling.hashSample(docs.select(col(idCol).as("id")), col("id"), trainFraction),
@@ -148,7 +155,9 @@ object LangModel {
   def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
                       classCol: String, model: NbModel,
                       dedupTf: Boolean = true): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
+    // fanOut is streaming-safe: a readStream frame passes through (its
+    // micro-batch source sizes its own partitions)
+    val toks = Par.fanOut(docs).select(col(idCol).as("id"), col(classCol).as("cls"),
       Dedup.tokens(col(textCol)).as("toks"))
     val exploded = toks.select(col("id"), col("cls").as("cls_truth"),
       explode(col("toks")).as("w"))
@@ -201,12 +210,14 @@ object LangModel {
     */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5, topK: Int = 50): DataFrame = {
-    val toks = docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+    // clamped slice instead of a size>=2 filter (pushdown trap — see
+    // bigramNll), and fanOut so tokenize leaves the single scan partition
+    val toks = Par.fanOut(docs)
+      .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
     val bg = toks
-      .filter(size(col("toks")) >= 2)
       .select(explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
@@ -231,11 +242,12 @@ object LangModel {
     * [[dunningCollocations]] and [[kneserNeyBigrams]].
     */
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
-      .filter(size(col("toks")) >= 2)
+    // clamped slice instead of a size>=2 filter — the filter would push
+    // below fanOut's exchange and serialize tokenize (see bigramNll)
+    Par.fanOut(docs).select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
       .select(explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))).as("bg"))
       .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
 

@@ -62,10 +62,21 @@ object LshIndex {
   private def sigsOf(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, k: Int): DataFrame = {
     graft.functions.Hashing.register(docs.sparkSession)
+    // NO sentinel filter here: predicate pushdown would substitute the
+    // alias and evaluate the whole textMinhash expression BELOW fanOut's
+    // exchange, serializing the signature pass into the single-task scan
+    // stage (r12 ProbeJobs). Callers checkpoint this frame; the filter is
+    // applied ABOVE that barrier via [[dropSentinels]].
     Par.fanOut(docs).select(col(idCol).as("id"),
       graft.functions.Hashing.textMinhash(col(textCol), n, k).as("sig"))
-      .filter(element_at(col("sig"), 1) =!= Long.MaxValue)
   }
+
+  /** Drop sub-shingle-length docs (MaxValue sentinel signature). Apply
+    * AFTER the caller's checkpoint of [[sigsOf]] — the checkpoint is the
+    * pushdown barrier that keeps the minhash evaluation parallel.
+    */
+  private def dropSentinels(sigs: DataFrame): DataFrame =
+    sigs.filter(element_at(col("sig"), 1) =!= Long.MaxValue)
 
   /** Banded postings (id, band, bkey) derived from stored signatures —
     * the single expression path shared by build, append and probe, so
@@ -90,7 +101,8 @@ object LshIndex {
     val spark = docs.sparkSession
     // one minhash evaluation feeds both writes (freed after — both
     // consumers are actions)
-    val sigs = Ckpt.local(sigsOf(docs, idCol, textCol, n, k))
+    val sigsCkpt = Ckpt.local(sigsOf(docs, idCol, textCol, n, k))
+    val sigs = dropSentinels(sigsCkpt)
     val b = bandsOf(sigs, k, bands)
     b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
       .write.mode(SaveMode.Overwrite).parquet(s"$path/bands")
@@ -115,7 +127,7 @@ object LshIndex {
     graft.sources.Snapshots.bootstrap(spark, s"$path/sigs")
     // a fresh build is a new corpus: stale tombstones must not erase it
     graft.sources.Tombstones.clear(spark, path)
-    Ckpt.free(sigs)
+    Ckpt.free(sigsCkpt)
   }
 
   private def readParams(spark: SparkSession, path: String): (Int, Int, Int) = {
@@ -157,7 +169,8 @@ object LshIndex {
              path: String, files: Int = 8): Unit = {
     val spark = delta.sparkSession
     val (n, k, bands) = readParams(spark, path)
-    val sigs = Ckpt.local(sigsOf(delta, idCol, textCol, n, k))
+    val sigsCkpt = Ckpt.local(sigsOf(delta, idCol, textCol, n, k))
+    val sigs = dropSentinels(sigsCkpt)
     val b = bandsOf(sigs, k, bands)
     // same range discipline as write(), per batch: `files` sorted files
     // with DISJOINT key ranges — not one overlapping-range file per
@@ -172,7 +185,7 @@ object LshIndex {
       b.repartitionByRange(files, col("bkey")).sortWithinPartitions("bkey")
         .write.parquet(staging)
     }
-    Ckpt.free(sigs)
+    Ckpt.free(sigsCkpt)
   }
 
   /** Maintenance: compact the ledger's postings. Incremental [[append]]
@@ -255,7 +268,7 @@ object LshIndex {
     val bandsOpt = graft.sources.Snapshots.read(spark, s"$path/bands")
     val sigsOpt = graft.sources.Snapshots.read(spark, s"$path/sigs")
     if (bandsOpt.isEmpty || sigsOpt.isEmpty)
-      return sigsOf(incoming, idCol, textCol, n, k)
+      return dropSentinels(sigsOf(incoming, idCol, textCol, n, k))
         .select(col("id").as("id_old"), col("id").as("id_new"),
           lit(0.0).as("est_jaccard")).filter(lit(false))
     // ONE minhash evaluation for the whole probe: the signatures are
@@ -270,7 +283,8 @@ object LshIndex {
     // eager in-method materialization would hide the scan plan from
     // callers (pushdown audits) and re-shape every consumer's pipeline
     // for a bounded, self-expiring frame.
-    val probeSigs = Ckpt.local(sigsOf(incoming, idCol, textCol, n, k))
+    val probeSigs = dropSentinels(
+      Ckpt.local(sigsOf(incoming, idCol, textCol, n, k)))
     val probe = bandsOf(probeSigs, k, bands)
     val keys = probe.select("bkey").distinct().limit(pushLimit + 1)
       .collect().map(_.getLong(0))

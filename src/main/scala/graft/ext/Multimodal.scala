@@ -43,7 +43,10 @@ object Multimodal {
     * for an opaque payload (the plumbing doesn't care what the bytes are).
     */
   def mediaFromDocuments(docs: DataFrame): DataFrame =
-    docs.select(
+    // Par.fanOut: every mm_* consumer runs per-row encode/decode closures
+    // over this frame — CPU-bound work that must not inherit a sub-split
+    // file's single scan partition (no-op at natural parallelism)
+    Par.fanOut(docs).select(
       col("doc_id").as("media_id"),
       lit("application/octet-stream").as("media_type"),
       col("source"),
@@ -61,7 +64,8 @@ object Multimodal {
     */
   def syntheticMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+    // fanOut: the per-row ImageIO/AudioSystem encoders below are the CPU
+    Par.fanOut(docs).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, source) =>
           val bytes = (id % 3) match {
@@ -89,7 +93,8 @@ object Multimodal {
     */
   def gradientMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+    // fanOut: per-row PNG encode is the CPU (see syntheticMedia)
+    Par.fanOut(docs).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, source) =>
           MediaRecord(id, "image", source, encodeGradientPng(plantedDHash(id)))
@@ -182,7 +187,8 @@ object Multimodal {
     */
   def vadMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+    // fanOut: per-row WAV encode is the CPU (see syntheticMedia)
+    Par.fanOut(docs).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         it.map { case (id, source) =>
           MediaRecord(id, "audio/wav", source, encodeVadWav(id))
@@ -665,7 +671,8 @@ object Multimodal {
     */
   def phashMedia(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col("doc_id"), col("source")).as[(Long, String)]
+    // fanOut: per-row image synthesis + dct is the CPU (see syntheticMedia)
+    Par.fanOut(docs).select(col("doc_id"), col("source")).as[(Long, String)]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { case (id, source) =>

@@ -17,7 +17,36 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def fanOut(df: DataFrame): DataFrame = {
+    // streaming frames cannot answer .rdd (and micro-batch sources size
+    // their own partitions) — pass through untouched
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+  }
+
+  /** Parallelism guard for CPU-bound verify stages on MID-PLAN frames
+    * (candidate pair sets after a distinct): AQE coalesces those shuffles
+    * by BYTES (ids-only pairs are tiny), but the downstream verify cost
+    * is per-PAIR (full token/signature arrays re-joined per candidate),
+    * so byte-sized partitions serialize the most expensive stage of every
+    * similarity join. An explicit hash repartition with a USER-SPECIFIED
+    * partition count is exactly the signal AQE respects (it never
+    * coalesces user repartitions). `.rdd.getNumPartitions` can't guard
+    * here — on an unexecuted AQE plan it reports the pre-coalesce
+    * partition count — so the repartition is unconditional; the shuffle
+    * itself carries only the id pairs (§2.3: decide with small rows).
+    */
+  def fanOutPairs(df: DataFrame, keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col, xxhash64}
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    // partition by xxhash64(keys), not by the raw keys: a raw-key
+    // repartition straight after a distinct on the same keys is elided as
+    // redundant (verified in the r12 dd_jaccard_join plan — the exchange
+    // stayed ENSURE_REQUIREMENTS and AQE coalesced it right back), while
+    // the hash expression is a different partitioning, survives planning,
+    // and spreads perfectly evenly whatever the key skew
+    df.repartition(target, xxhash64(keys.map(col): _*))
   }
 }

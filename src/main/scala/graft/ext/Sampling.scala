@@ -250,7 +250,11 @@ object Sampling {
                  targetPred: Column, buckets: Int = 4096,
                  k: Int = 100): DataFrame = {
     require(buckets >= 2 && k >= 1, "dsirSelect: buckets >= 2, k >= 1")
-    val grams = docs.select(col(idCol).as("id"), targetPred.as("is_t"),
+    // Par.fanOut: the uni+bigram explode + md5 is the expensive pass and
+    // must not inherit a sub-split file's single scan partition (r12
+    // ProbeJobs: 6.3 s single-task checkpoint stage); no-op at natural
+    // parallelism
+    val grams = Par.fanOut(docs).select(col(idCol).as("id"), targetPred.as("is_t"),
         explode(concat(Dedup.tokens(col(textCol)),
           Dedup.wordNgrams(col(textCol), 2))).as("g"))
       .select(col("id"), col("is_t"),

@@ -81,17 +81,33 @@ object SimJoin {
                       probePred: org.apache.spark.sql.Column = lit(true)): DataFrame = {
     require(num > 0 && den > 0 && num <= den, "containmentJoin: 0 < num/den <= 1")
     val threshold = num.toDouble / den.toDouble
-    val toks = df.select(col(idCol).as("id"),
+    // Par.fanOut: a sub-split corpus file arrives as ONE scan partition,
+    // which serializes tokenize + explode for every consumer (ProbeJobs
+    // r12: the whole candidate build ran as a single 2.3 s task); no-op
+    // when the input has natural parallelism
+    // No n>0 filter: it is vacuous (an empty token set emits no explode
+    // rows, grows no prefix, and so never reaches a candidate pair or the
+    // inner verify joins) and, worse, predicate pushdown would substitute
+    // the alias and evaluate the whole tokenize expression BELOW fanOut's
+    // exchange — back inside the single-task scan stage (r12 ProbeJobs).
+    val toks = Par.fanOut(df).select(col(idCol).as("id"),
       array_distinct(Dedup.tokens(col(textCol))).as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
-      .filter(col("n") > 0)
     val freq = toks.select(explode(col("toks")).as("token"))
       .groupBy("token").agg(count(lit(1)).as("tf"))
-    val byRank = toks.select(col("id"), col("n"), explode(col("toks")).as("token"))
-      .join(freq, "token")
-      .groupBy("id", "n")
-      .agg(sort_array(collect_list(struct(col("tf"), col("token")))).as("keys"))
-      .withColumn("plen", (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast(IntegerType))
+    // fanOutPairs on the packed per-doc rows: probe AND index explode
+    // from byRank (the index explodes EVERY token) and the candidate
+    // join + partial distinct fan out from those partitions map-side —
+    // upstream they sit in an AQE byte-coalesced shuffle (single-task
+    // candidate stage in the r12 probe); one reshuffle of the packed
+    // rows serves both sides
+    val byRank = Par.fanOutPairs(
+      toks.select(col("id"), col("n"), explode(col("toks")).as("token"))
+        .join(freq, "token")
+        .groupBy("id", "n")
+        .agg(sort_array(collect_list(struct(col("tf"), col("token")))).as("keys"))
+        .withColumn("plen", (col("n") - ceil(col("n") * threshold - 1e-9) + 1).cast(IntegerType)),
+      Seq("id"))
     // probe side: A's prefix only, optionally restricted to an audit
     // cohort via probePred (over columns `id`/`n`) — the contained-side
     // index stays the full corpus; index side: B's FULL ordered list
@@ -106,12 +122,20 @@ object SimJoin {
         col("b.n").cast(DoubleType) >= col("a.n").cast(DoubleType) * threshold - 1e-9 &&
         overlapUb.cast(DoubleType) >= col("a.n").cast(DoubleType) * threshold - 1e-9)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val cands = candsRaw.distinct()
+    // fanOutPairs: the verify below costs per PAIR (array_intersect over
+    // both full token arrays) while the pair rows are bytes — AQE's
+    // byte-based coalescing would run it near-serial (guide §2)
+    val cands = Par.fanOutPairs(candsRaw.distinct(), Seq("id_a", "id_b"))
+    // sorted-fingerprint merge-count verify — same tradeoff and same
+    // rationale as jaccard's build() (hash + sort each doc's tokens once;
+    // the inlined intersection evaluations become cheap merge passes)
+    val hToks = toks.withColumn("th",
+      array_sort(transform(col("toks"), t => xxhash64(t))))
     val withSets = cands
-      .join(toks.select(col("id").as("id_a"), col("toks").as("t_a"), col("n").as("n_a")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("t_b"), col("n").as("n_b")), "id_b")
+      .join(hToks.select(col("id").as("id_a"), col("th").as("t_a"), col("n").as("n_a")), "id_a")
+      .join(hToks.select(col("id").as("id_b"), col("th").as("t_b"), col("n").as("n_b")), "id_b")
     withSets
-      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast(LongType))
+      .withColumn("inter", graft.functions.VectorExprs.sortedInterCount(col("t_a"), col("t_b")))
       .filter(col("inter") * den >= col("n_a") * num)
       .select(col("id_a"), col("id_b"), col("n_a"), col("n_b"), col("inter"),
         (col("inter").cast(DoubleType) / col("n_a").cast(DoubleType)).as("containment"))
@@ -123,11 +147,15 @@ object SimJoin {
     // NOTE: deliberately NOT persisted — re-tokenizing per consumer costs
     // less than what caching breaks: a persisted relation's in-memory
     // size stats stop the planner broadcasting the prefix self-join and
-    // the verify rejoins (measured 8 s → 45 s at sf0.1 with persist)
-    val toks = df.select(col(idCol).as("id"),
+    // the verify rejoins (measured 8 s → 45 s at sf0.1 with persist).
+    // Par.fanOut (r12): the tokenize kernel must not inherit a sub-split
+    // file's single scan partition — no-op at natural parallelism
+    // No n>0 filter — vacuous (empty sets never reach candidates or the
+    // inner verify joins) and predicate pushdown would drag the tokenize
+    // expression below fanOut's exchange into the single-task scan stage
+    val toks = Par.fanOut(df).select(col(idCol).as("id"),
       array_distinct(Dedup.tokens(col(textCol))).as("toks"))
       .withColumn("n", size(col("toks")).cast(LongType))
-      .filter(col("n") > 0)
 
     // global rarest-first token order: the `(tf, token)` composite IS a
     // total order (ascending frequency, ties by token), so no rank needs
@@ -158,8 +186,15 @@ object SimJoin {
     //    J >= t allows. For a true pair the FIRST common token in global
     //    order passes (all other common tokens sort after it), so pruning
     //    on it never loses a pair.
-    val prefixes = byRank.select(col("id"), col("n"),
-      posexplode(slice(col("keys"), lit(1), col("plen"))).as(Seq("pos", "k")))
+    // fanOutPairs: the candidate join + partial distinct below fan out
+    // ~300× from these prefix rows map-side, but the rows upstream sit in
+    // an AQE byte-coalesced shuffle (5000 packed rows → 1 partition at
+    // sf0.1, a 3.8 s single-task stage in the r12 probe) — reshuffle the
+    // exploded prefix rows (ids + one token each, the cheapest frame in
+    // the query) to cluster width before the fan-out
+    val prefixes = Par.fanOutPairs(byRank.select(col("id"), col("n"),
+      posexplode(slice(col("keys"), lit(1), col("plen"))).as(Seq("pos", "k"))),
+      Seq("id", "pos"))
     val alpha = ceil((col("a.n") + col("b.n")).cast(DoubleType)
       * lit(threshold / (1.0 + threshold)) - 1e-9)
     val overlapUb = lit(1) +
@@ -173,15 +208,32 @@ object SimJoin {
     // the pre-verify distinct is LOAD-BEARING: deferring dedup to after
     // the verify filter was measured 9× slower at sf0.1 (72 s vs 7.8 s,
     // tools.ProbeSimJoin) — without it every duplicate candidate drags
-    // both full token arrays through the verify join
-    val cands = candsRaw.distinct()
+    // both full token arrays through the verify join. fanOutPairs: the
+    // verify is per-PAIR CPU over byte-tiny pair rows — don't let AQE's
+    // byte-based coalescing serialize it (r12 ProbeJobs: 90 s of task
+    // time squeezed through 16 coalesced partitions)
+    val cands = Par.fanOutPairs(candsRaw.distinct(), Seq("id_a", "id_b"))
 
-    // exact verify on the bounded candidate set
+    // exact verify on the bounded candidate set. The verify compares
+    // SORTED 64-bit xxhash64 token fingerprints (hashed + sorted ONCE per
+    // document) with an allocation-free merge count, instead of
+    // array_intersect over the token strings: (a) the optimizer inlines
+    // the filtered `inter` alias into the join condition, so the
+    // intersection is evaluated up to 4× per candidate pair — a hash-set
+    // build per eval (63 s CPU at sf0.1; 252 s with boxed longs), while
+    // the merge count is ~|A|+|B| long compares; (b) hashing per doc, not
+    // per pair, drops the hash work ~650× (candidate:doc ratio here).
+    // |A∩B| is unchanged unless two distinct tokens of one compared pair
+    // collide in 64 bits (~|A∪B|²·2⁻⁶⁵ per pair) — the same
+    // fingerprint-width tradeoff the gram operators (ta_overlap,
+    // dd_spans) already make at 60 bits.
+    val hToks = toks.withColumn("th",
+      array_sort(transform(col("toks"), t => xxhash64(t))))
     val withSets = cands
-      .join(toks.select(col("id").as("id_a"), col("toks").as("t_a"), col("n").as("n_a")), "id_a")
-      .join(toks.select(col("id").as("id_b"), col("toks").as("t_b"), col("n").as("n_b")), "id_b")
+      .join(hToks.select(col("id").as("id_a"), col("th").as("t_a"), col("n").as("n_a")), "id_a")
+      .join(hToks.select(col("id").as("id_b"), col("th").as("t_b"), col("n").as("n_b")), "id_b")
     val result = withSets
-      .withColumn("inter", size(array_intersect(col("t_a"), col("t_b"))).cast(LongType))
+      .withColumn("inter", graft.functions.VectorExprs.sortedInterCount(col("t_a"), col("t_b")))
       .withColumn("uni", col("n_a") + col("n_b") - col("inter"))
       .filter(col("uni") > 0 &&
         col("inter").cast(DoubleType) / col("uni").cast(DoubleType) >= threshold)

@@ -29,6 +29,35 @@ object VectorExprs {
   def dot(a: Column, b: Column): Column = toCol(DotExpr(toExpr(a), toExpr(b)))
   def norm(a: Column): Column = toCol(NormExpr(toExpr(a)))
 
+  /** |A ∩ B| for two SORTED-ascending long arrays with distinct elements —
+    * one allocation-free merge pass. The similarity verifies need this
+    * because the optimizer inlines a filtered `inter` alias into the join
+    * condition (array_intersect ended up evaluated 4× per candidate pair,
+    * each eval building a hash set of boxed elements); a merge count is
+    * cheap enough that the duplicated evaluation stops mattering.
+    */
+  def sortedInterCount(a: Column, b: Column): Column =
+    toCol(SortedInterCountExpr(toExpr(a), toExpr(b)))
+
+  /** Merge-count kernel for [[SortedInterCountExpr]] (public: called from
+    * generated code).
+    */
+  def sortedInterCountData(a: ArrayData, b: ArrayData): Long = {
+    var i = 0
+    var j = 0
+    var c = 0L
+    val n = a.numElements()
+    val m = b.numElements()
+    while (i < n && j < m) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (x > y) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
   /** Array of `tables` bucket ids for the LSH OR-construction: table t's
     * bucket = (packed sign bits of nbits hash-derived hyperplanes, seeded
     * by t) * tables + t.
@@ -144,6 +173,32 @@ case class DotExpr(left: Expression, right: Expression)
       s"${ev.value} = graft.functions.VectorExprs.dotData($a, $b, ${isFloat(left)}, ${isFloat(right)});")
   override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
   override def prettyName: String = "graft_dot"
+}
+
+/** (array<long> sorted asc, array<long> sorted asc) → long intersection
+  * count (same codegen discipline as [[DotExpr]]: a static allocation-free
+  * kernel call inside whole-stage codegen).
+  */
+case class SortedInterCountExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<bigint> inputs, got ${l.catalogString} / ${r.catalogString}")
+    }
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VectorExprs.sortedInterCountData(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode) =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.VectorExprs.sortedInterCountData($a, $b);")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) = copy(l, r)
+  override def prettyName: String = "graft_sorted_inter_count"
 }
 
 /** array<float|double> → double L2 norm (same codegen discipline as

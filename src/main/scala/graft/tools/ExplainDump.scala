@@ -40,18 +40,28 @@ object ExplainDump {
     names.foreach { name =>
       try {
         val df = graft.SparkEntry.queries(name)(spark, sfDir)
-        if (exec) df.write.format("noop").mode("overwrite").save()
+        // exec mode: execute the SAME QueryExecution (a noop write would
+        // run a separate QueryExecution for the write command, leaving
+        // df.queryExecution un-executed and the dump at isFinalPlan=false
+        // — round-11 advisor item), so the dump shows the AQE final plan:
+        // runtime join strategy changes and AQEShuffleRead coalescing.
+        if (exec) df.queryExecution.toRdd.foreachPartition(_ => ())
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(Paths.get(s"$outDir/$name.txt"), plan.getBytes("UTF-8"))
-        def c(tok: String) = tok.r.findAllIn(plan).length
-        summary.append(s"$name\t${c("Exchange ")}\t${c("SortMergeJoin")}\t" +
+        // count only the numbered operator headers ("(12) Exchange") so the
+        // details section isn't double-counted and "Exchange" doesn't match
+        // inside Broadcast/ReusedExchange lines (round-11 advisor item)
+        def c(tok: String) = ("""(?m)^\(\d+\) """ + tok + """\b""").r.findAllIn(plan).length
+        summary.append(s"$name\t${c("Exchange")}\t${c("SortMergeJoin")}\t" +
           s"${c("BroadcastHashJoin")}\t${c("ShuffledHashJoin")}\t" +
           s"${c("BroadcastNestedLoopJoin")}\t${c("CartesianProduct")}\t" +
-          s"${c("WholeStageCodegen")}\t\n")
+          s"${"""\[codegen id : (\d+)\]""".r.findAllMatchIn(plan).map(_.group(1)).toSet.size}\t\n")
       } catch {
         case e: Throwable =>
-          summary.append(s"$name\t-\t-\t-\t-\t-\t-\t-\tERR ${Option(e.getMessage).getOrElse("?").linesIterator.next().take(120)}\n")
+          val msg = Option(e.getMessage).filter(_.nonEmpty)
+            .getOrElse(e.getClass.getSimpleName)
+          summary.append(s"$name\t-\t-\t-\t-\t-\t-\t-\tERR ${msg.linesIterator.nextOption().getOrElse("?").take(120)}\n")
       }
       spark.catalog.clearCache()
     }

@@ -48,7 +48,13 @@ object ProbeJobs {
       }
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = jobs.synchronized {
         val s = stages.getOrElseUpdate(e.stageInfo.stageId, StageRec(e.stageInfo.stageId))
-        s.name = e.stageInfo.name.linesIterator.next()
+        // operator scopes of the stage's RDDs identify WHICH plan segment
+        // ran (stage names are all "withThreadLocalCaptured" under AQE)
+        val scopes = e.stageInfo.rddInfos.flatMap(_.scope).map(_.name).distinct
+        s.name = scopes.mkString(">") match {
+          case "" => e.stageInfo.name.linesIterator.next()
+          case x  => x
+        }
       }
       override def onTaskEnd(e: SparkListenerTaskEnd): Unit = jobs.synchronized {
         stageToJob.get(e.stageId).flatMap(jobs.get).foreach { r =>
@@ -73,7 +79,7 @@ object ProbeJobs {
 
     spark.sparkContext.addSparkListener(listener)
     names.foreach { name =>
-      jobs.synchronized { jobs.clear(); stageToJob.clear() }
+      jobs.synchronized { jobs.clear(); stages.clear(); stageToJob.clear() }
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
@@ -87,6 +93,12 @@ object ProbeJobs {
         println(f"===== $name wall=$wall%.2f s jobs=${recs.size} jobWallSum=$jobWall%.2f s taskTimeSum=$taskSum%.2f s gaps=${wall - jobWall}%.2f s")
         recs.foreach { r =>
           println(f"  job ${r.id}%3d ${(r.end - r.start).max(0L) / 1e3}%6.2f s stages=${r.stages}%2d tasks=${r.tasks}%4d taskTime=${r.taskTimeMs / 1e3}%7.2f s ${r.desc.take(80)}")
+        }
+        // per-stage rows, heaviest first — a stage with tasks=1 and most of
+        // the task time is the serialization point to attack (round-11
+        // advisor item: these were collected but never printed)
+        stages.values.toSeq.sortBy(-_.taskTimeMs).take(12).foreach { st =>
+          println(f"  stage ${st.id}%3d tasks=${st.tasks}%4d taskTime=${st.taskTimeMs / 1e3}%7.2f s cpu=${st.cpuMs / 1e3}%7.2f s ${st.name.take(100)}")
         }
       }
     }
