@@ -86,23 +86,32 @@ object SparkEntry {
     * must be explicit.
     */
   private[graft] def streamShufflePartitions(s: SparkSession, dir: String,
-                                             table: String): Int =
+                                             table: String, minParts: Int): Int =
     sys.env.get("SPARK_GRAFT_STREAM_PARTS").map(_.toInt).getOrElse {
       val bytes = dirBytes(new java.io.File(s"$dir/$table.parquet"))
       val byData = bytes / (32L << 20) + 1
-      byData.min(s.sparkContext.defaultParallelism.toLong * 4).toInt.max(1)
+      byData.min(s.sparkContext.defaultParallelism.toLong * 4).toInt
+        .max(minParts).max(1)
     }
 
   /** Run `body` (stream assembly through awaitTermination) under the
     * streaming partition policy, restoring the session value after. The
     * conf must cover query START (the stream clones the session conf on
     * its own thread), hence the whole-body scope.
+    *
+    * `minParts` floors the policy for COMPUTE-bound micro-batches: the
+    * volume term sizes state stores, but a stream whose per-batch plan
+    * does corpus-scale CPU through its shuffles (stream_nbc's token ×
+    * class scoring join) needs cluster-width exchanges regardless of how
+    * few bytes the source holds — the r12 A/B measured stream_nbc
+    * 5.7 s → 14.3 s under the volume-only policy (a 13 s single-partition
+    * sort-merge of the exploded token rows) and back under the floor.
     */
   private def withStreamShuffle[T](s: SparkSession, dir: String,
-                                   table: String)(body: => T): T = {
+                                   table: String, minParts: Int = 1)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions",
-      streamShufflePartitions(s, dir, table).toString)
+      streamShufflePartitions(s, dir, table, minParts).toString)
     try body finally s.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
@@ -2159,7 +2168,10 @@ operations:
       // SOURCE (5 rows), each rounded once to micro-nats — the
       // ta_entropy discipline. Pairing is an equi-join on doc_id + 1,
       // not a window: no per-source sort at any scale.
-      val d = T(s, dir, "documents")
+      // fanOut: the gram explodes over BOTH texts (×3 consumers of `pr`)
+      // are the CPU and ran in the single scan partition (r12 ProbeJobs:
+      // three overlapping ~2.5 s single-task stages)
+      val d = ext.Par.fanOut(T(s, dir, "documents"))
       val pr = d.filter(col("doc_id") % 2 === 0)
         .select(col("doc_id").as("pid"), col("source"), col("text").as("htext"))
         .join(d.select((col("doc_id") - 1).as("pid"), col("text").as("rtext")),
@@ -2941,10 +2953,14 @@ operations:
       // fixed-pointed with the |numerator|-with-sign division. Top-5
       // per group by |e_micro| ride the bounded-heap TopKAgg (≤5 rows
       // per key cross the wire, never the table).
-      val li = T(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
+      // fanOut: the per-row DECIMAL(38,0) residual/leverage arithmetic
+      // below runs on BigDecimal (no int128 fast path) — CPU-dense work
+      // that ran inside the near-single-task scan stage (r12 ProbeJobs:
+      // 3.6 s of task time through 3 tasks)
+      val li = ext.Par.fanOut(T(s, dir, "lineitem").select(col("l_returnflag").as("flag"),
         col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
         col("l_quantity").cast("long").as("x"),
-        round(col("l_extendedprice") * 100).cast("long").as("y_c"))
+        round(col("l_extendedprice") * 100).cast("long").as("y_c")))
       val st = li.groupBy("flag").agg(
         count(lit(1)).as("n"), sum("x").as("sx"), sum("y_c").as("sy"),
         sum(expr("CAST(x AS DECIMAL(38,0)) * x")).as("sxx"),
@@ -3483,7 +3499,8 @@ operations:
       // quality/domain-classifier pass (ext.LangModel.naiveBayes)
       ext.LangModel.naiveBayes(T(s, dir, "documents"), "doc_id", "text", "source")),
 
-    "stream_nbc" -> ((s, dir) => withStreamShuffle(s, dir, "documents") {
+    "stream_nbc" -> ((s, dir) => withStreamShuffle(s, dir, "documents",
+      minParts = s.sparkContext.defaultParallelism) {
       // STREAMING model serving: the NBC model trains ONCE on the static
       // corpus, and incoming docs are scored by stream-static joins into
       // the ONE fused stateful aggregate (functions.ArgminAgg) the plan

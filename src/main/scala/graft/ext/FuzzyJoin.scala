@@ -53,12 +53,16 @@ object FuzzyJoin {
     // quadratic levenshtein stage is bounded PER BLOCK, not globally)
     // and re-checked exactly in the verify stage (a cross-block hash
     // collision can only ADD candidates, never pairs)
-    val base = (blockCol match {
+    // Par.fanOut: the per-row deletion-neighborhood hashing below is the
+    // CPU kernel and must not inherit a sub-split file's single scan
+    // partition (no-op at natural parallelism). The isNotNull filter is
+    // over a RAW column, so its pushdown below the exchange is harmless.
+    val base = Par.fanOut((blockCol match {
       case Some(c) => df.select(col(idCol).as("id"), col(strCol).as("s"),
         col(c).cast("string").as("blk"))
       case None => df.select(col(idCol).as("id"), col(strCol).as("s"),
         lit("").as("blk"))
-    }).filter(col("s").isNotNull)
+    }).filter(col("s").isNotNull))
     // ids-only blocking: hash every neighborhood variant (+ block key)
     // natively. NULL block keys get a sentinel seed so null-block rows
     // never share candidate hashes with real blocks; the verify filter is
@@ -73,10 +77,22 @@ object FuzzyJoin {
       // twice and broadcasts one full copy as a multi-million-row build
       // side; with it the join is a co-partitioned shuffle on h
       .localCheckpoint(true)
-    val cands = blocks.as("a").join(blocks.as("b"),
+    // user-pinned width for the candidate join: the checkpointed frame
+    // carries no recognized partitioning, so the join re-shuffles both
+    // sides by h — ids-only rows that AQE byte-coalesces to a handful of
+    // partitions, serializing the pair generation + partial distinct
+    // (r12 ProbeJobs: 7.4 s of task time through 8 partitions in
+    // er_bcubed). HashPartitioning(h, n) satisfies both join sides, so
+    // this ONE exchange replaces the two coalescible ones. fanOutPairs on
+    // the distinct candidates keeps the per-pair levenshtein verify at
+    // cluster width (same pattern as the similarity joins).
+    val blocksW = blocks.repartition(
+      blocks.sparkSession.sparkContext.defaultParallelism, col("h"))
+    val cands = Par.fanOutPairs(
+      blocksW.as("a").join(blocksW.as("b"),
         col("a.h") === col("b.h") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+      .distinct(), Seq("id_a", "id_b"))
     cands
       .join(base.select(col("id").as("id_a"), col("s").as("str_a"), col("blk").as("__blka__")), "id_a")
       .join(base.select(col("id").as("id_b"), col("s").as("str_b"), col("blk").as("__blkb__")), "id_b")

@@ -42,10 +42,12 @@ object LangModel {
     */
   def bigramNll(docs: DataFrame, idCol: String, textCol: String,
                 trainFraction: Double = 0.5, k: Double = 0.5): DataFrame = {
-    // Par.fanOut: tokenize + bigram explode is the CPU kernel — it must
-    // not inherit a sub-split file's single scan partition (no-op at
-    // natural parallelism; streaming frames pass through untouched)
-    val toks = Par.fanOut(docs)
+    // NOT fanned out: plain whitespace tokenize is too cheap here — the
+    // r12 A/B measured the extra exchange + 32-task scheduling LOSING
+    // across the whole bigram family (ta_perplexity 1.29->1.55 s, ta_pmi
+    // 0.58->1.12 s with fanOut); the md5/ngram kernels elsewhere are
+    // where fanOut pays
+    val toks = docs
       .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
 
     // no size>=2 filter: pushdown would substitute the alias and evaluate
@@ -110,7 +112,9 @@ object LangModel {
   def naiveBayesModel(docs: DataFrame, idCol: String, textCol: String,
                       classCol: String,
                       trainFraction: Double = 0.5): NbModel = {
-    val toks = Par.fanOut(docs).select(col(idCol).as("id"), col(classCol).as("cls"),
+    // not fanned out — see bigramNll (cheap tokenize; fanOut measured a
+    // net loss on ta_nbc 2.15->3.33 s)
+    val toks = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
       Dedup.tokens(col(textCol)).as("toks"))
     val train = toks.join(
       Sampling.hashSample(docs.select(col(idCol).as("id")), col("id"), trainFraction),
@@ -155,9 +159,8 @@ object LangModel {
   def naiveBayesScore(docs: DataFrame, idCol: String, textCol: String,
                       classCol: String, model: NbModel,
                       dedupTf: Boolean = true): DataFrame = {
-    // fanOut is streaming-safe: a readStream frame passes through (its
-    // micro-batch source sizes its own partitions)
-    val toks = Par.fanOut(docs).select(col(idCol).as("id"), col(classCol).as("cls"),
+    // not fanned out — see bigramNll (cheap tokenize)
+    val toks = docs.select(col(idCol).as("id"), col(classCol).as("cls"),
       Dedup.tokens(col(textCol)).as("toks"))
     val exploded = toks.select(col("id"), col("cls").as("cls_truth"),
       explode(col("toks")).as("w"))
@@ -210,9 +213,9 @@ object LangModel {
     */
   def collocations(docs: DataFrame, idCol: String, textCol: String,
                    minCount: Long = 5, topK: Int = 50): DataFrame = {
-    // clamped slice instead of a size>=2 filter (pushdown trap — see
-    // bigramNll), and fanOut so tokenize leaves the single scan partition
-    val toks = Par.fanOut(docs)
+    // clamped slice instead of a size>=2 filter; not fanned out — see
+    // bigramNll (cheap tokenize)
+    val toks = docs
       .select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
     val bg = toks
       .select(explode(zip_with(
@@ -242,9 +245,9 @@ object LangModel {
     * [[dunningCollocations]] and [[kneserNeyBigrams]].
     */
   private def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    // clamped slice instead of a size>=2 filter — the filter would push
-    // below fanOut's exchange and serialize tokenize (see bigramNll)
-    Par.fanOut(docs).select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
+    // clamped slice instead of a size>=2 filter; not fanned out — see
+    // bigramNll (cheap tokenize)
+    docs.select(col(idCol).as("id"), Dedup.tokens(col(textCol)).as("toks"))
       .select(explode(zip_with(
         slice(col("toks"), lit(1), greatest(size(col("toks")) - 1, lit(0))),
         slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),

@@ -106,8 +106,19 @@ object Multimodal {
     * DuckDB oracle): unsigned 64-bit parse of the first 16 md5 hex chars
     * of the cluster id, one member bit flipped.
     */
+  /** Per-thread MD5 instance: `MessageDigest.getInstance` funnels every
+    * call through the synchronized JCA provider lookup, which turned the
+    * fanned-out per-row generators into a lock convoy (r12 ProbeJobs:
+    * ~32 s of task time for ~2 s of CPU across 32 tasks). digest()
+    * resets the instance, so per-thread reuse is safe.
+    */
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private[graft] def plantedDHash(id: Long): Long = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
+    val hex = md5Local.get()
       .digest((id / 10).toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
     val base = java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16)
@@ -159,8 +170,37 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Canonical RIFF/WAVE container for 16-bit signed little-endian mono
+    * PCM — BYTE-IDENTICAL to what `AudioSystem.write(..., WAVE, out)`
+    * produces for this format (MultimodalSpec asserts it), but without
+    * going through AudioSystem: its per-call file-writer provider lookup
+    * synchronizes on the JVM-global IIO/sound registry, which turned the
+    * fanned-out media generators into a lock convoy (r12 ProbeJobs:
+    * 71 s of task time, 3.7 s of CPU, 32 tasks blocked on the registry).
+    */
+  private[ext] def pcmWavBytes(rate: Int, data: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](44 + data.length)
+    def ascii(off: Int, s: String): Unit = {
+      var i = 0; while (i < s.length) { out(off + i) = s.charAt(i).toByte; i += 1 }
+    }
+    def le32(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+      out(off + 2) = ((v >> 16) & 0xff).toByte; out(off + 3) = ((v >> 24) & 0xff).toByte
+    }
+    def le16(off: Int, v: Int): Unit = {
+      out(off) = (v & 0xff).toByte; out(off + 1) = ((v >> 8) & 0xff).toByte
+    }
+    ascii(0, "RIFF"); le32(4, 36 + data.length); ascii(8, "WAVE")
+    ascii(12, "fmt "); le32(16, 16); le16(20, 1) // PCM
+    le16(22, 1) // mono
+    le32(24, rate); le32(28, rate * 2) // byte rate = rate * blockAlign
+    le16(32, 2); le16(34, 16) // blockAlign, bits
+    ascii(36, "data"); le32(40, data.length)
+    System.arraycopy(data, 0, out, 44, data.length)
+    out
+  }
+
   private[ext] def encodeWav(rate: Int, nFrames: Int, value: Int): Array[Byte] = {
-    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
     val data = new Array[Byte](nFrames * 2)
     var i = 0
     while (i < nFrames) {
@@ -168,12 +208,7 @@ object Multimodal {
       data(2 * i + 1) = ((value >> 8) & 0xff).toByte
       i += 1
     }
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    pcmWavBytes(rate, data)
   }
 
   /** Speech-pattern WAVs whose active blocks are a closed-form function
@@ -202,7 +237,7 @@ object Multimodal {
     * 15, 2) AS BIGINT)` (hex chars 15–16 ARE bits 0..7 of that value).
     */
   private[graft] def vadBits(id: Long): Int = {
-    val hex = java.security.MessageDigest.getInstance("MD5")
+    val hex = md5Local.get()
       .digest(id.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       .map(b => f"$b%02x").mkString
     (java.lang.Long.parseUnsignedLong(hex.substring(0, 16), 16) & 0xffL).toInt
@@ -225,13 +260,7 @@ object Multimodal {
       }
       b += 1
     }
-    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
-    val ais = new javax.sound.sampled.AudioInputStream(
-      new java.io.ByteArrayInputStream(data), fmt, 3200L)
-    val bos = new java.io.ByteArrayOutputStream()
-    javax.sound.sampled.AudioSystem.write(ais,
-      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-    bos.toByteArray
+    pcmWavBytes(8000, data) // byte-identical to the AudioSystem path
   }
 
   /** One fixed-length energy window of decoded PCM. `sum_abs` feeds the
@@ -280,13 +309,49 @@ object Multimodal {
       }
   }
 
-  /** REAL PCM extraction via AudioSystem: the decoded 16-bit mono sample
-    * array, or None when no reader accepts the bytes.
+  /** The JRE's audio file readers (wav/aiff/au), resolved ONCE: these are
+    * the exact providers `AudioSystem.getAudioInputStream` iterates, but
+    * that entry point re-walks the synchronized provider registry PER
+    * CALL — under 32 concurrent decode tasks the registry lock was a
+    * convoy (r12 ProbeJobs: ~35 s of task time for ~2.5 s of CPU on
+    * every audio query). The reader instances are stateless parsers.
+    */
+  private lazy val audioReaders: List[javax.sound.sampled.spi.AudioFileReader] = {
+    val it = java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader]).iterator()
+    val b = List.newBuilder[javax.sound.sampled.spi.AudioFileReader]
+    while (it.hasNext) b += it.next()
+    // WAV first, the MIDI prober LAST: SoftMidiAudioFileReader's accept
+    // check itself walks the synchronized MIDI provider registry per call
+    // (jstack r12: every task blocked in JSSecurityManager.getProviders),
+    // so it must only run for bytes no real audio reader accepted —
+    // which, with WAVE payloads, is never
+    b.result().sortBy(r => (!r.getClass.getSimpleName.contains("Wave"),
+      r.getClass.getSimpleName.contains("Midi")))
+  }
+
+  /** Registry-free AudioSystem.getAudioInputStream: first accepting
+    * reader wins (same semantics — every reader rejects foreign bytes
+    * with UnsupportedAudioFileException).
+    */
+  private[ext] def openAudio(bytes: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    val in = new java.io.ByteArrayInputStream(bytes)
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(in)
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException => in.reset()
+      }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException(
+      "no reader accepted the stream")
+  }
+
+  /** REAL PCM extraction via the JRE audio readers: the decoded 16-bit
+    * mono sample array, or None when no reader accepts the bytes.
     */
   private[ext] def decodePcm(bytes: Array[Byte]): Option[Array[Short]] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = openAudio(bytes)
       val fmt = ais.getFormat
       if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1) {
         val data = ais.readAllBytes()
@@ -350,8 +415,7 @@ object Multimodal {
     */
   private[ext] def decodeAudio(bytes: Array[Byte]): Option[(Int, Long, Long)] =
     try {
-      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new java.io.ByteArrayInputStream(bytes))
+      val ais = openAudio(bytes) // registry-free, see audioReaders
       val fmt = ais.getFormat
       val frames = ais.getFrameLength
       val sum =
@@ -537,8 +601,7 @@ object Multimodal {
           val bytes = if (rec.content == null) Array.emptyByteArray else rec.content
           val out =
             try {
-              val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
-                new java.io.ByteArrayInputStream(bytes))
+              val ais = openAudio(bytes) // registry-free, see audioReaders
               val fmt = ais.getFormat
               if (fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1) {
                 val data = ais.readAllBytes()
@@ -566,14 +629,9 @@ object Multimodal {
                   resampled(2 * k + 1) = ((v >> 8) & 0xff).toByte
                   k += 1
                 }
-                val outFmt = new javax.sound.sampled.AudioFormat(
-                  targetRate.toFloat, 16, 1, true, false)
-                val outAis = new javax.sound.sampled.AudioInputStream(
-                  new java.io.ByteArrayInputStream(resampled), outFmt, outN.toLong)
-                val bos = new java.io.ByteArrayOutputStream()
-                javax.sound.sampled.AudioSystem.write(outAis,
-                  javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
-                bos.toByteArray
+                // byte-identical to the AudioSystem.write path (spec-
+                // asserted) without the per-call writer-registry lock
+                pcmWavBytes(targetRate, resampled)
               } else bytes
             } catch { case _: Exception => bytes }
           ResampledMedia(rec.media_id, rec.media_type, targetRate, out)

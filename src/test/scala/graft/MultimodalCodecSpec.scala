@@ -50,6 +50,29 @@ class MultimodalCodecSpec extends graft.SparkSpec {
     assert(meta(2L).width == 12 && meta(2L).height == 18)
   }
 
+  test("pcmWavBytes is byte-identical to AudioSystem's WAVE output") {
+    // the hand-rolled RIFF writer exists to dodge AudioSystem's
+    // synchronized provider registry (a lock convoy under 32 concurrent
+    // encode tasks) — it must stay indistinguishable from the real
+    // encoder's bytes, or the "every payload is a genuine encoder's
+    // output" contract breaks
+    def viaAudioSystem(rate: Int, data: Array[Byte], frames: Long): Array[Byte] = {
+      val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(data), fmt, frames)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(ais,
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    for (rate <- Seq(8000, 10000, 16000); n <- Seq(0, 1, 64, 3200)) {
+      val data = Array.tabulate(n * 2)(i => ((i * 37 + rate) % 251 - 125).toByte)
+      assert(java.util.Arrays.equals(
+        Multimodal.pcmWavBytes(rate, data), viaAudioSystem(rate, data, n.toLong)),
+        s"mismatch at rate=$rate frames=$n")
+    }
+  }
+
   test("audio decode: wav round-trip recovers rate, frames and exact sample sum") {
     val wav = Multimodal.encodeWav(16000, 250, -123)
     val dec = Multimodal.decode(mediaDf(Seq((1L, "audio/wav", wav)))).collect().head
